@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's shared configuration.
+  *
+  * Design notes (100 TB): nothing here hard-codes local scale except the
+  * shuffle-partition default, which AQE re-coalesces at runtime; on a real
+  * cluster the same settings apply with a larger `master`/partition count.
+  */
+object GraftSession {
+
+  /** Confs every graft session needs, applied on top of any builder. */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // driver testdata stores event timestamps as parquet TIMESTAMP(NANOS),
+    // which Spark only reads as raw long (SPARK-40819); Tables.events
+    // converts back to TimestampType.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.mergeSchema", "false")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    .config("spark.ui.enabled", "false")
+
+  def apply(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = tune(
+      SparkSession.builder()
+        .master(master)
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
