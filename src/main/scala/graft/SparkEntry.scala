@@ -16,7 +16,8 @@ object SparkEntry {
 
   private def registries: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (graft.queries.Relational.queries, graft.queries.Relational.oracles)
+      (graft.queries.Relational.queries, graft.queries.Relational.oracles),
+      (graft.rawdata.RawdataQueries.queries, graft.rawdata.RawdataQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

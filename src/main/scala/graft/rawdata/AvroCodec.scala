@@ -1,0 +1,131 @@
+package graft.rawdata
+
+import java.io.{File, InputStream}
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput, SeekableFileInput}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+
+/** Avro (de)serialization of rawdata messages, file-format compatible with
+  * the reference (same record schema, AvroRawdataProducer.java:44-50, so a
+  * topic written by the reference client is readable by this engine and
+  * vice versa). Runs inside Spark tasks — one task per file.
+  */
+object AvroCodec {
+
+  /** The on-disk record schema. Kept as a JSON literal (the format is the
+    * contract; field order and the fixed(16) id type must match the
+    * reference exactly).
+    */
+  val SchemaJson: String =
+    """{"type":"record","name":"RawdataMessage","fields":[
+      |{"name":"id","type":{"type":"fixed","name":"ulid","size":16}},
+      |{"name":"orderingGroup","type":["string","null"]},
+      |{"name":"sequenceNumber","type":"long","default":0},
+      |{"name":"position","type":"string"},
+      |{"name":"data","type":{"type":"map","values":"bytes"}}
+      |]}""".stripMargin
+
+  def schema: Schema = new Schema.Parser().parse(SchemaJson)
+
+  private def ulidFixed(sch: Schema, bytes: Array[Byte]): GenericData.Fixed =
+    new GenericData.Fixed(sch.getField("id").schema(), bytes)
+
+  def toRecord(sch: Schema, m: RawdataMessage): GenericRecord = {
+    val rec = new GenericData.Record(sch)
+    rec.put("id", ulidFixed(sch, m.id))
+    rec.put("orderingGroup", m.orderingGroup.orNull)
+    rec.put("sequenceNumber", m.sequenceNumber)
+    rec.put("position", m.position)
+    val data = new java.util.HashMap[String, ByteBuffer]()
+    m.data.foreach { case (k, v) => data.put(k, ByteBuffer.wrap(v)) }
+    rec.put("data", data)
+    rec
+  }
+
+  def fromRecord(rec: GenericRecord): RawdataMessage = {
+    val id = rec.get("id").asInstanceOf[GenericData.Fixed].bytes()
+    val og = Option(rec.get("orderingGroup")).map(_.toString)
+    val seq = rec.get("sequenceNumber").asInstanceOf[Long]
+    val pos = rec.get("position").toString
+    val data = mutable.Map[String, Array[Byte]]()
+    rec.get("data").asInstanceOf[java.util.Map[AnyRef, ByteBuffer]].asScala.foreach {
+      case (k, bb) =>
+        // copy out of the buffer correctly (do not assume a zero offset)
+        val arr = new Array[Byte](bb.remaining())
+        bb.duplicate().get(arr)
+        data.put(k.toString, arr)
+    }
+    RawdataMessage(id, og, seq, pos, data.toMap)
+  }
+
+  /** Streaming writer for one Avro file; tracks the metadata the filename
+    * convention needs (count, first ULID/position, last block offset) like
+    * the reference's AvroFileMetadata.
+    */
+  final class FileWriter(path: File, syncIntervalBytes: Long) {
+    private val sch = schema
+    private val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
+    writer.create(sch, path)
+
+    var count: Long = 0L
+    var firstId: Array[Byte] = _
+    var firstPosition: String = _
+    var lastBlockOffset: Long = 0L
+    private var bytesInBlock: Long = 0L
+
+    def append(m: RawdataMessage): Unit = {
+      if (count == 0L) { firstId = m.id; firstPosition = m.position }
+      val approxBytes = 16L + m.position.length +
+        m.data.valuesIterator.map(_.length.toLong).sum + 32L
+      if (bytesInBlock + approxBytes > syncIntervalBytes && count > 0) {
+        lastBlockOffset = writer.sync()
+        bytesInBlock = 0L
+      }
+      writer.append(toRecord(sch, m))
+      count += 1
+      bytesInBlock += approxBytes
+    }
+
+    def close(): Unit = writer.close()
+  }
+
+  def readFile(path: String): Iterator[RawdataMessage] = {
+    val reader = new DataFileReader[GenericRecord](
+      new SeekableFileInput(new File(path)), new GenericDatumReader[GenericRecord](schema))
+    iterate(reader)
+  }
+
+  /** Read records at/after a block offset (the filename's last-block
+    * offset) — the reference's lastMessage fast path
+    * (AvroRawdataClient.java:126-147).
+    */
+  def readFileFrom(path: String, blockOffset: Long): Iterator[RawdataMessage] = {
+    val reader = new DataFileReader[GenericRecord](
+      new SeekableFileInput(new File(path)), new GenericDatumReader[GenericRecord](schema))
+    if (blockOffset > 0) reader.seek(blockOffset)
+    iterate(reader)
+  }
+
+  def readBytes(content: Array[Byte]): Iterator[RawdataMessage] = {
+    val reader = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(content), new GenericDatumReader[GenericRecord](schema))
+    iterate(reader)
+  }
+
+  private def iterate(reader: DataFileReader[GenericRecord]): Iterator[RawdataMessage] =
+    new Iterator[RawdataMessage] {
+      private var closed = false
+      def hasNext: Boolean = {
+        if (closed) return false
+        val h = reader.hasNext
+        if (!h) { reader.close(); closed = true }
+        h
+      }
+      def next(): RawdataMessage = fromRecord(reader.next())
+    }
+}

@@ -1,0 +1,68 @@
+package graft.rawdata
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic conversion of the `events` testdata table into a rawdata
+  * topic (the testdata's `events` plays the role of a producer's input;
+  * the topic on disk then exercises the full Avro write→read path).
+  *
+  * ULIDs are content-derived (Ulid.deterministic) so the topic bytes are
+  * a pure function of the events table — which is what lets every rd_*
+  * query have a plain-SQL DuckDB oracle over `events`.
+  */
+object EventsAsTopic {
+
+  /** One topic file per day of events; byte-rolling disabled so the file
+    * layout is also a pure function of the data (byte-based rolling is
+    * covered by TopicSpec instead).
+    */
+  val DayMs: Long = 86400L * 1000
+  val cfg: TopicConfig = TopicConfig(maxWindowMs = DayMs, maxBytes = Long.MaxValue / 4, syncIntervalBytes = 64L * 1024)
+
+  def messagesFromEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.select(
+      Ulid.deterministic(unix_millis(col("ts")), col("event_id")).as("id"),
+      col("event_type").as("orderingGroup"),
+      col("event_id").as("sequenceNumber"),
+      concat(lit("evt-"), col("event_id").cast("string")).as("position"),
+      map(
+        lit("props"), encode(col("props"), "UTF-8"),
+        lit("user"), encode(col("user_id").cast("string"), "UTF-8")).as("data"))
+  }
+
+  private val lock = new Object
+  @volatile private var built: Map[String, String] = Map.empty
+
+  /** Build (once per sfDir per JVM) and return the topic directory. */
+  def topicDir(spark: SparkSession, sfDir: String): String = {
+    built.get(sfDir) match {
+      case Some(d) => d
+      case None => lock.synchronized {
+        built.get(sfDir).getOrElse {
+          val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+          val dir = new File(sys.props("java.io.tmpdir"), s"graft-topics/$key/events")
+          val marker = new File(dir, "_BUILT")
+          if (!marker.exists()) {
+            if (dir.exists()) deleteRec(dir)
+            dir.mkdirs()
+            Topic.write(messagesFromEvents(spark, sfDir), dir.getAbsolutePath, cfg)
+            marker.createNewFile()
+          }
+          built = built.updated(sfDir, dir.getAbsolutePath)
+          dir.getAbsolutePath
+        }
+      }
+    }
+  }
+
+  private def deleteRec(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(): Unit
+  }
+}

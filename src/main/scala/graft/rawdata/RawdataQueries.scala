@@ -1,0 +1,194 @@
+package graft.rawdata
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.A — the reference's consumer/client surface as oracle-checked
+  * queries. Every query routes through the real topic engine (events →
+  * Avro topic on disk → pruned distributed read); the DuckDB oracle
+  * recomputes the expected answer directly from `events`, which works
+  * because the ULIDs are content-derived (see EventsAsTopic).
+  */
+object RawdataQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 2024-01-15T00:00:00Z */
+  private val MidMonthMs = 1705276800000L
+
+  private def topic(s: SparkSession, d: String): String = EventsAsTopic.topicDir(s, d)
+
+  /** Metadata-derived (approx, tolerance) covering the whole topic. */
+  private def wholeRange(dir: String): (Long, Long) = {
+    val files = Topic.listFiles(dir)
+    if (files.isEmpty) (0L, Long.MaxValue / 4)
+    else {
+      val lo = files.head.fromTsMs
+      val hi = files.last.fromTsMs
+      ((lo + hi) / 2, (hi - lo) / 2 + EventsAsTopic.DayMs + 1)
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+    "rd_read_topic" -> { (s, d) =>
+      Topic.readDF(s, topic(s, d)).agg(
+        count(lit(1)).as("n_messages"),
+        min(col("ts_ms")).as("min_ts_ms"),
+        max(col("ts_ms")).as("max_ts_ms"),
+        countDistinct(col("position")).as("n_positions"),
+        countDistinct(col("orderingGroup")).as("n_groups"))
+    },
+
+    "rd_seek_timestamp" -> { (s, d) =>
+      Topic.seek(s, topic(s, d), MidMonthMs)
+        .select(col("ulid_hex"), col("ts_ms"), col("position"), col("sequenceNumber").as("seq"))
+        .orderBy(col("ulid_hex"))
+        .limit(100)
+    },
+
+    "rd_cursor_after" -> { (s, d) =>
+      val dir = topic(s, d)
+      val (approx, tol) = wholeRange(dir)
+      val cursor = Topic.positionToUlidHex(s, dir, "evt-500", approx, tol)
+        .getOrElse(sys.error("position evt-500 not found"))
+      Topic.afterCursor(s, dir, cursor, inclusive = false)
+        .select(col("ulid_hex"), col("ts_ms"), col("position"), col("sequenceNumber").as("seq"))
+        .orderBy(col("ulid_hex"))
+        .limit(50)
+    },
+
+    "rd_position_lookup" -> { (s, d) =>
+      val dir = topic(s, d)
+      val (approx, tol) = wholeRange(dir)
+      val cursor = Topic.positionToUlidHex(s, dir, "evt-500", approx, tol)
+        .getOrElse(sys.error("position evt-500 not found"))
+      Topic.afterCursor(s, dir, cursor, inclusive = true)
+        .orderBy(col("ulid_hex"))
+        .limit(1)
+        .select(col("ulid_hex"), col("ts_ms"), col("position"), col("sequenceNumber").as("seq"))
+    },
+
+    "rd_last_message" -> { (s, d) =>
+      Topic.lastMessageDF(s, topic(s, d))
+        .select(col("ulid_hex"), col("ts_ms"), col("position"), col("sequenceNumber").as("seq"))
+    },
+
+    "rd_window_files" -> { (s, d) =>
+      Topic.fileListingDF(s, topic(s, d))
+        .select(col("fromTsMs").as("from_ts_ms"), col("count").as("n_messages"),
+          col("firstPosition").as("first_position"))
+        .orderBy(col("from_ts_ms"))
+    },
+
+    "rd_topic_stats" -> { (s, d) =>
+      Topic.fileListingDF(s, topic(s, d)).agg(
+        count(lit(1)).as("n_files"),
+        sum(col("count")).as("n_messages"),
+        min(col("fromTsMs")).as("first_from_ts_ms"),
+        max(col("fromTsMs")).as("last_from_ts_ms"))
+    },
+
+    "rd_metadata_kv" -> { (s, d) =>
+      val dir = topic(s, d)
+      val counts = Topic.readDF(s, dir)
+        .groupBy(col("orderingGroup"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("orderingGroup").as("key"), encode(col("n").cast("string"), "UTF-8").as("value"))
+      MetadataStore.put(s, dir, counts)
+      MetadataStore.readAll(s, dir)
+        .select(col("key"), decode(col("value"), "UTF-8").as("value_str"))
+        .orderBy(col("key"))
+    },
+
+    "rd_ordering_group" -> { (s, d) =>
+      val w = Window.orderBy(col("ulid_hex"))
+      Topic.readDF(s, topic(s, d))
+        .filter(col("orderingGroup") === "click")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 100)
+        .select(col("rn"), col("sequenceNumber").as("seq"), col("position"), col("ts_ms"))
+        .orderBy(col("rn"))
+    },
+
+    "rd_gap_detect" -> { (s, d) =>
+      val w = Window.partitionBy(col("orderingGroup")).orderBy(col("sequenceNumber"))
+      Topic.readDF(s, topic(s, d))
+        .withColumn("d", col("sequenceNumber") - lag(col("sequenceNumber"), 1).over(w))
+        .groupBy(col("orderingGroup"))
+        .agg(
+          sum(when(col("d") > 1, 1L).otherwise(0L)).as("n_gaps"),
+          sum(when(col("d") > 1, col("d") - 1).otherwise(0L)).as("missing_total"))
+        .select(col("orderingGroup").as("ordering_group"), col("n_gaps"), col("missing_total"))
+        .orderBy(col("ordering_group"))
+    }
+  )
+
+  /** Shared oracle CTE: the same content-derived ULID, in DuckDB. */
+  private val M =
+    """WITH m AS (
+      |  SELECT printf('%012x', epoch_us(ts) // 1000) || substr(md5(CAST(event_id AS VARCHAR)), 1, 20) AS ulid_hex,
+      |         epoch_us(ts) // 1000 AS ts_ms,
+      |         'evt-' || CAST(event_id AS VARCHAR) AS position,
+      |         event_id AS seq,
+      |         event_type AS ordering_group
+      |  FROM events)
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "rd_read_topic" -> (M +
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_messages, MIN(ts_ms) AS min_ts_ms,
+        |  MAX(ts_ms) AS max_ts_ms,
+        |  CAST(COUNT(DISTINCT position) AS BIGINT) AS n_positions,
+        |  CAST(COUNT(DISTINCT ordering_group) AS BIGINT) AS n_groups
+        |FROM m""".stripMargin),
+
+    "rd_seek_timestamp" -> (M +
+      """SELECT ulid_hex, ts_ms, position, seq FROM m
+        |WHERE ts_ms >= 1705276800000
+        |ORDER BY ulid_hex LIMIT 100""".stripMargin),
+
+    "rd_cursor_after" -> (M +
+      """SELECT ulid_hex, ts_ms, position, seq FROM m
+        |WHERE ulid_hex > (SELECT ulid_hex FROM m WHERE position = 'evt-500')
+        |ORDER BY ulid_hex LIMIT 50""".stripMargin),
+
+    "rd_position_lookup" -> (M +
+      """SELECT ulid_hex, ts_ms, position, seq FROM m
+        |WHERE position = 'evt-500'""".stripMargin),
+
+    "rd_last_message" -> (M +
+      """SELECT ulid_hex, ts_ms, position, seq FROM m
+        |ORDER BY ulid_hex DESC LIMIT 1""".stripMargin),
+
+    "rd_window_files" -> (M +
+      """SELECT MIN(ts_ms) AS from_ts_ms, CAST(COUNT(*) AS BIGINT) AS n_messages,
+        |  arg_min(position, ulid_hex) AS first_position
+        |FROM m GROUP BY ts_ms // 86400000
+        |ORDER BY from_ts_ms""".stripMargin),
+
+    "rd_topic_stats" -> (M +
+      """, w AS (SELECT MIN(ts_ms) AS f, COUNT(*) AS c FROM m GROUP BY ts_ms // 86400000)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(c) AS BIGINT) AS n_messages,
+        |  MIN(f) AS first_from_ts_ms, MAX(f) AS last_from_ts_ms
+        |FROM w""".stripMargin),
+
+    "rd_metadata_kv" ->
+      """SELECT event_type AS key, CAST(COUNT(*) AS VARCHAR) AS value_str
+        |FROM events GROUP BY event_type ORDER BY key""".stripMargin,
+
+    "rd_ordering_group" -> (M +
+      """, c AS (SELECT ulid_hex, seq, position, ts_ms,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY ulid_hex) AS INT) AS rn
+        |  FROM m WHERE ordering_group = 'click')
+        |SELECT rn, seq, position, ts_ms FROM c WHERE rn <= 100 ORDER BY rn""".stripMargin),
+
+    "rd_gap_detect" -> (M +
+      """, g AS (SELECT ordering_group, seq,
+        |    seq - LAG(seq) OVER (PARTITION BY ordering_group ORDER BY seq) AS d
+        |  FROM m)
+        |SELECT ordering_group,
+        |  CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |  CAST(SUM(CASE WHEN d > 1 THEN d - 1 ELSE 0 END) AS BIGINT) AS missing_total
+        |FROM g GROUP BY ordering_group ORDER BY ordering_group""".stripMargin)
+  )
+}

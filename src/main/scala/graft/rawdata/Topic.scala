@@ -1,0 +1,247 @@
+package graft.rawdata
+
+import java.io.File
+import java.time.{Instant, ZoneOffset, ZonedDateTime}
+import java.time.format.DateTimeFormatter
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One Avro file of a topic, as described by its filename alone
+  * (reference: AvroFileMetadata.java:53-57 and README naming section —
+  * `<fromTimestamp>_<count>_<lastBlockOffset>_<firstPosition>.avro`).
+  * Listing a topic is therefore a pure metadata operation: consumers can
+  * prune to the files overlapping a time range without opening any of
+  * them, which is what keeps a 100 TB topic seek cheap.
+  */
+case class TopicFile(path: String, fromTsMs: Long, count: Long, lastBlockOffset: Long, firstPosition: String)
+
+case class TopicConfig(
+    maxWindowMs: Long = 3600L * 1000,
+    maxBytes: Long = 64L * 1024 * 1024,
+    syncIntervalBytes: Long = 512L * 1024)
+
+/** Spark-native rawdata topic: a directory of Avro files sharing the
+  * reference's file naming + record schema.
+  *
+  * Writer: one shuffle clusters messages into (time-window, byte-chunk)
+  * files — the distributed equivalent of the reference producer's
+  * max.seconds/max.bytes rolling (AvroRawdataProducer.java). Each task
+  * streams its group through an Avro DataFileWriter with real sync blocks.
+  *
+  * Reader: driver lists + prunes by filename, then one Spark task per
+  * file decodes Avro → rows. Parallelism scales with file count, which is
+  * how the data grows; within-file order is ULID order by construction.
+  */
+object Topic {
+
+  private val TsFormat: DateTimeFormatter = DateTimeFormatter.ISO_OFFSET_DATE_TIME
+
+  def formatTs(ms: Long): String =
+    ZonedDateTime.ofInstant(Instant.ofEpochMilli(ms), ZoneOffset.UTC).format(TsFormat)
+
+  def parseTs(s: String): Long =
+    ZonedDateTime.parse(s, TsFormat).toInstant.toEpochMilli
+
+  implicit private def msgEncoder: Encoder[RawdataMessage] = Encoders.product[RawdataMessage]
+  implicit private def fileEncoder: Encoder[TopicFile] = Encoders.product[TopicFile]
+
+  // ---------------------------------------------------------------- write
+
+  /** Write a message DataFrame (columns id, orderingGroup, sequenceNumber,
+    * position, data) as a topic directory; returns per-file metadata.
+    */
+  def write(messages: DataFrame, topicDir: String, cfg: TopicConfig = TopicConfig()): Seq[TopicFile] = {
+    val dir = new File(topicDir)
+    dir.mkdirs()
+    val idHex = Ulid.hexOf(col("id"))
+    val tsMs = Ulid.timestampMs(col("id"))
+    val approxBytes = expr("aggregate(map_values(data), 0L, (acc, v) -> acc + length(v))") +
+      length(col("position")) + lit(48L)
+    val win = Window.partitionBy(col("_win")).orderBy(col("_ulid_hex"))
+
+    val staged = messages
+      .withColumn("_ulid_hex", idHex)
+      .withColumn("_win", tsMs.divide(lit(cfg.maxWindowMs)).cast("long"))
+      .withColumn("_bytes", approxBytes)
+      .withColumn("_chunk", ((sum(col("_bytes")).over(win) - col("_bytes")) / lit(cfg.maxBytes)).cast("long"))
+      .repartition(col("_win"), col("_chunk"))
+      .sortWithinPartitions(col("_win"), col("_chunk"), col("_ulid_hex"))
+
+    val sync = cfg.syncIntervalBytes
+    val metas = staged.toDF().mapPartitions { rows =>
+      new FileGroupWriter(topicDir, sync, rows).run()
+    }.collect().toSeq
+
+    metas.sortBy(_.fromTsMs)
+  }
+
+  /** Streams one task's rows (already clustered+sorted by _win,_chunk,id)
+    * into one Avro file per (_win,_chunk) group.
+    */
+  private final class FileGroupWriter(topicDir: String, syncBytes: Long, rows: Iterator[Row]) {
+    def run(): Iterator[TopicFile] = {
+      val out = Seq.newBuilder[TopicFile]
+      var key: (Long, Long) = null
+      var writer: AvroCodec.FileWriter = null
+      var tmp: File = null
+
+      def finish(): Unit = if (writer != null) {
+        writer.close()
+        val meta = TopicFile(
+          path = "",
+          fromTsMs = ulidTs(writer.firstId),
+          count = writer.count,
+          lastBlockOffset = writer.lastBlockOffset,
+          firstPosition = writer.firstPosition)
+        val name = s"${formatTs(meta.fromTsMs)}_${meta.count}_${meta.lastBlockOffset}_${meta.firstPosition}.avro"
+        val dest = new File(topicDir, name)
+        if (!tmp.renameTo(dest)) throw new IllegalStateException(s"rename $tmp -> $dest failed")
+        out += meta.copy(path = dest.getAbsolutePath)
+        writer = null
+      }
+
+      rows.foreach { row =>
+        val k = (row.getAs[Long]("_win"), row.getAs[Long]("_chunk"))
+        if (k != key) {
+          finish()
+          key = k
+          tmp = File.createTempFile(".inprogress-", ".avro.tmp", new File(topicDir))
+          writer = new AvroCodec.FileWriter(tmp, syncBytes)
+        }
+        writer.append(RawdataMessage(
+          id = row.getAs[Array[Byte]]("id"),
+          orderingGroup = Option(row.getAs[String]("orderingGroup")),
+          sequenceNumber = row.getAs[Long]("sequenceNumber"),
+          position = row.getAs[String]("position"),
+          data = row.getAs[Map[String, Array[Byte]]]("data").map(identity)))
+      }
+      finish()
+      out.result().iterator
+    }
+  }
+
+  private def ulidTs(id: Array[Byte]): Long = {
+    var ts = 0L
+    var i = 0
+    while (i < 6) { ts = (ts << 8) | (id(i) & 0xffL); i += 1 }
+    ts
+  }
+
+  // ----------------------------------------------------------------- list
+
+  /** Metadata-only topic listing, sorted by from-timestamp. */
+  def listFiles(topicDir: String): Seq[TopicFile] = {
+    val dir = new File(topicDir)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty[File])
+    files.iterator
+      .filter(f => f.isFile && f.getName.endsWith(".avro"))
+      .flatMap { f =>
+        val base = f.getName.stripSuffix(".avro")
+        val parts = base.split("_", 4)
+        if (parts.length == 4)
+          try Some(TopicFile(f.getAbsolutePath, parseTs(parts(0)), parts(1).toLong, parts(2).toLong, parts(3)))
+          catch { case _: Exception => None }
+        else None
+      }
+      .toSeq.sortBy(f => (f.fromTsMs, f.path))
+  }
+
+  /** Files possibly containing messages with ts >= fromTsMs: everything
+    * from the last file that starts at/before the target (floorEntry —
+    * reference AvroRawdataConsumer.seek, :141-177).
+    */
+  def pruneFrom(files: Seq[TopicFile], fromTsMs: Long): Seq[TopicFile] = {
+    val idx = files.lastIndexWhere(_.fromTsMs <= fromTsMs)
+    if (idx < 0) files else files.drop(idx)
+  }
+
+  def pruneRange(files: Seq[TopicFile], fromTsMs: Long, toTsMs: Long): Seq[TopicFile] =
+    pruneFrom(files, fromTsMs).takeWhile(_.fromTsMs <= toTsMs)
+
+  // ----------------------------------------------------------------- read
+
+  /** Distributed read of an explicit file list: one task per file. */
+  def readFiles(spark: SparkSession, files: Seq[TopicFile]): Dataset[RawdataMessage] = {
+    if (files.isEmpty) return spark.emptyDataset[RawdataMessage]
+    val paths = files.map(_.path)
+    spark.createDataset(paths)(Encoders.STRING)
+      .repartition(paths.size)
+      .flatMap(p => AvroCodec.readFile(p))
+  }
+
+  def read(spark: SparkSession, topicDir: String): Dataset[RawdataMessage] =
+    readFiles(spark, listFiles(topicDir))
+
+  /** Message DataFrame with decoded ULID columns. */
+  def readDF(spark: SparkSession, topicDir: String): DataFrame =
+    decorate(read(spark, topicDir).toDF())
+
+  def decorate(df: DataFrame): DataFrame = df
+    .withColumn("ulid_hex", Ulid.hexOf(col("id")))
+    .withColumn("ts_ms", Ulid.timestampMs(col("id")))
+
+  /** consumer.seek(ts): pruned read of messages with ts >= fromTsMs. */
+  def seek(spark: SparkSession, topicDir: String, fromTsMs: Long): DataFrame =
+    decorate(readFiles(spark, pruneFrom(listFiles(topicDir), fromTsMs)).toDF())
+      .filter(col("ts_ms") >= fromTsMs)
+
+  /** cursorOf(position, approxTs, tolerance) → the message's ULID hex
+    * (reference AvroRawdataClient.java:89-115): bounded time-range scan.
+    */
+  def positionToUlidHex(spark: SparkSession, topicDir: String, position: String,
+      approxTsMs: Long, toleranceMs: Long): Option[String] = {
+    val files = pruneRange(listFiles(topicDir), approxTsMs - toleranceMs, approxTsMs + toleranceMs)
+    val hit = decorate(readFiles(spark, files).toDF())
+      .filter(col("ts_ms").between(approxTsMs - toleranceMs, approxTsMs + toleranceMs) &&
+        col("position") === position)
+      .select(min(col("ulid_hex")))
+      .collect()
+    hit.headOption.flatMap(r => Option(r.getString(0)))
+  }
+
+  /** Resume strictly after (or at, if inclusive) a cursor ULID. */
+  def afterCursor(spark: SparkSession, topicDir: String, ulidHex: String, inclusive: Boolean): DataFrame = {
+    val tsMs = java.lang.Long.parseLong(ulidHex.take(12), 16)
+    val pruned = pruneFrom(listFiles(topicDir), tsMs)
+    val df = decorate(readFiles(spark, pruned).toDF())
+    if (inclusive) df.filter(col("ulid_hex") >= ulidHex) else df.filter(col("ulid_hex") > ulidHex)
+  }
+
+  /** lastMessage(topic): only the last file is opened, and only from its
+    * last Avro block (offset from the filename) — O(one block) I/O no
+    * matter the topic size (reference AvroRawdataClient.java:126-147).
+    */
+  def lastMessage(topicDir: String): Option[RawdataMessage] = {
+    val files = listFiles(topicDir)
+    files.lastOption.flatMap { f =>
+      val it = AvroCodec.readFileFrom(f.path, f.lastBlockOffset)
+      var last: RawdataMessage = null
+      while (it.hasNext) last = it.next()
+      Option(last)
+    }
+  }
+
+  /** The same, as a (tiny) DataFrame via a pruned distributed read. */
+  def lastMessageDF(spark: SparkSession, topicDir: String): DataFrame = {
+    val files = listFiles(topicDir)
+    val lastFile = files.takeRight(1)
+    decorate(readFiles(spark, lastFile).toDF())
+      .orderBy(col("ulid_hex").desc)
+      .limit(1)
+  }
+
+  /** Topic stats straight from the file listing — a metadata-only query. */
+  def fileListingDF(spark: SparkSession, topicDir: String): DataFrame = {
+    val files = listFiles(topicDir)
+    spark.createDataset(files).toDF()
+  }
+
+  def tempDir(prefix: String): String = {
+    val d = new File(sys.props("java.io.tmpdir"), s"$prefix-${UUID.randomUUID().toString.take(8)}")
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+}

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.rawdata.{AvroCodec, RawdataMessage, Ulid}
+
+/** Structured-Streaming tail of a rawdata topic — the consumer's
+  * "wait for new files" loop (reference AvroRawdataConsumer.receive,
+  * :71-96, which polls the file listing) re-expressed as a file-source
+  * stream: each newly landed Avro file becomes one micro-batch input row,
+  * decoded into messages inside the stage. Scale: file-arrival discovery
+  * is Spark's incremental listing; decode parallelism = files per batch.
+  */
+object TopicStream {
+
+  private val binaryFileSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  /** Unbounded Dataset of messages from a topic directory. */
+  def messages(spark: SparkSession, topicDir: String): Dataset[RawdataMessage] = {
+    implicit val enc = Encoders.product[RawdataMessage]
+    spark.readStream
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.avro")
+      .schema(binaryFileSchema)
+      .load(topicDir)
+      .select(col("content"))
+      .as(Encoders.BINARY)
+      .flatMap((content: Array[Byte]) => AvroCodec.readBytes(content))
+  }
+
+  /** Tumbling-window message counts per ordering group with a watermark —
+    * the canonical streaming aggregation over a tailed topic.
+    */
+  def windowedCounts(spark: SparkSession, topicDir: String, window: String = "1 day"): DataFrame = {
+    val msgs = messages(spark, topicDir).toDF()
+      .withColumn("ts", timestamp_millis(Ulid.timestampMs(col("id"))))
+    msgs
+      .withWatermark("ts", "1 day")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("orderingGroup"))
+      .agg(count(lit(1)).as("n"))
+  }
+}

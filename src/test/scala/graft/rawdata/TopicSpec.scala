@@ -1,0 +1,113 @@
+package graft.rawdata
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TopicSpec extends SparkSpec {
+
+  private def messages = EventsAsTopic.messagesFromEvents(spark, sf)
+
+  test("round trip: write topic, read back every message in ULID order") {
+    val dir = Topic.tempDir("topic-roundtrip")
+    val metas = Topic.write(messages, dir, EventsAsTopic.cfg)
+    assert(metas.nonEmpty)
+    assert(metas.map(_.count).sum === messages.count())
+
+    val back = Topic.readDF(spark, dir)
+    assert(back.count() === messages.count())
+    assert(back.select("ulid_hex").distinct().count() === back.count())
+    // filename metadata consistent with content
+    val listed = Topic.listFiles(dir)
+    assert(listed.map(f => (f.fromTsMs, f.count, f.firstPosition)) ===
+      metas.map(f => (f.fromTsMs, f.count, f.firstPosition)))
+  }
+
+  test("byte-based rolling splits windows into multiple files, preserving all rows") {
+    val dir = Topic.tempDir("topic-roll")
+    val cfg = TopicConfig(maxWindowMs = 30L * 86400 * 1000, maxBytes = 8 * 1024, syncIntervalBytes = 1024)
+    val metas = Topic.write(messages, dir, cfg)
+    assert(metas.size > 1, s"expected byte-rolling to produce several files, got ${metas.size}")
+    assert(metas.map(_.count).sum === messages.count())
+    // most files should carry a real last-block offset (multi-block files)
+    assert(metas.count(_.lastBlockOffset > 0) > 0)
+    // per-file count encoded in the filename matches actual content
+    val f = Topic.listFiles(dir).head
+    assert(AvroCodec.readFile(f.path).size === f.count)
+  }
+
+  test("seek prunes to the floor file and filters precisely") {
+    val dir = Topic.tempDir("topic-seek")
+    Topic.write(messages, dir, EventsAsTopic.cfg)
+    val files = Topic.listFiles(dir)
+    assert(files.size > 2)
+    val cut = files(files.size / 2).fromTsMs + 1000
+    val pruned = Topic.pruneFrom(files, cut)
+    assert(pruned.size < files.size)
+    assert(pruned.head.fromTsMs <= cut && pruned.tail.forall(_.fromTsMs > cut))
+
+    val got = Topic.seek(spark, dir, cut)
+    val expected = Topic.readDF(spark, dir).filter(col("ts_ms") >= cut)
+    assert(got.count() === expected.count())
+  }
+
+  test("lastMessage fast path (seek to last block) equals full-scan max") {
+    val dir = Topic.tempDir("topic-last")
+    Topic.write(messages, dir, TopicConfig(maxWindowMs = 7L * 86400 * 1000, maxBytes = 32 * 1024, syncIntervalBytes = 2048))
+    val fast = Topic.lastMessage(dir).get
+    val full = Topic.readDF(spark, dir).orderBy(col("ulid_hex").desc).limit(1)
+      .select("position").collect().head.getString(0)
+    assert(fast.position === full)
+  }
+
+  test("cursor: exclusive resume yields the immediately-next message") {
+    val dir = Topic.tempDir("topic-cursor")
+    Topic.write(messages, dir, EventsAsTopic.cfg)
+    val all = Topic.readDF(spark, dir).orderBy("ulid_hex")
+      .select("ulid_hex", "position").collect()
+    val mid = all(all.length / 2)
+    val next = Topic.afterCursor(spark, dir, mid.getString(0), inclusive = false)
+      .orderBy("ulid_hex").limit(1).select("position").collect().head.getString(0)
+    assert(next === all(all.length / 2 + 1).getString(1))
+    val same = Topic.afterCursor(spark, dir, mid.getString(0), inclusive = true)
+      .orderBy("ulid_hex").limit(1).select("position").collect().head.getString(0)
+    assert(same === mid.getString(1))
+  }
+
+  test("positionToUlidHex honours the tolerance bound") {
+    val dir = Topic.tempDir("topic-pos")
+    Topic.write(messages, dir, EventsAsTopic.cfg)
+    val row = Topic.readDF(spark, dir).filter(col("position") === "evt-500")
+      .select("ulid_hex", "ts_ms").collect().head
+    val (hex, ts) = (row.getString(0), row.getLong(1))
+    assert(Topic.positionToUlidHex(spark, dir, "evt-500", ts, 60000).contains(hex))
+    // a window far away from the message must not find it
+    assert(Topic.positionToUlidHex(spark, dir, "evt-500", ts + 10L * 86400 * 1000, 3600 * 1000).isEmpty)
+  }
+
+  test("metadata store: put/get/keys with last-write-wins upsert") {
+    val dir = Topic.tempDir("topic-meta")
+    import spark.implicits._
+    MetadataStore.put(spark, dir, Seq(("a", "1"), ("b", "2")).toDF("key", "v")
+      .select(col("key"), encode(col("v"), "UTF-8").as("value")))
+    MetadataStore.put(spark, dir, Seq(("b", "3"), ("c", "4")).toDF("key", "v")
+      .select(col("key"), encode(col("v"), "UTF-8").as("value")))
+    assert(MetadataStore.keys(spark, dir) === Seq("a", "b", "c"))
+    assert(new String(MetadataStore.get(spark, dir, "b").get, "UTF-8") === "3")
+  }
+
+  test("avro files are format-compatible with the reference schema (fixed-16 ulid)") {
+    val dir = Topic.tempDir("topic-schema")
+    Topic.write(messages.limit(10), dir, EventsAsTopic.cfg)
+    val f = Topic.listFiles(dir).head
+    val reader = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.file.SeekableFileInput(new java.io.File(f.path)),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val sch = reader.getSchema
+    reader.close()
+    assert(sch.getName === "RawdataMessage")
+    assert(sch.getField("id").schema().getType === org.apache.avro.Schema.Type.FIXED)
+    assert(sch.getField("id").schema().getFixedSize === 16)
+    assert(sch.getField("data").schema().getType === org.apache.avro.Schema.Type.MAP)
+  }
+}
