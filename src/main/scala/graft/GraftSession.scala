@@ -21,6 +21,12 @@ object GraftSession {
     // converts back to TimestampType.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.mergeSchema", "false")
+    // Topic filenames carry ISO_OFFSET_DATE_TIME timestamps (reference
+    // AvroRawdataUtils.java:15) whose ':' breaks Hadoop's ChecksumFileSystem
+    // (it builds the relative ".<name>.crc" path, and a relative Hadoop Path
+    // may not contain ':' — HADOOP-3257). Raw local FS skips crc shadow
+    // files; object stores (GCS/S3 connectors) don't use checksum paths.
+    .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.ui.enabled", "false")
 

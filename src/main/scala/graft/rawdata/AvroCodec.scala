@@ -70,12 +70,21 @@ object AvroCodec {
   final class FileWriter(path: File, syncIntervalBytes: Long) {
     private val sch = schema
     private val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
+    // Keep Avro's own auto-block roll above our manual sync threshold so
+    // every block boundary in the file is one we recorded; bounds block
+    // buffering at ~2× syncIntervalBytes.
+    writer.setSyncInterval(math.min(math.max(syncIntervalBytes * 2, 64L), Int.MaxValue.toLong).toInt)
     writer.create(sch, path)
+    // Sync immediately after create (reference AvroRawdataProducer.java:153-154)
+    // so the filename's lastBlockOffset is always a valid sync point even for
+    // files smaller than syncIntervalBytes — the reference client's
+    // lastMessage does seek(offsetOfLastBlock) unconditionally
+    // (AvroRawdataClient.java:134) and seek(0) would land on the file header.
+    var lastBlockOffset: Long = writer.sync()
 
     var count: Long = 0L
     var firstId: Array[Byte] = _
     var firstPosition: String = _
-    var lastBlockOffset: Long = 0L
     private var bytesInBlock: Long = 0L
 
     def append(m: RawdataMessage): Unit = {
@@ -111,6 +120,14 @@ object AvroCodec {
     iterate(reader)
   }
 
+  /** First record of a file, closing the reader regardless of content. */
+  def readFirst(path: String): Option[RawdataMessage] = {
+    val reader = new DataFileReader[GenericRecord](
+      new SeekableFileInput(new File(path)), new GenericDatumReader[GenericRecord](schema))
+    try { if (reader.hasNext) Some(fromRecord(reader.next())) else None }
+    finally reader.close()
+  }
+
   def readBytes(content: Array[Byte]): Iterator[RawdataMessage] = {
     val reader = new DataFileReader[GenericRecord](
       new SeekableByteArrayInput(content), new GenericDatumReader[GenericRecord](schema))
@@ -120,10 +137,16 @@ object AvroCodec {
   private def iterate(reader: DataFileReader[GenericRecord]): Iterator[RawdataMessage] =
     new Iterator[RawdataMessage] {
       private var closed = false
+      private def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+      // A partially consumed iterator (e.g. a local limit short-circuiting
+      // the flatMap in Topic.readFiles) would otherwise leak the file handle
+      // for the executor's lifetime.
+      private val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeOnce())
       def hasNext: Boolean = {
         if (closed) return false
         val h = reader.hasNext
-        if (!h) { reader.close(); closed = true }
+        if (!h) closeOnce()
         h
       }
       def next(): RawdataMessage = fromRecord(reader.next())

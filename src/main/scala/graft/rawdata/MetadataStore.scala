@@ -37,14 +37,20 @@ object MetadataStore {
     val tmp = storeDir(topicDir) + ".staging"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     val dest = new File(storeDir(topicDir))
-    // atomic-ish swap: parquet write completed before the move
+    // Swap via java.nio Files.move, which throws on failure instead of the
+    // silent-boolean File.renameTo. Single-writer assumption (like the
+    // reference's metadata clients): concurrent puts are not coordinated,
+    // but a reader never sees a half-written store — the parquet write
+    // completes before the directory move, and the dest→old / tmp→dest
+    // window is the narrowest the filesystem allows.
+    import java.nio.file.{Files, StandardCopyOption}
     if (dest.exists()) {
       val old = new File(storeDir(topicDir) + ".old")
       deleteRec(old)
-      dest.renameTo(old)
-      new File(tmp).renameTo(dest)
+      Files.move(dest.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(new File(tmp).toPath, dest.toPath, StandardCopyOption.ATOMIC_MOVE)
       deleteRec(old)
-    } else new File(tmp).renameTo(dest)
+    } else Files.move(new File(tmp).toPath, dest.toPath, StandardCopyOption.ATOMIC_MOVE)
   }
 
   def keys(spark: SparkSession, topicDir: String): Seq[String] =

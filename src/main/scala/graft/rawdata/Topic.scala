@@ -136,7 +136,7 @@ object Topic {
   def listFiles(topicDir: String): Seq[TopicFile] = {
     val dir = new File(topicDir)
     val files = Option(dir.listFiles()).getOrElse(Array.empty[File])
-    files.iterator
+    orderTies(files.iterator
       .filter(f => f.isFile && f.getName.endsWith(".avro"))
       .flatMap { f =>
         val base = f.getName.stripSuffix(".avro")
@@ -146,8 +146,29 @@ object Topic {
           catch { case _: Exception => None }
         else None
       }
-      .toSeq.sortBy(f => (f.fromTsMs, f.path))
+      .toSeq.sortBy(f => (f.fromTsMs, f.path)))
   }
+
+  /** Files that share a fromTsMs (a byte-chunk roll within one millisecond)
+    * are not ordered by the timestamp alone; re-order such runs by the
+    * file's first ULID so lastMessage/pruneFrom pick the true latest chunk.
+    * Only tied files are opened, and only their first record is read.
+    */
+  private def orderTies(files: Seq[TopicFile]): Seq[TopicFile] = {
+    val anyTie = files.iterator.sliding(2).exists {
+      case Seq(a, b) => a.fromTsMs == b.fromTsMs
+      case _         => false
+    }
+    if (!anyTie) files
+    else files.groupBy(_.fromTsMs).toSeq.sortBy(_._1).flatMap {
+      case (_, group) if group.size == 1 => group
+      case (_, group) => group.sortBy(f => firstUlidHex(f.path))
+    }
+  }
+
+  /** Hex ULID of a file's first record (tie-break helper; one-record read). */
+  private def firstUlidHex(path: String): String =
+    AvroCodec.readFirst(path).map(m => m.id.map("%02x".format(_)).mkString).getOrElse("")
 
   /** Files possibly containing messages with ts >= fromTsMs: everything
     * from the last file that starts at/before the target (floorEntry —

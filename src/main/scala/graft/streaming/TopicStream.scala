@@ -37,11 +37,15 @@ object TopicStream {
   /** Tumbling-window message counts per ordering group with a watermark —
     * the canonical streaming aggregation over a tailed topic.
     */
-  def windowedCounts(spark: SparkSession, topicDir: String, window: String = "1 day"): DataFrame = {
+  def windowedCounts(spark: SparkSession, topicDir: String, window: String = "1 day",
+      watermark: Option[String] = None): DataFrame = {
     val msgs = messages(spark, topicDir).toDF()
       .withColumn("ts", timestamp_millis(Ulid.timestampMs(col("id"))))
     msgs
-      .withWatermark("ts", "1 day")
+      // late-data bound follows the aggregation window unless overridden —
+      // a fixed 1-day delay would drop late data for windows > 1 day and
+      // hold short windows back a full day before final emission.
+      .withWatermark("ts", watermark.getOrElse(window))
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("orderingGroup"))
       .agg(count(lit(1)).as("n"))
   }
