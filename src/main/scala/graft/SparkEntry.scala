@@ -17,6 +17,7 @@ object SparkEntry {
   private def registries: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracles),
+      (graft.queries.Relational2.queries, graft.queries.Relational2.oracles),
       (graft.rawdata.RawdataQueries.queries, graft.rawdata.RawdataQueries.oracles)
     )
 

@@ -1,0 +1,571 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables.{t, events}
+
+/** SURVEY §2.B continued: q4/q5/q7/q8 and q13–q30.
+  *
+  * Same oracle-parity rules as [[Relational]] (exact DECIMAL money,
+  * identical aliases, unique-key tie-breaks, BIGINT casts on DuckDB
+  * integer aggregates whose native result is HUGEINT). Plans are written
+  * for the 100 TB case: dimension tables are broadcast explicitly, fact
+  * filters go before joins so the parquet scan prunes, and every window
+  * is partitioned (never a global single-partition sort).
+  */
+object Relational2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def d2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def d6(c: Column): Column = c.cast(DecimalType(28, 6))
+  /** revenue term used by most TPC-H shapes, as exact decimal */
+  private def rev(p: Column, disc: Column): Column = d6(d2(p) * (lit(1) - d2(disc)))
+
+  val queries: Map[String, Q] = Map(
+    // EXISTS → left-semi join; the semi side is reduced to its join key
+    // before the shuffle so only (orderkey) columns move.
+    "q4_semijoin" -> { (s, d) =>
+      import s.implicits._
+      val ord = t(s, d, "orders")
+        .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          $"o_orderdate" < to_timestamp(lit("1996-07-01 00:00:00")))
+      val big = t(s, d, "lineitem").filter($"l_quantity" > 45).select($"l_orderkey")
+      ord.join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // 6-way star join: facts shuffle on their keys once; all four dims are
+    // broadcast so no dim ever induces a shuffle.
+    "q5_multijoin" -> { (s, d) =>
+      import s.implicits._
+      val asia = t(s, d, "region").filter($"r_name" === "ASIA")
+      val nat = t(s, d, "nation")
+      val sup = t(s, d, "supplier")
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+        .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          $"o_orderdate" < to_timestamp(lit("1997-01-01 00:00:00")))
+      t(s, d, "lineitem")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(asia), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sum(rev($"l_extendedprice", $"l_discount")).cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+
+    // NOT EXISTS → left-anti join
+    "q7_antijoin" -> { (s, d) =>
+      import s.implicits._
+      val cust = t(s, d, "customer")
+      val ordKeys = t(s, d, "orders").select($"o_custkey")
+      cust.join(ordKeys, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // left outer + null-aware aggregates over the unmatched side
+    "q8_outer_join" -> { (s, d) =>
+      import s.implicits._
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+      cust.join(ord, $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_mktsegment")
+        .agg(
+          countDistinct($"c_custkey").as("n_customers"),
+          count($"o_orderkey").as("n_orders"),
+          sum(d2(coalesce($"o_totalprice", lit(0)))).cast("double").as("total_spend"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // Q13 shape: outer join with an ON-clause filter, then the count
+    // distribution of the per-customer counts (two narrow shuffles).
+    "q13_groupjoin" -> { (s, d) =>
+      import s.implicits._
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders").filter($"o_orderpriority" =!= "5-LOW")
+      cust.join(ord, $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    },
+
+    // conditional-sum ratio (Q14 promo revenue); part is broadcast
+    "q14_expr" -> { (s, d) =>
+      import s.implicits._
+      val part = t(s, d, "part").select($"p_partkey", $"p_type")
+      val li = t(s, d, "lineitem")
+        .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          $"l_shipdate" < to_timestamp(lit("1996-02-01 00:00:00")))
+      li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .agg(
+          (lit(100.0) * sum(when($"p_type" === "PROMO", rev($"l_extendedprice", $"l_discount")).otherwise(lit(0))).cast("double")
+            / sum(rev($"l_extendedprice", $"l_discount")).cast("double")).as("promo_revenue"))
+    },
+
+    // aggregate-as-view + exact-decimal max-equality self reference (Q15)
+    "q15_view_topk" -> { (s, d) =>
+      import s.implicits._
+      val revenue = t(s, d, "lineitem")
+        .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          $"l_shipdate" < to_timestamp(lit("1996-04-01 00:00:00")))
+        .groupBy($"l_suppkey")
+        .agg(sum(rev($"l_extendedprice", $"l_discount")).as("total_rev"))
+      val top = revenue.agg(max($"total_rev").as("max_rev"))
+      t(s, d, "supplier")
+        .join(revenue, $"s_suppkey" === $"l_suppkey")
+        .join(broadcast(top), $"total_rev" === $"max_rev")
+        .select($"s_suppkey", $"s_name", $"total_rev".cast("double").as("total_revenue"))
+        .orderBy($"s_suppkey")
+    },
+
+    // count-distinct per group with an anti-join supplier exclusion (Q16)
+    "q16_countd" -> { (s, d) =>
+      import s.implicits._
+      val part = t(s, d, "part")
+        .filter($"p_brand" =!= "Brand#23" && $"p_size".isin(1, 5, 10, 15, 20, 25, 30, 35))
+      val badSupp = t(s, d, "supplier").filter($"s_acctbal" < 0).select($"s_suppkey")
+      t(s, d, "lineitem")
+        .join(badSupp, $"l_suppkey" === $"s_suppkey", "left_anti")
+        .join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    },
+
+    // correlated scalar subquery (per-part avg), decorrelated into a
+    // self-agg + join. Lineitem is pre-pruned to the brand's partkeys via a
+    // broadcast semi join — valid because every line of a partkey belongs
+    // to the same part, and it turns two full-fact shuffles into shuffles
+    // of a tiny slice.
+    "q17_corr_subq" -> { (s, d) =>
+      import s.implicits._
+      val bparts = t(s, d, "part").filter($"p_brand" === "Brand#23").select($"p_partkey")
+      val li = t(s, d, "lineitem")
+        .join(broadcast(bparts), $"l_partkey" === $"p_partkey", "left_semi")
+      val avgQty = li.groupBy($"l_partkey".as("a_partkey"))
+        .agg((sum($"l_quantity") / count(lit(1))).as("avg_qty"))
+      li.join(avgQty, $"l_partkey" === $"a_partkey")
+        .filter($"l_quantity" < lit(0.5) * $"avg_qty")
+        .agg((sum(d2($"l_extendedprice")).cast("double") / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // IN (grouped HAVING subquery) (Q18): big-quantity orders
+    "q18_in_subq" -> { (s, d) =>
+      import s.implicits._
+      val bigOrders = t(s, d, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity").as("total_qty"))
+        .filter($"total_qty" > 300)
+      val cust = t(s, d, "customer").select($"c_custkey", $"c_name")
+      t(s, d, "orders")
+        .join(bigOrders, $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"c_custkey", $"o_orderkey",
+          $"o_orderdate".cast("date").cast("string").as("o_orderdate"),
+          round($"o_totalprice", 2).as("o_totalprice"),
+          $"total_qty".cast("double").as("total_qty"))
+        .orderBy($"total_qty".desc, $"o_orderkey")
+        .limit(100)
+    },
+
+    // disjunctive multi-range predicate join (Q19) — the OR of three
+    // (brand, size, quantity) envelopes stays a single scan + broadcast join
+    "q19_or_pred" -> { (s, d) =>
+      import s.implicits._
+      val part = t(s, d, "part").select($"p_partkey", $"p_brand", $"p_size")
+      t(s, d, "lineitem")
+        .join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .filter(
+          ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) && $"l_quantity".between(1, 11)) ||
+          ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) && $"l_quantity".between(10, 20)) ||
+          ($"p_brand" === "Brand#34" && $"p_size".between(1, 15) && $"l_quantity".between(20, 30)))
+        .agg(sum(rev($"l_extendedprice", $"l_discount")).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // nested semi-join chain (Q20): suppliers of red parts with a large
+    // shipped-quantity total
+    "q20_nested" -> { (s, d) =>
+      import s.implicits._
+      val redParts = t(s, d, "part").filter($"p_name".like("red %")).select($"p_partkey")
+      val bigSupp = t(s, d, "lineitem")
+        .join(broadcast(redParts), $"l_partkey" === $"p_partkey", "left_semi")
+        .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01 00:00:00")))
+        .groupBy($"l_suppkey")
+        .agg(sum($"l_quantity").as("sum_qty"))
+        .filter($"sum_qty" > 50)
+        .select($"l_suppkey")
+      t(s, d, "supplier")
+        .join(bigSupp, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name")
+        .orderBy($"s_suppkey")
+    },
+
+    // UNION ALL branches + one aggregation over the union
+    "q21_union" -> { (s, d) =>
+      import s.implicits._
+      val ord = t(s, d, "orders")
+      val urgent = ord.filter($"o_orderpriority" === "1-URGENT")
+        .select(lit("urgent").as("src"), $"o_totalprice")
+      val big = ord.filter($"o_totalprice" > 400000.0)
+        .select(lit("big").as("src"), $"o_totalprice")
+      urgent.unionByName(big)
+        .groupBy($"src")
+        .agg(count(lit(1)).as("n"), sum(d2($"o_totalprice")).cast("double").as("total"))
+        .orderBy($"src")
+    },
+
+    // ROLLUP hierarchy totals; grouping id disambiguates the NULL-free
+    // coalesced group labels
+    "q22_rollup" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(d2($"l_quantity")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          (grouping($"l_returnflag") * 2 + grouping($"l_linestatus")).cast("long").as("gid"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"),
+          $"gid", $"sum_qty", $"n")
+        .orderBy($"gid", $"rf", $"ls")
+    },
+
+    // CUBE over two order dimensions
+    "q23_cube" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(
+          sum(d2($"o_totalprice")).cast("double").as("total"),
+          count(lit(1)).as("n"),
+          (grouping($"o_orderstatus") * 2 + grouping($"o_orderpriority")).cast("long").as("gid"))
+        .select(
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"gid", $"total", $"n")
+        .orderBy($"gid", $"status", $"priority")
+    },
+
+    // rank / dense_rank per partition — window partitioned by brand, so it
+    // scales with the number of brands, never a global sort
+    "q24_window_rank" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+      t(s, d, "part")
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .filter($"rnk" <= 3)
+        .select($"p_brand", $"p_partkey", round($"p_retailprice", 2).as("p_retailprice"), $"rnk", $"drnk")
+        .orderBy($"p_brand", $"rnk", $"p_partkey")
+    },
+
+    // running sum + lag delta per customer ordered by time (partitioned
+    // window; exact decimal accumulation)
+    "q25_window_running" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, d, "orders")
+        .withColumn("running_spend",
+          sum(d2($"o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .withColumn("delta",
+          (d2($"o_totalprice") - coalesce(lag(d2($"o_totalprice"), 1).over(w), lit(0))).cast("double"))
+        .select($"o_custkey", $"o_orderkey", $"running_spend", $"delta")
+    },
+
+    // exact interpolated percentiles per group
+    "q26_ntile_median" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          percentile($"l_extendedprice", lit(0.5)).as("median_price"),
+          percentile($"l_extendedprice", lit(0.25)).as("p25_price"),
+          percentile($"l_extendedprice", lit(0.75)).as("p75_price"),
+          percentile($"l_quantity", lit(0.5)).as("median_qty"))
+        .orderBy($"l_returnflag")
+    },
+
+    // pivot: wide conditional aggregation by category
+    "q27_pivot" -> { (s, d) =>
+      import s.implicits._
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val pivoted = t(s, d, "orders")
+        .groupBy($"o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(sum(d2($"o_totalprice")).cast("double"))
+      prios.zipWithIndex.foldLeft(pivoted) { case (df, (p, i)) =>
+        df.withColumnRenamed(p, s"p$i")
+      }
+        .na.fill(0.0, (0 to 4).map(i => s"p$i"))
+        .orderBy($"o_orderstatus")
+    },
+
+    // as-of join: each purchase matched to the most recent click at/before
+    // it, per user. One shuffle on user_id; within a user the match is a
+    // running last-non-null over the time-ordered union — never a per-row
+    // range probe, so it scales with events/user, not events².
+    "q28_asof_join" -> { (s, d) =>
+      import s.implicits._
+      val ev = events(s, d)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+        .withColumn("is_p", when($"event_type" === "purchase", 1).otherwise(0))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts_us", $"is_p", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("click_ts", when($"is_p" === 0, $"ts_us"))
+        .withColumn("prev_click_us", last($"click_ts", ignoreNulls = true).over(w))
+        .filter($"is_p" === 1)
+        .select($"event_id", $"user_id", $"ts_us",
+          coalesce($"prev_click_us", lit(-1L)).as("prev_click_us"),
+          coalesce($"ts_us" - $"prev_click_us", lit(-1L)).as("gap_us"))
+    },
+
+    // interval/range join: purchase within 1h after a view, same user.
+    // Equi-join on user_id carries the range as a residual predicate — the
+    // shuffle key is the user, so no time-bucket cross product is built.
+    "q29_range_join" -> { (s, d) =>
+      import s.implicits._
+      val ev = events(s, d)
+      val v = ev.filter($"event_type" === "view")
+        .select($"user_id".as("v_user"), unix_micros($"ts").as("v_us"))
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), unix_micros($"ts").as("p_us"))
+      v.join(p, $"v_user" === $"p_user" && $"p_us" > $"v_us" && $"p_us" <= $"v_us" + lit(3600000000L))
+        .agg(count(lit(1)).as("n_pairs"), countDistinct($"v_user").as("n_users"),
+          (sum($"p_us" - $"v_us") / count(lit(1)) / 1e6).as("avg_gap_sec"))
+    },
+
+    // HLL approximate distinct vs exact — rows-only (approx result has no
+    // SQL-exact oracle); the spec asserts the error bound instead
+    "q30_approx_distinct" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "lineitem")
+        .agg(
+          approx_count_distinct($"l_partkey").as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"),
+          approx_count_distinct($"l_suppkey").as("approx_supps"),
+          countDistinct($"l_suppkey").as("exact_supps"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q4_semijoin" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q5_multijoin" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q7_antijoin" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q8_outer_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+        |  CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q13_groupjoin" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON o_custkey = c_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |SELECT CAST(c_count AS BIGINT) AS c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM c_orders GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_expr" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))
+        |    ELSE 0 END) AS DOUBLE)
+        |  / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE)
+        |  AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin,
+
+    "q15_view_topk" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = l_suppkey
+        |  AND total_rev = (SELECT MAX(total_rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_countd" ->
+      """SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND p_brand <> 'Brand#23'
+        |  AND p_size IN (1,5,10,15,20,25,30,35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_corr_subq" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem l, part
+        |WHERE p_partkey = l.l_partkey AND p_brand = 'Brand#23'
+        |  AND l.l_quantity < 0.5 * (
+        |    SELECT SUM(l2.l_quantity) / COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+
+    "q18_in_subq" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |  ROUND(o_totalprice, 2) AS o_totalprice,
+        |  CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM customer, orders, big
+        |WHERE o_orderkey = big.l_orderkey AND c_custkey = o_custkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q19_or_pred" ->
+      """SELECT
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND (
+        |  (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+
+    "q20_nested" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY l_suppkey HAVING SUM(l_quantity) > 50)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_union" ->
+      """SELECT src, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT 'urgent' AS src, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT 'big' AS src, o_totalprice FROM orders WHERE o_totalprice > 400000.0)
+        |GROUP BY src ORDER BY src""".stripMargin,
+
+    "q22_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+
+    "q23_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
+
+    "q24_window_rank" ->
+      """WITH r AS (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk,
+        |    DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS drnk
+        |  FROM part)
+        |SELECT p_brand, p_partkey, ROUND(p_retailprice, 2) AS p_retailprice,
+        |  CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk
+        |FROM r WHERE rnk <= 3
+        |ORDER BY p_brand, rnk, p_partkey""".stripMargin,
+
+    "q25_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |    - COALESCE(LAG(CAST(o_totalprice AS DECIMAL(18,2)))
+        |        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0) AS DOUBLE) AS delta
+        |FROM orders""".stripMargin,
+
+    "q26_ntile_median" ->
+      """SELECT l_returnflag,
+        |  CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS median_price,
+        |  CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE) AS p25_price,
+        |  CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE) AS p75_price,
+        |  CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q27_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS p0,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS p1,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS p2,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS p3,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS p4
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q28_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  COALESCE(MAX(c.ts_us), -1) AS prev_click_us,
+        |  COALESCE(p.ts_us - MAX(c.ts_us), -1) AS gap_us
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts_us <= p.ts_us
+        |GROUP BY p.event_id, p.user_id, p.ts_us""".stripMargin,
+
+    "q29_range_join" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS v_us FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase')
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(DISTINCT v.user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(p_us - v_us) AS DOUBLE) / COUNT(*) / 1e6 AS avg_gap_sec
+        |FROM v JOIN p ON v.user_id = p.user_id AND p_us > v_us AND p_us <= v_us + 3600000000
+        |""".stripMargin
+    // q30_approx_distinct: rows-only (approximate)
+  )
+}
