@@ -18,6 +18,7 @@ object SparkEntry {
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracles),
       (graft.queries.Relational2.queries, graft.queries.Relational2.oracles),
+      (graft.queries.EventQueries.queries, graft.queries.EventQueries.oracles),
       (graft.rawdata.RawdataQueries.queries, graft.rawdata.RawdataQueries.oracles)
     )
 

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables.events
+
+/** SURVEY §2.C — event-stream analytics over the `events` table (the
+  * batch view of a consumed topic; the same transforms run unchanged on
+  * TopicStream.messages in streaming mode — see TopicStreamSpec).
+  *
+  * Time is normalized to epoch MICROSECOND longs on both engines
+  * (Spark `unix_micros` / DuckDB `epoch_us`) so nanosecond-parquet vs
+  * microsecond-session differences can never skew parity. Every window
+  * is partitioned by user or keyed by (window, type) — nothing funnels
+  * through a single partition, so the shapes hold at 100 TB.
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def d6(c: Column): Column = c.cast(DecimalType(28, 6))
+  private val HourUs = 3600L * 1000000L
+  private val HalfHourUs = 1800L * 1000000L
+  private val DayUs = 86400L * 1000000L
+  private val GapUs = 1800L * 1000000L // 30 min session gap
+
+  private def ev(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d).select($"event_id", $"user_id", $"event_type", $"value",
+      unix_micros($"ts").as("ts_us"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // tumbling 1h windows: one partial-aggregated shuffle on (window, type)
+    "ev_tumbling" -> { (s, d) =>
+      import s.implicits._
+      ev(s, d)
+        .groupBy(($"ts_us" - ($"ts_us" % HourUs)).as("win_us"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum(d6($"value")).cast("double").as("total_value"))
+        .orderBy($"win_us", $"event_type")
+    },
+
+    // sliding 1h windows hopping 30min: each event lands in exactly two
+    // windows — explode to (event × 2) then the same keyed aggregation
+    "ev_sliding" -> { (s, d) =>
+      import s.implicits._
+      val base = ev(s, d)
+        .withColumn("w0", $"ts_us" - ($"ts_us" % HalfHourUs))
+      base.select($"event_type", $"value", $"w0".as("win_us"))
+        .unionByName(base.select($"event_type", $"value", ($"w0" - HalfHourUs).as("win_us")))
+        .groupBy($"win_us", $"event_type")
+        .agg(count(lit(1)).as("n"), sum(d6($"value")).cast("double").as("total_value"))
+        .orderBy($"win_us", $"event_type")
+    },
+
+    // gap-based sessionization: lag + cumulative new-session flags inside
+    // the per-user window (one shuffle on user_id)
+    "ev_session" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      ev(s, d)
+        .withColumn("new_session",
+          when(($"ts_us" - lag($"ts_us", 1).over(w)) > GapUs || lag($"ts_us", 1).over(w).isNull, 1L)
+            .otherwise(0L))
+        .groupBy($"user_id")
+        .agg(sum($"new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    },
+
+    // ordered funnel view→click→purchase within each user's timeline:
+    // three conditional mins, all computed in one per-user aggregation pass
+    "ev_funnel" -> { (s, d) =>
+      import s.implicits._
+      val base = ev(s, d)
+      val v = base.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts_us").as("v_us"))
+      val c = base.filter($"event_type" === "click").select($"user_id", $"ts_us")
+        .join(v, Seq("user_id"))
+        .filter($"ts_us" >= $"v_us")
+        .groupBy($"user_id").agg(min($"ts_us").as("c_us"))
+      val p = base.filter($"event_type" === "purchase").select($"user_id", $"ts_us")
+        .join(c, Seq("user_id"))
+        .filter($"ts_us" >= $"c_us")
+        .groupBy($"user_id").agg(min($"ts_us").as("p_us"))
+      v.select(lit(1).as("one"), $"user_id").groupBy($"one").agg(count(lit(1)).as("n_view"))
+        .join(c.select(lit(1).as("one"), $"user_id").groupBy($"one").agg(count(lit(1)).as("n_click")), "one")
+        .join(p.select(lit(1).as("one"), $"user_id").groupBy($"one").agg(count(lit(1)).as("n_purchase")), "one")
+        .drop("one")
+    },
+
+    // day-N retention cohorts on integer epoch-days (cohort = first active
+    // day per user; one agg for cohorts, one distinct-count per offset)
+    "ev_retention" -> { (s, d) =>
+      import s.implicits._
+      val activity = ev(s, d)
+        .select($"user_id", ($"ts_us" - ($"ts_us" % DayUs)).as("day_us")).distinct()
+      val cohort = activity.groupBy($"user_id").agg(min($"day_us").as("cohort_us"))
+      activity.join(cohort, Seq("user_id"))
+        .withColumn("offset_days", (($"day_us" - $"cohort_us") / DayUs).cast("long"))
+        .filter($"offset_days" <= 7)
+        .groupBy(($"cohort_us" / DayUs).cast("long").as("cohort_day"), $"offset_days")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_day", $"offset_days")
+    },
+
+    // keep latest event per (user, type) — the batch form of streaming
+    // dropDuplicates-keep-last; per-key window, unique tie-break
+    "ev_dedup_latest" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts_us".desc, $"event_id".desc)
+      ev(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"ts_us", $"event_id", $"value")
+        .orderBy($"user_id", $"event_type")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ev_tumbling" ->
+      """SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS win_us, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_us, event_type""".stripMargin,
+
+    "ev_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, value, epoch_us(ts) - (epoch_us(ts) % 1800000000) AS w0
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, value, w0 AS win_us FROM e
+        |  UNION ALL
+        |  SELECT event_type, value, w0 - 1800000000 AS win_us FROM e)
+        |SELECT win_us, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        |FROM x GROUP BY 1, 2 ORDER BY win_us, event_type""".stripMargin,
+
+    "ev_session" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.v_us GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_us GROUP BY e.user_id)
+        |SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+        |  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+        |  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase""".stripMargin,
+
+    "ev_retention" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) - (epoch_us(ts) % 86400000000) AS day_us FROM events),
+        |cohort AS (
+        |  SELECT user_id, MIN(day_us) AS cohort_us FROM activity GROUP BY user_id)
+        |SELECT CAST(c.cohort_us / 86400000000 AS BIGINT) AS cohort_day,
+        |  CAST((a.day_us - c.cohort_us) / 86400000000 AS BIGINT) AS offset_days,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        |WHERE (a.day_us - c.cohort_us) / 86400000000 <= 7
+        |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin,
+
+    "ev_dedup_latest" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, ts_us, event_id, value
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+  )
+}
