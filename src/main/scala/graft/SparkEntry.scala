@@ -19,6 +19,7 @@ object SparkEntry {
       (graft.queries.Relational.queries, graft.queries.Relational.oracles),
       (graft.queries.Relational2.queries, graft.queries.Relational2.oracles),
       (graft.queries.EventQueries.queries, graft.queries.EventQueries.oracles),
+      (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
       (graft.rawdata.RawdataQueries.queries, graft.rawdata.RawdataQueries.oracles)
     )
 

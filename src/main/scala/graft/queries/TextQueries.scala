@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** SURVEY §2.D — training-data text analysis over `documents`.
+  *
+  * Everything is built from codegen'd string/array expressions (no UDFs):
+  * token ops are `split`/`regexp_extract_all`/higher-order `filter`, so
+  * they inline into whole-stage codegen and scale embarrassingly — one
+  * narrow pass over the corpus, the only shuffle being the final
+  * aggregation where one exists.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-language marker tokens for the n-gram/stopword language scorer.
+    * On a real corpus these would be the top distinctive n-grams per
+    * language; the classifier mechanics (score → argmax with fixed
+    * tie-break) are corpus-independent.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("customer", "hash", "key"),
+    "en" -> Seq("the", "a", "order"),
+    "es" -> Seq("slow", "agg", "merge"),
+    "fr" -> Seq("scan", "data", "query"),
+    "zh" -> Seq("join", "small", "stream"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  private def inList(vs: Seq[String]): String = vs.map(v => s"'$v'").mkString(", ")
+
+  val queries: Map[String, Q] = Map(
+    // token counting: whitespace tokens, regex word tokens, distinct words
+    "txt_tokens" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id",
+          size(split($"text", " +")).cast("long").as("n_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").as("n_words"),
+          size(array_distinct(split($"text", " +"))).cast("long").as("n_distinct"))
+        .orderBy($"doc_id")
+    },
+
+    // language ID: marker-token scores per language, argmax with
+    // alphabetical tie-break; output is the actual×predicted confusion
+    "txt_langid" -> { (s, d) =>
+      import s.implicits._
+      val scored = markers.foldLeft(t(s, d, "documents")) { case (df, (lang, toks)) =>
+        df.withColumn(s"s_$lang",
+          size(expr(s"filter(split(text, ' +'), x -> x IN (${inList(toks)}))")).cast("long"))
+      }
+      val langs = markers.map(_._1)
+      val predicted = langs.init.foldRight[Column](lit(langs.last)) { case (lang, rest) =>
+        val isMax = langs.filter(_ != lang)
+          .map(o => col(s"s_$lang") >= col(s"s_$o"))
+          .reduce(_ && _)
+        when(isMax, lit(lang)).otherwise(rest)
+      }
+      scored.withColumn("predicted", predicted)
+        .groupBy($"lang", $"predicted")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"predicted")
+    },
+
+    // quality scoring: length, punctuation ratio, stopword ratio, mean
+    // word length, and a blended 0..1 score. Ratios are emitted as integer
+    // parts-per-million via floor(x*1e6+0.5): decimal `round` on a double
+    // is engine-dependent exactly at .xxxxxx5 boundaries, while the
+    // multiply/add/floor sequence is IEEE-deterministic everywhere.
+    "txt_quality" -> { (s, d) =>
+      import s.implicits._
+      def ppm(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+      t(s, d, "documents")
+        .withColumn("len", length($"text").cast("long"))
+        .withColumn("n_tok", size(split($"text", " +")).cast("long"))
+        .withColumn("punct_r", (($"len" - length(regexp_replace($"text", "[a-z0-9 ]", ""))) / $"len").cast("double"))
+        .withColumn("stop_r", (size(expr(s"filter(split(text, ' +'), x -> x IN (${inList(stopwords)}))")) / $"n_tok").cast("double"))
+        .withColumn("mwl", (length(regexp_replace($"text", " ", "")) / $"n_tok").cast("double"))
+        .withColumn("score",
+          lit(0.4) * least($"len" / lit(500.0), lit(1.0))
+            + lit(0.3) * (lit(1.0) - $"stop_r")
+            + lit(0.3) * least($"mwl" / lit(8.0), lit(1.0)))
+        .select($"doc_id", $"len", $"n_tok",
+          ppm($"punct_r").as("punct_ppm"),
+          ppm($"stop_r").as("stop_ppm"),
+          ppm($"mwl").as("mwl_micro"),
+          ppm($"score").as("quality_ppm"))
+        .orderBy($"doc_id")
+    },
+
+    // document fingerprint (normalized-content hash) + duplicate groups
+    "txt_fingerprint" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fingerprint"))
+        .groupBy($"fingerprint")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+        .orderBy($"fingerprint")
+    },
+
+    // top character-trigram profile per language (explode → count → top-5)
+    "txt_ngram_profile" -> { (s, d) =>
+      import s.implicits._
+      val grams = t(s, d, "documents")
+        .select($"lang",
+          explode(expr("transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))")).as("gram"))
+      val w = Window.partitionBy($"lang").orderBy($"n".desc, $"gram")
+      grams.groupBy($"lang", $"gram")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 5)
+        .orderBy($"lang", $"rnk")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "txt_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(string_split_regex(text, ' +'))) AS BIGINT) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_langid" -> {
+      val scoreCols = markers.map { case (lang, toks) =>
+        s"len(list_filter(string_split_regex(text, ' +'), x -> x IN (${inList(toks)}))) AS s_$lang"
+      }.mkString(",\n    ")
+      val langs = markers.map(_._1)
+      val caseExpr = langs.init.map { lang =>
+        val cond = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+        s"WHEN $cond THEN '$lang'"
+      }.mkString("\n    ", "\n    ", s"\n    ELSE '${langs.last}' END")
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    $scoreCols
+         |  FROM documents)
+         |SELECT lang, CASE$caseExpr AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM scored GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+    },
+
+    "txt_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tok,
+        |    (length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE) AS punct_r,
+        |    len(list_filter(string_split_regex(text, ' +'), x -> x IN ('the', 'a', 'of', 'and', 'to'))) / CAST(len(string_split_regex(text, ' +')) AS DOUBLE) AS stop_r,
+        |    length(replace(text, ' ', '')) / CAST(len(string_split_regex(text, ' +')) AS DOUBLE) AS mwl
+        |  FROM documents)
+        |SELECT doc_id, len, n_tok,
+        |  CAST(FLOOR(punct_r * 1000000.0 + 0.5) AS BIGINT) AS punct_ppm,
+        |  CAST(FLOOR(stop_r * 1000000.0 + 0.5) AS BIGINT) AS stop_ppm,
+        |  CAST(FLOOR(mwl * 1000000.0 + 0.5) AS BIGINT) AS mwl_micro,
+        |  CAST(FLOOR((0.4 * LEAST(len / 500.0, 1.0)
+        |    + 0.3 * (1.0 - stop_r)
+        |    + 0.3 * LEAST(mwl / 8.0, 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS quality_ppm
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "txt_fingerprint" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    "txt_ngram_profile" ->
+      """WITH grams AS (
+        |  SELECT lang, substr(text, CAST(i AS INT), 3) AS gram
+        |  FROM documents, UNNEST(range(1, length(text) - 1)) AS t(i)),
+        |counted AS (
+        |  SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT lang, gram, n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS BIGINT) AS rnk
+        |  FROM counted)
+        |SELECT lang, gram, n, rnk FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
+  )
+}
