@@ -1,0 +1,196 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** SURVEY §2.F — similarity search over `embeddings` (64-dim float).
+  *
+  * Vectors are quantized to integer micro-units (floor(x*1e6+0.5)) so the
+  * dot products and norms are exact integers: cosine is then a
+  * deterministic double on every engine — which is what lets the exact
+  * operators (brute-force top-k, banded pair similarity) be oracle-checked
+  * value-for-value.
+  *
+  * Scale shapes: brute-force broadcasts the (small) query set against the
+  * corpus — a map-only pass plus one per-query top-k; LSH and IVF both
+  * shuffle once on their bucket key and then work within buckets. The
+  * approximate variants are rows-only checked (their answer depends on the
+  * bucketing, not a SQL-expressible truth) with recall asserted in
+  * AnnSpec.
+  */
+object AnnQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NumQueries = 5 // query set: vec_id < 5
+  private val TopK = 5
+  private val Hyperplanes = 8 // LSH signature bits
+  private val Dims = 64
+  private val CentroidStep = 100 // IVF seeds: vec_id % step == 0
+
+  /** corpus with quantized vector + integer squared norm */
+  private def quantized(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "embeddings")
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))").as("q"))
+      .withColumn("nn", expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+  }
+
+  private val dotExpr =
+    "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+  /** deterministic ±1 hyperplanes from md5(j:i) — public-recipe pseudo
+    * randomness, reproducible anywhere (no RNG state, no broadcast of
+    * driver-side randomness)
+    */
+  private def planes: Array[Array[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(Hyperplanes, Dims) { (j, i) =>
+      val h = md.digest(s"$j:$i".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1 else -1
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+    // exact brute-force cosine top-k: broadcast the query set, one narrow
+    // pass over the corpus, per-query top-k window
+    "ann_brute_topk" -> { (s, d) =>
+      import s.implicits._
+      val e = quantized(s, d)
+      val qs = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("qid"), $"q".as("qa"), $"nn".as("na"))
+      val corpus = e.select($"vec_id".as("cid"), $"q".as("qb"), $"nn".as("nb"))
+      val w = Window.partitionBy($"qid").orderBy($"cos_ppm".desc, $"cid")
+      corpus.join(broadcast(qs), $"cid" =!= $"qid")
+        .withColumn("dot", expr(dotExpr))
+        .withColumn("cos_ppm",
+          floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= TopK)
+        .select($"qid", $"rnk", $"cid", $"cos_ppm")
+        .orderBy($"qid", $"rnk")
+    },
+
+    // LSH (random-hyperplane) bucketed ANN: signature = sign bits of the
+    // 8 plane dot products; candidates share the query's bucket.
+    // rows-only (bucketing-dependent answer); recall asserted in AnnSpec.
+    "ann_lsh_topk" -> { (s, d) =>
+      import s.implicits._
+      val planeLit = array(planes.map(p => array(p.map(lit(_)): _*)): _*)
+      val e = quantized(s, d).withColumn("planes", planeLit)
+        .withColumn("sig",
+          expr(s"""aggregate(sequence(0, ${Hyperplanes - 1}), 0L, (acc, j) ->
+                  | acc + CASE WHEN aggregate(zip_with(q, planes[j], (x, p) -> x * p), 0L, (a, v) -> a + v) > 0
+                  |            THEN CAST(pow(2, j) AS BIGINT) ELSE 0L END)""".stripMargin))
+        .drop("planes")
+      val qs = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("qid"), $"q".as("qa"), $"nn".as("na"), $"sig")
+      val corpus = e.select($"vec_id".as("cid"), $"q".as("qb"), $"nn".as("nb"), $"sig")
+      val w = Window.partitionBy($"qid").orderBy($"cos_ppm".desc, $"cid")
+      corpus.join(broadcast(qs), Seq("sig"))
+        .filter($"cid" =!= $"qid")
+        .withColumn("dot", expr(dotExpr))
+        .withColumn("cos_ppm",
+          floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= TopK)
+        .select($"qid", $"rnk", $"cid", $"cos_ppm")
+        .orderBy($"qid", $"rnk")
+    },
+
+    // IVF-style ANN: cells = nearest of the deterministic seed centroids
+    // (vec_id % 100 == 0); queries probe their 2 nearest cells. rows-only.
+    "ann_ivf_topk" -> { (s, d) =>
+      import s.implicits._
+      val e = quantized(s, d)
+      val cents = e.filter($"vec_id" % CentroidStep === 0)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"nn".as("nc"))
+      // nearest-centroid assignment: max cosine, centroid id tie-break
+      def assign(df: DataFrame, keep: Int): DataFrame = {
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("c_ppm").desc, col("cent_id"))
+        df.join(broadcast(cents), lit(true))
+          .withColumn("dot", expr("aggregate(zip_with(q, qc, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+          .withColumn("c_ppm",
+            floor(col("dot") / (sqrt(col("nn")) * sqrt(col("nc"))) * lit(1000000.0) + lit(0.5)).cast("long"))
+          .withColumn("crnk", row_number().over(w))
+          .filter(col("crnk") <= keep)
+          .select(col("vec_id"), col("q"), col("nn"), col("cent_id"))
+      }
+      val cells = assign(e, 1)
+        .select($"vec_id".as("cid"), $"q".as("qb"), $"nn".as("nb"), $"cent_id")
+      val probes = assign(e.filter($"vec_id" < NumQueries), 2)
+        .select($"vec_id".as("qid"), $"q".as("qa"), $"nn".as("na"), $"cent_id")
+      val w = Window.partitionBy($"qid").orderBy($"cos_ppm".desc, $"cid")
+      cells.join(broadcast(probes), Seq("cent_id"))
+        .filter($"cid" =!= $"qid")
+        .withColumn("dot", expr(dotExpr))
+        .withColumn("cos_ppm",
+          floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= TopK)
+        .select($"qid", $"rnk", $"cid", $"cos_ppm")
+        .orderBy($"qid", $"rnk")
+    },
+
+    // exact pairwise cosine above threshold within an id-band, aggregated
+    // per vector (bounded candidate generation — the 100 TB-safe shape)
+    "ann_pair_sim" -> { (s, d) =>
+      import s.implicits._
+      val e = quantized(s, d)
+      val a = e.select($"vec_id".as("va"), $"q".as("qa"), $"nn".as("na"))
+      val b = e.select($"vec_id".as("vb"), $"q".as("qb"), $"nn".as("nb"))
+      a.join(b, $"vb" > $"va" && $"vb" <= $"va" + 100)
+        .withColumn("dot", expr(dotExpr))
+        .withColumn("cos_ppm",
+          floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
+        .filter($"cos_ppm" >= 250000)
+        .groupBy($"va".as("vec_id"))
+        .agg(count(lit(1)).as("n_similar"), max($"cos_ppm").as("max_cos_ppm"))
+        .orderBy($"vec_id")
+    }
+  )
+
+  private val QuantCte =
+    """WITH e AS (
+      |  SELECT vec_id, i,
+      |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+      |n AS (SELECT vec_id, SUM(q * q) AS nn FROM e GROUP BY 1)
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_brute_topk" -> (QuantCte +
+      s""", dots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS cid, SUM(a.q * b.q) AS dot
+         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < $NumQueries AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT qid, cid,
+         |    CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+         |  FROM dots JOIN n na ON na.vec_id = dots.qid JOIN n nb ON nb.vec_id = dots.cid),
+         |ranked AS (
+         |  SELECT qid, cid, cos_ppm,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_ppm DESC, cid) AS BIGINT) AS rnk
+         |  FROM sims)
+         |SELECT qid, rnk, cid, cos_ppm FROM ranked WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin),
+
+    "ann_pair_sim" -> (QuantCte +
+      """, p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.q * b.q) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 100
+        |  GROUP BY 1, 2),
+        |sims AS (
+        |  SELECT va, vb,
+        |    CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM p JOIN n na ON na.vec_id = p.va JOIN n nb ON nb.vec_id = p.vb)
+        |SELECT va AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_similar, MAX(cos_ppm) AS max_cos_ppm
+        |FROM sims WHERE cos_ppm >= 250000
+        |GROUP BY va ORDER BY vec_id""".stripMargin)
+    // ann_lsh_topk / ann_ivf_topk: rows-only (bucketing-dependent)
+  )
+}

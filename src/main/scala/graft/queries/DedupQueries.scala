@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** SURVEY §2.E — deduplication over `documents` (+ `embeddings` for the
+  * embedding-cosine variant).
+  *
+  * Scale shapes (the part that must survive 100 TB):
+  *  - exact/normalized dedup: one hash-groupBy — a single partial-agg
+  *    shuffle on the content hash.
+  *  - MinHash/LSH: shingle→signature is a narrow per-doc pass; the only
+  *    wide stage is the band-bucket self-join, and candidate verification
+  *    (dd_jaccard) touches only within-bucket pairs.
+  *  - SimHash: signatures come from ONE aggregation with 32 conditional
+  *    sums — no per-bit row explosion.
+  *  - embedding near-dup: vectors are quantized to integer micro-units so
+  *    dot products are exact integers — bit-identical on any engine, any
+  *    partitioning, any summation order.
+  *
+  * All "random" hash families are md5-derived, which is what makes every
+  * operator here exactly reproducible in the DuckDB oracle.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Perms = 12 // minhash permutations
+  private val BandRows = 3 // rows per LSH band → 4 bands
+
+  /** distinct word-3-shingles per doc (Spark arrays are 0-based) */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents")
+      .select($"doc_id", split($"text", " +").as("tk"))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))")).as("s"))
+      .distinct()
+  }
+
+  /** LSH band keys per doc: minhash j = min md5(j|shingle), band key =
+    * md5(concat of the band's hashes in j order).
+    */
+  private def bands(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    shingles(s, d)
+      .select($"doc_id", $"s", explode(expr(s"sequence(0, ${Perms - 1})")).as("j"))
+      .groupBy($"doc_id", $"j")
+      .agg(min(md5(concat($"j".cast("string"), lit("|"), $"s"))).as("h"))
+      .groupBy($"doc_id", floor($"j" / BandRows).cast("int").as("band"))
+      .agg(collect_list(struct($"j", $"h")).as("jh"))
+      .select($"doc_id", $"band",
+        md5(expr("concat_ws('', transform(array_sort(jh), x -> x.h))")).as("bkey"))
+  }
+
+  /** candidate pairs (a < b) sharing at least one LSH band bucket */
+  private def candidates(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b = bands(s, d)
+    b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup: content-hash groups, keep-first; per-source summary
+    "dd_exact" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents")
+        .groupBy($"source", md5($"text").as("f"))
+        .agg(count(lit(1)).as("n"), min($"doc_id").as("keep"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_groups"), sum($"n").as("n_docs"),
+          sum($"n" - 1).as("n_dups"), sum($"keep").as("keep_sum"))
+        .orderBy($"source")
+    },
+
+    // normalized exact dedup (casefold + whitespace collapse before hash)
+    "dd_exact_norm" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents")
+        .groupBy($"source", md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("f"))
+        .agg(count(lit(1)).as("n"), min($"doc_id").as("keep"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_groups"), sum($"n").as("n_docs"),
+          sum($"n" - 1).as("n_dups"), sum($"keep").as("keep_sum"))
+        .orderBy($"source")
+    },
+
+    // MinHash+LSH candidate pairs
+    "dd_minhash" -> { (s, d) =>
+      import s.implicits._
+      candidates(s, d).orderBy($"doc_a", $"doc_b")
+    },
+
+    // 32-bit SimHash fingerprints — one aggregation, 32 conditional sums
+    "dd_simhash" -> { (s, d) =>
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select($"doc_id", explode(split($"text", " +")).as("tok"))
+        .withColumn("v", conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"))
+      val bitSums = (0 until 32).map { b =>
+        sum(when(shiftright($"v", b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$b")
+      }
+      val sig = (0 until 32).map { b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      toks.groupBy($"doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select($"doc_id", sig.as("simhash"))
+        .orderBy($"doc_id")
+    },
+
+    // exact n-gram Jaccard on the LSH candidates (integer set arithmetic,
+    // parts-per-million output)
+    "dd_jaccard" -> { (s, d) =>
+      import s.implicits._
+      val sh = shingles(s, d)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val cand = candidates(s, d)
+      val inter = cand
+        .join(sh.select($"doc_id".as("doc_a"), $"s"), Seq("doc_a"))
+        .join(sh.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
+        .groupBy($"doc_a", $"doc_b")
+        .agg(count(lit(1)).as("n_int"))
+      inter
+        .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("na")), Seq("doc_a"))
+        .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), Seq("doc_b"))
+        .select($"doc_a", $"doc_b",
+          floor($"n_int" / ($"na" + $"nb" - $"n_int") * lit(1000000.0) + lit(0.5))
+            .cast("long").as("jaccard_ppm"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // embedding-cosine near-dup pairs above threshold, bounded by id-band
+    // (quantized integer dot products — exact on both engines)
+    "dd_embed" -> { (s, d) =>
+      import s.implicits._
+      val e = t(s, d, "embeddings")
+        .select($"vec_id",
+          expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))").as("q"))
+        .withColumn("nn", expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+      val a = e.select($"vec_id".as("va"), $"q".as("qa"), $"nn".as("na"))
+      val b = e.select($"vec_id".as("vb"), $"q".as("qb"), $"nn".as("nb"))
+      a.join(b, $"vb" > $"va" && $"vb" <= $"va" + 100)
+        .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .withColumn("cos_ppm",
+          floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
+        .filter($"cos_ppm" >= 300000)
+        .select($"va".as("vec_a"), $"vb".as("vec_b"), $"cos_ppm")
+        .orderBy($"vec_a", $"vec_b")
+    }
+  )
+
+  /** shared oracle CTEs for shingles / LSH bands (mirrors the Spark ops;
+    * DuckDB lists are 1-based)
+    */
+  private val ShingleCte =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, ' +') AS tk FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' ' || tk[CAST(i AS INT) + 2] AS s
+      |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS t(i))
+      |""".stripMargin
+
+  private val BandCte = ShingleCte +
+    s""", mh AS (
+       |  SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || '|' || s)) AS h
+       |  FROM sh, UNNEST(range(0, $Perms)) AS u(j)
+       |  GROUP BY doc_id, j),
+       |bands AS (
+       |  SELECT doc_id, CAST(FLOOR(j / $BandRows) AS INT) AS band,
+       |    md5(string_agg(h, '' ORDER BY j)) AS bkey
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      """WITH g AS (
+        |  SELECT source, md5(text) AS f, COUNT(*) AS n, MIN(doc_id) AS keep
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_groups, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n - 1) AS BIGINT) AS n_dups, CAST(SUM(keep) AS BIGINT) AS keep_sum
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "dd_exact_norm" ->
+      """WITH g AS (
+        |  SELECT source, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f,
+        |    COUNT(*) AS n, MIN(doc_id) AS keep
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_groups, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n - 1) AS BIGINT) AS n_dups, CAST(SUM(keep) AS BIGINT) AS keep_sum
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "dd_minhash" -> (BandCte +
+      "SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
+
+    "dd_simhash" -> {
+      val bitSums = (0 until 32).map { b =>
+        s"SUM(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+      }.mkString(",\n    ")
+      val sig = (0 until 32).map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok FROM documents),
+         |h AS (
+         |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS v FROM toks),
+         |bits AS (
+         |  SELECT doc_id,
+         |    $bitSums
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($sig AS BIGINT) AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin
+    },
+
+    "dd_jaccard" -> (BandCte +
+      """, sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_int
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT i.doc_a, i.doc_b,
+        |  CAST(FLOOR(n_int / CAST(za.n_sh + zb.n_sh - n_int AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS jaccard_ppm
+        |FROM inter i
+        |JOIN sizes za ON za.doc_id = i.doc_a
+        |JOIN sizes zb ON zb.doc_id = i.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dd_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id, i,
+        |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+        |n AS (SELECT vec_id, SUM(q * q) AS nn FROM e GROUP BY 1),
+        |p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.q * b.q) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 100
+        |  GROUP BY 1, 2)
+        |SELECT va AS vec_a, vb AS vec_b,
+        |  CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+        |FROM p JOIN n na ON na.vec_id = p.va JOIN n nb ON nb.vec_id = p.vb
+        |WHERE FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) >= 300000
+        |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

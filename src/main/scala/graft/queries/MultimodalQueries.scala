@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.rawdata.{EventsAsTopic, Topic}
+
+/** SURVEY §2.G — multimodal plumbing: image/audio/video-style payloads are
+  * opaque `binary` columns (here: the rawdata topic's `data` map, exactly
+  * how the reference ships documents — AvroRawdataProducer.java:44-50's
+  * map<string,bytes>). The decode step is a clearly-marked deterministic
+  * stub (no codec libs in this environment); the Spark plumbing — schema,
+  * per-partition batching, partitioning — is real and oracle-checked.
+  */
+object MultimodalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def topic(s: SparkSession, d: String): String = EventsAsTopic.topicDir(s, d)
+
+  /** (position, key, payload) rows for a bounded message range — the
+    * exploded view of the topic's binary payload map
+    */
+  private def payloads(s: SparkSession, d: String, maxSeq: Long): DataFrame = {
+    import s.implicits._
+    Topic.readDF(s, topic(s, d))
+      .filter($"sequenceNumber" < maxSeq)
+      .select($"position", explode($"data").as(Seq("key", "payload")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // typed metadata extraction over opaque binary payloads: size, magic
+    // bytes, checksum — a narrow codegen'd pass, no shuffle at all
+    "mm_meta" -> { (s, d) =>
+      import s.implicits._
+      payloads(s, d, 500)
+        .select($"position", $"key",
+          length($"payload").cast("long").as("n_bytes"),
+          md5($"payload").as("checksum"),
+          upper(hex(substring($"payload", 1, 2))).as("magic"))
+        .orderBy($"position", $"key")
+    },
+
+    // deterministic frame/chunk sampling: fixed-offset, fixed-stride
+    // slices of the binary payload (the frame-sample pattern for video/
+    // audio payloads, minus the codec)
+    "mm_frame_sample" -> { (s, d) =>
+      import s.implicits._
+      val stride = 8
+      val frames = payloads(s, d, 300).filter($"key" === "props")
+        .select($"position", $"payload",
+          explode(expr("sequence(0, 2)")).as("frame_idx"))
+      frames
+        .select($"position", $"frame_idx".cast("long").as("frame_idx"),
+          upper(hex(expr(s"substring(payload, frame_idx * $stride + 1, 4)"))).as("frame_hex"))
+        .orderBy($"position", $"frame_idx")
+    },
+
+    // partition-wise batch "decode/feature-extract": mapPartitions pulls
+    // payloads through a STUB decoder in fixed-size batches (the real
+    // pattern for handing micro-batches to a native decoder), emitting
+    // deterministic integer features so even the stub is oracle-checked.
+    "mm_featurize" -> { (s, d) =>
+      import s.implicits._
+      val rows = payloads(s, d, 500).filter($"key" === "props")
+        .select($"position", $"payload").as[(String, Array[Byte])]
+      val feats = rows.mapPartitions { it =>
+        // STUB DECODER: stands in for an image/audio codec. Batches of 256
+        // payloads at a time, like a real vectorized decode call.
+        it.grouped(256).flatMap { batch =>
+          batch.iterator.map { case (pos, bytes) =>
+            var sum = 0L
+            val hist = new Array[Long](4)
+            var i = 0
+            while (i < bytes.length) {
+              val b = bytes(i) & 0xff
+              sum += b
+              hist(b >> 6) += 1
+              i += 1
+            }
+            val mean = if (bytes.length == 0) 0L
+              else math.floor(sum.toDouble / bytes.length * 1000.0 + 0.5).toLong
+            (pos, bytes.length.toLong, sum, mean, hist(0), hist(1), hist(2), hist(3))
+          }
+        }
+      }(Encoders.product[(String, Long, Long, Long, Long, Long, Long, Long)])
+      feats.toDF("position", "n_bytes", "sum_bytes", "mean_milli", "h0", "h1", "h2", "h3")
+        .orderBy($"position")
+    }
+  )
+
+  /** Oracles reconstruct the same payload bytes from `events` (positions
+    * are 'evt-<id>'; payloads are the UTF-8 props JSON and user id — all
+    * ASCII, so VARCHAR length/ord equal byte length/value).
+    */
+  val oracles: Map[String, String] = Map(
+    "mm_meta" ->
+      """WITH m AS (
+        |  SELECT 'evt-' || CAST(event_id AS VARCHAR) AS position, 'props' AS key, props AS payload
+        |  FROM events WHERE event_id < 500
+        |  UNION ALL
+        |  SELECT 'evt-' || CAST(event_id AS VARCHAR), 'user', CAST(user_id AS VARCHAR)
+        |  FROM events WHERE event_id < 500)
+        |SELECT position, key,
+        |  CAST(length(payload) AS BIGINT) AS n_bytes,
+        |  md5(payload) AS checksum,
+        |  upper(hex(substr(payload, 1, 2))) AS magic
+        |FROM m ORDER BY position, key""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT 'evt-' || CAST(event_id AS VARCHAR) AS position, props AS payload, j
+        |  FROM events, UNNEST(range(0, 3)) AS t(j)
+        |  WHERE event_id < 300)
+        |SELECT position, CAST(j AS BIGINT) AS frame_idx,
+        |  upper(hex(substr(payload, CAST(j * 8 + 1 AS INT), 4))) AS frame_hex
+        |FROM f ORDER BY position, frame_idx""".stripMargin,
+
+    "mm_featurize" ->
+      """WITH b AS (
+        |  SELECT 'evt-' || CAST(event_id AS VARCHAR) AS position, props AS payload,
+        |    ord(substr(props, CAST(i AS INT), 1)) AS byte
+        |  FROM events, UNNEST(range(1, length(props) + 1)) AS t(i)
+        |  WHERE event_id < 500)
+        |SELECT position,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bytes,
+        |  CAST(SUM(byte) AS BIGINT) AS sum_bytes,
+        |  CAST(FLOOR(SUM(byte) / CAST(COUNT(*) AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS mean_milli,
+        |  CAST(SUM(CASE WHEN byte < 64 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+        |  CAST(SUM(CASE WHEN byte >= 64 AND byte < 128 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |  CAST(SUM(CASE WHEN byte >= 128 AND byte < 192 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+        |  CAST(SUM(CASE WHEN byte >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+        |FROM b GROUP BY position ORDER BY position""".stripMargin
+  )
+}
