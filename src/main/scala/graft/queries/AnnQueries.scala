@@ -31,17 +31,10 @@ object AnnQueries {
   private val Dims = 64
   private val CentroidStep = 100 // IVF seeds: vec_id % step == 0
 
-  /** corpus with quantized vector + integer squared norm */
-  private def quantized(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    t(s, d, "embeddings")
-      .select($"vec_id",
-        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))").as("q"))
-      .withColumn("nn", expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
-  }
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    graft.operators.VectorOps.quantized(s, d)
 
-  private val dotExpr =
-    "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+  private val dotExpr = graft.operators.VectorOps.dotExpr
 
   /** deterministic ±1 hyperplanes from md5(j:i) — public-recipe pseudo
     * randomness, reproducible anywhere (no RNG state, no broadcast of
@@ -137,16 +130,10 @@ object AnnQueries {
     },
 
     // exact pairwise cosine above threshold within an id-band, aggregated
-    // per vector (bounded candidate generation — the 100 TB-safe shape)
+    // per vector (bucketized equi join — the 100 TB-safe shape; VectorOps)
     "ann_pair_sim" -> { (s, d) =>
       import s.implicits._
-      val e = quantized(s, d)
-      val a = e.select($"vec_id".as("va"), $"q".as("qa"), $"nn".as("na"))
-      val b = e.select($"vec_id".as("vb"), $"q".as("qb"), $"nn".as("nb"))
-      a.join(b, $"vb" > $"va" && $"vb" <= $"va" + 100)
-        .withColumn("dot", expr(dotExpr))
-        .withColumn("cos_ppm",
-          floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
+      graft.operators.VectorOps.bandedCosinePairs(s, d, 100)
         .filter($"cos_ppm" >= 250000)
         .groupBy($"va".as("vec_id"))
         .agg(count(lit(1)).as("n_similar"), max($"cos_ppm").as("max_cos_ppm"))

@@ -41,9 +41,10 @@ object DedupQueries {
   /** LSH band keys per doc: minhash j = min md5(j|shingle), band key =
     * md5(concat of the band's hashes in j order).
     */
-  private def bands(s: SparkSession, d: String): DataFrame = {
+  private def bandsFrom(sh: DataFrame): DataFrame = {
+    val s = sh.sparkSession
     import s.implicits._
-    shingles(s, d)
+    sh
       .select($"doc_id", $"s", explode(expr(s"sequence(0, ${Perms - 1})")).as("j"))
       .groupBy($"doc_id", $"j")
       .agg(min(md5(concat($"j".cast("string"), lit("|"), $"s"))).as("h"))
@@ -54,9 +55,10 @@ object DedupQueries {
   }
 
   /** candidate pairs (a < b) sharing at least one LSH band bucket */
-  private def candidates(s: SparkSession, d: String): DataFrame = {
+  private def candidatesFrom(sh: DataFrame): DataFrame = {
+    val s = sh.sparkSession
     import s.implicits._
-    val b = bands(s, d)
+    val b = bandsFrom(sh)
     b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -92,7 +94,7 @@ object DedupQueries {
     // MinHash+LSH candidate pairs
     "dd_minhash" -> { (s, d) =>
       import s.implicits._
-      candidates(s, d).orderBy($"doc_a", $"doc_b")
+      candidatesFrom(shingles(s, d)).orderBy($"doc_a", $"doc_b")
     },
 
     // 32-bit SimHash fingerprints — one aggregation, 32 conditional sums
@@ -117,9 +119,12 @@ object DedupQueries {
     // parts-per-million output)
     "dd_jaccard" -> { (s, d) =>
       import s.implicits._
-      val sh = shingles(s, d)
+      // The shingle set feeds the LSH chain AND the exact verification
+      // joins; Catalyst has no cross-branch CSE, so persist the one
+      // narrow intermediate instead of exploding the corpus three times.
+      val sh = shingles(s, d).persist()
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-      val cand = candidates(s, d)
+      val cand = candidatesFrom(sh)
       val inter = cand
         .join(sh.select($"doc_id".as("doc_a"), $"s"), Seq("doc_a"))
         .join(sh.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
@@ -135,19 +140,10 @@ object DedupQueries {
     },
 
     // embedding-cosine near-dup pairs above threshold, bounded by id-band
-    // (quantized integer dot products — exact on both engines)
+    // (bucketized equi join + exact quantized dot products — see VectorOps)
     "dd_embed" -> { (s, d) =>
       import s.implicits._
-      val e = t(s, d, "embeddings")
-        .select($"vec_id",
-          expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))").as("q"))
-        .withColumn("nn", expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
-      val a = e.select($"vec_id".as("va"), $"q".as("qa"), $"nn".as("na"))
-      val b = e.select($"vec_id".as("vb"), $"q".as("qb"), $"nn".as("nb"))
-      a.join(b, $"vb" > $"va" && $"vb" <= $"va" + 100)
-        .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
-        .withColumn("cos_ppm",
-          floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
+      graft.operators.VectorOps.bandedCosinePairs(s, d, 100)
         .filter($"cos_ppm" >= 300000)
         .select($"va".as("vec_a"), $"vb".as("vec_b"), $"cos_ppm")
         .orderBy($"vec_a", $"vec_b")

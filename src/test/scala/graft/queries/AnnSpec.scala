@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry, Tables}
+
+/** Correctness of the approximate ANN variants (rows-only at the oracle):
+  * every (query, neighbor) they return must carry the exact quantized
+  * cosine the brute-force path computes, and ranks must be consistent.
+  */
+class AnnSpec extends SparkSpec {
+
+  /** locally recomputed quantized cosine ppm, mirroring VectorOps */
+  private lazy val vecs: Map[Long, Array[Long]] =
+    Tables.t(spark, sf, "embeddings").collect().map { r =>
+      val id = r.getAs[Long]("vec_id")
+      val q = r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => math.floor(x.toDouble * 1000000.0 + 0.5).toLong).toArray
+      id -> q
+    }.toMap
+
+  private def cosPpm(a: Long, b: Long): Long = {
+    val (qa, qb) = (vecs(a), vecs(b))
+    var dot = 0L; var na = 0L; var nb = 0L
+    for (i <- qa.indices) { dot += qa(i) * qb(i); na += qa(i) * qa(i); nb += qb(i) * qb(i) }
+    math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000.0 + 0.5).toLong
+  }
+
+  for (name <- Seq("ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk")) {
+    test(s"$name: cosines exact, ranks consistent, no self-matches") {
+      val rows = SparkEntry.queries(name)(spark, sf).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (qid, cid) = (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+        assert(qid != cid)
+        assert(r.getAs[Long]("cos_ppm") === cosPpm(qid, cid), s"cosine mismatch for ($qid,$cid)")
+      }
+      rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, g) =>
+        val byRank = g.sortBy(_.getAs[Long]("rnk"))
+        assert(byRank.map(_.getAs[Long]("rnk")).toSeq == (1L to byRank.length).toSeq)
+        // scores non-increasing with rank
+        val sims = byRank.map(_.getAs[Long]("cos_ppm")).toSeq
+        assert(sims == sims.sorted.reverse)
+      }
+    }
+  }
+
+  test("approximate top-k never beats brute-force top-1") {
+    val brute = SparkEntry.queries("ann_brute_topk")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, g) => q -> g.map(_.getAs[Long]("cos_ppm")).max }
+    for (name <- Seq("ann_lsh_topk", "ann_ivf_topk")) {
+      SparkEntry.queries(name)(spark, sf).collect().foreach { r =>
+        val qid = r.getAs[Long]("qid")
+        assert(r.getAs[Long]("cos_ppm") <= brute(qid))
+      }
+    }
+  }
+}
