@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** Static helpers referenced from generated code (top-level object →
+  * Java-visible static forwarders).
+  */
+object UlidOps {
+  /** Big-endian 48-bit millisecond timestamp from a 16-byte ULID
+    * (reference ULID layout — AvroRawdataProducer.java:44-50).
+    */
+  def timestampMs(id: Array[Byte]): Long = {
+    var ts = 0L
+    var i = 0
+    while (i < 6 && i < id.length) { ts = (ts << 8) | (id(i) & 0xffL); i += 1 }
+    ts
+  }
+}
+
+/** Native Catalyst expression: ULID binary → epoch-ms long.
+  *
+  * The composed-builtins route (conv(substring(hex(id),1,12),16,10)) walks
+  * the bytes through two string materializations per row; this expression
+  * reads the 6 bytes directly and inlines into whole-stage codegen via a
+  * static call — the (b)-tier extension point from SURVEY's design rules
+  * (custom Expression before custom plan, builtins before both).
+  */
+case class UlidTimestampMs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ulid_ts_ms requires BINARY input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ulid_ts_ms"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UlidOps.timestampMs(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UlidOps.timestampMs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): UlidTimestampMs =
+    copy(child = newChild)
+}
+
+/** SparkSessionExtensions hook registering the engine's native functions
+  * (enabled via spark.sql.extensions=graft.functions.GraftExtensions —
+  * set by GraftSession.tune).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("ulid_ts_ms"),
+      new ExpressionInfo(classOf[UlidTimestampMs].getName, "ulid_ts_ms"),
+      (exprs: Seq[Expression]) => UlidTimestampMs(exprs.head)))
+  }
+}

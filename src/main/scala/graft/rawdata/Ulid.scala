@@ -20,8 +20,17 @@ object Ulid {
     */
   def hexOf(id: Column): Column = lower(hex(id))
 
-  /** Milliseconds since epoch from the first 6 bytes. */
-  def timestampMs(id: Column): Column =
+  /** Milliseconds since epoch from the first 6 bytes — the native
+    * codegen'd expression (graft.functions.UlidTimestampMs, registered by
+    * GraftExtensions). Reads the bytes directly instead of materializing
+    * two intermediate hex strings per row.
+    */
+  def timestampMs(id: Column): Column = call_function("ulid_ts_ms", id)
+
+  /** builtin-composed equivalent (kept for sessions without the graft
+    * extensions; UlidExprSpec asserts equality with the native form)
+    */
+  def timestampMsComposed(id: Column): Column =
     conv(substring(hexOf(id), 1, 12), 16, 10).cast("long")
 
   /** 10-byte entropy tail as hex. */
