@@ -14,6 +14,9 @@ object Bench {
     // topic-backed query happens to run first, and report it separately.
     val s0 = System.nanoTime()
     graft.rawdata.EventsAsTopic.topicDir(spark, sfDir)
+    // untimed JIT/codegen warmup so the alphabetically-first queries don't
+    // absorb the whole JVM warmup cost in their numbers
+    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
     val setupSec = (System.nanoTime() - s0) / 1e9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

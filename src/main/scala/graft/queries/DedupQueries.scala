@@ -38,27 +38,44 @@ object DedupQueries {
       .distinct()
   }
 
-  /** LSH band keys per doc: minhash j = min md5(j|shingle), band key =
-    * md5(concat of the band's hashes in j order).
+  /** minhash permutation j: linear map of the shingle's single md5-derived
+    * 60-bit value, reduced mod the Mersenne prime 2^31-1. One md5 per
+    * shingle (not per shingle×perm) and one groupBy with Perms min-aggs
+    * (not a Perms× row explosion) — at 100 TB that's the difference
+    * between shuffling |shingles| rows and shuffling 12·|shingles|.
+    */
+  private val P = 2147483647L
+  private def permA(j: Int): Long = 2L * j + 1
+  private def permB(j: Int): Long = 12582917L * (j + 1)
+
+  /** LSH band keys per doc: band key = md5 of the band's minhashes joined
+    * in permutation order.
     */
   private def bandsFrom(sh: DataFrame): DataFrame = {
     val s = sh.sparkSession
     import s.implicits._
-    sh
-      .select($"doc_id", $"s", explode(expr(s"sequence(0, ${Perms - 1})")).as("j"))
-      .groupBy($"doc_id", $"j")
-      .agg(min(md5(concat($"j".cast("string"), lit("|"), $"s"))).as("h"))
-      .groupBy($"doc_id", floor($"j" / BandRows).cast("int").as("band"))
-      .agg(collect_list(struct($"j", $"h")).as("jh"))
-      .select($"doc_id", $"band",
-        md5(expr("concat_ws('', transform(array_sort(jh), x -> x.h))")).as("bkey"))
+    val hashed = sh.withColumn("x31",
+      conv(substring(md5($"s"), 1, 15), 16, 10).cast("long") % P)
+    val minAggs = (0 until Perms).map { j =>
+      min((lit(permA(j)) * $"x31" + lit(permB(j))) % P).as(s"h$j")
+    }
+    val sigs = hashed.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until Perms / BandRows).map { b =>
+      val parts = (0 until BandRows).map(r => col(s"h${b * BandRows + r}").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", parts: _*)).as("bkey"))
+    }
+    sigs.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
   }
 
-  /** candidate pairs (a < b) sharing at least one LSH band bucket */
+  /** candidate pairs (a < b) sharing at least one LSH band bucket. The
+    * band table feeds both sides of the self-join — persist it so the
+    * shingle→minhash chain runs once, not twice.
+    */
   private def candidatesFrom(sh: DataFrame): DataFrame = {
     val s = sh.sparkSession
     import s.implicits._
-    val b = bandsFrom(sh)
+    val b = bandsFrom(sh).persist()
     b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -162,20 +179,29 @@ object DedupQueries {
       |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS t(i))
       |""".stripMargin
 
-  private val BandCte = ShingleCte +
-    s""", mh AS (
-       |  SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || '|' || s)) AS h
-       |  FROM sh, UNNEST(range(0, $Perms)) AS u(j)
-       |  GROUP BY doc_id, j),
-       |bands AS (
-       |  SELECT doc_id, CAST(FLOOR(j / $BandRows) AS INT) AS band,
-       |    md5(string_agg(h, '' ORDER BY j)) AS bkey
-       |  FROM mh GROUP BY 1, 2),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-       |""".stripMargin
+  private val BandCte: String = {
+    val minCols = (0 until Perms).map { j =>
+      s"MIN((${permA(j)} * x31 + ${permB(j)}) % $P) AS h$j"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until Perms / BandRows).map { b =>
+      val parts = (0 until BandRows).map(r => s"CAST(h${b * BandRows + r} AS VARCHAR)")
+      s"SELECT doc_id, $b AS band, md5(${parts.mkString(" || ',' || ")}) AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    ShingleCte +
+      s""", hashed AS (
+         |  SELECT doc_id, s, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $P AS x31 FROM sh),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    $minCols
+         |  FROM hashed GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "dd_exact" ->

@@ -170,6 +170,31 @@ object Topic {
   private def firstUlidHex(path: String): String =
     AvroCodec.readFirst(path).map(m => m.id.map("%02x".format(_)).mkString).getOrElse("")
 
+  // ------------------------------------------------------- listing cache
+
+  private val listingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[TopicFile])]()
+
+  /** Min-interval cached listing (reference TopicAvroFileCache.java: the
+    * consumer's poll loop re-lists the topic at most once per configured
+    * interval). Within ttlMs of the last listing the cached snapshot is
+    * returned without touching the filesystem — on an object store that
+    * is the difference between one LIST per poll and one per interval.
+    */
+  def listFilesCached(topicDir: String, ttlMs: Long): Seq[TopicFile] = {
+    val now = System.nanoTime() / 1000000L
+    val cached = listingCache.get(topicDir)
+    if (cached != null && now - cached._1 < ttlMs) cached._2
+    else {
+      val fresh = listFiles(topicDir)
+      listingCache.put(topicDir, (now, fresh))
+      fresh
+    }
+  }
+
+  /** Drop the cached listing (e.g. after this process wrote the topic). */
+  def invalidateListing(topicDir: String): Unit = listingCache.remove(topicDir): Unit
+
   /** Files possibly containing messages with ts >= fromTsMs: everything
     * from the last file that starts at/before the target (floorEntry —
     * reference AvroRawdataConsumer.seek, :141-177).

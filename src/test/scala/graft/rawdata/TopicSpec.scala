@@ -96,6 +96,19 @@ class TopicSpec extends SparkSpec {
     assert(new String(MetadataStore.get(spark, dir, "b").get, "UTF-8") === "3")
   }
 
+  test("cached listing honors the min-interval and invalidation") {
+    val dir = Topic.tempDir("topic-cache")
+    Topic.write(messages.limit(20), dir, EventsAsTopic.cfg)
+    val first = Topic.listFilesCached(dir, ttlMs = 60000)
+    assert(first.nonEmpty)
+    // a new file lands — the cached snapshot must not see it within ttl
+    Topic.write(messages.limit(40), dir, EventsAsTopic.cfg)
+    assert(Topic.listFilesCached(dir, ttlMs = 60000).map(_.path) === first.map(_.path))
+    Topic.invalidateListing(dir)
+    assert(Topic.listFilesCached(dir, ttlMs = 60000).length >= first.length)
+    assert(Topic.listFilesCached(dir, ttlMs = 0) === Topic.listFiles(dir))
+  }
+
   test("avro files are format-compatible with the reference schema (fixed-16 ulid)") {
     val dir = Topic.tempDir("topic-schema")
     Topic.write(messages.limit(10), dir, EventsAsTopic.cfg)
