@@ -111,7 +111,7 @@ object DedupQueries {
     // MinHash+LSH candidate pairs
     "dd_minhash" -> { (s, d) =>
       import s.implicits._
-      candidatesFrom(shingles(s, d)).orderBy($"doc_a", $"doc_b")
+      candidatesFrom(shingles(s, d))
     },
 
     // 32-bit SimHash fingerprints — one aggregation, 32 conditional sums
@@ -129,7 +129,6 @@ object DedupQueries {
       toks.groupBy($"doc_id")
         .agg(bitSums.head, bitSums.tail: _*)
         .select($"doc_id", sig.as("simhash"))
-        .orderBy($"doc_id")
     },
 
     // exact n-gram Jaccard on the LSH candidates (integer set arithmetic,
@@ -153,7 +152,6 @@ object DedupQueries {
         .select($"doc_a", $"doc_b",
           floor($"n_int" / ($"na" + $"nb" - $"n_int") * lit(1000000.0) + lit(0.5))
             .cast("long").as("jaccard_ppm"))
-        .orderBy($"doc_a", $"doc_b")
     },
 
     // embedding-cosine near-dup pairs above threshold, bounded by id-band
@@ -163,7 +161,6 @@ object DedupQueries {
       graft.operators.VectorOps.bandedCosinePairs(s, d, 100)
         .filter($"cos_ppm" >= 300000)
         .select($"va".as("vec_a"), $"vb".as("vec_b"), $"cos_ppm")
-        .orderBy($"vec_a", $"vec_b")
     }
   )
 

@@ -114,7 +114,6 @@ object EventQueries {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"user_id", $"event_type", $"ts_us", $"event_id", $"value")
-        .orderBy($"user_id", $"event_type")
     }
   )
 

@@ -37,7 +37,6 @@ object MultimodalQueries {
           length($"payload").cast("long").as("n_bytes"),
           md5($"payload").as("checksum"),
           upper(hex(substring($"payload", 1, 2))).as("magic"))
-        .orderBy($"position", $"key")
     },
 
     // deterministic frame/chunk sampling: fixed-offset, fixed-stride
@@ -52,7 +51,6 @@ object MultimodalQueries {
       frames
         .select($"position", $"frame_idx".cast("long").as("frame_idx"),
           upper(hex(expr(s"substring(payload, frame_idx * $stride + 1, 4)"))).as("frame_hex"))
-        .orderBy($"position", $"frame_idx")
     },
 
     // partition-wise batch "decode/feature-extract": mapPartitions pulls
@@ -84,7 +82,6 @@ object MultimodalQueries {
         }
       }(Encoders.product[(String, Long, Long, Long, Long, Long, Long, Long)])
       feats.toDF("position", "n_bytes", "sum_bytes", "mean_milli", "h0", "h1", "h2", "h3")
-        .orderBy($"position")
     }
   )
 

@@ -41,7 +41,6 @@ object TextQueries {
           size(split($"text", " +")).cast("long").as("n_tokens"),
           size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").as("n_words"),
           size(array_distinct(split($"text", " +"))).cast("long").as("n_distinct"))
-        .orderBy($"doc_id")
     },
 
     // language ID: marker-token scores per language, argmax with
@@ -88,7 +87,6 @@ object TextQueries {
           ppm($"stop_r").as("stop_ppm"),
           ppm($"mwl").as("mwl_micro"),
           ppm($"score").as("quality_ppm"))
-        .orderBy($"doc_id")
     },
 
     // document fingerprint (normalized-content hash) + duplicate groups

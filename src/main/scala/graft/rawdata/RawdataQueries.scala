@@ -101,11 +101,14 @@ object RawdataQueries {
     },
 
     "rd_ordering_group" -> { (s, d) =>
+      // distributed top-100 by ULID first (TakeOrderedAndProject — never a
+      // global single-partition window), then number the 100 survivors
       val w = Window.orderBy(col("ulid_hex"))
       Topic.readDF(s, topic(s, d))
         .filter(col("orderingGroup") === "click")
+        .orderBy(col("ulid_hex"))
+        .limit(100)
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 100)
         .select(col("rn"), col("sequenceNumber").as("seq"), col("position"), col("ts_ms"))
         .orderBy(col("rn"))
     },
