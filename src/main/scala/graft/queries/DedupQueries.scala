@@ -28,14 +28,21 @@ object DedupQueries {
   private val Perms = 12 // minhash permutations
   private val BandRows = 3 // rows per LSH band → 4 bands
 
-  /** distinct word-3-shingles per doc (Spark arrays are 0-based) */
+  /** distinct word-3-shingles per doc (Spark arrays are 0-based).
+    *
+    * Deduped via per-doc collect_set rather than a global .distinct():
+    * the result stays hash-partitioned on doc_id through the explode, so
+    * the signature aggregation that follows needs NO second shuffle —
+    * one wide stage for the whole shingle→signature chain.
+    */
   private def shingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     t(s, d, "documents")
       .select($"doc_id", split($"text", " +").as("tk"))
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))")).as("s"))
-      .distinct()
+      .groupBy($"doc_id").agg(collect_set($"s").as("ss"))
+      .select($"doc_id", explode($"ss").as("s"))
   }
 
   /** minhash permutation j: linear map of the shingle's single md5-derived
