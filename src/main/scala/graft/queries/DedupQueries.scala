@@ -35,14 +35,38 @@ object DedupQueries {
     * the signature aggregation that follows needs NO second shuffle —
     * one wide stage for the whole shingle→signature chain.
     */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(t(s, d, "documents"))
+
+  /** same over any (doc_id, text) relation (the cleaning pipeline runs the
+    * LSH chain on its quality/exact-dedup survivors)
+    */
+  private def shinglesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    t(s, d, "documents")
+    docs
       .select($"doc_id", split($"text", " +").as("tk"))
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))")).as("s"))
       .groupBy($"doc_id").agg(collect_set($"s").as("ss"))
       .select($"doc_id", explode($"ss").as("s"))
+  }
+
+  /** exact jaccard_ppm for the LSH candidates of `sh` (persisted input) */
+  private def jaccardOf(sh: DataFrame): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    candidatesFrom(sh)
+      .join(sh.select($"doc_id".as("doc_a"), $"s"), Seq("doc_a"))
+      .join(sh.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_int"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("na")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        floor($"n_int" / ($"na" + $"nb" - $"n_int") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("jaccard_ppm"))
   }
 
   /** minhash permutation j: linear map of the shingle's single md5-derived
@@ -141,24 +165,28 @@ object DedupQueries {
     // exact n-gram Jaccard on the LSH candidates (integer set arithmetic,
     // parts-per-million output)
     "dd_jaccard" -> { (s, d) =>
-      import s.implicits._
       // The shingle set feeds the LSH chain AND the exact verification
       // joins; Catalyst has no cross-branch CSE, so persist the one
       // narrow intermediate instead of exploding the corpus three times.
-      val sh = shingles(s, d).persist()
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-      val cand = candidatesFrom(sh)
-      val inter = cand
-        .join(sh.select($"doc_id".as("doc_a"), $"s"), Seq("doc_a"))
-        .join(sh.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
-        .groupBy($"doc_a", $"doc_b")
-        .agg(count(lit(1)).as("n_int"))
-      inter
-        .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("na")), Seq("doc_a"))
-        .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), Seq("doc_b"))
-        .select($"doc_a", $"doc_b",
-          floor($"n_int" / ($"na" + $"nb" - $"n_int") * lit(1000000.0) + lit(0.5))
-            .cast("long").as("jaccard_ppm"))
+      jaccardOf(shingles(s, d).persist())
+    },
+
+    // end-to-end corpus cleaning: quality gate → exact dedup (keep-first)
+    // → LSH near-dup removal (drop the later doc of each verified pair).
+    // The flagship composition — each stage is one of the operators above,
+    // chained without materializing anything but the shingle set.
+    "pipe_clean_corpus" -> { (s, d) =>
+      import s.implicits._
+      val q = TextQueries.qualityScored(t(s, d, "documents"))
+        .filter(floor($"score" * lit(1000000.0) + lit(0.5)).cast("long") >= 550000)
+        .select($"doc_id", $"source", $"text")
+      val keepFirst = q.groupBy(md5($"text").as("f")).agg(min($"doc_id").as("doc_id"))
+      val kept1 = q.join(keepFirst.select($"doc_id"), Seq("doc_id"), "left_semi")
+      val losers = jaccardOf(shinglesOf(kept1).persist())
+        .filter($"jaccard_ppm" >= 400000)
+        .select($"doc_b".as("doc_id")).distinct()
+      kept1.join(losers, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"source")
     },
 
     // embedding-cosine near-dup pairs above threshold, bounded by id-band
@@ -171,19 +199,12 @@ object DedupQueries {
     }
   )
 
-  /** shared oracle CTEs for shingles / LSH bands (mirrors the Spark ops;
-    * DuckDB lists are 1-based)
+  /** shared oracle CTE bodies (mirror the Spark ops; DuckDB lists are
+    * 1-based). `from` is any relation exposing (doc_id, text) — the same
+    * chain runs over `documents` for dd_* and over the cleaning
+    * pipeline's survivors.
     */
-  private val ShingleCte =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(text, ' +') AS tk FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' ' || tk[CAST(i AS INT) + 2] AS s
-      |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS t(i))
-      |""".stripMargin
-
-  private val BandCte: String = {
+  private def lshCtes(from: String): String = {
     val minCols = (0 until Perms).map { j =>
       s"MIN((${permA(j)} * x31 + ${permB(j)}) % $P) AS h$j"
     }.mkString(",\n    ")
@@ -191,21 +212,40 @@ object DedupQueries {
       val parts = (0 until BandRows).map(r => s"CAST(h${b * BandRows + r} AS VARCHAR)")
       s"SELECT doc_id, $b AS band, md5(${parts.mkString(" || ',' || ")}) AS bkey FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    ShingleCte +
-      s""", hashed AS (
-         |  SELECT doc_id, s, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $P AS x31 FROM sh),
-         |sigs AS (
-         |  SELECT doc_id,
-         |    $minCols
-         |  FROM hashed GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-         |""".stripMargin
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(text, ' +') AS tk FROM $from),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' ' || tk[CAST(i AS INT) + 2] AS s
+       |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS t(i)),
+       |hashed AS (
+       |  SELECT doc_id, s, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $P AS x31 FROM sh),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private val JaccardCtes: String =
+    """sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_int
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.doc_a
+      |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      |  GROUP BY c.doc_a, c.doc_b),
+      |jacc AS (
+      |  SELECT i.doc_a, i.doc_b,
+      |    CAST(FLOOR(n_int / CAST(za.n_sh + zb.n_sh - n_int AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS jaccard_ppm
+      |  FROM inter i
+      |  JOIN sizes za ON za.doc_id = i.doc_a
+      |  JOIN sizes zb ON zb.doc_id = i.doc_b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
@@ -225,8 +265,9 @@ object DedupQueries {
         |  CAST(SUM(n - 1) AS BIGINT) AS n_dups, CAST(SUM(keep) AS BIGINT) AS keep_sum
         |FROM g GROUP BY source ORDER BY source""".stripMargin,
 
-    "dd_minhash" -> (BandCte +
-      "SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
+    "dd_minhash" ->
+      (s"WITH ${lshCtes("documents")}\n" +
+        "SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
 
     "dd_simhash" -> {
       val bitSums = (0 until 32).map { b =>
@@ -245,20 +286,25 @@ object DedupQueries {
          |FROM bits ORDER BY doc_id""".stripMargin
     },
 
-    "dd_jaccard" -> (BandCte +
-      """, sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_int
-        |  FROM cand c
-        |  JOIN sh sa ON sa.doc_id = c.doc_a
-        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
-        |  GROUP BY c.doc_a, c.doc_b)
-        |SELECT i.doc_a, i.doc_b,
-        |  CAST(FLOOR(n_int / CAST(za.n_sh + zb.n_sh - n_int AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS jaccard_ppm
-        |FROM inter i
-        |JOIN sizes za ON za.doc_id = i.doc_a
-        |JOIN sizes zb ON zb.doc_id = i.doc_b
-        |ORDER BY doc_a, doc_b""".stripMargin),
+    "dd_jaccard" ->
+      (s"WITH ${lshCtes("documents")},\n$JaccardCtes\n" +
+        "SELECT doc_a, doc_b, jaccard_ppm FROM jacc ORDER BY doc_a, doc_b"),
+
+    "pipe_clean_corpus" ->
+      (s"""WITH quality AS (
+          |  SELECT doc_id, source, text FROM documents
+          |  WHERE CAST(FLOOR(${TextQueries.qualityScoreSql} * 1000000.0 + 0.5) AS BIGINT) >= 550000),
+          |keep_first AS (
+          |  SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+          |kept1 AS (
+          |  SELECT q.doc_id, q.source, q.text FROM quality q
+          |  JOIN keep_first k ON k.doc_id = q.doc_id),
+          |${lshCtes("kept1")},
+          |$JaccardCtes,
+          |losers AS (SELECT DISTINCT doc_b FROM jacc WHERE jaccard_ppm >= 400000)
+          |SELECT doc_id, source FROM kept1
+          |WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+          |ORDER BY doc_id""".stripMargin),
 
     "dd_embed" ->
       """WITH e AS (

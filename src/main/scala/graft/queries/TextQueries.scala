@@ -32,6 +32,31 @@ object TextQueries {
 
   private def inList(vs: Seq[String]): String = vs.map(v => s"'$v'").mkString(", ")
 
+  /** blended 0..1 quality score (raw double; ppm-ize for output).
+    * Shared by txt_quality and the corpus-cleaning pipeline so both stages
+    * grade documents identically.
+    */
+  def qualityScored(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .withColumn("len", length($"text").cast("long"))
+      .withColumn("n_tok", size(split($"text", " +")).cast("long"))
+      .withColumn("punct_r", (($"len" - length(regexp_replace($"text", "[a-z0-9 ]", ""))) / $"len").cast("double"))
+      .withColumn("stop_r", (size(expr(s"filter(split(text, ' +'), x -> x IN (${inList(stopwords)}))")) / $"n_tok").cast("double"))
+      .withColumn("mwl", (length(regexp_replace($"text", " ", "")) / $"n_tok").cast("double"))
+      .withColumn("score",
+        lit(0.4) * least($"len" / lit(500.0), lit(1.0))
+          + lit(0.3) * (lit(1.0) - $"stop_r")
+          + lit(0.3) * least($"mwl" / lit(8.0), lit(1.0)))
+  }
+
+  /** the same score as DuckDB SQL (over a relation exposing `text`) */
+  val qualityScoreSql: String =
+    s"""(0.4 * LEAST(length(text) / 500.0, 1.0)
+       | + 0.3 * (1.0 - len(list_filter(string_split_regex(text, ' +'), x -> x IN (${inList(stopwords)}))) / CAST(len(string_split_regex(text, ' +')) AS DOUBLE))
+       | + 0.3 * LEAST(length(replace(text, ' ', '')) / CAST(len(string_split_regex(text, ' +')) AS DOUBLE) / 8.0, 1.0))""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // token counting: whitespace tokens, regex word tokens, distinct words
     "txt_tokens" -> { (s, d) =>
@@ -72,16 +97,7 @@ object TextQueries {
     "txt_quality" -> { (s, d) =>
       import s.implicits._
       def ppm(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)).cast("long")
-      t(s, d, "documents")
-        .withColumn("len", length($"text").cast("long"))
-        .withColumn("n_tok", size(split($"text", " +")).cast("long"))
-        .withColumn("punct_r", (($"len" - length(regexp_replace($"text", "[a-z0-9 ]", ""))) / $"len").cast("double"))
-        .withColumn("stop_r", (size(expr(s"filter(split(text, ' +'), x -> x IN (${inList(stopwords)}))")) / $"n_tok").cast("double"))
-        .withColumn("mwl", (length(regexp_replace($"text", " ", "")) / $"n_tok").cast("double"))
-        .withColumn("score",
-          lit(0.4) * least($"len" / lit(500.0), lit(1.0))
-            + lit(0.3) * (lit(1.0) - $"stop_r")
-            + lit(0.3) * least($"mwl" / lit(8.0), lit(1.0)))
+      qualityScored(t(s, d, "documents"))
         .select($"doc_id", $"len", $"n_tok",
           ppm($"punct_r").as("punct_ppm"),
           ppm($"stop_r").as("stop_ppm"),
