@@ -34,6 +34,18 @@ object TopicStream {
       .flatMap((content: Array[Byte]) => AvroCodec.readBytes(content))
   }
 
+  /** Exactly-once-style tail: duplicate deliveries (re-uploaded files,
+    * producer retries — the reference consumer deduplicates by ULID on
+    * resume) are dropped by id within the watermark horizon. State is
+    * bounded by the horizon, not the stream length.
+    */
+  def dedupedMessages(spark: SparkSession, topicDir: String, watermark: String = "1 hour"): DataFrame =
+    messages(spark, topicDir).toDF()
+      .withColumn("ulid_hex", lower(hex(col("id"))))
+      .withColumn("ts", timestamp_millis(Ulid.timestampMs(col("id"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("ulid_hex")
+
   /** Tumbling-window message counts per ordering group with a watermark —
     * the canonical streaming aggregation over a tailed topic.
     */

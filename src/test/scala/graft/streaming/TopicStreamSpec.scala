@@ -29,6 +29,27 @@ class TopicStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deduped tail drops duplicate deliveries by ULID") {
+    val dir = Topic.tempDir("topic-stream-dedup")
+    val messages = EventsAsTopic.messagesFromEvents(spark, sf).limit(200).cache()
+    val n = messages.count()
+    // the same messages land twice (e.g. a retried upload) under a
+    // different windowing → differently-named files, duplicate ULIDs
+    Topic.write(messages, dir, EventsAsTopic.cfg)
+    Topic.write(messages, dir, EventsAsTopic.cfg.copy(maxWindowMs = EventsAsTopic.DayMs / 2))
+    val raw = Topic.read(spark, dir).count()
+    assert(raw > n, "test setup must actually produce duplicates")
+    val q = TopicStream.dedupedMessages(spark, dir, watermark = "30 days")
+      .writeStream.format("memory").queryName("dedup_tail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT COUNT(*), COUNT(DISTINCT ulid_hex) FROM dedup_tail")
+        .collect().head
+      assert(got.getLong(0) === n)
+      assert(got.getLong(1) === n)
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark run on a tailed topic") {
     val dir = Topic.tempDir("topic-stream-agg")
     Topic.write(EventsAsTopic.messagesFromEvents(spark, sf), dir, EventsAsTopic.cfg)
