@@ -52,6 +52,25 @@ object DedupQueries {
       .select($"doc_id", explode($"ss").as("s"))
   }
 
+  /** 32-bit SimHash per doc: token hash bits weighted ±1 and re-signed —
+    * computed as ONE aggregation with 32 conditional sums
+    */
+  private def simhashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, d, "documents")
+      .select($"doc_id", explode(split($"text", " +")).as("tok"))
+      .withColumn("v", conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(shiftright($"v", b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$b")
+    }
+    val sig = (0 until 32).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy($"doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", sig.as("simhash"))
+  }
+
   /** exact jaccard_ppm for the LSH candidates of `sh` (persisted input) */
   private def jaccardOf(sh: DataFrame): DataFrame = {
     val s = sh.sparkSession
@@ -146,20 +165,27 @@ object DedupQueries {
     },
 
     // 32-bit SimHash fingerprints — one aggregation, 32 conditional sums
-    "dd_simhash" -> { (s, d) =>
+    "dd_simhash" -> { (s, d) => simhashes(s, d) },
+
+    // hamming-radius candidate pairs over the SimHash fingerprints: 4
+    // bands of 8 bits → any pair within hamming 3 shares at least one
+    // exact band (pigeonhole), so the band equi-join is a LOSSLESS
+    // candidate generator; the residual bit_count(xor) verifies. The n²
+    // comparison never happens — only within-band pairs are evaluated.
+    "dd_simhash_pairs" -> { (s, d) =>
       import s.implicits._
-      val toks = t(s, d, "documents")
-        .select($"doc_id", explode(split($"text", " +")).as("tok"))
-        .withColumn("v", conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"))
-      val bitSums = (0 until 32).map { b =>
-        sum(when(shiftright($"v", b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$b")
-      }
-      val sig = (0 until 32).map { b =>
-        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      toks.groupBy($"doc_id")
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select($"doc_id", sig.as("simhash"))
+      val sig = simhashes(s, d).persist()
+      val banded = sig.select($"doc_id", $"simhash",
+        explode(expr(
+          "transform(sequence(0, 3), b -> named_struct('band', b, 'bits', (simhash >> (b * 8)) & 255))")).as("bb"))
+        .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.bits".as("bits"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 3)
     },
 
     // exact n-gram Jaccard on the LSH candidates (integer set arithmetic,
@@ -232,6 +258,23 @@ object DedupQueries {
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  private val SimhashCtes: String = {
+    val bitSums = (0 until 32).map { b =>
+      s"SUM(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n    ")
+    val sig = (0 until 32).map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok FROM documents),
+       |h AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS v FROM toks),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id),
+       |sims AS (
+       |  SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
+
   private val JaccardCtes: String =
     """sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
       |inter AS (
@@ -269,22 +312,18 @@ object DedupQueries {
       (s"WITH ${lshCtes("documents")}\n" +
         "SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
 
-    "dd_simhash" -> {
-      val bitSums = (0 until 32).map { b =>
-        s"SUM(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
-      }.mkString(",\n    ")
-      val sig = (0 until 32).map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok FROM documents),
-         |h AS (
-         |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS v FROM toks),
-         |bits AS (
-         |  SELECT doc_id,
-         |    $bitSums
-         |  FROM h GROUP BY doc_id)
-         |SELECT doc_id, CAST($sig AS BIGINT) AS simhash
-         |FROM bits ORDER BY doc_id""".stripMargin
-    },
+    "dd_simhash" ->
+      (s"WITH $SimhashCtes\n" +
+        "SELECT doc_id, simhash FROM sims ORDER BY doc_id"),
+
+    // oracle pairs via the direct quadratic form — equivalent to the
+    // Spark band join because 4×8-bit banding is lossless at radius 3
+    "dd_simhash_pairs" ->
+      (s"WITH $SimhashCtes\n" +
+        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
 
     "dd_jaccard" ->
       (s"WITH ${lshCtes("documents")},\n$JaccardCtes\n" +
