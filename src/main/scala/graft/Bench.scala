@@ -13,11 +13,23 @@ object Bench {
     // time; build it up front so its cost doesn't land on whichever
     // topic-backed query happens to run first, and report it separately.
     val s0 = System.nanoTime()
-    graft.rawdata.EventsAsTopic.topicDir(spark, sfDir)
+    val topicDir = graft.rawdata.EventsAsTopic.topicDir(spark, sfDir)
     // untimed JIT/codegen warmup so the alphabetically-first queries don't
     // absorb the whole JVM warmup cost in their numbers
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
     val setupSec = (System.nanoTime() - s0) / 1e9
+    // ingest throughput — the number directly comparable to the reference
+    // producer/consumer (messages through the full Avro topic path)
+    val i0 = System.nanoTime()
+    val freshDir = graft.rawdata.Topic.tempDir("bench-ingest")
+    val msgs = graft.rawdata.EventsAsTopic.messagesFromEvents(spark, sfDir)
+    graft.rawdata.Topic.write(msgs, freshDir, graft.rawdata.EventsAsTopic.cfg)
+    val writeSec = (System.nanoTime() - i0) / 1e9
+    val r0 = System.nanoTime()
+    val nMsgs = graft.rawdata.Topic.read(spark, freshDir).count()
+    val readSec = (System.nanoTime() - r0) / 1e9
+    val writeRate = if (writeSec > 0) nMsgs / writeSec else 0.0
+    val readRate = if (readSec > 0) nMsgs / readSec else 0.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -26,7 +38,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","setup_sec":$setupSec,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","setup_sec":$setupSec,"ingest_write_msgs_per_sec":$writeRate,"ingest_read_msgs_per_sec":$readRate,"ingest_msgs":$nMsgs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
