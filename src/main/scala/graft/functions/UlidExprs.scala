@@ -59,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("ulid_ts_ms"),
       new ExpressionInfo(classOf[UlidTimestampMs].getName, "ulid_ts_ms"),
-      (exprs: Seq[Expression]) => UlidTimestampMs(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        if (exprs.size != 1)
+          throw new IllegalArgumentException(s"ulid_ts_ms expects 1 argument, got ${exprs.size}")
+        UlidTimestampMs(exprs.head)
+      }))
   }
 }

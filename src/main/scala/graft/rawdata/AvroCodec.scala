@@ -1,19 +1,28 @@
 package graft.rawdata
 
-import java.io.{File, InputStream}
+import java.io.OutputStream
 import java.nio.ByteBuffer
 
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.Schema
-import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput, SeekableFileInput}
+import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 
 /** Avro (de)serialization of rawdata messages, file-format compatible with
   * the reference (same record schema, AvroRawdataProducer.java:44-50, so a
   * topic written by the reference client is readable by this engine and
   * vice versa). Runs inside Spark tasks — one task per file.
+  *
+  * All file access goes through Hadoop streams: `FsInput` (Avro's seekable
+  * input over Hadoop `FSDataInputStream` — the portable equivalent of the
+  * reference's cloudstorage/GCSSeekableInput.java) for reads, and a plain
+  * Hadoop output stream for writes, so the same code serves `file://`,
+  * `gs://`, `s3a://` topics.
   */
 object AvroCodec {
 
@@ -63,18 +72,22 @@ object AvroCodec {
     RawdataMessage(id, og, seq, pos, data.toMap)
   }
 
-  /** Streaming writer for one Avro file; tracks the metadata the filename
-    * convention needs (count, first ULID/position, last block offset) like
-    * the reference's AvroFileMetadata.
+  /** Streaming writer for one Avro file over any output stream (the caller
+    * opens it via Hadoop `FileSystem.create`, so the destination may be any
+    * supported store); tracks the metadata the filename convention needs
+    * (count, first ULID/position, last block offset) like the reference's
+    * AvroFileMetadata.
     */
-  final class FileWriter(path: File, syncIntervalBytes: Long) {
+  final class FileWriter(out: OutputStream, syncIntervalBytes: Long) {
     private val sch = schema
     private val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
     // Keep Avro's own auto-block roll above our manual sync threshold so
     // every block boundary in the file is one we recorded; bounds block
-    // buffering at ~2× syncIntervalBytes.
-    writer.setSyncInterval(math.min(math.max(syncIntervalBytes * 2, 64L), Int.MaxValue.toLong).toInt)
-    writer.create(sch, path)
+    // buffering at ~2× syncIntervalBytes. Avro accepts only [32, 1<<30]
+    // (DataFileWriter.setSyncInterval throws outside it), so clamp BEFORE
+    // doubling to stay in range for any TopicConfig.
+    writer.setSyncInterval((math.max(32L, math.min(syncIntervalBytes, 1L << 29)) * 2).toInt)
+    writer.create(sch, out)
     // Sync immediately after create (reference AvroRawdataProducer.java:153-154)
     // so the filename's lastBlockOffset is always a valid sync point even for
     // files smaller than syncIntervalBytes — the reference client's
@@ -100,30 +113,29 @@ object AvroCodec {
       bytesInBlock += approxBytes
     }
 
-    def close(): Unit = writer.close()
+    def close(): Unit = writer.close() // closes the underlying stream too
   }
 
-  def readFile(path: String): Iterator[RawdataMessage] = {
-    val reader = new DataFileReader[GenericRecord](
-      new SeekableFileInput(new File(path)), new GenericDatumReader[GenericRecord](schema))
-    iterate(reader)
-  }
+  private def open(path: String, conf: Configuration): DataFileReader[GenericRecord] =
+    new DataFileReader[GenericRecord](
+      new FsInput(new Path(path), conf), new GenericDatumReader[GenericRecord](schema))
+
+  def readFile(path: String, conf: Configuration): Iterator[RawdataMessage] =
+    iterate(open(path, conf))
 
   /** Read records at/after a block offset (the filename's last-block
     * offset) — the reference's lastMessage fast path
     * (AvroRawdataClient.java:126-147).
     */
-  def readFileFrom(path: String, blockOffset: Long): Iterator[RawdataMessage] = {
-    val reader = new DataFileReader[GenericRecord](
-      new SeekableFileInput(new File(path)), new GenericDatumReader[GenericRecord](schema))
+  def readFileFrom(path: String, blockOffset: Long, conf: Configuration): Iterator[RawdataMessage] = {
+    val reader = open(path, conf)
     if (blockOffset > 0) reader.seek(blockOffset)
     iterate(reader)
   }
 
   /** First record of a file, closing the reader regardless of content. */
-  def readFirst(path: String): Option[RawdataMessage] = {
-    val reader = new DataFileReader[GenericRecord](
-      new SeekableFileInput(new File(path)), new GenericDatumReader[GenericRecord](schema))
+  def readFirst(path: String, conf: Configuration): Option[RawdataMessage] = {
+    val reader = open(path, conf)
     try { if (reader.hasNext) Some(fromRecord(reader.next())) else None }
     finally reader.close()
   }

@@ -1,7 +1,5 @@
 package graft.rawdata
 
-import java.io.File
-
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 import graft.streaming.TopicStream
@@ -14,7 +12,7 @@ import graft.streaming.TopicStream
   * | reference                                   | graft                       |
   * | ------------------------------------------- | --------------------------- |
   * | client.producer(topic) → buffer/publish     | producer(topic).publish(df) |
-  * | client.consumer(topic) → receive loop       | consumer(topic).messages / tail |
+  * | client.consumer(topic) → receive loop       | consumer(topic).receive(timeout) / messages / tail |
   * | consumer.seek(timestamp)                    | consumer(topic).seek(ts)    |
   * | client.cursorOf(ulid, inclusive)            | consumer(topic).after(ulidHex, inclusive) |
   * | client.cursorOf(position, approxTs, tol)    | cursorOf(topic, position, approxTs, tol) |
@@ -24,11 +22,19 @@ import graft.streaming.TopicStream
   * The base directory plays the role of the reference's bucket/folder
   * root; topics are subdirectories of Avro files in the reference's
   * naming scheme, so the two implementations can read each other's
-  * topics (format compatibility is asserted in TopicSpec).
+  * topics (format compatibility is asserted in TopicSpec). The base may
+  * be a plain local path or any Hadoop-resolvable URI (`file://`,
+  * `gs://`, `s3a://`) — topic and metadata I/O run through the Hadoop
+  * `FileSystem` API behind one code path (the reference's
+  * cloudstorage/filesystem provider split collapsed into URI dispatch).
   */
 final class GraftRawdataClient(spark: SparkSession, baseDir: String) {
 
-  def topicDir(topic: String): String = new File(baseDir, topic).getAbsolutePath
+  private val hasScheme = baseDir.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")
+
+  def topicDir(topic: String): String =
+    if (hasScheme) baseDir.stripSuffix("/") + "/" + topic
+    else new java.io.File(baseDir, topic).getAbsolutePath
 
   // ---------------------------------------------------------------- produce
 
@@ -36,7 +42,8 @@ final class GraftRawdataClient(spark: SparkSession, baseDir: String) {
     /** Publish a message DataFrame (id, orderingGroup, sequenceNumber,
       * position, data) — the distributed equivalent of the reference's
       * buffer(...).publish(positions): one shuffle clusters messages into
-      * the reference's (time-window, byte-chunk) file layout.
+      * the reference's (time-window, byte-chunk) file layout. Repeated
+      * publishes append new files to the topic (Topic.write).
       */
     def publish(messages: DataFrame): Seq[TopicFile] =
       Topic.write(messages, topicDir(topic), cfg)
@@ -47,7 +54,7 @@ final class GraftRawdataClient(spark: SparkSession, baseDir: String) {
 
   // ---------------------------------------------------------------- consume
 
-  final class Consumer(topic: String) {
+  final class Consumer(topic: String, pollIntervalMs: Long = 100) {
     /** full ordered scan (ordered by ULID — the reference's stream order) */
     def messages: Dataset[RawdataMessage] = Topic.read(spark, topicDir(topic))
 
@@ -64,9 +71,61 @@ final class GraftRawdataClient(spark: SparkSession, baseDir: String) {
 
     /** unbounded tail (the receive() poll loop as Structured Streaming) */
     def tail: Dataset[RawdataMessage] = TopicStream.messages(spark, topicDir(topic))
+
+    // -------------------------------------------------- bounded receive
+
+    /** files already delivered by this consumer (a topic file appears
+      * atomically — the writer renames a dot-prefixed temp name into
+      * place — so per-file tracking can neither lose nor redeliver
+      * messages, even when a distributed publish lands its files out of
+      * ULID order while we are polling).
+      */
+    private val consumedFiles = scala.collection.mutable.HashSet.empty[String]
+
+    /** highest delivered ULID (hex) — the consumer's stream position. */
+    @volatile private var cursorHex: Option[String] = None
+
+    def position: Option[String] = cursorHex
+
+    /** Bounded tail — the reference consumer's blocking
+      * `receive(timeout)` loop (AvroRawdataConsumer.java:71-96): poll the
+      * topic listing (through Topic.listFilesCached, so a tight poll loop
+      * costs one LIST per poll interval — reference
+      * TopicAvroFileCache.java) until unconsumed files appear, then
+      * deliver their messages in ULID order and remember the files.
+      * Returns empty on timeout (instead of the reference's null). Each
+      * poll reads only the new files, so the cost is proportional to the
+      * arriving data, not the topic.
+      */
+    def receive(timeoutMs: Long): Seq[RawdataMessage] = {
+      val dir = topicDir(topic)
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (true) {
+        val files = Topic.listFilesCached(dir, pollIntervalMs)
+        val fresh = files.filterNot(f => consumedFiles.contains(f.path))
+        if (fresh.nonEmpty) {
+          val msgs = Topic.readFiles(spark, fresh).collect()
+            .map(m => (m.id.map("%02x".format(_)).mkString, m))
+            .sortBy(_._1)
+          consumedFiles ++= fresh.map(_.path)
+          if (msgs.nonEmpty) {
+            val top = msgs.last._1
+            if (cursorHex.forall(top > _)) cursorHex = Some(top)
+            return msgs.map(_._2).toSeq
+          }
+        }
+        val leftNs = deadline - System.nanoTime()
+        if (leftNs <= 0) return Seq.empty
+        Thread.sleep(math.max(1L, math.min(pollIntervalMs, leftNs / 1000000L + 1)))
+      }
+      Seq.empty // unreachable
+    }
   }
 
   def consumer(topic: String): Consumer = new Consumer(topic)
+
+  def consumer(topic: String, pollIntervalMs: Long): Consumer =
+    new Consumer(topic, pollIntervalMs)
 
   // ----------------------------------------------------------------- client
 

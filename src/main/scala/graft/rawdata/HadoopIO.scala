@@ -1,0 +1,64 @@
+package graft.rawdata
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Hadoop FileSystem plumbing for topic + metadata I/O.
+  *
+  * The reference ships two storage backends behind one interface — GCS
+  * (cloudstorage/GCSRawdataUtils.java prefix listing,
+  * GCSSeekableInput.java seekable reads) and local files
+  * (filesystem/FilesystemRawdataUtils.java). The Spark-native equivalent
+  * is a single code path over Hadoop's `FileSystem`, which resolves
+  * `file://`, `gs://`, `s3a://`, `hdfs://` ... from the URI scheme alone,
+  * so a topic directory is portable across backends unmodified.
+  */
+object HadoopIO {
+
+  /** Effective Hadoop configuration: the active Spark session's (it carries
+    * `spark.hadoop.*` — connector credentials, endpoints), else defaults.
+    * A copy is returned (never the session's live object) with the one
+    * override this engine needs: the raw (checksum-free) local filesystem,
+    * because topic filenames embed ISO timestamps whose ':' breaks
+    * ChecksumFileSystem's relative ".<name>.crc" shadow paths
+    * (HADOOP-3257). Object-store connectors don't use checksum paths.
+    */
+  def conf(): Configuration = {
+    val base = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(s => new Configuration(s.sparkContext.hadoopConfiguration))
+      .getOrElse(new Configuration())
+    base.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    base
+  }
+
+  /** Child path by string concatenation — never `new Path(parent, child)`,
+    * which URI-parses the child and rejects the ':' in topic filenames as
+    * a scheme separator.
+    */
+  def child(dir: String, name: String): Path =
+    new Path(dir.stripSuffix("/") + "/" + name)
+
+  def fs(dir: String, c: Configuration): FileSystem = new Path(dir).getFileSystem(c)
+
+  /** Hadoop `Configuration` is not `Serializable`; tasks that open topic
+    * files on executors get the driver's effective configuration through
+    * this wrapper (flattened to properties, rebuilt lazily per JVM).
+    */
+  final class SerializableConf(@transient c: Configuration) extends Serializable {
+    private val props: Array[(String, String)] =
+      c.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+
+    @transient private lazy val rebuilt: Configuration = {
+      val nc = new Configuration(false)
+      props.foreach { case (k, v) => nc.set(k, v) }
+      nc
+    }
+
+    def value: Configuration = rebuilt
+  }
+
+  def serializable(): SerializableConf = new SerializableConf(conf())
+}

@@ -1,7 +1,6 @@
 package graft.rawdata
 
-import java.io.File
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,20 +12,25 @@ import org.apache.spark.sql.functions._
   * `<topicDir>/metadata/` — `put` is an upsert (last write wins per key),
   * `keys`/`get` are pruned scans. Metadata is tiny relative to the topic,
   * so a single parquet dataset is the right granularity at any scale.
+  *
+  * All filesystem access goes through the Hadoop `FileSystem` API, so the
+  * store follows the topic onto any backend (`file://`, `gs://`,
+  * `s3a://`) — one code path where the reference ships two clients.
   */
 object MetadataStore {
 
   private def storeDir(topicDir: String): String =
-    new File(topicDir, "metadata").getAbsolutePath
+    topicDir.stripSuffix("/") + "/metadata"
 
   def readAll(spark: SparkSession, topicDir: String): DataFrame = {
-    val dir = new File(storeDir(topicDir))
-    if (!dir.exists())
+    val dir = storeDir(topicDir)
+    val conf = HadoopIO.conf()
+    if (!HadoopIO.fs(dir, conf).exists(new Path(dir)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.BinaryType))))
-    else spark.read.parquet(dir.getAbsolutePath)
+    else spark.read.parquet(dir)
   }
 
   /** Upsert entries; `updates` must have columns (key string, value binary). */
@@ -34,23 +38,27 @@ object MetadataStore {
     val existing = readAll(spark, topicDir)
     val merged = updates.select(col("key"), col("value"))
       .unionByName(existing.join(updates.select(col("key")), Seq("key"), "left_anti"))
-    val tmp = storeDir(topicDir) + ".staging"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val dest = new File(storeDir(topicDir))
-    // Swap via java.nio Files.move, which throws on failure instead of the
-    // silent-boolean File.renameTo. Single-writer assumption (like the
-    // reference's metadata clients): concurrent puts are not coordinated,
-    // but a reader never sees a half-written store — the parquet write
-    // completes before the directory move, and the dest→old / tmp→dest
-    // window is the narrowest the filesystem allows.
-    import java.nio.file.{Files, StandardCopyOption}
-    if (dest.exists()) {
-      val old = new File(storeDir(topicDir) + ".old")
-      deleteRec(old)
-      Files.move(dest.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(new File(tmp).toPath, dest.toPath, StandardCopyOption.ATOMIC_MOVE)
-      deleteRec(old)
-    } else Files.move(new File(tmp).toPath, dest.toPath, StandardCopyOption.ATOMIC_MOVE)
+    val dir = storeDir(topicDir)
+    val conf = HadoopIO.conf()
+    val fs = HadoopIO.fs(dir, conf)
+    val tmp = new Path(dir + ".staging")
+    fs.delete(tmp, true)
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // Swap staging → live. Single-writer assumption (like the reference's
+    // metadata clients): concurrent puts are not coordinated, but a reader
+    // never sees a half-written store — the parquet write completes before
+    // the directory swap, and the dest→old / staging→dest window is the
+    // narrowest the backing store allows (an atomic dir rename on a real
+    // filesystem; per-object copies on an object store, where parquet
+    // readers still only see complete files).
+    val dest = new Path(dir)
+    val old = new Path(dir + ".old")
+    fs.delete(old, true)
+    if (fs.exists(dest)) {
+      if (!fs.rename(dest, old)) throw new IllegalStateException(s"rename $dest -> $old failed")
+    }
+    if (!fs.rename(tmp, dest)) throw new IllegalStateException(s"rename $tmp -> $dest failed")
+    fs.delete(old, true): Unit
   }
 
   def keys(spark: SparkSession, topicDir: String): Seq[String] =
@@ -59,9 +67,4 @@ object MetadataStore {
   def get(spark: SparkSession, topicDir: String, key: String): Option[Array[Byte]] =
     readAll(spark, topicDir).filter(col("key") === key)
       .collect().headOption.map(_.getAs[Array[Byte]]("value"))
-
-  private def deleteRec(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
-    f.delete(): Unit
-  }
 }

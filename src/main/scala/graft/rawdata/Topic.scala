@@ -1,10 +1,10 @@
 package graft.rawdata
 
-import java.io.File
 import java.time.{Instant, ZoneOffset, ZonedDateTime}
 import java.time.format.DateTimeFormatter
 import java.util.UUID
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -26,10 +26,20 @@ case class TopicConfig(
 /** Spark-native rawdata topic: a directory of Avro files sharing the
   * reference's file naming + record schema.
   *
+  * All storage access goes through the Hadoop `FileSystem` API (see
+  * HadoopIO), so a topic directory may live on any supported store —
+  * `file://`, `gs://`, `s3a://`, `hdfs://` — behind the same code path.
+  * That is the Spark-native equivalent of the reference's twin backends
+  * (cloudstorage/GCSRawdataUtils.java vs filesystem/
+  * FilesystemRawdataUtils.java behind one provider interface).
+  *
   * Writer: one shuffle clusters messages into (time-window, byte-chunk)
   * files — the distributed equivalent of the reference producer's
   * max.seconds/max.bytes rolling (AvroRawdataProducer.java). Each task
-  * streams its group through an Avro DataFileWriter with real sync blocks.
+  * streams its group through an Avro DataFileWriter with real sync blocks,
+  * writing to a dot-prefixed temp name and renaming on completion (on
+  * object stores the rename is a copy, matching the reference's
+  * write-local-then-upload pattern).
   *
   * Reader: driver lists + prunes by filename, then one Spark task per
   * file decodes Avro → rows. Parallelism scales with file count, which is
@@ -52,10 +62,16 @@ object Topic {
 
   /** Write a message DataFrame (columns id, orderingGroup, sequenceNumber,
     * position, data) as a topic directory; returns per-file metadata.
+    *
+    * Incremental append is supported: a second publish into an existing
+    * topic adds files alongside the old ones (names differ whenever the
+    * batches differ — the name is derived from the window's first message).
+    * A literal re-publish of identical data fails fast on the name
+    * collision rather than silently overwriting.
     */
   def write(messages: DataFrame, topicDir: String, cfg: TopicConfig = TopicConfig()): Seq[TopicFile] = {
-    val dir = new File(topicDir)
-    dir.mkdirs()
+    val conf = HadoopIO.conf()
+    HadoopIO.fs(topicDir, conf).mkdirs(new Path(topicDir))
     val idHex = Ulid.hexOf(col("id"))
     val tsMs = Ulid.timestampMs(col("id"))
     val approxBytes = expr("aggregate(map_values(data), 0L, (acc, v) -> acc + length(v))") +
@@ -71,22 +87,26 @@ object Topic {
       .sortWithinPartitions(col("_win"), col("_chunk"), col("_ulid_hex"))
 
     val sync = cfg.syncIntervalBytes
+    val sconf = HadoopIO.serializable()
     val metas = staged.toDF().mapPartitions { rows =>
-      new FileGroupWriter(topicDir, sync, rows).run()
+      new FileGroupWriter(topicDir, sync, sconf, rows).run()
     }.collect().toSeq
 
+    invalidateListing(topicDir)
     metas.sortBy(_.fromTsMs)
   }
 
   /** Streams one task's rows (already clustered+sorted by _win,_chunk,id)
     * into one Avro file per (_win,_chunk) group.
     */
-  private final class FileGroupWriter(topicDir: String, syncBytes: Long, rows: Iterator[Row]) {
+  private final class FileGroupWriter(
+      topicDir: String, syncBytes: Long, sconf: HadoopIO.SerializableConf, rows: Iterator[Row]) {
     def run(): Iterator[TopicFile] = {
+      val fs = HadoopIO.fs(topicDir, sconf.value)
       val out = Seq.newBuilder[TopicFile]
       var key: (Long, Long) = null
       var writer: AvroCodec.FileWriter = null
-      var tmp: File = null
+      var tmp: Path = null
 
       def finish(): Unit = if (writer != null) {
         writer.close()
@@ -97,9 +117,14 @@ object Topic {
           lastBlockOffset = writer.lastBlockOffset,
           firstPosition = writer.firstPosition)
         val name = s"${formatTs(meta.fromTsMs)}_${meta.count}_${meta.lastBlockOffset}_${meta.firstPosition}.avro"
-        val dest = new File(topicDir, name)
-        if (!tmp.renameTo(dest)) throw new IllegalStateException(s"rename $tmp -> $dest failed")
-        out += meta.copy(path = dest.getAbsolutePath)
+        val dest = HadoopIO.child(topicDir, name)
+        // Raw local rename would silently replace an existing file; an
+        // identical re-publish must fail loudly instead (single-writer
+        // assumption, like the reference producer).
+        if (fs.exists(dest))
+          throw new IllegalStateException(s"topic file already exists (identical re-publish?): $dest")
+        if (!fs.rename(tmp, dest)) throw new IllegalStateException(s"rename $tmp -> $dest failed")
+        out += meta.copy(path = fs.makeQualified(dest).toString)
         writer = null
       }
 
@@ -108,8 +133,8 @@ object Topic {
         if (k != key) {
           finish()
           key = k
-          tmp = File.createTempFile(".inprogress-", ".avro.tmp", new File(topicDir))
-          writer = new AvroCodec.FileWriter(tmp, syncBytes)
+          tmp = HadoopIO.child(topicDir, s".inprogress-${UUID.randomUUID().toString.take(12)}.tmp")
+          writer = new AvroCodec.FileWriter(fs.create(tmp, false), syncBytes)
         }
         writer.append(RawdataMessage(
           id = row.getAs[Array[Byte]]("id"),
@@ -132,17 +157,24 @@ object Topic {
 
   // ----------------------------------------------------------------- list
 
-  /** Metadata-only topic listing, sorted by from-timestamp. */
+  /** Metadata-only topic listing, sorted by from-timestamp. One
+    * `FileSystem.listStatus` — a single LIST request on an object store
+    * (the reference's GCSRawdataUtils.java prefix listing).
+    */
   def listFiles(topicDir: String): Seq[TopicFile] = {
-    val dir = new File(topicDir)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty[File])
-    orderTies(files.iterator
-      .filter(f => f.isFile && f.getName.endsWith(".avro"))
-      .flatMap { f =>
-        val base = f.getName.stripSuffix(".avro")
+    val conf = HadoopIO.conf()
+    val fs = HadoopIO.fs(topicDir, conf)
+    val dir = new Path(topicDir)
+    val statuses =
+      try fs.listStatus(dir)
+      catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+    orderTies(statuses.iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
+      .flatMap { st =>
+        val base = st.getPath.getName.stripSuffix(".avro")
         val parts = base.split("_", 4)
         if (parts.length == 4)
-          try Some(TopicFile(f.getAbsolutePath, parseTs(parts(0)), parts(1).toLong, parts(2).toLong, parts(3)))
+          try Some(TopicFile(st.getPath.toString, parseTs(parts(0)), parts(1).toLong, parts(2).toLong, parts(3)))
           catch { case _: Exception => None }
         else None
       }
@@ -168,7 +200,7 @@ object Topic {
 
   /** Hex ULID of a file's first record (tie-break helper; one-record read). */
   private def firstUlidHex(path: String): String =
-    AvroCodec.readFirst(path).map(m => m.id.map("%02x".format(_)).mkString).getOrElse("")
+    AvroCodec.readFirst(path, HadoopIO.conf()).map(m => m.id.map("%02x".format(_)).mkString).getOrElse("")
 
   // ------------------------------------------------------- listing cache
 
@@ -180,6 +212,8 @@ object Topic {
     * interval). Within ttlMs of the last listing the cached snapshot is
     * returned without touching the filesystem — on an object store that
     * is the difference between one LIST per poll and one per interval.
+    * Wired into the bounded receive poll (GraftRawdataClient.Consumer);
+    * Topic.write invalidates after a publish from this process.
     */
   def listFilesCached(topicDir: String, ttlMs: Long): Seq[TopicFile] = {
     val now = System.nanoTime() / 1000000L
@@ -213,9 +247,10 @@ object Topic {
   def readFiles(spark: SparkSession, files: Seq[TopicFile]): Dataset[RawdataMessage] = {
     if (files.isEmpty) return spark.emptyDataset[RawdataMessage]
     val paths = files.map(_.path)
+    val sconf = HadoopIO.serializable()
     spark.createDataset(paths)(Encoders.STRING)
       .repartition(paths.size)
-      .flatMap(p => AvroCodec.readFile(p))
+      .flatMap(p => AvroCodec.readFile(p, sconf.value))
   }
 
   def read(spark: SparkSession, topicDir: String): Dataset[RawdataMessage] =
@@ -263,7 +298,7 @@ object Topic {
   def lastMessage(topicDir: String): Option[RawdataMessage] = {
     val files = listFiles(topicDir)
     files.lastOption.flatMap { f =>
-      val it = AvroCodec.readFileFrom(f.path, f.lastBlockOffset)
+      val it = AvroCodec.readFileFrom(f.path, f.lastBlockOffset, HadoopIO.conf())
       var last: RawdataMessage = null
       while (it.hasNext) last = it.next()
       Option(last)
@@ -286,8 +321,13 @@ object Topic {
   }
 
   def tempDir(prefix: String): String = {
-    val d = new File(sys.props("java.io.tmpdir"), s"$prefix-${UUID.randomUUID().toString.take(8)}")
+    val d = new java.io.File(sys.props("java.io.tmpdir"), s"$prefix-${UUID.randomUUID().toString.take(8)}")
     d.mkdirs()
     d.getAbsolutePath
   }
+
+  /** Local scratch dir as an explicit `file:` URI — exercises the exact
+    * URI-scheme resolution a `gs://`/`s3a://` topic would take.
+    */
+  def tempDirUri(prefix: String): String = "file:" + tempDir(prefix)
 }

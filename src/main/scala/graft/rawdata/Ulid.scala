@@ -21,11 +21,17 @@ object Ulid {
   def hexOf(id: Column): Column = lower(hex(id))
 
   /** Milliseconds since epoch from the first 6 bytes — the native
-    * codegen'd expression (graft.functions.UlidTimestampMs, registered by
-    * GraftExtensions). Reads the bytes directly instead of materializing
-    * two intermediate hex strings per row.
+    * codegen'd expression (graft.functions.UlidTimestampMs). The
+    * expression is constructed directly into the Column (not resolved
+    * by name through the function registry), so it works in ANY session —
+    * including pre-existing sessions that never saw
+    * spark.sql.extensions=GraftExtensions. SQL-text users still get the
+    * registered `ulid_ts_ms` when the extensions are installed.
     */
-  def timestampMs(id: Column): Column = call_function("ulid_ts_ms", id)
+  def timestampMs(id: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.UlidTimestampMs(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(id)))
 
   /** builtin-composed equivalent (kept for sessions without the graft
     * extensions; UlidExprSpec asserts equality with the native form)

@@ -33,7 +33,7 @@ class TopicSpec extends SparkSpec {
     assert(metas.count(_.lastBlockOffset > 0) > 0)
     // per-file count encoded in the filename matches actual content
     val f = Topic.listFiles(dir).head
-    assert(AvroCodec.readFile(f.path).size === f.count)
+    assert(AvroCodec.readFile(f.path, HadoopIO.conf()).size === f.count)
   }
 
   test("seek prunes to the floor file and filters precisely") {
@@ -101,11 +101,16 @@ class TopicSpec extends SparkSpec {
     Topic.write(messages.limit(20), dir, EventsAsTopic.cfg)
     val first = Topic.listFilesCached(dir, ttlMs = 60000)
     assert(first.nonEmpty)
-    // a new file lands — the cached snapshot must not see it within ttl
-    Topic.write(messages.limit(40), dir, EventsAsTopic.cfg)
+    // an EXTERNALLY landed file (a foreign producer — this process's own
+    // Topic.write invalidates the cache): the cached snapshot must not see
+    // it within ttl
+    val src = new java.io.File(first.head.path.stripPrefix("file:"))
+    val dst = new java.io.File(src.getParentFile,
+      s"${Topic.formatTs(first.last.fromTsMs + 98765432L)}_1_100_ext.avro")
+    java.nio.file.Files.copy(src.toPath, dst.toPath)
     assert(Topic.listFilesCached(dir, ttlMs = 60000).map(_.path) === first.map(_.path))
     Topic.invalidateListing(dir)
-    assert(Topic.listFilesCached(dir, ttlMs = 60000).length >= first.length)
+    assert(Topic.listFilesCached(dir, ttlMs = 60000).length === first.length + 1)
     assert(Topic.listFilesCached(dir, ttlMs = 0) === Topic.listFiles(dir))
   }
 
@@ -114,7 +119,7 @@ class TopicSpec extends SparkSpec {
     Topic.write(messages.limit(10), dir, EventsAsTopic.cfg)
     val f = Topic.listFiles(dir).head
     val reader = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
-      new org.apache.avro.file.SeekableFileInput(new java.io.File(f.path)),
+      new org.apache.avro.file.SeekableFileInput(new java.io.File(f.path.stripPrefix("file:"))),
       new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
     val sch = reader.getSchema
     reader.close()
