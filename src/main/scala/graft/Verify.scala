@@ -19,6 +19,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // intermediates persisted inside a query (LSH bands, shingle sets)
+      // are scoped to that query's action — don't let cached blocks
+      // accumulate across the whole suite
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -41,13 +41,18 @@ object DedupQueries {
   /** same over any (doc_id, text) relation (the cleaning pipeline runs the
     * LSH chain on its quality/exact-dedup survivors)
     */
-  private def shinglesOf(docs: DataFrame): DataFrame = {
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs
       .select($"doc_id", split($"text", " +").as("tk"))
+      // docs under 3 tokens have no 3-shingle: guard the sequence() so it
+      // never counts DOWN into negative indices (Spark generates a
+      // descending sequence when stop < start; under ANSI mode tk[-1]
+      // throws INVALID_ARRAY_INDEX) — mirrors DuckDB's empty range(1, n-1)
       .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))")).as("s"))
+        "if(size(tk) < 3, array(), " +
+          "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])))")).as("s"))
       .groupBy($"doc_id").agg(collect_set($"s").as("ss"))
       .select($"doc_id", explode($"ss").as("s"))
   }
@@ -71,20 +76,30 @@ object DedupQueries {
       .select($"doc_id", sig.as("simhash"))
   }
 
-  /** exact jaccard_ppm for the LSH candidates of `sh` (persisted input) */
+  /** exact jaccard_ppm for the LSH candidates of `sh` (persisted input).
+    *
+    * Scale shape: the wide work is proportional to the CANDIDATES, not
+    * the corpus. Per-doc shingle sets are aggregated once (one shuffle of
+    * the shingle table, which the LSH chain pays anyway), semi-filtered
+    * to the docs that actually appear in a candidate pair, and the
+    * intersection is per-pair `array_intersect` — no second full-corpus
+    * shuffle of exploded shingles (the previous form joined the whole
+    * shingle table twice to verify a tiny candidate set: 35 s at sf0.1
+    * for 31 output pairs).
+    */
   private def jaccardOf(sh: DataFrame): DataFrame = {
     val s = sh.sparkSession
     import s.implicits._
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    candidatesFrom(sh)
-      .join(sh.select($"doc_id".as("doc_a"), $"s"), Seq("doc_a"))
-      .join(sh.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("n_int"))
-      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("na")), Seq("doc_a"))
-      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), Seq("doc_b"))
+    val cand = candidatesFrom(sh)
+    val candDocs = cand.select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    val sets = sh.groupBy($"doc_id").agg(collect_set($"s").as("ss"))
+      .join(candDocs, Seq("doc_id"), "left_semi")
+    cand
+      .join(sets.select($"doc_id".as("doc_a"), $"ss".as("sa")), Seq("doc_a"))
+      .join(sets.select($"doc_id".as("doc_b"), $"ss".as("sb")), Seq("doc_b"))
+      .withColumn("n_int", size(array_intersect($"sa", $"sb")).cast("long"))
       .select($"doc_a", $"doc_b",
-        floor($"n_int" / ($"na" + $"nb" - $"n_int") * lit(1000000.0) + lit(0.5))
+        floor($"n_int" / (size($"sa") + size($"sb") - $"n_int") * lit(1000000.0) + lit(0.5))
           .cast("long").as("jaccard_ppm"))
   }
 
@@ -207,7 +222,10 @@ object DedupQueries {
         .filter(floor($"score" * lit(1000000.0) + lit(0.5)).cast("long") >= 550000)
         .select($"doc_id", $"source", $"text")
       val keepFirst = q.groupBy(md5($"text").as("f")).agg(min($"doc_id").as("doc_id"))
-      val kept1 = q.join(keepFirst.select($"doc_id"), Seq("doc_id"), "left_semi")
+      // kept1 feeds BOTH the shingle chain and the final anti-join —
+      // persist it so the quality scan + keep-first groupBy run once
+      // (cache is scoped per query by the harness's clearCache)
+      val kept1 = q.join(keepFirst.select($"doc_id"), Seq("doc_id"), "left_semi").persist()
       val losers = jaccardOf(shinglesOf(kept1).persist())
         .filter($"jaccard_ppm" >= 400000)
         .select($"doc_b".as("doc_id")).distinct()

@@ -40,10 +40,19 @@ object TextQueries {
     val s = docs.sparkSession
     import s.implicits._
     docs
+      // materialize the token array once: `tk` is referenced by several
+      // downstream expressions, and CollapseProject keeps the projection
+      // boundary for non-cheap multiply-referenced aliases, so split()
+      // runs once per row instead of once per consumer
+      .withColumn("tk", split($"text", " +"))
       .withColumn("len", length($"text").cast("long"))
-      .withColumn("n_tok", size(split($"text", " +")).cast("long"))
-      .withColumn("punct_r", (($"len" - length(regexp_replace($"text", "[a-z0-9 ]", ""))) / $"len").cast("double"))
-      .withColumn("stop_r", (size(expr(s"filter(split(text, ' +'), x -> x IN (${inList(stopwords)}))")) / $"n_tok").cast("double"))
+      .withColumn("n_tok", size($"tk").cast("long"))
+      // empty document ⇒ len = 0: guard the ratio (ANSI mode makes x/0
+      // throw DIVIDE_BY_ZERO, not NULL) — an empty doc scores 0 punct
+      .withColumn("punct_r", when($"len" > 0,
+        (($"len" - length(regexp_replace($"text", "[a-z0-9 ]", ""))) / $"len").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("stop_r", (size(expr(s"filter(tk, x -> x IN (${inList(stopwords)}))")) / $"n_tok").cast("double"))
       .withColumn("mwl", (length(regexp_replace($"text", " ", "")) / $"n_tok").cast("double"))
       .withColumn("score",
         lit(0.4) * least($"len" / lit(500.0), lit(1.0))
@@ -72,9 +81,11 @@ object TextQueries {
     // alphabetical tie-break; output is the actual×predicted confusion
     "txt_langid" -> { (s, d) =>
       import s.implicits._
-      val scored = markers.foldLeft(t(s, d, "documents")) { case (df, (lang, toks)) =>
+      // one split() per row, shared by all five language scorers
+      val toks = t(s, d, "documents").select($"lang", split($"text", " +").as("tk"))
+      val scored = markers.foldLeft(toks) { case (df, (lang, ws)) =>
         df.withColumn(s"s_$lang",
-          size(expr(s"filter(split(text, ' +'), x -> x IN (${inList(toks)}))")).cast("long"))
+          size(expr(s"filter(tk, x -> x IN (${inList(ws)}))")).cast("long"))
       }
       val langs = markers.map(_._1)
       val predicted = langs.init.foldRight[Column](lit(langs.last)) { case (lang, rest) =>
@@ -118,9 +129,13 @@ object TextQueries {
     // top character-trigram profile per language (explode → count → top-5)
     "txt_ngram_profile" -> { (s, d) =>
       import s.implicits._
+      // guard docs under 3 chars: sequence(1, n-2) would count DOWN for
+      // n < 3 (emitting bogus grams at positions 0/-1 where the DuckDB
+      // oracle's range(1, n-1) is empty) — emit no grams instead
       val grams = t(s, d, "documents")
         .select($"lang",
-          explode(expr("transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))")).as("gram"))
+          explode(expr("if(char_length(text) < 3, array(), " +
+            "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3)))")).as("gram"))
       val w = Window.partitionBy($"lang").orderBy($"n".desc, $"gram")
       grams.groupBy($"lang", $"gram")
         .agg(count(lit(1)).as("n"))
@@ -160,7 +175,9 @@ object TextQueries {
         |  SELECT doc_id,
         |    CAST(length(text) AS BIGINT) AS len,
         |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tok,
-        |    (length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE) AS punct_r,
+        |    CASE WHEN length(text) > 0 THEN
+        |      (length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)
+        |    ELSE 0.0 END AS punct_r,
         |    len(list_filter(string_split_regex(text, ' +'), x -> x IN ('the', 'a', 'of', 'and', 'to'))) / CAST(len(string_split_regex(text, ' +')) AS DOUBLE) AS stop_r,
         |    length(replace(text, ' ', '')) / CAST(len(string_split_regex(text, ' +')) AS DOUBLE) AS mwl
         |  FROM documents)
