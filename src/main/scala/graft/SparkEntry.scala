@@ -7,6 +7,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Aggregates every operator family's query + oracle registry. Each key in
   * `queries` has a DuckDB-equivalent in `oracleSql` unless the operator is
   * inherently approximate / non-SQL-expressible (rows-only check).
+  *
+  * Cache contract: some query builders `persist()` a shared intermediate
+  * (e.g. the dedup chain's shingle set) because Catalyst has no
+  * cross-branch common-subexpression elimination. The CALLER owns the
+  * cache scope — run `spark.catalog.clearCache()` after consuming a
+  * query's result (Verify and Bench both do, per query), or the cached
+  * blocks stay pinned for the session.
   */
 object SparkEntry {
 

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -47,5 +49,51 @@ object VectorOps {
       .withColumn("cos_ppm",
         floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
       .select($"va", $"vb", $"cos_ppm")
+  }
+
+  /** deterministic ±1 random hyperplanes from md5(j:i) — public-recipe
+    * pseudo randomness, reproducible anywhere (no RNG state, no broadcast
+    * of driver-side randomness)
+    */
+  def hyperplanes(n: Int, dims: Int): Array[Array[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(n, dims) { (j, i) =>
+      val h = md.digest(s"$j:$i".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1 else -1
+    }
+  }
+
+  /** Adds `bands`: array of `tables` band values, where band t packs the
+    * sign bits of the quantized vector `q` against hyperplanes
+    * [t·bits, (t+1)·bits). Unlike a single packed long this carries any
+    * number of total sign bits (shiftleft on a long wraps at 64 — 80
+    * planes in one `sig` would alias tables 8+ onto tables 0/1).
+    * Codegen'd higher-order functions only — a narrow per-row pass.
+    */
+  def withHyperplaneBands(df: DataFrame, tables: Int, bits: Int, dims: Int = 64): DataFrame = {
+    val planeLit = array(hyperplanes(tables * bits, dims).map(p => array(p.map(lit(_)): _*)): _*)
+    df.withColumn("planes", planeLit)
+      .withColumn("bands", expr(
+        s"""transform(sequence(0, ${tables - 1}), t ->
+           |  aggregate(sequence(0, ${bits - 1}), 0L, (acc, k) ->
+           |    acc + CASE WHEN aggregate(zip_with(q, planes[t * $bits + k], (x, p) -> x * p), 0L, (a, v) -> a + v) > 0
+           |               THEN shiftleft(1L, k) ELSE 0L END))""".stripMargin))
+      .drop("planes")
+  }
+
+  /** Adds `sig`: an n-bit sign signature of the quantized vector `q`
+    * against the first n deterministic hyperplanes (bit j = 1 iff
+    * q · plane_j > 0; n ≤ 63 — see withHyperplaneBands for wider).
+    * Codegen'd higher-order functions only — a narrow per-row pass.
+    */
+  def withHyperplaneSig(df: DataFrame, nBits: Int, dims: Int = 64): DataFrame = {
+    require(nBits <= 63, s"a packed long sig holds at most 63 bits, got $nBits")
+    val planeLit = array(hyperplanes(nBits, dims).map(p => array(p.map(lit(_)): _*)): _*)
+    df.withColumn("planes", planeLit)
+      .withColumn("sig",
+        expr(s"""aggregate(sequence(0, ${nBits - 1}), 0L, (acc, j) ->
+                | acc + CASE WHEN aggregate(zip_with(q, planes[j], (x, p) -> x * p), 0L, (a, v) -> a + v) > 0
+                |            THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin))
+      .drop("planes")
   }
 }

@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -36,18 +34,6 @@ object AnnQueries {
 
   private val dotExpr = graft.operators.VectorOps.dotExpr
 
-  /** deterministic ±1 hyperplanes from md5(j:i) — public-recipe pseudo
-    * randomness, reproducible anywhere (no RNG state, no broadcast of
-    * driver-side randomness)
-    */
-  private def planes: Array[Array[Int]] = {
-    val md = MessageDigest.getInstance("MD5")
-    Array.tabulate(Hyperplanes, Dims) { (j, i) =>
-      val h = md.digest(s"$j:$i".getBytes("UTF-8"))
-      if ((h(0) & 0x80) == 0) 1 else -1
-    }
-  }
-
   val queries: Map[String, Q] = Map(
     // exact brute-force cosine top-k: broadcast the query set, one narrow
     // pass over the corpus, per-query top-k window
@@ -75,13 +61,7 @@ object AnnQueries {
     // never the corpus). rows-only; recall asserted in AnnSpec.
     "ann_lsh_topk" -> { (s, d) =>
       import s.implicits._
-      val planeLit = array(planes.map(p => array(p.map(lit(_)): _*)): _*)
-      val e = quantized(s, d).withColumn("planes", planeLit)
-        .withColumn("sig",
-          expr(s"""aggregate(sequence(0, ${Hyperplanes - 1}), 0L, (acc, j) ->
-                  | acc + CASE WHEN aggregate(zip_with(q, planes[j], (x, p) -> x * p), 0L, (a, v) -> a + v) > 0
-                  |            THEN CAST(pow(2, j) AS BIGINT) ELSE 0L END)""".stripMargin))
-        .drop("planes")
+      val e = graft.operators.VectorOps.withHyperplaneSig(quantized(s, d), Hyperplanes, Dims)
       val qs = e.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("qid"), $"q".as("qa"), $"nn".as("na"), $"sig")
         .withColumn("probe", explode(expr(

@@ -240,8 +240,61 @@ object DedupQueries {
       graft.operators.VectorOps.bandedCosinePairs(s, d, 100)
         .filter($"cos_ppm" >= 300000)
         .select($"va".as("vec_a"), $"vb".as("vec_b"), $"cos_ppm")
+    },
+
+    // CORPUS-WIDE embedding near-dup: hyperplane-LSH candidate buckets +
+    // exact quantized-cosine verification — the production composition
+    // (dd_embed's id-band is a correctness-testable device; this one finds
+    // near-dups anywhere in the corpus). 80 sign bits per vector, banded
+    // into 10 independent 8-bit tables; each vector additionally probes
+    // the hamming-1 buckets of every table (multi-probe — 9 probes per
+    // table trade a constant row-fanout for recall, the same trick as
+    // ann_lsh_topk). Hamming-1 collision is symmetric, so probing from
+    // the va < vb side only loses nothing. The only wide stages are the
+    // per-(table, bits) bucket equi-join and the candidate-proportional
+    // verify join — no all-pairs comparison anywhere. At larger corpora,
+    // widen bits/table (bucket count should track log2 n) and add tables
+    // to hold recall. rows-only at the oracle (the answer depends on the
+    // bucketing); recall vs exact all-pairs truth and exactness of every
+    // emitted cosine are asserted in AnnSpec.
+    "dd_embed_lsh" -> { (s, d) =>
+      import s.implicits._
+      val e = graft.operators.VectorOps.withHyperplaneBands(
+        graft.operators.VectorOps.quantized(s, d), EmbedLshTables, EmbedLshBits).persist()
+      // exact band per table: (tbl, bits)
+      val bands = e.select($"vec_id".as("vb"), explode(expr(
+        s"transform(sequence(0, ${EmbedLshTables - 1}), t -> " +
+          "named_struct('tbl', t, 'bits', bands[t]))")).as("bb"))
+        .select($"vb", $"bb.tbl".as("tbl"), $"bb.bits".as("bits"))
+      // probe set per table: own band + its 8 one-bit flips
+      val probes = e.select($"vec_id".as("va"), explode(expr(
+        s"""flatten(transform(sequence(0, ${EmbedLshTables - 1}), t ->
+           |  transform(sequence(-1, ${EmbedLshBits - 1}), k -> named_struct('tbl', t, 'bits',
+           |    CASE WHEN k = -1 THEN bands[t]
+           |         ELSE bands[t] ^ shiftleft(1L, k) END))))""".stripMargin)).as("bb"))
+        .select($"va", $"bb.tbl".as("tbl"), $"bb.bits".as("bits"))
+      val cand = probes.join(bands, Seq("tbl", "bits"))
+        .filter($"va" < $"vb")
+        .select($"va", $"vb")
+        .distinct()
+      val sa = e.select($"vec_id".as("va"), $"q".as("qa"), $"nn".as("na"))
+      val sb = e.select($"vec_id".as("vb"), $"q".as("qb"), $"nn".as("nb"))
+      cand.join(sa, Seq("va")).join(sb, Seq("vb"))
+        .withColumn("dot", expr(graft.operators.VectorOps.dotExpr))
+        .withColumn("cos_ppm",
+          floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
+        .filter($"cos_ppm" >= EmbedLshThresholdPpm)
+        .select($"va".as("vec_a"), $"vb".as("vec_b"), $"cos_ppm")
+        .orderBy($"vec_a", $"vec_b")
     }
   )
+
+  private val EmbedLshTables = 10
+  private val EmbedLshBits = 8
+  /** near-dup cutoff for dd_embed_lsh (the synthetic corpus's similar
+    * pairs live in the 0.35–0.48 cosine range)
+    */
+  private[graft] val EmbedLshThresholdPpm = 350000
 
   /** shared oracle CTE bodies (mirror the Spark ops; DuckDB lists are
     * 1-based). `from` is any relation exposing (doc_id, text) — the same

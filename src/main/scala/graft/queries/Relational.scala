@@ -54,8 +54,10 @@ object Relational {
       val cust = t(s, d, "customer").filter($"c_mktsegment" === "BUILDING")
       val ord = t(s, d, "orders").filter($"o_orderdate" < to_timestamp(lit("1998-03-15 00:00:00")))
       val li = t(s, d, "lineitem").filter($"l_shipdate" > to_timestamp(lit("1998-03-15 00:00:00")))
+      // no broadcast hint on customer: it scales with sf, so a forced
+      // broadcast OOMs executors at 100×; AQE demotes/promotes correctly
       li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
         .agg(sum(d6(d2($"l_extendedprice") * (lit(1) - d2($"l_discount")))).cast("double").as("revenue"))
         .select($"l_orderkey", $"revenue", $"o_orderdate".cast("date").cast("string").as("o_orderdate"), $"o_orderpriority")
@@ -86,8 +88,9 @@ object Relational {
       val cust = t(s, d, "customer")
       val ord = t(s, d, "orders")
       val li = t(s, d, "lineitem").filter($"l_returnflag" === "R")
+      // customer scales with sf — leave join selection to AQE (see q3)
       li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .groupBy($"c_custkey", $"c_name", $"c_acctbal")
         .agg(sum(d6(d2($"l_extendedprice") * (lit(1) - d2($"l_discount")))).cast("double").as("revenue"))
         .select($"c_custkey", $"c_name", round($"c_acctbal", 2).as("c_acctbal"), $"revenue")

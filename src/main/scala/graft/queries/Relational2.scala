@@ -38,8 +38,11 @@ object Relational2 {
         .orderBy($"o_orderpriority")
     },
 
-    // 6-way star join: facts shuffle on their keys once; all four dims are
-    // broadcast so no dim ever induces a shuffle.
+    // 6-way star join: facts shuffle on their keys once. Only the
+    // fixed-cardinality dims (region 5 rows, nation 25 rows) carry
+    // broadcast hints; customer/supplier grow with sf, so forcing their
+    // broadcast would OOM executors at 100× — AQE picks broadcast for
+    // them while they're small and demotes to shuffle join when not.
     "q5_multijoin" -> { (s, d) =>
       import s.implicits._
       val asia = t(s, d, "region").filter($"r_name" === "ASIA")
@@ -51,8 +54,8 @@ object Relational2 {
           $"o_orderdate" < to_timestamp(lit("1997-01-01 00:00:00")))
       t(s, d, "lineitem")
         .join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
-        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(sup, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
         .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(asia), $"n_regionkey" === $"r_regionkey")
         .groupBy($"n_name")
@@ -99,14 +102,15 @@ object Relational2 {
         .orderBy($"custdist".desc, $"c_count".desc)
     },
 
-    // conditional-sum ratio (Q14 promo revenue); part is broadcast
+    // conditional-sum ratio (Q14 promo revenue); part is unfiltered and
+    // sf-scaling, so no broadcast hint — AQE broadcasts it while small
     "q14_expr" -> { (s, d) =>
       import s.implicits._
       val part = t(s, d, "part").select($"p_partkey", $"p_type")
       val li = t(s, d, "lineitem")
         .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01 00:00:00")) &&
           $"l_shipdate" < to_timestamp(lit("1996-02-01 00:00:00")))
-      li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      li.join(part, $"l_partkey" === $"p_partkey")
         .agg(
           (lit(100.0) * sum(when($"p_type" === "PROMO", rev($"l_extendedprice", $"l_discount")).otherwise(lit(0))).cast("double")
             / sum(rev($"l_extendedprice", $"l_discount")).cast("double")).as("promo_revenue"))
@@ -168,9 +172,10 @@ object Relational2 {
         .agg(sum($"l_quantity").as("total_qty"))
         .filter($"total_qty" > 300)
       val cust = t(s, d, "customer").select($"c_custkey", $"c_name")
+      // customer is sf-scaling: no broadcast hint (AQE decides)
       t(s, d, "orders")
         .join(bigOrders, $"o_orderkey" === $"l_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .select($"c_name", $"c_custkey", $"o_orderkey",
           $"o_orderdate".cast("date").cast("string").as("o_orderdate"),
           round($"o_totalprice", 2).as("o_totalprice"),
@@ -180,12 +185,13 @@ object Relational2 {
     },
 
     // disjunctive multi-range predicate join (Q19) — the OR of three
-    // (brand, size, quantity) envelopes stays a single scan + broadcast join
+    // (brand, size, quantity) envelopes stays a single scan + join; part is
+    // unfiltered and sf-scaling so the join strategy is left to AQE
     "q19_or_pred" -> { (s, d) =>
       import s.implicits._
       val part = t(s, d, "part").select($"p_partkey", $"p_brand", $"p_size")
       t(s, d, "lineitem")
-        .join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .join(part, $"l_partkey" === $"p_partkey")
         .filter(
           ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) && $"l_quantity".between(1, 11)) ||
           ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) && $"l_quantity".between(10, 20)) ||

@@ -28,13 +28,49 @@ import graft.streaming.TopicStream
   * `FileSystem` API behind one code path (the reference's
   * cloudstorage/filesystem provider split collapsed into URI dispatch).
   */
-final class GraftRawdataClient(spark: SparkSession, baseDir: String) {
+final class GraftRawdataClient(
+    spark: SparkSession, baseDir: String,
+    defaultCfg: TopicConfig = TopicConfig(),
+    defaultPollIntervalMs: Long = 100) extends AutoCloseable {
 
   private val hasScheme = baseDir.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")
 
-  def topicDir(topic: String): String =
-    if (hasScheme) baseDir.stripSuffix("/") + "/" + topic
-    else new java.io.File(baseDir, topic).getAbsolutePath
+  /** topic dirs handed out by this client — their listing caches are
+    * dropped on close()
+    */
+  private val touchedTopics = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  @volatile private var closed = false
+
+  def topicDir(topic: String): String = {
+    val dir =
+      if (hasScheme) baseDir.stripSuffix("/") + "/" + topic
+      else new java.io.File(baseDir, topic).getAbsolutePath
+    touchedTopics.add(dir)
+    dir
+  }
+
+  // --------------------------------------------------------------- lifecycle
+
+  /** Reference AvroRawdataClient.java:147-152: close() flips the closed
+    * flag and releases client-held resources; subsequent producer/consumer/
+    * metadata calls fail fast. Graft holds no sockets or threads — its
+    * per-client state is the topic listing caches, which close()
+    * invalidates (the SparkSession is shared and NOT stopped: the client
+    * borrows it, reference-style ownership stays with the caller).
+    * Idempotent, like the reference's.
+    */
+  override def close(): Unit = {
+    closed = true
+    touchedTopics.forEach(dir => Topic.invalidateListing(dir))
+    touchedTopics.clear()
+  }
+
+  def isClosed: Boolean = closed
+
+  /** reference RawdataClosedException on use-after-close */
+  private def ensureOpen(): Unit =
+    if (closed) throw new IllegalStateException("rawdata client is closed")
 
   // ---------------------------------------------------------------- produce
 
@@ -47,10 +83,23 @@ final class GraftRawdataClient(spark: SparkSession, baseDir: String) {
       */
     def publish(messages: DataFrame): Seq[TopicFile] =
       Topic.write(messages, topicDir(topic), cfg)
+
+    /** fire-and-track publish (reference AvroRawdataProducer.publishAsync:
+      * CompletableFuture.runAsync over the blocking path)
+      */
+    def publishAsync(messages: DataFrame): java.util.concurrent.CompletableFuture[Seq[TopicFile]] =
+      java.util.concurrent.CompletableFuture.supplyAsync(() => publish(messages))
   }
 
-  def producer(topic: String, cfg: TopicConfig = TopicConfig()): Producer =
+  def producer(topic: String): Producer = {
+    ensureOpen()
+    new Producer(topic, defaultCfg)
+  }
+
+  def producer(topic: String, cfg: TopicConfig): Producer = {
+    ensureOpen()
     new Producer(topic, cfg)
+  }
 
   // ---------------------------------------------------------------- consume
 
@@ -120,12 +169,23 @@ final class GraftRawdataClient(spark: SparkSession, baseDir: String) {
       }
       Seq.empty // unreachable
     }
+
+    /** non-blocking receive (reference AvroRawdataConsumer.receiveAsync:
+      * CompletableFuture.supplyAsync over the blocking poll)
+      */
+    def receiveAsync(timeoutMs: Long): java.util.concurrent.CompletableFuture[Seq[RawdataMessage]] =
+      java.util.concurrent.CompletableFuture.supplyAsync(() => receive(timeoutMs))
   }
 
-  def consumer(topic: String): Consumer = new Consumer(topic)
+  def consumer(topic: String): Consumer = {
+    ensureOpen()
+    new Consumer(topic, defaultPollIntervalMs)
+  }
 
-  def consumer(topic: String, pollIntervalMs: Long): Consumer =
+  def consumer(topic: String, pollIntervalMs: Long): Consumer = {
+    ensureOpen()
     new Consumer(topic, pollIntervalMs)
+  }
 
   // ----------------------------------------------------------------- client
 
@@ -133,14 +193,18 @@ final class GraftRawdataClient(spark: SparkSession, baseDir: String) {
     * scan for the message with that position
     * (reference AvroRawdataClient.java:89-115)
     */
-  def cursorOf(topic: String, position: String, approxTsMs: Long, toleranceMs: Long): Option[String] =
+  def cursorOf(topic: String, position: String, approxTsMs: Long, toleranceMs: Long): Option[String] = {
+    ensureOpen()
     Topic.positionToUlidHex(spark, topicDir(topic), position, approxTsMs, toleranceMs)
+  }
 
   /** lastMessage(topic): last-file last-block fast path
     * (reference AvroRawdataClient.java:126-147)
     */
-  def lastMessage(topic: String): Option[RawdataMessage] =
+  def lastMessage(topic: String): Option[RawdataMessage] = {
+    ensureOpen()
     Topic.lastMessage(topicDir(topic))
+  }
 
   // --------------------------------------------------------------- metadata
 
@@ -151,5 +215,8 @@ final class GraftRawdataClient(spark: SparkSession, baseDir: String) {
     def asDF: DataFrame = MetadataStore.readAll(spark, topicDir(topic))
   }
 
-  def metadata(topic: String): Metadata = new Metadata(topic)
+  def metadata(topic: String): Metadata = {
+    ensureOpen()
+    new Metadata(topic)
+  }
 }

@@ -20,19 +20,41 @@ object HadoopIO {
 
   /** Effective Hadoop configuration: the active Spark session's (it carries
     * `spark.hadoop.*` — connector credentials, endpoints), else defaults.
-    * A copy is returned (never the session's live object) with the one
-    * override this engine needs: the raw (checksum-free) local filesystem,
-    * because topic filenames embed ISO timestamps whose ':' breaks
-    * ChecksumFileSystem's relative ".<name>.crc" shadow paths
-    * (HADOOP-3257). Object-store connectors don't use checksum paths.
+    * A copy is returned (never the session's live object) with the two
+    * overrides this engine needs:
+    *
+    *  - the raw (checksum-free) local filesystem, because topic filenames
+    *    embed ISO timestamps whose ':' breaks ChecksumFileSystem's relative
+    *    ".<name>.crc" shadow paths (HADOOP-3257). Object-store connectors
+    *    don't use checksum paths.
+    *  - `fs.file.impl.disable.cache=true`, because Hadoop's FileSystem
+    *    cache is keyed by scheme+authority only: if anything in the JVM
+    *    already opened a `file://` path (e.g. a session not built through
+    *    GraftSession), the cached ChecksumFileSystem would be returned and
+    *    the impl override above silently ignored.
+    *
+    * Copying a Hadoop Configuration is measurably expensive (it clones the
+    * full property map) and this is called on every listing/read, so the
+    * copy is cached per underlying SparkContext conf and refreshed only
+    * when the active session changes.
     */
   def conf(): Configuration = {
-    val base = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .map(s => new Configuration(s.sparkContext.hadoopConfiguration))
-      .getOrElse(new Configuration())
-    base.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
-    base
+    val src = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration).orNull
+    val cur = cached
+    if (cur != null && (cur._1 eq src)) cur._2
+    else {
+      val base =
+        if (src == null) new Configuration() else new Configuration(src)
+      base.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      base.setBoolean("fs.file.impl.disable.cache", true)
+      cached = (src, base)
+      base
+    }
   }
+
+  /** (source session conf identity, derived copy) — single-slot cache. */
+  @volatile private var cached: (Configuration, Configuration) = null
 
   /** Child path by string concatenation — never `new Path(parent, child)`,
     * which URI-parses the child and rejects the ':' in topic filenames as

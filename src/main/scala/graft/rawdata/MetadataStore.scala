@@ -45,12 +45,15 @@ object MetadataStore {
     fs.delete(tmp, true)
     merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     // Swap staging → live. Single-writer assumption (like the reference's
-    // metadata clients): concurrent puts are not coordinated, but a reader
-    // never sees a half-written store — the parquet write completes before
-    // the directory swap, and the dest→old / staging→dest window is the
-    // narrowest the backing store allows (an atomic dir rename on a real
-    // filesystem; per-object copies on an object store, where parquet
-    // readers still only see complete files).
+    // metadata clients): concurrent puts are not coordinated. A reader
+    // never sees a half-written parquet file (the staging write completes
+    // before the swap), but the swap itself is two renames, so a reader
+    // racing the window between rename(dest→old) and rename(staging→dest)
+    // can transiently observe an empty store — and on object stores,
+    // where "rename" is per-object copy+delete, a partially-copied one.
+    // Acceptable under the single-writer model; a store needing stronger
+    // read-during-put guarantees should swap via an atomically-updated
+    // generation pointer instead.
     val dest = new Path(dir)
     val old = new Path(dir + ".old")
     fs.delete(old, true)

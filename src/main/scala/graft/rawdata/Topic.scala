@@ -88,8 +88,14 @@ object Topic {
 
     val sync = cfg.syncIntervalBytes
     val sconf = HadoopIO.serializable()
+    // Names present before this publish, shipped into the writer tasks:
+    // lets a task distinguish a genuine re-publish (dest predates the job
+    // → loud failure) from its own earlier attempt under Spark task
+    // retry/speculation (dest appeared during the job → already committed,
+    // skip). Filenames only — tiny even for a huge topic.
+    val preExisting = listFiles(topicDir).map(f => new Path(f.path).getName).toSet
     val metas = staged.toDF().mapPartitions { rows =>
-      new FileGroupWriter(topicDir, sync, sconf, rows).run()
+      new FileGroupWriter(topicDir, sync, sconf, preExisting, rows).run()
     }.collect().toSeq
 
     invalidateListing(topicDir)
@@ -100,7 +106,8 @@ object Topic {
     * into one Avro file per (_win,_chunk) group.
     */
   private final class FileGroupWriter(
-      topicDir: String, syncBytes: Long, sconf: HadoopIO.SerializableConf, rows: Iterator[Row]) {
+      topicDir: String, syncBytes: Long, sconf: HadoopIO.SerializableConf,
+      preExisting: Set[String], rows: Iterator[Row]) {
     def run(): Iterator[TopicFile] = {
       val fs = HadoopIO.fs(topicDir, sconf.value)
       val out = Seq.newBuilder[TopicFile]
@@ -118,12 +125,7 @@ object Topic {
           firstPosition = writer.firstPosition)
         val name = s"${formatTs(meta.fromTsMs)}_${meta.count}_${meta.lastBlockOffset}_${meta.firstPosition}.avro"
         val dest = HadoopIO.child(topicDir, name)
-        // Raw local rename would silently replace an existing file; an
-        // identical re-publish must fail loudly instead (single-writer
-        // assumption, like the reference producer).
-        if (fs.exists(dest))
-          throw new IllegalStateException(s"topic file already exists (identical re-publish?): $dest")
-        if (!fs.rename(tmp, dest)) throw new IllegalStateException(s"rename $tmp -> $dest failed")
+        commitTopicFile(fs, tmp, dest, name, preExisting)
         out += meta.copy(path = fs.makeQualified(dest).toString)
         writer = null
       }
@@ -145,6 +147,39 @@ object Topic {
       }
       finish()
       out.result().iterator
+    }
+  }
+
+  /** Commit a completed temp file to its deterministic destination name.
+    *
+    * Raw local rename would silently replace an existing file. Three
+    * cases when dest already exists:
+    *  - it predates this publish (`preExisting`) → genuine re-publish of
+    *    identical data: fail loudly (single-writer assumption, like the
+    *    reference producer);
+    *  - it appeared during this publish with the expected length → an
+    *    earlier attempt of this task (Spark retry/speculation) already
+    *    committed it: drop the temp file and succeed, so writer tasks
+    *    stay idempotent under task re-execution;
+    *  - it appeared with a different length → a conflicting concurrent
+    *    writer: fail. (Length is deterministic for a given row group —
+    *    Avro sync markers are random bytes but fixed width — so equal
+    *    length ⇒ same committed content.)
+    */
+  private[rawdata] def commitTopicFile(
+      fs: org.apache.hadoop.fs.FileSystem, tmp: Path, dest: Path,
+      name: String, preExisting: Set[String]): Unit = {
+    if (fs.exists(dest)) {
+      if (preExisting.contains(name))
+        throw new IllegalStateException(s"topic file already exists (identical re-publish?): $dest")
+      val destLen = fs.getFileStatus(dest).getLen
+      val tmpLen = fs.getFileStatus(tmp).getLen
+      if (destLen != tmpLen)
+        throw new IllegalStateException(
+          s"conflicting topic file from a concurrent writer ($destLen bytes, expected $tmpLen): $dest")
+      fs.delete(tmp, false): Unit
+    } else if (!fs.rename(tmp, dest)) {
+      throw new IllegalStateException(s"rename $tmp -> $dest failed")
     }
   }
 

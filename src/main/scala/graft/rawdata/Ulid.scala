@@ -51,4 +51,59 @@ object Ulid {
     */
   def deterministic(tsMs: Column, seed: Column): Column =
     unhex(concat(lpad(hex(tsMs), 12, "0"), substring(md5(seed.cast("string")), 1, 20)))
+
+  /** Per-producer strictly-monotonic ULID generator — the reference
+    * producer's id discipline (AvroRawdataProducer.java:231
+    * `RawdataProducer.nextMonotonicUlid(ulid, prevUlid)`, per the public
+    * ULID monotonicity spec): within one millisecond each successive id is
+    * the previous value incremented by 1; when the clock advances, a fresh
+    * entropy is drawn at the new timestamp. Ids from one generator are
+    * therefore strictly increasing even under same-ms bursts.
+    *
+    * This is single-producer (driver-side) state, exactly like the
+    * reference's — a DISTRIBUTED publish can't share it without
+    * coordination and uses `deterministic` instead.
+    */
+  final class Monotonic(entropySeed: Long = new java.security.SecureRandom().nextLong()) {
+    private val rnd = new java.util.Random(entropySeed)
+    // sentinel at ts 0: the first next() always adopts the caller's clock
+    // (never handed out — next() replaces it before returning anything)
+    private var prev: Array[Byte] = fresh(0L)
+
+    private def fresh(tsMs: Long): Array[Byte] = {
+      val id = new Array[Byte](16)
+      var i = 0
+      while (i < 6) { id(i) = ((tsMs >>> (8 * (5 - i))) & 0xff).toByte; i += 1 }
+      val entropy = new Array[Byte](10)
+      rnd.nextBytes(entropy)
+      System.arraycopy(entropy, 0, id, 6, 10)
+      id
+    }
+
+    /** strictly-increasing 128-bit increment (big-endian +1 with carry) */
+    private def incremented(id: Array[Byte]): Array[Byte] = {
+      val out = id.clone()
+      var i = 15
+      var carry = true
+      while (carry && i >= 0) {
+        out(i) = ((out(i) + 1) & 0xff).toByte
+        carry = out(i) == 0
+        i -= 1
+      }
+      if (carry) throw new IllegalStateException("ULID overflow")
+      out
+    }
+
+    private def tsOf(id: Array[Byte]): Long = {
+      var ts = 0L
+      var i = 0
+      while (i < 6) { ts = (ts << 8) | (id(i) & 0xffL); i += 1 }
+      ts
+    }
+
+    def next(nowMs: Long = System.currentTimeMillis()): Array[Byte] = synchronized {
+      prev = if (nowMs <= tsOf(prev)) incremented(prev) else fresh(nowMs)
+      prev.clone()
+    }
+  }
 }

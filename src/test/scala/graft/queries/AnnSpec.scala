@@ -43,6 +43,34 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("dd_embed_lsh: every pair exact-verified, recall vs all-pairs truth") {
+    val out = SparkEntry.queries("dd_embed_lsh")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"), r.getAs[Long]("cos_ppm")))
+    // precision is 1 by construction (candidates are exact-verified):
+    // every emitted cosine must equal the locally recomputed exact value
+    // and clear the threshold
+    out.foreach { case (a, b, c) =>
+      assert(a < b)
+      assert(c === cosPpm(a, b), s"cosine mismatch for ($a,$b)")
+      assert(c >= DedupQueries.EmbedLshThresholdPpm)
+    }
+    // recall against the exhaustive all-pairs ground truth at cos >= 0.40
+    // (measured 0.818 for the 10-table × 8-bit hamming-1 config on this
+    // corpus; asserted with margin). An id-band query can't see these —
+    // this is the corpus-wide composition working.
+    val idl = vecs.keys.toSeq.sorted
+    val truth = for {
+      i <- idl.indices.iterator; j <- (i + 1) until idl.length
+      if cosPpm(idl(i), idl(j)) >= 400000
+    } yield (idl(i), idl(j))
+    val truthSet = truth.toSet
+    assert(truthSet.nonEmpty)
+    val found = out.collect { case (a, b, _) if truthSet((a, b)) => (a, b) }.toSet
+    val recall = found.size.toDouble / truthSet.size
+    assert(recall >= 0.7, s"recall $recall below 0.7 (${found.size}/${truthSet.size})")
+    spark.catalog.clearCache()
+  }
+
   test("approximate top-k never beats brute-force top-1") {
     val brute = SparkEntry.queries("ann_brute_topk")(spark, sf).collect()
       .groupBy(_.getAs[Long]("qid"))

@@ -42,11 +42,29 @@ class EdgeCaseSpec extends SparkSpec {
   }
 
   test("txt_ngram_profile emits no grams for docs under 3 chars") {
-    val grams = TextQueries.queries("txt_ngram_profile")(spark, edgeDir)
-      .agg(sum($"n")).as[Long].collect().head
-    // doc lengths 0,1,2 contribute nothing; others contribute len-2 grams
-    val expected = Seq(7, 13, 43, 43, 3, 51).map(n => math.max(0, n - 2)).sum
-    assert(grams === expected)
+    val out = TextQueries.queries("txt_ngram_profile")(spark, edgeDir)
+      .select($"lang", $"gram", $"n", $"rnk").as[(String, String, Long, Long)]
+      .collect().toSet
+    // replay the profile in Scala: docs with fewer than 3 chars contribute
+    // no grams; the rest contribute every length-3 substring, counted per
+    // (lang, gram) and ranked (n desc, gram asc) with only rnk <= 5 kept
+    val docs = Seq(
+      ("en", ""), ("en", "a"), ("en", "ab"), ("en", "one two"),
+      ("en", "one two three"),
+      ("en", "the quick brown fox jumps over the lazy dog"),
+      ("en", "the quick brown fox jumps over the lazy dog"),
+      ("fr", "a b"),
+      ("de", "completely different content here with several words"))
+    val expected = docs.filter(_._2.length >= 3)
+      .flatMap { case (lang, text) => text.sliding(3).map(lang -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((lang, gram), n) => (lang, gram, n) }
+      .groupBy(_._1).flatMap { case (_, gs) =>
+        gs.sortBy { case (_, gram, n) => (-n, gram) }
+          .take(5).zipWithIndex
+          .map { case ((lang, gram, n), i) => (lang, gram, n, (i + 1).toLong) }
+      }.toSet
+    assert(out === expected)
   }
 
   test("shingles skip docs under 3 tokens instead of ANSI-crashing") {

@@ -21,4 +21,18 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q30_approx_distinct: HLL estimates within the documented error bound") {
+    // approx_count_distinct's default rsd is 0.05; HLL++ is deterministic
+    // for a given input, but the estimate must still sit within a few
+    // standard deviations of exact or the sketch is miswired. 3·rsd = 15 %.
+    val r = SparkEntry.queries("q30_approx_distinct")(spark, sf).collect().head
+    for ((approx, exact) <- Seq(
+        (r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts")),
+        (r.getAs[Long]("approx_supps"), r.getAs[Long]("exact_supps")))) {
+      assert(exact > 0)
+      val relErr = math.abs(approx - exact).toDouble / exact
+      assert(relErr <= 0.15, s"HLL relative error $relErr exceeds 3*rsd (approx=$approx exact=$exact)")
+    }
+  }
 }

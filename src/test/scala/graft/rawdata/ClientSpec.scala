@@ -70,5 +70,26 @@ class ClientSpec extends SparkSpec {
     assert(client.metadata("t1").get("owner").map(new String(_, "UTF-8")) === Some("graft"))
   }
 
+  test("close() flips isClosed, is idempotent, and fails fast on use-after-close") {
+    // a separate client instance — the shared one stays open for the
+    // other tests in this suite
+    val c = new GraftRawdataClient(spark, Topic.tempDir("client-close"))
+    assert(!c.isClosed)
+    val consumer = c.consumer("t") // pre-close handles keep working below
+    c.close()
+    assert(c.isClosed)
+    c.close() // idempotent, like reference AvroRawdataClient close()
+    assert(c.isClosed)
+    intercept[IllegalStateException](c.producer("t"))
+    intercept[IllegalStateException](c.consumer("t"))
+    intercept[IllegalStateException](c.metadata("t"))
+    intercept[IllegalStateException](c.lastMessage("t"))
+    intercept[IllegalStateException](c.cursorOf("t", "p", 0L, 1L))
+    // a consumer obtained before close() still reads (empty topic here) —
+    // reference semantics close the client's resource handles, not
+    // already-materialized DataFrames
+    assert(consumer.messages.count() === 0)
+  }
+
   private def Tables_eventsCount: Long = graft.Tables.events(spark, sf).count()
 }

@@ -114,6 +114,67 @@ class TopicSpec extends SparkSpec {
     assert(Topic.listFilesCached(dir, ttlMs = 0) === Topic.listFiles(dir))
   }
 
+  test("commit is idempotent under task retry, loud on re-publish and conflict") {
+    val dir = Topic.tempDir("topic-commit")
+    val conf = HadoopIO.conf()
+    val fs = HadoopIO.fs(dir, conf)
+    def mkFile(name: String, bytes: Int): org.apache.hadoop.fs.Path = {
+      val p = HadoopIO.child(dir, name)
+      val out = fs.create(p, false)
+      out.write(Array.fill[Byte](bytes)(7))
+      out.close()
+      p
+    }
+    val destName = s"${Topic.formatTs(1000)}_5_100_p1.avro"
+    // case 1: dest appeared during the publish with identical length → an
+    // earlier attempt of this task committed it: success, tmp dropped
+    val dest = mkFile(destName, 64)
+    val tmp1 = mkFile(".inprogress-retry.tmp", 64)
+    Topic.commitTopicFile(fs, tmp1, dest, destName, preExisting = Set.empty)
+    assert(fs.exists(dest) && !fs.exists(tmp1))
+    // case 2: dest predates the publish → genuine re-publish: loud failure
+    val tmp2 = mkFile(".inprogress-republish.tmp", 64)
+    val e2 = intercept[IllegalStateException](
+      Topic.commitTopicFile(fs, tmp2, dest, destName, preExisting = Set(destName)))
+    assert(e2.getMessage.contains("re-publish"))
+    // case 3: dest appeared with a DIFFERENT length → concurrent writer
+    val tmp3 = mkFile(".inprogress-conflict.tmp", 128)
+    val e3 = intercept[IllegalStateException](
+      Topic.commitTopicFile(fs, tmp3, dest, destName, preExisting = Set.empty))
+    assert(e3.getMessage.contains("conflicting"))
+    // fresh dest → plain rename
+    val tmp4 = mkFile(".inprogress-fresh.tmp", 32)
+    val dest4 = HadoopIO.child(dir, s"${Topic.formatTs(2000)}_1_100_p2.avro")
+    Topic.commitTopicFile(fs, tmp4, dest4, dest4.getName, preExisting = Set.empty)
+    assert(fs.exists(dest4) && !fs.exists(tmp4))
+  }
+
+  test("topic write succeeds even when Hadoop's fs cache holds a ChecksumFileSystem") {
+    // A session not built through GraftSession may have already opened a
+    // file:// path, pinning LocalFileSystem (checksum flavour) in Hadoop's
+    // scheme-keyed FileSystem cache. The per-call fs.file.impl override is
+    // ignored for cached instances — HadoopIO must bypass the cache
+    // (fs.file.impl.disable.cache) or ':'-bearing topic filenames break.
+    // (In this JVM GraftSession already cached a RawLocalFileSystem, so
+    // first drop the cache, then pin the checksum flavour the way a
+    // foreign session would.)
+    org.apache.hadoop.fs.FileSystem.closeAll()
+    try {
+      val plain = new org.apache.hadoop.conf.Configuration()
+      val cachedFs = org.apache.hadoop.fs.FileSystem.get(java.net.URI.create("file:///"), plain)
+      assert(cachedFs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem], "cache pre-populated")
+      val dir = Topic.tempDirUri("topic-fscache")
+      val metas = Topic.write(messages.limit(10), dir, EventsAsTopic.cfg)
+      assert(metas.nonEmpty)
+      assert(Topic.readDF(spark, dir).count() === 10)
+    } finally {
+      // drop the deliberately-poisoned cache entry: later suites (and
+      // Spark's own streaming source) resolve file:// through the cache,
+      // and the checksum flavour breaks ':'-bearing topic filenames
+      org.apache.hadoop.fs.FileSystem.closeAll()
+    }
+  }
+
   test("avro files are format-compatible with the reference schema (fixed-16 ulid)") {
     val dir = Topic.tempDir("topic-schema")
     Topic.write(messages.limit(10), dir, EventsAsTopic.cfg)
