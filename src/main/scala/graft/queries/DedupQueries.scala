@@ -28,20 +28,14 @@ object DedupQueries {
   private val Perms = 12 // minhash permutations
   private val BandRows = 3 // rows per LSH band → 4 bands
 
-  /** distinct word-3-shingles per doc (Spark arrays are 0-based).
-    *
-    * Deduped via per-doc collect_set rather than a global .distinct():
-    * the result stays hash-partitioned on doc_id through the explode, so
-    * the signature aggregation that follows needs NO second shuffle —
-    * one wide stage for the whole shingle→signature chain.
+  /** per-doc DISTINCT word-3-shingle array (doc_id, ss) — fully narrow:
+    * the dedup is `array_distinct` on the not-yet-exploded array, so the
+    * whole shingle build costs ZERO shuffles (the earlier form shuffled
+    * every shingle STRING through a collect_set groupBy just to dedup;
+    * the downstream signature aggregation shuffles anyway, and after md5
+    * it carries 8-byte hashes instead of shingle text).
     */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    shinglesOf(t(s, d, "documents"))
-
-  /** same over any (doc_id, text) relation (the cleaning pipeline runs the
-    * LSH chain on its quality/exact-dedup survivors)
-    */
-  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
+  private[graft] def shingleArrays(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs
@@ -50,11 +44,22 @@ object DedupQueries {
       // never counts DOWN into negative indices (Spark generates a
       // descending sequence when stop < start; under ANSI mode tk[-1]
       // throws INVALID_ARRAY_INDEX) — mirrors DuckDB's empty range(1, n-1)
-      .select($"doc_id", explode(expr(
+      .select($"doc_id", array_distinct(expr(
         "if(size(tk) < 3, array(), " +
-          "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])))")).as("s"))
-      .groupBy($"doc_id").agg(collect_set($"s").as("ss"))
-      .select($"doc_id", explode($"ss").as("s"))
+          "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])))")).as("ss"))
+  }
+
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(t(s, d, "documents"))
+
+  /** exploded (doc_id, s) form over any (doc_id, text) relation (the
+    * cleaning pipeline runs the LSH chain on its quality/exact-dedup
+    * survivors)
+    */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    shingleArrays(docs).select($"doc_id", explode($"ss").as("s"))
   }
 
   /** 32-bit SimHash per doc: token hash bits weighted ±1 and re-signed —
@@ -76,24 +81,23 @@ object DedupQueries {
       .select($"doc_id", sig.as("simhash"))
   }
 
-  /** exact jaccard_ppm for the LSH candidates of `sh` (persisted input).
+  /** exact jaccard_ppm for the LSH candidates of `arr` — the per-doc
+    * shingle-ARRAY relation from shingleArrays (persisted input).
     *
     * Scale shape: the wide work is proportional to the CANDIDATES, not
-    * the corpus. Per-doc shingle sets are aggregated once (one shuffle of
-    * the shingle table, which the LSH chain pays anyway), semi-filtered
-    * to the docs that actually appear in a candidate pair, and the
-    * intersection is per-pair `array_intersect` — no second full-corpus
-    * shuffle of exploded shingles (the previous form joined the whole
-    * shingle table twice to verify a tiny candidate set: 35 s at sf0.1
-    * for 31 output pairs).
+    * the corpus. The per-doc shingle sets already exist as narrow arrays
+    * (no re-aggregation), get semi-filtered to the docs that actually
+    * appear in a candidate pair, and the intersection is per-pair
+    * `array_intersect` — no full-corpus shuffle of exploded shingles
+    * (the round-2 form joined the whole shingle table twice to verify a
+    * tiny candidate set: 35 s at sf0.1 for 31 output pairs).
     */
-  private def jaccardOf(sh: DataFrame): DataFrame = {
-    val s = sh.sparkSession
+  private def jaccardOf(arr: DataFrame): DataFrame = {
+    val s = arr.sparkSession
     import s.implicits._
-    val cand = candidatesFrom(sh)
+    val cand = candidatesFrom(arr.select($"doc_id", explode($"ss").as("s")))
     val candDocs = cand.select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
-    val sets = sh.groupBy($"doc_id").agg(collect_set($"s").as("ss"))
-      .join(candDocs, Seq("doc_id"), "left_semi")
+    val sets = arr.join(candDocs, Seq("doc_id"), "left_semi")
     cand
       .join(sets.select($"doc_id".as("doc_a"), $"ss".as("sa")), Seq("doc_a"))
       .join(sets.select($"doc_id".as("doc_b"), $"ss".as("sb")), Seq("doc_b"))
@@ -176,7 +180,8 @@ object DedupQueries {
     // MinHash+LSH candidate pairs
     "dd_minhash" -> { (s, d) =>
       import s.implicits._
-      candidatesFrom(shingles(s, d))
+      candidatesFrom(shingleArrays(t(s, d, "documents")).persist()
+        .select($"doc_id", explode($"ss").as("s")))
     },
 
     // 32-bit SimHash fingerprints — one aggregation, 32 conditional sums
@@ -206,10 +211,10 @@ object DedupQueries {
     // exact n-gram Jaccard on the LSH candidates (integer set arithmetic,
     // parts-per-million output)
     "dd_jaccard" -> { (s, d) =>
-      // The shingle set feeds the LSH chain AND the exact verification
+      // The shingle arrays feed the LSH chain AND the exact verification
       // joins; Catalyst has no cross-branch CSE, so persist the one
-      // narrow intermediate instead of exploding the corpus three times.
-      jaccardOf(shingles(s, d).persist())
+      // narrow intermediate instead of re-shingling the corpus per branch.
+      jaccardOf(shingleArrays(t(s, d, "documents")).persist())
     },
 
     // end-to-end corpus cleaning: quality gate → exact dedup (keep-first)
@@ -226,7 +231,7 @@ object DedupQueries {
       // persist it so the quality scan + keep-first groupBy run once
       // (cache is scoped per query by the harness's clearCache)
       val kept1 = q.join(keepFirst.select($"doc_id"), Seq("doc_id"), "left_semi").persist()
-      val losers = jaccardOf(shinglesOf(kept1).persist())
+      val losers = jaccardOf(shingleArrays(kept1).persist())
         .filter($"jaccard_ppm" >= 400000)
         .select($"doc_b".as("doc_id")).distinct()
       kept1.join(losers, Seq("doc_id"), "left_anti")

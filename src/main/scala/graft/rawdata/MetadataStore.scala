@@ -13,6 +13,18 @@ import org.apache.spark.sql.functions._
   * `keys`/`get` are pruned scans. Metadata is tiny relative to the topic,
   * so a single parquet dataset is the right granularity at any scale.
   *
+  * Visibility: the store is log-structured. Each `put` writes a fresh
+  * `gen-<ts>-<uuid>` generation directory and readers pick the newest
+  * COMMITTED generation (one with Spark's `_SUCCESS` marker). Nothing is
+  * ever renamed or overwritten in place, so a reader never observes an
+  * empty or half-written store — on a real filesystem or an object store
+  * (where directory rename is per-object copy and not atomic, which is
+  * why a staging-dir swap can't give this guarantee). Older generations
+  * are pruned on the next put, keeping the latest two so an in-flight
+  * reader of the previous generation is never pulled out from under.
+  * Concurrent puts are last-writer-wins, matching the reference's
+  * single-writer metadata model.
+  *
   * All filesystem access goes through the Hadoop `FileSystem` API, so the
   * store follows the topic onto any backend (`file://`, `gs://`,
   * `s3a://`) — one code path where the reference ships two clients.
@@ -22,16 +34,33 @@ object MetadataStore {
   private def storeDir(topicDir: String): String =
     topicDir.stripSuffix("/") + "/metadata"
 
-  def readAll(spark: SparkSession, topicDir: String): DataFrame = {
-    val dir = storeDir(topicDir)
+  /** newest committed generation path, if any */
+  private def currentGen(dir: String): Option[String] = {
     val conf = HadoopIO.conf()
-    if (!HadoopIO.fs(dir, conf).exists(new Path(dir)))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.BinaryType))))
-    else spark.read.parquet(dir)
+    val fs = HadoopIO.fs(dir, conf)
+    val p = new Path(dir)
+    if (!fs.exists(p)) None
+    else {
+      val gens = fs.listStatus(p).iterator
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+        .map(_.getPath)
+        .filter(g => fs.exists(new Path(g, "_SUCCESS")))
+        .map(_.toString)
+        .toSeq
+      // gen-<zero-padded ts>-<uuid>: lexicographic max = newest
+      if (gens.isEmpty) None else Some(gens.max)
+    }
   }
+
+  def readAll(spark: SparkSession, topicDir: String): DataFrame =
+    currentGen(storeDir(topicDir)) match {
+      case Some(gen) => spark.read.parquet(gen)
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.BinaryType))))
+    }
 
   /** Upsert entries; `updates` must have columns (key string, value binary). */
   def put(spark: SparkSession, topicDir: String, updates: DataFrame): Unit = {
@@ -39,29 +68,23 @@ object MetadataStore {
     val merged = updates.select(col("key"), col("value"))
       .unionByName(existing.join(updates.select(col("key")), Seq("key"), "left_anti"))
     val dir = storeDir(topicDir)
+    val gen = f"gen-${System.currentTimeMillis()}%020d-${java.util.UUID.randomUUID().toString.take(8)}"
+    // the parquet committer writes _SUCCESS last — the generation becomes
+    // visible to currentGen only once fully committed
+    merged.coalesce(1).write.parquet(dir + "/" + gen)
+    pruneOldGenerations(dir, keep = 2)
+  }
+
+  /** drop all but the newest `keep` committed generations (plus any
+    * uncommitted debris older than the survivors)
+    */
+  private def pruneOldGenerations(dir: String, keep: Int): Unit = {
     val conf = HadoopIO.conf()
     val fs = HadoopIO.fs(dir, conf)
-    val tmp = new Path(dir + ".staging")
-    fs.delete(tmp, true)
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    // Swap staging → live. Single-writer assumption (like the reference's
-    // metadata clients): concurrent puts are not coordinated. A reader
-    // never sees a half-written parquet file (the staging write completes
-    // before the swap), but the swap itself is two renames, so a reader
-    // racing the window between rename(dest→old) and rename(staging→dest)
-    // can transiently observe an empty store — and on object stores,
-    // where "rename" is per-object copy+delete, a partially-copied one.
-    // Acceptable under the single-writer model; a store needing stronger
-    // read-during-put guarantees should swap via an atomically-updated
-    // generation pointer instead.
-    val dest = new Path(dir)
-    val old = new Path(dir + ".old")
-    fs.delete(old, true)
-    if (fs.exists(dest)) {
-      if (!fs.rename(dest, old)) throw new IllegalStateException(s"rename $dest -> $old failed")
-    }
-    if (!fs.rename(tmp, dest)) throw new IllegalStateException(s"rename $tmp -> $dest failed")
-    fs.delete(old, true): Unit
+    val gens = fs.listStatus(new Path(dir)).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+      .map(_.getPath).toSeq.sortBy(_.getName)
+    gens.dropRight(keep).foreach(g => fs.delete(g, true))
   }
 
   def keys(spark: SparkSession, topicDir: String): Seq[String] =

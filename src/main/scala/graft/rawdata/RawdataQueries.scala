@@ -18,15 +18,20 @@ object RawdataQueries {
 
   private def topic(s: SparkSession, d: String): String = EventsAsTopic.topicDir(s, d)
 
-  /** Metadata-derived (approx, tolerance) covering the whole topic. */
-  private def wholeRange(dir: String): (Long, Long) = {
-    val files = Topic.listFiles(dir)
-    if (files.isEmpty) (0L, Long.MaxValue / 4)
-    else {
-      val lo = files.head.fromTsMs
-      val hi = files.last.fromTsMs
-      ((lo + hi) / 2, (hi - lo) / 2 + EventsAsTopic.DayMs + 1)
-    }
+  /** The (approxTimestamp, tolerance) a cursorOf caller supplies — the
+    * reference API's contract is that the caller knows roughly when the
+    * message happened (AvroRawdataClient.java:89-115 takes both). Modeled
+    * by reading the one source event's timestamp (a narrow pushed-down
+    * scan standing in for the caller's knowledge) with a 1-hour tolerance,
+    * so the query exercises the REAL filename pruning: ±1 h touches 1-2 of
+    * the topic's daily files instead of scanning all of them.
+    */
+  private def callerApprox(s: SparkSession, d: String, eventId: Long): (Long, Long) = {
+    val ts = graft.Tables.events(s, d)
+      .filter(col("event_id") === eventId)
+      .select(unix_millis(col("ts")))
+      .collect().head.getLong(0)
+    (ts, 3600L * 1000)
   }
 
   val queries: Map[String, Q] = Map(
@@ -48,7 +53,7 @@ object RawdataQueries {
 
     "rd_cursor_after" -> { (s, d) =>
       val dir = topic(s, d)
-      val (approx, tol) = wholeRange(dir)
+      val (approx, tol) = callerApprox(s, d, 500)
       val cursor = Topic.positionToUlidHex(s, dir, "evt-500", approx, tol)
         .getOrElse(sys.error("position evt-500 not found"))
       Topic.afterCursor(s, dir, cursor, inclusive = false)
@@ -59,7 +64,7 @@ object RawdataQueries {
 
     "rd_position_lookup" -> { (s, d) =>
       val dir = topic(s, d)
-      val (approx, tol) = wholeRange(dir)
+      val (approx, tol) = callerApprox(s, d, 500)
       val cursor = Topic.positionToUlidHex(s, dir, "evt-500", approx, tol)
         .getOrElse(sys.error("position evt-500 not found"))
       Topic.afterCursor(s, dir, cursor, inclusive = true)
