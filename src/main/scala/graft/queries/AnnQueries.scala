@@ -123,6 +123,28 @@ object AnnQueries {
         .groupBy($"va".as("vec_id"))
         .agg(count(lit(1)).as("n_similar"), max($"cos_ppm").as("max_cos_ppm"))
         .orderBy($"vec_id")
+    },
+
+    // per-label embedding cluster statistics — the k-means E-step summary
+    // a label-balance / cluster-quality audit runs over training vectors:
+    // per-dimension component sums (= unnormalized centroid), squared
+    // centroid norm, and total vector energy, all as EXACT integers over
+    // the quantized vectors (sum-of-sums is associative, so partial aggs
+    // shuffle 64 longs per label regardless of corpus size)
+    "emb_label_stats" -> { (s, d) =>
+      import s.implicits._
+      val lab = t(s, d, "embeddings").select($"vec_id", $"label".cast("long").as("label"))
+      val qe = quantized(s, d).join(lab, Seq("vec_id"))
+      val perDim = qe.select($"label", posexplode($"q"))
+        .toDF("label", "dim", "qv")
+        .groupBy($"label", $"dim")
+        .agg(sum($"qv").as("sd"))
+      val cent = perDim.groupBy($"label").agg(sum($"sd" * $"sd").as("centroid_dot"))
+      val norms = qe.groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"), sum($"nn").as("sum_norm2"))
+      norms.join(cent, Seq("label"))
+        .select($"label", $"n_vecs", $"sum_norm2", $"centroid_dot")
+        .orderBy($"label")
     }
   )
 
@@ -162,7 +184,20 @@ object AnnQueries {
         |  FROM p JOIN n na ON na.vec_id = p.va JOIN n nb ON nb.vec_id = p.vb)
         |SELECT va AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_similar, MAX(cos_ppm) AS max_cos_ppm
         |FROM sims WHERE cos_ppm >= 250000
-        |GROUP BY va ORDER BY vec_id""".stripMargin)
+        |GROUP BY va ORDER BY vec_id""".stripMargin),
+
+    "emb_label_stats" -> (QuantCte +
+      """, l AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |sd AS (
+        |  SELECT l.label, e.i, SUM(e.q) AS sd
+        |  FROM e JOIN l ON l.vec_id = e.vec_id GROUP BY 1, 2),
+        |cd AS (SELECT label, CAST(SUM(sd * sd) AS BIGINT) AS centroid_dot FROM sd GROUP BY 1),
+        |nv AS (
+        |  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(SUM(n.nn) AS BIGINT) AS sum_norm2
+        |  FROM n JOIN l ON l.vec_id = n.vec_id GROUP BY 1)
+        |SELECT nv.label, nv.n_vecs, nv.sum_norm2, cd.centroid_dot
+        |FROM nv JOIN cd ON cd.label = nv.label
+        |ORDER BY nv.label""".stripMargin)
     // ann_lsh_topk / ann_ivf_topk: rows-only (bucketing-dependent)
   )
 }

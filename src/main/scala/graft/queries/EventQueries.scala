@@ -114,6 +114,25 @@ object EventQueries {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"user_id", $"event_type", $"ts_us", $"event_id", $"value")
+    },
+
+    // daily event-rate anomalies: days whose count departs from the
+    // type's mean by more than 2 population-stddevs. The 2σ test is
+    // rearranged to pure integer arithmetic — (n·D − T)² > 4(D·Σn² − T²),
+    // D=#days, T=Σn — so the answer is bit-exact on any engine (no
+    // float sqrt/mean drift). Two partial-agg shuffles on tiny keyed
+    // relations (types×days, then types); no window over raw events.
+    "ev_anomaly" -> { (s, d) =>
+      import s.implicits._
+      val daily = ev(s, d)
+        .groupBy($"event_type", ($"ts_us" / DayUs).cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("dd"), sum($"n").as("t"), sum($"n" * $"n").as("s2"))
+      daily.join(stats, Seq("event_type"))
+        .filter(($"n" * $"dd" - $"t") * ($"n" * $"dd" - $"t") > lit(4L) * ($"dd" * $"s2" - $"t" * $"t"))
+        .select($"event_type", $"day", $"n")
+        .orderBy($"event_type", $"day")
     }
   )
 
@@ -180,6 +199,20 @@ object EventQueries {
         |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events)
         |SELECT user_id, event_type, ts_us, event_id, value
-        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "ev_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS dd,
+        |    CAST(SUM(n) AS BIGINT) AS t, CAST(SUM(n * n) AS BIGINT) AS s2
+        |  FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n
+        |FROM daily d JOIN st ON st.event_type = d.event_type
+        |WHERE (d.n * st.dd - st.t) * (d.n * st.dd - st.t) > 4 * (st.dd * st.s2 - st.t * st.t)
+        |ORDER BY d.event_type, d.day""".stripMargin
   )
 }

@@ -126,6 +126,38 @@ object TextQueries {
         .orderBy($"fingerprint")
     },
 
+    // corpus vocabulary: top-50 tokens by occurrence count with document
+    // frequency — the token-frequency table a BPE/tokenizer-training or
+    // stopword-induction step starts from. One explode + one partial-agg
+    // shuffle on the token; the top-k is a TakeOrdered, never a global
+    // sort of the vocabulary.
+    "txt_vocab" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", explode(split($"text", " +")).as("tok"))
+        .groupBy($"tok")
+        .agg(count(lit(1)).as("n_occurrences"), countDistinct($"doc_id").as("n_docs"))
+        .orderBy($"n_occurrences".desc, $"tok")
+        .limit(50)
+    },
+
+    // context-length packing: greedily assign docs (in doc_id order, per
+    // source stream) to 512-token training bins via a running token count;
+    // emit per-bin stats. The running sum is windowed per source, so
+    // parallelism = number of packing streams (at 100 TB: salt the stream
+    // key to add streams, each bin stays a contiguous doc range).
+    "txt_pack_bins" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      t(s, d, "documents")
+        .select($"source", $"doc_id", size(split($"text", " +")).cast("long").as("n_tok"))
+        .withColumn("bin", floor((sum($"n_tok").over(w) - $"n_tok") / lit(512L)).cast("long"))
+        .groupBy($"source", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"source", $"bin")
+    },
+
     // top character-trigram profile per language (explode → count → top-5)
     "txt_ngram_profile" -> { (s, d) =>
       import s.implicits._
@@ -194,6 +226,26 @@ object TextQueries {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS first_doc
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    "txt_vocab" ->
+      """SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 50""".stripMargin,
+
+    "txt_pack_bins" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok AS cum_before
+        |  FROM d)
+        |SELECT source, CAST(cum_before // 512 AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
 
     "txt_ngram_profile" ->
       """WITH grams AS (
