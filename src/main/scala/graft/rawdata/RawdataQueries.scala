@@ -118,6 +118,18 @@ object RawdataQueries {
         .orderBy(col("rn"))
     },
 
+    // the DataSource V2 connector path: a plain declarative read where
+    // the ts_ms predicate reaches planInputPartitions and prunes files
+    // (graft.sources.TopicDataSource) — the same answer as the manual
+    // seek, via spark.read.format
+    "rd_source_scan" -> { (s, d) =>
+      s.read.format("graft-topic").load(topic(s, d))
+        .filter(col("ts_ms") >= MidMonthMs)
+        .groupBy(col("orderingGroup").as("ordering_group"))
+        .agg(count(lit(1)).as("n"), min(col("ulid_hex")).as("first_ulid"))
+        .orderBy(col("ordering_group"))
+    },
+
     "rd_gap_detect" -> { (s, d) =>
       val w = Window.partitionBy(col("orderingGroup")).orderBy(col("sequenceNumber"))
       Topic.readDF(s, topic(s, d))
@@ -189,6 +201,11 @@ object RawdataQueries {
         |    CAST(ROW_NUMBER() OVER (ORDER BY ulid_hex) AS INT) AS rn
         |  FROM m WHERE ordering_group = 'click')
         |SELECT rn, seq, position, ts_ms FROM c WHERE rn <= 100 ORDER BY rn""".stripMargin),
+
+    "rd_source_scan" -> (M +
+      """SELECT ordering_group, CAST(COUNT(*) AS BIGINT) AS n, MIN(ulid_hex) AS first_ulid
+        |FROM m WHERE ts_ms >= 1705276800000
+        |GROUP BY ordering_group ORDER BY ordering_group""".stripMargin),
 
     "rd_gap_detect" -> (M +
       """, g AS (SELECT ordering_group, seq,

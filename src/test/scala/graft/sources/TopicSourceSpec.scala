@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.rawdata.{EventsAsTopic, Topic}
+
+/** The DataSource V2 topic connector must agree with the imperative read
+  * path AND prove its planning-time behaviors: ts_ms predicates prune
+  * files before any read, and column pruning reaches the decoder.
+  */
+class TopicSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Topic.tempDir("dsv2-topic")
+    Topic.write(EventsAsTopic.messagesFromEvents(spark, sf), d, EventsAsTopic.cfg)
+    d
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): TopicScan =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.get.asInstanceOf[TopicScan]
+
+  test("format(graft-topic) returns exactly what Topic.readDF returns") {
+    val viaSource = spark.read.format("graft-topic").load(dir)
+      .select($"ulid_hex", $"position", $"sequenceNumber", $"ts_ms")
+    val viaTopic = Topic.readDF(spark, dir)
+      .select($"ulid_hex", $"position", $"sequenceNumber", $"ts_ms")
+    assert(viaSource.collect().toSet === viaTopic.collect().toSet)
+  }
+
+  test("a ts_ms range predicate prunes files at plan time") {
+    val files = Topic.listFiles(dir)
+    assert(files.size > 3)
+    val cut = files(files.size / 2).fromTsMs + 1
+    val hi = files(files.size / 2 + 1).fromTsMs
+
+    val df = spark.read.format("graft-topic").load(dir)
+      .filter($"ts_ms" >= cut && $"ts_ms" <= hi)
+    val parts = scanOf(df).planInputPartitions()
+    assert(parts.length < files.size, "pruned scan must not read every file")
+    assert(parts.length <= 3, s"±1-window bound expected, got ${parts.length} files")
+
+    // and the answer still matches the unpruned/manual path
+    val expected = Topic.readDF(spark, dir)
+      .filter($"ts_ms" >= cut && $"ts_ms" <= hi)
+      .select($"ulid_hex").as[String].collect().toSet
+    assert(df.select($"ulid_hex").as[String].collect().toSet === expected)
+  }
+
+  test("column pruning reaches the reader (payload map not decoded)") {
+    val df = spark.read.format("graft-topic").load(dir).select($"position")
+    val scan = scanOf(df)
+    assert(scan.readSchema().fieldNames.toSeq === Seq("position"))
+    assert(df.distinct().count() === graft.Tables.events(spark, sf).count())
+  }
+
+  test("SQL over the connector: the seek query shape via plain spark.sql") {
+    spark.read.format("graft-topic").load(dir).createOrReplaceTempView("topic_v")
+    val mid = Topic.listFiles(dir)(Topic.listFiles(dir).size / 2).fromTsMs
+    val n = spark.sql(s"SELECT COUNT(*) FROM topic_v WHERE ts_ms >= $mid").as[Long].collect().head
+    val expected = Topic.seek(spark, dir, mid).count()
+    assert(n === expected)
+  }
+}
