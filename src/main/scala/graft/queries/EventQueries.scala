@@ -124,12 +124,16 @@ object EventQueries {
     // relations (types×days, then types); no window over raw events.
     "ev_anomaly" -> { (s, d) =>
       import s.implicits._
-      val daily = ev(s, d)
+      // per-type stats come from a window over the DAILY relation (tiny:
+      // types × days), not a second aggregation branch — Catalyst has no
+      // cross-branch CSE, so an agg+join form would scan raw events twice
+      val w = Window.partitionBy($"event_type")
+      ev(s, d)
         .groupBy($"event_type", ($"ts_us" / DayUs).cast("long").as("day"))
         .agg(count(lit(1)).as("n"))
-      val stats = daily.groupBy($"event_type")
-        .agg(count(lit(1)).as("dd"), sum($"n").as("t"), sum($"n" * $"n").as("s2"))
-      daily.join(stats, Seq("event_type"))
+        .withColumn("dd", count(lit(1)).over(w))
+        .withColumn("t", sum($"n").over(w))
+        .withColumn("s2", sum($"n" * $"n").over(w))
         .filter(($"n" * $"dd" - $"t") * ($"n" * $"dd" - $"t") > lit(4L) * ($"dd" * $"s2" - $"t" * $"t"))
         .select($"event_type", $"day", $"n")
         .orderBy($"event_type", $"day")
