@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -64,7 +65,7 @@ final class TopicTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft-topic(`$path`)"
   override def schema(): StructType = TopicDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TopicScanBuilder(path)
 }
@@ -126,6 +127,67 @@ final class TopicScan(path: String, loMs: Long, hiMs: Long, required: StructType
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TopicReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new TopicMicroBatchStream(path, loMs, hiMs, required)
+}
+
+/** Micro-batch tail of a topic — the consumer's poll loop
+  * (reference AvroRawdataConsumer.java:71-96) as a DSv2 stream: each
+  * trigger lists the topic (one LIST per trigger, like the reference's
+  * TopicAvroFileCache interval) and the newly landed files become that
+  * micro-batch's partitions. Topic files appear atomically (temp-name
+  * rename), so per-file discovery can neither lose nor split a file.
+  *
+  * Offsets index this stream's DISCOVERY ORDER (files sorted by name can
+  * land out of ULID order under a distributed publish; discovery order is
+  * append-only, which offsets must be). The discovery log lives in
+  * memory: on restart-from-checkpoint the topic is re-discovered, i.e.
+  * delivery is at-least-once across restarts — compose with
+  * dropDuplicatesWithinWatermark on ulid_hex (TopicStream.dedupedMessages
+  * does) for effective exactly-once, mirroring the reference consumer's
+  * dedup-on-resume guidance.
+  */
+final class TopicMicroBatchStream(path: String, loMs: Long, hiMs: Long, required: StructType)
+    extends MicroBatchStream {
+
+  private val discovered = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val known = scala.collection.mutable.HashSet.empty[String]
+
+  private def discover(): Unit = synchronized {
+    val all = Topic.listFiles(path)
+    val fromLo = if (loMs == Long.MinValue) all else Topic.pruneFrom(all, loMs)
+    val inRange = if (hiMs == Long.MaxValue) fromLo else fromLo.takeWhile(_.fromTsMs <= hiMs)
+    inRange.foreach { f =>
+      if (known.add(f.path)) discovered += f.path
+    }
+  }
+
+  override def initialOffset(): Offset = TopicOffset(0)
+
+  override def latestOffset(): Offset = {
+    discover()
+    synchronized(TopicOffset(discovered.size))
+  }
+
+  override def deserializeOffset(json: String): Offset = TopicOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[TopicOffset].n.toInt, end.asInstanceOf[TopicOffset].n.toInt)
+    val sconf = HadoopIO.serializable()
+    synchronized(discovered.slice(s, e).toArray)
+      .map(p => TopicInputPartition(p, sconf): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new TopicReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+final case class TopicOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
 }
 
 final case class TopicInputPartition(filePath: String, sconf: HadoopIO.SerializableConf) extends InputPartition

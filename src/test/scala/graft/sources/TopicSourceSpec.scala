@@ -58,6 +58,29 @@ class TopicSourceSpec extends SparkSpec {
     assert(df.distinct().count() === graft.Tables.events(spark, sf).count())
   }
 
+  test("readStream tails the topic incrementally: new files become new micro-batches") {
+    val sdir = Topic.tempDir("dsv2-stream")
+    val all = EventsAsTopic.messagesFromEvents(spark, sf)
+    val batch1 = all.filter($"sequenceNumber" <= 300)
+    val batch2 = all.filter($"sequenceNumber" > 300 && $"sequenceNumber" <= 400)
+    Topic.write(batch1, sdir, EventsAsTopic.cfg)
+    val n1 = batch1.count()
+
+    val q = spark.readStream.format("graft-topic").load(sdir)
+      .select($"ulid_hex", $"position")
+      .writeStream.format("memory").queryName("topic_tail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT COUNT(*) FROM topic_tail").as[Long].collect().head === n1)
+      // a second publish lands new files; the SAME query picks them up
+      Topic.write(batch2, sdir, EventsAsTopic.cfg)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ulid_hex FROM topic_tail").as[String].collect()
+      assert(rows.length === n1 + batch2.count())
+      assert(rows.distinct.length === rows.length, "no duplicate deliveries within one run")
+    } finally q.stop()
+  }
+
   test("SQL over the connector: the seek query shape via plain spark.sql") {
     spark.read.format("graft-topic").load(dir).createOrReplaceTempView("topic_v")
     val mid = Topic.listFiles(dir)(Topic.listFiles(dir).size / 2).fromTsMs
