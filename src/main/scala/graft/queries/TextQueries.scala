@@ -158,6 +158,28 @@ object TextQueries {
         .orderBy($"source", $"bin")
     },
 
+    // scrub-target pattern scan (the PII-removal pre-pass of a training
+    // pipeline): count email-, URL- and long-number-shaped substrings per
+    // source, plus how many docs are flagged at all. One narrow codegen'd
+    // regexp pass + one partial-agg shuffle on source.
+    "txt_pii" -> { (s, d) =>
+      import s.implicits._
+      def hits(pat: String): Column =
+        size(expr(s"regexp_extract_all(text, '$pat', 0)")).cast("long")
+      t(s, d, "documents")
+        .select($"source",
+          hits("[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z]{2,}").as("emails"),
+          hits("https?://[^ ]+").as("urls"),
+          hits("[0-9]{6,}").as("longnums"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"emails").as("n_emails"),
+          sum($"urls").as("n_urls"),
+          sum($"longnums").as("n_longnums"),
+          sum(when($"emails" + $"urls" + $"longnums" > 0, 1L).otherwise(0L)).as("n_flagged"))
+        .orderBy($"source")
+    },
+
     // top character-trigram profile per language (explode → count → top-5)
     "txt_ngram_profile" -> { (s, d) =>
       import s.implicits._
@@ -246,6 +268,20 @@ object TextQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+
+    "txt_pii" ->
+      """WITH h AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS emails,
+        |    CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS urls,
+        |    CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS longnums
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(emails) AS BIGINT) AS n_emails,
+        |  CAST(SUM(urls) AS BIGINT) AS n_urls,
+        |  CAST(SUM(longnums) AS BIGINT) AS n_longnums,
+        |  CAST(SUM(CASE WHEN emails + urls + longnums > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
 
     "txt_ngram_profile" ->
       """WITH grams AS (

@@ -355,6 +355,21 @@ object Topic {
     spark.createDataset(files).toDF()
   }
 
+  /** Maintenance compaction: rewrite a topic's files under a different
+    * rolling config into `destDir` (typically: many small producer files
+    * → fewer large analytics-friendly ones). Messages, ids and order are
+    * preserved — only the file layout changes; the destination is a
+    * normal topic readable by this engine or the reference client. The
+    * rewrite is one distributed read + one clustered write, both through
+    * the standard paths (pruning, temp-name commit), so it scales like
+    * any other topic job. Writing to a NEW directory keeps the operation
+    * safe under concurrent readers of the source (swap by pointer/rename
+    * at a higher level once satisfied).
+    */
+  def compact(spark: SparkSession, srcDir: String, destDir: String,
+      cfg: TopicConfig = TopicConfig()): Seq[TopicFile] =
+    write(read(spark, srcDir).toDF(), destDir, cfg)
+
   def tempDir(prefix: String): String = {
     val d = new java.io.File(sys.props("java.io.tmpdir"), s"$prefix-${UUID.randomUUID().toString.take(8)}")
     d.mkdirs()

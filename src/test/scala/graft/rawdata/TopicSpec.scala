@@ -175,6 +175,25 @@ class TopicSpec extends SparkSpec {
     }
   }
 
+  test("compaction rewrites many small files into fewer, preserving every message") {
+    val src = Topic.tempDir("topic-compact-src")
+    // produce a deliberately fragmented topic (tiny byte roll)
+    Topic.write(messages, src, TopicConfig(
+      maxWindowMs = 30L * 86400 * 1000, maxBytes = 8 * 1024, syncIntervalBytes = 1024))
+    val before = Topic.listFiles(src)
+    assert(before.size > 5)
+
+    val dest = Topic.tempDir("topic-compact-dst")
+    val after = Topic.compact(spark, src, dest, TopicConfig(
+      maxWindowMs = 30L * 86400 * 1000, maxBytes = 64L * 1024 * 1024))
+    assert(after.size < before.size)
+    assert(after.map(_.count).sum === before.map(_.count).sum)
+    // identical message set, ULID order preserved within the new layout
+    val a = Topic.readDF(spark, src).select("ulid_hex").orderBy("ulid_hex").collect().map(_.getString(0))
+    val b = Topic.readDF(spark, dest).select("ulid_hex").orderBy("ulid_hex").collect().map(_.getString(0))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("avro files are format-compatible with the reference schema (fixed-16 ulid)") {
     val dir = Topic.tempDir("topic-schema")
     Topic.write(messages.limit(10), dir, EventsAsTopic.cfg)
