@@ -166,7 +166,7 @@ object Topic {
     *    Avro sync markers are random bytes but fixed width — so equal
     *    length ⇒ same committed content.)
     */
-  private[rawdata] def commitTopicFile(
+  private[graft] def commitTopicFile(
       fs: org.apache.hadoop.fs.FileSystem, tmp: Path, dest: Path,
       name: String, preExisting: Set[String]): Unit = {
     if (fs.exists(dest)) {

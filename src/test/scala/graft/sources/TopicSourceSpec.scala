@@ -81,6 +81,26 @@ class TopicSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("write path: df.write.format(graft-topic) round-trips a topic") {
+    val dest = Topic.tempDir("dsv2-write")
+    spark.read.format("graft-topic").load(dir)
+      .write.format("graft-topic").mode("append").save(dest)
+    val files = Topic.listFiles(dest)
+    assert(files.nonEmpty)
+    // filename metadata is real: counts sum to the message total, the
+    // fromTimestamp of each file is its true first message (input was
+    // ULID-sorted by the sink's required ordering)
+    assert(files.map(_.count).sum === graft.Tables.events(spark, sf).count())
+    val a = Topic.readDF(spark, dir).select($"ulid_hex", $"position", $"sequenceNumber")
+    val b = Topic.readDF(spark, dest).select($"ulid_hex", $"position", $"sequenceNumber")
+    assert(b.collect().toSet === a.collect().toSet)
+    // the reference-format invariants hold on the sink's files too
+    val f = files.head
+    val msgs = graft.rawdata.AvroCodec.readFile(f.path, graft.rawdata.HadoopIO.conf()).toSeq
+    val hexes = msgs.map(_.id.map("%02x".format(_)).mkString)
+    assert(hexes === hexes.sorted, "within-file ULID order")
+  }
+
   test("SQL over the connector: the seek query shape via plain spark.sql") {
     spark.read.format("graft-topic").load(dir).createOrReplaceTempView("topic_v")
     val mid = Topic.listFiles(dir)(Topic.listFiles(dir).size / 2).fromTsMs
