@@ -2,36 +2,28 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
-import graft.rawdata.{AvroCodec, RawdataMessage, Ulid}
+import graft.rawdata.{RawdataMessage, Ulid}
 
 /** Structured-Streaming tail of a rawdata topic — the consumer's
   * "wait for new files" loop (reference AvroRawdataConsumer.receive,
-  * :71-96, which polls the file listing) re-expressed as a file-source
-  * stream: each newly landed Avro file becomes one micro-batch input row,
-  * decoded into messages inside the stage. Scale: file-arrival discovery
-  * is Spark's incremental listing; decode parallelism = files per batch.
+  * :71-96, which polls the file listing) re-expressed as a stream over
+  * the graft-topic DataSource V2 connector: each trigger lists the topic
+  * once, newly landed Avro files become that micro-batch's partitions,
+  * and records stream straight out of the Avro decoder (the earlier
+  * binaryFile form materialized each whole file as one row first).
+  * Scale: one LIST per trigger; decode parallelism = files per batch.
   */
 object TopicStream {
 
-  private val binaryFileSchema = StructType(Seq(
-    StructField("path", StringType),
-    StructField("modificationTime", TimestampType),
-    StructField("length", LongType),
-    StructField("content", BinaryType)))
-
   /** Unbounded Dataset of messages from a topic directory. */
   def messages(spark: SparkSession, topicDir: String): Dataset[RawdataMessage] = {
-    implicit val enc = Encoders.product[RawdataMessage]
+    implicit val enc: org.apache.spark.sql.Encoder[RawdataMessage] = Encoders.product[RawdataMessage]
     spark.readStream
-      .format("binaryFile")
-      .option("pathGlobFilter", "*.avro")
-      .schema(binaryFileSchema)
+      .format("graft-topic")
       .load(topicDir)
-      .select(col("content"))
-      .as(Encoders.BINARY)
-      .flatMap((content: Array[Byte]) => AvroCodec.readBytes(content))
+      .select(col("id"), col("orderingGroup"), col("sequenceNumber"), col("position"), col("data"))
+      .as[RawdataMessage]
   }
 
   /** Exactly-once-style tail: duplicate deliveries (re-uploaded files,

@@ -76,6 +76,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(perDoc(6L) === 7L)
   }
 
+  test("vocab, packing and pii scans survive the pathological corpus") {
+    val vocab = TextQueries.queries("txt_vocab")(spark, edgeDir).collect()
+    assert(vocab.nonEmpty)
+    // "the" appears in docs 6, 7 (2x each) → 4 occurrences, 2 docs
+    val the = vocab.find(_.getString(0) == "the").get
+    assert(the.getAs[Long]("n_occurrences") === 4L && the.getAs[Long]("n_docs") === 2L)
+
+    val bins = TextQueries.queries("txt_pack_bins")(spark, edgeDir).collect()
+    // every doc lands in some bin; totals preserved
+    assert(bins.map(_.getAs[Long]("n_docs")).sum === 9L)
+
+    val pii = TextQueries.queries("txt_pii")(spark, edgeDir).collect()
+    assert(pii.map(_.getAs[Long]("n_docs")).sum === 9L)
+    assert(pii.forall(_.getAs[Long]("n_flagged") === 0L), "no pii patterns in the edge corpus")
+  }
+
   test("the dedup chain end-to-end on the pathological corpus") {
     // must not throw, and must find the one exact-duplicate near-pair
     val pairs = DedupQueries.queries("dd_jaccard")(spark, edgeDir).collect()
