@@ -18,6 +18,26 @@ import org.apache.spark.sql.functions._
   */
 case class TopicFile(path: String, fromTsMs: Long, count: Long, lastBlockOffset: Long, firstPosition: String)
 
+/** Compact membership snapshot of the filenames present before a publish:
+  * 8-byte md5 name-hashes instead of the names themselves, so shipping a
+  * 1.5M-file topic's snapshot to writer tasks costs ~12 MB of longs, not
+  * hundreds of MB of strings. A false positive (hash collision making a
+  * fresh file look pre-existing → spurious loud failure) needs an 8-byte
+  * md5 prefix collision — negligible at any real file count.
+  */
+final class PreExisting private (hashes: Set[Long]) extends Serializable {
+  def contains(name: String): Boolean = hashes.contains(PreExisting.hash(name))
+}
+
+object PreExisting {
+  private[rawdata] def hash(name: String): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5").digest(name.getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(h).getLong
+  }
+  def of(names: Iterable[String]): PreExisting =
+    new PreExisting(names.iterator.map(hash).toSet)
+}
+
 case class TopicConfig(
     maxWindowMs: Long = 3600L * 1000,
     maxBytes: Long = 64L * 1024 * 1024,
@@ -92,11 +112,15 @@ object Topic {
     // lets a task distinguish a genuine re-publish (dest predates the job
     // → loud failure) from its own earlier attempt under Spark task
     // retry/speculation (dest appeared during the job → already committed,
-    // skip). Filenames only — tiny even for a huge topic.
-    val preExisting = listFiles(topicDir).map(f => new Path(f.path).getName).toSet
+    // skip). Broadcast once as 8-byte name hashes (PreExisting), so a
+    // 1.5M-file topic costs one ~12 MB broadcast, not a per-task closure
+    // of full name strings.
+    val pre = messages.sparkSession.sparkContext.broadcast(
+      PreExisting.of(listFiles(topicDir).map(f => new Path(f.path).getName)))
     val metas = staged.toDF().mapPartitions { rows =>
-      new FileGroupWriter(topicDir, sync, sconf, preExisting, rows).run()
+      new FileGroupWriter(topicDir, sync, sconf, pre.value, rows).run()
     }.collect().toSeq
+    pre.destroy()
 
     invalidateListing(topicDir)
     metas.sortBy(_.fromTsMs)
@@ -107,7 +131,7 @@ object Topic {
     */
   private final class FileGroupWriter(
       topicDir: String, syncBytes: Long, sconf: HadoopIO.SerializableConf,
-      preExisting: Set[String], rows: Iterator[Row]) {
+      preExisting: PreExisting, rows: Iterator[Row]) {
     def run(): Iterator[TopicFile] = {
       val fs = HadoopIO.fs(topicDir, sconf.value)
       val out = Seq.newBuilder[TopicFile]
@@ -168,7 +192,7 @@ object Topic {
     */
   private[graft] def commitTopicFile(
       fs: org.apache.hadoop.fs.FileSystem, tmp: Path, dest: Path,
-      name: String, preExisting: Set[String]): Unit = {
+      name: String, preExisting: PreExisting): Unit = {
     if (fs.exists(dest)) {
       if (preExisting.contains(name))
         throw new IllegalStateException(s"topic file already exists (identical re-publish?): $dest")

@@ -62,7 +62,8 @@ final class TopicBatchWrite(path: String, schema: StructType, cfg: TopicConfig) 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = HadoopIO.conf()
     HadoopIO.fs(path, conf).mkdirs(new Path(path))
-    val preExisting = Topic.listFiles(path).map(f => new Path(f.path).getName).toSet
+    val preExisting = graft.rawdata.PreExisting.of(
+      Topic.listFiles(path).map(f => new Path(f.path).getName))
     new TopicWriterFactory(path, schema, cfg, HadoopIO.serializable(), preExisting)
   }
 
@@ -74,7 +75,7 @@ final class TopicBatchWrite(path: String, schema: StructType, cfg: TopicConfig) 
 
 final case class TopicWriterFactory(
     path: String, schema: StructType, cfg: TopicConfig,
-    sconf: HadoopIO.SerializableConf, preExisting: Set[String]) extends DataWriterFactory {
+    sconf: HadoopIO.SerializableConf, preExisting: graft.rawdata.PreExisting) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new TopicDataWriter(path, schema, cfg, sconf, preExisting)
 }
@@ -87,7 +88,7 @@ final case class TopicFilesWritten(names: Seq[String]) extends WriterCommitMessa
   */
 final class TopicDataWriter(
     topicDir: String, schema: StructType, cfg: TopicConfig,
-    sconf: HadoopIO.SerializableConf, preExisting: Set[String]) extends DataWriter[InternalRow] {
+    sconf: HadoopIO.SerializableConf, preExisting: graft.rawdata.PreExisting) extends DataWriter[InternalRow] {
 
   private val fs = HadoopIO.fs(topicDir, sconf.value)
   private val iId = schema.fieldIndex("id")

@@ -130,22 +130,22 @@ class TopicSpec extends SparkSpec {
     // earlier attempt of this task committed it: success, tmp dropped
     val dest = mkFile(destName, 64)
     val tmp1 = mkFile(".inprogress-retry.tmp", 64)
-    Topic.commitTopicFile(fs, tmp1, dest, destName, preExisting = Set.empty)
+    Topic.commitTopicFile(fs, tmp1, dest, destName, preExisting = PreExisting.of(Nil))
     assert(fs.exists(dest) && !fs.exists(tmp1))
     // case 2: dest predates the publish → genuine re-publish: loud failure
     val tmp2 = mkFile(".inprogress-republish.tmp", 64)
     val e2 = intercept[IllegalStateException](
-      Topic.commitTopicFile(fs, tmp2, dest, destName, preExisting = Set(destName)))
+      Topic.commitTopicFile(fs, tmp2, dest, destName, preExisting = PreExisting.of(Seq(destName))))
     assert(e2.getMessage.contains("re-publish"))
     // case 3: dest appeared with a DIFFERENT length → concurrent writer
     val tmp3 = mkFile(".inprogress-conflict.tmp", 128)
     val e3 = intercept[IllegalStateException](
-      Topic.commitTopicFile(fs, tmp3, dest, destName, preExisting = Set.empty))
+      Topic.commitTopicFile(fs, tmp3, dest, destName, preExisting = PreExisting.of(Nil)))
     assert(e3.getMessage.contains("conflicting"))
     // fresh dest → plain rename
     val tmp4 = mkFile(".inprogress-fresh.tmp", 32)
     val dest4 = HadoopIO.child(dir, s"${Topic.formatTs(2000)}_1_100_p2.avro")
-    Topic.commitTopicFile(fs, tmp4, dest4, dest4.getName, preExisting = Set.empty)
+    Topic.commitTopicFile(fs, tmp4, dest4, dest4.getName, preExisting = PreExisting.of(Nil))
     assert(fs.exists(dest4) && !fs.exists(tmp4))
   }
 
