@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -95,7 +96,16 @@ object DedupQueries {
   private def jaccardOf(arr: DataFrame): DataFrame = {
     val s = arr.sparkSession
     import s.implicits._
-    val cand = candidatesFrom(arr.select($"doc_id", explode($"ss").as("s")))
+    jaccardFor(arr, candidatesFrom(arr.select($"doc_id", explode($"ss").as("s"))))
+  }
+
+  /** exact jaccard_ppm for an externally supplied candidate-pair relation
+    * (doc_a, doc_b) — the reusable tail of jaccardOf, also fed by the
+    * incremental (new-batch × corpus) candidate generator
+    */
+  private def jaccardFor(arr: DataFrame, cand: DataFrame): DataFrame = {
+    val s = arr.sparkSession
+    import s.implicits._
     val candDocs = cand.select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
     val sets = arr.join(candDocs, Seq("doc_id"), "left_semi")
     cand
@@ -245,6 +255,46 @@ object DedupQueries {
       graft.operators.VectorOps.bandedCosinePairs(s, d, 100)
         .filter($"cos_ppm" >= 300000)
         .select($"va".as("vec_a"), $"vb".as("vec_b"), $"cos_ppm")
+    },
+
+    // INCREMENTAL dedup — the production shape: dedup an incoming batch
+    // against the existing corpus without re-clustering the corpus. The
+    // "new batch" is the deterministic doc_id % 10 == 0 slice. Exact dups
+    // are a fingerprint equi-join new→corpus; near dups are CROSS-SET
+    // LSH candidates (band join restricted to new×corpus pairs — wide
+    // work proportional to the batch, not the corpus) verified by exact
+    // jaccard. Verdict per new doc: exact beats near beats unique, best
+    // match = max jaccard with min-doc tie-break.
+    "dd_incremental" -> { (s, d) =>
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val newPred = col("doc_id") % 10 === 0
+      val fp = docs.select($"doc_id", md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+      val exact = fp.filter(newPred).as("n")
+        .join(fp.filter(!newPred).as("c"), col("n.fp") === col("c.fp"))
+        .groupBy(col("n.doc_id").as("doc_id"))
+        .agg(min(col("c.doc_id")).as("match_doc"))
+        .select($"doc_id", lit("exact").as("verdict"), $"match_doc", lit(1000000L).as("jaccard_ppm"))
+      val arr = shingleArrays(docs).persist()
+      val bands = bandsFrom(arr.select($"doc_id", explode($"ss").as("s")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") % 10 === 0 && col("b.doc_id") % 10 =!= 0)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val w = Window.partitionBy($"doc_a").orderBy($"jaccard_ppm".desc, $"doc_b")
+      val near = jaccardFor(arr, cand)
+        .filter($"jaccard_ppm" >= 400000)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_a".as("doc_id"), lit("near").as("verdict"),
+          $"doc_b".as("match_doc"), $"jaccard_ppm")
+      val nearOnly = near.join(exact.select($"doc_id"), Seq("doc_id"), "left_anti")
+      val unique = docs.filter(newPred).select($"doc_id")
+        .join(exact.select($"doc_id").unionByName(near.select($"doc_id")), Seq("doc_id"), "left_anti")
+        .select($"doc_id", lit("unique").as("verdict"),
+          lit(-1L).as("match_doc"), lit(0L).as("jaccard_ppm"))
+      exact.unionByName(nearOnly).unionByName(unique).orderBy($"doc_id")
     },
 
     // CORPUS-WIDE embedding near-dup: hyperplane-LSH candidate buckets +
@@ -419,6 +469,50 @@ object DedupQueries {
           |losers AS (SELECT DISTINCT doc_b FROM jacc WHERE jaccard_ppm >= 400000)
           |SELECT doc_id, source FROM kept1
           |WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+          |ORDER BY doc_id""".stripMargin),
+
+    "dd_incremental" ->
+      (s"""WITH ${lshCtes("documents")},
+          |fpx AS (
+          |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          |  FROM documents),
+          |ex AS (
+          |  SELECT n.doc_id, MIN(c.doc_id) AS match_doc
+          |  FROM fpx n JOIN fpx c ON n.fp = c.fp AND n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+          |  GROUP BY n.doc_id),
+          |xcand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+          |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_int
+          |  FROM xcand c
+          |  JOIN sh sa ON sa.doc_id = c.doc_a
+          |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+          |  GROUP BY c.doc_a, c.doc_b),
+          |jx AS (
+          |  SELECT i.doc_a, i.doc_b,
+          |    CAST(FLOOR(n_int / CAST(za.n_sh + zb.n_sh - n_int AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS jaccard_ppm
+          |  FROM inter i
+          |  JOIN sizes za ON za.doc_id = i.doc_a
+          |  JOIN sizes zb ON zb.doc_id = i.doc_b),
+          |near AS (
+          |  SELECT doc_id, match_doc, jaccard_ppm FROM (
+          |    SELECT doc_a AS doc_id, doc_b AS match_doc, jaccard_ppm,
+          |      ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY jaccard_ppm DESC, doc_b) AS rn
+          |    FROM jx WHERE jaccard_ppm >= 400000)
+          |  WHERE rn = 1)
+          |SELECT doc_id, 'exact' AS verdict, match_doc, CAST(1000000 AS BIGINT) AS jaccard_ppm FROM ex
+          |UNION ALL
+          |SELECT n.doc_id, 'near', n.match_doc, n.jaccard_ppm FROM near n
+          |WHERE n.doc_id NOT IN (SELECT doc_id FROM ex)
+          |UNION ALL
+          |SELECT d.doc_id, 'unique', CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+          |FROM documents d
+          |WHERE d.doc_id % 10 = 0
+          |  AND d.doc_id NOT IN (SELECT doc_id FROM ex)
+          |  AND d.doc_id NOT IN (SELECT doc_id FROM near)
           |ORDER BY doc_id""".stripMargin),
 
     "dd_embed" ->
