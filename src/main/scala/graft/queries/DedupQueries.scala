@@ -93,6 +93,25 @@ object DedupQueries {
     * (the round-2 form joined the whole shingle table twice to verify a
     * tiny candidate set: 35 s at sf0.1 for 31 output pairs).
     */
+  /** survivors of quality gate → exact keep-first → LSH near-dup removal,
+    * with text retained (shared by pipe_clean_corpus and pipe_pack_corpus)
+    */
+  private def cleanedCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = TextQueries.qualityScored(t(s, d, "documents"))
+      .filter(floor($"score" * lit(1000000.0) + lit(0.5)).cast("long") >= 550000)
+      .select($"doc_id", $"source", $"text")
+    val keepFirst = q.groupBy(md5($"text").as("f")).agg(min($"doc_id").as("doc_id"))
+    // kept1 feeds BOTH the shingle chain and the final anti-join —
+    // persist it so the quality scan + keep-first groupBy run once
+    // (cache is scoped per query by the harness's clearCache)
+    val kept1 = q.join(keepFirst.select($"doc_id"), Seq("doc_id"), "left_semi").persist()
+    val losers = jaccardOf(shingleArrays(kept1).persist())
+      .filter($"jaccard_ppm" >= 400000)
+      .select($"doc_b".as("doc_id")).distinct()
+    kept1.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   private def jaccardOf(arr: DataFrame): DataFrame = {
     val s = arr.sparkSession
     import s.implicits._
@@ -233,19 +252,23 @@ object DedupQueries {
     // chained without materializing anything but the shingle set.
     "pipe_clean_corpus" -> { (s, d) =>
       import s.implicits._
-      val q = TextQueries.qualityScored(t(s, d, "documents"))
-        .filter(floor($"score" * lit(1000000.0) + lit(0.5)).cast("long") >= 550000)
-        .select($"doc_id", $"source", $"text")
-      val keepFirst = q.groupBy(md5($"text").as("f")).agg(min($"doc_id").as("doc_id"))
-      // kept1 feeds BOTH the shingle chain and the final anti-join —
-      // persist it so the quality scan + keep-first groupBy run once
-      // (cache is scoped per query by the harness's clearCache)
-      val kept1 = q.join(keepFirst.select($"doc_id"), Seq("doc_id"), "left_semi").persist()
-      val losers = jaccardOf(shingleArrays(kept1).persist())
-        .filter($"jaccard_ppm" >= 400000)
-        .select($"doc_b".as("doc_id")).distinct()
-      kept1.join(losers, Seq("doc_id"), "left_anti")
-        .select($"doc_id", $"source")
+      cleanedCorpus(s, d).select($"doc_id", $"source")
+    },
+
+    // ...and the capstone composition: the cleaned corpus packed into
+    // 512-token training bins per source (clean → dedup → pack) — the
+    // full prep a pretraining dataloader consumes. One extra windowed
+    // running sum over the (already small) survivor set.
+    "pipe_pack_corpus" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      cleanedCorpus(s, d)
+        .select($"source", $"doc_id", size(split($"text", " +")).cast("long").as("n_tok"))
+        .withColumn("bin", floor((sum($"n_tok").over(w) - $"n_tok") / lit(512L)).cast("long"))
+        .groupBy($"source", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"source", $"bin")
     },
 
     // embedding-cosine near-dup pairs above threshold, bounded by id-band
@@ -470,6 +493,34 @@ object DedupQueries {
           |SELECT doc_id, source FROM kept1
           |WHERE doc_id NOT IN (SELECT doc_b FROM losers)
           |ORDER BY doc_id""".stripMargin),
+
+    "pipe_pack_corpus" ->
+      (s"""WITH quality AS (
+          |  SELECT doc_id, source, text FROM documents
+          |  WHERE CAST(FLOOR(${TextQueries.qualityScoreSql} * 1000000.0 + 0.5) AS BIGINT) >= 550000),
+          |keep_first AS (
+          |  SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+          |kept1 AS (
+          |  SELECT q.doc_id, q.source, q.text FROM quality q
+          |  JOIN keep_first k ON k.doc_id = q.doc_id),
+          |${lshCtes("kept1")},
+          |$JaccardCtes,
+          |losers AS (SELECT DISTINCT doc_b FROM jacc WHERE jaccard_ppm >= 400000),
+          |cleaned AS (
+          |  SELECT doc_id, source, text FROM kept1
+          |  WHERE doc_id NOT IN (SELECT doc_b FROM losers)),
+          |dtok AS (
+          |  SELECT source, doc_id,
+          |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tok
+          |  FROM cleaned),
+          |c AS (
+          |  SELECT source, doc_id, n_tok,
+          |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok AS cum_before
+          |  FROM dtok)
+          |SELECT source, CAST(cum_before // 512 AS BIGINT) AS bin,
+          |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+          |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin),
 
     "dd_incremental" ->
       (s"""WITH ${lshCtes("documents")},
