@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Static kernel referenced from generated code (top-level object →
+  * Java-visible static forwarders).
+  */
+object VectorSigOps {
+
+  /** Per-table hyperplane sign bands of a quantized vector: band t packs
+    * `bits` sign bits (bit k = 1 iff q · planes[t·bits+k] > 0).
+    */
+  def bands(q: ArrayData, planes: Array[Array[Int]], tables: Int, bits: Int): ArrayData = {
+    val out = new Array[Long](tables)
+    val nq = q.numElements()
+    var t = 0
+    while (t < tables) {
+      var band = 0L
+      var k = 0
+      while (k < bits) {
+        val p = planes(t * bits + k)
+        val n = if (nq < p.length) nq else p.length
+        var dot = 0L
+        var i = 0
+        while (i < n) { dot += q.getLong(i) * p(i); i += 1 }
+        if (dot > 0) band |= (1L << k)
+        k += 1
+      }
+      out(t) = band
+      t += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** Native Catalyst expression: quantized vector (array<long>) → the
+  * `tables` hyperplane-LSH band values used by dd_embed_lsh /
+  * ann_lsh_topk.
+  *
+  * The higher-order-function formulation (aggregate over zip_with inside
+  * transform) evaluates ~tables·bits·dims interpreted lambda calls per
+  * row; this expression runs the same arithmetic as one tight generated
+  * loop with the deterministic plane matrix attached as a codegen
+  * reference object — the (b)-tier extension point from SURVEY's design
+  * rules. Plane recipe identical to VectorOps.hyperplanes (md5-derived),
+  * so results are bit-equal with the HOF form (asserted in
+  * VectorSigSpec).
+  */
+case class HyperplaneBands(child: Expression, tables: Int, bits: Int, dims: Int)
+    extends UnaryExpression {
+
+  require(bits <= 63, s"a band packs at most 63 bits, got $bits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_bands requires ARRAY<BIGINT> input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_bands"
+
+  @transient private lazy val planes: Array[Array[Int]] =
+    graft.operators.VectorOps.hyperplanes(tables * bits, dims)
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorSigOps.bands(input.asInstanceOf[ArrayData], planes, tables, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "int[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorSigOps.bands($c, $planesRef, $tables, $bits)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+    copy(child = newChild)
+}

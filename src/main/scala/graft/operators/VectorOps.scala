@@ -63,37 +63,34 @@ object VectorOps {
     }
   }
 
+  /** the native banding expression over a quantized-vector column (see
+    * graft.functions.HyperplaneBands) — constructed directly into the
+    * Column via ColumnBridge so it works in any session, extensions or not
+    */
+  def hyperplaneBandsCol(q: org.apache.spark.sql.Column, tables: Int, bits: Int, dims: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.HyperplaneBands(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(q), tables, bits, dims))
+
   /** Adds `bands`: array of `tables` band values, where band t packs the
     * sign bits of the quantized vector `q` against hyperplanes
     * [t·bits, (t+1)·bits). Unlike a single packed long this carries any
     * number of total sign bits (shiftleft on a long wraps at 64 — 80
     * planes in one `sig` would alias tables 8+ onto tables 0/1).
-    * Codegen'd higher-order functions only — a narrow per-row pass.
+    * Computed by the native codegen'd HyperplaneBands expression: one
+    * tight generated loop per row instead of tables·bits·dims interpreted
+    * higher-order-function lambda calls.
     */
-  def withHyperplaneBands(df: DataFrame, tables: Int, bits: Int, dims: Int = 64): DataFrame = {
-    val planeLit = array(hyperplanes(tables * bits, dims).map(p => array(p.map(lit(_)): _*)): _*)
-    df.withColumn("planes", planeLit)
-      .withColumn("bands", expr(
-        s"""transform(sequence(0, ${tables - 1}), t ->
-           |  aggregate(sequence(0, ${bits - 1}), 0L, (acc, k) ->
-           |    acc + CASE WHEN aggregate(zip_with(q, planes[t * $bits + k], (x, p) -> x * p), 0L, (a, v) -> a + v) > 0
-           |               THEN shiftleft(1L, k) ELSE 0L END))""".stripMargin))
-      .drop("planes")
-  }
+  def withHyperplaneBands(df: DataFrame, tables: Int, bits: Int, dims: Int = 64): DataFrame =
+    df.withColumn("bands", hyperplaneBandsCol(df("q"), tables, bits, dims))
 
   /** Adds `sig`: an n-bit sign signature of the quantized vector `q`
     * against the first n deterministic hyperplanes (bit j = 1 iff
     * q · plane_j > 0; n ≤ 63 — see withHyperplaneBands for wider).
-    * Codegen'd higher-order functions only — a narrow per-row pass.
+    * One single-table native banding pass.
     */
   def withHyperplaneSig(df: DataFrame, nBits: Int, dims: Int = 64): DataFrame = {
     require(nBits <= 63, s"a packed long sig holds at most 63 bits, got $nBits")
-    val planeLit = array(hyperplanes(nBits, dims).map(p => array(p.map(lit(_)): _*)): _*)
-    df.withColumn("planes", planeLit)
-      .withColumn("sig",
-        expr(s"""aggregate(sequence(0, ${nBits - 1}), 0L, (acc, j) ->
-                | acc + CASE WHEN aggregate(zip_with(q, planes[j], (x, p) -> x * p), 0L, (a, v) -> a + v) > 0
-                |            THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin))
-      .drop("planes")
+    df.withColumn("sig", element_at(hyperplaneBandsCol(df("q"), 1, nBits, dims), 1))
   }
 }

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.VectorOps
+
+/** The native HyperplaneBands expression must be bit-equal with both the
+  * interpreted higher-order-function formulation it replaced and a plain
+  * Scala re-computation of the same md5-derived planes.
+  */
+class VectorSigSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Tables = 10
+  private val Bits = 8
+
+  test("native bands equal the HOF formulation and a local recomputation") {
+    val e = VectorOps.quantized(spark, sf)
+    val planeLit = array(VectorOps.hyperplanes(Tables * Bits, 64).map(p => array(p.map(lit(_)): _*)): _*)
+    val hof = e.withColumn("planes", planeLit)
+      .withColumn("bands_hof", expr(
+        s"""transform(sequence(0, ${Tables - 1}), t ->
+           |  aggregate(sequence(0, ${Bits - 1}), 0L, (acc, k) ->
+           |    acc + CASE WHEN aggregate(zip_with(q, planes[t * $Bits + k], (x, p) -> x * p), 0L, (a, v) -> a + v) > 0
+           |               THEN shiftleft(1L, k) ELSE 0L END))""".stripMargin))
+      .drop("planes")
+    val both = VectorOps.withHyperplaneBands(hof, Tables, Bits)
+      .select($"vec_id", $"q", $"bands", $"bands_hof")
+    assert(both.filter(expr("bands <> bands_hof")).count() === 0)
+
+    // spot-check against a local recomputation (independent of Spark)
+    val planes = VectorOps.hyperplanes(Tables * Bits, 64)
+    both.limit(20).collect().foreach { r =>
+      val q = r.getAs[scala.collection.Seq[Long]]("q").toArray
+      val got = r.getAs[scala.collection.Seq[Long]]("bands").toSeq
+      val want = (0 until Tables).map { t =>
+        (0 until Bits).foldLeft(0L) { (band, k) =>
+          val dot = q.zip(planes(t * Bits + k)).map { case (x, p) => x * p }.sum
+          if (dot > 0) band | (1L << k) else band
+        }
+      }
+      assert(got === want, s"bands mismatch for vec ${r.getAs[Long]("vec_id")}")
+    }
+  }
+
+  test("sig (single-table packed form) matches the first band") {
+    val e = VectorOps.quantized(spark, sf)
+    val sig = VectorOps.withHyperplaneSig(e, 8)
+    val bands = VectorOps.withHyperplaneBands(e, 1, 8)
+      .select($"vec_id", element_at($"bands", 1).as("b0"))
+    val joined = sig.select($"vec_id", $"sig").join(bands, Seq("vec_id"))
+    assert(joined.filter($"sig" =!= $"b0").count() === 0)
+  }
+}
