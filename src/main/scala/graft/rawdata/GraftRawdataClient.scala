@@ -40,6 +40,12 @@ final class GraftRawdataClient(
     */
   private val touchedTopics = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** producers/consumers handed out by this client — closed with it,
+    * like the reference client's producers/consumers lists
+    * (AvroRawdataClient.java:152-163)
+    */
+  private val children = java.util.concurrent.ConcurrentHashMap.newKeySet[AutoCloseable]()
+
   @volatile private var closed = false
 
   def topicDir(topic: String): String = {
@@ -62,6 +68,8 @@ final class GraftRawdataClient(
     */
   override def close(): Unit = {
     closed = true
+    children.forEach(c => c.close())
+    children.clear()
     touchedTopics.forEach(dir => Topic.invalidateListing(dir))
     touchedTopics.clear()
   }
@@ -72,38 +80,61 @@ final class GraftRawdataClient(
   private def ensureOpen(): Unit =
     if (closed) throw new IllegalStateException("rawdata client is closed")
 
+  private def track[C <: AutoCloseable](c: C): C = { children.add(c); c }
+
   // ---------------------------------------------------------------- produce
 
-  final class Producer(topic: String, cfg: TopicConfig) {
+  final class Producer(topic: String, cfg: TopicConfig) extends AutoCloseable {
+    @volatile private var producerClosed = false
+
+    def topicName: String = topic
+
     /** Publish a message DataFrame (id, orderingGroup, sequenceNumber,
       * position, data) — the distributed equivalent of the reference's
       * buffer(...).publish(positions): one shuffle clusters messages into
       * the reference's (time-window, byte-chunk) file layout. Repeated
       * publishes append new files to the topic (Topic.write).
       */
-    def publish(messages: DataFrame): Seq[TopicFile] =
+    def publish(messages: DataFrame): Seq[TopicFile] = {
+      if (producerClosed) throw new IllegalStateException("rawdata producer is closed")
       Topic.write(messages, topicDir(topic), cfg)
+    }
 
     /** fire-and-track publish (reference AvroRawdataProducer.publishAsync:
       * CompletableFuture.runAsync over the blocking path)
       */
     def publishAsync(messages: DataFrame): java.util.concurrent.CompletableFuture[Seq[TopicFile]] =
       java.util.concurrent.CompletableFuture.supplyAsync(() => publish(messages))
+
+    /** reference producers are AutoCloseable; idempotent */
+    override def close(): Unit = producerClosed = true
+    def isClosed: Boolean = producerClosed
   }
 
   def producer(topic: String): Producer = {
     ensureOpen()
-    new Producer(topic, defaultCfg)
+    track(new Producer(topic, defaultCfg))
   }
 
   def producer(topic: String, cfg: TopicConfig): Producer = {
     ensureOpen()
-    new Producer(topic, cfg)
+    track(new Producer(topic, cfg))
   }
 
   // ---------------------------------------------------------------- consume
 
-  final class Consumer(topic: String, pollIntervalMs: Long = 100) {
+  /** `startAfterHex`/`startInclusive`: the reference's
+    * `consumer(topic, cursor)` — the bounded receive loop resumes from the
+    * cursor instead of the topic start.
+    */
+  final class Consumer(
+      topic: String, pollIntervalMs: Long = 100,
+      startAfterHex: Option[String] = None, startInclusive: Boolean = false) extends AutoCloseable {
+
+    @volatile private var consumerClosed = false
+
+    def topicName: String = topic
+
     /** full ordered scan (ordered by ULID — the reference's stream order) */
     def messages: Dataset[RawdataMessage] = Topic.read(spark, topicDir(topic))
 
@@ -147,6 +178,7 @@ final class GraftRawdataClient(
       * arriving data, not the topic.
       */
     def receive(timeoutMs: Long): Seq[RawdataMessage] = {
+      if (consumerClosed) throw new IllegalStateException("rawdata consumer is closed")
       val dir = topicDir(topic)
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       while (true) {
@@ -155,6 +187,9 @@ final class GraftRawdataClient(
         if (fresh.nonEmpty) {
           val msgs = Topic.readFiles(spark, fresh).collect()
             .map(m => (m.id.map("%02x".format(_)).mkString, m))
+            .filter { case (h, _) =>
+              startAfterHex.forall(c => if (startInclusive) h >= c else h > c)
+            }
             .sortBy(_._1)
           consumedFiles ++= fresh.map(_.path)
           if (msgs.nonEmpty) {
@@ -175,16 +210,29 @@ final class GraftRawdataClient(
       */
     def receiveAsync(timeoutMs: Long): java.util.concurrent.CompletableFuture[Seq[RawdataMessage]] =
       java.util.concurrent.CompletableFuture.supplyAsync(() => receive(timeoutMs))
+
+    /** reference consumers are AutoCloseable; idempotent */
+    override def close(): Unit = consumerClosed = true
+    def isClosed: Boolean = consumerClosed
   }
 
   def consumer(topic: String): Consumer = {
     ensureOpen()
-    new Consumer(topic, defaultPollIntervalMs)
+    track(new Consumer(topic, defaultPollIntervalMs))
   }
 
   def consumer(topic: String, pollIntervalMs: Long): Consumer = {
     ensureOpen()
-    new Consumer(topic, pollIntervalMs)
+    track(new Consumer(topic, pollIntervalMs))
+  }
+
+  /** reference `consumer(topic, cursor)`: the receive loop starts at the
+    * cursor (ULID hex + inclusivity — the same cursor shape `position`
+    * and `cursorOf` hand out)
+    */
+  def consumer(topic: String, afterUlidHex: String, inclusive: Boolean): Consumer = {
+    ensureOpen()
+    track(new Consumer(topic, defaultPollIntervalMs, Some(afterUlidHex), inclusive))
   }
 
   // ----------------------------------------------------------------- client

@@ -70,6 +70,43 @@ class ClientSpec extends SparkSpec {
     assert(client.metadata("t1").get("owner").map(new String(_, "UTF-8")) === Some("graft"))
   }
 
+  test("a consumer built from a cursor resumes mid-stream (reference consumer(topic, cursor))") {
+    published
+    val all = client.consumer("t1").messagesDF
+      .orderBy($"ulid_hex").select($"ulid_hex").as[String].collect()
+    val mid = all(all.length / 2)
+    val c = client.consumer("t1", mid, false)
+    // drain the bounded receive loop from the cursor
+    var got = Seq.empty[String]
+    var batch = c.receive(2000)
+    while (batch.nonEmpty) {
+      got = got ++ batch.map(_.id.map("%02x".format(_)).mkString)
+      batch = c.receive(200)
+    }
+    assert(got.sorted === all.drop(all.length / 2 + 1).toSeq)
+    val cInc = client.consumer("t1", mid, true)
+    assert(cInc.receive(2000).size + cInc.receive(200).size +
+      { var n = 0; var b = cInc.receive(200); while (b.nonEmpty) { n += b.size; b = cInc.receive(200) }; n }
+      === all.length - all.length / 2)
+  }
+
+  test("closing the client closes its producers and consumers (reference child lifecycle)") {
+    val c2 = new GraftRawdataClient(spark, Topic.tempDir("client-children"))
+    val p = c2.producer("t")
+    val cons = c2.consumer("t")
+    assert(!p.isClosed && !cons.isClosed)
+    c2.close()
+    assert(p.isClosed && cons.isClosed)
+    intercept[IllegalStateException](p.publish(EventsAsTopic.messagesFromEvents(spark, sf).limit(1)))
+    intercept[IllegalStateException](cons.receive(10))
+    // closing a child directly is independent and idempotent
+    val c3 = new GraftRawdataClient(spark, Topic.tempDir("client-children2"))
+    val p3 = c3.producer("t")
+    p3.close(); p3.close()
+    assert(p3.isClosed && !c3.isClosed)
+    c3.close()
+  }
+
   test("close() flips isClosed, is idempotent, and fails fast on use-after-close") {
     // a separate client instance — the shared one stays open for the
     // other tests in this suite
