@@ -40,18 +40,22 @@ object Bench {
     // reported number is the min of the two (single-run timings on a busy
     // 32-thread JVM carry multi-second GC/compilation noise — round 3's
     // artifact recorded 63 s for a query that measures 4.4 s isolated).
-    // The first-run times are kept in "queries_run1" so a cold/warm gap
-    // is still visible.
+    // The two samples come from two separate FULL PASSES over the query
+    // list, not back-to-back runs: a transient GC/compaction stall then
+    // lands on at most one sample of any query instead of both. The
+    // first-pass times are kept in "queries_run1" so a cold/warm gap is
+    // still visible.
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val run1 = timed(fn)
-      val run2 = timed(fn)
-      (name, math.min(run1, run2), run1)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (name, fn) => name -> timed(fn) }.toMap
+    val pass2 = ordered.map { case (name, fn) => name -> timed(fn) }.toMap
+    val results = ordered.map { case (name, _) =>
+      (name, math.min(pass1(name), pass2(name)), pass1(name))
     }
     def json(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
