@@ -64,5 +64,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(s"ulid_ts_ms expects 1 argument, got ${exprs.size}")
         UlidTimestampMs(exprs.head)
       }))
+    // hyperplane_bands(q, tables, bits[, dims]) — SQL access to the native
+    // LSH banding expression (tables/bits/dims must be literal ints)
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_bands"),
+      new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
+      (exprs: Seq[Expression]) => {
+        def intArg(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_bands: $what must be an integer literal, got $other")
+        }
+        exprs match {
+          case Seq(q, t, b) => HyperplaneBands(q, intArg(t, "tables"), intArg(b, "bits"), 64)
+          case Seq(q, t, b, d) => HyperplaneBands(q, intArg(t, "tables"), intArg(b, "bits"), intArg(d, "dims"))
+          case _ => throw new IllegalArgumentException(
+            s"hyperplane_bands expects (q, tables, bits[, dims]), got ${exprs.size} arguments")
+        }
+      }))
   }
 }

@@ -158,6 +158,24 @@ object TextQueries {
         .orderBy($"source", $"bin")
     },
 
+    // repetition detection (the Gopher/RefinedWeb-style quality rule):
+    // duplicate word-3-gram rate per doc — repetitious machine-generated
+    // text scores high. Narrow per-row array ops, no shuffle at all.
+    "txt_repetition" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents")
+        .withColumn("tk", split($"text", " +"))
+        .withColumn("g3", expr(
+          "if(size(tk) < 3, array(), " +
+            "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])))"))
+        .select($"doc_id",
+          size($"g3").cast("long").as("n_grams"),
+          size(array_distinct($"g3")).cast("long").as("n_distinct"),
+          when(size($"g3") > 0,
+            floor((lit(1.0) - size(array_distinct($"g3")) / size($"g3").cast("double")) * lit(1000000.0) + lit(0.5)).cast("long"))
+            .otherwise(lit(0L)).as("dup_ppm"))
+    },
+
     // scrub-target pattern scan (the PII-removal pre-pass of a training
     // pipeline): count email-, URL- and long-number-shaped substrings per
     // source, plus how many docs are flagged at all. One narrow codegen'd
@@ -268,6 +286,24 @@ object TextQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+
+    "txt_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, string_split_regex(text, ' +') AS tk FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN []
+        |         ELSE list_transform(range(1, len(tk) - 1),
+        |                i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' ' || tk[CAST(i AS INT) + 2])
+        |    END AS g3
+        |  FROM g)
+        |SELECT doc_id,
+        |  CAST(len(g3) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(g3) > 0 THEN
+        |    CAST(FLOOR((1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |  ELSE 0 END AS dup_ppm
+        |FROM grams ORDER BY doc_id""".stripMargin,
 
     "txt_pii" ->
       """WITH h AS (

@@ -44,6 +44,15 @@ class VectorSigSpec extends SparkSpec {
     }
   }
 
+  test("hyperplane_bands is callable from SQL via the extensions") {
+    VectorOps.quantized(spark, sf).createOrReplaceTempView("qv")
+    val viaSql = spark.sql(s"SELECT vec_id, hyperplane_bands(q, $Tables, $Bits) AS bands FROM qv")
+    val viaApi = VectorOps.withHyperplaneBands(VectorOps.quantized(spark, sf), Tables, Bits)
+      .select($"vec_id", $"bands")
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+    assert(viaApi.exceptAll(viaSql).count() === 0)
+  }
+
   test("sig (single-table packed form) matches the first band") {
     val e = VectorOps.quantized(spark, sf)
     val sig = VectorOps.withHyperplaneSig(e, 8)
