@@ -11,13 +11,16 @@ import graft.streaming.TopicStream
   *
   * | reference                                   | graft                       |
   * | ------------------------------------------- | --------------------------- |
-  * | client.producer(topic) → buffer/publish     | producer(topic).publish(df) |
-  * | client.consumer(topic) → receive loop       | consumer(topic).receive(timeout) / messages / tail |
+  * | client.producer(topic) → buffer/publish     | producer(topic).publish(df) / publishAsync |
+  * | client.consumer(topic) → receive loop       | consumer(topic).receive(timeout) / receiveAsync / messages / tail |
+  * | client.consumer(topic, cursor)              | consumer(topic, ulidHex, inclusive) — receive resumes at the cursor |
   * | consumer.seek(timestamp)                    | consumer(topic).seek(ts)    |
   * | client.cursorOf(ulid, inclusive)            | consumer(topic).after(ulidHex, inclusive) |
   * | client.cursorOf(position, approxTs, tol)    | cursorOf(topic, position, approxTs, tol) |
   * | client.lastMessage(topic)                   | lastMessage(topic)          |
   * | client.metadata(topic) keys/get/put         | metadata(topic).*           |
+  * | client/producer/consumer close()/isClosed() | same (client.close closes its children) |
+  * | ServiceLoader RawdataClientInitializer      | RawdataClientFactory.create("graft-spark", config) |
   *
   * The base directory plays the role of the reference's bucket/folder
   * root; topics are subdirectories of Avro files in the reference's
