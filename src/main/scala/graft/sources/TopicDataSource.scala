@@ -133,7 +133,7 @@ final class TopicScan(path: String, loMs: Long, hiMs: Long, required: StructType
     new TopicReaderFactory(required)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TopicMicroBatchStream(path, loMs, hiMs, required)
+    new TopicMicroBatchStream(path, loMs, hiMs, required, checkpointLocation)
 }
 
 /** Micro-batch tail of a topic — the consumer's poll loop
@@ -145,26 +145,63 @@ final class TopicScan(path: String, loMs: Long, hiMs: Long, required: StructType
   *
   * Offsets index this stream's DISCOVERY ORDER (files sorted by name can
   * land out of ULID order under a distributed publish; discovery order is
-  * append-only, which offsets must be). The discovery log lives in
-  * memory: on restart-from-checkpoint the topic is re-discovered, i.e.
-  * delivery is at-least-once across restarts — compose with
-  * dropDuplicatesWithinWatermark on ulid_hex (TopicStream.dedupedMessages
-  * does) for effective exactly-once, mirroring the reference consumer's
-  * dedup-on-resume guidance.
+  * append-only, which offsets must be). The discovery log is DURABLE: it
+  * is rewritten under the query's checkpoint location before a new
+  * latestOffset is announced, so Spark can only commit a batch whose
+  * file list survives a restart — delivery is exactly-once across
+  * restarts (the mapping offset index → file path is stable). A log that
+  * no longer covers a checkpointed offset fails loudly instead of
+  * silently dropping files.
   */
-final class TopicMicroBatchStream(path: String, loMs: Long, hiMs: Long, required: StructType)
+final class TopicMicroBatchStream(
+    path: String, loMs: Long, hiMs: Long, required: StructType, checkpointLocation: String)
     extends MicroBatchStream {
+
+  private val logPath = HadoopIO.child(checkpointLocation, "graft-discovery.log")
+  private val logTmp = HadoopIO.child(checkpointLocation, ".graft-discovery.log.tmp")
 
   private val discovered = scala.collection.mutable.ArrayBuffer.empty[String]
   private val known = scala.collection.mutable.HashSet.empty[String]
+  loadLog()
+
+  /** restore the discovery order persisted by a previous run (falls back
+    * to the temp file if a crash landed between delete and rename)
+    */
+  private def loadLog(): Unit = {
+    val fs = HadoopIO.fs(checkpointLocation, HadoopIO.conf())
+    val src = if (fs.exists(logPath)) Some(logPath)
+      else if (fs.exists(logTmp)) Some(logTmp) else None
+    src.foreach { p =>
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { f =>
+        if (known.add(f)) discovered += f
+      }
+    }
+  }
+
+  /** rewrite the log (tiny: one line per file) — called only when the
+    * discovery order grew, BEFORE the new offset is announced
+    */
+  private def saveLog(): Unit = {
+    val fs = HadoopIO.fs(checkpointLocation, HadoopIO.conf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(checkpointLocation))
+    val out = fs.create(logTmp, true)
+    try out.write(discovered.mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
+    if (fs.exists(logPath)) fs.delete(logPath, false)
+    if (!fs.rename(logTmp, logPath))
+      throw new IllegalStateException(s"failed to persist discovery log $logPath")
+  }
 
   private def discover(): Unit = synchronized {
     val all = Topic.listFiles(path)
     val fromLo = if (loMs == Long.MinValue) all else Topic.pruneFrom(all, loMs)
     val inRange = if (hiMs == Long.MaxValue) fromLo else fromLo.takeWhile(_.fromTsMs <= hiMs)
+    var grew = false
     inRange.foreach { f =>
-      if (known.add(f.path)) discovered += f.path
+      if (known.add(f.path)) { discovered += f.path; grew = true }
     }
+    if (grew) saveLog()
   }
 
   override def initialOffset(): Offset = TopicOffset(0)
@@ -178,9 +215,15 @@ final class TopicMicroBatchStream(path: String, loMs: Long, hiMs: Long, required
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[TopicOffset].n.toInt, end.asInstanceOf[TopicOffset].n.toInt)
+    val slice = synchronized {
+      if (e > discovered.size)
+        throw new IllegalStateException(
+          s"discovery log covers ${discovered.size} files but the checkpoint references offset $e " +
+            s"— checkpoint/log mismatch for $logPath")
+      discovered.slice(s, e).toArray
+    }
     val sconf = HadoopIO.serializable()
-    synchronized(discovered.slice(s, e).toArray)
-      .map(p => TopicInputPartition(p, sconf): InputPartition)
+    slice.map(p => TopicInputPartition(p, sconf): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new TopicReaderFactory(required)

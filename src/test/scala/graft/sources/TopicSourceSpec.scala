@@ -101,6 +101,35 @@ class TopicSourceSpec extends SparkSpec {
     assert(hexes === hexes.sorted, "within-file ULID order")
   }
 
+  test("restart from checkpoint resumes exactly after delivered files (durable discovery log)") {
+    val sdir = Topic.tempDir("dsv2-restart")
+    val ckpt = Topic.tempDir("dsv2-restart-ckpt")
+    val outDir = Topic.tempDir("dsv2-restart-out")
+    val all = EventsAsTopic.messagesFromEvents(spark, sf)
+    val batch1 = all.filter($"sequenceNumber" <= 200)
+    val batch2 = all.filter($"sequenceNumber" > 200 && $"sequenceNumber" <= 300)
+    Topic.write(batch1, sdir, EventsAsTopic.cfg)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-topic").load(sdir)
+        .select($"ulid_hex", $"position")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    runOnce() // run 1 delivers batch1
+    Topic.write(batch2, sdir, EventsAsTopic.cfg)
+    runOnce() // run 2 (fresh query, same checkpoint) must deliver ONLY batch2
+
+    val out = spark.read.parquet(outDir).select($"ulid_hex").as[String].collect()
+    assert(out.length === batch1.count() + batch2.count(),
+      "a restart must not re-deliver files committed by the previous run")
+    assert(out.distinct.length === out.length, "no duplicate deliveries across restarts")
+  }
+
   test("SQL over the connector: the seek query shape via plain spark.sql") {
     spark.read.format("graft-topic").load(dir).createOrReplaceTempView("topic_v")
     val mid = Topic.listFiles(dir)(Topic.listFiles(dir).size / 2).fromTsMs
