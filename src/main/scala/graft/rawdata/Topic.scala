@@ -302,13 +302,19 @@ object Topic {
 
   // ----------------------------------------------------------------- read
 
-  /** Distributed read of an explicit file list: one task per file. */
+  /** Distributed read of an explicit file list. One task per file up to a
+    * scheduling-friendly cap: a 1.6M-file topic gets ~4 waves of tasks per
+    * core (each decoding a run of files sequentially) instead of 1.6M
+    * task launches — parallelism is bounded by cores either way, the cap
+    * only bounds scheduler pressure.
+    */
   def readFiles(spark: SparkSession, files: Seq[TopicFile]): Dataset[RawdataMessage] = {
     if (files.isEmpty) return spark.emptyDataset[RawdataMessage]
     val paths = files.map(_.path)
     val sconf = HadoopIO.serializable()
+    val parts = math.min(paths.size, math.max(spark.sparkContext.defaultParallelism * 4, 64))
     spark.createDataset(paths)(Encoders.STRING)
-      .repartition(paths.size)
+      .repartition(parts)
       .flatMap(p => AvroCodec.readFile(p, sconf.value))
   }
 

@@ -126,7 +126,20 @@ final class TopicScan(path: String, loMs: Long, hiMs: Long, required: StructType
 
   override def planInputPartitions(): Array[InputPartition] = {
     val sconf = HadoopIO.serializable()
-    prunedFiles().map(f => TopicInputPartition(f.path, sconf): InputPartition).toArray
+    val files = prunedFiles().map(_.path)
+    // one file per partition up to a scheduling-friendly cap; beyond it,
+    // contiguous runs of files share a partition (a 1.6M-file topic
+    // should not cost 1.6M task launches — parallelism is bounded by
+    // cores either way)
+    val maxParts = math.max(
+      org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism * 4, 64)
+    val groups =
+      if (files.size <= maxParts) files.map(Seq(_))
+      else {
+        val per = math.ceil(files.size.toDouble / maxParts).toInt
+        files.grouped(per).toSeq
+      }
+    groups.map(g => TopicInputPartition(g, sconf): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -223,7 +236,7 @@ final class TopicMicroBatchStream(
       discovered.slice(s, e).toArray
     }
     val sconf = HadoopIO.serializable()
-    slice.map(p => TopicInputPartition(p, sconf): InputPartition)
+    slice.map(p => TopicInputPartition(Seq(p), sconf): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new TopicReaderFactory(required)
@@ -237,22 +250,22 @@ final case class TopicOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-final case class TopicInputPartition(filePath: String, sconf: HadoopIO.SerializableConf) extends InputPartition
+final case class TopicInputPartition(filePaths: Seq[String], sconf: HadoopIO.SerializableConf) extends InputPartition
 
 final class TopicReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TopicInputPartition]
-    new TopicPartitionReader(p.filePath, p.sconf, required)
+    new TopicPartitionReader(p.filePaths, p.sconf, required)
   }
 }
 
-/** Decodes one topic Avro file to InternalRows, materializing only the
-  * columns the scan requires (the payload map is the expensive one).
+/** Decodes a run of topic Avro files to InternalRows, materializing only
+  * the columns the scan requires (the payload map is the expensive one).
   */
-final class TopicPartitionReader(filePath: String, sconf: HadoopIO.SerializableConf, required: StructType)
+final class TopicPartitionReader(filePaths: Seq[String], sconf: HadoopIO.SerializableConf, required: StructType)
     extends PartitionReader[InternalRow] {
 
-  private val it = AvroCodec.readFile(filePath, sconf.value)
+  private val it = filePaths.iterator.flatMap(p => AvroCodec.readFile(p, sconf.value))
   private var row: InternalRow = _
 
   private val fieldGetters: Array[graft.rawdata.RawdataMessage => Any] =
