@@ -299,7 +299,9 @@ object DedupQueries {
         .agg(min(col("c.doc_id")).as("match_doc"))
         .select($"doc_id", lit("exact").as("verdict"), $"match_doc", lit(1000000L).as("jaccard_ppm"))
       val arr = shingleArrays(docs).persist()
-      val bands = bandsFrom(arr.select($"doc_id", explode($"ss").as("s")))
+      // both sides of the cross-set join read the band table — persist it
+      // or the whole shingle→minhash chain runs once per side
+      val bands = bandsFrom(arr.select($"doc_id", explode($"ss").as("s"))).persist()
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") % 10 === 0 && col("b.doc_id") % 10 =!= 0)
