@@ -28,6 +28,8 @@ object AnnQueries {
   private val Hyperplanes = 8 // LSH signature bits
   private val Dims = 64
   private val CentroidStep = 100 // IVF seeds: vec_id % step == 0
+  private val KmeansK = 8 // k-means clusters (seeds: vec_id < k)
+  private val KmeansIters = 3 // fixed Lloyd rounds (deterministic, SQL-replayable)
 
   private def quantized(s: SparkSession, d: String): DataFrame =
     graft.operators.VectorOps.quantized(s, d)
@@ -125,6 +127,48 @@ object AnnQueries {
         .orderBy($"vec_id")
     },
 
+    // k-means (Lloyd) over the quantized vectors — deterministic end to
+    // end so the full iteration chain replays in SQL: seeds = the first
+    // KmeansK vec_ids, exactly KmeansIters assignment/update rounds,
+    // integer arithmetic throughout (squared euclidean distance on
+    // quantized ints; centroid update = per-dimension FLOOR division
+    // implemented as (s - pmod(s, n)) div n, because Spark's `div`
+    // truncates toward zero while DuckDB's `//` floors — subtracting the
+    // positive remainder first makes both exact and identical on negative
+    // sums). Scale shape: each round broadcasts the k-row centroid
+    // relation against the corpus (map-side assignment — the BNLJ is the
+    // deliberate tiny-side pattern, same as ann_ivf_topk), then one
+    // partial-agg shuffle of 64 longs per cluster for the update. Output:
+    // per-cluster membership + inertia of the final assignment.
+    "emb_kmeans" -> { (s, d) =>
+      import s.implicits._
+      val e = quantized(s, d).select($"vec_id", $"q").persist()
+      def assigned(cents: DataFrame): DataFrame =
+        e.join(broadcast(cents), lit(true))
+          .withColumn("dist", expr(
+            "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+          .groupBy($"vec_id")
+          .agg(min(struct($"dist", $"cid", $"q")).as("m"))
+          .select($"vec_id", $"m.cid".as("cid"), $"m.dist".as("dist"), $"m.q".as("q"))
+      def updated(asg: DataFrame): DataFrame =
+        asg.select($"cid", posexplode($"q"))
+          .toDF("cid", "i", "x")
+          .groupBy($"cid", $"i")
+          .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+          .withColumn("c", expr("(sx - pmod(sx, n)) div n"))
+          .groupBy($"cid")
+          .agg(expr("transform(array_sort(collect_list(struct(i, c))), p -> p.c)").as("cq"))
+      var cents = e.filter($"vec_id" < KmeansK).select($"vec_id".as("cid"), $"q".as("cq"))
+      var asg: DataFrame = assigned(cents)
+      for (_ <- 2 to KmeansIters) {
+        cents = updated(asg)
+        asg = assigned(cents)
+      }
+      asg.groupBy($"cid")
+        .agg(count(lit(1)).as("n_members"), sum($"dist").as("inertia"))
+        .orderBy($"cid")
+    },
+
     // per-label embedding cluster statistics — the k-means E-step summary
     // a label-balance / cluster-quality audit runs over training vectors:
     // per-dimension component sums (= unnormalized centroid), squared
@@ -185,6 +229,37 @@ object AnnQueries {
         |SELECT va AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_similar, MAX(cos_ppm) AS max_cos_ppm
         |FROM sims WHERE cos_ppm >= 250000
         |GROUP BY va ORDER BY vec_id""".stripMargin),
+
+    // the Lloyd chain unrolled: d{r}/a{r} = distances + argmin assignment
+    // of round r, c{r} = floored integer centroid update feeding round
+    // r+1. Same floor-division identity as the Spark side.
+    "emb_kmeans" -> {
+      val fdiv = "(CAST(SUM(e.q) AS BIGINT) - " +
+        "(((CAST(SUM(e.q) AS BIGINT) % COUNT(*)) + COUNT(*)) % COUNT(*))) // COUNT(*)"
+      val rounds = (1 to KmeansIters).map { r =>
+        val cPrev = s"c${r - 1}"
+        val upd = if (r < KmeansIters)
+          s""",
+             |c$r AS (
+             |  SELECT a.cid, e.i, $fdiv AS c
+             |  FROM e JOIN a$r a ON a.vec_id = e.vec_id GROUP BY 1, 2)""".stripMargin
+        else ""
+        s"""d$r AS (
+           |  SELECT e.vec_id, c.cid, SUM((e.q - c.c) * (e.q - c.c)) AS d
+           |  FROM e JOIN $cPrev c ON c.i = e.i GROUP BY 1, 2),
+           |a$r AS (
+           |  SELECT vec_id, cid, d FROM (
+           |    SELECT vec_id, cid, d,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           |    FROM d$r)
+           |  WHERE rn = 1)$upd""".stripMargin
+      }.mkString(",\n")
+      QuantCte +
+        s""", c0 AS (SELECT vec_id AS cid, i, q AS c FROM e WHERE vec_id < $KmeansK),
+           |$rounds
+           |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members, CAST(SUM(d) AS BIGINT) AS inertia
+           |FROM a$KmeansIters GROUP BY cid ORDER BY cid""".stripMargin
+    },
 
     "emb_label_stats" -> (QuantCte +
       """, l AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),

@@ -322,6 +322,68 @@ object DedupQueries {
       exact.unionByName(nearOnly).unionByName(unique).orderBy($"doc_id")
     },
 
+    // DUPLICATE-CLUSTER resolution — the step after pair generation that a
+    // production dedup actually ships: near-dup pairs only say "a looks
+    // like b"; to keep exactly one survivor per duplicate GROUP you need
+    // the connected components of the pair graph (a~b, b~c ⇒ {a,b,c} is
+    // one cluster even if a and c never collided). Edges = normalized
+    // exact-dup star edges (keep-first ↔ dup) ∪ LSH+jaccard-verified
+    // near-dup pairs. Components by min-label propagation: labels start as
+    // own doc_id, each round every node takes the min label over itself
+    // and its neighbors, until a round changes nothing. Rounds needed =
+    // graph diameter — for dup clusters that is small (they are
+    // near-cliques: most members collide pairwise in some LSH band), so
+    // the loop is a handful of self-terminating equi-join rounds, each a
+    // bounded shuffle on doc_id — no CartesianProduct, no driver-side
+    // graph. Convergence is detected by the monotone checksum sum(label):
+    // labels only ever decrease, so an unchanged sum IS a fixpoint — one
+    // scalar action per round instead of a changed-rows join. (For
+    // adversarial long-chain graphs the same loop takes the
+    // large-star/small-star form — alternate join orders, same primitive;
+    // dup graphs don't need it.) Output: every clustered doc with its
+    // cluster id (= min member) and cluster size.
+    "dd_cluster" -> { (s, d) =>
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val fp = docs.select($"doc_id",
+        md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+      val keep = fp.groupBy($"fp").agg(min($"doc_id").as("keep"))
+      val exactE = fp.join(keep, Seq("fp")).filter($"doc_id" =!= $"keep")
+        .select($"keep".as("a"), $"doc_id".as("b"))
+      val nearE = jaccardOf(shingleArrays(docs).persist())
+        .filter($"jaccard_ppm" >= 400000)
+        .select($"doc_a".as("a"), $"doc_b".as("b"))
+      val edges = exactE.unionByName(nearE).distinct()
+      // hash-partition on the probe key BEFORE persisting: every
+      // propagation round joins on a, so the cached edge table satisfies
+      // the join's distribution and only the (shrinking) label side
+      // shuffles per round
+      val sym = edges.unionByName(edges.select($"b".as("a"), $"a".as("b")))
+        .distinct().repartition(col("a")).persist()
+      var labels = sym.select($"a".as("doc_id")).distinct()
+        .select($"doc_id", $"doc_id".as("cluster")).persist()
+      var checksum = labels.agg(coalesce(sum($"cluster"), lit(0L)))
+        .head().getLong(0)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 25) {
+        val prop = labels.join(sym, $"doc_id" === $"a")
+          .select($"b".as("doc_id"), $"cluster")
+        val next = labels.unionByName(prop)
+          .groupBy($"doc_id").agg(min($"cluster").as("cluster")).persist()
+        val c2 = next.agg(coalesce(sum($"cluster"), lit(0L))).head().getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = c2 == checksum
+        checksum = c2
+        rounds += 1
+      }
+      val sizes = labels.groupBy($"cluster").agg(count(lit(1)).as("n_members"))
+      labels.join(sizes, Seq("cluster"))
+        .select($"doc_id", $"cluster".as("cluster_id"), $"n_members")
+        .orderBy($"doc_id")
+    },
+
     // CORPUS-WIDE embedding near-dup: hyperplane-LSH candidate buckets +
     // exact quantized-cosine verification — the production composition
     // (dd_embed's id-band is a correctness-testable device; this one finds
@@ -567,6 +629,33 @@ object DedupQueries {
           |  AND d.doc_id NOT IN (SELECT doc_id FROM ex)
           |  AND d.doc_id NOT IN (SELECT doc_id FROM near)
           |ORDER BY doc_id""".stripMargin),
+
+    // connected components in SQL: transitive closure via a recursive CTE
+    // (reach(doc, r) = "r is connected to doc"), component id = MIN over
+    // the closure — the declarative twin of the Spark side's min-label
+    // propagation fixpoint.
+    "dd_cluster" ->
+      (s"""WITH RECURSIVE ${lshCtes("documents")},
+          |$JaccardCtes,
+          |fpx AS (
+          |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          |  FROM documents),
+          |keepx AS (SELECT fp, MIN(doc_id) AS keep FROM fpx GROUP BY fp),
+          |exact_e AS (
+          |  SELECT k.keep AS a, f.doc_id AS b
+          |  FROM fpx f JOIN keepx k ON k.fp = f.fp WHERE f.doc_id <> k.keep),
+          |near_e AS (SELECT doc_a AS a, doc_b AS b FROM jacc WHERE jaccard_ppm >= 400000),
+          |edges AS (SELECT a, b FROM exact_e UNION SELECT a, b FROM near_e),
+          |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+          |reach AS (
+          |  SELECT a AS doc, a AS r FROM sym
+          |  UNION
+          |  SELECT s.b AS doc, reach.r FROM reach JOIN sym s ON s.a = reach.doc),
+          |comp AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc),
+          |csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members FROM comp GROUP BY 1)
+          |SELECT c.doc_id, c.cluster_id, z.n_members
+          |FROM comp c JOIN csz z ON z.cluster_id = c.cluster_id
+          |ORDER BY c.doc_id""".stripMargin),
 
     "dd_embed" ->
       """WITH e AS (

@@ -16,7 +16,10 @@ import graft.{SparkSpec, SparkEntry}
   */
 class PlanAuditSpec extends SparkSpec {
 
-  private val nestedLoopAllowed = Set("ann_ivf_topk")
+  // deliberate tiny-side broadcasts: IVF centroid assignment and the
+  // k-means per-round assignment both pair the corpus against a k-row
+  // centroid relation
+  private val nestedLoopAllowed = Set("ann_ivf_topk", "emb_kmeans")
   private val globalWindowAllowed = Set("rd_ordering_group")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
