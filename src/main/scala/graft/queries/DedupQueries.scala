@@ -36,26 +36,30 @@ object DedupQueries {
     * the downstream signature aggregation shuffles anyway, and after md5
     * it carries 8-byte hashes instead of shingle text).
     */
+  /** distinct word-3-shingle array from a token-array column `tk` —
+    * the ONE shingle recipe, shared by the batch chain and the streaming
+    * near-dup gate so the two can never drift.
+    *
+    * Docs under 3 tokens have no 3-shingle: guard the sequence() so it
+    * never counts DOWN into negative indices (Spark generates a
+    * descending sequence when stop < start; under ANSI mode tk[-1]
+    * throws INVALID_ARRAY_INDEX) — mirrors DuckDB's empty range(1, n-1).
+    */
+  private[graft] val shingleExpr: String =
+    "array_distinct(if(size(tk) < 3, array(), " +
+      "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))))"
+
   private[graft] def shingleArrays(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs
       .select($"doc_id", split($"text", " +").as("tk"))
-      // docs under 3 tokens have no 3-shingle: guard the sequence() so it
-      // never counts DOWN into negative indices (Spark generates a
-      // descending sequence when stop < start; under ANSI mode tk[-1]
-      // throws INVALID_ARRAY_INDEX) — mirrors DuckDB's empty range(1, n-1)
-      .select($"doc_id", array_distinct(expr(
-        "if(size(tk) < 3, array(), " +
-          "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])))")).as("ss"))
+      .select($"doc_id", expr(shingleExpr).as("ss"))
   }
 
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    shinglesOf(t(s, d, "documents"))
-
-  /** exploded (doc_id, s) form over any (doc_id, text) relation (the
-    * cleaning pipeline runs the LSH chain on its quality/exact-dedup
-    * survivors)
+  /** exploded (doc_id, s) form over any (doc_id, text) relation (kept
+    * for the jaccard oracle's shingle-row twin and edge-case specs; the
+    * engine-side chain now works on the un-exploded arrays throughout)
     */
   private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -146,10 +150,19 @@ object DedupQueries {
   private def permA(j: Int): Long = 2L * j + 1
   private def permB(j: Int): Long = 12582917L * (j + 1)
 
-  /** LSH band keys per doc: band key = md5 of the band's minhashes joined
-    * in permutation order.
+  /** LSH band keys per doc from the EXPLODED shingle relation
+    * (doc_id, s): band key = md5 of the band's minhashes joined in
+    * permutation order. This is the BATCH form: md5-per-shingle runs in
+    * codegen'd projections and the 12 min-aggs are one codegen'd hash
+    * aggregation with map-side partial combine — the shuffle carries
+    * per-doc partial minima (O(|docs|) per map task), not the shingle
+    * rows. The per-row variant below (`bandArrays`) computes identical
+    * signatures without any aggregation; it exists for streaming, where
+    * a groupBy would be stateful — but Spark's higher-order functions
+    * are CodegenFallback (interpreted per element), measured ~10× slower
+    * per document, so batch stays on this form.
     */
-  private def bandsFrom(sh: DataFrame): DataFrame = {
+  private[graft] def bandsFrom(sh: DataFrame): DataFrame = {
     val s = sh.sparkSession
     import s.implicits._
     val hashed = sh.withColumn("x31",
@@ -164,6 +177,34 @@ object DedupQueries {
     }
     sigs.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
       .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+  }
+
+  /** The same LSH band keys computed PER ROW from the shingle-array
+    * relation (…, ss): minhash h_j = array_min over the j-th permutation
+    * of each shingle's md5-derived value. No aggregation anywhere, so it
+    * runs on a STREAMING relation (stateless); every non-ss input column
+    * passes through (the streaming gate carries event time and the
+    * shingle set into its verify join). Micro-batches are small, so the
+    * interpreted higher-order functions are not a bottleneck there.
+    * StreamNearDupSpec proves this form and the batch form agree.
+    */
+  private[graft] def bandArrays(arr: DataFrame): DataFrame = {
+    val s = arr.sparkSession
+    import s.implicits._
+    val xs = transform($"ss",
+      sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long") % P)
+    def h(j: Int) =
+      array_min(transform($"xs", x => (lit(permA(j)) * x + lit(permB(j))) % P))
+    val bandCols = (0 until Perms / BandRows).map { b =>
+      val parts = (0 until BandRows).map(r => h(b * BandRows + r).cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", parts: _*)).as("bkey"))
+    }
+    val passThrough = arr.columns.filterNot(_ == "ss").map(col).toSeq
+    arr.filter(size($"ss") > 0)
+      .withColumn("xs", xs)
+      .withColumn("bb", explode(array(bandCols: _*)))
+      .select((passThrough :+ $"ss") ++
+        Seq($"bb.band".as("band"), $"bb.bkey".as("bkey")): _*)
   }
 
   /** candidate pairs (a < b) sharing at least one LSH band bucket. The

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.queries.TextQueries
+import graft.queries.{DedupQueries, TextQueries}
 
 /** Streaming head of the corpus-cleaning pipeline: documents tailed from
   * a topic are quality-gated and exactly deduplicated AS THEY ARRIVE,
@@ -34,4 +34,51 @@ object CleanStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
       .select(col("doc_id"), col("source"), col("text"), col("ts"))
+
+  /** Stream-vs-static NEAR-dup gate — the streaming twin of
+    * dd_incremental's near path: each arriving document is checked
+    * against the EXISTING corpus's LSH index and flagged with every
+    * corpus doc whose verified n-gram jaccard meets the threshold.
+    *
+    * Scale shape: the streaming side is entirely NARROW — per-row
+    * shingle arrays and per-row minhash band keys (the same
+    * array_min/transform signature builder the batch chain uses; no
+    * streaming aggregation, no unbounded state). Candidates come from a
+    * stream-static equi join against the corpus band table, verification
+    * from a second stream-static join to the corpus shingle arrays plus
+    * a per-row array_intersect — both stateless. The only stateful
+    * operator is the final dropDuplicatesWithinWatermark (a pair that
+    * collides in several bands would otherwise flag more than once),
+    * whose state is bounded by the watermark horizon. The static index
+    * is persisted here so every micro-batch reuses it; the caller owns
+    * the cache scope (clearCache, as with the batch chain).
+    *
+    * `docs`: streaming (doc_id, text, ts). `corpus`: static
+    * (doc_id, text). Returns (doc_id, ts, match_doc, jaccard_ppm).
+    */
+  def nearDupFlags(docs: DataFrame, corpus: DataFrame,
+      thresholdPpm: Long = 400000, watermark: String = "1 hour"): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val arrC = DedupQueries.shingleArrays(corpus).persist()
+    val bandsC = DedupQueries.bandArrays(arrC)
+      .select($"doc_id", $"band", $"bkey").persist()
+    val bandsN = DedupQueries.bandArrays(
+      docs.withColumn("tk", split($"text", " +"))
+        .withColumn("ss", expr(DedupQueries.shingleExpr))
+        .select($"doc_id", $"ts", $"ss"))
+    bandsN.as("n").join(bandsC.as("c"),
+        col("n.band") === col("c.band") && col("n.bkey") === col("c.bkey") &&
+          col("n.doc_id") =!= col("c.doc_id"))
+      .select(col("n.doc_id").as("doc_id"), col("n.ts").as("ts"),
+        col("n.ss").as("sa"), col("c.doc_id").as("match_doc"))
+      .join(arrC.select($"doc_id".as("match_doc"), $"ss".as("sb")), Seq("match_doc"))
+      .withColumn("n_int", size(array_intersect($"sa", $"sb")).cast("long"))
+      .withColumn("jaccard_ppm",
+        floor($"n_int" / (size($"sa") + size($"sb") - $"n_int") * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      .filter($"jaccard_ppm" >= thresholdPpm)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_id", "match_doc")
+      .select($"doc_id", $"ts", $"match_doc", $"jaccard_ppm")
+  }
 }
