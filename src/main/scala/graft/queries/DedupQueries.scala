@@ -363,6 +363,27 @@ object DedupQueries {
       exact.unionByName(nearOnly).unionByName(unique).orderBy($"doc_id")
     },
 
+    // BENCHMARK DECONTAMINATION — the eval-set overlap scrub every
+    // training pipeline runs before a model sees the corpus: flag any
+    // training document sharing at least one word-3-shingle with the
+    // held-out benchmark slice (here the deterministic doc_id % 17
+    // slice stands in for the eval set). Scale shape: one equi join on
+    // the shingle string — the benchmark side is small and
+    // AQE-broadcastable, but carries no forced hint (it scales with the
+    // slice, and a wrong broadcast hint is an OOM at 100×; the round-3
+    // lesson), then one partial-agg groupBy per flagged doc.
+    "dd_decontam" -> { (s, d) =>
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val bench = shinglesOf(docs.filter($"doc_id" % 17 === 0))
+        .select($"doc_id".as("bench_doc"), $"s")
+      val train = shinglesOf(docs.filter($"doc_id" % 17 =!= 0))
+      train.join(bench, Seq("s"))
+        .groupBy($"doc_id")
+        .agg(count_distinct($"s").as("n_overlap"), min($"bench_doc").as("bench_doc"))
+        .orderBy($"doc_id")
+    },
+
     // DUPLICATE-CLUSTER resolution — the step after pair generation that a
     // production dedup actually ships: near-dup pairs only say "a looks
     // like b"; to keep exactly one survivor per duplicate GROUP you need
@@ -684,6 +705,20 @@ object DedupQueries {
           |  AND d.doc_id NOT IN (SELECT doc_id FROM ex)
           |  AND d.doc_id NOT IN (SELECT doc_id FROM near)
           |ORDER BY doc_id""".stripMargin),
+
+    "dd_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, ' +') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' ' || tk[CAST(i AS INT) + 2] AS s
+        |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS t(i)),
+        |b AS (SELECT doc_id AS bench_doc, s FROM sh WHERE doc_id % 17 = 0),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 17 <> 0)
+        |SELECT tr.doc_id, CAST(COUNT(DISTINCT tr.s) AS BIGINT) AS n_overlap,
+        |  MIN(b.bench_doc) AS bench_doc
+        |FROM tr JOIN b ON b.s = tr.s
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
     // connected components in SQL: transitive closure via a recursive CTE
     // (reach(doc, r) = "r is connected to doc"), component id = MIN over
