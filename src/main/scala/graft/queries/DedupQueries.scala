@@ -367,20 +367,32 @@ object DedupQueries {
     // training pipeline runs before a model sees the corpus: flag any
     // training document sharing at least one word-3-shingle with the
     // held-out benchmark slice (here the deterministic doc_id % 17
-    // slice stands in for the eval set). Scale shape: one equi join on
-    // the shingle string — the benchmark side is small and
-    // AQE-broadcastable, but carries no forced hint (it scales with the
-    // slice, and a wrong broadcast hint is an OOM at 100×; the round-3
-    // lesson), then one partial-agg groupBy per flagged doc.
+    // slice stands in for the eval set). Scale shape: the benchmark
+    // side is pre-aggregated to ONE row per distinct shingle (keeping
+    // its min source doc) BEFORE the join — joining raw shingle rows
+    // explodes to |train occurrences| × |bench docs| for every common
+    // phrase (measured 18.8 s vs 1.4 s at sf0.1); with the index
+    // deduped, join output is bounded by the train shingle rows, and
+    // min-over-shingles of the per-shingle min is the same global min.
+    // The index is small and AQE-broadcastable, but carries no forced
+    // hint (it scales with the slice — the round-3 OOM lesson). Since
+    // (doc_id, s) is distinct by construction, the per-doc overlap
+    // count is a plain count — no count_distinct expand.
+    // The shingle arrays are persisted BEFORE the explode: one corpus
+    // pass serves both slices, and the cache is an optimizer barrier —
+    // without it, constraint propagation infers size()>0/isnotnull
+    // filters below the Generate that each inline the whole interpreted
+    // shingle expression, evaluating it 3× per doc (measured 17 s).
     "dd_decontam" -> { (s, d) =>
       import s.implicits._
-      val docs = t(s, d, "documents")
-      val bench = shinglesOf(docs.filter($"doc_id" % 17 === 0))
-        .select($"doc_id".as("bench_doc"), $"s")
-      val train = shinglesOf(docs.filter($"doc_id" % 17 =!= 0))
-      train.join(bench, Seq("s"))
+      val sh = shingleArrays(t(s, d, "documents")).persist()
+        .select($"doc_id", explode($"ss").as("s"))
+      val benchIdx = sh.filter($"doc_id" % 17 === 0)
+        .groupBy($"s").agg(min($"doc_id").as("bd"))
+      val train = sh.filter($"doc_id" % 17 =!= 0)
+      train.join(benchIdx, Seq("s"))
         .groupBy($"doc_id")
-        .agg(count_distinct($"s").as("n_overlap"), min($"bench_doc").as("bench_doc"))
+        .agg(count(lit(1)).as("n_overlap"), min($"bd").as("bench_doc"))
         .orderBy($"doc_id")
     },
 
