@@ -116,6 +116,73 @@ object DedupQueries {
     kept1.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Connected components of an undirected edge list (a, b) by
+    * min-label propagation WITH pointer jumping: each round every node
+    * takes the min over its own label, its neighbors' labels, and the
+    * label OF its label (path halving). The jump makes rounds O(log
+    * diameter) instead of O(diameter) — a pure neighbor walk needs as
+    * many rounds as the longest chain, and near-dup chains (doc i ~
+    * doc i+1 in versioned or sliding content) can be arbitrarily long;
+    * with the jump, 25 rounds cover diameters past 2^25 (ComponentsSpec
+    * proves a 200-node path converges). Returns (doc_id, cluster_id =
+    * min member, n_members), one row per clustered doc.
+    *
+    * Each round CUTS LINEAGE with an eager localCheckpoint instead of
+    * persist/unpersist: round r's plan references round r-1, so
+    * unpersisting the previous labels invalidates the new cache (Spark
+    * re-cache-on-unpersist semantics) and every action re-runs the
+    * whole round chain — measured 0.8 s per re-read vs ~0.1 s
+    * checkpointed, 22 s vs ~4 s for dd_cluster at sf0.1. The checkpoint
+    * also keeps the plan O(1) per round instead of growing. (On a
+    * multi-executor cluster, swap for reliable checkpoint() if executor
+    * loss during the loop must be survivable — the loop is
+    * deterministic, so a rerun is also correct.) Convergence is the
+    * monotone checksum sum(label): labels only ever decrease, so an
+    * unchanged sum IS a fixpoint — one scalar action per round instead
+    * of a changed-rows join.
+    */
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    // materialize the (tiny) pair list before symmetrizing: `edges`
+    // appears on both sides of the union below, and an unmaterialized
+    // plan would run its whole producing tail once per side
+    val e = edges.localCheckpoint(true)
+    // hash-partition on the probe key BEFORE persisting: every
+    // propagation round joins on a, so the cached edge table satisfies
+    // the join's distribution and only the (shrinking) label side
+    // shuffles per round
+    val sym = e.unionByName(e.select($"b".as("a"), $"a".as("b")))
+      .distinct().repartition(col("a")).persist()
+    var labels = sym.select($"a".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("cluster"))
+      .localCheckpoint(true)
+    var checksum = labels.agg(coalesce(sum($"cluster"), lit(0L)))
+      .head().getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      val viaEdges = labels.join(sym, $"doc_id" === $"a")
+        .select($"b".as("doc_id"), $"cluster")
+      val viaLabels = labels.as("x")
+        .join(labels.as("y"), col("x.cluster") === col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id"), col("y.cluster").as("cluster"))
+      val next = labels.unionByName(viaEdges).unionByName(viaLabels)
+        .groupBy($"doc_id").agg(min($"cluster").as("cluster"))
+        .localCheckpoint(true)
+      val c2 = next.agg(coalesce(sum($"cluster"), lit(0L))).head().getLong(0)
+      labels = next
+      converged = c2 == checksum
+      checksum = c2
+      rounds += 1
+    }
+    sym.unpersist()
+    val sizes = labels.groupBy($"cluster").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("cluster"))
+      .select($"doc_id", $"cluster".as("cluster_id"), $"n_members")
+      .orderBy($"doc_id")
+  }
+
   private def jaccardOf(arr: DataFrame): DataFrame = {
     val s = arr.sparkSession
     import s.implicits._
@@ -427,49 +494,7 @@ object DedupQueries {
       val nearE = jaccardOf(shingleArrays(docs).persist())
         .filter($"jaccard_ppm" >= 400000)
         .select($"doc_a".as("a"), $"doc_b".as("b"))
-      // materialize the (tiny) pair list before symmetrizing: `edges`
-      // appears on both sides of the union below, and an unmaterialized
-      // plan would run the whole jaccard-verify tail once per side
-      val edges = exactE.unionByName(nearE).localCheckpoint(true)
-      // hash-partition on the probe key BEFORE persisting: every
-      // propagation round joins on a, so the cached edge table satisfies
-      // the join's distribution and only the (shrinking) label side
-      // shuffles per round
-      val sym = edges.unionByName(edges.select($"b".as("a"), $"a".as("b")))
-        .distinct().repartition(col("a")).persist()
-      // Each round CUTS LINEAGE with an eager localCheckpoint instead of
-      // persist/unpersist: round r's plan references round r-1, so
-      // unpersisting the previous labels invalidates the new cache (Spark
-      // re-cache-on-unpersist semantics) and every action re-runs the
-      // whole round chain — measured 0.8 s per re-read vs ~0.1 s
-      // checkpointed, 22 s vs ~4 s for the full query at sf0.1. The
-      // checkpoint also keeps the plan O(1) per round instead of growing.
-      // (On a multi-executor cluster, swap for reliable checkpoint() if
-      // executor loss during the loop must be survivable — the loop is
-      // deterministic, so a rerun is also correct.)
-      var labels = sym.select($"a".as("doc_id")).distinct()
-        .select($"doc_id", $"doc_id".as("cluster"))
-        .localCheckpoint(true)
-      var checksum = labels.agg(coalesce(sum($"cluster"), lit(0L)))
-        .head().getLong(0)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 25) {
-        val next = labels.join(sym, $"doc_id" === $"a")
-          .select($"b".as("doc_id"), $"cluster")
-          .unionByName(labels)
-          .groupBy($"doc_id").agg(min($"cluster").as("cluster"))
-          .localCheckpoint(true)
-        val c2 = next.agg(coalesce(sum($"cluster"), lit(0L))).head().getLong(0)
-        labels = next
-        converged = c2 == checksum
-        checksum = c2
-        rounds += 1
-      }
-      val sizes = labels.groupBy($"cluster").agg(count(lit(1)).as("n_members"))
-      labels.join(sizes, Seq("cluster"))
-        .select($"doc_id", $"cluster".as("cluster_id"), $"n_members")
-        .orderBy($"doc_id")
+      connectedComponents(exactE.unionByName(nearE))
     },
 
     // CORPUS-WIDE embedding near-dup: hyperplane-LSH candidate buckets +

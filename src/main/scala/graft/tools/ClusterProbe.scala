@@ -2,8 +2,9 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-/** Dev tool: phase timings for the dd_cluster fixpoint loop at a given
-  * sf dir — locates where wall-clock goes (edge build vs per-round).
+/** Dev tool: phase timings for the dd_cluster pipeline at a given sf
+  * dir — separates edge-build cost (the jaccard chain) from the
+  * components fixpoint loop.
   */
 object ClusterProbe {
   def main(args: Array[String]): Unit = {
@@ -25,38 +26,11 @@ object ClusterProbe {
     val nearE = graft.SparkEntry.queries("dd_jaccard")(s, d)
       .filter($"jaccard_ppm" >= 400000)
       .select($"doc_a".as("a"), $"doc_b".as("b"))
-    val edges = exactE.unionByName(nearE).localCheckpoint(true)
-    val sym = edges.unionByName(edges.select($"b".as("a"), $"a".as("b")))
-      .distinct().repartition(col("a")).persist()
-    tick("edge build")(sym.count())
-    var labels = sym.select($"a".as("doc_id")).distinct()
-      .select($"doc_id", $"doc_id".as("cluster")).localCheckpoint(true)
-    var checksum = tick("labels init")(
-      labels.agg(coalesce(sum($"cluster"), lit(0L))).head().getLong(0))
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 25) {
-      val next = labels.join(sym, $"doc_id" === $"a")
-        .select($"b".as("doc_id"), $"cluster")
-        .unionByName(labels)
-        .groupBy($"doc_id").agg(min($"cluster").as("cluster"))
-        .localCheckpoint(true)
-      val c2 = tick(s"round $rounds")(
-        next.agg(coalesce(sum($"cluster"), lit(0L))).head().getLong(0))
-      labels = next
-      converged = c2 == checksum
-      checksum = c2
-      rounds += 1
-    }
-    println(s"  rounds: $rounds")
-    tick("sym recount 1")(sym.count())
-    tick("sym recount 2")(sym.count())
-    tick("labels recount 1")(labels.count())
-    tick("labels recount 2")(labels.count())
-    val sizes = labels.groupBy($"cluster").agg(count(lit(1)).as("n_members"))
-    tick("final join")(labels.join(sizes, Seq("cluster"))
-      .select($"doc_id", $"cluster".as("cluster_id"), $"n_members")
-      .orderBy($"doc_id").count())
+    val edges = tick("edge build")(
+      exactE.unionByName(nearE).localCheckpoint(true))
+    val comp = tick("components fixpoint")(
+      graft.queries.DedupQueries.connectedComponents(edges))
+    tick("final count")(println(s"  rows: ${comp.count()}"))
     s.stop()
   }
 }
