@@ -92,6 +92,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(pii.forall(_.getAs[Long]("n_flagged") === 0L), "no pii patterns in the edge corpus")
   }
 
+  test("clustering, decontamination and sampling on the pathological corpus") {
+    // the only edges are the identical docs 6/7 → exactly one 2-cluster
+    val clusters = DedupQueries.queries("dd_cluster")(spark, edgeDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(clusters === Set((6L, 6L, 2L), (7L, 6L, 2L)))
+    spark.catalog.clearCache()
+
+    // no doc_id is divisible by 17 → empty benchmark slice, empty result
+    // (not a crash)
+    assert(DedupQueries.queries("dd_decontam")(spark, edgeDir).count() === 0L)
+    spark.catalog.clearCache()
+
+    // every stratum is under the target → the threshold saturates ≥ 2^32
+    // and the sample keeps the whole corpus
+    assert(SamplingQueries.queries("samp_stratified")(spark, edgeDir).count() === 9L)
+    // the budget dwarfs the corpus → every doc of every source selected
+    assert(SamplingQueries.queries("samp_token_budget")(spark, edgeDir).count() === 9L)
+  }
+
   test("the dedup chain end-to-end on the pathological corpus") {
     // must not throw, and must find the one exact-duplicate near-pair
     val pairs = DedupQueries.queries("dd_jaccard")(spark, edgeDir).collect()
