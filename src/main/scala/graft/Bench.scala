@@ -54,16 +54,34 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (name, fn) => name -> timed(fn) }.toMap
     val pass2 = ordered.map { case (name, fn) => name -> timed(fn) }.toMap
+    // Adaptive third sample: when the two passes disagree by >2x on a
+    // non-trivial query, the slow sample was a contention/GC stall — but
+    // under a busy host BOTH samples can be hit (round 4's artifact shows
+    // 17 s for a query that measures 1.7 s isolated). One targeted rerun
+    // for the disagreeing queries keeps total wall time bounded while
+    // giving every noisy measurement a third chance at a quiet slot.
+    val rerun = ordered.collect {
+      case (name, fn)
+          if math.min(pass1(name), pass2(name)) > 0.8 &&
+            math.max(pass1(name), pass2(name)) > 2 * math.min(pass1(name), pass2(name)) =>
+        name -> timed(fn)
+    }.toMap
     val results = ordered.map { case (name, _) =>
-      (name, math.min(pass1(name), pass2(name)), pass1(name))
+      (name, Seq(pass1(name), pass2(name), rerun.getOrElse(name, Double.MaxValue)).min)
+    }
+    // The driver keeps only the last ~2000 chars of stdout: the FINAL line
+    // must carry the whole summary compactly (2-dp, trailing zeros
+    // stripped), with full per-pass detail on its own line just before.
+    def fmt(v: Double): String = {
+      val s = f"$v%.2f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
     def json(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = json(results.map { case (k, v, _) => k -> v })
-    val qs1 = json(results.map { case (k, _, r1) => k -> r1 })
+      kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     spark.catalog.clearCache() // no pinned blocks outlive the run
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","setup_sec":$setupSec,"ingest_write_msgs_per_sec":$writeRate,"ingest_read_msgs_per_sec":$readRate,"ingest_msgs":$nMsgs,"queries":$qs,"queries_run1":$qs1,"sf":"$sfDir"}""")
+    println(s"""{"detail":"per-pass","setup_sec":${fmt(setupSec)},"queries_run1":${json(ordered.map { case (n, _) => n -> pass1(n) })},"queries_run2":${json(ordered.map { case (n, _) => n -> pass2(n) })},"queries_rerun":${json(rerun.toSeq.sortBy(_._1))}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ingest_msgs":$nMsgs,"ingest_write_msgs_per_sec":${fmt(writeRate)},"ingest_read_msgs_per_sec":${fmt(readRate)},"queries":${json(results.map { case (k, v) => k -> v })},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -169,6 +169,85 @@ object AnnQueries {
         .orderBy($"cid")
     },
 
+    // centroid-distance outlier pruning (the SemDeDup/SSL-prototypes
+    // data-pruning signal): each vector's squared distance to its nearest
+    // seed centroid; the 20 farthest vectors are the prune candidates a
+    // curation pass reviews. Scale shape: one broadcast of the k-row
+    // centroid relation (same deliberate tiny-side BNLJ as emb_kmeans),
+    // one partial-agg argmin, and a TakeOrdered top-k — never a global
+    // window or sort of the corpus.
+    "emb_outliers" -> { (s, d) =>
+      import s.implicits._
+      val e = quantized(s, d)
+      val cents = e.filter($"vec_id" < KmeansK).select($"vec_id".as("cid"), $"q".as("cq"))
+      e.join(broadcast(cents), lit(true))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+        .groupBy($"vec_id")
+        .agg(min(struct($"dist", $"cid")).as("m"))
+        .select($"vec_id", $"m.cid".as("cid"), $"m.dist".as("dist"))
+        .orderBy($"dist".desc, $"vec_id")
+        .limit(20)
+    },
+
+    // product-quantization ANN (ADC scan + exact re-rank): 8 subspaces
+    // x 8 dims, 16 deterministic codewords per subspace (the first 16
+    // vectors' subvectors). Corpus vectors are encoded once to 8 small
+    // codes (broadcast codebook + partial-agg argmin per (vector,
+    // subspace)); each query builds an exact 16-entry distance lookup
+    // table per subspace, and the scan is a broadcast equi-join of the
+    // code table against the LUT summed per (query, vector) — the
+    // memory-bandwidth ADC pattern, no full-dimension math in the hot
+    // loop. The ADC shortlist (top 5x k per query) is then re-ranked
+    // with EXACT L2 on the original vectors — the production IVF-PQ
+    // shape, where full-precision math touches only the shortlist. At
+    // corpus scale the encode is one shuffle of 8 ints per vector, the
+    // scan shuffles O(vectors x queries) tiny rows with map-side
+    // combine, and the re-rank is a broadcast of the tiny shortlist.
+    // rows-only (shortlist depends on the codebook); recall + exactness
+    // asserted in AnnSpec.
+    "ann_pq_topk" -> { (s, d) =>
+      import s.implicits._
+      val (m, subDim, nCodes, shortlist) = (8, 8, 16, 5 * TopK)
+      val e = quantized(s, d)
+      val subs = e.select($"vec_id", explode(expr(
+        s"transform(sequence(0, ${m - 1}), m -> struct(m AS sub, slice(q, m * $subDim + 1, $subDim) AS sv))")).as("x"))
+        .select($"vec_id", $"x.sub".as("sub"), $"x.sv".as("sv"))
+      val codebook = subs.filter($"vec_id" < nCodes)
+        .select($"vec_id".as("code"), $"sub", $"sv".as("cv"))
+      def sqDist = expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+      val codes = subs.join(broadcast(codebook), Seq("sub"))
+        .withColumn("dist", sqDist)
+        .groupBy($"vec_id", $"sub")
+        .agg(min(struct($"dist", $"code")).as("mn"))
+        .select($"vec_id".as("cid"), $"sub", $"mn.code".as("code"))
+      val lut = subs.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("qid"), $"sub", $"sv")
+        .join(broadcast(codebook), Seq("sub"))
+        .withColumn("qdist", sqDist)
+        .select($"qid", $"sub", $"code", $"qdist")
+      val wAdc = Window.partitionBy($"qid").orderBy($"adist".asc, $"cid")
+      val short = codes.join(broadcast(lut), Seq("sub", "code"))
+        .filter($"cid" =!= $"qid")
+        .groupBy($"qid", $"cid")
+        .agg(sum($"qdist").as("adist"))
+        .withColumn("srnk", row_number().over(wAdc))
+        .filter($"srnk" <= shortlist)
+        .select($"qid", $"cid")
+      // exact re-rank of the shortlist on the original quantized vectors
+      val wExact = Window.partitionBy($"qid").orderBy($"dist".asc, $"cid")
+      broadcast(short)
+        .join(e.select($"vec_id".as("cid"), $"q".as("qb")), Seq("cid"))
+        .join(broadcast(e.filter($"vec_id" < NumQueries)
+          .select($"vec_id".as("qid"), $"q".as("qa"))), Seq("qid"))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+        .withColumn("rnk", row_number().over(wExact).cast("long"))
+        .filter($"rnk" <= TopK)
+        .select($"qid", $"rnk", $"cid", $"dist")
+        .orderBy($"qid", $"rnk")
+    },
+
     // per-label embedding cluster statistics — the k-means E-step summary
     // a label-balance / cluster-quality audit runs over training vectors:
     // per-dimension component sums (= unnormalized centroid), squared
@@ -260,6 +339,23 @@ object AnnQueries {
            |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members, CAST(SUM(d) AS BIGINT) AS inertia
            |FROM a$KmeansIters GROUP BY cid ORDER BY cid""".stripMargin
     },
+
+    // one assignment round against the seed centroids, then the top-20
+    // largest min-distances (ties broken by vec_id) — same integer
+    // arithmetic as the Spark side, so the compare is exact
+    "emb_outliers" -> (QuantCte +
+      s""", c0 AS (SELECT vec_id AS cid, i, q AS c FROM e WHERE vec_id < $KmeansK),
+         |d1 AS (
+         |  SELECT e.vec_id, c.cid, SUM((e.q - c.c) * (e.q - c.c)) AS d
+         |  FROM e JOIN c0 c ON c.i = e.i GROUP BY 1, 2),
+         |a1 AS (
+         |  SELECT vec_id, cid, d FROM (
+         |    SELECT vec_id, cid, d,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM d1)
+         |  WHERE rn = 1)
+         |SELECT vec_id, cid, CAST(d AS BIGINT) AS dist FROM a1
+         |ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin),
 
     "emb_label_stats" -> (QuantCte +
       """, l AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),

@@ -314,6 +314,29 @@ object DedupQueries {
         .orderBy($"source")
     },
 
+    // cross-source duplication matrix: LSH near-dup candidate pairs
+    // rolled up by (source, source) — the "who mirrors whom" audit that
+    // decides which sources to drop or down-weight before training
+    // (exact-duplicate fingerprints never cross sources in practice;
+    // near-dup candidates do). Scale shape: the candidate generator is
+    // the same single-wide-stage LSH band join as dd_minhash; the source
+    // attribution is two equi-joins against the (doc_id, source)
+    // projection, and the final aggregation is |sources|² rows.
+    "dd_source_overlap" -> { (s, d) =>
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val cand = candidatesFrom(shingleArrays(docs).persist()
+        .select($"doc_id", explode($"ss").as("s")))
+      val src = docs.select($"doc_id", $"source")
+      cand
+        .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), Seq("doc_a"))
+        .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), Seq("doc_b"))
+        .select(least($"sa", $"sb").as("source_a"), greatest($"sa", $"sb").as("source_b"))
+        .groupBy($"source_a", $"source_b")
+        .agg(count(lit(1)).as("n_candidate_pairs"))
+        .orderBy($"source_a", $"source_b")
+    },
+
     // MinHash+LSH candidate pairs
     "dd_minhash" -> { (s, d) =>
       import s.implicits._
@@ -633,6 +656,17 @@ object DedupQueries {
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_groups, CAST(SUM(n) AS BIGINT) AS n_docs,
         |  CAST(SUM(n - 1) AS BIGINT) AS n_dups, CAST(SUM(keep) AS BIGINT) AS keep_sum
         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "dd_source_overlap" ->
+      (s"WITH ${lshCtes("documents")},\n" +
+        """src AS (SELECT doc_id, source FROM documents)
+          |SELECT LEAST(a.source, b.source) AS source_a,
+          |  GREATEST(a.source, b.source) AS source_b,
+          |  CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs
+          |FROM cand
+          |JOIN src a ON a.doc_id = cand.doc_a
+          |JOIN src b ON b.doc_id = cand.doc_b
+          |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin),
 
     "dd_minhash" ->
       (s"WITH ${lshCtes("documents")}\n" +

@@ -32,6 +32,9 @@ object SamplingQueries {
   /** per-source token budget for samp_token_budget */
   private val TokenBudget = 4000L
 
+  /** expected total docs kept by samp_temperature */
+  private val TempTarget = 150L
+
   /** uniform-in-[0, 2^32) deterministic hash of the doc id */
   private def docHash = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
 
@@ -51,6 +54,32 @@ object SamplingQueries {
         .filter($"h" < expr(s"${StratumTarget * HashSpace} div n"))
         .select($"lang", $"doc_id")
         .orderBy($"lang", $"doc_id")
+    },
+
+    // temperature-based mixture reweighting (tau = 0.5): each source's
+    // keep-rate is proportional to n^(tau-1), so small sources are
+    // up-weighted relative to their share and large sources down-weighted
+    // — the multilingual/multi-domain rebalancing rule (e.g. mT5's
+    // alpha-scaled sampling). Expected total ≈ TempTarget docs. All
+    // arithmetic is integer once each source's weight w = floor(sqrt(n)
+    // * 1000) is taken: sqrt is IEEE-correctly-rounded on both engines
+    // and the weight SUM is then exact/associative, so the per-source
+    // hash threshold (T * 2^32 * w) div (sum_w * n) is bit-identical
+    // everywhere. Scale shape: per-source counts are a tiny partial agg
+    // (broadcastable at any corpus size), the selection itself a NARROW
+    // hash filter — no sort, no corpus shuffle.
+    "samp_temperature" -> { (s, d) =>
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val n = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+        .withColumn("w", floor(sqrt($"n".cast("double")) * lit(1000.0)).cast("long"))
+      val tot = n.agg(sum($"w").as("sw")) // single row
+      docs.select($"source", $"doc_id", docHash.as("h"))
+        .join(broadcast(n), Seq("source"))
+        .join(broadcast(tot), lit(true))
+        .filter($"h" < expr(s"($TempTarget * $HashSpace * w) div (sw * n)"))
+        .select($"source", $"doc_id")
+        .orderBy($"source", $"doc_id")
     },
 
     // per-source token-budget selection (domain mixing): docs enter the
@@ -79,6 +108,21 @@ object SamplingQueries {
          |SELECT h.lang, h.doc_id FROM h JOIN n ON n.lang = h.lang
          |WHERE h.h < ${StratumTarget * HashSpace} // n.n
          |ORDER BY h.lang, h.doc_id""".stripMargin,
+
+    "samp_temperature" ->
+      s"""WITH n AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000.0) AS BIGINT) AS w
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sw FROM n),
+         |h AS (
+         |  SELECT source, doc_id,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT h.source, h.doc_id
+         |FROM h JOIN n ON n.source = h.source, tot
+         |WHERE h.h < ($TempTarget * $HashSpace * n.w) // (tot.sw * n.n)
+         |ORDER BY h.source, h.doc_id""".stripMargin,
 
     "samp_token_budget" ->
       s"""WITH tk AS (

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.StructType
 
 import graft.rawdata.{AvroCodec, HadoopIO, RawdataMessage, Topic, TopicConfig}
@@ -55,6 +56,46 @@ final class TopicWrite(path: String, schema: StructType, cfg: TopicConfig)
     Array(Expressions.sort(Expressions.column("id"), SortDirection.ASCENDING))
 
   override def toBatch: BatchWrite = new TopicBatchWrite(path, schema, cfg)
+
+  override def toStreaming: StreamingWrite = new TopicStreamingWrite(path, schema, cfg)
+}
+
+/** `df.writeStream.format("graft-topic")` — the reference producer's
+  * CONTINUOUS mode (AvroRawdataProducer's window-roll loop as a
+  * Structured Streaming sink): every micro-batch publishes through the
+  * same rolling + temp-name commit protocol as the batch sink, so a
+  * stream→topic mirror yields a byte-compatible topic.
+  *
+  * Delivery is effectively-once: a replayed epoch re-derives the SAME
+  * file names (they are functions of each file's first message) and
+  * `Topic.commitTopicFile` treats an existing identical file as success
+  * — the replay converges on the committed state instead of duplicating
+  * it. The pre-existing-name snapshot is taken once at query start, so
+  * genuine re-publish of data that predates the stream still fails loud.
+  */
+final class TopicStreamingWrite(path: String, schema: StructType, cfg: TopicConfig)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val conf = HadoopIO.conf()
+    HadoopIO.fs(path, conf).mkdirs(new Path(path))
+    val preExisting = graft.rawdata.PreExisting.of(
+      Topic.listFiles(path).map(f => new Path(f.path).getName))
+    TopicStreamingWriterFactory(path, schema, cfg, HadoopIO.serializable(), preExisting)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    Topic.invalidateListing(path)
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class TopicStreamingWriterFactory(
+    path: String, schema: StructType, cfg: TopicConfig,
+    sconf: HadoopIO.SerializableConf, preExisting: graft.rawdata.PreExisting)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new TopicDataWriter(path, schema, cfg, sconf, preExisting)
 }
 
 final class TopicBatchWrite(path: String, schema: StructType, cfg: TopicConfig) extends BatchWrite {

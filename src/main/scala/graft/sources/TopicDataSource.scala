@@ -67,7 +67,8 @@ final class TopicTable(path: String) extends Table with SupportsRead with Suppor
   override def schema(): StructType = TopicDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TopicScanBuilder(path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

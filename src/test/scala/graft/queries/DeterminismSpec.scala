@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Partitioning-invariance gate: a plan that is correct at 100 TB must
+  * produce the SAME result no matter how the data is split across tasks.
+  * Every operator here is engineered for that (integer-exact math,
+  * deterministic hashes, total tie-breaks), so re-running a
+  * representative query from each shuffle-bearing family under a
+  * different shuffle partitioning must give byte-identical rows. A
+  * failure means some expression depends on partition layout (float
+  * summation order, first()/head without ordering, RNG) — exactly the
+  * class of bug that passes a single-config oracle check and corrupts a
+  * cluster run.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  // one per family: agg, join, window/session, explode-agg, LSH chain,
+  // iterative fixpoint, sampling threshold, Lloyd rounds, argmin top-k,
+  // PQ encode+ADC
+  private val names = Seq(
+    "q1_agg", "q3_join_agg", "ev_session", "txt_vocab", "dd_minhash",
+    "dd_cluster", "samp_temperature", "emb_kmeans", "emb_outliers",
+    "ann_pq_topk")
+
+  for (name <- names) {
+    test(s"$name result invariant under repartitioning") {
+      val fn = SparkEntry.queries(name)
+      def run(): Seq[String] = fn(spark, sf).collect().map(_.toString).toSeq.sorted
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      val base = run()
+      spark.catalog.clearCache()
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        val alt = run()
+        assert(alt == base, s"$name result changed under shuffle.partitions=3")
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+        spark.catalog.clearCache()
+      }
+    }
+  }
+}

@@ -16,10 +16,11 @@ import graft.{SparkSpec, SparkEntry}
   */
 class PlanAuditSpec extends SparkSpec {
 
-  // deliberate tiny-side broadcasts: IVF centroid assignment and the
-  // k-means per-round assignment both pair the corpus against a k-row
-  // centroid relation
-  private val nestedLoopAllowed = Set("ann_ivf_topk", "emb_kmeans")
+  // deliberate tiny-side broadcasts: IVF / k-means / outlier assignment
+  // pair the corpus against a k-row centroid relation; samp_temperature
+  // joins the single-row weight total
+  private val nestedLoopAllowed =
+    Set("ann_ivf_topk", "emb_kmeans", "emb_outliers", "samp_temperature")
   private val globalWindowAllowed = Set("rd_ordering_group")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
