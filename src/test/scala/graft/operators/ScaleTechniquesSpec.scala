@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The two remaining SURVEY §4 scale techniques, demonstrated for real:
+  * bucketing co-locates a fact-fact join (no shuffle before the join),
+  * and salting spreads a hot join key across tasks without changing the
+  * result.
+  */
+class ScaleTechniquesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("co-bucketed tables join without a pre-join shuffle, same result") {
+    val li = Tables.t(spark, sf, "lineitem").select($"l_orderkey", $"l_quantity")
+    val ord = Tables.t(spark, sf, "orders").select($"o_orderkey", $"o_custkey")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    ord.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("ord_bucketed")
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so the shuffle question is real
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey").agg(sum($"l_quantity").as("qty"))
+      val exchanges = j.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      // both sides arrive pre-partitioned by the bucket hash: the ONLY
+      // exchange left is the final aggregation's (an unbucketed join
+      // plan carries two more, one per side)
+      assert(exchanges.size <= 1,
+        s"expected at most the aggregation exchange, got ${exchanges.size}")
+      val direct = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey").agg(sum($"l_quantity").as("qty"))
+      assert(j.collect().toSet === direct.collect().toSet)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("salted join: identical rows to the plain join on a hot-key distribution") {
+    // a deliberately skewed fact: ~90% of events collapse onto key 0
+    val fact = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type")
+      .withColumn("k", when($"user_id" % 10 =!= 0, lit(0L)).otherwise($"user_id" % 50))
+    val dim = fact.select($"k").distinct()
+      .withColumn("k_label", concat(lit("key-"), $"k"))
+    val salted = SkewOps.saltedJoin(fact, dim, "k", "event_id", 16)
+    val plain = fact.join(dim, Seq("k"))
+    // same rows (compare a total aggregate per key — row-identical join)
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"k", $"k_label")
+        .agg(count(lit(1)).as("n"), sum($"event_id").as("id_sum"))
+        .collect().toSet
+    assert(summarize(salted) === summarize(plain))
+    // the salt genuinely splits the hot key across sub-keys
+    val saltSpread = fact.withColumn("__salt", pmod(hash($"event_id"), lit(16)))
+      .filter($"k" === 0).select($"__salt").distinct().count()
+    assert(saltSpread === 16L, "hot key must be spread across all 16 salts")
+  }
+}
