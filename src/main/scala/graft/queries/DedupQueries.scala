@@ -28,6 +28,8 @@ object DedupQueries {
 
   private val Perms = 12 // minhash permutations
   private val BandRows = 3 // rows per LSH band → 4 bands
+  /** dd_containment keeps pairs where |A∩B| / min(|A|,|B|) ≥ 0.6 */
+  private val ContainmentThresholdPpm = 600000L
 
   /** per-doc DISTINCT word-3-shingle array (doc_id, ss) — fully narrow:
     * the dedup is `array_distinct` on the not-yet-exploded array, so the
@@ -377,6 +379,30 @@ object DedupQueries {
       jaccardOf(shingleArrays(t(s, d, "documents")).persist())
     },
 
+    // asymmetric containment on the LSH candidates: C = |A∩B| / min(|A|,
+    // |B|). Jaccard misses subset-inclusion dups — a doc quoted whole
+    // inside a 10× larger doc has J ≈ 0.1 but C = 1.0 — and those are
+    // exactly the template/boilerplate-wrapped repeats a curation pass
+    // must catch. Same candidate-proportional scale shape as dd_jaccard:
+    // the wide work touches only within-bucket pairs, never the corpus.
+    "dd_containment" -> { (s, d) =>
+      import s.implicits._
+      val arr = shingleArrays(t(s, d, "documents")).persist()
+      val cand = candidatesFrom(arr.select($"doc_id", explode($"ss").as("s")))
+      val candDocs = cand.select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+      val sets = arr.join(candDocs, Seq("doc_id"), "left_semi")
+      cand
+        .join(sets.select($"doc_id".as("doc_a"), $"ss".as("sa")), Seq("doc_a"))
+        .join(sets.select($"doc_id".as("doc_b"), $"ss".as("sb")), Seq("doc_b"))
+        .withColumn("n_int", size(array_intersect($"sa", $"sb")).cast("long"))
+        .select($"doc_a", $"doc_b",
+          size($"sa").cast("long").as("n_a"), size($"sb").cast("long").as("n_b"),
+          floor($"n_int" / least(size($"sa"), size($"sb")) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("containment_ppm"))
+        .filter($"containment_ppm" >= ContainmentThresholdPpm)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
     // end-to-end corpus cleaning: quality gate → exact dedup (keep-first)
     // → LSH near-dup removal (drop the later doc of each verified pair).
     // The flagship composition — each stage is one of the operators above,
@@ -688,6 +714,24 @@ object DedupQueries {
     "dd_jaccard" ->
       (s"WITH ${lshCtes("documents")},\n$JaccardCtes\n" +
         "SELECT doc_a, doc_b, jaccard_ppm FROM jacc ORDER BY doc_a, doc_b"),
+
+    "dd_containment" ->
+      (s"WITH ${lshCtes("documents")},\n" +
+        s"""sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_int
+           |  FROM cand c
+           |  JOIN sh sa ON sa.doc_id = c.doc_a
+           |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+           |  GROUP BY c.doc_a, c.doc_b)
+           |SELECT i.doc_a, i.doc_b,
+           |  CAST(za.n_sh AS BIGINT) AS n_a, CAST(zb.n_sh AS BIGINT) AS n_b,
+           |  CAST(FLOOR(n_int / CAST(LEAST(za.n_sh, zb.n_sh) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS containment_ppm
+           |FROM inter i
+           |JOIN sizes za ON za.doc_id = i.doc_a
+           |JOIN sizes zb ON zb.doc_id = i.doc_b
+           |WHERE FLOOR(n_int / CAST(LEAST(za.n_sh, zb.n_sh) AS DOUBLE) * 1000000.0 + 0.5) >= $ContainmentThresholdPpm
+           |ORDER BY doc_a, doc_b""".stripMargin),
 
     "pipe_clean_corpus" ->
       (s"""WITH quality AS (

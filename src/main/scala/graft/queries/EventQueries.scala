@@ -137,6 +137,27 @@ object EventQueries {
         .filter(($"n" * $"dd" - $"t") * ($"n" * $"dd" - $"t") > lit(4L) * ($"dd" * $"s2" - $"t" * $"t"))
         .select($"event_type", $"day", $"n")
         .orderBy($"event_type", $"day")
+    },
+
+    // top user-journey 3-step paths (sequence mining lite): each user's
+    // time-ordered event stream yields overlapping (step1, step2, step3)
+    // trigrams via two leads over ONE per-user window sort, then the
+    // count is a partial-agg shuffle on the tiny path-type key space.
+    // 100 TB shape: one shuffle by user (the window), one by path triple
+    // — path cardinality is |event_types|³ regardless of corpus size, so
+    // the final top-10 sort is over a bounded relation.
+    "ev_paths" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      ev(s, d)
+        .select($"user_id", $"event_type", $"ts_us", $"event_id")
+        .withColumn("step2", lead($"event_type", 1).over(w))
+        .withColumn("step3", lead($"event_type", 2).over(w))
+        .filter($"step3".isNotNull)
+        .groupBy($"event_type".as("step1"), $"step2", $"step3")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"step1", $"step2", $"step3")
+        .limit(10)
     }
   )
 
@@ -217,6 +238,18 @@ object EventQueries {
         |SELECT d.event_type, d.day, d.n
         |FROM daily d JOIN st ON st.event_type = d.event_type
         |WHERE (d.n * st.dd - st.t) * (d.n * st.dd - st.t) > 4 * (st.dd * st.s2 - st.t * st.t)
-        |ORDER BY d.event_type, d.day""".stripMargin
+        |ORDER BY d.event_type, d.day""".stripMargin,
+
+    "ev_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS step2,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS step3
+        |  FROM events)
+        |SELECT event_type AS step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM seq WHERE step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3
+        |LIMIT 10""".stripMargin
   )
 }

@@ -35,6 +35,11 @@ object SamplingQueries {
   /** expected total docs kept by samp_temperature */
   private val TempTarget = 150L
 
+  /** output shards for samp_shuffle */
+  private val NShards = 8L
+  /** docs-worth of data each source contributes after samp_upsample */
+  private val UpsampleTarget = 120L
+
   /** uniform-in-[0, 2^32) deterministic hash of the doc id */
   private def docHash = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
 
@@ -95,6 +100,55 @@ object SamplingQueries {
         .filter($"cum_before" < TokenBudget)
         .select($"source", $"doc_id", $"n_tok")
         .orderBy($"source", $"doc_id")
+    },
+
+    // deterministic global shuffle into training shards: the dataloader
+    // order for an epoch. Shard = hash mod NShards, position within the
+    // shard = rank by (hash, doc_id) — so the order is reproducible on
+    // any engine/partitioning and uncorrelated with ingest order. Scale
+    // shape: shard assignment is a NARROW hash; the within-shard
+    // ordering is a per-shard sort whose parallelism = #shards — at
+    // 100 TB you run thousands of shards, each a few GB, and each shard
+    // sorts independently (no global sort, no single-reducer stage).
+    "samp_shuffle" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
+      t(s, d, "documents")
+        .select($"doc_id", docHash.as("h"))
+        .withColumn("shard", ($"h" % NShards).cast("long"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select($"shard", $"pos", $"doc_id")
+        .orderBy($"shard", $"pos")
+    },
+
+    // fractional-epoch mixture upsampling: every source contributes
+    // ~UpsampleTarget docs-worth of data per epoch, so a source with
+    // n docs repeats each doc UpsampleTarget/n times. The factor is
+    // held as integer MILLI-epochs: every doc gets (milli div 1000)
+    // base copies, and the fractional remainder selects a deterministic
+    // hash-slice of docs for one extra copy — e.g. 1.2 epochs = 1 copy
+    // for everyone + a 20% slice doubled. Factors below 1.0 degrade to
+    // pure downsampling (0 base copies, fractional slice kept). One row
+    // per COPY (explode) with the copy index — the dataloader's actual
+    // input. Scale shape: per-source counts are a tiny broadcastable
+    // agg; copy assignment is a narrow filter + bounded explode (output
+    // size = Σ milli/1000 · n = #sources · UpsampleTarget, independent
+    // of skew).
+    "samp_upsample" -> { (s, d) =>
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val n = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+        .withColumn("milli", expr(s"(${UpsampleTarget} * 1000) div n"))
+      docs.select($"source", $"doc_id", docHash.as("h"))
+        .join(broadcast(n), Seq("source"))
+        .withColumn("copies",
+          (expr("milli div 1000") +
+            when($"h" < expr(s"(milli % 1000) * $HashSpace div 1000"), 1L)
+              .otherwise(0L)).cast("long"))
+        .filter($"copies" > 0)
+        .select($"source", $"doc_id", $"copies",
+          explode(expr("sequence(1L, copies)")).as("copy"))
+        .orderBy($"source", $"doc_id", $"copy")
     }
   )
 
@@ -135,6 +189,35 @@ object SamplingQueries {
          |    SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) - n_tok AS cum_before
          |  FROM tk)
          |SELECT source, doc_id, n_tok FROM c WHERE cum_before < $TokenBudget
-         |ORDER BY source, doc_id""".stripMargin
+         |ORDER BY source, doc_id""".stripMargin,
+
+    "samp_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT CAST(h % $NShards AS BIGINT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY h % $NShards ORDER BY h, doc_id) AS BIGINT) AS pos,
+         |  doc_id
+         |FROM h ORDER BY shard, pos""".stripMargin,
+
+    "samp_upsample" ->
+      s"""WITH n AS (
+         |  SELECT source, ($UpsampleTarget * 1000) // CAST(COUNT(*) AS BIGINT) AS milli
+         |  FROM documents GROUP BY source),
+         |h AS (
+         |  SELECT source, doc_id,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT h.source, h.doc_id,
+         |    CAST(n.milli // 1000
+         |      + CASE WHEN h.h < (n.milli % 1000) * $HashSpace // 1000 THEN 1 ELSE 0 END
+         |      AS BIGINT) AS copies
+         |  FROM h JOIN n ON n.source = h.source)
+         |SELECT source, doc_id, copies, CAST(t.copy AS BIGINT) AS copy
+         |FROM c, UNNEST(range(1, copies + 1)) AS t(copy)
+         |WHERE copies > 0
+         |ORDER BY source, doc_id, copy""".stripMargin
   )
 }

@@ -214,6 +214,32 @@ object TextQueries {
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter($"rnk" <= 5)
         .orderBy($"lang", $"rnk")
+    },
+
+    // per-doc top-3 distinctive terms by df-normalized term weight — the
+    // log-free TF-IDF variant score = tf·10⁶ div df, kept integer so the
+    // ranking is bit-identical on any engine (log-based idf ties the
+    // result to float rounding). The keyword/topic extraction pass of a
+    // curation pipeline. Scale shape: tf is one partial-agg shuffle on
+    // (doc, token); df derives from tf (already distinct per doc) with a
+    // second partial agg on token; the df join shuffles on token and the
+    // top-3 is a per-doc window over ≤|doc's vocab| rows — no global
+    // sort, no broadcast of the (corpus-sized) vocabulary.
+    "txt_tfidf" -> { (s, d) =>
+      import s.implicits._
+      val tf = t(s, d, "documents")
+        .select($"doc_id", explode(split($"text", " +")).as("tok"))
+        .filter(length($"tok") > 0)
+        .groupBy($"doc_id", $"tok")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score_ppm".desc, $"tok")
+      tf.join(df, Seq("tok"))
+        .withColumn("score_ppm", expr("(tf * 1000000) div df"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 3)
+        .select($"doc_id", $"rnk", $"tok", $"tf", $"df", $"score_ppm")
+        .orderBy($"doc_id", $"rnk")
     }
   )
 
@@ -329,6 +355,23 @@ object TextQueries {
         |  SELECT lang, gram, n,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS BIGINT) AS rnk
         |  FROM counted)
-        |SELECT lang, gram, n, rnk FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
+        |SELECT lang, gram, n, rnk FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+
+    "txt_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks WHERE len(tok) > 0 GROUP BY 1, 2),
+        |df AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |r AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |    CAST((tf.tf * 1000000) // df.df AS BIGINT) AS score_ppm,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY (tf.tf * 1000000) // df.df DESC, tf.tok) AS BIGINT) AS rnk
+        |  FROM tf JOIN df ON df.tok = tf.tok)
+        |SELECT doc_id, rnk, tok, tf, df, score_ppm
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
   )
 }

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic invariants of the round-5 curation operators — properties the
+  * DuckDB oracle's value-equality can't express (cross-query relations,
+  * partition/coverage laws).
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dd_containment dominates jaccard on every shared pair and respects its threshold") {
+    val cont = DedupQueries.queries("dd_containment")(spark, sf)
+      .select($"doc_a", $"doc_b", $"containment_ppm", $"n_a", $"n_b").collect()
+    assert(cont.nonEmpty, "expected at least one high-containment pair in the corpus")
+    assert(cont.forall(_.getAs[Long]("containment_ppm") >= 600000L))
+    assert(cont.forall(r => r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0))
+    // containment uses min(|A|,|B|) as denominator, jaccard the union:
+    // containment ≥ jaccard for the SAME pair, always
+    val jac = DedupQueries.queries("dd_jaccard")(spark, sf)
+      .select($"doc_a", $"doc_b", $"jaccard_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    spark.catalog.clearCache()
+    cont.foreach { r =>
+      val key = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      jac.get(key).foreach { j =>
+        assert(r.getAs[Long]("containment_ppm") >= j,
+          s"pair $key: containment below jaccard")
+      }
+    }
+  }
+
+  test("samp_shuffle is a permutation: every doc exactly once, per-shard positions contiguous from 1") {
+    val out = SamplingQueries.queries("samp_shuffle")(spark, sf)
+    val docs = graft.Tables.t(spark, sf, "documents").count()
+    assert(out.count() === docs)
+    assert(out.select($"doc_id").distinct().count() === docs)
+    val bad = out.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), min($"pos").as("lo"), max($"pos").as("hi"))
+      .filter($"lo" =!= 1L || $"hi" =!= $"n")
+    assert(bad.count() === 0L, "positions must be 1..n per shard with no gaps")
+  }
+
+  test("samp_upsample: copies differ by at most one within a source and never drop docs at factor ≥ 1") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val perDoc = SamplingQueries.queries("samp_upsample")(spark, sf)
+      .groupBy($"source", $"doc_id").agg(max($"copies").as("copies"),
+        count(lit(1)).as("n_rows"))
+    // explode emitted exactly `copies` rows per doc
+    assert(perDoc.filter($"n_rows" =!= $"copies").count() === 0L)
+    // within a source, every doc gets either base or base+1 copies
+    val spread = perDoc.groupBy($"source")
+      .agg((max($"copies") - min($"copies")).as("spread"))
+    assert(spread.filter($"spread" > 1L).count() === 0L)
+    // sources whose factor is ≥ 1 epoch keep every doc
+    val nBySource = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+    val kept = perDoc.groupBy($"source").agg(count(lit(1)).as("n_kept"))
+    val dropped = nBySource.join(kept, Seq("source"), "left")
+      .filter(lit(120000L) >= $"n" * 1000L) // milli ≥ 1000 ⇔ n ≤ target
+      .filter(coalesce($"n_kept", lit(0L)) =!= $"n")
+    assert(dropped.count() === 0L, "upsampling (factor ≥ 1) must keep every doc")
+  }
+
+  test("ev_paths returns a descending top-10 over genuine event trigrams") {
+    val rows = EventQueries.queries("ev_paths")(spark, sf).collect()
+    assert(rows.length === 10)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "counts must be non-increasing")
+    val types = graft.Tables.events(spark, sf)
+      .select($"event_type").distinct().as[String].collect().toSet
+    rows.foreach { r =>
+      assert(types.contains(r.getAs[String]("step1")))
+      assert(types.contains(r.getAs[String]("step2")))
+      assert(types.contains(r.getAs[String]("step3")))
+    }
+  }
+
+  test("txt_tfidf ranks each doc's terms by weight with rnk 1..3 and consistent tf/df") {
+    val out = TextQueries.queries("txt_tfidf")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(byRank.map(_.getAs[Long]("rnk")).toSeq === (1L to byRank.length).toSeq,
+        s"doc $doc: ranks must be 1..k")
+      val scores = byRank.map(_.getAs[Long]("score_ppm"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $doc: scores must be non-increasing in rank")
+    }
+    assert(out.forall(r => r.getAs[Long]("tf") >= 1L && r.getAs[Long]("df") >= 1L))
+    // df counts docs, so df ≤ total docs and tf ≥ 1 ⇒ score ≥ 1e6/df ≥ 1
+    val docs = graft.Tables.t(spark, sf, "documents").count()
+    assert(out.forall(_.getAs[Long]("df") <= docs))
+  }
+}
