@@ -30,6 +30,7 @@ object AnnQueries {
   private val CentroidStep = 100 // IVF seeds: vec_id % step == 0
   private val KmeansK = 8 // k-means clusters (seeds: vec_id < k)
   private val KmeansIters = 3 // fixed Lloyd rounds (deterministic, SQL-replayable)
+  private val RpPlanes = 16 // emb_rp: Johnson–Lindenstrauss projection dims
 
   private def quantized(s: SparkSession, d: String): DataFrame =
     graft.operators.VectorOps.quantized(s, d)
@@ -268,6 +269,36 @@ object AnnQueries {
       norms.join(cent, Seq("label"))
         .select($"label", $"n_vecs", $"sum_norm2", $"centroid_dot")
         .orderBy($"label")
+    },
+
+    // Johnson–Lindenstrauss random-projection sketch: each quantized
+    // vector projected onto RpPlanes md5-derived ±1 hyperplanes — the
+    // dimensionality-reduction pass that turns a 64-dim corpus into a
+    // 16-dim sketch (plus the packed sign signature, which is exactly the
+    // hyperplane-LSH key). Emits per vector the packed sig, the projected
+    // squared norm (the JL-preserved quantity) and the true squared norm,
+    // all exact integers. Scale shape: the plane matrix is RpPlanes×Dims
+    // rows — broadcast at any corpus size; projection is one partial-agg
+    // shuffle on (vec_id, j) then (vec_id): both keyed on the vector id,
+    // so the work is embarrassingly parallel and output is O(|vectors|).
+    "emb_rp" -> { (s, d) =>
+      import s.implicits._
+      val hp = graft.operators.VectorOps.hyperplanes(RpPlanes, Dims)
+      val planes = (for { j <- 0 until RpPlanes; i <- 0 until Dims }
+        yield (j.toLong, i.toLong, hp(j)(i).toLong)).toDF("j", "i", "sign")
+      val qe = quantized(s, d)
+      val per = qe.select($"vec_id", posexplode($"q"))
+        .toDF("vec_id", "i", "qv")
+        .join(broadcast(planes), Seq("i"))
+        .groupBy($"vec_id", $"j")
+        .agg(sum($"qv" * $"sign").as("p"))
+      per.groupBy($"vec_id")
+        .agg(
+          sum(when($"p" > 0, expr("shiftleft(1L, CAST(j AS INT))")).otherwise(lit(0L)))
+            .as("sketch_sig"),
+          sum($"p" * $"p").as("proj_norm2"))
+        .join(qe.select($"vec_id", $"nn"), Seq("vec_id"))
+        .orderBy($"vec_id")
     }
   )
 
@@ -368,7 +399,28 @@ object AnnQueries {
         |  FROM n JOIN l ON l.vec_id = n.vec_id GROUP BY 1)
         |SELECT nv.label, nv.n_vecs, nv.sum_norm2, cd.centroid_dot
         |FROM nv JOIN cd ON cd.label = nv.label
-        |ORDER BY nv.label""".stripMargin)
-    // ann_lsh_topk / ann_ivf_topk: rows-only (bucketing-dependent)
+        |ORDER BY nv.label""".stripMargin),
+
+    // the ±1 planes replay the Java recipe exactly: sign = +1 iff the top
+    // bit of md5("j:i")'s first byte is 0 (VectorOps.hyperplanes)
+    "emb_rp" -> (QuantCte +
+      s""", planes AS (
+         |  SELECT j, i,
+         |    CASE WHEN (CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 2) AS INT) & 128) = 0
+         |         THEN 1 ELSE -1 END AS sign
+         |  FROM UNNEST(range(0, $RpPlanes)) AS a(j), UNNEST(range(0, $Dims)) AS b(i)),
+         |p AS (
+         |  SELECT e.vec_id, pl.j, SUM(e.q * pl.sign) AS p
+         |  FROM e JOIN planes pl ON pl.i = e.i - 1
+         |  GROUP BY 1, 2),
+         |sk AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sketch_sig,
+         |    CAST(SUM(p * p) AS BIGINT) AS proj_norm2
+         |  FROM p GROUP BY vec_id)
+         |SELECT sk.vec_id, sk.sketch_sig, sk.proj_norm2, CAST(n.nn AS BIGINT) AS nn
+         |FROM sk JOIN n ON n.vec_id = sk.vec_id
+         |ORDER BY sk.vec_id""".stripMargin)
+    // ann_lsh_topk / ann_ivf_topk / ann_pq_topk: rows-only (bucketing-dependent)
   )
 }

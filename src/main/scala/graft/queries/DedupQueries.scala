@@ -231,7 +231,14 @@ object DedupQueries {
     * are CodegenFallback (interpreted per element), measured ~10× slower
     * per document, so batch stays on this form.
     */
-  private[graft] def bandsFrom(sh: DataFrame): DataFrame = {
+  private[graft] def bandsFrom(sh: DataFrame): DataFrame =
+    bandsOfSigs(signaturesFrom(sh))
+
+  /** per-doc minhash signature columns (doc_id, h0..h{Perms-1}) from the
+    * exploded shingle relation — one codegen'd hash aggregation with
+    * map-side partial combine
+    */
+  private[graft] def signaturesFrom(sh: DataFrame): DataFrame = {
     val s = sh.sparkSession
     import s.implicits._
     val hashed = sh.withColumn("x31",
@@ -239,7 +246,13 @@ object DedupQueries {
     val minAggs = (0 until Perms).map { j =>
       min((lit(permA(j)) * $"x31" + lit(permB(j))) % P).as(s"h$j")
     }
-    val sigs = hashed.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
+    hashed.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** (doc_id, band, bkey) from the signature relation */
+  private[graft] def bandsOfSigs(sigs: DataFrame): DataFrame = {
+    val s = sigs.sparkSession
+    import s.implicits._
     val bandCols = (0 until Perms / BandRows).map { b =>
       val parts = (0 until BandRows).map(r => col(s"h${b * BandRows + r}").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(",", parts: _*)).as("bkey"))
@@ -280,16 +293,18 @@ object DedupQueries {
     * band table feeds both sides of the self-join — persist it so the
     * shingle→minhash chain runs once, not twice.
     */
-  private def candidatesFrom(sh: DataFrame): DataFrame = {
-    val s = sh.sparkSession
-    import s.implicits._
-    val b = bandsFrom(sh).persist()
+  private def candidatesFrom(sh: DataFrame): DataFrame =
+    pairsOfBands(bandsFrom(sh).persist())
+
+  /** distinct (doc_a < doc_b) pairs sharing a band bucket — the one wide
+    * stage of every LSH chain
+    */
+  private def pairsOfBands(b: DataFrame): DataFrame =
     b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-  }
 
   val queries: Map[String, Q] = Map(
     // exact dedup: content-hash groups, keep-first; per-source summary
@@ -400,6 +415,34 @@ object DedupQueries {
           floor($"n_int" / least(size($"sa"), size($"sb")) * lit(1000000.0) + lit(0.5))
             .cast("long").as("containment_ppm"))
         .filter($"containment_ppm" >= ContainmentThresholdPpm)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // minhash-estimator calibration: for every LSH candidate pair, the
+    // jaccard ESTIMATE from signature agreement (matching perms / Perms —
+    // the quantity LSH banding actually thresholds on) next to the exact
+    // jaccard and the absolute error. The audit that tells you whether
+    // Perms is large enough for the corpus before trusting the estimator
+    // at 100 TB, where exact verification of every pair is unaffordable.
+    // Scale shape: the signature relation is reused for banding AND
+    // agreement (persisted; O(|docs|) rows), the exact side is the same
+    // candidate-proportional verify as dd_jaccard.
+    "dd_minhash_est" -> { (s, d) =>
+      import s.implicits._
+      val arr = shingleArrays(t(s, d, "documents")).persist()
+      val sigs = signaturesFrom(arr.select($"doc_id", explode($"ss").as("s"))).persist()
+      val cand = pairsOfBands(bandsOfSigs(sigs).persist())
+      val agree = (0 until Perms).map { j =>
+        when(col(s"sa.h$j") === col(s"sb.h$j"), 1L).otherwise(0L)
+      }.reduce(_ + _)
+      val est = cand
+        .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .withColumn("agree", agree)
+        .select($"doc_a", $"doc_b", expr(s"(agree * 1000000) div $Perms").as("est_ppm"))
+      est.join(jaccardFor(arr, cand), Seq("doc_a", "doc_b"))
+        .select($"doc_a", $"doc_b", $"est_ppm", $"jaccard_ppm",
+          abs($"est_ppm" - $"jaccard_ppm").as("err_ppm"))
         .orderBy($"doc_a", $"doc_b")
     },
 
@@ -732,6 +775,23 @@ object DedupQueries {
            |JOIN sizes zb ON zb.doc_id = i.doc_b
            |WHERE FLOOR(n_int / CAST(LEAST(za.n_sh, zb.n_sh) AS DOUBLE) * 1000000.0 + 0.5) >= $ContainmentThresholdPpm
            |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dd_minhash_est" -> {
+      val agreeSum = (0 until Perms)
+        .map(j => s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      (s"WITH ${lshCtes("documents")},\n$JaccardCtes,\n" +
+        s"""est AS (
+           |  SELECT c.doc_a, c.doc_b,
+           |    (($agreeSum) * 1000000) // $Perms AS est_ppm
+           |  FROM cand c
+           |  JOIN sigs a ON a.doc_id = c.doc_a
+           |  JOIN sigs b ON b.doc_id = c.doc_b)
+           |SELECT e.doc_a, e.doc_b, CAST(e.est_ppm AS BIGINT) AS est_ppm,
+           |  j.jaccard_ppm, CAST(ABS(e.est_ppm - j.jaccard_ppm) AS BIGINT) AS err_ppm
+           |FROM est e JOIN jacc j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
+           |ORDER BY e.doc_a, e.doc_b""".stripMargin)
+    },
 
     "pipe_clean_corpus" ->
       (s"""WITH quality AS (

@@ -77,6 +77,36 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("emb_rp's relational sign signature equals the native HyperplaneBands expression") {
+    val rp = AnnQueries.queries("emb_rp")(spark, sf)
+      .select($"vec_id", $"sketch_sig")
+    val native = graft.operators.VectorOps
+      .withHyperplaneSig(graft.operators.VectorOps.quantized(spark, sf), 16)
+      .select($"vec_id", $"sig".as("native_sig"))
+    val diff = rp.join(native, Seq("vec_id"))
+      .filter($"sketch_sig" =!= $"native_sig")
+    assert(diff.count() === 0L,
+      "the posexplode+join projection and the codegen'd banding expression must pack identical sign bits")
+    assert(rp.count() === native.count())
+  }
+
+  test("dd_minhash_est: estimates are perm-quantized, errors bounded by the 12-perm std dev regime") {
+    val rows = DedupQueries.queries("dd_minhash_est")(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    val validEst = (0 to 12).map(k => (k.toLong * 1000000L) / 12L).toSet
+    rows.foreach { r =>
+      assert(validEst.contains(r.getAs[Long]("est_ppm")),
+        s"est must be a multiple of 1/12: ${r.getAs[Long]("est_ppm")}")
+      assert(r.getAs[Long]("err_ppm") ===
+        math.abs(r.getAs[Long]("est_ppm") - r.getAs[Long]("jaccard_ppm")))
+    }
+    // 12 perms ⇒ std ≈ √(J(1−J)/12) ≤ 0.145; the MEAN abs error across
+    // candidate pairs must sit well inside one std (estimator unbiased)
+    val meanErr = rows.map(_.getAs[Long]("err_ppm")).sum / rows.length
+    assert(meanErr < 145000L, s"mean |est − exact| = $meanErr ppm — estimator looks broken")
+  }
+
   test("txt_tfidf ranks each doc's terms by weight with rnk 1..3 and consistent tf/df") {
     val out = TextQueries.queries("txt_tfidf")(spark, sf).collect()
     assert(out.nonEmpty)
