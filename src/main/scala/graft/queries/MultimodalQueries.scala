@@ -82,6 +82,21 @@ object MultimodalQueries {
         }
       }(Encoders.product[(String, Long, Long, Long, Long, Long, Long, Long)])
       feats.toDF("position", "n_bytes", "sum_bytes", "mean_milli", "h0", "h1", "h2", "h3")
+    },
+
+    // exact asset dedup by content hash — the 100 TB image/audio dedup
+    // baseline: one checksum groupBy per payload kind (map-side partial
+    // agg, shuffle carries 16-byte hashes not payloads), then a per-kind
+    // rollup. Same shape as dd_exact, applied to the binary modality.
+    "mm_dedup" -> { (s, d) =>
+      import s.implicits._
+      payloads(s, d, 500)
+        .groupBy($"key", md5($"payload").as("checksum"))
+        .agg(count(lit(1)).as("n"), min($"position").as("keep"))
+        .groupBy($"key")
+        .agg(count(lit(1)).as("n_assets"), sum($"n").as("n_payloads"),
+          sum($"n" - 1).as("n_dups"), min($"keep").as("first_keep"))
+        .orderBy($"key")
     }
   )
 
@@ -126,6 +141,20 @@ object MultimodalQueries {
         |  CAST(SUM(CASE WHEN byte >= 64 AND byte < 128 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
         |  CAST(SUM(CASE WHEN byte >= 128 AND byte < 192 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
         |  CAST(SUM(CASE WHEN byte >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS h3
-        |FROM b GROUP BY position ORDER BY position""".stripMargin
+        |FROM b GROUP BY position ORDER BY position""".stripMargin,
+
+    "mm_dedup" ->
+      """WITH m AS (
+        |  SELECT 'evt-' || CAST(event_id AS VARCHAR) AS position, 'props' AS key, props AS payload
+        |  FROM events WHERE event_id < 500
+        |  UNION ALL
+        |  SELECT 'evt-' || CAST(event_id AS VARCHAR), 'user', CAST(user_id AS VARCHAR)
+        |  FROM events WHERE event_id < 500),
+        |g AS (
+        |  SELECT key, md5(payload) AS checksum, COUNT(*) AS n, MIN(position) AS keep
+        |  FROM m GROUP BY 1, 2)
+        |SELECT key, CAST(COUNT(*) AS BIGINT) AS n_assets, CAST(SUM(n) AS BIGINT) AS n_payloads,
+        |  CAST(SUM(n - 1) AS BIGINT) AS n_dups, MIN(keep) AS first_keep
+        |FROM g GROUP BY key ORDER BY key""".stripMargin
   )
 }
