@@ -19,6 +19,37 @@ class ComponentsSpec extends SparkSpec {
       "every node of the path must reach the min label 0")
   }
 
+  test("random graphs match a driver-side union-find (12 seeded trials)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 12) {
+      val n = 30 + rnd.nextInt(40)
+      val m = 1 + rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x
+          else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val byRoot = nodes.groupBy(find)
+        val expected = byRoot.values.flatMap { members =>
+          val label = members.min
+          members.map(v => (v, label, members.size.toLong))
+        }.toSet
+        val got = DedupQueries.connectedComponents(edges.toDF("a", "b"))
+          .as[(Long, Long, Long)].collect().toSet
+        assert(got == expected, s"trial $trial (n=$n, m=${edges.size}) diverged from union-find")
+      }
+    }
+  }
+
   test("disjoint components are labeled by their own minima") {
     val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L), (31L, 30L))
       .toDF("a", "b")
