@@ -40,8 +40,14 @@ object SamplingQueries {
   /** docs-worth of data each source contributes after samp_upsample */
   private val UpsampleTarget = 120L
 
-  /** uniform-in-[0, 2^32) deterministic hash of the doc id */
-  private def docHash = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+  /** uniform-in-[0, 2^32) deterministic hash of the doc id — shared with
+    * the streaming mixture gate (CleanStream.mixtureGate) so stream and
+    * batch select the same documents
+    */
+  private[graft] def docHash = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** the hash space size, for external threshold arithmetic */
+  private[graft] def hashSpace: Long = HashSpace
 
   val queries: Map[String, Q] = Map(
     // stratified (per-language) rate sample toward ~StratumTarget docs

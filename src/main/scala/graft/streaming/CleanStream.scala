@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.queries.{DedupQueries, TextQueries}
+import graft.queries.{DedupQueries, SamplingQueries, TextQueries}
 
 /** Streaming head of the corpus-cleaning pipeline: documents tailed from
   * a topic are quality-gated and exactly deduplicated AS THEY ARRIVE,
@@ -80,5 +80,34 @@ object CleanStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("doc_id", "match_doc")
       .select($"doc_id", $"ts", $"match_doc", $"jaccard_ppm")
+  }
+
+  /** Streaming mixture gate — samp_stratified's per-stratum rate
+    * selection applied to a LIVE stream: arriving docs are kept iff
+    * their deterministic id-hash clears the stratum's threshold
+    * target·2³²  div n, where n comes from a STATIC corpus profile
+    * (the reference mix the stream is being rebalanced toward).
+    *
+    * Scale shape: entirely STATELESS — the per-stratum thresholds are a
+    * tiny static agg joined by broadcast, the selection a narrow filter;
+    * no watermark, no streaming state at all. Because the hash and the
+    * threshold arithmetic are shared with the batch operator
+    * (SamplingQueries.docHash), a doc admitted here is exactly the doc
+    * the nightly batch sampler would admit — the stream gate and the
+    * batch re-run can never disagree on membership.
+    *
+    * `docs`: streaming with (doc_id, lang, …). `corpus`: static with
+    * (lang) — the profile source. Passes every input column through.
+    */
+  def mixtureGate(docs: DataFrame, corpus: DataFrame, targetPerStratum: Long): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val thresholds = corpus.groupBy($"lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("thr", expr(s"($targetPerStratum * ${SamplingQueries.hashSpace}) div n"))
+      .select($"lang", $"thr")
+    docs.withColumn("__h", SamplingQueries.docHash)
+      .join(broadcast(thresholds), Seq("lang"))
+      .filter($"__h" < $"thr")
+      .drop("__h", "thr")
   }
 }
