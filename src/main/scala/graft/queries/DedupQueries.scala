@@ -431,7 +431,9 @@ object DedupQueries {
       import s.implicits._
       val arr = shingleArrays(t(s, d, "documents")).persist()
       val sigs = signaturesFrom(arr.select($"doc_id", explode($"ss").as("s"))).persist()
-      val cand = pairsOfBands(bandsOfSigs(sigs).persist())
+      // cand feeds the agreement join AND jaccardFor's semi-filter +
+      // verify join — persist so the band self-join runs once
+      val cand = pairsOfBands(bandsOfSigs(sigs).persist()).persist()
       val agree = (0 until Perms).map { j =>
         when(col(s"sa.h$j") === col(s"sb.h$j"), 1L).otherwise(0L)
       }.reduce(_ + _)

@@ -227,11 +227,16 @@ object TextQueries {
     // sort, no broadcast of the (corpus-sized) vocabulary.
     "txt_tfidf" -> { (s, d) =>
       import s.implicits._
+      // tf feeds BOTH the df aggregation and the final join — Catalyst has
+      // no cross-branch CSE, so persist it or the corpus explode+agg runs
+      // twice (cache scoped by the caller's clearCache, as documented in
+      // SparkEntry)
       val tf = t(s, d, "documents")
         .select($"doc_id", explode(split($"text", " +")).as("tok"))
         .filter(length($"tok") > 0)
         .groupBy($"doc_id", $"tok")
         .agg(count(lit(1)).as("tf"))
+        .persist()
       val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy($"doc_id").orderBy($"score_ppm".desc, $"tok")
       tf.join(df, Seq("tok"))
