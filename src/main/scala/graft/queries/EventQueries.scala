@@ -139,6 +139,22 @@ object EventQueries {
         .orderBy($"event_type", $"day")
     },
 
+    // rolling 7-day event volume per type over the DAILY rollup — the
+    // RANGE window frame (value-based, not row-based: days with no
+    // events don't shrink the horizon). Scale shape: the raw-event
+    // shuffle is one partial-agg on (type, day); the window runs over
+    // the tiny daily relation (|types|·|days| rows), never raw events.
+    "ev_rolling" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+        .rangeBetween(-6, Window.currentRow)
+      ev(s, d)
+        .groupBy($"event_type", ($"ts_us" / DayUs).cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_7d", sum($"n").over(w))
+        .orderBy($"event_type", $"day")
+    },
+
     // top user-journey 3-step paths (sequence mining lite): each user's
     // time-ordered event stream yields overlapping (step1, step2, step3)
     // trigrams via two leads over ONE per-user window sort, then the
@@ -239,6 +255,16 @@ object EventQueries {
         |FROM daily d JOIN st ON st.event_type = d.event_type
         |WHERE (d.n * st.dd - st.t) * (d.n * st.dd - st.t) > 4 * (st.dd * st.s2 - st.t * st.t)
         |ORDER BY d.event_type, d.day""".stripMargin,
+
+    "ev_rolling" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        |  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM daily ORDER BY event_type, day""".stripMargin,
 
     "ev_paths" ->
       """WITH seq AS (
