@@ -216,6 +216,30 @@ object TextQueries {
         .orderBy($"lang", $"rnk")
     },
 
+    // repeated-phrase boilerplate audit: word-8-grams appearing in 2+
+    // DISTINCT docs — the duplicated-substring signal (license headers,
+    // navigation chrome, templated intros) that doc-level dedup leaves
+    // behind. Scale shape: the 8-gram explode is narrow; the phrase
+    // groupBy is one partial-agg shuffle where map-side combine already
+    // collapses within-doc repeats (at 100 TB, group on md5(phrase) and
+    // keep min(phrase) as the exemplar so the shuffle key is 16 bytes);
+    // the top-50 is a TakeOrdered, never a global sort.
+    "txt_phrases" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents")
+        .withColumn("tk", split($"text", " +"))
+        .withColumn("g", expr(
+          "if(size(tk) < 8, array(), " +
+            "transform(sequence(0, size(tk) - 8), i -> concat_ws(' ', slice(tk, i + 1, 8))))"))
+        .select($"doc_id", explode($"g").as("phrase"))
+        .groupBy($"phrase")
+        .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occurrences"),
+          min($"doc_id").as("first_doc"))
+        .filter($"n_docs" >= 2)
+        .orderBy($"n_docs".desc, $"phrase")
+        .limit(50)
+    },
+
     // per-doc top-3 distinctive terms by df-normalized term weight — the
     // log-free TF-IDF variant score = tf·10⁶ div df, kept integer so the
     // ranking is bit-identical on any engine (log-based idf ties the
@@ -361,6 +385,19 @@ object TextQueries {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS BIGINT) AS rnk
         |  FROM counted)
         |SELECT lang, gram, n, rnk FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+
+    "txt_phrases" ->
+      """WITH g AS (
+        |  SELECT doc_id, string_split_regex(text, ' +') AS tk FROM documents),
+        |ph AS (
+        |  SELECT doc_id,
+        |    array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS phrase
+        |  FROM g, UNNEST(range(1, len(tk) - 6)) AS t(i)
+        |  WHERE len(tk) >= 8)
+        |SELECT phrase, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occurrences, MIN(doc_id) AS first_doc
+        |FROM ph GROUP BY phrase HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, phrase LIMIT 50""".stripMargin,
 
     "txt_tfidf" ->
       """WITH toks AS (
