@@ -366,6 +366,26 @@ object Relational2 {
           countDistinct($"l_partkey").as("exact_parts"),
           approx_count_distinct($"l_suppkey").as("approx_supps"),
           countDistinct($"l_suppkey").as("exact_supps"))
+    },
+
+    // set operators (INTERSECT / EXCEPT — the one relational family the
+    // other 30 shapes don't touch): customers active in both 1995 and
+    // 1996 vs only-1995. Both set ops compile to distinct-aggregated
+    // semi/anti hash joins on the customer key — one shuffle each over
+    // the already-distinct per-year key sets, never over raw orders.
+    "q31_setops" -> { (s, d) =>
+      import s.implicits._
+      val o = t(s, d, "orders")
+      def yr(y: Int) = o.filter(year($"o_orderdate") === y).select($"o_custkey").distinct()
+      val both = yr(1995).intersect(yr(1996))
+        .agg(count(lit(1)).as("n_both"),
+          coalesce(sum($"o_custkey"), lit(0L)).as("sum_both"))
+        .withColumn("one", lit(1))
+      val only = yr(1995).except(yr(1996))
+        .agg(count(lit(1)).as("n_only_1995"),
+          coalesce(sum($"o_custkey"), lit(0L)).as("sum_only_1995"))
+        .withColumn("one", lit(1))
+      both.join(only, Seq("one")).drop("one")
     }
   )
 
@@ -571,7 +591,17 @@ object Relational2 {
         |  CAST(COUNT(DISTINCT v.user_id) AS BIGINT) AS n_users,
         |  CAST(SUM(p_us - v_us) AS DOUBLE) / COUNT(*) / 1e6 AS avg_gap_sec
         |FROM v JOIN p ON v.user_id = p.user_id AND p_us > v_us AND p_us <= v_us + 3600000000
-        |""".stripMargin
+        |""".stripMargin,
     // q30_approx_distinct: rows-only (approximate)
+
+    "q31_setops" ->
+      """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |b AS (SELECT * FROM y95 INTERSECT SELECT * FROM y96),
+        |o95 AS (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_both,
+        |  (SELECT CAST(COALESCE(SUM(o_custkey), 0) AS BIGINT) FROM b) AS sum_both,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM o95) AS n_only_1995,
+        |  (SELECT CAST(COALESCE(SUM(o_custkey), 0) AS BIGINT) FROM o95) AS sum_only_1995""".stripMargin
   )
 }

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Scan-efficiency gate: filters must reach the parquet scan and the
+  * scan must read only the columns the query projects — at 100 TB the
+  * difference between reading 2 columns and 16 is the job.
+  */
+class PushdownAuditSpec extends SparkSpec {
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case s: FileSourceScanExec => s }
+  }
+
+  private def pushedFilters(s: FileSourceScanExec): String =
+    s.metadata.getOrElse("PushedFilters", "[]")
+
+  test("q2_filter_project: predicate pushed to the scan, strict column subset read") {
+    val sc = scans(SparkEntry.queries("q2_filter_project")(spark, sf))
+    assert(sc.nonEmpty, "expected a parquet scan")
+    sc.foreach { s =>
+      assert(s.requiredSchema.size < s.relation.dataSchema.size,
+        s"scan reads all ${s.relation.dataSchema.size} columns — projection not pruned")
+    }
+    assert(sc.exists(pushedFilters(_) != "[]"), "no filter reached any scan")
+  }
+
+  test("q6_scan_agg: selective predicates pushed down, only agg inputs read") {
+    val sc = scans(SparkEntry.queries("q6_scan_agg")(spark, sf))
+    assert(sc.nonEmpty)
+    assert(sc.exists(pushedFilters(_) != "[]"), "no filter reached any scan")
+    sc.foreach { s =>
+      assert(s.requiredSchema.size < s.relation.dataSchema.size)
+    }
+  }
+
+  test("q1_agg: lineitem scan prunes to the aggregation's input columns") {
+    val sc = scans(SparkEntry.queries("q1_agg")(spark, sf))
+    assert(sc.nonEmpty)
+    sc.foreach { s =>
+      assert(s.requiredSchema.size < s.relation.dataSchema.size,
+        s"read ${s.requiredSchema.fieldNames.mkString(",")} of ${s.relation.dataSchema.size} columns")
+    }
+  }
+
+  test("txt_tokens: documents scan reads only (doc_id, source, text)-sized slice") {
+    val sc = scans(SparkEntry.queries("txt_tokens")(spark, sf))
+    assert(sc.nonEmpty)
+    sc.foreach { s =>
+      assert(s.requiredSchema.size < s.relation.dataSchema.size,
+        s"read ${s.requiredSchema.fieldNames.mkString(",")} — expected a strict subset of documents' columns")
+    }
+  }
+}
