@@ -16,13 +16,21 @@ import graft.Tables.t
   */
 object VectorOps {
 
+  /** Adds `q` (quantized vector) and `nn` (integer squared norm) to any
+    * relation with an `embedding` array column — works on STREAMING
+    * relations too (pure per-row expressions; the HOFs are interpreted
+    * CodegenFallback, fine for micro-batch volumes — batch table scans
+    * go through `quantized` below which shares this exact recipe).
+    */
+  def quantize(df: DataFrame): DataFrame =
+    df.withColumn("q",
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"))
+      .withColumn("nn", expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+
   /** embeddings with quantized vector `q` and integer squared norm `nn` */
   def quantized(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    t(s, d, "embeddings")
-      .select($"vec_id",
-        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))").as("q"))
-      .withColumn("nn", expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+    quantize(t(s, d, "embeddings")).select($"vec_id", $"q", $"nn")
   }
 
   val dotExpr: String =
