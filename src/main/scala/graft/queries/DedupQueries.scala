@@ -143,7 +143,49 @@ object DedupQueries {
     * unchanged sum IS a fixpoint — one scalar action per round instead
     * of a changed-rows join.
     */
+  /** Dispatcher: verified duplicate-pair graphs are usually FAR smaller
+    * than the corpus (they are the duplicates), so below
+    * `SmallGraphEdges` edges (≈16 MB of longs on the driver — the same
+    * budget as the topic publish-name broadcast) the components come
+    * from a driver-side union-find: exact same answer, none of the
+    * propagation loop's per-round job overhead (measured 3.5 s → the
+    * candidate-generation cost alone at sf0.1, where the whole pair
+    * graph is a few hundred edges). Past the threshold the distributed
+    * pointer-jumping loop takes over — both paths are proven equal on
+    * random graphs in ComponentsSpec.
+    */
+  private[graft] val SmallGraphEdges = 1000000L
+
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e0 = edges.localCheckpoint(true)
+    if (e0.count() <= SmallGraphEdges) {
+      val pairs = e0.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .groupBy(find).values.flatMap { members =>
+          val label = members.min
+          members.map(v => (v, label, members.size.toLong))
+        }.toSeq
+      s.createDataFrame(rows).toDF("doc_id", "cluster_id", "n_members")
+        .orderBy($"doc_id")
+    } else componentsByPropagation(e0)
+  }
+
+  /** distributed min-label propagation with pointer jumping — the
+    * general path for pair graphs too large to collect
+    */
+  private[graft] def componentsByPropagation(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     // materialize the (tiny) pair list before symmetrizing: `edges`

@@ -11,12 +11,24 @@ class ComponentsSpec extends SparkSpec {
   import spark.implicits._
 
   test("a 200-node path converges within the round cap (pointer jumping)") {
+    // call the distributed loop DIRECTLY: the dispatcher would route a
+    // graph this small to the driver union-find fast path
     val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
-    val comp = DedupQueries.connectedComponents(edges)
+    val comp = DedupQueries.componentsByPropagation(edges)
       .as[(Long, Long, Long)].collect()
     assert(comp.length == 200)
     assert(comp.forall { case (_, cid, n) => cid == 0L && n == 200L },
       "every node of the path must reach the min label 0")
+  }
+
+  test("the driver fast path and the distributed loop agree (dispatcher threshold)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L)).toDF("a", "b")
+    val fast = DedupQueries.connectedComponents(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    val loop = DedupQueries.componentsByPropagation(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fast === loop)
+    assert(fast.nonEmpty)
   }
 
   test("random graphs match a driver-side union-find (12 seeded trials)") {
@@ -46,6 +58,13 @@ class ComponentsSpec extends SparkSpec {
         val got = DedupQueries.connectedComponents(edges.toDF("a", "b"))
           .as[(Long, Long, Long)].collect().toSet
         assert(got == expected, s"trial $trial (n=$n, m=${edges.size}) diverged from union-find")
+        // every third trial also pins the DISTRIBUTED loop to the same
+        // answer, so the dispatcher's fast path can't mask a loop bug
+        if (trial % 3 == 0) {
+          val viaLoop = DedupQueries.componentsByPropagation(edges.toDF("a", "b"))
+            .as[(Long, Long, Long)].collect().toSet
+          assert(viaLoop == expected, s"trial $trial: propagation loop diverged")
+        }
       }
     }
   }
