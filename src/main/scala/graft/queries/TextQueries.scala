@@ -252,6 +252,40 @@ object TextQueries {
         .limit(50)
     },
 
+    // bigram-LM quality proxy (the CCNet/perplexity-filter idea, made
+    // engine-exact): each bigram (a, b) scores its corpus conditional
+    // frequency pred_ppm = c(a,b)·10⁶ div c(a·), and a doc's score is
+    // the integer mean over its bigrams — low means the doc's word
+    // transitions are rare in this corpus (gibberish, wrong domain,
+    // boilerplate soup). Log-free so every value is bit-identical on
+    // any engine (a float log-perplexity could not be hash-checked).
+    // Scale shape: bigrams come from ONE codegen'd window lead per doc;
+    // the model (bigram + prefix counts) is two partial aggs off the
+    // same persisted bigram relation; scoring is an equi join on the
+    // bigram key and one per-doc agg — no broadcast of the (corpus-
+    // sized) model, no global sort.
+    "txt_bigram_lm" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"doc_id").orderBy($"i")
+      val bi = t(s, d, "documents")
+        .select($"doc_id", posexplode(split($"text", " +")))
+        .toDF("doc_id", "i", "a")
+        .withColumn("b", lead($"a", 1).over(w))
+        .filter($"b".isNotNull)
+        .persist() // feeds the model counts AND the scoring join
+      val pair = bi.groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+      val prefix = pair.groupBy($"a").agg(sum($"cab").as("ca"))
+      val scored = bi
+        .join(pair, Seq("a", "b"))
+        .join(prefix, Seq("a"))
+        .withColumn("pred_ppm", expr("(cab * 1000000) div ca"))
+      scored.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(pred_ppm) div count(1)").as("mean_pred_ppm"),
+          min($"pred_ppm").as("min_pred_ppm"))
+        .orderBy($"doc_id")
+    },
+
     // per-doc top-3 distinctive terms by df-normalized term weight — the
     // log-free TF-IDF variant score = tf·10⁶ div df, kept integer so the
     // ranking is bit-identical on any engine (log-based idf ties the
@@ -410,6 +444,28 @@ object TextQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_occurrences, MIN(doc_id) AS first_doc
         |FROM ph GROUP BY phrase HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY n_docs DESC, phrase LIMIT 50""".stripMargin,
+
+    "txt_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i, tok AS a
+        |  FROM (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok,
+        |          generate_subscripts(string_split_regex(text, ' +'), 1) AS i
+        |        FROM documents)),
+        |bi AS (
+        |  SELECT doc_id, a,
+        |    LEAD(a) OVER (PARTITION BY doc_id ORDER BY i) AS b
+        |  FROM toks),
+        |bi2 AS (SELECT doc_id, a, b FROM bi WHERE b IS NOT NULL),
+        |pair AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM bi2 GROUP BY 1, 2),
+        |prefix AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM pair GROUP BY 1),
+        |scored AS (
+        |  SELECT bi2.doc_id, (pair.cab * 1000000) // prefix.ca AS pred_ppm
+        |  FROM bi2 JOIN pair ON pair.a = bi2.a AND pair.b = bi2.b
+        |  JOIN prefix ON prefix.a = bi2.a)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(pred_ppm) // COUNT(*) AS BIGINT) AS mean_pred_ppm,
+        |  CAST(MIN(pred_ppm) AS BIGINT) AS min_pred_ppm
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "txt_tfidf" ->
       """WITH toks AS (
