@@ -120,4 +120,43 @@ class EdgeCaseSpec extends SparkSpec {
     assert(cleaned.count() > 0)
     spark.catalog.clearCache()
   }
+
+  test("phrase, bigram-LM, containment and upsample operators on the pathological corpus") {
+    // only docs 6/7 reach 8 tokens (9 each): two 8-gram phrases, both
+    // shared by exactly those two docs
+    val phrases = TextQueries.queries("txt_phrases")(spark, edgeDir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(phrases.length === 2)
+    assert(phrases.forall { case (_, nDocs, nOcc, firstDoc) =>
+      nDocs == 2L && nOcc == 2L && firstDoc == 6L })
+    spark.catalog.clearCache()
+
+    // docs with fewer than 2 tokens have no bigram and must be absent —
+    // not crash; split("") yields one empty token, so doc 1 has ZERO
+    // bigrams, docs 2/3 one token each
+    val lm = TextQueries.queries("txt_bigram_lm")(spark, edgeDir).collect()
+    val lmDocs = lm.map(_.getAs[Long]("doc_id")).toSet
+    assert(!lmDocs.contains(1L) && !lmDocs.contains(2L) && !lmDocs.contains(3L))
+    assert(lm.forall(r => r.getAs[Long]("min_pred_ppm") <= r.getAs[Long]("mean_pred_ppm")))
+    // the duplicate docs 6/7 score identically
+    val by67 = lm.filter(r => Set(6L, 7L)(r.getAs[Long]("doc_id")))
+      .map(r => (r.getAs[Long]("n_bigrams"), r.getAs[Long]("mean_pred_ppm"), r.getAs[Long]("min_pred_ppm")))
+    assert(by67.length === 2 && by67.distinct.length === 1)
+    spark.catalog.clearCache()
+
+    // identical docs contain each other completely
+    val cont = DedupQueries.queries("dd_containment")(spark, edgeDir).collect()
+    assert(cont.exists(r => r.getAs[Long]("doc_a") == 6L && r.getAs[Long]("doc_b") == 7L &&
+      r.getAs[Long]("containment_ppm") == 1000000L))
+    spark.catalog.clearCache()
+
+    // a single-doc source (wiki, n=1) gets the full integer factor:
+    // 120 milli-epochs div 1000 = 120 copies, numbered 1..120
+    val up = SamplingQueries.queries("samp_upsample")(spark, edgeDir)
+      .filter($"source" === "wiki")
+      .as[(String, Long, Long, Long)].collect()
+    assert(up.length === 120)
+    assert(up.forall { case (_, docId, copies, _) => docId == 8L && copies == 120L })
+    assert(up.map(_._4).sorted.toSeq === (1L to 120L))
+  }
 }
