@@ -17,11 +17,15 @@ class DeterminismSpec extends SparkSpec {
 
   // one per family: agg, join, window/session, explode-agg, LSH chain,
   // iterative fixpoint, sampling threshold, Lloyd rounds, argmin top-k,
-  // PQ encode+ADC
+  // PQ encode+ADC — plus the round-5 shapes: candidate-verify
+  // (containment), estimator agreement, JL projection, window-lead
+  // phrase build, bigram-LM scoring join, shard permutation
   private val names = Seq(
     "q1_agg", "q3_join_agg", "ev_session", "txt_vocab", "dd_minhash",
     "dd_cluster", "samp_temperature", "emb_kmeans", "emb_outliers",
-    "ann_pq_topk")
+    "ann_pq_topk",
+    "dd_containment", "dd_minhash_est", "emb_rp", "txt_phrases",
+    "txt_bigram_lm", "samp_shuffle")
 
   for (name <- names) {
     test(s"$name result invariant under repartitioning") {
