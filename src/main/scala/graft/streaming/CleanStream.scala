@@ -110,4 +110,33 @@ object CleanStream {
       .filter($"__h" < $"thr")
       .drop("__h", "thr")
   }
+
+  /** Streaming upsample gate — samp_upsample's twin: each arriving doc
+    * is emitted 0..k times according to its source's milli-epoch factor
+    * from the STATIC corpus profile (base copies for everyone, one
+    * extra for the deterministic hash slice selected by the fractional
+    * remainder). Stateless: a broadcast factor join plus a bounded
+    * per-row explode — no watermark, no streaming state. Shares the
+    * hash and threshold arithmetic with the batch operator, so the
+    * emitted (doc, copy) multiset is id-identical to a batch re-run.
+    *
+    * `docs`: streaming with (doc_id, source, …). `corpus`: static with
+    * (source). Output adds (copies, copy).
+    */
+  def upsampleGate(docs: DataFrame, corpus: DataFrame, targetPerSource: Long): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val factors = corpus.groupBy($"source")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("milli", expr(s"($targetPerSource * 1000) div n"))
+      .select($"source", $"milli")
+    docs.withColumn("__h", SamplingQueries.docHash)
+      .join(broadcast(factors), Seq("source"))
+      .withColumn("copies",
+        (expr("milli div 1000") +
+          when($"__h" < expr(s"(milli % 1000) * ${SamplingQueries.hashSpace} div 1000"), 1L)
+            .otherwise(0L)).cast("long"))
+      .filter($"copies" > 0)
+      .withColumn("copy", explode(expr("sequence(1L, copies)")))
+      .drop("__h", "milli")
+  }
 }

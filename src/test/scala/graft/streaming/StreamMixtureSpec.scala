@@ -43,4 +43,24 @@ class StreamMixtureSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming upsample gate emits the exact (doc, copy) multiset of the batch operator") {
+    val dir = graft.rawdata.Topic.tempDir("stream-upsample")
+    val docs = Tables.t(spark, sf, "documents")
+    docs.select($"doc_id", $"source").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+
+    val q = CleanStream.upsampleGate(stream, docs, targetPerSource = 120L)
+      .writeStream.format("memory").queryName("upsampled").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT source, doc_id, copies, copy FROM upsampled")
+        .as[(String, Long, Long, Long)].collect().toSet
+      val batch = SamplingQueries.queries("samp_upsample")(spark, sf)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(streamed === batch, "stream and batch upsampling disagreed")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
