@@ -271,6 +271,29 @@ object AnnQueries {
         .orderBy($"label")
     },
 
+    // SemDeDup end-to-end: embedding near-dup pairs (hyperplane-LSH +
+    // exact quantized cosine, dd_embed_lsh's chain) → connected
+    // components → keep exactly the min-id vector of every duplicate
+    // cluster. One row per corpus vector with its cluster and verdict —
+    // the semantic-dedup capstone composition. Rows-only (the pair set
+    // is bucketing-dependent); SemDedupSpec asserts the keep-one-per-
+    // cluster laws. Scale shape: pairs are candidate-proportional, the
+    // component step dispatches tiny graphs to a driver union-find
+    // (duplicate graphs ≪ corpus) with the distributed loop as the
+    // general path, and the final join is one shuffle on vec_id.
+    "emb_semdedup" -> { (s, d) =>
+      import s.implicits._
+      val pairs = DedupQueries.embedLshPairs(s, d)
+        .select($"vec_a".as("a"), $"vec_b".as("b"))
+      val comp = DedupQueries.connectedComponents(pairs)
+        .select($"doc_id".as("vec_id"), $"cluster_id")
+      t(s, d, "embeddings").select($"vec_id")
+        .join(comp, Seq("vec_id"), "left")
+        .withColumn("cluster_id", coalesce($"cluster_id", $"vec_id"))
+        .withColumn("kept", when($"vec_id" === $"cluster_id", 1L).otherwise(0L))
+        .orderBy($"vec_id")
+    },
+
     // Johnson–Lindenstrauss random-projection sketch: each quantized
     // vector projected onto RpPlanes md5-derived ±1 hyperplanes — the
     // dimensionality-reduction pass that turns a 64-dim corpus into a

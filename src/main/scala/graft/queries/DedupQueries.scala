@@ -648,7 +648,15 @@ object DedupQueries {
     // to hold recall. rows-only at the oracle (the answer depends on the
     // bucketing); recall vs exact all-pairs truth and exactness of every
     // emitted cosine are asserted in AnnSpec.
-    "dd_embed_lsh" -> { (s, d) =>
+    "dd_embed_lsh" -> { (s, d) => embedLshPairs(s, d) }
+  )
+
+  /** corpus-wide embedding near-dup pairs (vec_a < vec_b, cos_ppm ≥
+    * threshold) — the dd_embed_lsh body, shared with emb_semdedup's
+    * cluster-and-keep composition
+    */
+  private[graft] def embedLshPairs(s: SparkSession, d: String): DataFrame = {
+    {
       import s.implicits._
       val e = graft.operators.VectorOps.withHyperplaneBands(
         graft.operators.VectorOps.quantized(s, d), EmbedLshTables, EmbedLshBits).persist()
@@ -678,7 +686,7 @@ object DedupQueries {
         .select($"va".as("vec_a"), $"vb".as("vec_b"), $"cos_ppm")
         .orderBy($"vec_a", $"vec_b")
     }
-  )
+  }
 
   private val EmbedLshTables = 10
   private val EmbedLshBits = 8
