@@ -29,6 +29,7 @@ object SparkEntry {
       (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
       (graft.queries.DedupQueries.queries, graft.queries.DedupQueries.oracles),
       (graft.queries.SamplingQueries.queries, graft.queries.SamplingQueries.oracles),
+      (graft.queries.CurationQueries.queries, graft.queries.CurationQueries.oracles),
       (graft.queries.AnnQueries.queries, graft.queries.AnnQueries.oracles),
       (graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracles),
       (graft.rawdata.RawdataQueries.queries, graft.rawdata.RawdataQueries.oracles)

@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** SURVEY §2.D/E/F — round-5 curation operators: context-window chunking,
+  * segment-level dedup audit, int8 embedding quantization, and BPE merge
+  * training. All four are oracle-checked (DuckDB twins below).
+  *
+  * Scale shapes (100 TB):
+  *  - txt_chunk / dd_segment: the chunk/segment build is a narrow
+  *    codegen'd pass (sequence + slice + md5 per row — no interpreted
+  *    lambda in the explode path, the per-chunk hash is the only work);
+  *    dd_segment's duplicate detection is two chained partial aggs on a
+  *    16-byte hash key, so the shuffle carries hashes, never text.
+  *  - emb_quantize: posexplode + two keyed partial aggs on vec_id (the
+  *    scale pass and the error pass); the join is vec_id-co-partitioned
+  *    with the agg before it, so one shuffle round-trip total. Integer
+  *    micro-unit arithmetic keeps every error stat bit-identical on any
+  *    engine or partitioning.
+  *  - txt_bpe: pair counting runs on the DISTINCT-word relation (weighted
+  *    by occurrence count) — the classic BPE-training trick that bounds
+  *    the per-round work by |vocab|, not corpus size; each round is one
+  *    partial-agg shuffle on the symbol pair + a 1-row TakeOrdered, and
+  *    the merge is a broadcast of that single row. Corpus size only
+  *    enters through the initial vocab count.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** chunk size / stride (tokens) for txt_chunk */
+  private val ChunkLen = 64
+  private val ChunkStride = 32
+
+  /** non-overlapping segment width (tokens) for dd_segment */
+  private val SegLen = 16
+
+  /** wrapped-symbol encoding for BPE: each symbol is `(sym)`, so the merge
+    * of pair (a, b) is the plain string replace `(a)(b)` → `(ab)` with NO
+    * shared boundary between adjacent matches — leftmost non-overlapping
+    * replace in both engines reproduces the greedy left-to-right BPE merge
+    * exactly (a space-separated encoding would share the boundary space
+    * and under-merge runs like `a a a a`).
+    */
+  private def pairsOf(words: DataFrame): DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    val syms = words
+      .select($"w", $"wn", posexplode(expr("regexp_extract_all(w, '\\\\(([^)]*)\\\\)', 1)")))
+      .toDF("w", "wn", "i", "a")
+    val win = Window.partitionBy($"w").orderBy($"i")
+    syms.withColumn("b", lead($"a", 1).over(win))
+      .filter($"b".isNotNull)
+      .groupBy($"a", $"b")
+      .agg(sum($"wn").as("pair_n"))
+  }
+
+  private def mergeBest(words: DataFrame, best: DataFrame): DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    words
+      .crossJoin(broadcast(best.select($"a".as("ba"), $"b".as("bb"))))
+      .withColumn("w", expr("replace(w, concat('(', ba, ')(', bb, ')'), concat('(', ba, bb, ')'))"))
+      // two distinct pre-merge words can collapse onto one post-merge form
+      .groupBy($"w").agg(sum($"wn").as("wn"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // overlapping context-window chunking: the long-document → training-
+    // context split (size 64 tokens, stride 32). Emits per chunk the token
+    // range and a content hash so downstream chunk-level dedup/packing can
+    // run without re-reading text.
+    "txt_chunk" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents")
+        .withColumn("tk", split($"text", " +"))
+        .withColumn("start", explode(expr(s"sequence(0, size(tk) - 1, $ChunkStride)")))
+        .select($"doc_id",
+          expr(s"CAST(start div $ChunkStride AS BIGINT)").as("chunk_id"),
+          $"start".cast("long").as("start_tok"),
+          expr(s"CAST(size(slice(tk, start + 1, $ChunkLen)) AS BIGINT)").as("n_tok"),
+          md5(expr(s"concat_ws(' ', slice(tk, start + 1, $ChunkLen))")).as("chunk_hash"))
+        .orderBy($"doc_id", $"chunk_id")
+    },
+
+    // segment-level duplicated-fraction audit (the exact-substring-dedup
+    // proxy, RefinedWeb-style): hash non-overlapping 16-token segments,
+    // flag segments appearing in 2+ DISTINCT docs, report per doc how much
+    // of its token mass is cross-doc duplicated — the signal doc-level
+    // dedup misses when only parts of a page are boilerplate.
+    "dd_segment" -> { (s, d) =>
+      import s.implicits._
+      val segs = t(s, d, "documents")
+        .withColumn("tk", split($"text", " +"))
+        .withColumn("start", explode(expr(s"sequence(0, size(tk) - 1, $SegLen)")))
+        .select($"doc_id",
+          expr(s"CAST(size(slice(tk, start + 1, $SegLen)) AS BIGINT)").as("seg_tok"),
+          md5(expr(s"concat_ws(' ', slice(tk, start + 1, $SegLen))")).as("h"))
+        .persist() // feeds the duplicate-hash agg AND the per-doc rollup
+      // two-phase ((h, doc) then h) so no EXPAND for the distinct count
+      val dup = segs.groupBy($"h", $"doc_id").agg(count(lit(1)).as("k"))
+        .groupBy($"h").agg(count(lit(1)).as("nd"))
+        .filter($"nd" >= 2)
+        .select($"h", lit(1L).as("isdup"))
+      segs.join(dup, Seq("h"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when($"isdup".isNotNull, 1L).otherwise(0L)).as("n_dup_segs"),
+          sum($"seg_tok").as("n_tok"),
+          sum(when($"isdup".isNotNull, $"seg_tok").otherwise(0L)).as("dup_tok"))
+        .withColumn("dup_ppm", expr("(dup_tok * 1000000) div n_tok"))
+        .orderBy($"doc_id")
+    },
+
+    // int8 symmetric quantization audit: per-vector scale = max |component|
+    // in micro-units, codes = round-to-nearest(q·127/scale) — the storage
+    // shape a 100 TB embedding corpus actually ships. Reports exact integer
+    // reconstruction error (in micro·127 units) so a quantization rollout
+    // can be gated on measured error, not hope. Round-half-up division is
+    // floor((2a+b)/2b), kept engine-exact via the subtract-pmod floor-div.
+    "emb_quantize" -> { (s, d) =>
+      import s.implicits._
+      val e = t(s, d, "embeddings")
+        .select($"vec_id", posexplode($"embedding"))
+        .toDF("vec_id", "i", "x")
+        .withColumn("qv", expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"))
+      val sc = e.groupBy($"vec_id").agg(max(abs($"qv")).as("scale"))
+      e.join(sc, Seq("vec_id"))
+        .withColumn("num", lit(254L) * $"qv" + $"scale")
+        .withColumn("code", when($"scale" === 0L, lit(0L))
+          .otherwise(expr("(num - pmod(num, 2 * scale)) div (2 * scale)")))
+        .withColumn("err", abs(lit(127L) * $"qv" - $"code" * $"scale"))
+        .groupBy($"vec_id", $"scale")
+        .agg(count(lit(1)).as("n_dims"),
+          sum($"err").as("sum_abs_err"),
+          max($"err").as("max_err"))
+        .withColumn("err_ppm", when($"scale" === 0L, lit(0L))
+          .otherwise(expr("(sum_abs_err * 1000000) div (127 * scale * n_dims)")))
+        .select($"vec_id", $"scale", $"n_dims", $"sum_abs_err", $"max_err", $"err_ppm")
+        .orderBy($"vec_id")
+    },
+
+    // BPE encode (the apply side of txt_bpe): run the 3 learned merges
+    // over every corpus token and report per doc the post-merge subword
+    // count vs the character count — the compression-ratio signal that
+    // decides whether a learned vocab is worth shipping. The encode map
+    // is vocab-sized (broadcast-able at any corpus scale); the doc join
+    // is on the wrapped word form.
+    "txt_bpe_encode" -> { (s, d) =>
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select($"doc_id", explode(split($"text", " +")).as("tok"))
+        .filter(length($"tok") > 0)
+        .select($"doc_id", expr("regexp_replace(tok, '(.)', '($1)')").as("w"),
+          length($"tok").cast("long").as("nch"))
+      var words = toks.groupBy($"w").agg(count(lit(1)).as("wn"))
+      var enc = words.select($"w".as("orig"), $"w".as("cur"))
+      for (_ <- 1 to 3) {
+        val best = pairsOf(words).orderBy($"pair_n".desc, $"a", $"b").limit(1).persist()
+        words = mergeBest(words, best)
+        enc = enc.crossJoin(broadcast(best.select($"a".as("ba"), $"b".as("bb"))))
+          .withColumn("cur", expr("replace(cur, concat('(', ba, ')(', bb, ')'), concat('(', ba, bb, ')'))"))
+          .select($"orig", $"cur")
+      }
+      toks.join(enc, toks("w") === enc("orig"))
+        .withColumn("n_sym", expr("CAST(size(regexp_extract_all(cur, '\\\\(([^)]*)\\\\)', 1)) AS BIGINT)"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum($"nch").as("n_chars"), sum($"n_sym").as("n_subtok"))
+        .withColumn("subtok_ppm", expr("(n_subtok * 1000000) div n_chars"))
+        .orderBy($"doc_id")
+    },
+
+    // BPE merge training, 3 rounds (the tokenizer-training core): count
+    // adjacent symbol pairs over the weighted distinct-word relation, take
+    // the most frequent pair (ties: lexicographic), merge it greedily
+    // left-to-right in every word, repeat. Output = the learned merge
+    // table with each pair's pre-merge count.
+    "txt_bpe" -> { (s, d) =>
+      import s.implicits._
+      val w0 = t(s, d, "documents")
+        .select(explode(split($"text", " +")).as("tok"))
+        .filter(length($"tok") > 0)
+        .select(expr("regexp_replace(tok, '(.)', '($1)')").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("wn"))
+      val rounds = (1 to 3).scanLeft((w0, Option.empty[DataFrame])) { case ((words, _), _) =>
+        val best = pairsOf(words).orderBy($"pair_n".desc, $"a", $"b").limit(1).persist()
+        (mergeBest(words, best), Some(best))
+      }
+      rounds.tail.zipWithIndex
+        .flatMap { case ((_, bestOpt), i) =>
+          bestOpt.map(_.select(lit(i + 1L).as("rnk"), $"a", $"b",
+            concat($"a", $"b").as("merged"), $"pair_n"))
+        }
+        .reduce(_.union(_))
+        .orderBy($"rnk")
+    }
+  )
+
+  private def segCte(width: Int): String =
+    s"""g AS (SELECT doc_id, string_split_regex(text, ' +') AS tk FROM documents),
+       |segs AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS start_tok,
+       |    list_slice(tk, CAST(i AS INT) + 1, CAST(i AS INT) + $width) AS ck
+       |  FROM g, UNNEST(range(0, len(tk), ${if (width == ChunkLen) ChunkStride else width})) AS u(i))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "txt_chunk" ->
+      s"""WITH ${segCte(ChunkLen)}
+         |SELECT doc_id, CAST(start_tok // $ChunkStride AS BIGINT) AS chunk_id, start_tok,
+         |  CAST(len(ck) AS BIGINT) AS n_tok,
+         |  md5(array_to_string(ck, ' ')) AS chunk_hash
+         |FROM segs ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "dd_segment" ->
+      s"""WITH ${segCte(SegLen)}
+         |, hashed AS (
+         |  SELECT doc_id, CAST(len(ck) AS BIGINT) AS seg_tok,
+         |    md5(array_to_string(ck, ' ')) AS h
+         |  FROM segs),
+         |dup AS (
+         |  SELECT h FROM (SELECT h, doc_id FROM hashed GROUP BY 1, 2)
+         |  GROUP BY h HAVING COUNT(*) >= 2)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+         |  CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+         |  CAST(SUM(seg_tok) AS BIGINT) AS n_tok,
+         |  CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN seg_tok ELSE 0 END) AS BIGINT) AS dup_tok,
+         |  CAST((SUM(CASE WHEN dup.h IS NOT NULL THEN seg_tok ELSE 0 END) * 1000000) // SUM(seg_tok) AS BIGINT) AS dup_ppm
+         |FROM hashed LEFT JOIN dup ON dup.h = hashed.h
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)),
+        |sc AS (SELECT vec_id, MAX(ABS(qv)) AS scale FROM e GROUP BY 1),
+        |c AS (
+        |  SELECT e.vec_id, sc.scale, e.qv,
+        |    CASE WHEN sc.scale = 0 THEN 0
+        |         ELSE ((254 * e.qv + sc.scale)
+        |               - (((254 * e.qv + sc.scale) % (2 * sc.scale) + 2 * sc.scale) % (2 * sc.scale)))
+        |              // (2 * sc.scale) END AS code
+        |  FROM e JOIN sc USING (vec_id)),
+        |err AS (
+        |  SELECT vec_id, scale, ABS(127 * qv - code * scale) AS err FROM c)
+        |SELECT vec_id, CAST(scale AS BIGINT) AS scale, CAST(COUNT(*) AS BIGINT) AS n_dims,
+        |  CAST(SUM(err) AS BIGINT) AS sum_abs_err, CAST(MAX(err) AS BIGINT) AS max_err,
+        |  CASE WHEN scale = 0 THEN 0
+        |       ELSE CAST((SUM(err) * 1000000) // (127 * scale * COUNT(*)) AS BIGINT) END AS err_ppm
+        |FROM err GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin,
+
+    "txt_bpe_encode" -> {
+      def round(i: Int): String =
+        s"""p$i AS (
+           |  SELECT a, b, CAST(SUM(wn) AS BIGINT) AS pair_n FROM (
+           |    SELECT w, wn, sym AS a, LEAD(sym) OVER (PARTITION BY w ORDER BY i) AS b
+           |    FROM (SELECT w, wn, unnest(regexp_extract_all(w, '\\(([^)]*)\\)', 1)) AS sym,
+           |                 generate_subscripts(regexp_extract_all(w, '\\(([^)]*)\\)', 1), 1) AS i
+           |          FROM w${i - 1}))
+           |  WHERE b IS NOT NULL GROUP BY 1, 2),
+           |b$i AS (SELECT a, b, pair_n FROM p$i ORDER BY pair_n DESC, a, b LIMIT 1),
+           |w$i AS (
+           |  SELECT replace(w0.w, '(' || b$i.a || ')(' || b$i.b || ')', '(' || b$i.a || b$i.b || ')') AS w,
+           |    CAST(SUM(w0.wn) AS BIGINT) AS wn
+           |  FROM w${i - 1} w0, b$i GROUP BY 1)""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_replace(tok, '(.)', '(\\1)', 'g') AS w,
+         |    CAST(length(tok) AS BIGINT) AS nch
+         |  FROM (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok FROM documents)
+         |  WHERE length(tok) > 0),
+         |w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM toks GROUP BY 1),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |enc AS (
+         |  SELECT w0.w AS orig,
+         |    replace(replace(replace(w0.w,
+         |      '(' || b1.a || ')(' || b1.b || ')', '(' || b1.a || b1.b || ')'),
+         |      '(' || b2.a || ')(' || b2.b || ')', '(' || b2.a || b2.b || ')'),
+         |      '(' || b3.a || ')(' || b3.b || ')', '(' || b3.a || b3.b || ')') AS cur
+         |  FROM w0, b1, b2, b3)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |  CAST(SUM(nch) AS BIGINT) AS n_chars,
+         |  CAST(SUM(len(regexp_extract_all(enc.cur, '\\(([^)]*)\\)', 1))) AS BIGINT) AS n_subtok,
+         |  CAST((SUM(len(regexp_extract_all(enc.cur, '\\(([^)]*)\\)', 1))) * 1000000) // SUM(nch) AS BIGINT) AS subtok_ppm
+         |FROM toks JOIN enc ON enc.orig = toks.w
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "txt_bpe" -> {
+      def round(i: Int): String =
+        s"""p$i AS (
+           |  SELECT a, b, CAST(SUM(wn) AS BIGINT) AS pair_n FROM (
+           |    SELECT w, wn, sym AS a, LEAD(sym) OVER (PARTITION BY w ORDER BY i) AS b
+           |    FROM (SELECT w, wn, unnest(regexp_extract_all(w, '\\(([^)]*)\\)', 1)) AS sym,
+           |                 generate_subscripts(regexp_extract_all(w, '\\(([^)]*)\\)', 1), 1) AS i
+           |          FROM w${i - 1}))
+           |  WHERE b IS NOT NULL GROUP BY 1, 2),
+           |b$i AS (SELECT a, b, pair_n FROM p$i ORDER BY pair_n DESC, a, b LIMIT 1),
+           |w$i AS (
+           |  SELECT replace(w0.w, '(' || b$i.a || ')(' || b$i.b || ')', '(' || b$i.a || b$i.b || ')') AS w,
+           |    CAST(SUM(w0.wn) AS BIGINT) AS wn
+           |  FROM w${i - 1} w0, b$i GROUP BY 1)""".stripMargin
+      s"""WITH w0 AS (
+         |  SELECT regexp_replace(tok, '(.)', '(\\1)', 'g') AS w, CAST(COUNT(*) AS BIGINT) AS wn
+         |  FROM (SELECT unnest(string_split_regex(text, ' +')) AS tok FROM documents)
+         |  WHERE length(tok) > 0 GROUP BY 1),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT CAST(1 AS BIGINT) AS rnk, a, b, a || b AS merged, pair_n FROM b1
+         |UNION ALL SELECT 2, a, b, a || b, pair_n FROM b2
+         |UNION ALL SELECT 3, a, b, a || b, pair_n FROM b3
+         |ORDER BY rnk""".stripMargin
+    }
+  )
+}

@@ -123,4 +123,101 @@ class CurationOpsSpec extends SparkSpec {
     val docs = graft.Tables.t(spark, sf, "documents").count()
     assert(out.forall(_.getAs[Long]("df") <= docs))
   }
+
+  test("txt_chunk tiles every doc: stride-64 chunks partition the tokens, stride-32 chunks cover each token ≤2×") {
+    val chunks = CurationQueries.queries("txt_chunk")(spark, sf).collect()
+    val nTok = TextQueries.queries("txt_tokens")(spark, sf)
+      .select($"doc_id", $"n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rs) =>
+      val n = nTok(doc)
+      // chunk count = floor((n-1)/32) + 1, starts are 0, 32, 64, ...
+      assert(rs.length === ((n - 1) / 32 + 1).toInt, s"doc $doc chunk count")
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_id"))
+      assert(sorted.map(_.getAs[Long]("start_tok")).toSeq ===
+        sorted.indices.map(_ * 32L), s"doc $doc starts")
+      // even chunks are the non-overlapping 64-token tiling: lengths sum to n
+      val evenSum = sorted.filter(_.getAs[Long]("chunk_id") % 2 == 0)
+        .map(_.getAs[Long]("n_tok")).sum
+      assert(evenSum === n, s"doc $doc: even chunks must tile all $n tokens")
+      assert(rs.forall(_.getAs[Long]("n_tok") <= 64L))
+    }
+  }
+
+  test("dd_segment flags exact-duplicate docs as fully duplicated and never over-counts") {
+    val seg = CurationQueries.queries("dd_segment")(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(seg.forall { r =>
+      r.getAs[Long]("n_dup_segs") <= r.getAs[Long]("n_segs") &&
+        r.getAs[Long]("dup_tok") <= r.getAs[Long]("n_tok")
+    })
+    // a doc whose full text appears in another doc is 100% segment-duplicated
+    val dupDocs = TextQueries.queries("txt_fingerprint")(spark, sf)
+      .filter($"n_docs" >= 2).collect()
+    if (dupDocs.nonEmpty) {
+      val fullDup = seg.filter(_.getAs[Long]("dup_ppm") == 1000000L)
+      assert(fullDup.nonEmpty,
+        "exact-dup fingerprint groups exist but no doc is fully segment-duplicated")
+    }
+  }
+
+  test("emb_quantize: int8 rounding error is bounded by scale/2 per dim and ~3937 ppm overall") {
+    val out = CurationQueries.queries("emb_quantize")(spark, sf).collect()
+    val dims = graft.Tables.t(spark, sf, "embeddings")
+      .selectExpr("size(embedding) AS d").head().getInt(0)
+    assert(out.forall(_.getAs[Long]("n_dims") == dims.toLong))
+    // round-to-nearest ⇒ |127·q − code·scale| ≤ scale/2 (ties round up)
+    assert(out.forall(r => 2L * r.getAs[Long]("max_err") <= r.getAs[Long]("scale")),
+      "per-dim error exceeds the round-to-nearest bound")
+    assert(out.forall(_.getAs[Long]("err_ppm") <= 3938L),
+      "mean relative error exceeds the int8 quantization bound 0.5/127")
+  }
+
+  test("txt_bpe matches a driver-side greedy BPE reference for all 3 merge rounds") {
+    val got = CurationQueries.queries("txt_bpe")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rnk"))
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("pair_n")))
+    // plain-Scala reference: weighted pair counts over the distinct-word
+    // multiset, greedy left-to-right non-overlapping merge per round
+    val toks = graft.Tables.t(spark, sf, "documents")
+      .selectExpr("explode(split(text, ' +')) AS tok")
+      .filter($"tok" =!= "").collect().map(_.getString(0))
+    var words: Map[Vector[String], Long] =
+      toks.groupBy(identity).map { case (t, g) => t.map(_.toString).toVector -> g.length.toLong }
+    val ref = (1 to 3).map { _ =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((w, n) <- words; i <- 0 until w.length - 1) pc((w(i), w(i + 1))) += n
+      val ((a, b), n) = pc.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      words = words.toSeq.map { case (w, wn) =>
+        val nw = Vector.newBuilder[String]
+        var i = 0
+        while (i < w.length) {
+          if (i + 1 < w.length && w(i) == a && w(i + 1) == b) { nw += a + b; i += 2 }
+          else { nw += w(i); i += 1 }
+        }
+        (nw.result(), wn)
+      }.groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }
+      (a, b, n)
+    }
+    assert(got.toSeq === ref,
+      s"BPE merge table diverged from the greedy reference: got ${got.toSeq}, want $ref")
+    assert(got.map(_._3).toSeq === got.map(_._3).toSeq.sortBy(-_),
+      "merge counts must be non-increasing across rounds")
+  }
+
+  test("txt_bpe_encode compresses: n_tok ≤ n_subtok ≤ n_chars, covers every doc, merges actually fired") {
+    val out = CurationQueries.queries("txt_bpe_encode")(spark, sf).collect()
+    spark.catalog.clearCache()
+    val docs = graft.Tables.t(spark, sf, "documents").count()
+    assert(out.length === docs.toInt, "every doc must get an encode row")
+    out.foreach { r =>
+      val (nTok, nChars, nSub) = (r.getAs[Long]("n_tok"), r.getAs[Long]("n_chars"), r.getAs[Long]("n_subtok"))
+      assert(nTok <= nSub, s"doc ${r.getLong(0)}: a token is at least one subword")
+      assert(nSub <= nChars, s"doc ${r.getLong(0)}: merging can only shrink the symbol count")
+      assert(r.getAs[Long]("subtok_ppm") <= 1000000L)
+    }
+    // 3 merge rounds on this corpus must compress at least one doc
+    assert(out.exists(r => r.getAs[Long]("n_subtok") < r.getAs[Long]("n_chars")),
+      "no doc compressed — the merges never applied")
+  }
 }

@@ -25,7 +25,8 @@ class DeterminismSpec extends SparkSpec {
     "dd_cluster", "samp_temperature", "emb_kmeans", "emb_outliers",
     "ann_pq_topk",
     "dd_containment", "dd_minhash_est", "emb_rp", "txt_phrases",
-    "txt_bigram_lm", "samp_shuffle")
+    "txt_bigram_lm", "samp_shuffle",
+    "dd_segment", "emb_quantize", "txt_bpe", "txt_bpe_encode")
 
   for (name <- names) {
     test(s"$name result invariant under repartitioning") {

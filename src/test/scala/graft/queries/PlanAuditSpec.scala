@@ -18,9 +18,11 @@ class PlanAuditSpec extends SparkSpec {
 
   // deliberate tiny-side broadcasts: IVF / k-means / outlier assignment
   // pair the corpus against a k-row centroid relation; samp_temperature
-  // joins the single-row weight total
+  // joins the single-row weight total; txt_bpe's merge step broadcasts
+  // the single best-pair row against the vocab relation
   private val nestedLoopAllowed =
-    Set("ann_ivf_topk", "emb_kmeans", "emb_outliers", "samp_temperature")
+    Set("ann_ivf_topk", "emb_kmeans", "emb_outliers", "samp_temperature",
+      "txt_bpe", "txt_bpe_encode")
   private val globalWindowAllowed = Set("rd_ordering_group")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
