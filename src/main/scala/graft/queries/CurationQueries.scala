@@ -142,6 +142,45 @@ object CurationQueries {
         .orderBy($"vec_id")
     },
 
+    // mixture-composition report (the "data card" of a training corpus):
+    // per (source, lang) doc/token counts plus exact ppm shares of the
+    // corpus totals — the table a mixture-rebalancing run starts from.
+    // The totals relation is ONE row joined on a constant key (a hash
+    // join, not a nested loop), so the plan is two partial aggs over one
+    // narrow scan at any corpus size.
+    "samp_mixture" -> { (s, d) =>
+      import s.implicits._
+      val base = t(s, d, "documents")
+        .select($"source", $"lang", size(split($"text", " +")).cast("long").as("ntok"))
+      val grp = base.groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"))
+      val tot = base.agg(count(lit(1)).as("t_docs"), sum($"ntok").as("t_tokens"))
+        .withColumn("k", lit(1))
+      grp.withColumn("k", lit(1)).join(broadcast(tot), Seq("k"))
+        .withColumn("doc_share_ppm", expr("(n_docs * 1000000) div t_docs"))
+        .withColumn("tok_share_ppm", expr("(n_tokens * 1000000) div t_tokens"))
+        .select($"source", $"lang", $"n_docs", $"n_tokens", $"doc_share_ppm", $"tok_share_ppm")
+        .orderBy($"source", $"lang")
+    },
+
+    // cosine-similarity histogram over the banded pair relation — the
+    // threshold-selection audit run BEFORE committing to a near-dup
+    // cutoff: 50k-ppm bins with pair counts and per-bin extremes.
+    // cos_ppm can be negative, so the bin is the exact FLOOR division
+    // (subtract-positive-remainder on both engines). Reuses the
+    // id-banded equi-join pair generator — candidate-proportional,
+    // never all-pairs.
+    "emb_sim_hist" -> { (s, d) =>
+      import s.implicits._
+      graft.operators.VectorOps.bandedCosinePairs(s, d, 100)
+        .withColumn("bin", expr("(cos_ppm - pmod(cos_ppm, 50000)) div 50000"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_pairs"), min($"cos_ppm").as("min_ppm"), max($"cos_ppm").as("max_ppm"))
+        .withColumn("lo_ppm", $"bin" * lit(50000L))
+        .select($"bin", $"lo_ppm", $"n_pairs", $"min_ppm", $"max_ppm")
+        .orderBy($"bin")
+    },
+
     // BPE encode (the apply side of txt_bpe): run the 3 learned merges
     // over every corpus token and report per doc the post-merge subword
     // count vs the character count — the compression-ratio signal that
@@ -249,6 +288,45 @@ object CurationQueries {
         |  CASE WHEN scale = 0 THEN 0
         |       ELSE CAST((SUM(err) * 1000000) // (127 * scale * COUNT(*)) AS BIGINT) END AS err_ppm
         |FROM err GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin,
+
+    "samp_mixture" ->
+      """WITH base AS (
+        |  SELECT source, lang,
+        |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |grp AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        |  FROM base GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS t_docs,
+        |    CAST(SUM(ntok) AS BIGINT) AS t_tokens FROM base)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  CAST((n_docs * 1000000) // t_docs AS BIGINT) AS doc_share_ppm,
+        |  CAST((n_tokens * 1000000) // t_tokens AS BIGINT) AS tok_share_ppm
+        |FROM grp, tot ORDER BY source, lang""".stripMargin,
+
+    "emb_sim_hist" ->
+      """WITH e AS (
+        |  SELECT vec_id, i,
+        |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+        |n AS (SELECT vec_id, SUM(q * q) AS nn FROM e GROUP BY 1),
+        |p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.q * b.q) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 100
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM p JOIN n na ON na.vec_id = p.va JOIN n nb ON nb.vec_id = p.vb),
+        |binned AS (
+        |  SELECT cos_ppm,
+        |    (cos_ppm - (((cos_ppm % 50000) + 50000) % 50000)) // 50000 AS bin
+        |  FROM c)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(bin * 50000 AS BIGINT) AS lo_ppm,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(MIN(cos_ppm) AS BIGINT) AS min_ppm, CAST(MAX(cos_ppm) AS BIGINT) AS max_ppm
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
 
     "txt_bpe_encode" -> {
       def round(i: Int): String =

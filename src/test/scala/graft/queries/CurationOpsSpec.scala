@@ -220,4 +220,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.exists(r => r.getAs[Long]("n_subtok") < r.getAs[Long]("n_chars")),
       "no doc compressed — the merges never applied")
   }
+
+  test("samp_mixture shares sum to ~1e6 and counts reconcile with the corpus") {
+    val out = CurationQueries.queries("samp_mixture")(spark, sf).collect()
+    val docs = graft.Tables.t(spark, sf, "documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs)
+    val docShare = out.map(_.getAs[Long]("doc_share_ppm")).sum
+    val tokShare = out.map(_.getAs[Long]("tok_share_ppm")).sum
+    // floor division under-counts by at most one ppm per stratum
+    assert(docShare <= 1000000L && docShare > 1000000L - out.length,
+      s"doc shares sum to $docShare")
+    assert(tokShare <= 1000000L && tokShare > 1000000L - out.length,
+      s"token shares sum to $tokShare")
+  }
+
+  test("emb_sim_hist bins partition the dd_embed pair relation exactly") {
+    val hist = CurationQueries.queries("emb_sim_hist")(spark, sf).collect()
+    assert(hist.nonEmpty)
+    hist.foreach { r =>
+      val (lo, mn, mx) = (r.getAs[Long]("lo_ppm"), r.getAs[Long]("min_ppm"), r.getAs[Long]("max_ppm"))
+      assert(lo <= mn && mn <= mx && mx < lo + 50000L,
+        s"bin ${r.getAs[Long]("bin")}: extremes [$mn,$mx] outside [$lo,${lo + 50000})")
+    }
+    // total pairs = the banded pair relation's cardinality
+    val pairs = graft.operators.VectorOps.bandedCosinePairs(spark, sf, 100).count()
+    assert(hist.map(_.getAs[Long]("n_pairs")).sum === pairs)
+  }
 }

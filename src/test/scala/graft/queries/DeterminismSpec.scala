@@ -26,7 +26,8 @@ class DeterminismSpec extends SparkSpec {
     "ann_pq_topk",
     "dd_containment", "dd_minhash_est", "emb_rp", "txt_phrases",
     "txt_bigram_lm", "samp_shuffle",
-    "dd_segment", "emb_quantize", "txt_bpe", "txt_bpe_encode")
+    "dd_segment", "emb_quantize", "txt_bpe", "txt_bpe_encode",
+    "samp_mixture", "emb_sim_hist")
 
   for (name <- names) {
     test(s"$name result invariant under repartitioning") {
