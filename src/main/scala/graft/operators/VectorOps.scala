@@ -46,7 +46,10 @@ object VectorOps {
     */
   def bandedCosinePairs(s: SparkSession, d: String, band: Int): DataFrame = {
     import s.implicits._
-    val e = quantized(s, d)
+    // a zero-norm vector has no cosine: dividing by sqrt(0) yields NaN
+    // and ANSI-mode CAST(NaN AS BIGINT) throws — exclude degenerate
+    // vectors from pairing entirely (they can't be near-dups of anything)
+    val e = quantized(s, d).filter($"nn" > 0)
     val a = e.select($"vec_id".as("va"), $"q".as("qa"), $"nn".as("na"))
       .withColumn("bucket", explode(array(floor($"va" / band), floor($"va" / band) + 1)))
     val b = e.select($"vec_id".as("vb"), $"q".as("qb"), $"nn".as("nb"))

@@ -658,8 +658,13 @@ object DedupQueries {
   private[graft] def embedLshPairs(s: SparkSession, d: String): DataFrame = {
     {
       import s.implicits._
+      // zero-norm vectors are excluded before pairing: cosine against a
+      // zero vector is NaN and ANSI CAST(NaN AS BIGINT) throws (they stay
+      // in the corpus — emb_semdedup's left join gives them their own
+      // singleton cluster)
       val e = graft.operators.VectorOps.withHyperplaneBands(
-        graft.operators.VectorOps.quantized(s, d), EmbedLshTables, EmbedLshBits).persist()
+        graft.operators.VectorOps.quantized(s, d).filter($"nn" > 0),
+        EmbedLshTables, EmbedLshBits).persist()
       // exact band per table: (tbl, bits)
       val bands = e.select($"vec_id".as("vb"), explode(expr(
         s"transform(sequence(0, ${EmbedLshTables - 1}), t -> " +

@@ -159,4 +159,96 @@ class EdgeCaseSpec extends SparkSpec {
     assert(up.forall { case (_, docId, copies, _) => docId == 8L && copies == 120L })
     assert(up.map(_._4).sorted.toSeq === (1L to 120L))
   }
+
+  test("chunking, segment dedup, BPE and mixture report on the pathological corpus") {
+    // txt_chunk: the empty doc still yields one chunk (split('') is one
+    // empty token, mirroring txt_tokens); no doc crashes the sequence()
+    val chunks = CurationQueries.queries("txt_chunk")(spark, edgeDir).collect()
+    val chunksByDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(chunksByDoc.keySet === (1L to 9L).toSet)
+    assert(chunksByDoc.forall(_._2.length == 1), "all edge docs fit one chunk")
+    // the duplicate docs 6/7 share a chunk hash
+    val h67 = chunks.filter(r => Set(6L, 7L)(r.getAs[Long]("doc_id")))
+      .map(_.getAs[String]("chunk_hash"))
+    assert(h67.length === 2 && h67.distinct.length === 1)
+    spark.catalog.clearCache()
+
+    // dd_segment: identical docs are 100% duplicated, unique docs 0%
+    val seg = CurationQueries.queries("dd_segment")(spark, edgeDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_ppm")).toMap
+    assert(seg(6L) === 1000000L && seg(7L) === 1000000L)
+    assert(seg(9L) === 0L)
+    spark.catalog.clearCache()
+
+    // txt_bpe: single-char and empty tokens survive merge training
+    val bpe = CurationQueries.queries("txt_bpe")(spark, edgeDir).collect()
+    assert(bpe.length === 3)
+    assert(bpe.forall(_.getAs[Long]("pair_n") >= 1L))
+    spark.catalog.clearCache()
+
+    // txt_bpe_encode: doc 1's only token is empty (filtered) → absent;
+    // every other doc present with n_subtok ≤ n_chars
+    val enc = CurationQueries.queries("txt_bpe_encode")(spark, edgeDir).collect()
+    val encDocs = enc.map(_.getAs[Long]("doc_id")).toSet
+    assert(encDocs === (2L to 9L).toSet)
+    assert(enc.forall(r => r.getAs[Long]("n_subtok") <= r.getAs[Long]("n_chars")))
+    spark.catalog.clearCache()
+
+    // samp_mixture: shares stay exact on a 9-doc corpus
+    val mix = CurationQueries.queries("samp_mixture")(spark, edgeDir).collect()
+    assert(mix.map(_.getAs[Long]("n_docs")).sum === 9L)
+    assert(mix.map(_.getAs[Long]("doc_share_ppm")).sum <= 1000000L)
+  }
+
+  /** embeddings with degenerate vectors: all-zero, sub-quantization-unit
+    * (rounds to the zero vector), one-hot, constant-negative, mixed —
+    * written as parquet so the real entries run end-to-end
+    */
+  private lazy val edgeEmbDir: String = {
+    val dir = graft.rawdata.Topic.tempDir("edge-emb")
+    val dims = 64
+    val vecs = Seq(
+      (1L, Array.fill(dims)(0.0f), 0),                       // exactly zero
+      (2L, Array.fill(dims)(1e-9f), 0),                      // quantizes to zero
+      (3L, Array.tabulate(dims)(i => if (i == 0) 1.0f else 0.0f), 1), // one-hot
+      (4L, Array.fill(dims)(-0.5f), 1),                      // all negative
+      (5L, Array.tabulate(dims)(i => if (i % 2 == 0) 0.25f else -0.75f), 2))
+      .toDF("vec_id", "embedding", "label")
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("quantization and similarity histogram survive zero-norm vectors under ANSI mode") {
+    // emb_quantize: scale-0 vectors hit the guarded division path
+    val q = CurationQueries.queries("emb_quantize")(spark, edgeEmbDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(q.keySet === (1L to 5L).toSet)
+    Seq(1L, 2L).foreach { v =>
+      assert(q(v).getAs[Long]("scale") === 0L, s"vec $v must quantize to scale 0")
+      assert(q(v).getAs[Long]("sum_abs_err") === 0L)
+      assert(q(v).getAs[Long]("err_ppm") === 0L)
+    }
+    // one-hot and constant vectors quantize exactly: zero error
+    assert(q(3L).getAs[Long]("sum_abs_err") === 0L)
+    assert(q(4L).getAs[Long]("sum_abs_err") === 0L)
+    spark.catalog.clearCache()
+
+    // emb_sim_hist: zero-norm vectors are excluded from pairing instead
+    // of producing a NaN cosine that ANSI CAST would throw on; the
+    // remaining pairs (3,4), (3,5), (4,5) all land in valid bins
+    val hist = CurationQueries.queries("emb_sim_hist")(spark, edgeEmbDir).collect()
+    assert(hist.map(_.getAs[Long]("n_pairs")).sum === 3L)
+    hist.foreach { r =>
+      val (lo, mn, mx) = (r.getAs[Long]("lo_ppm"), r.getAs[Long]("min_ppm"), r.getAs[Long]("max_ppm"))
+      assert(lo <= mn && mn <= mx && mx < lo + 50000L)
+    }
+    spark.catalog.clearCache()
+
+    // the corpus-wide LSH chain tolerates the degenerate vectors too,
+    // and semdedup still gives every vector (incl. zero-norm) a cluster
+    val sdd = AnnQueries.queries("emb_semdedup")(spark, edgeEmbDir).collect()
+    assert(sdd.map(_.getAs[Long]("vec_id")).toSet === (1L to 5L).toSet)
+    assert(sdd.forall(_.getAs[Long]("cluster_id") >= 1L))
+    spark.catalog.clearCache()
+  }
 }
