@@ -234,6 +234,37 @@ object CurationQueries {
         }
         .reduce(_.union(_))
         .orderBy($"rnk")
+    },
+
+    // exact integer Gram matrix over the quantized corpus (the PCA /
+    // whitening prep): upper-triangle (i ≤ j) sums of cross products plus
+    // per-dimension sums and the vector count, so covariance is
+    // cov(i,j) = (sxy − sxi·sxj/n)/n downstream with no further scan.
+    // Scale shape: the pair build is NARROW — explode dim i, then explode
+    // the suffix slice of the SAME row's array (d(d+1)/2 rows per vector,
+    // no self-join, no pre-shuffle) — and the only shuffle is the (i, j)
+    // partial agg whose map-side combine caps each task's output at the
+    // d² cell space. Bit budget: |q| ≤ 1e6 ⇒ |q·q| ≤ 1e12, so int64 sums
+    // hold to ~9e6 worst-case vectors per cell; past that, re-scale the
+    // quantization unit or accumulate per-partition Grams in DECIMAL.
+    "emb_gram" -> { (s, d) =>
+      import s.implicits._
+      val q = graft.operators.VectorOps.quantized(s, d).select($"vec_id", $"q")
+      val prods = q
+        .select($"vec_id", posexplode($"q"), $"q")
+        .toDF("vec_id", "i0", "xi", "q")
+        .select($"i0", $"xi", posexplode(expr("slice(q, i0 + 1, size(q) - i0)")))
+        .toDF("i0", "xi", "dj", "xj")
+        .groupBy(($"i0" + 1).cast("long").as("i"), ($"i0" + $"dj" + 1).cast("long").as("j"))
+        .agg(sum($"xi" * $"xj").as("sxy"))
+      val sums = q.select(posexplode($"q")).toDF("i0", "x")
+        .groupBy(($"i0" + 1).cast("long").as("i"))
+        .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+      prods
+        .join(sums.select($"i", $"sx".as("sxi"), $"n"), Seq("i"))
+        .join(sums.select($"i".as("j"), $"sx".as("sxj")), Seq("j"))
+        .select($"i", $"j", $"sxy", $"sxi", $"sxj", $"n")
+        .orderBy($"i", $"j")
     }
   )
 
@@ -391,6 +422,22 @@ object CurationQueries {
          |UNION ALL SELECT 2, a, b, a || b, pair_n FROM b2
          |UNION ALL SELECT 3, a, b, a || b, pair_n FROM b3
          |ORDER BY rnk""".stripMargin
-    }
+    },
+
+    "emb_gram" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
+        |  FROM embeddings),
+        |s AS (SELECT i, CAST(SUM(qv) AS BIGINT) AS sx, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1),
+        |p AS (
+        |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS sxy
+        |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |  GROUP BY 1, 2)
+        |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j, p.sxy,
+        |  si.sx AS sxi, sj.sx AS sxj, si.n AS n
+        |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
+        |ORDER BY i, j""".stripMargin
   )
 }

@@ -174,6 +174,46 @@ object EventQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"step1", $"step2", $"step3")
         .limit(10)
+    },
+
+    // last-touch attribution: each purchase credits the most recent prior
+    // NON-purchase event in the same user's timeline (the classic
+    // marketing-attribution join, done as one ignore-nulls window pass —
+    // no self-join, no as-of probe per purchase). 100 TB shape: one
+    // shuffle by user for the window, then a partial-agg on the tiny
+    // attribution-type key space.
+    "ev_attribution" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev(s, d)
+        .withColumn("last_touch",
+          last(when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .groupBy(coalesce($"last_touch", lit("none")).as("attrib_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(d6($"value")).cast("double").as("attributed_value"))
+        .orderBy($"attrib_type")
+    },
+
+    // first-order Markov transition model over each user's event stream:
+    // (from, to) transition counts + integer-ppm conditional probability.
+    // One lead over the per-user window, one partial-agg shuffle on the
+    // |event_types|²-bounded transition space; the normalizing window
+    // runs over that tiny relation, never raw events.
+    "ev_markov" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val tw = Window.partitionBy($"from_type")
+      ev(s, d)
+        .select($"user_id", $"event_type", $"ts_us", $"event_id")
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("from_total", sum($"n").over(tw))
+        .withColumn("p_ppm", expr("(n * 1000000) div from_total"))
+        .orderBy($"from_type", $"to_type")
     }
   )
 
@@ -276,6 +316,32 @@ object EventQueries {
         |FROM seq WHERE step3 IS NOT NULL
         |GROUP BY 1, 2, 3
         |ORDER BY n DESC, step1, step2, step3
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+
+    "ev_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |  FROM events)
+        |SELECT COALESCE(last_touch, 'none') AS attrib_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS attributed_value
+        |FROM e WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY attrib_type""".stripMargin,
+
+    "ev_markov" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+        |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+        |FROM tr ORDER BY from_type, to_type""".stripMargin
   )
 }

@@ -386,6 +386,29 @@ object Relational2 {
           coalesce(sum($"o_custkey"), lit(0L)).as("sum_only_1995"))
         .withColumn("one", lit(1))
       both.join(only, Seq("one")).drop("one")
+    },
+
+    // GROUPING SETS over (flag, status) / (flag) / (): the multi-level
+    // rollup report in ONE pass — Catalyst expands the grouping sets
+    // before the aggregation, so the scan runs once and the aggregate is
+    // still partial (map-side combine per grouping-set key). NULL group
+    // values are coalesced to a sentinel and the grouping_id is emitted
+    // explicitly so the output is total-order comparable.
+    "q32_grouping_sets" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq()),
+          $"l_returnflag", $"l_linestatus")
+        .agg(
+          (grouping($"l_returnflag") * 2 + grouping($"l_linestatus")).cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(d6($"l_quantity")).cast("double").as("sum_qty"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("rflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("lstatus"),
+          $"gid", $"n", $"sum_qty")
+        .orderBy($"gid", $"rflag", $"lstatus")
     }
   )
 
@@ -602,6 +625,16 @@ object Relational2 {
         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_both,
         |  (SELECT CAST(COALESCE(SUM(o_custkey), 0) AS BIGINT) FROM b) AS sum_both,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM o95) AS n_only_1995,
-        |  (SELECT CAST(COALESCE(SUM(o_custkey), 0) AS BIGINT) FROM o95) AS sum_only_1995""".stripMargin
+        |  (SELECT CAST(COALESCE(SUM(o_custkey), 0) AS BIGINT) FROM o95) AS sum_only_1995""".stripMargin,
+
+    "q32_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        |  COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, rflag, lstatus""".stripMargin
   )
 }

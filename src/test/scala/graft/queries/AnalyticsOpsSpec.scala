@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Structural laws for the grouping-sets / attribution / Markov / Gram
+  * operators — properties the DuckDB hash-compare can't articulate
+  * (internal consistency between grouping levels, conservation of mass,
+  * matrix shape), checked on sf0.001.
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q32_grouping_sets levels are mutually consistent") {
+    val out = SparkEntry.queries("q32_grouping_sets")(spark, sf)
+      .select($"gid", $"n").as[(Long, Long)].collect()
+    val total = graft.Tables.t(spark, sf, "lineitem").count()
+    val byGid = out.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(byGid(3L) === total, "grand-total row counts every lineitem")
+    assert(byGid(1L) === total, "flag-level rows partition the table")
+    assert(byGid(0L) === total, "(flag, status) rows partition the table")
+  }
+
+  test("ev_attribution conserves the purchase count and stays in-domain") {
+    val out = SparkEntry.queries("ev_attribution")(spark, sf).collect()
+    val ev = graft.Tables.events(spark, sf)
+    val purchases = ev.filter($"event_type" === "purchase").count()
+    assert(out.map(_.getAs[Long]("n_purchases")).sum === purchases)
+    val types = ev.select($"event_type").distinct().as[String].collect().toSet + "none"
+    assert(out.map(_.getAs[String]("attrib_type")).forall(types.contains))
+    // purchases never self-attribute: a purchase-only prefix lands in 'none'
+    assert(!out.exists(_.getAs[String]("attrib_type") == "purchase"))
+  }
+
+  test("ev_markov rows are normalized conditional frequencies") {
+    val out = SparkEntry.queries("ev_markov")(spark, sf)
+      .select($"from_type", $"n", $"from_total", $"p_ppm")
+      .as[(String, Long, Long, Long)].collect()
+    val byFrom = out.groupBy(_._1)
+    for ((from, rows) <- byFrom) {
+      val totals = rows.map(_._3).distinct
+      assert(totals.length === 1, s"$from has one normalizer")
+      assert(rows.map(_._2).sum === totals.head, s"$from counts sum to its total")
+      // floored ppms: within |to| of 1e6 from below, never above
+      val pSum = rows.map(_._4).sum
+      assert(pSum <= 1000000L && pSum > 1000000L - rows.length,
+        s"$from ppm sum $pSum out of range")
+    }
+    // transition mass = sum over users of (events - 1)
+    val ev = graft.Tables.events(spark, sf)
+    val expected = ev.groupBy($"user_id").agg((count(lit(1)) - 1).as("m"))
+      .agg(sum($"m")).as[Long].head()
+    assert(out.map(_._2).sum === expected)
+  }
+
+  test("emb_gram emits the exact upper triangle with a PSD-consistent diagonal") {
+    val out = SparkEntry.queries("emb_gram")(spark, sf)
+      .select($"i", $"j", $"sxy", $"sxi", $"sxj", $"n")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val d = 64
+    assert(out.length === d * (d + 1) / 2, "one cell per unordered dim pair")
+    assert(out.forall { case (i, j, _, _, _, _) => i >= 1 && j >= i && j <= d })
+    assert(out.map(_._6).distinct.length === 1, "one vector count")
+    val diag = out.filter { case (i, j, _, _, _, _) => i == j }
+    assert(diag.length === d)
+    assert(diag.forall(_._3 >= 0L), "diagonal cells are sums of squares")
+    // Cauchy–Schwarz on the exact integers: sxy² ≤ sii·sjj
+    val dm = diag.map { case (i, _, s, _, _, _) => i -> BigInt(s) }.toMap
+    assert(out.forall { case (i, j, s, _, _, _) => BigInt(s) * BigInt(s) <= dm(i) * dm(j) })
+    // the per-dim sums column agrees with the diagonal's dimension order
+    assert(out.forall { case (i, j, _, sxi, sxj, _) =>
+      (i != j) || (sxi == sxj) })
+  }
+}

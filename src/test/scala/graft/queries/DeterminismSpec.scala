@@ -27,7 +27,8 @@ class DeterminismSpec extends SparkSpec {
     "dd_containment", "dd_minhash_est", "emb_rp", "txt_phrases",
     "txt_bigram_lm", "samp_shuffle",
     "dd_segment", "emb_quantize", "txt_bpe", "txt_bpe_encode",
-    "samp_mixture", "emb_sim_hist")
+    "samp_mixture", "emb_sim_hist",
+    "q32_grouping_sets", "ev_attribution", "ev_markov", "emb_gram")
 
   for (name <- names) {
     test(s"$name result invariant under repartitioning") {
