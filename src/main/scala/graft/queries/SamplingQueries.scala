@@ -40,6 +40,9 @@ object SamplingQueries {
   /** docs-worth of data each source contributes after samp_upsample */
   private val UpsampleTarget = 120L
 
+  /** docs kept per source by samp_curriculum */
+  private val CurriculumK = 20L
+
   /** uniform-in-[0, 2^32) deterministic hash of the doc id — shared with
     * the streaming mixture gate (CleanStream.mixtureGate) so stream and
     * batch select the same documents
@@ -155,6 +158,24 @@ object SamplingQueries {
         .select($"source", $"doc_id", $"copies",
           explode(expr("sequence(1L, copies)")).as("copy"))
         .orderBy($"source", $"doc_id", $"copy")
+    },
+
+    // curriculum / quality selection: the K highest-quality docs per
+    // source under the SHARED quality score (TextQueries.qualityScored —
+    // stream, batch and curriculum all grade identically), deterministic
+    // doc_id tie-break. Scale shape: the window partitions by source, so
+    // this is a per-stratum top-K — parallelism = #sources and no global
+    // sort; for a skewed mega-source, pre-filter on a score threshold
+    // from samp_mixture's profile before ranking.
+    "samp_curriculum" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"quality_ppm".desc, $"doc_id")
+      TextQueries.qualityScored(t(s, d, "documents"))
+        .select($"doc_id", $"source",
+          floor($"score" * lit(1000000.0) + lit(0.5)).cast("long").as("quality_ppm"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= CurriculumK)
+        .orderBy($"source", $"rnk")
     }
   )
 
@@ -224,6 +245,19 @@ object SamplingQueries {
          |SELECT source, doc_id, copies, CAST(t.copy AS BIGINT) AS copy
          |FROM c, UNNEST(range(1, copies + 1)) AS t(copy)
          |WHERE copies > 0
-         |ORDER BY source, doc_id, copy""".stripMargin
+         |ORDER BY source, doc_id, copy""".stripMargin,
+
+    "samp_curriculum" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |    CAST(FLOOR(${TextQueries.qualityScoreSql} * 1000000.0 + 0.5) AS BIGINT) AS quality_ppm
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, quality_ppm,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY quality_ppm DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM q)
+         |SELECT doc_id, source, quality_ppm, rnk
+         |FROM r WHERE rnk <= $CurriculumK ORDER BY source, rnk""".stripMargin
   )
 }

@@ -315,6 +315,27 @@ object TextQueries {
         .filter($"rnk" <= 3)
         .select($"doc_id", $"rnk", $"tok", $"tf", $"df", $"score_ppm")
         .orderBy($"doc_id", $"rnk")
+    },
+
+    // lexical-diversity profile per source: type/token counts, hapax
+    // (once-only) types, integer-ppm type-token and hapax ratios — the
+    // vocabulary-growth signal that separates template-generated sources
+    // from genuinely diverse ones before mixing. Scale shape: two chained
+    // partial aggs ((source, tok) then source); the shuffle carries
+    // tokens, never document text, and the output is |sources| rows.
+    "txt_hapax" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"source", explode(split($"text", " +")).as("tok"))
+        .filter(length($"tok") > 0)
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
+        .groupBy($"source")
+        .agg(sum($"n").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when($"n" === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("ttr_ppm", expr("(n_types * 1000000) div n_tokens"))
+        .withColumn("hapax_ppm", expr("(n_hapax * 1000000) div n_types"))
+        .orderBy($"source")
     }
   )
 
@@ -482,6 +503,20 @@ object TextQueries {
         |      ORDER BY (tf.tf * 1000000) // df.df DESC, tf.tok) AS BIGINT) AS rnk
         |  FROM tf JOIN df ON df.tok = tf.tok)
         |SELECT doc_id, rnk, tok, tf, df, score_ppm
-        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "txt_hapax" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(text, ' +')) AS tok FROM documents),
+        |tc AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM toks WHERE length(tok) > 0 GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST((COUNT(*) * 1000000) // SUM(n) AS BIGINT) AS ttr_ppm,
+        |  CAST((SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS hapax_ppm
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin
   )
 }

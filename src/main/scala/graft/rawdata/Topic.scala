@@ -400,6 +400,32 @@ object Topic {
       cfg: TopicConfig = TopicConfig()): Seq[TopicFile] =
     write(read(spark, srcDir).toDF(), destDir, cfg)
 
+  /** Retention: delete topic files that provably contain ONLY messages
+    * older than `beforeTsMs` — the log-expiry maintenance op a 100 TB
+    * append-only topic needs (the reference leaves retention to GCS
+    * lifecycle rules on the bucket; here it is a first-class, metadata-only
+    * operation).
+    *
+    * Safety argument (no data read): files are ULID-ordered end to end —
+    * every message in file i has an id strictly below file i+1's first id,
+    * so its timestamp is ≤ fromTs(i+1). File i is therefore deletable iff
+    * fromTs(i+1) < beforeTsMs. The newest file is never deleted (nothing
+    * bounds it from above). One LIST + one DELETE per expired file;
+    * nothing scales with message count.
+    */
+  def expire(topicDir: String, beforeTsMs: Long): Seq[TopicFile] = {
+    val files = listFiles(topicDir)
+    if (files.length < 2) return Seq.empty
+    val conf = HadoopIO.conf()
+    val fs = HadoopIO.fs(topicDir, conf)
+    val expired = files.zip(files.tail).collect {
+      case (f, next) if next.fromTsMs < beforeTsMs => f
+    }
+    expired.foreach(f => fs.delete(new Path(f.path), false): Unit)
+    if (expired.nonEmpty) invalidateListing(topicDir)
+    expired
+  }
+
   def tempDir(prefix: String): String = {
     val d = new java.io.File(sys.props("java.io.tmpdir"), s"$prefix-${UUID.randomUUID().toString.take(8)}")
     d.mkdirs()

@@ -28,7 +28,8 @@ class DeterminismSpec extends SparkSpec {
     "txt_bigram_lm", "samp_shuffle",
     "dd_segment", "emb_quantize", "txt_bpe", "txt_bpe_encode",
     "samp_mixture", "emb_sim_hist",
-    "q32_grouping_sets", "ev_attribution", "ev_markov", "emb_gram")
+    "q32_grouping_sets", "ev_attribution", "ev_markov", "emb_gram",
+    "samp_curriculum", "txt_hapax")
 
   for (name <- names) {
     test(s"$name result invariant under repartitioning") {
