@@ -57,6 +57,22 @@ object CurationQueries {
       .agg(sum($"wn").as("pair_n"))
   }
 
+  /** upper-triangle (i ≤ j, 1-based) exact integer Gram cells — shared by
+    * emb_gram and the emb_pca1 power iteration. Narrow suffix-slice pair
+    * build: d(d+1)/2 rows per vector, no self-join, one (i, j) partial-agg
+    * shuffle whose map-side combine caps task output at the cell space.
+    */
+  private def gramTriangle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.operators.VectorOps.quantized(s, d)
+      .select($"vec_id", posexplode($"q"), $"q")
+      .toDF("vec_id", "i0", "xi", "q")
+      .select($"i0", $"xi", posexplode(expr("slice(q, i0 + 1, size(q) - i0)")))
+      .toDF("i0", "xi", "dj", "xj")
+      .groupBy(($"i0" + 1).cast("long").as("i"), ($"i0" + $"dj" + 1).cast("long").as("j"))
+      .agg(sum($"xi" * $"xj").as("sxy"))
+  }
+
   private def mergeBest(words: DataFrame, best: DataFrame): DataFrame = {
     val s = words.sparkSession
     import s.implicits._
@@ -250,13 +266,7 @@ object CurationQueries {
     "emb_gram" -> { (s, d) =>
       import s.implicits._
       val q = graft.operators.VectorOps.quantized(s, d).select($"vec_id", $"q")
-      val prods = q
-        .select($"vec_id", posexplode($"q"), $"q")
-        .toDF("vec_id", "i0", "xi", "q")
-        .select($"i0", $"xi", posexplode(expr("slice(q, i0 + 1, size(q) - i0)")))
-        .toDF("i0", "xi", "dj", "xj")
-        .groupBy(($"i0" + 1).cast("long").as("i"), ($"i0" + $"dj" + 1).cast("long").as("j"))
-        .agg(sum($"xi" * $"xj").as("sxy"))
+      val prods = gramTriangle(s, d)
       val sums = q.select(posexplode($"q")).toDF("i0", "x")
         .groupBy(($"i0" + 1).cast("long").as("i"))
         .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
@@ -265,6 +275,43 @@ object CurationQueries {
         .join(sums.select($"i".as("j"), $"sx".as("sxj")), Seq("j"))
         .select($"i", $"j", $"sxy", $"sxi", $"sxj", $"n")
         .orderBy($"i", $"j")
+    },
+
+    // top principal direction by 3 integer power-iteration rounds over
+    // the exact Gram matrix (the PCA head on emb_gram's shoulders): each
+    // round is w = G·v on the d²-cell relation, then an exact floor-div
+    // renormalization to |v| ≤ 100 (q = ceil(max|w|/100), v' = ⌊w/q⌋ with
+    // the positive-remainder rearrangement, so both engines compute the
+    // identical integers — no float norm, no sqrt). Emits every round's
+    // vector so intermediate drift is caught, not just the fixpoint.
+    // Scale shape: the corpus is touched ONCE (the Gram build, persisted
+    // at d² rows); all three rounds run on that tiny relation — matrix
+    // scale never re-enters. Bit budget: |G| ≤ d·qmax² ·n; with |v| ≤ 100
+    // and d = 64, |w| ≤ 64·|G|max·100 ≈ 6e17 at sf0.1 — inside int64, and
+    // the renormalization divides before anything multiplies again.
+    "emb_pca1" -> { (s, d) =>
+      import s.implicits._
+      val tri = gramTriangle(s, d).persist()
+      val g = tri.select($"i", $"j", $"sxy")
+        .unionByName(tri.filter($"i" =!= $"j").select($"j".as("i"), $"i".as("j"), $"sxy"))
+      val dims = tri.filter($"i" === $"j").select($"i")
+      var v = dims.withColumn("v", lit(100L))
+      val rounds = (1 to 3).map { _ =>
+        val w = g.join(v.select($"i".as("j"), $"v"), Seq("j"))
+          .groupBy($"i").agg(sum($"sxy" * $"v").as("w"))
+        val m = w.agg(max(abs($"w")).as("m"))
+        val vn = w.crossJoin(broadcast(m))
+          .withColumn("q", lit(1L) + expr("(m - 1) div 100"))
+          .withColumn("v", when($"m" === 0L, lit(0L))
+            .otherwise(expr("(w - pmod(w, q)) div q")))
+          .select($"i", $"v")
+        v = vn
+        vn
+      }
+      rounds(0).select($"i", $"v".as("v1"))
+        .join(rounds(1).select($"i", $"v".as("v2")), Seq("i"))
+        .join(rounds(2).select($"i", $"v".as("v3")), Seq("i"))
+        .orderBy($"i")
     }
   )
 
@@ -438,6 +485,35 @@ object CurationQueries {
         |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j, p.sxy,
         |  si.sx AS sxi, sj.sx AS sxj, si.n AS n
         |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
-        |ORDER BY i, j""".stripMargin
+        |ORDER BY i, j""".stripMargin,
+
+    "emb_pca1" -> {
+      def round(r: Int): String =
+        s"""w$r AS (
+           |  SELECT gm.i, CAST(SUM(gm.sxy * v${r - 1}.v) AS BIGINT) AS w
+           |  FROM gm JOIN v${r - 1} ON v${r - 1}.i = gm.j GROUP BY 1),
+           |m$r AS (SELECT CAST(MAX(ABS(w)) AS BIGINT) AS m FROM w$r),
+           |v$r AS (
+           |  SELECT i, CASE WHEN m = 0 THEN 0
+           |                 ELSE (w - ((w % q + q) % q)) // q END AS v
+           |  FROM (SELECT i, w, m, 1 + (m - 1) // 100 AS q FROM w$r, m$r))""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
+         |  FROM embeddings),
+         |tri AS (
+         |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS sxy
+         |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2),
+         |gm AS (SELECT i, j, sxy FROM tri
+         |       UNION ALL SELECT j AS i, i AS j, sxy FROM tri WHERE i <> j),
+         |v0 AS (SELECT i, CAST(100 AS BIGINT) AS v FROM (SELECT DISTINCT i FROM tri)),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT CAST(v1.i AS BIGINT) AS i, CAST(v1.v AS BIGINT) AS v1,
+         |  CAST(v2.v AS BIGINT) AS v2, CAST(v3.v AS BIGINT) AS v3
+         |FROM v1 JOIN v2 ON v2.i = v1.i JOIN v3 ON v3.i = v1.i
+         |ORDER BY i""".stripMargin
+    }
   )
 }

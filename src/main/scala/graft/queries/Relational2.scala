@@ -409,6 +409,26 @@ object Relational2 {
           coalesce($"l_linestatus", lit("ALL")).as("lstatus"),
           $"gid", $"n", $"sum_qty")
         .orderBy($"gid", $"rflag", $"lstatus")
+    },
+
+    // approximate quantiles (the KLL-style sketch companion to q30's
+    // HLL): approx_percentile's mergeable sketch vs the exact
+    // percentiles, side by side. Rows-only (the sketch is
+    // implementation-defined); AnalyticsOpsSpec asserts the documented
+    // rank-error bound against the sorted data. Scale shape: the sketch
+    // aggregates with map-side partial merge — one scan, no sort — which
+    // is the only quantile shape that survives 100 TB (exact percentile
+    // is a per-group sort and is kept here purely as the yardstick).
+    "q33_approx_quantile" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "lineitem")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), array(0.5D, 0.95D), 10000)").as("ap"),
+          expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.5D, 0.95D))").as("ep"))
+        .select($"n",
+          $"ap".getItem(0).as("approx_p50"), $"ap".getItem(1).as("approx_p95"),
+          $"ep".getItem(0).as("exact_p50"), $"ep".getItem(1).as("exact_p95"))
     }
   )
 

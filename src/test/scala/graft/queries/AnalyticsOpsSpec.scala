@@ -72,4 +72,54 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.forall { case (i, j, _, sxi, sxj, _) =>
       (i != j) || (sxi == sxj) })
   }
+
+  test("emb_pca1 power iteration converges toward the dominant Gram direction") {
+    val out = SparkEntry.queries("emb_pca1")(spark, sf)
+      .select($"i", $"v1", $"v2", $"v3").as[(Long, Long, Long, Long)].collect()
+    assert(out.length === 64)
+    // renormalization bounds every round's vector to |v| <= 100, with the
+    // max-magnitude coordinate actually reaching the bound's floor
+    for (get <- Seq[((Long, Long, Long, Long)) => Long](_._2, _._3, _._4)) {
+      val vs = out.map(get)
+      assert(vs.forall(v => math.abs(v) <= 100L))
+      assert(vs.map(math.abs).max >= 50L, "normalizer keeps the scale, not just the sign")
+    }
+    // successive rounds stabilize: v3 is closer to v2 than v2 is to v1
+    // in L1 (power iteration contracts toward the dominant eigenvector)
+    def l1(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+    val v1 = out.map(_._2); val v2 = out.map(_._3); val v3 = out.map(_._4)
+    assert(l1(v3, v2) <= l1(v2, v1), "iteration is contracting")
+    // and v3 must agree with a plain-Scala replay of the same arithmetic
+    // starting from v2 (one more exact integer round)
+    val tri = SparkEntry.queries("emb_gram")(spark, sf)
+      .select($"i", $"j", $"sxy").as[(Long, Long, Long)].collect()
+    val g = tri.flatMap { case (i, j, s) =>
+      if (i == j) Seq((i, j, s)) else Seq((i, j, s), (j, i, s)) }
+    val v2m = out.map(r => r._1 -> r._3).toMap
+    val w = g.groupBy(_._1).view.mapValues(_.map { case (_, j, s) => s * v2m(j) }.sum).toMap
+    val m = w.values.map(math.abs).max
+    val q = 1L + (m - 1L) / 100L
+    val expectV3 = out.map { r =>
+      val wi = w(r._1)
+      math.floorDiv(wi, q)
+    }
+    assert(out.map(_._4).toSeq === expectV3.toSeq)
+  }
+
+  test("q33_approx_quantile respects the sketch's rank-error bound") {
+    val r = SparkEntry.queries("q33_approx_quantile")(spark, sf).collect().head
+    val n = r.getAs[Long]("n")
+    val sorted = graft.Tables.t(spark, sf, "lineitem")
+      .select($"l_extendedprice".cast("double")).as[Double].collect().sorted
+    assert(n === sorted.length)
+    val tol = n / 10000 + 1 // accuracy=10000 ⇒ rank error ≤ n/accuracy
+    for ((p, col) <- Seq(0.5 -> "approx_p50", 0.95 -> "approx_p95")) {
+      val v = r.getAs[Double](col)
+      val rank = sorted.count(_ <= v).toLong
+      val target = (p * n).toLong
+      assert(math.abs(rank - target) <= tol + 1,
+        s"$col rank $rank vs target $target (tol $tol)")
+    }
+  }
 }
