@@ -82,5 +82,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"hyperplane_bands expects (q, tables, bits[, dims]), got ${exprs.size} arguments")
         }
       }))
+    // long_dot(a, b) — SQL access to the native exact int64 dot product
+    ext.injectFunction((
+      FunctionIdentifier("long_dot"),
+      new ExpressionInfo(classOf[LongDot].getName, "long_dot"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.size != 2)
+          throw new IllegalArgumentException(s"long_dot expects 2 arguments, got ${exprs.size}")
+        LongDot(exprs(0), exprs(1))
+      }))
   }
 }

@@ -33,8 +33,23 @@ object VectorOps {
     quantize(t(s, d, "embeddings")).select($"vec_id", $"q", $"nn")
   }
 
+  /** HOF formulation of the dot product — kept as the reference semantics
+    * the native expression is spec-tested against (VectorSigSpec); hot
+    * paths use [[dotCol]] instead.
+    */
   val dotExpr: String =
     "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+  /** Exact int64 dot product via the native codegen'd LongDot expression
+    * (one tight generated loop, no zipped intermediate, no interpreted
+    * lambdas) — constructed directly into the Column via ColumnBridge so
+    * it works in any session, extensions or not.
+    */
+  def dotCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.LongDot(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   /** All pairs (va < vb ≤ va+band) with quantized cosine in ppm.
     *
@@ -56,7 +71,7 @@ object VectorOps {
       .withColumn("bucket", floor($"vb" / band))
     a.join(b, Seq("bucket"))
       .filter($"vb" > $"va" && $"vb" <= $"va" + band)
-      .withColumn("dot", expr(dotExpr))
+      .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
       .withColumn("cos_ppm",
         floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
       .select($"va", $"vb", $"cos_ppm")

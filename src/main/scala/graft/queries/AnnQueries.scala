@@ -48,7 +48,7 @@ object AnnQueries {
       val corpus = e.select($"vec_id".as("cid"), $"q".as("qb"), $"nn".as("nb"))
       val w = Window.partitionBy($"qid").orderBy($"cos_ppm".desc, $"cid")
       corpus.join(broadcast(qs), $"cid" =!= $"qid")
-        .withColumn("dot", expr(dotExpr))
+        .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
         .withColumn("cos_ppm",
           floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
         .withColumn("rnk", row_number().over(w).cast("long"))
@@ -74,7 +74,7 @@ object AnnQueries {
       val w = Window.partitionBy($"qid").orderBy($"cos_ppm".desc, $"cid")
       corpus.join(broadcast(qs), Seq("probe"))
         .filter($"cid" =!= $"qid")
-        .withColumn("dot", expr(dotExpr))
+        .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
         .withColumn("cos_ppm",
           floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
         .withColumn("rnk", row_number().over(w).cast("long"))
@@ -108,7 +108,7 @@ object AnnQueries {
       val w = Window.partitionBy($"qid").orderBy($"cos_ppm".desc, $"cid")
       cells.join(broadcast(probes), Seq("cent_id"))
         .filter($"cid" =!= $"qid")
-        .withColumn("dot", expr(dotExpr))
+        .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
         .withColumn("cos_ppm",
           floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
         .withColumn("rnk", row_number().over(w).cast("long"))

@@ -684,7 +684,7 @@ object DedupQueries {
       val sa = e.select($"vec_id".as("va"), $"q".as("qa"), $"nn".as("na"))
       val sb = e.select($"vec_id".as("vb"), $"q".as("qb"), $"nn".as("nb"))
       cand.join(sa, Seq("va")).join(sb, Seq("vb"))
-        .withColumn("dot", expr(graft.operators.VectorOps.dotExpr))
+        .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
         .withColumn("cos_ppm",
           floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
         .filter($"cos_ppm" >= EmbedLshThresholdPpm)

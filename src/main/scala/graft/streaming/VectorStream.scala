@@ -57,7 +57,7 @@ object VectorStream {
     val flagged = probes.join(bands, Seq("tbl", "bits"))
       .filter($"vec_id" =!= $"match_vec")
       .join(e.select($"vec_id".as("match_vec"), $"q".as("qb"), $"nn".as("nb")), Seq("match_vec"))
-      .withColumn("dot", expr(VectorOps.dotExpr))
+      .withColumn("dot", VectorOps.dotCol(col("qa"), col("qb")))
       .withColumn("cos_ppm",
         floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
       .filter($"cos_ppm" >= thresholdPpm)

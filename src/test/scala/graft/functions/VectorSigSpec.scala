@@ -53,6 +53,29 @@ class VectorSigSpec extends SparkSpec {
     assert(viaApi.exceptAll(viaSql).count() === 0)
   }
 
+  test("native long_dot equals the HOF dot product and a local recomputation") {
+    val e = VectorOps.quantized(spark, sf)
+    // self-pair with the reversed vector: exercises negative terms too
+    val pairs = e.select($"vec_id", $"q".as("qa"), reverse($"q").as("qb"))
+      .withColumn("dot_native", VectorOps.dotCol($"qa", $"qb"))
+      .withColumn("dot_hof", expr(VectorOps.dotExpr))
+    assert(pairs.filter($"dot_native" =!= $"dot_hof").count() === 0)
+    pairs.limit(20).collect().foreach { r =>
+      val a = r.getAs[scala.collection.Seq[Long]]("qa")
+      val b = r.getAs[scala.collection.Seq[Long]]("qb")
+      val want = a.zip(b).map { case (x, y) => x * y }.sum
+      assert(r.getAs[Long]("dot_native") === want)
+    }
+    // and the squared norm via long_dot(q, q) agrees with the nn column
+    assert(e.filter(VectorOps.dotCol($"q", $"q") =!= $"nn").count() === 0)
+  }
+
+  test("long_dot is callable from SQL via the extensions") {
+    VectorOps.quantized(spark, sf).createOrReplaceTempView("qv_dot")
+    val bad = spark.sql("SELECT vec_id FROM qv_dot WHERE long_dot(q, q) <> nn")
+    assert(bad.count() === 0)
+  }
+
   test("sig (single-table packed form) matches the first band") {
     val e = VectorOps.quantized(spark, sf)
     val sig = VectorOps.withHyperplaneSig(e, 8)
