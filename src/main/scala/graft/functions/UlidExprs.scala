@@ -91,5 +91,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(s"long_dot expects 2 arguments, got ${exprs.size}")
         LongDot(exprs(0), exprs(1))
       }))
+    // quantize_vec(embedding) — SQL access to the native micro-unit
+    // quantizer (array<float|double> → array<bigint>)
+    ext.injectFunction((
+      FunctionIdentifier("quantize_vec"),
+      new ExpressionInfo(classOf[QuantizeVec].getName, "quantize_vec"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.size != 1)
+          throw new IllegalArgumentException(s"quantize_vec expects 1 argument, got ${exprs.size}")
+        QuantizeVec(exprs.head)
+      }))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Static kernel referenced from generated code (top-level object →
   * Java-visible static forwarders).
@@ -32,6 +32,33 @@ object VectorSigOps {
       }
       out(t) = band
       t += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** float-array → micro-unit quantization, floor(x·1e6 + 0.5) per
+    * element — same IEEE double arithmetic as the SQL
+    * `CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)`.
+    */
+  def quantizeF(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(a.getFloat(i).toDouble * 1000000.0 + 0.5).toLong
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** double-array variant of [[quantizeF]] */
+  def quantizeD(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(a.getDouble(i) * 1000000.0 + 0.5).toLong
+      i += 1
     }
     ArrayData.toArrayData(out)
   }
@@ -122,4 +149,38 @@ case class LongDot(left: Expression, right: Expression) extends BinaryExpression
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongDot =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native Catalyst expression: embedding (array<float> or array<double>)
+  * → micro-unit quantized vector (array<long>), floor(x·1e6 + 0.5) per
+  * element. Replaces the interpreted `transform(...)` HOF at the base of
+  * every embedding scan; bit-equal with the SQL form (VectorSigSpec).
+  * Assumes non-null elements (the embeddings contract); a null element
+  * quantizes from the slot's raw zero rather than propagating null.
+  */
+case class QuantizeVec(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantize_vec requires ARRAY<FLOAT|DOUBLE> input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quantize_vec"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (isFloat) VectorSigOps.quantizeF(input.asInstanceOf[ArrayData])
+    else VectorSigOps.quantizeD(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = if (isFloat) "quantizeF" else "quantizeD"
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorSigOps.$kernel($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVec =
+    copy(child = newChild)
 }

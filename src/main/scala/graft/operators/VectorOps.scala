@@ -18,14 +18,17 @@ object VectorOps {
 
   /** Adds `q` (quantized vector) and `nn` (integer squared norm) to any
     * relation with an `embedding` array column — works on STREAMING
-    * relations too (pure per-row expressions; the HOFs are interpreted
-    * CodegenFallback, fine for micro-batch volumes — batch table scans
-    * go through `quantized` below which shares this exact recipe).
+    * relations too (pure per-row expressions). Both columns run as native
+    * codegen'd expressions (QuantizeVec, LongDot(q, q)): one generated
+    * loop each instead of the interpreted transform/aggregate HOFs, so
+    * the base of every embedding scan stays inside whole-stage codegen.
     */
   def quantize(df: DataFrame): DataFrame =
     df.withColumn("q",
-        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"))
-      .withColumn("nn", expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.QuantizeVec(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(df("embedding")))))
+      .withColumn("nn", dotCol(col("q"), col("q")))
 
   /** embeddings with quantized vector `q` and integer squared norm `nn` */
   def quantized(s: SparkSession, d: String): DataFrame = {

@@ -70,6 +70,20 @@ class VectorSigSpec extends SparkSpec {
     assert(e.filter(VectorOps.dotCol($"q", $"q") =!= $"nn").count() === 0)
   }
 
+  test("native quantize_vec equals the HOF quantization on the whole corpus") {
+    val raw = graft.Tables.t(spark, sf, "embeddings")
+    val both = VectorOps.quantize(raw)
+      .withColumn("q_hof", expr(
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"))
+      .withColumn("nn_hof", expr("aggregate(q_hof, 0L, (acc, x) -> acc + x * x)"))
+    assert(both.filter(expr("q <> q_hof OR nn <> nn_hof")).count() === 0)
+    // callable from SQL too
+    raw.createOrReplaceTempView("emb_raw")
+    val viaSql = spark.sql("SELECT vec_id, quantize_vec(embedding) AS q FROM emb_raw")
+    val viaApi = VectorOps.quantize(raw).select($"vec_id", $"q")
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+  }
+
   test("long_dot is callable from SQL via the extensions") {
     VectorOps.quantized(spark, sf).createOrReplaceTempView("qv_dot")
     val bad = spark.sql("SELECT vec_id FROM qv_dot WHERE long_dot(q, q) <> nn")
