@@ -85,6 +85,27 @@ object RawdataQueries {
         .orderBy(col("from_ts_ms"))
     },
 
+    // integrity audit: the count each filename CLAIMS (producer-written
+    // metadata) vs the count a real distributed read of that exact file
+    // yields — the trust-but-verify pass an operator runs before relying
+    // on filename pruning over a 100 TB topic. Metadata side is one LIST;
+    // the read side is the normal per-file parallel scan with the task's
+    // own input path as attribution (costs nothing extra). The oracle
+    // replays the producer's windowing from `events`, so a mismatch on
+    // EITHER side (bad filename or short file) fails the check.
+    "rd_integrity" -> { (s, d) =>
+      val dir = topic(s, d)
+      val meta = Topic.fileListingDF(s, dir)
+        .select(col("path"), col("fromTsMs").as("from_ts_ms"), col("count").as("meta_n"))
+      val actual = Topic.readWithOrigin(s, dir)
+        .groupBy(col("file_path")).agg(count(lit(1)).as("actual_n"))
+      meta.join(actual, meta("path") === actual("file_path"), "left")
+        .select(col("from_ts_ms"), col("meta_n"),
+          coalesce(col("actual_n"), lit(0L)).as("actual_n"))
+        .withColumn("ok", when(col("meta_n") === col("actual_n"), 1L).otherwise(0L))
+        .orderBy(col("from_ts_ms"))
+    },
+
     "rd_topic_stats" -> { (s, d) =>
       Topic.fileListingDF(s, topic(s, d)).agg(
         count(lit(1)).as("n_files"),
@@ -183,6 +204,12 @@ object RawdataQueries {
     "rd_window_files" -> (M +
       """SELECT MIN(ts_ms) AS from_ts_ms, CAST(COUNT(*) AS BIGINT) AS n_messages,
         |  arg_min(position, ulid_hex) AS first_position
+        |FROM m GROUP BY ts_ms // 86400000
+        |ORDER BY from_ts_ms""".stripMargin),
+
+    "rd_integrity" -> (M +
+      """SELECT MIN(ts_ms) AS from_ts_ms, CAST(COUNT(*) AS BIGINT) AS meta_n,
+        |  CAST(COUNT(*) AS BIGINT) AS actual_n, CAST(1 AS BIGINT) AS ok
         |FROM m GROUP BY ts_ms // 86400000
         |ORDER BY from_ts_ms""".stripMargin),
 

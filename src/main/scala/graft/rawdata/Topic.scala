@@ -321,6 +321,26 @@ object Topic {
   def read(spark: SparkSession, topicDir: String): Dataset[RawdataMessage] =
     readFiles(spark, listFiles(topicDir))
 
+  /** Origin-attributed read: (file_path, message) rows — what the
+    * integrity audit (rd_integrity) joins against the filename metadata.
+    * Same distributed shape as [[readFiles]]; the extra column is the
+    * task's own input path, so attribution costs nothing.
+    */
+  def readWithOrigin(spark: SparkSession, topicDir: String): DataFrame = {
+    val files = listFiles(topicDir)
+    if (files.isEmpty)
+      return spark.emptyDataset(Encoders.tuple(Encoders.STRING, msgEncoder))
+        .toDF("file_path", "msg")
+    val paths = files.map(_.path)
+    val sconf = HadoopIO.serializable()
+    val parts = math.min(paths.size, math.max(spark.sparkContext.defaultParallelism * 4, 64))
+    spark.createDataset(paths)(Encoders.STRING)
+      .repartition(parts)
+      .flatMap(p => AvroCodec.readFile(p, sconf.value).map(m => (p, m)))(
+        Encoders.tuple(Encoders.STRING, msgEncoder))
+      .toDF("file_path", "msg")
+  }
+
   /** Message DataFrame with decoded ULID columns. */
   def readDF(spark: SparkSession, topicDir: String): DataFrame =
     decorate(read(spark, topicDir).toDF())
