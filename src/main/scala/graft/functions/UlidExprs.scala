@@ -101,5 +101,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(s"quantize_vec expects 1 argument, got ${exprs.size}")
         QuantizeVec(exprs.head)
       }))
+    // optimizer rewrite: HOF dot-product/norm idioms → native LongDot
+    ext.injectOptimizerRule(_ => NativeVectorRewrite)
   }
 }
