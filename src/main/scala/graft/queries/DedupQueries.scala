@@ -427,6 +427,33 @@ object DedupQueries {
         .filter($"hamming" <= 3)
     },
 
+    // truncation-duplicate detection: doc A is an exact token-PREFIX of
+    // doc B (the crawl-truncation / re-fetch-longer pattern that Jaccard
+    // under-scores when the length gap is large and containment needs
+    // shingle overlap to even nominate). Candidates: equality on the
+    // md5 of the first 16 tokens — one narrow hash + one equi self-join
+    // keyed on that hash (bucket occupancy bounds the wide work, never
+    // all-pairs); verify: exact array-slice equality per candidate.
+    "dd_prefix" -> { (s, d) =>
+      import s.implicits._
+      val K = 16
+      val tk = t(s, d, "documents")
+        .select($"doc_id", split($"text", " +").as("tk"))
+        .withColumn("n_tok", size($"tk").cast("long"))
+        .filter($"n_tok" >= K)
+        .withColumn("pref", md5(concat_ws(" ", expr(s"slice(tk, 1, $K)"))))
+      val a = tk.select($"doc_id".as("doc_short"), $"n_tok".as("n_short"),
+        $"tk".as("tk_a"), $"pref")
+      val b = tk.select($"doc_id".as("doc_long"), $"n_tok".as("n_long"),
+        $"tk".as("tk_b"), $"pref")
+      a.join(b, Seq("pref"))
+        .filter($"n_short" < $"n_long" ||
+          ($"n_short" === $"n_long" && $"doc_short" < $"doc_long"))
+        .filter(expr("slice(tk_b, 1, CAST(n_short AS INT)) = tk_a"))
+        .select($"doc_short", $"doc_long", $"n_short", $"n_long")
+        .orderBy($"doc_short", $"doc_long")
+    },
+
     // exact n-gram Jaccard on the LSH candidates (integer set arithmetic,
     // parts-per-million output)
     "dd_jaccard" -> { (s, d) =>
@@ -814,6 +841,22 @@ object DedupQueries {
     "dd_jaccard" ->
       (s"WITH ${lshCtes("documents")},\n$JaccardCtes\n" +
         "SELECT doc_a, doc_b, jaccard_ppm FROM jacc ORDER BY doc_a, doc_b"),
+
+    "dd_prefix" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(text, ' +') AS tk,
+        |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, tk, n_tok,
+        |    md5(array_to_string(list_slice(tk, 1, 16), ' ')) AS pref
+        |  FROM tk WHERE n_tok >= 16)
+        |SELECT a.doc_id AS doc_short, b.doc_id AS doc_long,
+        |  a.n_tok AS n_short, b.n_tok AS n_long
+        |FROM f a JOIN f b ON a.pref = b.pref
+        |  AND (a.n_tok < b.n_tok OR (a.n_tok = b.n_tok AND a.doc_id < b.doc_id))
+        |WHERE list_slice(b.tk, 1, CAST(a.n_tok AS INT)) = a.tk
+        |ORDER BY doc_short, doc_long""".stripMargin,
 
     "dd_containment" ->
       (s"WITH ${lshCtes("documents")},\n" +

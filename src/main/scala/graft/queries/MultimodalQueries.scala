@@ -84,6 +84,43 @@ object MultimodalQueries {
       feats.toDF("position", "n_bytes", "sum_bytes", "mean_milli", "h0", "h1", "h2", "h3")
     },
 
+    // perceptual-hash near-dup for the binary modality: a 32-bit simhash
+    // over the payload's byte 4-grams (the codec-free stand-in for an
+    // image phash — same banding machinery as dd_simhash_pairs), pairs
+    // within hamming ≤ 3 via the lossless 4×8-bit band join. Scale
+    // shape: signature is one partial-agg shuffle keyed on the asset;
+    // the band self-join is the only wide stage and is bounded by bucket
+    // occupancy — never all-pairs over the asset corpus.
+    "mm_phash_pairs" -> { (s, d) =>
+      import s.implicits._
+      val p = payloads(s, d, 300).filter($"key" === "props")
+        .select($"position", decode($"payload", "UTF-8").as("txt"))
+      val grams = p.select($"position",
+          explode(expr(
+            "if(length(txt) < 4, array(), transform(sequence(1, length(txt) - 3), i -> substring(txt, i, 4)))")).as("g"))
+        .withColumn("v", conv(substring(md5($"g"), 1, 8), 16, 10).cast("long"))
+      val bitSums = (0 until 32).map { b =>
+        sum(when(shiftright($"v", b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$b")
+      }
+      val sigExpr = (0 until 32).map { b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sig = grams.groupBy($"position").agg(bitSums.head, bitSums.tail: _*)
+        .select($"position", sigExpr.as("phash")).persist()
+      val banded = sig.select($"position", $"phash",
+          explode(expr(
+            "transform(sequence(0, 3), b -> named_struct('band', b, 'bits', (phash >> (b * 8)) & 255))")).as("bb"))
+        .select($"position", $"phash", $"bb.band".as("band"), $"bb.bits".as("bits"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+            col("a.position") < col("b.position"))
+        .select(col("a.position").as("pos_a"), col("b.position").as("pos_b"),
+          bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long").as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 3)
+        .orderBy($"pos_a", $"pos_b")
+    },
+
     // exact asset dedup by content hash — the 100 TB image/audio dedup
     // baseline: one checksum groupBy per payload kind (map-side partial
     // agg, shuffle carries 16-byte hashes not payloads), then a per-kind
@@ -155,6 +192,32 @@ object MultimodalQueries {
         |  FROM m GROUP BY 1, 2)
         |SELECT key, CAST(COUNT(*) AS BIGINT) AS n_assets, CAST(SUM(n) AS BIGINT) AS n_payloads,
         |  CAST(SUM(n - 1) AS BIGINT) AS n_dups, MIN(keep) AS first_keep
-        |FROM g GROUP BY key ORDER BY key""".stripMargin
+        |FROM g GROUP BY key ORDER BY key""".stripMargin,
+
+    "mm_phash_pairs" -> {
+      val bitSums = (0 until 32).map { b =>
+        s"SUM(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+      }.mkString(",\n    ")
+      val sig = (0 until 32).map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT 'evt-' || CAST(event_id AS VARCHAR) AS position, props AS txt
+         |  FROM events WHERE event_id < 300),
+         |g AS (
+         |  SELECT position, substr(txt, CAST(i AS INT), 4) AS g
+         |  FROM m, UNNEST(range(1, length(txt) - 2)) AS t(i)
+         |  WHERE length(txt) >= 4),
+         |v AS (SELECT position, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS v FROM g),
+         |bits AS (
+         |  SELECT position,
+         |    $bitSums
+         |  FROM v GROUP BY position),
+         |sims AS (SELECT position, CAST($sig AS BIGINT) AS phash FROM bits)
+         |SELECT a.position AS pos_a, b.position AS pos_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM sims a JOIN sims b ON a.position < b.position
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY pos_a, pos_b""".stripMargin
+    }
   )
 }
