@@ -279,38 +279,44 @@ object CurationQueries {
 
     // top principal direction by 3 integer power-iteration rounds over
     // the exact Gram matrix (the PCA head on emb_gram's shoulders): each
-    // round is w = G·v on the d²-cell relation, then an exact floor-div
-    // renormalization to |v| ≤ 100 (q = ceil(max|w|/100), v' = ⌊w/q⌋ with
-    // the positive-remainder rearrangement, so both engines compute the
-    // identical integers — no float norm, no sqrt). Emits every round's
-    // vector so intermediate drift is caught, not just the fixpoint.
-    // Scale shape: the corpus is touched ONCE (the Gram build, persisted
-    // at d² rows); all three rounds run on that tiny relation — matrix
-    // scale never re-enters. Bit budget: |G| ≤ d·qmax² ·n; with |v| ≤ 100
-    // and d = 64, |w| ≤ 64·|G|max·100 ≈ 6e17 at sf0.1 — inside int64, and
-    // the renormalization divides before anything multiplies again.
+    // round is w = G·v, then an exact floor-div renormalization to
+    // |v| ≤ 100 (q = ceil(max|w|/100), v' = ⌊w/q⌋ — identical integers on
+    // any engine, no float norm, no sqrt). Emits every round's vector so
+    // intermediate drift is caught, not just the fixpoint.
+    // Scale shape: the corpus is touched ONCE (the distributed Gram
+    // build — the only pass whose cost scales with data); the d²-cell
+    // matrix is then DRIVER-SIZED BY CONSTRUCTION (64×64 here, any
+    // practical d² ≪ corpus), so the rounds run as exact local integer
+    // arithmetic — the same dispatcher rationale as dd_cluster's
+    // union-find fast path (a chained-DataFrame loop on 64-row
+    // relations measured 7.9 s of pure scheduling overhead at sf0.1;
+    // this form is the Gram cost plus microseconds). The DuckDB oracle
+    // replays the identical arithmetic as unrolled CTEs. Bit budget:
+    // |w| ≤ d·|G|max·100 ≈ 6e17 at sf0.1 — inside int64, and the
+    // renormalization divides before anything multiplies again.
     "emb_pca1" -> { (s, d) =>
       import s.implicits._
-      val tri = gramTriangle(s, d).persist()
-      val g = tri.select($"i", $"j", $"sxy")
-        .unionByName(tri.filter($"i" =!= $"j").select($"j".as("i"), $"i".as("j"), $"sxy"))
-      val dims = tri.filter($"i" === $"j").select($"i")
-      var v = dims.withColumn("v", lit(100L))
+      val tri = gramTriangle(s, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val dims = tri.collect { case (i, j, _) if i == j => i }.sorted
+      val g = tri
+        .flatMap { case (i, j, x) =>
+          if (i == j) Seq((i, j, x)) else Seq((i, j, x), (j, i, x)) }
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+      var v = dims.map(i => i -> 100L).toMap
       val rounds = (1 to 3).map { _ =>
-        val w = g.join(v.select($"i".as("j"), $"v"), Seq("j"))
-          .groupBy($"i").agg(sum($"sxy" * $"v").as("w"))
-        val m = w.agg(max(abs($"w")).as("m"))
-        val vn = w.crossJoin(broadcast(m))
-          .withColumn("q", lit(1L) + expr("(m - 1) div 100"))
-          .withColumn("v", when($"m" === 0L, lit(0L))
-            .otherwise(expr("(w - pmod(w, q)) div q")))
-          .select($"i", $"v")
-        v = vn
-        vn
+        val w = dims.map(i => i -> g(i).map { case (j, x) => x * v(j) }.sum).toMap
+        val m = w.values.map(math.abs).max
+        v =
+          if (m == 0L) dims.map(i => i -> 0L).toMap
+          else {
+            val q = 1L + (m - 1L) / 100L
+            dims.map(i => i -> math.floorDiv(w(i), q)).toMap
+          }
+        v
       }
-      rounds(0).select($"i", $"v".as("v1"))
-        .join(rounds(1).select($"i", $"v".as("v2")), Seq("i"))
-        .join(rounds(2).select($"i", $"v".as("v3")), Seq("i"))
+      dims.map(i => (i, rounds(0)(i), rounds(1)(i), rounds(2)(i))).toSeq
+        .toDF("i", "v1", "v2", "v3")
         .orderBy($"i")
     }
   )
