@@ -156,6 +156,24 @@ object DedupQueries {
     */
   private[graft] val SmallGraphEdges = 1000000L
 
+  /** the duplicate-pair graph dd_cluster / dd_canonical resolve: exact
+    * dups (normalized-fingerprint groups, star edges to the min id) plus
+    * verified near-dups (LSH candidates at jaccard ≥ 0.4)
+    */
+  private def duplicateEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents")
+    val fp = docs.select($"doc_id",
+      md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+    val keep = fp.groupBy($"fp").agg(min($"doc_id").as("keep"))
+    val exactE = fp.join(keep, Seq("fp")).filter($"doc_id" =!= $"keep")
+      .select($"keep".as("a"), $"doc_id".as("b"))
+    val nearE = jaccardOf(shingleArrays(docs).persist())
+      .filter($"jaccard_ppm" >= 400000)
+      .select($"doc_a".as("a"), $"doc_b".as("b"))
+    exactE.unionByName(nearE)
+  }
+
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
@@ -647,17 +665,35 @@ object DedupQueries {
     // dup graphs don't need it.) Output: every clustered doc with its
     // cluster id (= min member) and cluster size.
     "dd_cluster" -> { (s, d) =>
+      connectedComponents(duplicateEdges(s, d))
+    },
+
+    // quality-aware canonicalization: duplicate clusters (dd_cluster's
+    // exact+near edge graph) resolved by keeping the BEST-quality member
+    // instead of the min id — what a curation pipeline actually ships
+    // (the freshest/cleanest copy, not the accidental first crawl).
+    // Scale shape: the ranking window runs ONLY over clustered docs
+    // (duplicate graphs ≪ corpus); the untouched majority joins back as
+    // self-canonical via one anti-join, so no corpus-wide window exists.
+    "dd_canonical" -> { (s, d) =>
       import s.implicits._
-      val docs = t(s, d, "documents")
-      val fp = docs.select($"doc_id",
-        md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
-      val keep = fp.groupBy($"fp").agg(min($"doc_id").as("keep"))
-      val exactE = fp.join(keep, Seq("fp")).filter($"doc_id" =!= $"keep")
-        .select($"keep".as("a"), $"doc_id".as("b"))
-      val nearE = jaccardOf(shingleArrays(docs).persist())
-        .filter($"jaccard_ppm" >= 400000)
-        .select($"doc_a".as("a"), $"doc_b".as("b"))
-      connectedComponents(exactE.unionByName(nearE))
+      val comp = connectedComponents(duplicateEdges(s, d))
+        .select($"doc_id", $"cluster_id")
+      val q = TextQueries.qualityScored(t(s, d, "documents"))
+        .select($"doc_id",
+          floor($"score" * lit(1000000.0) + lit(0.5)).cast("long").as("quality_ppm"))
+      val clustered = q.join(comp, Seq("doc_id"))
+      val w = Window.partitionBy($"cluster_id").orderBy($"quality_ppm".desc, $"doc_id")
+      val withRn = clustered.withColumn("rn", row_number().over(w))
+      val canon = withRn.filter($"rn" === 1)
+        .select($"cluster_id", $"doc_id".as("canonical_doc"))
+      val clusteredOut = withRn.join(canon, Seq("cluster_id"))
+        .select($"doc_id", $"cluster_id", $"quality_ppm", $"canonical_doc",
+          when($"doc_id" === $"canonical_doc", 1L).otherwise(0L).as("kept"))
+      val singles = q.join(comp.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"doc_id".as("cluster_id"), $"quality_ppm",
+          $"doc_id".as("canonical_doc"), lit(1L).as("kept"))
+      clusteredOut.unionByName(singles).orderBy($"doc_id")
     },
 
     // CORPUS-WIDE embedding near-dup: hyperplane-LSH candidate buckets +
@@ -1021,6 +1057,45 @@ object DedupQueries {
           |SELECT c.doc_id, c.cluster_id, z.n_members
           |FROM comp c JOIN csz z ON z.cluster_id = c.cluster_id
           |ORDER BY c.doc_id""".stripMargin),
+
+    "dd_canonical" ->
+      (s"""WITH RECURSIVE ${lshCtes("documents")},
+          |$JaccardCtes,
+          |fpx AS (
+          |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          |  FROM documents),
+          |keepx AS (SELECT fp, MIN(doc_id) AS keep FROM fpx GROUP BY fp),
+          |exact_e AS (
+          |  SELECT k.keep AS a, f.doc_id AS b
+          |  FROM fpx f JOIN keepx k ON k.fp = f.fp WHERE f.doc_id <> k.keep),
+          |near_e AS (SELECT doc_a AS a, doc_b AS b FROM jacc WHERE jaccard_ppm >= 400000),
+          |edges AS (SELECT a, b FROM exact_e UNION SELECT a, b FROM near_e),
+          |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+          |reach AS (
+          |  SELECT a AS doc, a AS r FROM sym
+          |  UNION
+          |  SELECT s.b AS doc, reach.r FROM reach JOIN sym s ON s.a = reach.doc),
+          |comp AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc),
+          |q AS (
+          |  SELECT doc_id,
+          |    CAST(FLOOR(${TextQueries.qualityScoreSql} * 1000000.0 + 0.5) AS BIGINT) AS quality_ppm
+          |  FROM documents),
+          |cl AS (
+          |  SELECT q.doc_id, c.cluster_id, q.quality_ppm
+          |  FROM q JOIN comp c ON c.doc_id = q.doc_id),
+          |canon AS (
+          |  SELECT cluster_id, doc_id AS canonical_doc FROM (
+          |    SELECT cluster_id, doc_id,
+          |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+          |        ORDER BY quality_ppm DESC, doc_id) AS rn
+          |    FROM cl) WHERE rn = 1)
+          |SELECT cl.doc_id, cl.cluster_id, cl.quality_ppm, canon.canonical_doc,
+          |  CAST(CASE WHEN cl.doc_id = canon.canonical_doc THEN 1 ELSE 0 END AS BIGINT) AS kept
+          |FROM cl JOIN canon ON canon.cluster_id = cl.cluster_id
+          |UNION ALL
+          |SELECT q.doc_id, q.doc_id, q.quality_ppm, q.doc_id, CAST(1 AS BIGINT)
+          |FROM q WHERE q.doc_id NOT IN (SELECT doc_id FROM comp)
+          |ORDER BY doc_id""".stripMargin),
 
     "dd_embed" ->
       """WITH e AS (

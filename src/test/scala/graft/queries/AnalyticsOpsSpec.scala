@@ -107,6 +107,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.map(_._4).toSeq === expectV3.toSeq)
   }
 
+  test("dd_canonical keeps exactly one best-quality member per cluster") {
+    val out = SparkEntry.queries("dd_canonical")(spark, sf)
+      .select($"doc_id", $"cluster_id", $"quality_ppm", $"canonical_doc", $"kept")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // total output covers the corpus exactly once
+    assert(out.map(_._1).distinct.length === out.length)
+    assert(out.length === graft.Tables.t(spark, sf, "documents").count())
+    val byCluster = out.groupBy(_._2)
+    for ((_, rows) <- byCluster) {
+      val kept = rows.filter(_._5 == 1L)
+      assert(kept.length === 1, "one canonical per cluster")
+      val canon = kept.head
+      assert(rows.forall(_._4 == canon._1), "everyone points at the canonical")
+      // canonical is max by (quality, then min doc_id)
+      val best = rows.maxBy(r => (r._3, -r._1))
+      assert(canon._1 === best._1, "canonical is the best-quality member")
+    }
+  }
+
   test("q33_approx_quantile respects the sketch's rank-error bound") {
     val r = SparkEntry.queries("q33_approx_quantile")(spark, sf).collect().head
     val n = r.getAs[Long]("n")

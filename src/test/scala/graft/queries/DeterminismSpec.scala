@@ -29,7 +29,8 @@ class DeterminismSpec extends SparkSpec {
     "dd_segment", "emb_quantize", "txt_bpe", "txt_bpe_encode",
     "samp_mixture", "emb_sim_hist",
     "q32_grouping_sets", "ev_attribution", "ev_markov", "emb_gram",
-    "samp_curriculum", "txt_hapax", "emb_pca1", "dd_prefix", "mm_phash_pairs")
+    "samp_curriculum", "txt_hapax", "emb_pca1", "dd_prefix", "mm_phash_pairs",
+    "dd_canonical")
 
   for (name <- names) {
     test(s"$name result invariant under repartitioning") {
