@@ -277,6 +277,39 @@ object CurationQueries {
         .orderBy($"i", $"j")
     },
 
+    // per-label centroid geometry: exact integer centroids (floor-div of
+    // the per-(label, dim) sums) and their pairwise cosine — the
+    // label-space audit that flags collapsing or duplicated classes
+    // before training on them. Scale shape: one (label, dim) partial-agg
+    // shuffle over the corpus; everything after runs on |labels|·d rows.
+    // Centroids are re-quantized to micro-units (|c| ≤ 1e6) so the
+    // pairwise dot stays inside int64 at ANY corpus size — the raw sum
+    // vectors would overflow past ~9e6 vectors per label.
+    "emb_centroid_cos" -> { (s, d) =>
+      import s.implicits._
+      val c = t(s, d, "embeddings")
+        .select($"label".cast("long").as("label"), posexplode($"embedding"))
+        .toDF("label", "i", "x")
+        .withColumn("qv", expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"))
+        .groupBy($"label", $"i")
+        .agg(sum($"qv").as("sx"), count(lit(1)).as("n"))
+        .withColumn("c", expr("(sx - pmod(sx, n)) div n"))
+        .select($"label", $"i", $"c")
+      val dots = c.select($"label".as("la"), $"i", $"c".as("ca"))
+        .join(c.select($"label".as("lb"), $"i", $"c".as("cb")), Seq("i"))
+        .filter($"la" < $"lb")
+        .groupBy($"la", $"lb").agg(sum($"ca" * $"cb").as("dot"))
+      val norms = c.groupBy($"label").agg(sum($"c" * $"c").as("nn"))
+      dots
+        .join(norms.select($"label".as("la"), $"nn".as("na")), Seq("la"))
+        .join(norms.select($"label".as("lb"), $"nn".as("nb")), Seq("lb"))
+        .filter($"na" > 0 && $"nb" > 0)
+        .select($"la", $"lb",
+          floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("cos_ppm"))
+        .orderBy($"la", $"lb")
+    },
+
     // top principal direction by 3 integer power-iteration rounds over
     // the exact Gram matrix (the PCA head on emb_gram's shoulders): each
     // round is w = G·v, then an exact floor-div renormalization to
@@ -492,6 +525,25 @@ object CurationQueries {
         |  si.sx AS sxi, sj.sx AS sxj, si.n AS n
         |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
         |ORDER BY i, j""".stripMargin,
+
+    "emb_centroid_cos" ->
+      """WITH e AS (
+        |  SELECT CAST(label AS BIGINT) AS label, generate_subscripts(embedding, 1) AS i,
+        |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT label, i, CAST(SUM(qv) AS BIGINT) AS sx, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT label, i, (sx - ((sx % n + n) % n)) // n AS c FROM s),
+        |dt AS (
+        |  SELECT a.label AS la, b.label AS lb, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+        |  FROM c a JOIN c b ON a.i = b.i AND a.label < b.label GROUP BY 1, 2),
+        |nrm AS (SELECT label, CAST(SUM(c * c) AS BIGINT) AS nn FROM c GROUP BY 1)
+        |SELECT dt.la, dt.lb,
+        |  CAST(FLOOR(dt.dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+        |FROM dt JOIN nrm na ON na.label = dt.la JOIN nrm nb ON nb.label = dt.lb
+        |WHERE na.nn > 0 AND nb.nn > 0
+        |ORDER BY la, lb""".stripMargin,
 
     "emb_pca1" -> {
       def round(r: Int): String =

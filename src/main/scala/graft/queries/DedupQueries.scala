@@ -472,6 +472,23 @@ object DedupQueries {
         .orderBy($"doc_short", $"doc_long")
     },
 
+    // jaccard histogram over the LSH candidate relation (50k-ppm bins) —
+    // the text-side threshold-selection audit (emb_sim_hist's twin):
+    // where does the near-dup mass sit before you commit to a cutoff.
+    // Same single-wide-stage candidate generator; the rollup is a
+    // partial agg on ≤ 21 bins.
+    "dd_jaccard_hist" -> { (s, d) =>
+      import s.implicits._
+      jaccardOf(shingleArrays(t(s, d, "documents")).persist())
+        .withColumn("bin", expr("(jaccard_ppm - pmod(jaccard_ppm, 50000)) div 50000"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_pairs"),
+          min($"jaccard_ppm").as("min_ppm"), max($"jaccard_ppm").as("max_ppm"))
+        .withColumn("lo_ppm", $"bin" * lit(50000L))
+        .select($"bin", $"lo_ppm", $"n_pairs", $"min_ppm", $"max_ppm")
+        .orderBy($"bin")
+    },
+
     // exact n-gram Jaccard on the LSH candidates (integer set arithmetic,
     // parts-per-million output)
     "dd_jaccard" -> { (s, d) =>
@@ -877,6 +894,18 @@ object DedupQueries {
     "dd_jaccard" ->
       (s"WITH ${lshCtes("documents")},\n$JaccardCtes\n" +
         "SELECT doc_a, doc_b, jaccard_ppm FROM jacc ORDER BY doc_a, doc_b"),
+
+    "dd_jaccard_hist" ->
+      (s"WITH ${lshCtes("documents")},\n$JaccardCtes,\n" +
+        """h AS (
+          |  SELECT (jaccard_ppm - ((jaccard_ppm % 50000 + 50000) % 50000)) // 50000 AS bin,
+          |    jaccard_ppm
+          |  FROM jacc)
+          |SELECT CAST(bin AS BIGINT) AS bin, CAST(bin * 50000 AS BIGINT) AS lo_ppm,
+          |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          |  CAST(MIN(jaccard_ppm) AS BIGINT) AS min_ppm,
+          |  CAST(MAX(jaccard_ppm) AS BIGINT) AS max_ppm
+          |FROM h GROUP BY bin ORDER BY bin""".stripMargin),
 
     "dd_prefix" ->
       """WITH tk AS (
