@@ -294,6 +294,26 @@ object AnnQueries {
         .orderBy($"vec_id")
     },
 
+    // k-NN graph construction (the SemDeDup / graph-clustering primitive):
+    // every vector's top-5 LSH-discovered neighbors by exact cosine —
+    // ann_lsh_topk generalized from a query set to ALL vectors. Rows-only
+    // (bucket-dependent); KnnGraphSpec measures recall against the exact
+    // all-pairs truth in the cosine regime the buckets are tuned for.
+    // Scale shape: candidates come from the one-wide-stage multi-probe
+    // band join (never all-pairs); the per-vector top-k is a window over
+    // each vector's OWN candidates — parallelism = |vectors|.
+    "emb_knn" -> { (s, d) =>
+      import s.implicits._
+      val pairs = DedupQueries.embedLshPairsRaw(s, d)
+      val sym = pairs.select($"vec_a".as("vec_id"), $"vec_b".as("neighbor"), $"cos_ppm")
+        .unionByName(pairs.select($"vec_b".as("vec_id"), $"vec_a".as("neighbor"), $"cos_ppm"))
+      val w = Window.partitionBy($"vec_id").orderBy($"cos_ppm".desc, $"neighbor")
+      sym.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 5)
+        .select($"vec_id", $"rnk", $"neighbor", $"cos_ppm")
+        .orderBy($"vec_id", $"rnk")
+    },
+
     // Johnson–Lindenstrauss random-projection sketch: each quantized
     // vector projected onto RpPlanes md5-derived ±1 hyperplanes — the
     // dimensionality-reduction pass that turns a 64-dim corpus into a

@@ -735,7 +735,11 @@ object DedupQueries {
     * threshold) — the dd_embed_lsh body, shared with emb_semdedup's
     * cluster-and-keep composition
     */
-  private[graft] def embedLshPairs(s: SparkSession, d: String): DataFrame = {
+  /** exact-verified cosine for EVERY multi-probe LSH candidate pair
+    * (vec_a < vec_b), unthresholded — dd_embed_lsh filters it to the
+    * near-dup cutoff; emb_knn ranks it into a k-NN graph
+    */
+  private[graft] def embedLshPairsRaw(s: SparkSession, d: String): DataFrame = {
     {
       import s.implicits._
       // zero-norm vectors are excluded before pairing: cosine against a
@@ -767,10 +771,15 @@ object DedupQueries {
         .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
         .withColumn("cos_ppm",
           floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
-        .filter($"cos_ppm" >= EmbedLshThresholdPpm)
         .select($"va".as("vec_a"), $"vb".as("vec_b"), $"cos_ppm")
-        .orderBy($"vec_a", $"vec_b")
     }
+  }
+
+  private[graft] def embedLshPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embedLshPairsRaw(s, d)
+      .filter($"cos_ppm" >= EmbedLshThresholdPpm)
+      .orderBy($"vec_a", $"vec_b")
   }
 
   private val EmbedLshTables = 10
