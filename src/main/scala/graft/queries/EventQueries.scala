@@ -196,6 +196,31 @@ object EventQueries {
         .orderBy($"attrib_type")
     },
 
+    // volume trend per event type: exact integer least-squares slope over
+    // the daily counts — slope = (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²), emitted
+    // in milli-events/day via the positive-remainder floor-div so both
+    // engines produce the identical integer (no float regression). Scale
+    // shape: one partial-agg shuffle to the daily rollup, then a 5-sum
+    // agg on the tiny (type, day) relation — regression math never sees
+    // raw events.
+    "ev_trend" -> { (s, d) =>
+      import s.implicits._
+      ev(s, d)
+        .groupBy($"event_type", ($"ts_us" / DayUs).cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("nd"),
+          sum($"day").as("sx"), sum($"n").as("sy"),
+          sum($"day" * $"n").as("sxy"), sum($"day" * $"day").as("sxx"))
+        .withColumn("num", ($"nd" * $"sxy" - $"sx" * $"sy") * lit(1000L))
+        .withColumn("den", $"nd" * $"sxx" - $"sx" * $"sx")
+        .withColumn("slope_milli",
+          when($"den" === 0L, lit(0L))
+            .otherwise(expr("(num - pmod(num, den)) div den")))
+        .select($"event_type", $"nd", $"sy".as("n_events"), $"slope_milli")
+        .orderBy($"event_type")
+    },
+
     // first-order Markov transition model over each user's event stream:
     // (from, to) transition counts + integer-ppm conditional probability.
     // One lead over the per-user window, one partial-agg shuffle on the
@@ -330,6 +355,25 @@ object EventQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS attributed_value
         |FROM e WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY attrib_type""".stripMargin,
+
+    "ev_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(n) AS BIGINT) AS sy,
+        |    CAST(SUM(day * n) AS BIGINT) AS sxy, CAST(SUM(day * day) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, nd, sy,
+        |    (nd * sxy - sx * sy) * 1000 AS num, nd * sxx - sx * sx AS den
+        |  FROM st)
+        |SELECT event_type, nd, sy AS n_events,
+        |  CAST(CASE WHEN den = 0 THEN 0
+        |            ELSE (num - ((num % den + den) % den)) // den END AS BIGINT) AS slope_milli
+        |FROM r ORDER BY event_type""".stripMargin,
 
     "ev_markov" ->
       """WITH seq AS (

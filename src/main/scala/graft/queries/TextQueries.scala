@@ -317,6 +317,31 @@ object TextQueries {
         .orderBy($"doc_id", $"rnk")
     },
 
+    // skip-gram pair extraction (word-embedding training prep): (center,
+    // context) counts for offsets ±1, ±2 over each doc's token stream,
+    // top-50 by count with total tie-break. Scale shape: TWO leads over
+    // one per-doc window sort (no self-join on position), symmetry by
+    // union, then a partial-agg shuffle on the pair key — the top-k is a
+    // TakeOrdered, never a global sort of the pair space.
+    "txt_skipgrams" -> { (s, d) =>
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select($"doc_id", posexplode(split($"text", " +")))
+        .toDF("doc_id", "pos", "tok")
+        .filter(length($"tok") > 0)
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val pairs = (1 to 2).map { k =>
+        toks.withColumn("ctx", lead($"tok", k).over(w))
+          .filter($"ctx".isNotNull)
+          .select($"tok".as("center"), $"ctx".as("context"))
+      }.reduce(_ unionByName _)
+      pairs
+        .unionByName(pairs.select($"context".as("center"), $"center".as("context")))
+        .groupBy($"center", $"context").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"center", $"context")
+        .limit(50)
+    },
+
     // lexical-diversity profile per source: type/token counts, hapax
     // (once-only) types, integer-ppm type-token and hapax ratios — the
     // vocabulary-growth signal that separates template-generated sources
@@ -504,6 +529,27 @@ object TextQueries {
         |  FROM tf JOIN df ON df.tok = tf.tok)
         |SELECT doc_id, rnk, tok, tf, df, score_ppm
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "txt_skipgrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i AS pos, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok,
+        |      generate_subscripts(string_split_regex(text, ' +'), 1) AS i
+        |    FROM documents)
+        |  WHERE length(tok) > 0),
+        |p AS (
+        |  SELECT tok AS center,
+        |    LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS c1,
+        |    LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS c2
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT center, c1 AS context FROM p WHERE c1 IS NOT NULL
+        |  UNION ALL SELECT center, c2 FROM p WHERE c2 IS NOT NULL
+        |  UNION ALL SELECT c1, center FROM p WHERE c1 IS NOT NULL
+        |  UNION ALL SELECT c2, center FROM p WHERE c2 IS NOT NULL)
+        |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY n DESC, center, context LIMIT 50""".stripMargin,
 
     "txt_hapax" ->
       """WITH toks AS (

@@ -30,7 +30,8 @@ class DeterminismSpec extends SparkSpec {
     "samp_mixture", "emb_sim_hist",
     "q32_grouping_sets", "ev_attribution", "ev_markov", "emb_gram",
     "samp_curriculum", "txt_hapax", "emb_pca1", "dd_prefix", "mm_phash_pairs",
-    "dd_canonical", "dd_jaccard_hist", "emb_centroid_cos")
+    "dd_canonical", "dd_jaccard_hist", "emb_centroid_cos",
+    "txt_skipgrams", "ev_trend")
 
   for (name <- names) {
     test(s"$name result invariant under repartitioning") {
