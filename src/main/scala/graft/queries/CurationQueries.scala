@@ -277,6 +277,27 @@ object CurationQueries {
         .orderBy($"i", $"j")
     },
 
+    // per-dimension embedding health audit (dead/degenerate-dimension
+    // detector): exact integer count/sum/sum-of-squares/min/max/zero
+    // count per dimension, with floor-div mean and mean-square — the
+    // pre-flight check before trusting 100 TB of vectors to PCA or ANN.
+    // One (dim)-keyed partial-agg shuffle; output is d rows. Bit budget:
+    // Σq² per dim ≤ n·1e12 — int64-safe to ~9e6 vectors per dimension,
+    // past that re-scale the quantization unit (same knob as emb_gram).
+    "emb_dim_stats" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "embeddings")
+        .select(posexplode($"embedding")).toDF("i0", "x")
+        .withColumn("qv", expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"))
+        .groupBy(($"i0" + 1).cast("long").as("i"))
+        .agg(count(lit(1)).as("n"), sum($"qv").as("sx"), sum($"qv" * $"qv").as("sxx"),
+          min($"qv").as("min_q"), max($"qv").as("max_q"),
+          sum(when($"qv" === 0L, 1L).otherwise(0L)).as("n_zero"))
+        .withColumn("mean_micro", expr("(sx - pmod(sx, n)) div n"))
+        .withColumn("msq_micro2", expr("(sxx - pmod(sxx, n)) div n"))
+        .orderBy($"i")
+    },
+
     // per-label centroid geometry: exact integer centroids (floor-div of
     // the per-(label, dim) sums) and their pairwise cosine — the
     // label-space audit that flags collapsing or duplicated classes
@@ -525,6 +546,22 @@ object CurationQueries {
         |  si.sx AS sxi, sj.sx AS sxj, si.n AS n
         |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
         |ORDER BY i, j""".stripMargin,
+
+    "emb_dim_stats" ->
+      """WITH e AS (
+        |  SELECT generate_subscripts(embedding, 1) AS i,
+        |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT CAST(i AS BIGINT) AS i, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(qv) AS BIGINT) AS sx, CAST(SUM(qv * qv) AS BIGINT) AS sxx,
+        |    CAST(MIN(qv) AS BIGINT) AS min_q, CAST(MAX(qv) AS BIGINT) AS max_q,
+        |    CAST(SUM(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |  FROM e GROUP BY i)
+        |SELECT i, n, sx, sxx, min_q, max_q, n_zero,
+        |  CAST((sx - ((sx % n + n) % n)) // n AS BIGINT) AS mean_micro,
+        |  CAST((sxx - ((sxx % n + n) % n)) // n AS BIGINT) AS msq_micro2
+        |FROM s ORDER BY i""".stripMargin,
 
     "emb_centroid_cos" ->
       """WITH e AS (

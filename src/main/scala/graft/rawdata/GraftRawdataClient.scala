@@ -238,6 +238,38 @@ final class GraftRawdataClient(
     track(new Consumer(topic, defaultPollIntervalMs, Some(afterUlidHex), inclusive))
   }
 
+  // ------------------------------------------------- durable cursors
+
+  /** Durable consumer-group cursors: the reference leaves resume state
+    * to the caller (cursorOf + an external store); graft closes that
+    * loop with the engine's own per-topic KV store, so a restarted
+    * session resumes exactly where the group left off. Crash-safe: the
+    * metadata store's puts are `_SUCCESS`-gated log-structured
+    * generations — a torn commit is invisible to readers.
+    */
+  def commitCursor(topic: String, group: String, ulidHex: String): Unit = {
+    ensureOpen()
+    import spark.implicits._
+    MetadataStore.put(spark, topicDir(topic),
+      Seq((s"cursor-$group", ulidHex.getBytes("UTF-8"))).toDF("key", "value"))
+  }
+
+  /** the group's committed position, if any */
+  def committedCursor(topic: String, group: String): Option[String] = {
+    ensureOpen()
+    MetadataStore.get(spark, topicDir(topic), s"cursor-$group")
+      .map(new String(_, "UTF-8"))
+  }
+
+  /** a consumer resuming strictly AFTER the group's committed cursor
+    * (topic start when the group has never committed)
+    */
+  def consumerFromCommitted(topic: String, group: String): Consumer =
+    committedCursor(topic, group) match {
+      case Some(hex) => consumer(topic, hex, inclusive = false)
+      case None => consumer(topic)
+    }
+
   // ----------------------------------------------------------------- client
 
   /** cursorOf(position, approxTimestamp, tolerance): bounded time-range
