@@ -472,6 +472,39 @@ object DedupQueries {
         .orderBy($"doc_short", $"doc_long")
     },
 
+    // train/eval leakage audit: a deterministic 10% hash split plays the
+    // held-out eval set; every near-dup pair CROSSING the split (band
+    // candidates eval×train, jaccard-verified ≥ 0.4) is a leak that
+    // inflates eval scores. Per leaked eval doc: leak count, worst
+    // offending train doc, max jaccard. Scale shape: same one-wide-stage
+    // band join as dd_incremental, keyed work ∝ eval-side bucket
+    // occupancy — never corpus²; exact dups surface automatically (they
+    // share every band and verify at 1e6 ppm).
+    "dd_leakage" -> { (s, d) =>
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val arr = shingleArrays(docs).persist()
+      val bands = bandsFrom(arr.select($"doc_id", explode($"ss").as("s"))).persist()
+      val evalIds = docs
+        .filter(SamplingQueries.docHash % 10 === 0)
+        .select($"doc_id")
+      val be = bands.join(evalIds, Seq("doc_id"))
+        .select($"doc_id".as("doc_a"), $"band", $"bkey")
+      val bt = bands.join(evalIds, Seq("doc_id"), "left_anti")
+        .select($"doc_id".as("doc_b"), $"band", $"bkey")
+      val cand = be.join(bt, Seq("band", "bkey"))
+        .select($"doc_a", $"doc_b").distinct()
+      val leaks = jaccardFor(arr, cand).filter($"jaccard_ppm" >= 400000)
+      val w = Window.partitionBy($"doc_a").orderBy($"jaccard_ppm".desc, $"doc_b")
+      val worst = leaks.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_a", $"doc_b".as("worst_train"), $"jaccard_ppm".as("max_jaccard_ppm"))
+      leaks.groupBy($"doc_a").agg(count(lit(1)).as("n_leaks"))
+        .join(worst, Seq("doc_a"))
+        .select($"doc_a".as("eval_doc"), $"n_leaks", $"worst_train", $"max_jaccard_ppm")
+        .orderBy($"eval_doc")
+    },
+
     // jaccard histogram over the LSH candidate relation (50k-ppm bins) —
     // the text-side threshold-selection audit (emb_sim_hist's twin):
     // where does the near-dup mass sit before you commit to a cutoff.
@@ -903,6 +936,41 @@ object DedupQueries {
     "dd_jaccard" ->
       (s"WITH ${lshCtes("documents")},\n$JaccardCtes\n" +
         "SELECT doc_a, doc_b, jaccard_ppm FROM jacc ORDER BY doc_a, doc_b"),
+
+    "dd_leakage" ->
+      (s"WITH ${lshCtes("documents")},\n" +
+        """ev AS (
+          |  SELECT doc_id FROM documents
+          |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0),
+          |xc AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+          |  WHERE a.doc_id IN (SELECT doc_id FROM ev)
+          |    AND b.doc_id NOT IN (SELECT doc_id FROM ev)),
+          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_int
+          |  FROM xc c
+          |  JOIN sh sa ON sa.doc_id = c.doc_a
+          |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+          |  GROUP BY 1, 2),
+          |jx AS (
+          |  SELECT doc_a, doc_b, jaccard_ppm FROM (
+          |    SELECT i.doc_a, i.doc_b,
+          |      CAST(FLOOR(n_int / CAST(za.n_sh + zb.n_sh - n_int AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS jaccard_ppm
+          |    FROM inter i
+          |    JOIN sizes za ON za.doc_id = i.doc_a
+          |    JOIN sizes zb ON zb.doc_id = i.doc_b)
+          |  WHERE jaccard_ppm >= 400000),
+          |r AS (
+          |  SELECT doc_a, doc_b, jaccard_ppm,
+          |    ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY jaccard_ppm DESC, doc_b) AS rn
+          |  FROM jx),
+          |cnt AS (SELECT doc_a, CAST(COUNT(*) AS BIGINT) AS n_leaks FROM jx GROUP BY 1)
+          |SELECT r.doc_a AS eval_doc, cnt.n_leaks, r.doc_b AS worst_train,
+          |  r.jaccard_ppm AS max_jaccard_ppm
+          |FROM r JOIN cnt ON cnt.doc_a = r.doc_a
+          |WHERE r.rn = 1 ORDER BY eval_doc""".stripMargin),
 
     "dd_jaccard_hist" ->
       (s"WITH ${lshCtes("documents")},\n$JaccardCtes,\n" +

@@ -32,6 +32,25 @@ object TextQueries {
 
   private def inList(vs: Seq[String]): String = vs.map(v => s"'$v'").mkString(", ")
 
+  /** symmetric ±2-offset (center, context) skip-gram pair multiset —
+    * shared by txt_skipgrams (counts) and txt_pmi (lift): two window
+    * leads per doc, symmetry by union, no position self-join
+    */
+  private def skipgramPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, d, "documents")
+      .select($"doc_id", posexplode(split($"text", " +")))
+      .toDF("doc_id", "pos", "tok")
+      .filter(length($"tok") > 0)
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val pairs = (1 to 2).map { k =>
+      toks.withColumn("ctx", lead($"tok", k).over(w))
+        .filter($"ctx".isNotNull)
+        .select($"tok".as("center"), $"ctx".as("context"))
+    }.reduce(_ unionByName _)
+    pairs.unionByName(pairs.select($"context".as("center"), $"center".as("context")))
+  }
+
   /** blended 0..1 quality score (raw double; ppm-ize for output).
     * Shared by txt_quality and the corpus-cleaning pipeline so both stages
     * grade documents identically.
@@ -325,21 +344,36 @@ object TextQueries {
     // TakeOrdered, never a global sort of the pair space.
     "txt_skipgrams" -> { (s, d) =>
       import s.implicits._
-      val toks = t(s, d, "documents")
-        .select($"doc_id", posexplode(split($"text", " +")))
-        .toDF("doc_id", "pos", "tok")
-        .filter(length($"tok") > 0)
-      val w = Window.partitionBy($"doc_id").orderBy($"pos")
-      val pairs = (1 to 2).map { k =>
-        toks.withColumn("ctx", lead($"tok", k).over(w))
-          .filter($"ctx".isNotNull)
-          .select($"tok".as("center"), $"ctx".as("context"))
-      }.reduce(_ unionByName _)
-      pairs
-        .unionByName(pairs.select($"context".as("center"), $"center".as("context")))
+      skipgramPairs(s, d)
         .groupBy($"center", $"context").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"center", $"context")
         .limit(50)
+    },
+
+    // collocation mining on the skip-gram pairs: integer-exact lift
+    // (observed/expected co-occurrence, the log-free PMI) per pair with
+    // minimum support — which co-occurrences are structure, not chance.
+    // Scale shape: pair counts and marginals are chained partial aggs;
+    // the marginal joins key on single tokens (vocab-sized sides, AQE
+    // decides broadcast); the global total is a 1-row broadcast. Bit
+    // budget: n_ab·N·1e6 ≤ N²·1e6 — int64-safe to N ≈ 3e6 window pairs
+    // per... scope the lift to a per-shard corpus or widen to DECIMAL
+    // past ~10⁶ pairs (N is the PAIR total, not the corpus size).
+    "txt_pmi" -> { (s, d) =>
+      import s.implicits._
+      val counts = skipgramPairs(s, d)
+        .groupBy($"center", $"context").agg(count(lit(1)).as("n_ab")).persist()
+      val tot = counts.agg(sum($"n_ab").as("nn"))
+      val marg = counts.groupBy($"center").agg(sum($"n_ab").as("n_a"))
+      counts
+        .join(marg.select($"center", $"n_a"), Seq("center"))
+        .join(marg.select($"center".as("context"), $"n_a".as("n_b")), Seq("context"))
+        .crossJoin(broadcast(tot))
+        .filter($"n_ab" >= 10)
+        .withColumn("lift_ppm", expr("(n_ab * nn * 1000000) div (n_a * n_b)"))
+        .select($"center", $"context", $"n_ab", $"lift_ppm")
+        .orderBy($"lift_ppm".desc, $"center", $"context")
+        .limit(20)
     },
 
     // lexical-diversity profile per source: type/token counts, hapax
@@ -550,6 +584,37 @@ object TextQueries {
         |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
         |FROM pairs GROUP BY 1, 2
         |ORDER BY n DESC, center, context LIMIT 50""".stripMargin,
+
+    "txt_pmi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i AS pos, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok,
+        |      generate_subscripts(string_split_regex(text, ' +'), 1) AS i
+        |    FROM documents)
+        |  WHERE length(tok) > 0),
+        |p AS (
+        |  SELECT tok AS center,
+        |    LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS c1,
+        |    LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS c2
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT center, c1 AS context FROM p WHERE c1 IS NOT NULL
+        |  UNION ALL SELECT center, c2 FROM p WHERE c2 IS NOT NULL
+        |  UNION ALL SELECT c1, center FROM p WHERE c1 IS NOT NULL
+        |  UNION ALL SELECT c2, center FROM p WHERE c2 IS NOT NULL),
+        |c AS (
+        |  SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM pairs GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS nn FROM c),
+        |m AS (SELECT center, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM c GROUP BY 1)
+        |SELECT c.center, c.context, c.n_ab,
+        |  CAST((c.n_ab * tot.nn * 1000000) // (ma.n_a * mb.n_a) AS BIGINT) AS lift_ppm
+        |FROM c
+        |CROSS JOIN tot
+        |JOIN m ma ON ma.center = c.center
+        |JOIN m mb ON mb.center = c.context
+        |WHERE c.n_ab >= 10
+        |ORDER BY lift_ppm DESC, c.center, c.context LIMIT 20""".stripMargin,
 
     "txt_hapax" ->
       """WITH toks AS (
