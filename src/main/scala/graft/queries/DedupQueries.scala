@@ -472,6 +472,36 @@ object DedupQueries {
         .orderBy($"doc_short", $"doc_long")
     },
 
+    // pipeline observability: the cleaning funnel's stage-by-stage doc
+    // and token mass (raw → quality gate → exact dedup → near dedup) in
+    // ONE report — what a curation run logs so a silent stage collapse
+    // (over-aggressive gate, broken dedup) is visible before training.
+    // Same composed plan as pipe_clean_corpus; each stage count is a
+    // partial agg over that stage's relation.
+    "pipe_report" -> { (s, d) =>
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val q = TextQueries.qualityScored(docs)
+        .filter(floor($"score" * lit(1000000.0) + lit(0.5)).cast("long") >= 550000)
+        .select($"doc_id", $"source", $"text")
+      val keepFirst = q.groupBy(md5($"text").as("f")).agg(min($"doc_id").as("doc_id"))
+      val kept1 = q.join(keepFirst.select($"doc_id"), Seq("doc_id"), "left_semi").persist()
+      val losers = jaccardOf(shingleArrays(kept1).persist())
+        .filter($"jaccard_ppm" >= 400000)
+        .select($"doc_b".as("doc_id")).distinct()
+      val cleaned = kept1.join(losers, Seq("doc_id"), "left_anti")
+      def stage(n: Long, name: String, df: DataFrame): DataFrame =
+        df.agg(
+          coalesce(sum(size(split($"text", " +")).cast("long")), lit(0L)).as("n_tokens"),
+          count(lit(1)).as("n_docs"))
+          .select(lit(n).as("stage"), lit(name).as("stage_name"), $"n_docs", $"n_tokens")
+      stage(1, "raw", docs)
+        .unionByName(stage(2, "quality", q))
+        .unionByName(stage(3, "exact_dedup", kept1))
+        .unionByName(stage(4, "near_dedup", cleaned))
+        .orderBy($"stage")
+    },
+
     // train/eval leakage audit: a deterministic 10% hash split plays the
     // held-out eval set; every near-dup pair CROSSING the split (band
     // candidates eval×train, jaccard-verified ≥ 0.4) is a leak that
@@ -936,6 +966,33 @@ object DedupQueries {
     "dd_jaccard" ->
       (s"WITH ${lshCtes("documents")},\n$JaccardCtes\n" +
         "SELECT doc_a, doc_b, jaccard_ppm FROM jacc ORDER BY doc_a, doc_b"),
+
+    "pipe_report" ->
+      (s"""WITH quality AS (
+          |  SELECT doc_id, source, text FROM documents
+          |  WHERE CAST(FLOOR(${TextQueries.qualityScoreSql} * 1000000.0 + 0.5) AS BIGINT) >= 550000),
+          |keep_first AS (
+          |  SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+          |kept1 AS (
+          |  SELECT q.doc_id, q.source, q.text FROM quality q
+          |  JOIN keep_first k ON k.doc_id = q.doc_id),
+          |${lshCtes("kept1")},
+          |$JaccardCtes,
+          |losers AS (SELECT DISTINCT doc_b FROM jacc WHERE jaccard_ppm >= 400000),
+          |cleaned AS (
+          |  SELECT doc_id, source, text FROM kept1
+          |  WHERE doc_id NOT IN (SELECT doc_b FROM losers))
+          |SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name,
+          |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(COALESCE(SUM(len(string_split_regex(text, ' +'))), 0) AS BIGINT) AS n_tokens
+          |FROM documents
+          |UNION ALL SELECT 2, 'quality', CAST(COUNT(*) AS BIGINT),
+          |  CAST(COALESCE(SUM(len(string_split_regex(text, ' +'))), 0) AS BIGINT) FROM quality
+          |UNION ALL SELECT 3, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+          |  CAST(COALESCE(SUM(len(string_split_regex(text, ' +'))), 0) AS BIGINT) FROM kept1
+          |UNION ALL SELECT 4, 'near_dedup', CAST(COUNT(*) AS BIGINT),
+          |  CAST(COALESCE(SUM(len(string_split_regex(text, ' +'))), 0) AS BIGINT) FROM cleaned
+          |ORDER BY stage""".stripMargin),
 
     "dd_leakage" ->
       (s"WITH ${lshCtes("documents")},\n" +

@@ -31,7 +31,8 @@ class DeterminismSpec extends SparkSpec {
     "q32_grouping_sets", "ev_attribution", "ev_markov", "emb_gram",
     "samp_curriculum", "txt_hapax", "emb_pca1", "dd_prefix", "mm_phash_pairs",
     "dd_canonical", "dd_jaccard_hist", "emb_centroid_cos",
-    "txt_skipgrams", "ev_trend", "emb_dim_stats", "txt_pmi", "dd_leakage")
+    "txt_skipgrams", "ev_trend", "emb_dim_stats", "txt_pmi", "dd_leakage",
+    "pipe_report")
 
   for (name <- names) {
     test(s"$name result invariant under repartitioning") {
