@@ -200,6 +200,46 @@ class EdgeCaseSpec extends SparkSpec {
     assert(mix.map(_.getAs[Long]("doc_share_ppm")).sum <= 1000000L)
   }
 
+  test("the round-5 text/dedup/pipeline operators survive the pathological corpus") {
+    // lexical stats: only docs with non-empty tokens contribute
+    val hapax = TextQueries.queries("txt_hapax")(spark, edgeDir).collect()
+    assert(hapax.forall(r => r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens")))
+    assert(hapax.forall(r => r.getAs[Long]("ttr_ppm") <= 1000000L))
+
+    // skip-grams / PMI: empty and 1-token docs contribute no pairs
+    val sg = TextQueries.queries("txt_skipgrams")(spark, edgeDir).collect()
+    assert(sg.forall(_.getAs[Long]("n") > 0))
+    val pmi = TextQueries.queries("txt_pmi")(spark, edgeDir).collect()
+    assert(pmi.forall(_.getAs[Long]("n_ab") >= 10L) || pmi.isEmpty)
+    spark.catalog.clearCache()
+
+    // prefix dedup: every edge doc is under 16 tokens -> no candidates
+    assert(DedupQueries.queries("dd_prefix")(spark, edgeDir).count() === 0)
+
+    // canonicalization covers the corpus once, exactly one keeper per
+    // cluster (docs 6/7 are identical -> one cluster of two)
+    val canon = DedupQueries.queries("dd_canonical")(spark, edgeDir).collect()
+    assert(canon.length === 9)
+    assert(canon.count(_.getAs[Long]("kept") == 1L) === 8)
+    spark.catalog.clearCache()
+
+    // funnel report: monotone non-increasing doc mass through the stages
+    val rep = DedupQueries.queries("pipe_report")(spark, edgeDir).collect()
+      .sortBy(_.getAs[Long]("stage"))
+    assert(rep.map(_.getAs[String]("stage_name")).toSeq ===
+      Seq("raw", "quality", "exact_dedup", "near_dedup"))
+    val docsPerStage = rep.map(_.getAs[Long]("n_docs")).toSeq
+    assert(docsPerStage.head === 9L)
+    assert(docsPerStage.zip(docsPerStage.tail).forall { case (a, b) => b <= a })
+    spark.catalog.clearCache()
+
+    // leakage + histogram: run clean on the tiny corpus (no ANSI throws)
+    DedupQueries.queries("dd_leakage")(spark, edgeDir).collect()
+    DedupQueries.queries("dd_jaccard_hist")(spark, edgeDir).collect()
+    SamplingQueries.queries("samp_curriculum")(spark, edgeDir).collect()
+    spark.catalog.clearCache()
+  }
+
   /** embeddings with degenerate vectors: all-zero, sub-quantization-unit
     * (rounds to the zero vector), one-hot, constant-negative, mixed —
     * written as parquet so the real entries run end-to-end
@@ -249,6 +289,40 @@ class EdgeCaseSpec extends SparkSpec {
     val sdd = AnnQueries.queries("emb_semdedup")(spark, edgeEmbDir).collect()
     assert(sdd.map(_.getAs[Long]("vec_id")).toSet === (1L to 5L).toSet)
     assert(sdd.forall(_.getAs[Long]("cluster_id") >= 1L))
+    spark.catalog.clearCache()
+  }
+
+  test("Gram, PCA, dim-stats, centroid and kNN ops survive degenerate vectors") {
+    // emb_gram: zero vectors contribute zero cells, diagonal stays PSD
+    val gram = CurationQueries.queries("emb_gram")(spark, edgeEmbDir).collect()
+    assert(gram.length === 64 * 65 / 2)
+    assert(gram.filter(r => r.getAs[Long]("i") == r.getAs[Long]("j"))
+      .forall(_.getAs[Long]("sxy") >= 0L))
+    spark.catalog.clearCache()
+
+    // emb_pca1: renormalization guard handles the tiny matrix
+    val pca = CurationQueries.queries("emb_pca1")(spark, edgeEmbDir).collect()
+    assert(pca.length === 64)
+    assert(pca.forall(r => math.abs(r.getAs[Long]("v3")) <= 100L))
+    spark.catalog.clearCache()
+
+    // emb_dim_stats: the all-zero dimensions report full zero counts
+    val ds = CurationQueries.queries("emb_dim_stats")(spark, edgeEmbDir).collect()
+    assert(ds.length === 64)
+    assert(ds.forall(_.getAs[Long]("n") === 5L))
+    assert(ds.forall(r => r.getAs[Long]("n_zero") <= 5L && r.getAs[Long]("msq_micro2") >= 0L))
+    spark.catalog.clearCache()
+
+    // emb_centroid_cos: the zero-centroid label is excluded by the
+    // nn > 0 guard instead of dividing by sqrt(0)
+    val cc = CurationQueries.queries("emb_centroid_cos")(spark, edgeEmbDir).collect()
+    assert(cc.forall(r => math.abs(r.getAs[Long]("cos_ppm")) <= 1000000L))
+    spark.catalog.clearCache()
+
+    // emb_knn: zero-norm vectors emit no edges; ranks stay dense
+    val knn = AnnQueries.queries("emb_knn")(spark, edgeEmbDir).collect()
+    assert(!knn.exists(r => Set(1L, 2L).contains(r.getAs[Long]("vec_id"))))
+    assert(knn.forall(_.getAs[Long]("rnk") >= 1L))
     spark.catalog.clearCache()
   }
 }
