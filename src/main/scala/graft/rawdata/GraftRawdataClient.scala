@@ -292,9 +292,15 @@ final class GraftRawdataClient(
   // --------------------------------------------------------------- metadata
 
   final class Metadata(topic: String) {
+    def topicName: String = topic
     def keys: Seq[String] = MetadataStore.keys(spark, topicDir(topic))
     def get(key: String): Option[Array[Byte]] = MetadataStore.get(spark, topicDir(topic), key)
     def put(updates: DataFrame): Unit = MetadataStore.put(spark, topicDir(topic), updates)
+    def put(key: String, value: Array[Byte]): Unit = {
+      import spark.implicits._
+      put(Seq((key, value)).toDF("key", "value"))
+    }
+    def remove(key: String): Unit = MetadataStore.remove(spark, topicDir(topic), Seq(key))
     def asDF: DataFrame = MetadataStore.readAll(spark, topicDir(topic))
   }
 

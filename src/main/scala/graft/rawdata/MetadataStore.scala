@@ -67,11 +67,25 @@ object MetadataStore {
     val existing = readAll(spark, topicDir)
     val merged = updates.select(col("key"), col("value"))
       .unionByName(existing.join(updates.select(col("key")), Seq("key"), "left_anti"))
+    writeGeneration(topicDir, merged)
+  }
+
+  /** Remove entries by key (reference RawdataMetadataClient.remove) —
+    * a fresh generation without them; same visibility guarantees as put.
+    */
+  def remove(spark: SparkSession, topicDir: String, keys: Seq[String]): Unit = {
+    import spark.implicits._
+    val remaining = readAll(spark, topicDir)
+      .join(keys.toDF("key"), Seq("key"), "left_anti")
+    writeGeneration(topicDir, remaining)
+  }
+
+  private def writeGeneration(topicDir: String, entries: DataFrame): Unit = {
     val dir = storeDir(topicDir)
     val gen = f"gen-${System.currentTimeMillis()}%020d-${java.util.UUID.randomUUID().toString.take(8)}"
     // the parquet committer writes _SUCCESS last — the generation becomes
     // visible to currentGen only once fully committed
-    merged.coalesce(1).write.parquet(dir + "/" + gen)
+    entries.coalesce(1).write.parquet(dir + "/" + gen)
     pruneOldGenerations(dir, keep = 2)
   }
 
