@@ -59,4 +59,22 @@ class PushdownAuditSpec extends SparkSpec {
         s"read ${s.requiredSchema.fieldNames.mkString(",")} — expected a strict subset of documents' columns")
     }
   }
+
+  // round-5 additions: every new scan-rooted operator still prunes its
+  // table to a strict column subset (none of them needs every column).
+  // txt_pmi is absent only because its scan sits inside a persisted
+  // InMemoryRelation — it shares txt_skipgrams' gated scan.
+  for (name <- Seq("txt_skipgrams", "txt_hapax", "samp_curriculum",
+      "dd_prefix", "emb_gram", "emb_dim_stats", "emb_centroid_cos",
+      "ev_attribution", "ev_markov", "ev_trend", "q32_grouping_sets")) {
+    test(s"$name: scans read a strict column subset") {
+      val sc = scans(SparkEntry.queries(name)(spark, sf))
+      assert(sc.nonEmpty, "expected a parquet scan")
+      sc.foreach { s =>
+        assert(s.requiredSchema.size < s.relation.dataSchema.size,
+          s"$name read ${s.requiredSchema.fieldNames.mkString(",")} of " +
+            s"${s.relation.dataSchema.size} columns")
+      }
+    }
+  }
 }
