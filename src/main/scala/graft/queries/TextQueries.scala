@@ -376,6 +376,38 @@ object TextQueries {
         .limit(20)
     },
 
+    // count-min sketch over token frequencies (the third mergeable
+    // sketch beside HLL/q30 and the quantile sketch/q33 — and the one
+    // that is fully oracle-checkable, because the md5-derived hashes
+    // make the sketch deterministic): 4 rows × 1024 buckets, estimates
+    // for the exact top-20 tokens side by side with truth. CMS never
+    // undercounts (est ≥ exact — asserted in AnalyticsOpsSpec); at
+    // 100 TB the 4096-cell sketch is a partial-agg that merges across
+    // any partitioning, which is the whole point of carrying one.
+    "txt_cms" -> { (s, d) =>
+      import s.implicits._
+      val W = 1024
+      val R = 4
+      def bucket(r: Int) = expr(
+        s"CAST(conv(substring(md5(concat('$r:', tok)), 1, 8), 16, 10) AS BIGINT) % $W")
+      def buckets = explode(array((0 until R).map(r =>
+        struct(lit(r.toLong).as("r"), bucket(r).as("bucket"))): _*)).as("rb")
+      val toks = t(s, d, "documents")
+        .select(explode(split($"text", " +")).as("tok"))
+        .filter(length($"tok") > 0)
+      val sketch = toks.select(buckets)
+        .select($"rb.r".as("r"), $"rb.bucket".as("bucket"))
+        .groupBy($"r", $"bucket").agg(count(lit(1)).as("n"))
+      val exact = toks.groupBy($"tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy($"n_exact".desc, $"tok").limit(20)
+      exact
+        .select($"tok", $"n_exact", buckets)
+        .select($"tok", $"n_exact", $"rb.r".as("r"), $"rb.bucket".as("bucket"))
+        .join(sketch, Seq("r", "bucket"))
+        .groupBy($"tok", $"n_exact").agg(min($"n").as("cms_estimate"))
+        .orderBy($"n_exact".desc, $"tok")
+    },
+
     // lexical-diversity profile per source: type/token counts, hapax
     // (once-only) types, integer-ppm type-token and hapax ratios — the
     // vocabulary-growth signal that separates template-generated sources
@@ -584,6 +616,27 @@ object TextQueries {
         |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
         |FROM pairs GROUP BY 1, 2
         |ORDER BY n DESC, center, context LIMIT 50""".stripMargin,
+
+    "txt_cms" ->
+      """WITH toks AS (
+        |  SELECT tok FROM (SELECT unnest(string_split_regex(text, ' +')) AS tok FROM documents)
+        |  WHERE length(tok) > 0),
+        |cells AS (
+        |  SELECT tok, t.r,
+        |    CAST('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || tok), 1, 8) AS BIGINT) % 1024 AS bucket
+        |  FROM toks, UNNEST(range(0, 4)) AS t(r)),
+        |sketch AS (
+        |  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS n FROM cells GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |  FROM toks GROUP BY 1 ORDER BY n_exact DESC, tok LIMIT 20),
+        |lk AS (
+        |  SELECT e.tok, e.n_exact, t.r,
+        |    CAST('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || e.tok), 1, 8) AS BIGINT) % 1024 AS bucket
+        |  FROM exact e, UNNEST(range(0, 4)) AS t(r))
+        |SELECT lk.tok, lk.n_exact, CAST(MIN(s.n) AS BIGINT) AS cms_estimate
+        |FROM lk JOIN sketch s ON s.r = lk.r AND s.bucket = lk.bucket
+        |GROUP BY 1, 2 ORDER BY n_exact DESC, tok""".stripMargin,
 
     "txt_pmi" ->
       """WITH toks AS (

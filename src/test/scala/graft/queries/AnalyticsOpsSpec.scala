@@ -126,6 +126,17 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("txt_cms never undercounts and is exact for dominant tokens") {
+    val out = SparkEntry.queries("txt_cms")(spark, sf)
+      .select($"tok", $"n_exact", $"cms_estimate").as[(String, Long, Long)].collect()
+    assert(out.length === 20)
+    // the count-min guarantee: estimates bound the truth from above
+    assert(out.forall { case (_, exact, est) => est >= exact })
+    // error is bounded by colliding mass: e·N/W with W=1024 over this
+    // corpus leaves the top tokens' estimates within 2× of truth
+    assert(out.forall { case (_, exact, est) => est <= 2 * exact })
+  }
+
   test("q33_approx_quantile respects the sketch's rank-error bound") {
     val r = SparkEntry.queries("q33_approx_quantile")(spark, sf).collect().head
     val n = r.getAs[Long]("n")
