@@ -196,6 +196,39 @@ object EventQueries {
         .orderBy($"attrib_type")
     },
 
+    // funnel drop-off report: per step the surviving-user count and the
+    // integer-ppm conversion from the previous step — ev_funnel's rollup
+    // re-shaped into the table a dashboard actually shows. Same three
+    // ordered-first aggregations; the step table is built from the three
+    // 1-row counts (plan-only, no driver actions).
+    "ev_funnel_steps" -> { (s, d) =>
+      import s.implicits._
+      val base = ev(s, d)
+      val v = base.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts_us").as("v_us"))
+      val c = base.filter($"event_type" === "click").select($"user_id", $"ts_us")
+        .join(v, Seq("user_id")).filter($"ts_us" >= $"v_us")
+        .groupBy($"user_id").agg(min($"ts_us").as("c_us"))
+      val p = base.filter($"event_type" === "purchase").select($"user_id", $"ts_us")
+        .join(c, Seq("user_id")).filter($"ts_us" >= $"c_us")
+        .groupBy($"user_id").agg(min($"ts_us").as("p_us"))
+      def cnt(df: DataFrame, name: String) =
+        df.agg(count(lit(1)).as(name)).withColumn("one", lit(1))
+      cnt(v, "nv").join(cnt(c, "nc"), "one").join(cnt(p, "np"), "one")
+        .select(explode(array(
+          struct(lit(1L).as("step"), lit("view").as("step_name"),
+            $"nv".as("n_users"), $"nv".as("prev")),
+          struct(lit(2L).as("step"), lit("click").as("step_name"),
+            $"nc".as("n_users"), $"nv".as("prev")),
+          struct(lit(3L).as("step"), lit("purchase").as("step_name"),
+            $"np".as("n_users"), $"nc".as("prev")))).as("st"))
+        .select($"st.step".as("step"), $"st.step_name".as("step_name"),
+          $"st.n_users".as("n_users"),
+          when($"st.prev" === 0L, lit(0L))
+            .otherwise(expr("(st.n_users * 1000000) div st.prev")).as("conv_prev_ppm"))
+        .orderBy($"step")
+    },
+
     // volume trend per event type: exact integer least-squares slope over
     // the daily counts — slope = (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²), emitted
     // in milli-events/day via the positive-remainder floor-div so both
@@ -355,6 +388,28 @@ object EventQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS attributed_value
         |FROM e WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY attrib_type""".stripMargin,
+
+    "ev_funnel_steps" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.v_us GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_us GROUP BY e.user_id),
+        |n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS nv,
+        |             (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS nc,
+        |             (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS np)
+        |SELECT step, step_name, n_users,
+        |  CAST(CASE WHEN prev = 0 THEN 0 ELSE (n_users * 1000000) // prev END AS BIGINT) AS conv_prev_ppm
+        |FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, nv AS n_users, nv AS prev FROM n
+        |  UNION ALL SELECT 2, 'click', nc, nv FROM n
+        |  UNION ALL SELECT 3, 'purchase', np, nc FROM n)
+        |ORDER BY step""".stripMargin,
 
     "ev_trend" ->
       """WITH daily AS (

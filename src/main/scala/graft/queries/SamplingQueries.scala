@@ -160,6 +160,28 @@ object SamplingQueries {
         .orderBy($"source", $"doc_id", $"copy")
     },
 
+    // heavy-tail concentration audit (the data-governance "pareto"
+    // check): what share of each source's token mass sits in its top
+    // decile of docs by length — a 90%+ share means a handful of mega
+    // docs dominate the mixture and per-doc sampling rates are
+    // misleading. NTILE ties are pinned by (n_tok DESC, doc_id), so the
+    // decile assignment is deterministic on both engines. Scale shape:
+    // per-source window (parallelism = sources) over (doc, n_tok) pairs
+    // — text never enters the shuffle.
+    "samp_pareto" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"n_tok".desc, $"doc_id")
+      t(s, d, "documents")
+        .select($"source", $"doc_id", size(split($"text", " +")).cast("long").as("n_tok"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("n_tokens"),
+          sum(when($"decile" === 1L, $"n_tok").otherwise(0L)).as("top_decile_tokens"))
+        .withColumn("share_ppm", expr("(top_decile_tokens * 1000000) div n_tokens"))
+        .orderBy($"source")
+    },
+
     // curriculum / quality selection: the K highest-quality docs per
     // source under the SHARED quality score (TextQueries.qualityScored —
     // stream, batch and curriculum all grade identically), deterministic
@@ -246,6 +268,24 @@ object SamplingQueries {
          |FROM c, UNNEST(range(1, copies + 1)) AS t(copy)
          |WHERE copies > 0
          |ORDER BY source, doc_id, copy""".stripMargin,
+
+    "samp_pareto" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_tok,
+        |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id) AS BIGINT) AS decile
+        |  FROM d),
+        |g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN decile = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS top_decile_tokens
+        |  FROM r GROUP BY source)
+        |SELECT source, n_docs, n_tokens, top_decile_tokens,
+        |  CAST((top_decile_tokens * 1000000) // n_tokens AS BIGINT) AS share_ppm
+        |FROM g ORDER BY source""".stripMargin,
 
     "samp_curriculum" ->
       s"""WITH q AS (

@@ -32,7 +32,7 @@ class DeterminismSpec extends SparkSpec {
     "samp_curriculum", "txt_hapax", "emb_pca1", "dd_prefix", "mm_phash_pairs",
     "dd_canonical", "dd_jaccard_hist", "emb_centroid_cos",
     "txt_skipgrams", "ev_trend", "emb_dim_stats", "txt_pmi", "dd_leakage",
-    "pipe_report", "txt_cms")
+    "pipe_report", "txt_cms", "samp_pareto", "ev_funnel_steps")
 
   for (name <- names) {
     test(s"$name result invariant under repartitioning") {
