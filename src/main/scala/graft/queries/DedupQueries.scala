@@ -472,6 +472,24 @@ object DedupQueries {
         .orderBy($"doc_short", $"doc_long")
     },
 
+    // per-source exact-duplication rate (the data-card dup stat): docs,
+    // distinct normalized fingerprints, dup mass in ppm — which sources
+    // are mirror-heavy before any pair-level work is spent on them.
+    // Two chained partial aggs on (source, 16-byte fp); text never
+    // shuffles.
+    "dd_dup_rate" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"source",
+          md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+        .groupBy($"source", $"fp").agg(count(lit(1)).as("n"))
+        .groupBy($"source")
+        .agg(sum($"n").as("n_docs"), count(lit(1)).as("n_distinct"),
+          sum($"n" - 1).as("n_dups"))
+        .withColumn("dup_ppm", expr("(n_dups * 1000000) div n_docs"))
+        .orderBy($"source")
+    },
+
     // pipeline observability: the cleaning funnel's stage-by-stage doc
     // and token mass (raw → quality gate → exact dedup → near dedup) in
     // ONE report — what a curation run logs so a silent stage collapse
@@ -966,6 +984,17 @@ object DedupQueries {
     "dd_jaccard" ->
       (s"WITH ${lshCtes("documents")},\n$JaccardCtes\n" +
         "SELECT doc_a, doc_b, jaccard_ppm FROM jacc ORDER BY doc_a, doc_b"),
+
+    "dd_dup_rate" ->
+      """WITH f AS (
+        |  SELECT source, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |g AS (SELECT source, fp, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(n - 1) AS BIGINT) AS n_dups,
+        |  CAST((SUM(n - 1) * 1000000) // SUM(n) AS BIGINT) AS dup_ppm
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
 
     "pipe_report" ->
       (s"""WITH quality AS (

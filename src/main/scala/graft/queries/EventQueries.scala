@@ -196,6 +196,22 @@ object EventQueries {
         .orderBy($"attrib_type")
     },
 
+    // hour-of-day seasonality profile per type: counts + integer-ppm
+    // share of the type's total — the load-shape fingerprint that feeds
+    // capacity planning and anomaly baselines. One partial-agg shuffle
+    // on (type, hour); the normalizing window runs over the
+    // |types|·24-bounded relation.
+    "ev_hourly" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"event_type")
+      ev(s, d)
+        .groupBy($"event_type", (($"ts_us" % DayUs) / HourUs).cast("long").as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("type_total", sum($"n").over(w))
+        .withColumn("share_ppm", expr("(n * 1000000) div type_total"))
+        .orderBy($"event_type", $"hour")
+    },
+
     // funnel drop-off report: per step the surviving-user count and the
     // integer-ppm conversion from the previous step — ev_funnel's rollup
     // re-shaped into the table a dashboard actually shows. Same three
@@ -388,6 +404,17 @@ object EventQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS attributed_value
         |FROM e WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY attrib_type""".stripMargin,
+
+    "ev_hourly" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hour, n,
+        |  CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS type_total,
+        |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS share_ppm
+        |FROM h ORDER BY event_type, hour""".stripMargin,
 
     "ev_funnel_steps" ->
       """WITH v AS (

@@ -32,7 +32,8 @@ class DeterminismSpec extends SparkSpec {
     "samp_curriculum", "txt_hapax", "emb_pca1", "dd_prefix", "mm_phash_pairs",
     "dd_canonical", "dd_jaccard_hist", "emb_centroid_cos",
     "txt_skipgrams", "ev_trend", "emb_dim_stats", "txt_pmi", "dd_leakage",
-    "pipe_report", "txt_cms", "samp_pareto", "ev_funnel_steps")
+    "pipe_report", "txt_cms", "samp_pareto", "ev_funnel_steps",
+    "dd_dup_rate", "ev_hourly")
 
   for (name <- names) {
     test(s"$name result invariant under repartitioning") {
