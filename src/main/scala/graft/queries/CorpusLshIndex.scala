@@ -1,0 +1,121 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Materialized corpus LSH index — built ONCE per corpus per session and
+  * read by the whole dedup family (dd_minhash, dd_jaccard, dd_jaccard_hist,
+  * dd_minhash_est, dd_containment, dd_source_overlap, dd_leakage,
+  * dd_incremental, dd_decontam, dd_cluster, dd_canonical,
+  * pipe_clean_corpus / pipe_pack_corpus / pipe_report).
+  *
+  * Why: the shingle→minhash→band build is the dominant repeated cost of
+  * the dedup family — before this index every member rebuilt it from the
+  * raw corpus (6+ full builds per suite; the two slowest queries,
+  * dd_canonical and dd_leakage, spent 2-3× the family median re-deriving
+  * relations dd_cluster / dd_jaccard had just computed). At 100 TB the
+  * signature build is a full-corpus pass; paying it once and sharing the
+  * result is the difference between one corpus scan and seven. This is
+  * the batch twin of the persisted corpus index the streaming near-dup
+  * gate already keeps per-run (CleanStream.nearDupFlags).
+  *
+  * What is stored (all tiny relative to the corpus — hashes and ids,
+  * never text except the shingle arrays needed for exact verification):
+  *   - sh   (doc_id, ss)                 bucketed by doc_id
+  *   - sig  (doc_id, h0..h{P-1})         bucketed by doc_id
+  *   - band (doc_id, band, bkey)         bucketed by (band, bkey)
+  *   - jac  (doc_a, doc_b, jaccard_ppm)  bucketed by doc_a —
+  *     the EXACT n-gram jaccard of every LSH candidate pair
+  *     (candidate-proportional: |pairs| tracks the true dup mass,
+  *     never corpus²)
+  *
+  * Bucketing is load-bearing, not decorative: band is bucketed on the
+  * band self-join keys, so candidate generation reads co-located buckets
+  * with NO exchange (LshIndexSpec proves the shuffle-free plan); sh/sig
+  * are bucketed on doc_id, the key of every verification join. On a cluster the same tables live in the
+  * warehouse and survive across jobs; here they live for the session
+  * under java.io.tmpdir (external-table path) and the in-memory catalog,
+  * so a fresh session rebuilds — the same cache-once-per-run contract as
+  * the streaming gate's persisted index.
+  *
+  * Correctness: every derived relation is definitionally identical to
+  * the inline chain each query ran before (per-doc signatures depend
+  * only on the doc's own text, so filtering the index to any doc subset
+  * equals rebuilding the chain on that subset — LshIndexSpec asserts
+  * both equalities).
+  */
+object CorpusLshIndex {
+
+  /** bucket count — matches the local shuffle parallelism; on a real
+    * cluster size it to the executor count at corpus scale
+    */
+  val Buckets = 32
+
+  private def tag(d: String): String = {
+    val md = MessageDigest.getInstance("MD5")
+    md.digest(new java.io.File(d).getCanonicalPath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(10)
+  }
+
+  private def tableName(part: String, tg: String) = s"graft_lsh_${part}_$tg"
+
+  /** Build the four index tables if this session hasn't yet. `jac` is
+    * written LAST so its catalog entry marks the whole index committed —
+    * a failed partial build re-runs from scratch (every write is
+    * Overwrite, so stale on-disk leftovers from a previous JVM are
+    * replaced, never read).
+    */
+  def ensure(s: SparkSession, d: String): Unit = synchronized {
+    val tg = tag(d)
+    if (!s.catalog.tableExists(tableName("jac", tg))) {
+      val dir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir"), "graft-lsh-index"), tg)
+      dir.mkdirs()
+      def save(df: DataFrame, part: String, bucketCols: Seq[String]): DataFrame = {
+        val tbl = tableName(part, tg)
+        df.write.mode(SaveMode.Overwrite)
+          .option("path", new java.io.File(dir, part).getAbsolutePath)
+          .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
+          .saveAsTable(tbl)
+        s.table(tbl)
+      }
+      val sh = save(DedupQueries.shingleArrays(t(s, d, "documents")), "sh", Seq("doc_id"))
+      val sig = save(DedupQueries.signaturesFrom(
+        sh.select(col("doc_id"), explode(col("ss")).as("s"))), "sig", Seq("doc_id"))
+      // bucketed on BOTH self-join keys: co-partition compatibility
+      // requires the partitioning to cover every join key (a bkey-only
+      // bucketing still shuffles both sides under the default
+      // requireAllClusterKeysForCoPartition)
+      val band = save(DedupQueries.bandsOfSigs(sig), "band", Seq("band", "bkey"))
+      save(DedupQueries.jaccardFor(sh, DedupQueries.pairsOfBands(band)), "jac", Seq("doc_a"))
+    }
+  }
+
+  private def read(s: SparkSession, d: String, part: String): DataFrame = {
+    ensure(s, d)
+    s.table(tableName(part, tag(d)))
+  }
+
+  /** per-doc DISTINCT word-3-shingle arrays (doc_id, ss) */
+  def shingles(s: SparkSession, d: String): DataFrame = read(s, d, "sh")
+
+  /** per-doc minhash signatures (doc_id, h0..h{Perms-1}) */
+  def sigs(s: SparkSession, d: String): DataFrame = read(s, d, "sig")
+
+  /** LSH band keys (doc_id, band, bkey) */
+  def bands(s: SparkSession, d: String): DataFrame = read(s, d, "band")
+
+  /** exact jaccard_ppm of EVERY LSH candidate pair (doc_a < doc_b) */
+  def jaccard(s: SparkSession, d: String): DataFrame = read(s, d, "jac")
+
+  /** distinct LSH candidate pairs (doc_a < doc_b) — the jac table's key
+    * set (every candidate doc has a non-empty shingle array by
+    * construction, so the verify join drops no pairs)
+    */
+  def candidates(s: SparkSession, d: String): DataFrame =
+    jaccard(s, d).select(col("doc_a"), col("doc_b"))
+}

@@ -108,11 +108,19 @@ object DedupQueries {
       .filter(floor($"score" * lit(1000000.0) + lit(0.5)).cast("long") >= 550000)
       .select($"doc_id", $"source", $"text")
     val keepFirst = q.groupBy(md5($"text").as("f")).agg(min($"doc_id").as("doc_id"))
-    // kept1 feeds BOTH the shingle chain and the final anti-join —
+    // kept1 feeds BOTH the loser semi-joins and the final anti-join —
     // persist it so the quality scan + keep-first groupBy run once
     // (cache is scoped per query by the harness's clearCache)
     val kept1 = q.join(keepFirst.select($"doc_id"), Seq("doc_id"), "left_semi").persist()
-    val losers = jaccardOf(shingleArrays(kept1).persist())
+    // near-dup losers among the survivors, read from the shared index:
+    // per-doc signatures depend only on the doc's own text, so the
+    // candidate pairs WITHIN kept1 are exactly the corpus-wide candidate
+    // pairs whose both endpoints survived — two semi-joins against the
+    // (tiny) materialized jac relation replace re-shingling the corpus
+    val ids = kept1.select($"doc_id")
+    val losers = CorpusLshIndex.jaccard(s, d)
+      .join(ids.select($"doc_id".as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(ids.select($"doc_id".as("doc_b")), Seq("doc_b"), "left_semi")
       .filter($"jaccard_ppm" >= 400000)
       .select($"doc_b".as("doc_id")).distinct()
     kept1.join(losers, Seq("doc_id"), "left_anti")
@@ -168,7 +176,7 @@ object DedupQueries {
     val keep = fp.groupBy($"fp").agg(min($"doc_id").as("keep"))
     val exactE = fp.join(keep, Seq("fp")).filter($"doc_id" =!= $"keep")
       .select($"keep".as("a"), $"doc_id".as("b"))
-    val nearE = jaccardOf(shingleArrays(docs).persist())
+    val nearE = CorpusLshIndex.jaccard(s, d)
       .filter($"jaccard_ppm" >= 400000)
       .select($"doc_a".as("a"), $"doc_b".as("b"))
     exactE.unionByName(nearE)
@@ -245,7 +253,7 @@ object DedupQueries {
       .orderBy($"doc_id")
   }
 
-  private def jaccardOf(arr: DataFrame): DataFrame = {
+  private[graft] def jaccardOf(arr: DataFrame): DataFrame = {
     val s = arr.sparkSession
     import s.implicits._
     jaccardFor(arr, candidatesFrom(arr.select($"doc_id", explode($"ss").as("s"))))
@@ -255,7 +263,7 @@ object DedupQueries {
     * (doc_a, doc_b) — the reusable tail of jaccardOf, also fed by the
     * incremental (new-batch × corpus) candidate generator
     */
-  private def jaccardFor(arr: DataFrame, cand: DataFrame): DataFrame = {
+  private[graft] def jaccardFor(arr: DataFrame, cand: DataFrame): DataFrame = {
     val s = arr.sparkSession
     import s.implicits._
     val candDocs = cand.select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
@@ -359,7 +367,7 @@ object DedupQueries {
   /** distinct (doc_a < doc_b) pairs sharing a band bucket — the one wide
     * stage of every LSH chain
     */
-  private def pairsOfBands(b: DataFrame): DataFrame =
+  private[graft] def pairsOfBands(b: DataFrame): DataFrame =
     b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -402,8 +410,7 @@ object DedupQueries {
     "dd_source_overlap" -> { (s, d) =>
       import s.implicits._
       val docs = t(s, d, "documents")
-      val cand = candidatesFrom(shingleArrays(docs).persist()
-        .select($"doc_id", explode($"ss").as("s")))
+      val cand = CorpusLshIndex.candidates(s, d)
       val src = docs.select($"doc_id", $"source")
       cand
         .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), Seq("doc_a"))
@@ -415,11 +422,7 @@ object DedupQueries {
     },
 
     // MinHash+LSH candidate pairs
-    "dd_minhash" -> { (s, d) =>
-      import s.implicits._
-      candidatesFrom(shingleArrays(t(s, d, "documents")).persist()
-        .select($"doc_id", explode($"ss").as("s")))
-    },
+    "dd_minhash" -> { (s, d) => CorpusLshIndex.candidates(s, d) },
 
     // 32-bit SimHash fingerprints — one aggregation, 32 conditional sums
     "dd_simhash" -> { (s, d) => simhashes(s, d) },
@@ -530,19 +533,18 @@ object DedupQueries {
     // share every band and verify at 1e6 ppm).
     "dd_leakage" -> { (s, d) =>
       import s.implicits._
-      val docs = t(s, d, "documents")
-      val arr = shingleArrays(docs).persist()
-      val bands = bandsFrom(arr.select($"doc_id", explode($"ss").as("s"))).persist()
-      val evalIds = docs
-        .filter(SamplingQueries.docHash % 10 === 0)
-        .select($"doc_id")
-      val be = bands.join(evalIds, Seq("doc_id"))
-        .select($"doc_id".as("doc_a"), $"band", $"bkey")
-      val bt = bands.join(evalIds, Seq("doc_id"), "left_anti")
-        .select($"doc_id".as("doc_b"), $"band", $"bkey")
-      val cand = be.join(bt, Seq("band", "bkey"))
-        .select($"doc_a", $"doc_b").distinct()
-      val leaks = jaccardFor(arr, cand).filter($"jaccard_ppm" >= 400000)
+      // Cross-split candidates are a FILTER over the materialized index:
+      // band collision is symmetric, so the eval×train band-join pairs
+      // are exactly the corpus candidate pairs with one endpoint on each
+      // side of the split — re-orient each verified pair so doc_a is the
+      // eval doc. No shingle, signature, or band relation is rebuilt.
+      val ea = SamplingQueries.hashOf($"doc_a") % 10 === 0
+      val eb = SamplingQueries.hashOf($"doc_b") % 10 === 0
+      val leaks = CorpusLshIndex.jaccard(s, d)
+        .filter($"jaccard_ppm" >= 400000)
+        .filter(ea =!= eb)
+        .select(when(ea, $"doc_a").otherwise($"doc_b").as("doc_a"),
+          when(ea, $"doc_b").otherwise($"doc_a").as("doc_b"), $"jaccard_ppm")
       val w = Window.partitionBy($"doc_a").orderBy($"jaccard_ppm".desc, $"doc_b")
       val worst = leaks.withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
@@ -560,7 +562,7 @@ object DedupQueries {
     // partial agg on ≤ 21 bins.
     "dd_jaccard_hist" -> { (s, d) =>
       import s.implicits._
-      jaccardOf(shingleArrays(t(s, d, "documents")).persist())
+      CorpusLshIndex.jaccard(s, d)
         .withColumn("bin", expr("(jaccard_ppm - pmod(jaccard_ppm, 50000)) div 50000"))
         .groupBy($"bin")
         .agg(count(lit(1)).as("n_pairs"),
@@ -572,12 +574,7 @@ object DedupQueries {
 
     // exact n-gram Jaccard on the LSH candidates (integer set arithmetic,
     // parts-per-million output)
-    "dd_jaccard" -> { (s, d) =>
-      // The shingle arrays feed the LSH chain AND the exact verification
-      // joins; Catalyst has no cross-branch CSE, so persist the one
-      // narrow intermediate instead of re-shingling the corpus per branch.
-      jaccardOf(shingleArrays(t(s, d, "documents")).persist())
-    },
+    "dd_jaccard" -> { (s, d) => CorpusLshIndex.jaccard(s, d) },
 
     // asymmetric containment on the LSH candidates: C = |A∩B| / min(|A|,
     // |B|). Jaccard misses subset-inclusion dups — a doc quoted whole
@@ -587,8 +584,8 @@ object DedupQueries {
     // the wide work touches only within-bucket pairs, never the corpus.
     "dd_containment" -> { (s, d) =>
       import s.implicits._
-      val arr = shingleArrays(t(s, d, "documents")).persist()
-      val cand = candidatesFrom(arr.select($"doc_id", explode($"ss").as("s")))
+      val arr = CorpusLshIndex.shingles(s, d)
+      val cand = CorpusLshIndex.candidates(s, d)
       val candDocs = cand.select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
       val sets = arr.join(candDocs, Seq("doc_id"), "left_semi")
       cand
@@ -614,22 +611,20 @@ object DedupQueries {
     // candidate-proportional verify as dd_jaccard.
     "dd_minhash_est" -> { (s, d) =>
       import s.implicits._
-      val arr = shingleArrays(t(s, d, "documents")).persist()
-      val sigs = signaturesFrom(arr.select($"doc_id", explode($"ss").as("s"))).persist()
-      // cand feeds the agreement join AND jaccardFor's semi-filter +
-      // verify join — persist so the band self-join runs once
-      val cand = pairsOfBands(bandsOfSigs(sigs).persist()).persist()
+      // signatures, candidates AND the exact jaccard all come from the
+      // materialized index — the only work left is the (tiny,
+      // candidate-proportional) signature-agreement join
+      val sigs = CorpusLshIndex.sigs(s, d)
       val agree = (0 until Perms).map { j =>
         when(col(s"sa.h$j") === col(s"sb.h$j"), 1L).otherwise(0L)
       }.reduce(_ + _)
-      val est = cand
+      CorpusLshIndex.jaccard(s, d)
         .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
         .withColumn("agree", agree)
-        .select($"doc_a", $"doc_b", expr(s"(agree * 1000000) div $Perms").as("est_ppm"))
-      est.join(jaccardFor(arr, cand), Seq("doc_a", "doc_b"))
-        .select($"doc_a", $"doc_b", $"est_ppm", $"jaccard_ppm",
-          abs($"est_ppm" - $"jaccard_ppm").as("err_ppm"))
+        .select($"doc_a", $"doc_b",
+          expr(s"(agree * 1000000) div $Perms").as("est_ppm"),
+          $"jaccard_ppm", abs(expr(s"(agree * 1000000) div $Perms") - $"jaccard_ppm").as("err_ppm"))
         .orderBy($"doc_a", $"doc_b")
     },
 
@@ -685,18 +680,18 @@ object DedupQueries {
         .groupBy(col("n.doc_id").as("doc_id"))
         .agg(min(col("c.doc_id")).as("match_doc"))
         .select($"doc_id", lit("exact").as("verdict"), $"match_doc", lit(1000000L).as("jaccard_ppm"))
-      val arr = shingleArrays(docs).persist()
-      // both sides of the cross-set join read the band table — persist it
-      // or the whole shingle→minhash chain runs once per side
-      val bands = bandsFrom(arr.select($"doc_id", explode($"ss").as("s"))).persist()
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") % 10 === 0 && col("b.doc_id") % 10 =!= 0)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      // cross-set (new × corpus) verified candidates are a filter over
+      // the materialized index — band collision is symmetric, so the
+      // new×corpus band-join pairs are exactly the corpus candidate
+      // pairs with one endpoint in each set, re-oriented new-side first
+      val na = $"doc_a" % 10 === 0
+      val nb = $"doc_b" % 10 === 0
       val w = Window.partitionBy($"doc_a").orderBy($"jaccard_ppm".desc, $"doc_b")
-      val near = jaccardFor(arr, cand)
+      val near = CorpusLshIndex.jaccard(s, d)
         .filter($"jaccard_ppm" >= 400000)
+        .filter(na =!= nb)
+        .select(when(na, $"doc_a").otherwise($"doc_b").as("doc_a"),
+          when(na, $"doc_b").otherwise($"doc_a").as("doc_b"), $"jaccard_ppm")
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"doc_a".as("doc_id"), lit("near").as("verdict"),
@@ -724,14 +719,13 @@ object DedupQueries {
     // hint (it scales with the slice — the round-3 OOM lesson). Since
     // (doc_id, s) is distinct by construction, the per-doc overlap
     // count is a plain count — no count_distinct expand.
-    // The shingle arrays are persisted BEFORE the explode: one corpus
-    // pass serves both slices, and the cache is an optimizer barrier —
-    // without it, constraint propagation infers size()>0/isnotnull
-    // filters below the Generate that each inline the whole interpreted
-    // shingle expression, evaluating it 3× per doc (measured 17 s).
+    // The shingle arrays come from the materialized index: both slices
+    // scan a bucketed parquet relation instead of re-running the
+    // interpreted shingle expression per slice (the pre-index form
+    // needed a persist as an optimizer barrier for exactly that reason).
     "dd_decontam" -> { (s, d) =>
       import s.implicits._
-      val sh = shingleArrays(t(s, d, "documents")).persist()
+      val sh = CorpusLshIndex.shingles(s, d)
         .select($"doc_id", explode($"ss").as("s"))
       val benchIdx = sh.filter($"doc_id" % 17 === 0)
         .groupBy($"s").agg(min($"doc_id").as("bd"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
@@ -47,7 +47,13 @@ object SamplingQueries {
     * the streaming mixture gate (CleanStream.mixtureGate) so stream and
     * batch select the same documents
     */
-  private[graft] def docHash = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+  private[graft] def docHash = hashOf(col("doc_id"))
+
+  /** the same hash over an arbitrary id column (the leakage audit applies
+    * it to both endpoints of materialized candidate pairs)
+    */
+  private[graft] def hashOf(id: Column) =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
 
   /** the hash space size, for external threshold arithmetic */
   private[graft] def hashSpace: Long = HashSpace

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables.t
+
+/** The materialized corpus LSH index (CorpusLshIndex) must be
+  * indistinguishable from the inline chain it replaced: same shingle
+  * sets, same band keys, same verified candidate pairs — and the band
+  * table's bucketing must actually remove the self-join exchange.
+  */
+class LshIndexSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("index jaccard == inline jaccard (pairs AND values)") {
+    val docs = t(spark, sf, "documents")
+    val inline = DedupQueries.jaccardOf(DedupQueries.shingleArrays(docs).persist())
+    val idx = CorpusLshIndex.jaccard(spark, sf)
+    assert(rows(idx) == rows(inline))
+    assert(idx.count() > 0)
+    spark.catalog.clearCache()
+  }
+
+  test("index bands == inline bands") {
+    val docs = t(spark, sf, "documents")
+    val inline = DedupQueries.bandsFrom(
+      DedupQueries.shingleArrays(docs)
+        .select(col("doc_id"), explode(col("ss")).as("s")))
+    assert(rows(CorpusLshIndex.bands(spark, sf)) == rows(inline))
+  }
+
+  test("index shingles == inline shingles (as sets per doc)") {
+    val docs = t(spark, sf, "documents")
+    def norm(df: DataFrame) = df
+      .select(col("doc_id"), array_sort(col("ss")).as("ss"))
+    assert(rows(norm(CorpusLshIndex.shingles(spark, sf))) ==
+      rows(norm(DedupQueries.shingleArrays(docs))))
+  }
+
+  test("bucketed band self-join plans without a shuffle exchange") {
+    // at spec scale the band table is broadcast-sized, which would hide
+    // the property under test — force the shuffled-join path so the
+    // bucketing has to carry the distribution
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    val cand = DedupQueries.pairsOfBands(CorpusLshIndex.bands(spark, sf))
+    cand.count() // finalize AQE
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case other => other +: other.children.flatMap(leaves)
+      }
+    val plan = cand.queryExecution.executedPlan
+    // the join itself must read the bucketed table directly on both
+    // sides; the only legal exchange is the one under the final
+    // distinct() aggregation (it re-keys on the pair, not the bucket key)
+    val joins = leaves(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.nonEmpty, s"expected a shuffled join over the bucketed table:\n$plan")
+    val shufflesUnderJoin = joins.flatMap(j => j.children.flatMap(leaves)).collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shufflesUnderJoin.isEmpty,
+      s"bucketing should satisfy the join distribution, found: $shufflesUnderJoin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+}
