@@ -132,7 +132,10 @@ object Relational2 {
         .orderBy($"s_suppkey")
     },
 
-    // count-distinct per group with an anti-join supplier exclusion (Q16)
+    // count-distinct per group with an anti-join supplier exclusion (Q16).
+    // The filtered part slice keeps ~15% of an sf-scaling table — no
+    // forced broadcast (at TPC-H sf100 it is millions of rows; AQE
+    // promotes to broadcast at scales where that is actually safe).
     "q16_countd" -> { (s, d) =>
       import s.implicits._
       val part = t(s, d, "part")
@@ -140,7 +143,7 @@ object Relational2 {
       val badSupp = t(s, d, "supplier").filter($"s_acctbal" < 0).select($"s_suppkey")
       t(s, d, "lineitem")
         .join(badSupp, $"l_suppkey" === $"s_suppkey", "left_anti")
-        .join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .join(part, $"l_partkey" === $"p_partkey")
         .groupBy($"p_brand", $"p_type", $"p_size")
         .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
         .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
@@ -148,14 +151,15 @@ object Relational2 {
 
     // correlated scalar subquery (per-part avg), decorrelated into a
     // self-agg + join. Lineitem is pre-pruned to the brand's partkeys via a
-    // broadcast semi join — valid because every line of a partkey belongs
-    // to the same part, and it turns two full-fact shuffles into shuffles
-    // of a tiny slice.
+    // semi join — valid because every line of a partkey belongs to the
+    // same part, and it turns two full-fact shuffles into shuffles of a
+    // small slice. The slice still scales with sf (~4% of part), so the
+    // join strategy is AQE's call, not a forced broadcast.
     "q17_corr_subq" -> { (s, d) =>
       import s.implicits._
       val bparts = t(s, d, "part").filter($"p_brand" === "Brand#23").select($"p_partkey")
       val li = t(s, d, "lineitem")
-        .join(broadcast(bparts), $"l_partkey" === $"p_partkey", "left_semi")
+        .join(bparts, $"l_partkey" === $"p_partkey", "left_semi")
       val avgQty = li.groupBy($"l_partkey".as("a_partkey"))
         .agg((sum($"l_quantity") / count(lit(1))).as("avg_qty"))
       li.join(avgQty, $"l_partkey" === $"a_partkey")
@@ -201,12 +205,13 @@ object Relational2 {
     },
 
     // nested semi-join chain (Q20): suppliers of red parts with a large
-    // shipped-quantity total
+    // shipped-quantity total. redParts is a ~4% slice of an sf-scaling
+    // table — AQE decides the semi-join strategy.
     "q20_nested" -> { (s, d) =>
       import s.implicits._
       val redParts = t(s, d, "part").filter($"p_name".like("red %")).select($"p_partkey")
       val bigSupp = t(s, d, "lineitem")
-        .join(broadcast(redParts), $"l_partkey" === $"p_partkey", "left_semi")
+        .join(redParts, $"l_partkey" === $"p_partkey", "left_semi")
         .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01 00:00:00")))
         .groupBy($"l_suppkey")
         .agg(sum($"l_quantity").as("sum_qty"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LeafNode, LocalRelation, LogicalPlan, Range, ResolvedHint}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
@@ -25,7 +26,46 @@ class PlanAuditSpec extends SparkSpec {
       "txt_bpe", "txt_bpe_encode")
   private val globalWindowAllowed = Set("rd_ordering_group")
 
+  // deliberate constant-bounded broadcasts the structural rule can't
+  // see: ann_* broadcast the fixed 25-row query slice (vec_id <
+  // NumQueries) and ann_pq_topk its derived shortlist; ann_ivf_topk /
+  // emb_kmeans / emb_outliers broadcast the k-row centroid seed slice
+  // (vec_id < K / % step) — all constant id bounds, sf-independent by
+  // construction
+  private val constantSliceBroadcastAllowed =
+    Set("ann_brute_topk", "ann_lsh_topk", "ann_pq_topk",
+      "ann_ivf_topk", "emb_kmeans", "emb_outliers")
+
+  /** a hinted subtree is scale-safe iff its row count cannot grow with
+    * the fact tables: an aggregation / limit / literal relation bounds
+    * it outright; otherwise every child must be bounded and every leaf a
+    * dimension-table scan (region/nation — fixed cardinality in TPC-H)
+    */
+  private def bounded(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate | _: GlobalLimit | _: LocalRelation | _: Range => true
+    case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      l.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.forall { rp =>
+            val s = rp.toString
+            s.contains("region") || s.contains("nation")
+          }
+        case _ => false
+      }
+    case _: LeafNode => false
+    case other => other.children.forall(bounded)
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name has no forced broadcast of an sf-scaling relation") {
+      val analyzed = fn(spark, sf).queryExecution.analyzed
+      val unsafe = analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.isDefined && !bounded(h.child) => h
+      }
+      assert(unsafe.isEmpty || constantSliceBroadcastAllowed(name),
+        s"forced broadcast of an sf-scaling relation in $name:\n${unsafe.headOption.getOrElse("")}")
+    }
+
     test(s"$name plan has no scale-hostile operators") {
       val plan = fn(spark, sf).queryExecution.executedPlan
       val cartesian = plan.collect { case c: CartesianProductExec => c }
