@@ -11,7 +11,7 @@ import graft.streaming.TopicStream
   *
   * | reference                                   | graft                       |
   * | ------------------------------------------- | --------------------------- |
-  * | client.producer(topic) → buffer/publish     | producer(topic).publish(df) / publishAsync |
+  * | client.producer(topic) → buffer/publish     | producer(topic).buffer(msgs*).publish(positions*) — or bulk publish(df) / publishAsync |
   * | client.consumer(topic) → receive loop       | consumer(topic).receive(timeout) / receiveAsync / messages / tail |
   * | client.consumer(topic, cursor)              | consumer(topic, ulidHex, inclusive) — receive resumes at the cursor |
   * | consumer.seek(timestamp)                    | consumer(topic).seek(ts)    |
@@ -81,7 +81,7 @@ final class GraftRawdataClient(
 
   /** reference RawdataClosedException on use-after-close */
   private def ensureOpen(): Unit =
-    if (closed) throw new IllegalStateException("rawdata client is closed")
+    if (closed) throw new RawdataClosedException("rawdata client")
 
   private def track[C <: AutoCloseable](c: C): C = { children.add(c); c }
 
@@ -99,8 +99,55 @@ final class GraftRawdataClient(
       * publishes append new files to the topic (Topic.write).
       */
     def publish(messages: DataFrame): Seq[TopicFile] = {
-      if (producerClosed) throw new IllegalStateException("rawdata producer is closed")
+      if (producerClosed) throw new RawdataClosedException("rawdata producer")
       Topic.write(messages, topicDir(topic), cfg)
+    }
+
+    // ------------------------------------- two-phase buffer → publish
+
+    /** positions buffered but not yet published, in buffer order —
+      * the reference producer's staging area (rawdata API
+      * buffer(builder) → publish(positions...)). Driver-side state by
+      * design: the two-phase contract exists for SMALL transactional
+      * batches where the caller wants per-position control; bulk loads
+      * use the distributed publish(DataFrame) path above.
+      */
+    private val pending =
+      new java.util.LinkedHashMap[String, RawdataMessage]()
+
+    /** Stage a message under its position without publishing it.
+      * Re-buffering a position overwrites the staged message, like the
+      * reference's keyed buffer.
+      */
+    def buffer(messages: RawdataMessage*): Producer = synchronized {
+      if (producerClosed) throw new RawdataClosedException("rawdata producer")
+      messages.foreach(m => pending.put(m.position, m))
+      this
+    }
+
+    /** positions currently staged (TCK-visible contract) */
+    def bufferedPositions: Seq[String] = synchronized {
+      import scala.jdk.CollectionConverters._
+      pending.keySet().asScala.toSeq
+    }
+
+    /** Publish exactly the named buffered positions and drop them from
+      * the buffer. Naming an unbuffered position fails LOUDLY with
+      * RawdataNotBufferedException BEFORE anything is written (the
+      * reference's all-or-nothing per-call contract), so a partial
+      * publish can't slip through silently.
+      */
+    def publish(positions: String*): Seq[TopicFile] = {
+      val batch = synchronized {
+        if (producerClosed) throw new RawdataClosedException("rawdata producer")
+        val missing = positions.filterNot(pending.containsKey)
+        if (missing.nonEmpty) throw new RawdataNotBufferedException(missing.head)
+        val msgs = positions.map(pending.get)
+        positions.foreach(pending.remove)
+        msgs
+      }
+      import spark.implicits._
+      publish(spark.createDataset(batch).toDF())
     }
 
     /** fire-and-track publish (reference AvroRawdataProducer.publishAsync:
@@ -181,7 +228,7 @@ final class GraftRawdataClient(
       * arriving data, not the topic.
       */
     def receive(timeoutMs: Long): Seq[RawdataMessage] = {
-      if (consumerClosed) throw new IllegalStateException("rawdata consumer is closed")
+      if (consumerClosed) throw new RawdataClosedException("rawdata consumer")
       val dir = topicDir(topic)
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       while (true) {
@@ -243,9 +290,11 @@ final class GraftRawdataClient(
   /** Durable consumer-group cursors: the reference leaves resume state
     * to the caller (cursorOf + an external store); graft closes that
     * loop with the engine's own per-topic KV store, so a restarted
-    * session resumes exactly where the group left off. Crash-safe: the
-    * metadata store's puts are `_SUCCESS`-gated log-structured
-    * generations — a torn commit is invisible to readers.
+    * session resumes exactly where the group left off. Crash-safe AND
+    * race-safe: each cursor key commits as its own temp→rename version
+    * file (MetadataStore), so a torn commit is invisible to readers and
+    * two groups committing concurrently can never lose each other's
+    * update.
     */
   def commitCursor(topic: String, group: String, ulidHex: String): Unit = {
     ensureOpen()
@@ -280,6 +329,13 @@ final class GraftRawdataClient(
     ensureOpen()
     Topic.positionToUlidHex(spark, topicDir(topic), position, approxTsMs, toleranceMs)
   }
+
+  /** reference-strict cursorOf: throws RawdataNoSuchPositionException
+    * where the Option form returns None (AvroRawdataClient.java:89-115)
+    */
+  def cursorOfStrict(topic: String, position: String, approxTsMs: Long, toleranceMs: Long): String =
+    cursorOf(topic, position, approxTsMs, toleranceMs)
+      .getOrElse(throw new RawdataNoSuchPositionException(position))
 
   /** lastMessage(topic): last-file last-block fast path
     * (reference AvroRawdataClient.java:126-147)

@@ -9,10 +9,11 @@ import graft.SparkSpec
   * against the Spark-native facade. Deviations are explicit:
   *  - receive(timeout) returns a (possibly multi-message) batch here, so
   *    ordering asserts drain the consumer and compare sequences;
-  *  - cursorOf of a missing position returns None where the reference
-  *    throws RawdataNoSuchPositionException;
   *  - time-based windowing rolls on MESSAGE time (ULID timestamps), so
   *    the TCK's Thread.sleep(1100) becomes explicit ULID timestamps.
+  * (cursorOf has both forms: the Option-returning Spark-idiomatic one
+  * and cursorOfStrict with the reference's
+  * RawdataNoSuchPositionException.)
   */
 class ReferenceTckSpec extends SparkSpec {
   import spark.implicits._
@@ -152,9 +153,18 @@ class ReferenceTckSpec extends SparkSpec {
       msg(80, "a", pay(5, 5): _*), msg(81, "b", pay(3, 3): _*), msg(82, "c", pay(7, 7): _*)))
     val now = T0 + 100
     Seq("a", "b", "c").foreach(p => assert(client.cursorOf("tck-cur", p, now, 1000).isDefined))
-    // deviation: None instead of RawdataNoSuchPositionException
+    // Option form returns None; the strict form throws the reference's
+    // typed exception (AvroRawdataClient.java:89-115)
     assert(client.cursorOf("tck-cur", "d", now, 1000).isEmpty)
     assert(client.cursorOf("tck-cur-empty", "d", now, 1000).isEmpty)
+    intercept[RawdataNoSuchPositionException] {
+      client.cursorOfStrict("tck-cur", "d", now, 1000)
+    }
+    intercept[RawdataNoSuchPositionException] {
+      client.cursorOfStrict("tck-cur-empty", "d", now, 1000)
+    }
+    assert(client.cursorOfStrict("tck-cur", "a", now, 1000) ===
+      client.cursorOf("tck-cur", "a", now, 1000).get)
   }
 
   // Tck.java:398 thatMultipleGCSFilesCanBeProducedAndReadBack
@@ -262,5 +272,59 @@ class ReferenceTckSpec extends SparkSpec {
     md.remove(key3)
     assert(md.keys.size === 2)
     assert(md.get(key3).isEmpty)
+  }
+
+  // rawdata API two-phase contract: buffer(builder...) stages by
+  // position, publish(positions...) emits exactly those (the reference's
+  // per-position producer protocol every migration call site uses first)
+  test("buffer then publish(positions) emits exactly the named positions") {
+    val p = client.producer("tck-buf")
+    p.buffer(msg(300, "a", pay(5, 5): _*), msg(301, "b", pay(3, 3): _*),
+      msg(302, "c", pay(7, 7): _*))
+    assert(p.bufferedPositions === Seq("a", "b", "c"))
+    p.publish("a", "c")
+    assert(p.bufferedPositions === Seq("b"))
+    assert(drain(client.consumer("tck-buf")).map(_.position) === Seq("a", "c"))
+    Topic.invalidateListing(client.topicDir("tck-buf"))
+    p.publish("b")
+    assert(p.bufferedPositions.isEmpty)
+    assert(drain(client.consumer("tck-buf")).map(_.position) === Seq("a", "b", "c"))
+  }
+
+  // rawdata API RawdataNotBufferedException: naming an unbuffered
+  // position fails loudly BEFORE anything is written
+  test("publishing an unbuffered position fails loudly without writing") {
+    val p = client.producer("tck-nobuf")
+    p.buffer(msg(310, "a", pay(5, 5): _*))
+    intercept[RawdataNotBufferedException] { p.publish("a", "ghost") }
+    // nothing was published and the staged message survived
+    assert(client.lastMessage("tck-nobuf").isEmpty)
+    assert(p.bufferedPositions === Seq("a"))
+    // re-buffering a position overwrites in place (keyed buffer)
+    p.buffer(msg(311, "a", pay(9, 9): _*))
+    assert(p.bufferedPositions === Seq("a"))
+    p.publish("a")
+    val got = drain(client.consumer("tck-nobuf"))
+    assert(got.map(_.position) === Seq("a"))
+    assert(got.head.data("payload1").length === 9)
+  }
+
+  // reference RawdataClosedException (AvroRawdataProducer.java:206-208,
+  // AvroRawdataClient.java:147-152): every surface fails fast after close
+  test("closed client, producer and consumer throw RawdataClosedException") {
+    val p = client.producer("tck-closed")
+    val c = client.consumer("tck-closed")
+    p.close()
+    c.close()
+    intercept[RawdataClosedException] { p.publish(df(msg(320, "a", pay(1): _*))) }
+    intercept[RawdataClosedException] { p.buffer(msg(321, "b", pay(1): _*)) }
+    intercept[RawdataClosedException] { p.publish("b") }
+    intercept[RawdataClosedException] { c.receive(10) }
+    val c2 = new GraftRawdataClient(spark, base)
+    c2.close()
+    intercept[RawdataClosedException] { c2.producer("x") }
+    intercept[RawdataClosedException] { c2.consumer("x") }
+    intercept[RawdataClosedException] { c2.metadata("x") }
+    intercept[RawdataClosedException] { c2.lastMessage("x") }
   }
 }
