@@ -55,4 +55,35 @@ class CursorCommitSpec extends SparkSpec {
       assert(c2.committedCursor(topic, "fresh").isEmpty)
     } finally c2.close()
   }
+
+  // the reference stores one object per key, so per-key puts are
+  // independent; a whole-store read-modify-write would silently lose one
+  // of two concurrent commits. Hammer N groups committing in parallel
+  // and require EVERY commit to survive.
+  test("concurrent cursor commits of different groups never lose updates") {
+    val base = Topic.tempDir("cursor-race")
+    val client = new GraftRawdataClient(spark, base)
+    try {
+      val groups = (0 until 8).map(i => s"group-$i")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val done = Future.traverse(groups.zipWithIndex) { case (g, i) =>
+        Future { client.commitCursor("race", g, f"cursor-value-$i%02d") }
+      }
+      Await.result(done, 60.seconds)
+      groups.zipWithIndex.foreach { case (g, i) =>
+        assert(client.committedCursor("race", g).contains(f"cursor-value-$i%02d"),
+          s"lost concurrent commit for $g")
+      }
+      // same-key races stay last-writer-wins: a later rewrite supersedes
+      client.commitCursor("race", "group-0", "rewritten")
+      assert(client.committedCursor("race", "group-0").contains("rewritten"))
+      // metadata puts interleaved with cursor commits are independent too
+      client.metadata("race").put("unrelated", "x".getBytes("UTF-8"))
+      groups.tail.zipWithIndex.foreach { case (g, i) =>
+        assert(client.committedCursor("race", g).contains(f"cursor-value-${i + 1}%02d"))
+      }
+    } finally client.close()
+  }
 }
