@@ -89,9 +89,34 @@ object Topic {
     * A literal re-publish of identical data fails fast on the name
     * collision rather than silently overwriting.
     */
+  /** Orphaned temp files older than this are reclaimed at the next
+    * publish. The age gate keeps a CONCURRENT publish's in-flight temps
+    * safe (writer tasks stream for seconds, not hours); anything older
+    * is debris from a crashed writer — on an object store, where the
+    * commit rename is a copy+delete, a crash between the two leaves the
+    * committed final name AND the stray temp (readers only ever resolve
+    * committed `.avro` names, so the debris costs storage, not
+    * correctness — TopicSpec's torn-rename case proves both halves).
+    */
+  private[graft] val TempOrphanAgeMs: Long = 3600L * 1000
+
+  /** delete crashed-writer temp debris past the age gate (one listing,
+    * best-effort — a racing delete is fine)
+    */
+  private def cleanOrphanTemps(fs: org.apache.hadoop.fs.FileSystem, topicDir: String): Unit = {
+    val cutoff = System.currentTimeMillis() - TempOrphanAgeMs
+    try fs.listStatus(new Path(topicDir)).iterator
+      .filter(st => st.isFile && st.getPath.getName.startsWith(".inprogress-") &&
+        st.getPath.getName.endsWith(".tmp") && st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, false))
+    catch { case _: java.io.FileNotFoundException => () }
+  }
+
   def write(messages: DataFrame, topicDir: String, cfg: TopicConfig = TopicConfig()): Seq[TopicFile] = {
     val conf = HadoopIO.conf()
-    HadoopIO.fs(topicDir, conf).mkdirs(new Path(topicDir))
+    val topicFs = HadoopIO.fs(topicDir, conf)
+    topicFs.mkdirs(new Path(topicDir))
+    cleanOrphanTemps(topicFs, topicDir)
     val idHex = Ulid.hexOf(col("id"))
     val tsMs = Ulid.timestampMs(col("id"))
     val approxBytes = expr("aggregate(map_values(data), 0L, (acc, v) -> acc + length(v))") +
@@ -423,15 +448,21 @@ object Topic {
   /** Retention: delete topic files that provably contain ONLY messages
     * older than `beforeTsMs` — the log-expiry maintenance op a 100 TB
     * append-only topic needs (the reference leaves retention to GCS
-    * lifecycle rules on the bucket; here it is a first-class, metadata-only
-    * operation).
+    * lifecycle rules on the bucket; here it is a first-class operation).
     *
-    * Safety argument (no data read): files are ULID-ordered end to end —
-    * every message in file i has an id strictly below file i+1's first id,
-    * so its timestamp is ≤ fromTs(i+1). File i is therefore deletable iff
-    * fromTs(i+1) < beforeTsMs. The newest file is never deleted (nothing
-    * bounds it from above). One LIST + one DELETE per expired file;
-    * nothing scales with message count.
+    * Two-step safety: the successor bound (fromTs(i+1) < beforeTsMs)
+    * prefilters candidates from the LISTING alone — but it assumes files
+    * never overlap in ULID range, and the publish API accepts
+    * caller-supplied ULIDs, so a later producer session CAN write
+    * messages older than an existing file's span. Each candidate is
+    * therefore confirmed by its OWN upper bound: one seek to the file's
+    * last block (the filename carries the offset — the lastMessage fast
+    * path) reads its true last message timestamp, and the file is
+    * deleted iff that is < beforeTsMs. Cost stays one LIST + one
+    * last-block read + one DELETE per expired file — nothing scales with
+    * message count — and an overlapping out-of-order file survives
+    * instead of taking live messages with it. The newest file is never
+    * deleted (nothing bounds it from above).
     */
   def expire(topicDir: String, beforeTsMs: Long): Seq[TopicFile] = {
     val files = listFiles(topicDir)
@@ -439,11 +470,21 @@ object Topic {
     val conf = HadoopIO.conf()
     val fs = HadoopIO.fs(topicDir, conf)
     val expired = files.zip(files.tail).collect {
-      case (f, next) if next.fromTsMs < beforeTsMs => f
+      case (f, next) if next.fromTsMs < beforeTsMs && lastTsMs(f, conf) < beforeTsMs => f
     }
     expired.foreach(f => fs.delete(new Path(f.path), false): Unit)
     if (expired.nonEmpty) invalidateListing(topicDir)
     expired
+  }
+
+  /** timestamp of a file's LAST message — one seek to the last block via
+    * the filename's offset
+    */
+  private def lastTsMs(f: TopicFile, conf: org.apache.hadoop.conf.Configuration): Long = {
+    val it = AvroCodec.readFileFrom(f.path, f.lastBlockOffset, conf)
+    var last: RawdataMessage = null
+    while (it.hasNext) last = it.next()
+    if (last == null) Long.MaxValue else ulidTs(last.id)
   }
 
   def tempDir(prefix: String): String = {

@@ -149,6 +149,49 @@ class TopicSpec extends SparkSpec {
     assert(fs.exists(dest4) && !fs.exists(tmp4))
   }
 
+  // Object-store commit: the temp→final rename is a copy+delete there,
+  // and a crash between the two leaves BOTH names (Topic.scala commit
+  // notes). Simulate exactly that torn state and prove (1) readers
+  // resolve only committed .avro names — the debris changes nothing;
+  // (2) the next publish converges and reclaims debris past the age
+  // gate; (3) a FRESH temp (a live concurrent writer) is never touched.
+  test("torn rename (copy done, delete missed) is invisible and reclaimed") {
+    val dir = Topic.tempDir("topic-torn")
+    val midMs = 1705276800000L
+    val batch1 = messages.filter(Ulid.timestampMs(col("id")) < midMs)
+    val batch2 = messages.filter(Ulid.timestampMs(col("id")) >= midMs)
+    Topic.write(batch1, dir, EventsAsTopic.cfg)
+    val committed = Topic.listFiles(dir)
+    val before = Topic.readDF(spark, dir).select("ulid_hex")
+      .collect().map(_.getString(0)).sorted
+
+    // the torn state: the committed final name exists AND its source
+    // temp was never deleted — byte-identical copy under a temp name
+    val fs = HadoopIO.fs(dir, HadoopIO.conf())
+    val src = new org.apache.hadoop.fs.Path(committed.head.path)
+    val torn = HadoopIO.child(dir, ".inprogress-torncrash01.tmp")
+    val fresh = HadoopIO.child(dir, ".inprogress-livewriter1.tmp")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, torn, false, HadoopIO.conf())
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, fresh, false, HadoopIO.conf())
+    // age the torn temp past the reclaim gate; `fresh` keeps now-mtime
+    fs.setTimes(torn, System.currentTimeMillis() - Topic.TempOrphanAgeMs - 60000, -1)
+
+    // (1) readers ignore the debris entirely
+    Topic.invalidateListing(dir)
+    assert(Topic.listFiles(dir).map(_.path) === committed.map(_.path))
+    assert(Topic.readDF(spark, dir).select("ulid_hex")
+      .collect().map(_.getString(0)).sorted === before)
+    assert(Topic.lastMessage(dir).isDefined)
+
+    // (2) the next publish reclaims the aged debris and converges
+    Topic.write(batch2, dir, EventsAsTopic.cfg)
+    assert(!fs.exists(torn), "aged orphan temp should be reclaimed by the next publish")
+    // (3) the recent temp — possibly a live concurrent writer — survives
+    assert(fs.exists(fresh), "fresh in-flight temp must never be reclaimed")
+    Topic.invalidateListing(dir)
+    assert(Topic.readDF(spark, dir).count() === messages.count())
+  }
+
   test("topic write succeeds even when Hadoop's fs cache holds a ChecksumFileSystem") {
     // A session not built through GraftSession may have already opened a
     // file:// path, pinning LocalFileSystem (checksum flavour) in Hadoop's
