@@ -86,8 +86,14 @@ object NativeVectorRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case DotShape(a, b) =>
+    // the rewrites DUPLICATE child expressions (a/b into the size guard
+    // AND the dot; q into both LongDot slots), so they are only sound
+    // when the children are deterministic — a non-deterministic array
+    // (e.g. built from rand()) could give the guard and the kernel
+    // different values. Deterministic duplicates cost nothing extra in
+    // practice (CSE merges them).
+    case DotShape(a, b) if a.deterministic && b.deterministic =>
       If(EqualTo(Size(a), Size(b)), LongDot(a, b), Literal(null, LongType))
-    case NormShape(q) => LongDot(q, q)
+    case NormShape(q) if q.deterministic => LongDot(q, q)
   }
 }

@@ -36,15 +36,24 @@ object VectorSigOps {
     ArrayData.toArrayData(out)
   }
 
+  private def nullElement(fn: String, i: Int): Nothing =
+    throw new NullPointerException(
+      s"$fn: null element at index $i — vector columns must have non-null " +
+        "elements (the embeddings contract); filter or impute nulls first")
+
   /** float-array → micro-unit quantization, floor(x·1e6 + 0.5) per
     * element — same IEEE double arithmetic as the SQL
     * `CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)`.
+    * A null element fails LOUDLY (the earlier kernel quantized the null
+    * slot's raw garbage — silent divergence from the SQL twin); the
+    * check is one predictable bit test per element.
     */
   def quantizeF(a: ArrayData): ArrayData = {
     val n = a.numElements()
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) nullElement("quantize_vec", i)
       out(i) = math.floor(a.getFloat(i).toDouble * 1000000.0 + 0.5).toLong
       i += 1
     }
@@ -57,6 +66,7 @@ object VectorSigOps {
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) nullElement("quantize_vec", i)
       out(i) = math.floor(a.getDouble(i) * 1000000.0 + 0.5).toLong
       i += 1
     }
@@ -64,7 +74,9 @@ object VectorSigOps {
   }
 
   /** Exact int64 dot product of two quantized vectors (equal-length by
-    * construction; defensively bounded by the shorter one).
+    * construction; defensively bounded by the shorter one). No per-slot
+    * null checks — LongDot routes here only when BOTH input types prove
+    * containsNull=false (QuantizeVec output always does).
     */
   def dot(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()
@@ -73,6 +85,24 @@ object VectorSigOps {
     var s = 0L
     var i = 0
     while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  /** null-checking twin of [[dot]] for inputs whose TYPE admits null
+    * elements (user-supplied `long_dot` calls) — loud failure instead of
+    * reading a null slot's garbage
+    */
+  def dotChecked(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = if (na < nb) na else nb
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElement("long_dot", i)
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
     s
   }
 }
@@ -141,11 +171,22 @@ case class LongDot(left: Expression, right: Expression) extends BinaryExpression
   override def dataType: DataType = LongType
   override def prettyName: String = "long_dot"
 
+  /** kernel choice is a TYPE-level decision: the tight no-check loop only
+    * when both inputs prove containsNull=false (QuantizeVec output), the
+    * null-checking twin otherwise — a null slot fails loudly either way,
+    * never reads garbage
+    */
+  private def kernel: String = (left.dataType, right.dataType) match {
+    case (ArrayType(_, false), ArrayType(_, false)) => "dot"
+    case _ => "dotChecked"
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorSigOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (kernel == "dot") VectorSigOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else VectorSigOps.dotChecked(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorSigOps.dot($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorSigOps.$kernel($a, $b)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongDot =
     copy(left = newLeft, right = newRight)
@@ -154,9 +195,10 @@ case class LongDot(left: Expression, right: Expression) extends BinaryExpression
 /** Native Catalyst expression: embedding (array<float> or array<double>)
   * → micro-unit quantized vector (array<long>), floor(x·1e6 + 0.5) per
   * element. Replaces the interpreted `transform(...)` HOF at the base of
-  * every embedding scan; bit-equal with the SQL form (VectorSigSpec).
-  * Assumes non-null elements (the embeddings contract); a null element
-  * quantizes from the slot's raw zero rather than propagating null.
+  * every embedding scan; bit-equal with the SQL form on the non-null
+  * domain (VectorSigSpec). A null ELEMENT violates the embeddings
+  * contract and fails loudly in the kernel (never a silent garbage
+  * quantization), so the declared containsNull=false output is honest.
   */
 case class QuantizeVec(child: Expression) extends UnaryExpression {
 

@@ -356,9 +356,12 @@ object TextQueries {
     // Scale shape: pair counts and marginals are chained partial aggs;
     // the marginal joins key on single tokens (vocab-sized sides, AQE
     // decides broadcast); the global total is a 1-row broadcast. Bit
-    // budget: n_ab·N·1e6 ≤ N²·1e6 — int64-safe to N ≈ 3e6 window pairs
-    // per... scope the lift to a per-shard corpus or widen to DECIMAL
-    // past ~10⁶ pairs (N is the PAIR total, not the corpus size).
+    // budget: the lift numerator n_ab·N·1e6 runs in DECIMAL(38,0) with
+    // an exact integral divide — int64 would overflow past N ≈ 3e6
+    // window pairs (silently wrapping without ANSI; hard-erroring with
+    // it), while 38 digits hold to N ≈ 1e13, i.e. the 100 TB corpus.
+    // For positive decimals `div` is the exact floor, so the result is
+    // bit-identical to the BIGINT form wherever both are defined.
     "txt_pmi" -> { (s, d) =>
       import s.implicits._
       val counts = skipgramPairs(s, d)
@@ -370,7 +373,9 @@ object TextQueries {
         .join(marg.select($"center".as("context"), $"n_a".as("n_b")), Seq("context"))
         .crossJoin(broadcast(tot))
         .filter($"n_ab" >= 10)
-        .withColumn("lift_ppm", expr("(n_ab * nn * 1000000) div (n_a * n_b)"))
+        .withColumn("lift_ppm", expr(
+          "CAST((CAST(n_ab AS DECIMAL(38,0)) * nn * 1000000) div " +
+            "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
         .select($"center", $"context", $"n_ab", $"lift_ppm")
         .orderBy($"lift_ppm".desc, $"center", $"context")
         .limit(20)

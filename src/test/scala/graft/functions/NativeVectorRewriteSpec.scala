@@ -70,4 +70,23 @@ class NativeVectorRewriteSpec extends SparkSpec {
     assert(rewritten.forall(identity), "padded zip_with must stay null")
     assert(rewritten.toSeq === reference.toSeq)
   }
+
+  // the rewrite duplicates its children (size guard + kernel, q into
+  // both LongDot slots) — sound only for deterministic expressions, so a
+  // non-deterministic array must be left on the interpreted path
+  test("non-deterministic inputs are not rewritten") {
+    VectorOps.quantized(spark, sf).createOrReplaceTempView("nvr_qv4")
+    val nondet = spark.sql(
+      """SELECT aggregate(zip_with(shuffle(q), shuffle(q), (x, y) -> x * y),
+        |                 0L, (acc, v) -> acc + v) AS dot
+        |FROM nvr_qv4""".stripMargin)
+    assert(!usesLongDot(nondet), "non-deterministic dot must stay interpreted")
+    val nondetNorm = spark.sql(
+      "SELECT aggregate(shuffle(q), 0L, (acc, x) -> acc + x * x) AS nn2 FROM nvr_qv4")
+    assert(!usesLongDot(nondetNorm), "non-deterministic norm must stay interpreted")
+    // while the deterministic forms (previous tests) keep rewriting
+    val det = spark.sql(
+      "SELECT aggregate(q, 0L, (acc, x) -> acc + x * x) AS nn2 FROM nvr_qv4")
+    assert(usesLongDot(det))
+  }
 }

@@ -90,6 +90,28 @@ class VectorSigSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  // null-element contract: the kernels must fail LOUDLY (the silent
+  // alternative quantizes the null slot's raw garbage), and long_dot on
+  // types that PROVE containsNull=false keeps the no-check fast kernel
+  test("a null vector element fails loudly, never quantizes garbage") {
+    val nullable = spark.sql(
+      "SELECT array(CAST(1.5 AS FLOAT), CAST(NULL AS FLOAT)) AS embedding")
+    val err = intercept[Exception] {
+      nullable.selectExpr("quantize_vec(embedding) AS q").collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(err).exists(_.contains("null element")))
+    val dotErr = intercept[Exception] {
+      spark.sql("SELECT long_dot(array(1L, NULL), array(2L, 3L)) AS d").collect()
+    }
+    assert(rootMessages(dotErr).exists(_.contains("null element")))
+    // a whole-NULL array still propagates null (expression-level
+    // null handling, untouched by the element contract)
+    val r = spark.sql("SELECT quantize_vec(CAST(NULL AS ARRAY<FLOAT>)) AS q").collect()
+    assert(r.head.isNullAt(0))
+  }
+
   test("sig (single-table packed form) matches the first band") {
     val e = VectorOps.quantized(spark, sf)
     val sig = VectorOps.withHyperplaneSig(e, 8)
