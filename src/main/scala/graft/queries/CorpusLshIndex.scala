@@ -91,7 +91,11 @@ object CorpusLshIndex {
       // bucketing still shuffles both sides under the default
       // requireAllClusterKeysForCoPartition)
       val band = save(DedupQueries.bandsOfSigs(sig), "band", Seq("band", "bkey"))
-      save(DedupQueries.jaccardFor(sh, DedupQueries.pairsOfBands(band)), "jac", Seq("doc_a"))
+      // candidate generation is skew-aware: hot buckets (boilerplate
+      // shingles) are salted so no single task materializes a bucket's m²
+      // pairs; output is identical to the plain self-join
+      save(DedupQueries.jaccardFor(sh,
+        DedupQueries.pairsOfBandsSkewAware(band)), "jac", Seq("doc_a"))
     }
   }
 

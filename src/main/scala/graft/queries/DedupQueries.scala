@@ -374,6 +374,50 @@ object DedupQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
+  /** a band bucket above this occupancy is "hot": its m²/2 within-bucket
+    * pairs would otherwise materialize in ONE task (boilerplate shingles
+    * — the skew AQE can't re-split here because the join feeds the
+    * distinct aggregation keyed the same way)
+    */
+  private[graft] val HotBucketOccupancy = 1000L
+
+  /** salt fan-out for hot buckets */
+  private[graft] val BandSalts = 16
+
+  /** Skew-aware twin of [[pairsOfBands]]: IDENTICAL output pair set
+    * (SkewBandJoinSpec), bounded per-task work. Buckets are split by
+    * occupancy (one partial agg on the band keys — exchange-free over
+    * the bucketed index table): the cold majority takes the plain
+    * self-join; each hot bucket's probe side is salted `salts` ways by
+    * doc-id hash and its build side replicated per salt, so the m²
+    * within-bucket pair generation spreads over `salts` tasks instead of
+    * straggling on one. The union is de-duplicated once at the end (a
+    * pair colliding in a hot AND a cold band would otherwise double).
+    */
+  private[graft] def pairsOfBandsSkewAware(b: DataFrame,
+      hot: Long = HotBucketOccupancy, salts: Int = BandSalts): DataFrame = {
+    val s = b.sparkSession
+    import s.implicits._
+    val hotKeys = b.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("__occ"))
+      .filter($"__occ" > hot)
+      .select($"band", $"bkey")
+    val cold = b.join(hotKeys, Seq("band", "bkey"), "left_anti")
+    val hotRows = b.join(hotKeys, Seq("band", "bkey"), "left_semi")
+    def pairsNoDistinct(a: DataFrame, bb: DataFrame, extra: Seq[String]): DataFrame = {
+      val keys = Seq("band", "bkey") ++ extra
+      val cond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+        col("a.doc_id") < col("b.doc_id")
+      a.as("a").join(bb.as("b"), cond)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    }
+    val probe = hotRows.withColumn("__salt", pmod(hash($"doc_id"), lit(salts)))
+    val build = hotRows.withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))
+    pairsNoDistinct(cold, cold, Nil)
+      .unionByName(pairsNoDistinct(probe, build, Seq("__salt")))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     // exact dedup: content-hash groups, keep-first; per-source summary
     "dd_exact" -> { (s, d) =>
@@ -800,9 +844,10 @@ object DedupQueries {
     // per-(table, bits) bucket equi-join and the candidate-proportional
     // verify join — no all-pairs comparison anywhere. At larger corpora,
     // widen bits/table (bucket count should track log2 n) and add tables
-    // to hold recall. rows-only at the oracle (the answer depends on the
-    // bucketing); recall vs exact all-pairs truth and exactness of every
-    // emitted cosine are asserted in AnnSpec.
+    // to hold recall. Oracle: the full banding is REPLAYED in SQL
+    // (EmbedPairCtes — planes regenerated from the md5 recipe), so the
+    // answer is hash-checked; recall vs exact all-pairs truth and
+    // exactness of every emitted cosine are additionally in AnnSpec.
     "dd_embed_lsh" -> { (s, d) => embedLshPairs(s, d) }
   )
 
@@ -896,6 +941,61 @@ object DedupQueries {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  /** DuckDB replay of the embedding quantization + md5-derived ±1
+    * hyperplane dot products — the base every embed-LSH oracle shares
+    * (the planes are regenerated IN SQL from the same `md5("j:i")` first-
+    * byte recipe as VectorOps.hyperplanes, so no literal matrix is
+    * embedded). `eq` keeps DuckDB's 1-based dim index; the planes join
+    * subtracts 1.
+    */
+  private[graft] val EmbedBaseCtes: String =
+    s"""eq AS (
+       |  SELECT vec_id, CAST(i AS INT) AS i,
+       |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+       |nrm AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nn FROM eq GROUP BY 1),
+       |planes AS (
+       |  SELECT CAST(j AS INT) AS j, CAST(i AS INT) AS i,
+       |    CASE WHEN CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 2) AS INT) < 128
+       |         THEN 1 ELSE -1 END AS w
+       |  FROM range(0, ${EmbedLshTables * EmbedLshBits}) tj(j), range(0, 64) ti(i)),
+       |pdots AS (
+       |  SELECT e.vec_id, p.j, CAST(SUM(e.q * p.w) AS BIGINT) AS dot
+       |  FROM eq e JOIN planes p ON p.i = e.i - 1
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** ...and the full multi-probe pair replay on top: 10×8-bit band
+    * tables, hamming-1 probes, exact integer-cosine verification —
+    * `epairs(va, vb, cos_ppm)` is the UNTHRESHOLDED twin of
+    * embedLshPairsRaw (zero-norm vectors excluded exactly as the engine
+    * does before banding).
+    */
+  private[graft] val EmbedPairCtes: String =
+    s"""$EmbedBaseCtes,
+       |ebands AS (
+       |  SELECT d.vec_id, CAST(d.j // ${EmbedLshBits} AS INT) AS tbl,
+       |    CAST(SUM(CASE WHEN d.dot > 0 THEN CAST(1 << (d.j % ${EmbedLshBits}) AS BIGINT) ELSE 0 END) AS BIGINT) AS bits
+       |  FROM pdots d JOIN nrm ON nrm.vec_id = d.vec_id AND nrm.nn > 0
+       |  GROUP BY 1, 2),
+       |eprobes AS (
+       |  SELECT vec_id, tbl,
+       |    CAST(CASE WHEN k = -1 THEN bits
+       |              ELSE xor(bits, CAST(1 << CAST(k AS INT) AS BIGINT)) END AS BIGINT) AS bits
+       |  FROM ebands, range(-1, ${EmbedLshBits}) tk(k)),
+       |ecand AS (
+       |  SELECT DISTINCT p.vec_id AS va, b.vec_id AS vb
+       |  FROM eprobes p JOIN ebands b ON b.tbl = p.tbl AND b.bits = p.bits
+       |  WHERE p.vec_id < b.vec_id),
+       |epairs AS (
+       |  SELECT c.va, c.vb,
+       |    CAST(FLOOR(CAST(SUM(ea.q * eb.q) AS BIGINT) / (sqrt(MAX(na.nn)) * sqrt(MAX(nb.nn))) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+       |  FROM ecand c
+       |  JOIN eq ea ON ea.vec_id = c.va
+       |  JOIN eq eb ON eb.vec_id = c.vb AND eb.i = ea.i
+       |  JOIN nrm na ON na.vec_id = c.va
+       |  JOIN nrm nb ON nb.vec_id = c.vb
+       |  GROUP BY 1, 2)""".stripMargin
 
   private val SimhashCtes: String = {
     val bitSums = (0 until 32).map { b =>
@@ -1297,6 +1397,15 @@ object DedupQueries {
         |  CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
         |FROM p JOIN n na ON na.vec_id = p.va JOIN n nb ON nb.vec_id = p.vb
         |WHERE FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) >= 300000
-        |ORDER BY vec_a, vec_b""".stripMargin
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // full banding replay (no longer rows-only): quantize → 80 plane
+    // dots → 10×8-bit bands → hamming-1 multi-probe → exact cosine, all
+    // regenerated in SQL from the same md5 recipes as the engine
+    "dd_embed_lsh" ->
+      (s"WITH $EmbedPairCtes\n" +
+        s"""SELECT va AS vec_a, vb AS vec_b, cos_ppm FROM epairs
+           |WHERE cos_ppm >= $EmbedLshThresholdPpm
+           |ORDER BY vec_a, vec_b""".stripMargin)
   )
 }
