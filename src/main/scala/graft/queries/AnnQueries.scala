@@ -16,9 +16,11 @@ import graft.Tables.t
   * Scale shapes: brute-force broadcasts the (small) query set against the
   * corpus — a map-only pass plus one per-query top-k; LSH and IVF both
   * shuffle once on their bucket key and then work within buckets. The
-  * approximate variants are rows-only checked (their answer depends on the
-  * bucketing, not a SQL-expressible truth) with recall asserted in
-  * AnnSpec.
+  * approximate variants are deterministic (md5-derived planes / seed
+  * centroids), so their bucketing is REPLAYED in the DuckDB oracles and
+  * hash-checked like everything else — AnnSpec additionally asserts
+  * recall against the exact all-pairs truth. Only ann_pq_topk (unrolled
+  * per-subspace k-means codebook) stays rows-only + law-spec'd.
   */
 object AnnQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -61,7 +63,7 @@ object AnnQueries {
     // 8 plane dot products; multi-probe — each query also probes the 8
     // buckets one bit-flip away, trading 9 broadcast probes for recall
     // (same trick scales to 100 TB: probes multiply the tiny query side,
-    // never the corpus). rows-only; recall asserted in AnnSpec.
+    // never the corpus). Oracle: full signature replay; recall in AnnSpec.
     "ann_lsh_topk" -> { (s, d) =>
       import s.implicits._
       val e = graft.operators.VectorOps.withHyperplaneSig(quantized(s, d), Hyperplanes, Dims)
@@ -84,7 +86,8 @@ object AnnQueries {
     },
 
     // IVF-style ANN: cells = nearest of the deterministic seed centroids
-    // (vec_id % 100 == 0); queries probe their 2 nearest cells. rows-only.
+    // (vec_id % 100 == 0); queries probe their 2 nearest cells. Oracle:
+    // full assignment replay (deterministic seeds + tie-breaks).
     "ann_ivf_topk" -> { (s, d) =>
       import s.implicits._
       val e = quantized(s, d)
@@ -275,9 +278,9 @@ object AnnQueries {
     // exact quantized cosine, dd_embed_lsh's chain) → connected
     // components → keep exactly the min-id vector of every duplicate
     // cluster. One row per corpus vector with its cluster and verdict —
-    // the semantic-dedup capstone composition. Rows-only (the pair set
-    // is bucketing-dependent); SemDedupSpec asserts the keep-one-per-
-    // cluster laws. Scale shape: pairs are candidate-proportional, the
+    // the semantic-dedup capstone composition. Oracle: full banding
+    // replay + recursive-CTE closure; SemDedupSpec additionally asserts
+    // the keep-one-per-cluster laws. Scale shape: pairs are candidate-proportional, the
     // component step dispatches tiny graphs to a driver union-find
     // (duplicate graphs ≪ corpus) with the distributed loop as the
     // general path, and the final join is one shuffle on vec_id.
@@ -296,9 +299,10 @@ object AnnQueries {
 
     // k-NN graph construction (the SemDeDup / graph-clustering primitive):
     // every vector's top-5 LSH-discovered neighbors by exact cosine —
-    // ann_lsh_topk generalized from a query set to ALL vectors. Rows-only
-    // (bucket-dependent); KnnGraphSpec measures recall against the exact
-    // all-pairs truth in the cosine regime the buckets are tuned for.
+    // ann_lsh_topk generalized from a query set to ALL vectors. Oracle:
+    // full banding replay; KnnGraphSpec measures recall against the
+    // exact all-pairs truth in the cosine regime the buckets are tuned
+    // for.
     // Scale shape: candidates come from the one-wide-stage multi-probe
     // band join (never all-pairs); the per-vector top-k is a window over
     // each vector's OWN candidates — parallelism = |vectors|.
@@ -354,6 +358,114 @@ object AnnQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // full multi-probe banding replay (shared CTEs with dd_embed_lsh —
+    // DedupQueries.EmbedPairCtes regenerates the planes in SQL): the
+    // UNTHRESHOLDED pair set symmetrized into the per-vector top-5
+    "emb_knn" ->
+      (s"WITH ${DedupQueries.EmbedPairCtes},\n" +
+        """sym AS (
+          |  SELECT va AS vec_id, vb AS neighbor, cos_ppm FROM epairs
+          |  UNION ALL SELECT vb, va, cos_ppm FROM epairs),
+          |rk AS (
+          |  SELECT vec_id, neighbor, cos_ppm,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_ppm DESC, neighbor) AS BIGINT) AS rnk
+          |  FROM sym)
+          |SELECT vec_id, rnk, neighbor, cos_ppm FROM rk WHERE rnk <= 5
+          |ORDER BY vec_id, rnk""".stripMargin),
+
+    // ...the thresholded pairs resolved to clusters by the same
+    // recursive-CTE transitive closure as dd_cluster, keep-min verdicts
+    "emb_semdedup" ->
+      (s"WITH RECURSIVE ${DedupQueries.EmbedPairCtes},\n" +
+        s"""ep AS (SELECT va AS a, vb AS b FROM epairs
+           |  WHERE cos_ppm >= ${DedupQueries.EmbedLshThresholdPpm}),
+           |sym2 AS (SELECT a, b FROM ep UNION SELECT b AS a, a AS b FROM ep),
+           |reach AS (
+           |  SELECT a AS doc, a AS r FROM sym2
+           |  UNION
+           |  SELECT s.b AS doc, reach.r FROM reach JOIN sym2 s ON s.a = reach.doc),
+           |comp AS (SELECT doc AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY doc)
+           |SELECT em.vec_id, COALESCE(c.cluster_id, em.vec_id) AS cluster_id,
+           |  CAST(CASE WHEN em.vec_id = COALESCE(c.cluster_id, em.vec_id) THEN 1 ELSE 0 END AS BIGINT) AS kept
+           |FROM embeddings em LEFT JOIN comp c ON c.vec_id = em.vec_id
+           |ORDER BY em.vec_id""".stripMargin),
+
+    // single-table 8-bit signature replay: the first 8 planes of the
+    // shared base, queries probe own bucket + 8 one-bit flips, exact
+    // cosine, per-query top-k (NO zero-norm exclusion — the engine's
+    // withHyperplaneSig runs on the unfiltered corpus)
+    "ann_lsh_topk" ->
+      (s"WITH ${DedupQueries.EmbedBaseCtes},\n" +
+        s"""sig AS (
+           |  SELECT vec_id,
+           |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(1 << (j % $Hyperplanes) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+           |  FROM pdots WHERE j < $Hyperplanes GROUP BY 1),
+           |qpro AS (
+           |  SELECT vec_id AS qid,
+           |    CAST(CASE WHEN k = -1 THEN sig
+           |              ELSE xor(sig, CAST(1 << CAST(k AS INT) AS BIGINT)) END AS BIGINT) AS probe
+           |  FROM sig, range(-1, $Hyperplanes) tk(k)
+           |  WHERE vec_id < $NumQueries),
+           |cand2 AS (
+           |  SELECT DISTINCT q.qid, c.vec_id AS cid
+           |  FROM qpro q JOIN sig c ON c.sig = q.probe
+           |  WHERE c.vec_id <> q.qid),
+           |pair2 AS (
+           |  SELECT c.qid, c.cid,
+           |    CAST(FLOOR(CAST(SUM(ea.q * eb.q) AS BIGINT) / (sqrt(MAX(na.nn)) * sqrt(MAX(nb.nn))) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+           |  FROM cand2 c
+           |  JOIN eq ea ON ea.vec_id = c.qid
+           |  JOIN eq eb ON eb.vec_id = c.cid AND eb.i = ea.i
+           |  JOIN nrm na ON na.vec_id = c.qid
+           |  JOIN nrm nb ON nb.vec_id = c.cid
+           |  GROUP BY 1, 2),
+           |rk2 AS (
+           |  SELECT qid, cid, cos_ppm,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_ppm DESC, cid) AS BIGINT) AS rnk
+           |  FROM pair2)
+           |SELECT qid, rnk, cid, cos_ppm FROM rk2 WHERE rnk <= $TopK
+           |ORDER BY qid, rnk""".stripMargin),
+
+    // IVF replay: deterministic seed centroids (vec_id % step), nearest-
+    // cell assignment by max cosine with centroid-id tie-break, queries
+    // probe their 2 nearest cells, exact cosine on the probed cells
+    "ann_ivf_topk" -> (QuantCte +
+      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStep = 0),
+         |cdots AS (
+         |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
+         |  FROM e a
+         |  JOIN e b ON b.i = a.i
+         |  JOIN cents c ON c.cent_id = b.vec_id
+         |  GROUP BY 1, 2),
+         |asgn AS (
+         |  SELECT d.vec_id, d.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+         |      CAST(FLOOR(d.dot / (sqrt(nv.nn) * sqrt(nc.nn)) * 1000000.0 + 0.5) AS BIGINT) DESC,
+         |      d.cent_id) AS crnk
+         |  FROM cdots d
+         |  JOIN n nv ON nv.vec_id = d.vec_id
+         |  JOIN n nc ON nc.vec_id = d.cent_id),
+         |cells AS (SELECT vec_id AS cid, cent_id FROM asgn WHERE crnk <= 1),
+         |qprobes AS (SELECT vec_id AS qid, cent_id FROM asgn WHERE crnk <= 2 AND vec_id < $NumQueries),
+         |icand AS (
+         |  SELECT q.qid, cl.cid FROM qprobes q JOIN cells cl ON cl.cent_id = q.cent_id
+         |  WHERE cl.cid <> q.qid),
+         |ipair AS (
+         |  SELECT c.qid, c.cid,
+         |    CAST(FLOOR(CAST(SUM(ea.q * eb.q) AS BIGINT) / (sqrt(MAX(na.nn)) * sqrt(MAX(nb.nn))) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+         |  FROM icand c
+         |  JOIN e ea ON ea.vec_id = c.qid
+         |  JOIN e eb ON eb.vec_id = c.cid AND eb.i = ea.i
+         |  JOIN n na ON na.vec_id = c.qid
+         |  JOIN n nb ON nb.vec_id = c.cid
+         |  GROUP BY 1, 2),
+         |irk AS (
+         |  SELECT qid, cid, cos_ppm,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_ppm DESC, cid) AS BIGINT) AS rnk
+         |  FROM ipair)
+         |SELECT qid, rnk, cid, cos_ppm FROM irk WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin),
+
     "ann_brute_topk" -> (QuantCte +
       s""", dots AS (
          |  SELECT a.vec_id AS qid, b.vec_id AS cid, SUM(a.q * b.q) AS dot
@@ -464,6 +576,8 @@ object AnnQueries {
          |SELECT sk.vec_id, sk.sketch_sig, sk.proj_norm2, CAST(n.nn AS BIGINT) AS nn
          |FROM sk JOIN n ON n.vec_id = sk.vec_id
          |ORDER BY sk.vec_id""".stripMargin)
-    // ann_lsh_topk / ann_ivf_topk / ann_pq_topk: rows-only (bucketing-dependent)
+    // ann_pq_topk: rows-only (per-subspace k-means codebook — unrolled
+    // Lloyd in SQL would dwarf the query; shortlist exactness + recall
+    // are law-spec'd in AnnSpec instead)
   )
 }
