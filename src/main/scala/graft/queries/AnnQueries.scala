@@ -19,8 +19,8 @@ import graft.Tables.t
   * approximate variants are deterministic (md5-derived planes / seed
   * centroids), so their bucketing is REPLAYED in the DuckDB oracles and
   * hash-checked like everything else — AnnSpec additionally asserts
-  * recall against the exact all-pairs truth. Only ann_pq_topk (unrolled
-  * per-subspace k-means codebook) stays rows-only + law-spec'd.
+  * recall against the exact all-pairs truth. Every operator in this
+  * family is value-checked.
   */
 object AnnQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -208,8 +208,9 @@ object AnnQueries {
     // corpus scale the encode is one shuffle of 8 ints per vector, the
     // scan shuffles O(vectors x queries) tiny rows with map-side
     // combine, and the re-rank is a broadcast of the tiny shortlist.
-    // rows-only (shortlist depends on the codebook); recall + exactness
-    // asserted in AnnSpec.
+    // Oracle: full replay (the codebook is deterministic — codewords
+    // are the first 16 vectors' subvectors); recall + shortlist
+    // exactness additionally asserted in AnnSpec.
     "ann_pq_topk" -> { (s, d) =>
       import s.implicits._
       val (m, subDim, nCodes, shortlist) = (8, 8, 16, 5 * TopK)
@@ -308,7 +309,7 @@ object AnnQueries {
     // each vector's OWN candidates — parallelism = |vectors|.
     "emb_knn" -> { (s, d) =>
       import s.implicits._
-      val pairs = DedupQueries.embedLshPairsRaw(s, d)
+      val pairs = CorpusLshIndex.embedPairs(s, d)
       val sym = pairs.select($"vec_a".as("vec_id"), $"vec_b".as("neighbor"), $"cos_ppm")
         .unionByName(pairs.select($"vec_b".as("vec_id"), $"vec_a".as("neighbor"), $"cos_ppm"))
       val w = Window.partitionBy($"vec_id").orderBy($"cos_ppm".desc, $"neighbor")
@@ -425,6 +426,45 @@ object AnnQueries {
            |  FROM pair2)
            |SELECT qid, rnk, cid, cos_ppm FROM rk2 WHERE rnk <= $TopK
            |ORDER BY qid, rnk""".stripMargin),
+
+    // PQ replay: the codebook is DETERMINISTIC (codewords = subvectors
+    // of vec_id < 16 — no iteration), so encode, per-query LUT, ADC
+    // shortlist and exact re-rank all replay in SQL
+    "ann_pq_topk" -> (QuantCte +
+      s""", sub AS (
+         |  SELECT vec_id, CAST((i - 1) // 8 AS INT) AS sub, CAST((i - 1) % 8 AS INT) AS pos, q
+         |  FROM e),
+         |cdist AS (
+         |  SELECT a.vec_id, a.sub, c.vec_id AS code, CAST(SUM((a.q - c.q) * (a.q - c.q)) AS BIGINT) AS dist
+         |  FROM sub a JOIN sub c ON c.sub = a.sub AND c.pos = a.pos AND c.vec_id < 16
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id AS cid, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+         |    FROM cdist) WHERE rn = 1),
+         |lut AS (SELECT vec_id AS qid, sub, code, dist AS qdist FROM cdist WHERE vec_id < $NumQueries),
+         |adc AS (
+         |  SELECT l.qid, c.cid, CAST(SUM(l.qdist) AS BIGINT) AS adist
+         |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+         |  WHERE c.cid <> l.qid
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS srnk
+         |    FROM adc) WHERE srnk <= ${5 * TopK}),
+         |ex AS (
+         |  SELECT s.qid, s.cid, CAST(SUM((ea.q - eb.q) * (ea.q - eb.q)) AS BIGINT) AS dist
+         |  FROM short s
+         |  JOIN e ea ON ea.vec_id = s.qid
+         |  JOIN e eb ON eb.vec_id = s.cid AND eb.i = ea.i
+         |  GROUP BY 1, 2)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, dist FROM (
+         |  SELECT qid, cid, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS rnk
+         |  FROM ex) WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin),
 
     // IVF replay: deterministic seed centroids (vec_id % step), nearest-
     // cell assignment by max cosine with centroid-id tie-break, queries
@@ -576,8 +616,5 @@ object AnnQueries {
          |SELECT sk.vec_id, sk.sketch_sig, sk.proj_norm2, CAST(n.nn AS BIGINT) AS nn
          |FROM sk JOIN n ON n.vec_id = sk.vec_id
          |ORDER BY sk.vec_id""".stripMargin)
-    // ann_pq_topk: rows-only (per-subspace k-means codebook — unrolled
-    // Lloyd in SQL would dwarf the query; shortlist exactness + recall
-    // are law-spec'd in AnnSpec instead)
   )
 }
