@@ -104,6 +104,28 @@ object CorpusLshIndex {
     s.table(tableName(part, tag(d)))
   }
 
+  /** The EMBEDDING side of the index: every multi-probe hyperplane-LSH
+    * candidate pair with its exact integer cosine, unthresholded —
+    * built once per corpus (the quantize → 80-plane banding → probe →
+    * verify chain that dd_embed_lsh, emb_semdedup and emb_knn each
+    * re-ran per query). Candidate-proportional size, bucketed on vec_a
+    * for the downstream joins.
+    */
+  def embedPairs(s: SparkSession, d: String): DataFrame = synchronized {
+    val tbl = tableName("epair", tag(d))
+    if (!s.catalog.tableExists(tbl)) {
+      val dir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir"), "graft-lsh-index"), tag(d))
+      dir.mkdirs()
+      DedupQueries.embedLshPairsRaw(s, d)
+        .write.mode(SaveMode.Overwrite)
+        .option("path", new java.io.File(dir, "epair").getAbsolutePath)
+        .bucketBy(Buckets, "vec_a")
+        .saveAsTable(tbl)
+    }
+    s.table(tbl)
+  }
+
   /** per-doc DISTINCT word-3-shingle arrays (doc_id, ss) */
   def shingles(s: SparkSession, d: String): DataFrame = read(s, d, "sh")
 

@@ -543,25 +543,36 @@ object DedupQueries {
     // (over-aggressive gate, broken dedup) is visible before training.
     // Same composed plan as pipe_clean_corpus; each stage count is a
     // partial agg over that stage's relation.
+    // ONE corpus pass: a narrow per-doc relation (token count, quality
+    // verdict, content fingerprint — no text) feeds all four stage
+    // aggregations; the earlier form re-tokenized the text once per
+    // stage. Near-dup losers come from the materialized LSH index.
     "pipe_report" -> { (s, d) =>
       import s.implicits._
-      val docs = t(s, d, "documents")
-      val q = TextQueries.qualityScored(docs)
-        .filter(floor($"score" * lit(1000000.0) + lit(0.5)).cast("long") >= 550000)
-        .select($"doc_id", $"source", $"text")
-      val keepFirst = q.groupBy(md5($"text").as("f")).agg(min($"doc_id").as("doc_id"))
-      val kept1 = q.join(keepFirst.select($"doc_id"), Seq("doc_id"), "left_semi").persist()
-      val losers = jaccardOf(shingleArrays(kept1).persist())
+      val perDoc = TextQueries.qualityScored(t(s, d, "documents"))
+        .select($"doc_id",
+          size(split($"text", " +")).cast("long").as("n_tok"),
+          (floor($"score" * lit(1000000.0) + lit(0.5)).cast("long") >= 550000).as("q_ok"),
+          md5($"text").as("f"))
+        .persist()
+      val qd = perDoc.filter($"q_ok")
+      val keepFirst = qd.groupBy($"f").agg(min($"doc_id").as("doc_id"))
+      val kept1 = qd.join(keepFirst.select($"doc_id"), Seq("doc_id"), "left_semi")
+        .select($"doc_id", $"n_tok").persist()
+      val ids = kept1.select($"doc_id")
+      val losers = CorpusLshIndex.jaccard(s, d)
+        .join(ids.select($"doc_id".as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(ids.select($"doc_id".as("doc_b")), Seq("doc_b"), "left_semi")
         .filter($"jaccard_ppm" >= 400000)
         .select($"doc_b".as("doc_id")).distinct()
       val cleaned = kept1.join(losers, Seq("doc_id"), "left_anti")
       def stage(n: Long, name: String, df: DataFrame): DataFrame =
         df.agg(
-          coalesce(sum(size(split($"text", " +")).cast("long")), lit(0L)).as("n_tokens"),
+          coalesce(sum($"n_tok"), lit(0L)).as("n_tokens"),
           count(lit(1)).as("n_docs"))
           .select(lit(n).as("stage"), lit(name).as("stage_name"), $"n_docs", $"n_tokens")
-      stage(1, "raw", docs)
-        .unionByName(stage(2, "quality", q))
+      stage(1, "raw", perDoc)
+        .unionByName(stage(2, "quality", qd))
         .unionByName(stage(3, "exact_dedup", kept1))
         .unionByName(stage(4, "near_dedup", cleaned))
         .orderBy($"stage")
@@ -895,9 +906,12 @@ object DedupQueries {
     }
   }
 
+  /** thresholded near-dup pairs, read from the materialized embed-pair
+    * index (built once per corpus; CorpusLshIndex.embedPairs)
+    */
   private[graft] def embedLshPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    embedLshPairsRaw(s, d)
+    CorpusLshIndex.embedPairs(s, d)
       .filter($"cos_ppm" >= EmbedLshThresholdPpm)
       .orderBy($"vec_a", $"vec_b")
   }
