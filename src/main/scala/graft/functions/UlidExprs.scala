@@ -101,6 +101,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(s"quantize_vec expects 1 argument, got ${exprs.size}")
         QuantizeVec(exprs.head)
       }))
+    // char_ngrams(text, n) — SQL access to the native linear-time
+    // character n-gram extractor
+    ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(s, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) =>
+          CharNgrams(s, v)
+        case _ => throw new IllegalArgumentException(
+          s"char_ngrams expects (text, <int literal n>), got $exprs")
+      }))
     // optimizer rewrite: HOF dot-product/norm idioms → native LongDot
     ext.injectOptimizerRule(_ => NativeVectorRewrite)
   }

@@ -217,16 +217,16 @@ object TextQueries {
         .orderBy($"source")
     },
 
-    // top character-trigram profile per language (explode → count → top-5)
+    // top character-trigram profile per language (explode → count →
+    // top-5). Trigram extraction is the native linear-pass char_ngrams
+    // expression (the transform/substring HOF it replaced is interpreted
+    // AND O(chars²) — substring re-scans from the string start per
+    // position); short docs yield the empty array, matching the DuckDB
+    // oracle's empty range(1, n-1).
     "txt_ngram_profile" -> { (s, d) =>
       import s.implicits._
-      // guard docs under 3 chars: sequence(1, n-2) would count DOWN for
-      // n < 3 (emitting bogus grams at positions 0/-1 where the DuckDB
-      // oracle's range(1, n-1) is empty) — emit no grams instead
       val grams = t(s, d, "documents")
-        .select($"lang",
-          explode(expr("if(char_length(text) < 3, array(), " +
-            "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3)))")).as("gram"))
+        .select($"lang", explode(expr("char_ngrams(text, 3)")).as("gram"))
       val w = Window.partitionBy($"lang").orderBy($"n".desc, $"gram")
       grams.groupBy($"lang", $"gram")
         .agg(count(lit(1)).as("n"))
