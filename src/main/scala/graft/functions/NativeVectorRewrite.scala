@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, EqualTo, Expression, If, LambdaFunction, Literal, Multiply, NamedLambdaVariable, Size, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, EqualTo, Expression, If, LambdaFunction, Literal, Multiply, NamedLambdaVariable, Size, Subtract, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, LongType}
@@ -66,6 +66,32 @@ object NativeVectorRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L,
+    * (acc, v) -> acc + v) — the squared euclidean distance (the k-means
+    * / PQ assignment idiom). (x-y)² = (y-x)², so the unordered pair
+    * check is sound here just as for the dot product.
+    */
+  private object L2Shape {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(
+                Multiply(
+                  Subtract(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _),
+                  Subtract(x2: NamedLambdaVariable, y2: NamedLambdaVariable, _), _),
+                zargs, _)),
+            Literal(0L, LongType),
+            LambdaFunction(Add(u: NamedLambdaVariable, v: NamedLambdaVariable, _), margs, _),
+            LambdaFunction(fin, fargs, _))
+          if longArrayNoNulls(a) && longArrayNoNulls(b) &&
+            x1.exprId == x2.exprId && y1.exprId == y2.exprId &&
+            samePair(x1, y1, vars(zargs)) && samePair(u, v, vars(margs)) &&
+            isIdentity(fin, vars(fargs)) =>
+        Some((a, b))
+      case _ => None
+    }
+  }
+
   /** aggregate(q, 0L, (acc, x) -> acc + x * x) — the squared norm */
   private object NormShape {
     def unapply(e: Expression): Option[Expression] = e match {
@@ -94,6 +120,8 @@ object NativeVectorRewrite extends Rule[LogicalPlan] {
     // practice (CSE merges them).
     case DotShape(a, b) if a.deterministic && b.deterministic =>
       If(EqualTo(Size(a), Size(b)), LongDot(a, b), Literal(null, LongType))
+    case L2Shape(a, b) if a.deterministic && b.deterministic =>
+      If(EqualTo(Size(a), Size(b)), LongL2(a, b), Literal(null, LongType))
     case NormShape(q) if q.deterministic => LongDot(q, q)
   }
 }

@@ -91,6 +91,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(s"long_dot expects 2 arguments, got ${exprs.size}")
         LongDot(exprs(0), exprs(1))
       }))
+    // long_l2(a, b) — SQL access to the native exact squared distance
+    ext.injectFunction((
+      FunctionIdentifier("long_l2"),
+      new ExpressionInfo(classOf[LongL2].getName, "long_l2"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.size != 2)
+          throw new IllegalArgumentException(s"long_l2 expects 2 arguments, got ${exprs.size}")
+        LongL2(exprs(0), exprs(1))
+      }))
     // quantize_vec(embedding) — SQL access to the native micro-unit
     // quantizer (array<float|double> → array<bigint>)
     ext.injectFunction((

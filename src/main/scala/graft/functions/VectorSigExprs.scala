@@ -88,6 +88,40 @@ object VectorSigOps {
     s
   }
 
+  /** Exact int64 squared euclidean distance of two quantized vectors —
+    * the distance twin of [[dot]] (same no-check contract: only reached
+    * when both input types prove containsNull=false).
+    */
+  def l2(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = if (na < nb) na else nb
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** null-checking twin of [[l2]] */
+  def l2Checked(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = if (na < nb) na else nb
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElement("long_l2", i)
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** null-checking twin of [[dot]] for inputs whose TYPE admits null
     * elements (user-supplied `long_dot` calls) — loud failure instead of
     * reading a null slot's garbage
@@ -189,6 +223,37 @@ case class LongDot(left: Expression, right: Expression) extends BinaryExpression
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorSigOps.$kernel($a, $b)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native Catalyst expression: exact int64 squared euclidean distance of
+  * two quantized vectors — [[LongDot]]'s distance twin (the k-means /
+  * PQ assignment kernel), same kernel-choice-by-type contract.
+  */
+case class LongL2(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"long_l2 requires two ARRAY<BIGINT> inputs, got ${l.catalogString}, ${r.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_l2"
+
+  private def kernel: String = (left.dataType, right.dataType) match {
+    case (ArrayType(_, false), ArrayType(_, false)) => "l2"
+    case _ => "l2Checked"
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (kernel == "l2") VectorSigOps.l2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else VectorSigOps.l2Checked(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorSigOps.$kernel($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongL2 =
     copy(left = newLeft, right = newRight)
 }
 

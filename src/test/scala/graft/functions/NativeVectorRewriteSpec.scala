@@ -71,6 +71,36 @@ class NativeVectorRewriteSpec extends SparkSpec {
     assert(rewritten.toSeq === reference.toSeq)
   }
 
+  test("the HOF squared distance is rewritten to LongL2 and stays bit-equal") {
+    VectorOps.quantized(spark, sf).createOrReplaceTempView("nvr_qv5")
+    val hofSql =
+      """SELECT vec_id,
+        |  aggregate(zip_with(q, reverse(q), (x, y) -> (x - y) * (x - y)),
+        |            0L, (acc, v) -> acc + v) AS d2
+        |FROM nvr_qv5""".stripMargin
+    def usesL2(df: DataFrame): Boolean = {
+      var found = false
+      df.queryExecution.optimizedPlan.foreach(_.expressions.foreach(_.foreach {
+        case _: LongL2 => found = true
+        case _ => ()
+      }))
+      found
+    }
+    val rewritten = spark.sql(hofSql)
+    assert(usesL2(rewritten), "optimizer rule fired on the (x-y)*(x-y) form")
+    val expected = withRuleDisabled {
+      val df = spark.sql(hofSql)
+      assert(!usesL2(df))
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(rewritten.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+    // and the SQL function agrees with the rewritten HOF
+    val viaFn = spark.sql(
+      "SELECT vec_id, long_l2(q, reverse(q)) AS d2 FROM nvr_qv5")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFn === expected)
+  }
+
   // the rewrite duplicates its children (size guard + kernel, q into
   // both LongDot slots) — sound only for deterministic expressions, so a
   // non-deterministic array must be left on the interpreted path
