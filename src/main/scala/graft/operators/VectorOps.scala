@@ -54,6 +54,19 @@ object VectorOps {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
+  /** Exact int64 squared euclidean distance via the native LongL2
+    * expression — [[dotCol]]'s distance twin (the k-means / PQ
+    * assignment kernel). Works on nullable-element array types too (the
+    * checked kernel fails loudly on an actual null slot), which is what
+    * the rewrite rule can't prove for centroid arrays built via
+    * collect_list+transform.
+    */
+  def l2Col(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.LongL2(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
   /** All pairs (va < vb ≤ va+band) with quantized cosine in ppm.
     *
     * The id-range condition alone would force a nested-loop join (O(n²)

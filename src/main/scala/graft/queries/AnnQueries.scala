@@ -149,8 +149,11 @@ object AnnQueries {
       val e = quantized(s, d).select($"vec_id", $"q").persist()
       def assigned(cents: DataFrame): DataFrame =
         e.join(broadcast(cents), lit(true))
-          .withColumn("dist", expr(
-            "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+          // native L2 kernel directly: round-2+ centroid arrays come
+          // from collect_list+transform whose TYPE admits null elements,
+          // so the optimizer rewrite can't prove the fast form — the
+          // checked kernel is still one generated loop
+          .withColumn("dist", graft.operators.VectorOps.l2Col($"q", $"cq"))
           .groupBy($"vec_id")
           .agg(min(struct($"dist", $"cid", $"q")).as("m"))
           .select($"vec_id", $"m.cid".as("cid"), $"m.dist".as("dist"), $"m.q".as("q"))
