@@ -434,8 +434,99 @@ object Relational2 {
         .select($"n",
           $"ap".getItem(0).as("approx_p50"), $"ap".getItem(1).as("approx_p95"),
           $"ep".getItem(0).as("exact_p50"), $"ep".getItem(1).as("exact_p95"))
+    },
+
+    // HAND-BUILT deterministic HLL (q30's value-checkable twin): md5-
+    // derived 32-bit hashes, 64 registers, rho from an integer
+    // comparison chain — every piece replays bit-for-bit in the oracle,
+    // unlike the engine-internal HLL++ sketch behind
+    // approx_count_distinct. The register table is the mergeable state:
+    // per (group, bucket) MAX(rho) is a partial agg that merges across
+    // any partitioning — at 100 TB the shuffle carries ≤ 64 rows per
+    // group. The estimate is the raw HLL formula; the 2^-rho summands
+    // are exact dyadic rationals (≤ 33 fraction bits, ≤ 64 terms), so
+    // the double sum is EXACT regardless of summation order — which is
+    // what makes a floating-point estimator hash-comparable at all.
+    // (Small-range linear counting is deliberately omitted: it needs a
+    // transcendental ln whose last ulp differs across libms; the raw
+    // branch is the 100 TB regime anyway.)
+    "q34_hll_sketch" -> { (s, d) =>
+      import s.implicits._
+      val m = 64
+      val bucket = expr("CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT) % 64")
+      val w = "CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 9, 8), 16, 10) AS BIGINT)"
+      val rho = expr(HllRhoCase(w))
+      val regs = t(s, d, "lineitem")
+        .select($"l_returnflag", bucket.as("bucket"), rho.as("rho"),
+          $"l_orderkey")
+        .groupBy($"l_returnflag", $"bucket")
+        .agg(max($"rho").as("mr"))
+      val est = regs.groupBy($"l_returnflag")
+        .agg(sum(expr("power(2.0, -mr)")).as("present_sum"),
+          count(lit(1)).as("present"))
+        .withColumn("denom", $"present_sum" + (lit(m) - $"present") * lit(1.0))
+        .withColumn("hll_est",
+          floor(lit(0.709) * lit(m) * lit(m) / $"denom" + lit(0.5)).cast("long"))
+      val exact = t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_orderkey").as("exact_distinct"))
+      est.join(exact, Seq("l_returnflag"))
+        .select($"l_returnflag", $"hll_est", $"exact_distinct",
+          expr("(abs(hll_est - exact_distinct) * 1000000) div exact_distinct").as("err_ppm"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Bottom-k sample quantiles (q33's value-checkable twin): the k rows
+    // with the smallest md5 row-hashes are a uniform deterministic
+    // sample — mergeable (bottom-k of a union = bottom-k of the merged
+    // bottom-ks), so at 100 TB each partition keeps its local k and the
+    // shuffle carries k rows per group, never the data (a local
+    // bottom-k partial agg; here both sides run as windows because the
+    // exact-percentile YARDSTICK needs the per-group sort anyway — q33's
+    // documented trade). Quantile = the positional element of the sample
+    // under a total (value, hash) order, next to the SAME positional
+    // definition on the full group — both replay exactly in SQL, no
+    // engine-defined interpolation.
+    "q35_bottomk_quantile" -> { (s, d) =>
+      import s.implicits._
+      val k = 128
+      val rowHash = md5(concat($"l_orderkey".cast("string"), lit("_"),
+        $"l_linenumber".cast("string")))
+      val li = t(s, d, "lineitem")
+        .select($"l_returnflag", $"l_quantity".cast("long").as("v"), rowHash.as("h"))
+      val wSamp = Window.partitionBy($"l_returnflag").orderBy($"h")
+      val wVal = Window.partitionBy($"l_returnflag").orderBy($"v", $"h")
+      val full = li
+        .withColumn("vrn", row_number().over(wVal))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+      def exactAt(q: Double) =
+        max(when($"vrn" === greatest(lit(1L), ceil(lit(q) * $"n").cast("long")), $"v"))
+      val exact = full.groupBy($"l_returnflag")
+        .agg(max($"n").as("n_rows"),
+          exactAt(0.5).as("exact_p50"), exactAt(0.9).as("exact_p90"))
+      val samp = li.withColumn("srn", row_number().over(wSamp))
+        .filter($"srn" <= k)
+        .withColumn("svrn", row_number().over(wVal))
+        .withColumn("sn", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+      def sampAt(q: Double) =
+        max(when($"svrn" === greatest(lit(1L), ceil(lit(q) * $"sn").cast("long")), $"v"))
+      val estd = samp.groupBy($"l_returnflag")
+        .agg(max($"sn").as("k_used"),
+          sampAt(0.5).as("est_p50"), sampAt(0.9).as("est_p90"))
+      exact.join(estd, Seq("l_returnflag"))
+        .select($"l_returnflag", $"n_rows", $"k_used",
+          $"est_p50", $"exact_p50", $"est_p90", $"exact_p90")
+        .orderBy($"l_returnflag")
     }
   )
+
+  /** `1 + leading-zero-count` of a 32-bit value as a pure integer
+    * comparison chain — identical text runs on Spark and DuckDB, no
+    * floating log anywhere (q34's HLL rho)
+    */
+  private def HllRhoCase(w: String): String =
+    (1 to 32).map(r => s"WHEN $w >= ${1L << (32 - r)} THEN $r")
+      .mkString("CASE ", " ", " ELSE 33 END")
 
   val oracles: Map[String, String] = Map(
     "q4_semijoin" ->
@@ -660,6 +751,66 @@ object Relational2 {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        |ORDER BY gid, rflag, lstatus""".stripMargin
+        |ORDER BY gid, rflag, lstatus""".stripMargin,
+
+    "q34_hll_sketch" -> {
+      val w = "CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 9, 8) AS BIGINT)"
+      s"""WITH r AS (
+         |  SELECT l_returnflag,
+         |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS bucket,
+         |    ${HllRhoCase(w)} AS rho
+         |  FROM lineitem),
+         |regs AS (SELECT l_returnflag, bucket, MAX(rho) AS mr FROM r GROUP BY 1, 2),
+         |est AS (
+         |  SELECT l_returnflag, SUM(power(2.0, -mr)) AS present_sum,
+         |    CAST(COUNT(*) AS BIGINT) AS present
+         |  FROM regs GROUP BY 1),
+         |ex AS (
+         |  SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+         |  FROM lineitem GROUP BY 1),
+         |j AS (
+         |  SELECT e.l_returnflag,
+         |    CAST(FLOOR(CAST(0.709 AS DOUBLE) * 64 * 64 /
+         |      (present_sum + (64 - present) * CAST(1.0 AS DOUBLE)) + 0.5) AS BIGINT) AS hll_est,
+         |    x.exact_distinct
+         |  FROM est e JOIN ex x ON x.l_returnflag = e.l_returnflag)
+         |SELECT l_returnflag, hll_est, exact_distinct,
+         |  CAST((abs(hll_est - exact_distinct) * 1000000) // exact_distinct AS BIGINT) AS err_ppm
+         |FROM j ORDER BY l_returnflag""".stripMargin
+    },
+
+    "q35_bottomk_quantile" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+        |    md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)) AS h
+        |  FROM lineitem),
+        |full_r AS (
+        |  SELECT l_returnflag, v,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY v, h) AS vrn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM li),
+        |ex AS (
+        |  SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
+        |    MAX(CASE WHEN vrn = GREATEST(1, CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT)) THEN v END) AS exact_p50,
+        |    MAX(CASE WHEN vrn = GREATEST(1, CAST(CEIL(CAST(0.9 AS DOUBLE) * n) AS BIGINT)) THEN v END) AS exact_p90
+        |  FROM full_r GROUP BY 1),
+        |samp0 AS (
+        |  SELECT l_returnflag, v, h,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS srn
+        |  FROM li),
+        |samp AS (
+        |  SELECT l_returnflag, v,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY v, h) AS svrn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS sn
+        |  FROM samp0 WHERE srn <= 128),
+        |es AS (
+        |  SELECT l_returnflag, CAST(MAX(sn) AS BIGINT) AS k_used,
+        |    MAX(CASE WHEN svrn = GREATEST(1, CAST(CEIL(CAST(0.5 AS DOUBLE) * sn) AS BIGINT)) THEN v END) AS est_p50,
+        |    MAX(CASE WHEN svrn = GREATEST(1, CAST(CEIL(CAST(0.9 AS DOUBLE) * sn) AS BIGINT)) THEN v END) AS est_p90
+        |  FROM samp GROUP BY 1)
+        |SELECT ex.l_returnflag, ex.n_rows, es.k_used,
+        |  es.est_p50, ex.exact_p50, es.est_p90, ex.exact_p90
+        |FROM ex JOIN es ON es.l_returnflag = ex.l_returnflag
+        |ORDER BY ex.l_returnflag""".stripMargin
   )
 }

@@ -152,4 +152,43 @@ class AnalyticsOpsSpec extends SparkSpec {
         s"$col rank $rank vs target $target (tol $tol)")
     }
   }
+
+  // the hand-built deterministic HLL (q34): m=64 registers give a
+  // standard error of 1.04/√64 ≈ 13%; assert a generous 3σ envelope —
+  // the VALUES are already hash-checked against the oracle, this guards
+  // the estimator's statistical sanity
+  test("q34 hand-built HLL estimates within the m=64 error envelope") {
+    val rows = SparkEntry.queries("q34_hll_sketch")(spark, sf)
+      .select($"hll_est", $"exact_distinct", $"err_ppm")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, exact, err) =>
+      assert(est > 0 && exact > 0)
+      assert(err <= 400000L, s"HLL est $est vs exact $exact (err $err ppm)")
+      assert(err === math.abs(est - exact) * 1000000 / exact)
+    }
+  }
+
+  // bottom-k (k=128) sample quantiles: the sample p50 must sit within
+  // the ±3·√(p(1-p)/k) rank envelope of the true quantile
+  test("q35 bottom-k sample quantiles respect the sampling rank envelope") {
+    val rows = SparkEntry.queries("q35_bottomk_quantile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .select($"l_returnflag", $"l_quantity".cast("long")).as[(String, Long)]
+      .collect().groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    for (r <- rows) {
+      val flag = r.getAs[String]("l_returnflag")
+      val sorted = li(flag)
+      val n = sorted.length
+      val k = r.getAs[Long]("k_used").toDouble
+      for ((p, col) <- Seq(0.5 -> "est_p50", 0.9 -> "est_p90")) {
+        val est = r.getAs[Long](col)
+        val rank = sorted.count(_ <= est).toDouble / n
+        val tol = 3 * math.sqrt(p * (1 - p) / k) + 1.0 / k
+        assert(math.abs(rank - p) <= tol,
+          s"$flag $col: sample quantile at rank $rank vs $p (tol $tol)")
+      }
+    }
+  }
 }

@@ -13,6 +13,9 @@ import graft.{SparkEntry, SparkSpec}
 class PushdownAuditSpec extends SparkSpec {
 
   private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
+    // see the cache-hygiene note on the strict-subset loop: never audit
+    // a plan that another suite's live cache could rewrite
+    spark.catalog.clearCache()
     val plan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
@@ -68,6 +71,11 @@ class PushdownAuditSpec extends SparkSpec {
       "dd_prefix", "emb_gram", "emb_dim_stats", "emb_centroid_cos",
       "ev_attribution", "ev_markov", "ev_trend", "q32_grouping_sets")) {
     test(s"$name: scans read a strict column subset") {
+      // cache hygiene: another suite's persisted relation would be
+      // substituted into this plan by the cache manager, hiding the
+      // file scan under an InMemoryRelation (the harness clearCaches
+      // between queries for the same reason)
+      spark.catalog.clearCache()
       val sc = scans(SparkEntry.queries(name)(spark, sf))
       assert(sc.nonEmpty, "expected a parquet scan")
       sc.foreach { s =>
