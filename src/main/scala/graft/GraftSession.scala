@@ -29,6 +29,12 @@ object GraftSession {
     // files; object stores (GCS/S3 connectors) don't use checksum paths.
     .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    // the materialized indexes (CorpusTokenIndex, CorpusLshIndex) write
+    // one sorted file per bucket; reporting the scan's sort order lets
+    // per-doc windows skip BOTH the exchange and the sort. The cost this
+    // config gates (file listing at planning time to prove one file per
+    // bucket) is exactly the listing the scan does anyway.
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     .config("spark.ui.enabled", "false")
 
   def apply(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {

@@ -55,7 +55,7 @@ object CorpusLshIndex {
     */
   val Buckets = 32
 
-  private def tag(d: String): String = {
+  private[queries] def tag(d: String): String = {
     val md = MessageDigest.getInstance("MD5")
     md.digest(new java.io.File(d).getCanonicalPath.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(10)

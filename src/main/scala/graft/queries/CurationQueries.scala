@@ -205,8 +205,8 @@ object CurationQueries {
     // is on the wrapped word form.
     "txt_bpe_encode" -> { (s, d) =>
       import s.implicits._
-      val toks = t(s, d, "documents")
-        .select($"doc_id", explode(split($"text", " +")).as("tok"))
+      val toks = CorpusTokenIndex.tokens(s, d)
+        .select($"doc_id", $"tok")
         .filter(length($"tok") > 0)
         .select($"doc_id", expr("regexp_replace(tok, '(.)', '($1)')").as("w"),
           length($"tok").cast("long").as("nch"))
@@ -234,8 +234,8 @@ object CurationQueries {
     // table with each pair's pre-merge count.
     "txt_bpe" -> { (s, d) =>
       import s.implicits._
-      val w0 = t(s, d, "documents")
-        .select(explode(split($"text", " +")).as("tok"))
+      val w0 = CorpusTokenIndex.tokens(s, d)
+        .select($"tok")
         .filter(length($"tok") > 0)
         .select(expr("regexp_replace(tok, '(.)', '($1)')").as("w"))
         .groupBy($"w").agg(count(lit(1)).as("wn"))

@@ -12,6 +12,15 @@ import graft.Tables.t
   * they inline into whole-stage codegen and scale embarrassingly — one
   * narrow pass over the corpus, the only shuffle being the final
   * aggregation where one exists.
+  *
+  * Token-level operators (vocab, phrases, bigram LM, tf-idf, CMS, hapax,
+  * skip-grams, PMI) read the materialized [[CorpusTokenIndex]] instead of
+  * re-splitting text: tokenization is paid once per corpus, and the
+  * index's doc_id bucketing + (doc_id, pos) sort feed every per-doc
+  * window and groupBy(doc_id, …) with no exchange and no sort.
+  * Per-document scorers (quality, langid, repetition, chunking) keep the
+  * inline per-row split — for them the array form IS the narrow pass,
+  * and a grouped re-assembly from the index would cost a shuffle.
   */
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -34,13 +43,15 @@ object TextQueries {
 
   /** symmetric ±2-offset (center, context) skip-gram pair multiset —
     * shared by txt_skipgrams (counts) and txt_pmi (lift): two window
-    * leads per doc, symmetry by union, no position self-join
+    * leads per doc, symmetry by union, no position self-join. Tokens
+    * come from the materialized corpus token index, whose doc_id
+    * bucketing + (doc_id, pos) file sort feed the window with no
+    * exchange and no sort.
     */
   private def skipgramPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toks = t(s, d, "documents")
-      .select($"doc_id", posexplode(split($"text", " +")))
-      .toDF("doc_id", "pos", "tok")
+    val toks = CorpusTokenIndex.tokens(s, d)
+      .select($"doc_id", $"pos", $"tok")
       .filter(length($"tok") > 0)
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     val pairs = (1 to 2).map { k =>
@@ -147,13 +158,13 @@ object TextQueries {
 
     // corpus vocabulary: top-50 tokens by occurrence count with document
     // frequency — the token-frequency table a BPE/tokenizer-training or
-    // stopword-induction step starts from. One explode + one partial-agg
-    // shuffle on the token; the top-k is a TakeOrdered, never a global
-    // sort of the vocabulary.
+    // stopword-induction step starts from. One column-pruned read of the
+    // token index + one partial-agg shuffle on the token; the top-k is a
+    // TakeOrdered, never a global sort of the vocabulary.
     "txt_vocab" -> { (s, d) =>
       import s.implicits._
-      t(s, d, "documents")
-        .select($"doc_id", explode(split($"text", " +")).as("tok"))
+      CorpusTokenIndex.tokens(s, d)
+        .select($"doc_id", $"tok")
         .groupBy($"tok")
         .agg(count(lit(1)).as("n_occurrences"), countDistinct($"doc_id").as("n_docs"))
         .orderBy($"n_occurrences".desc, $"tok")
@@ -252,9 +263,8 @@ object TextQueries {
       // runs in ~2.5 s. Aggregation is two-phase ((phrase, doc) first)
       // instead of countDistinct-next-to-count, which would EXPAND
       // every phrase row per aggregate.
-      val toks = t(s, d, "documents")
-        .select($"doc_id", posexplode(split($"text", " +")))
-        .toDF("doc_id", "i", "tok")
+      val toks = CorpusTokenIndex.tokens(s, d)
+        .select($"doc_id", $"pos".as("i"), $"tok")
       val w = Window.partitionBy($"doc_id").orderBy($"i")
       val leads = (1 to 7).map(k => lead($"tok", k).over(w))
       toks
@@ -286,9 +296,8 @@ object TextQueries {
     "txt_bigram_lm" -> { (s, d) =>
       import s.implicits._
       val w = Window.partitionBy($"doc_id").orderBy($"i")
-      val bi = t(s, d, "documents")
-        .select($"doc_id", posexplode(split($"text", " +")))
-        .toDF("doc_id", "i", "a")
+      val bi = CorpusTokenIndex.tokens(s, d)
+        .select($"doc_id", $"pos".as("i"), $"tok".as("a"))
         .withColumn("b", lead($"a", 1).over(w))
         .filter($"b".isNotNull)
         .persist() // feeds the model counts AND the scoring join
@@ -320,8 +329,8 @@ object TextQueries {
       // no cross-branch CSE, so persist it or the corpus explode+agg runs
       // twice (cache scoped by the caller's clearCache, as documented in
       // SparkEntry)
-      val tf = t(s, d, "documents")
-        .select($"doc_id", explode(split($"text", " +")).as("tok"))
+      val tf = CorpusTokenIndex.tokens(s, d)
+        .select($"doc_id", $"tok")
         .filter(length($"tok") > 0)
         .groupBy($"doc_id", $"tok")
         .agg(count(lit(1)).as("tf"))
@@ -397,8 +406,8 @@ object TextQueries {
         s"CAST(conv(substring(md5(concat('$r:', tok)), 1, 8), 16, 10) AS BIGINT) % $W")
       def buckets = explode(array((0 until R).map(r =>
         struct(lit(r.toLong).as("r"), bucket(r).as("bucket"))): _*)).as("rb")
-      val toks = t(s, d, "documents")
-        .select(explode(split($"text", " +")).as("tok"))
+      val toks = CorpusTokenIndex.tokens(s, d)
+        .select($"tok")
         .filter(length($"tok") > 0)
       val sketch = toks.select(buckets)
         .select($"rb.r".as("r"), $"rb.bucket".as("bucket"))
@@ -421,8 +430,8 @@ object TextQueries {
     // tokens, never document text, and the output is |sources| rows.
     "txt_hapax" -> { (s, d) =>
       import s.implicits._
-      t(s, d, "documents")
-        .select($"source", explode(split($"text", " +")).as("tok"))
+      CorpusTokenIndex.tokens(s, d)
+        .select($"source", $"tok")
         .filter(length($"tok") > 0)
         .groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
         .groupBy($"source")
