@@ -210,7 +210,10 @@ object CurationQueries {
         .filter(length($"tok") > 0)
         .select($"doc_id", expr("regexp_replace(tok, '(.)', '($1)')").as("w"),
           length($"tok").cast("long").as("nch"))
-      var words = toks.groupBy($"w").agg(count(lit(1)).as("wn"))
+      // the weighted distinct-word relation is vocab-sized and feeds
+      // every merge round AND the encode map — persist it so the corpus
+      // pass behind it runs once, not once per round's re-derivation
+      var words = toks.groupBy($"w").agg(count(lit(1)).as("wn")).persist()
       var enc = words.select($"w".as("orig"), $"w".as("cur"))
       for (_ <- 1 to 3) {
         val best = pairsOf(words).orderBy($"pair_n".desc, $"a", $"b").limit(1).persist()
@@ -234,11 +237,14 @@ object CurationQueries {
     // table with each pair's pre-merge count.
     "txt_bpe" -> { (s, d) =>
       import s.implicits._
+      // vocab-sized and re-derived by every merge round: persist so the
+      // corpus pass runs once (same contract as txt_bpe_encode's words)
       val w0 = CorpusTokenIndex.tokens(s, d)
         .select($"tok")
         .filter(length($"tok") > 0)
         .select(expr("regexp_replace(tok, '(.)', '($1)')").as("w"))
         .groupBy($"w").agg(count(lit(1)).as("wn"))
+        .persist()
       val rounds = (1 to 3).scanLeft((w0, Option.empty[DataFrame])) { case ((words, _), _) =>
         val best = pairsOf(words).orderBy($"pair_n".desc, $"a", $"b").limit(1).persist()
         (mergeBest(words, best), Some(best))

@@ -42,11 +42,16 @@ object TextQueries {
   private def inList(vs: Seq[String]): String = vs.map(v => s"'$v'").mkString(", ")
 
   /** symmetric ±2-offset (center, context) skip-gram pair multiset —
-    * shared by txt_skipgrams (counts) and txt_pmi (lift): two window
-    * leads per doc, symmetry by union, no position self-join. Tokens
-    * come from the materialized corpus token index, whose doc_id
-    * bucketing + (doc_id, pos) file sort feed the window with no
-    * exchange and no sort.
+    * shared by txt_skipgrams (counts) and txt_pmi (lift). ONE window
+    * pass computes both leads (c1, c2) and one explode emits all four
+    * pair shapes ((tok,c1), (tok,c2), (c1,tok), (c2,tok)) — a single
+    * scan of the token index and a single WindowExec, where the earlier
+    * union-of-4-branches form re-ran scan+window per branch (the shared
+    * exchange that used to amortize it is gone by design: the index's
+    * bucketing feeds the window exchange-free). Tokens come from the
+    * materialized corpus token index, whose doc_id bucketing +
+    * (doc_id, pos) file sort feed the window with no exchange and no
+    * sort.
     */
   private def skipgramPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -54,12 +59,18 @@ object TextQueries {
       .select($"doc_id", $"pos", $"tok")
       .filter(length($"tok") > 0)
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val pairs = (1 to 2).map { k =>
-      toks.withColumn("ctx", lead($"tok", k).over(w))
-        .filter($"ctx".isNotNull)
-        .select($"tok".as("center"), $"ctx".as("context"))
-    }.reduce(_ unionByName _)
-    pairs.unionByName(pairs.select($"context".as("center"), $"center".as("context")))
+    toks
+      .withColumn("c1", lead($"tok", 1).over(w))
+      .withColumn("c2", lead($"tok", 2).over(w))
+      .select(explode(array(
+        struct($"tok".as("center"), $"c1".as("context")),
+        struct($"tok".as("center"), $"c2".as("context")),
+        struct($"c1".as("center"), $"tok".as("context")),
+        struct($"c2".as("center"), $"tok".as("context")))).as("p"))
+      // a null lead nulls one FIELD of the struct, never the struct:
+      // dropping null center/context keeps exactly the in-bounds pairs
+      .filter($"p.center".isNotNull && $"p.context".isNotNull)
+      .select($"p.center".as("center"), $"p.context".as("context"))
   }
 
   /** blended 0..1 quality score (raw double; ppm-ize for output).
