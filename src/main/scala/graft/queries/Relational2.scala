@@ -478,15 +478,23 @@ object Relational2 {
 
     // Bottom-k sample quantiles (q33's value-checkable twin): the k rows
     // with the smallest md5 row-hashes are a uniform deterministic
-    // sample — mergeable (bottom-k of a union = bottom-k of the merged
-    // bottom-ks), so at 100 TB each partition keeps its local k and the
-    // shuffle carries k rows per group, never the data (a local
-    // bottom-k partial agg; here both sides run as windows because the
-    // exact-percentile YARDSTICK needs the per-group sort anyway — q33's
-    // documented trade). Quantile = the positional element of the sample
-    // under a total (value, hash) order, next to the SAME positional
-    // definition on the full group — both replay exactly in SQL, no
-    // engine-defined interpolation.
+    // sample. Quantile = the positional element of the sample under a
+    // total (value, hash) order, next to the SAME positional definition
+    // on the full group — both replay exactly in SQL, no engine-defined
+    // interpolation. Scale shape (the oracle keeps the row-level
+    // positional form; both sides below are value-identical to it):
+    //  - exact side: positional value at rank r == min v whose
+    //    cumulative count reaches r (the hash tie-break orders rows
+    //    WITHIN equal values, so it can never change the value at a
+    //    position) — one (group, v) partial agg, then a cumulative
+    //    window over the histogram, which is |distinct values| rows per
+    //    group, never the data.
+    //  - sample side: bottom-k is salt-decomposable (any row in the
+    //    global bottom-k has < k smaller hashes in the whole group, so
+    //    at most k-1 in its salt class) — 32 salt classes each keep a
+    //    local bottom-k, and the per-group sort only ever sees 32·k
+    //    candidates. Avoids the 3-task global sort a
+    //    partitionBy(l_returnflag) window would pin on a 100 TB fact.
     "q35_bottomk_quantile" -> { (s, d) =>
       import s.implicits._
       val k = 128
@@ -494,20 +502,30 @@ object Relational2 {
         $"l_linenumber".cast("string")))
       val li = t(s, d, "lineitem")
         .select($"l_returnflag", $"l_quantity".cast("long").as("v"), rowHash.as("h"))
-      val wSamp = Window.partitionBy($"l_returnflag").orderBy($"h")
-      val wVal = Window.partitionBy($"l_returnflag").orderBy($"v", $"h")
-      val full = li
-        .withColumn("vrn", row_number().over(wVal))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+      val wGrp = Window.partitionBy($"l_returnflag")
+      // exact percentiles from the value-count histogram
+      val wCum = Window.partitionBy($"l_returnflag").orderBy($"v")
+      val hist = li.groupBy($"l_returnflag", $"v").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum($"c").over(wCum))
+        .withColumn("n", sum($"c").over(wGrp))
       def exactAt(q: Double) =
-        max(when($"vrn" === greatest(lit(1L), ceil(lit(q) * $"n").cast("long")), $"v"))
-      val exact = full.groupBy($"l_returnflag")
+        min(when($"cum" >= greatest(lit(1L), ceil(lit(q) * $"n").cast("long")), $"v"))
+      val exact = hist.groupBy($"l_returnflag")
         .agg(max($"n").as("n_rows"),
           exactAt(0.5).as("exact_p50"), exactAt(0.9).as("exact_p90"))
-      val samp = li.withColumn("srn", row_number().over(wSamp))
+      // bottom-k sample via salted two-phase selection
+      val wSalt = Window.partitionBy($"l_returnflag", $"salt").orderBy($"h")
+      val wSamp = Window.partitionBy($"l_returnflag").orderBy($"h")
+      val wVal = Window.partitionBy($"l_returnflag").orderBy($"v", $"h")
+      val cand = li
+        .withColumn("salt", expr("pmod(CAST(conv(substring(h, 29, 4), 16, 10) AS BIGINT), 32)"))
+        .withColumn("prn", row_number().over(wSalt))
+        .filter($"prn" <= k)
+        .drop("salt", "prn")
+      val samp = cand.withColumn("srn", row_number().over(wSamp))
         .filter($"srn" <= k)
         .withColumn("svrn", row_number().over(wVal))
-        .withColumn("sn", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+        .withColumn("sn", count(lit(1)).over(wGrp))
       def sampAt(q: Double) =
         max(when($"svrn" === greatest(lit(1L), ceil(lit(q) * $"sn").cast("long")), $"v"))
       val estd = samp.groupBy($"l_returnflag")
