@@ -74,8 +74,10 @@ object DedupQueries {
     */
   private def simhashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toks = t(s, d, "documents")
-      .select($"doc_id", explode(split($"text", " +")).as("tok"))
+    // token index: doc_id bucketing feeds the per-doc bit-sum groupBy
+    // with NO shuffle (the one wide stage this signature build had)
+    val toks = CorpusTokenIndex.tokens(s, d)
+      .select($"doc_id", $"tok")
       .withColumn("v", conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"))
     val bitSums = (0 until 32).map { b =>
       sum(when(shiftright($"v", b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$b")
@@ -488,8 +490,11 @@ object DedupQueries {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-        .distinct()
+        // hamming is a function of the pair, so filtering BEFORE the
+        // distinct drops the out-of-radius majority from the dedup
+        // shuffle instead of carrying every within-band collision
         .filter($"hamming" <= 3)
+        .distinct()
     },
 
     // truncation-duplicate detection: doc A is an exact token-PREFIX of

@@ -174,10 +174,16 @@ object TextQueries {
     // TakeOrdered, never a global sort of the vocabulary.
     "txt_vocab" -> { (s, d) =>
       import s.implicits._
+      // two-phase ((tok, doc) then tok) instead of count-next-to-
+      // countDistinct, which would EXPAND every token row per aggregate;
+      // phase 1 groups on a superset of the index's doc_id bucketing, so
+      // it aggregates with NO shuffle
       CorpusTokenIndex.tokens(s, d)
         .select($"doc_id", $"tok")
+        .groupBy($"doc_id", $"tok")
+        .agg(count(lit(1)).as("k"))
         .groupBy($"tok")
-        .agg(count(lit(1)).as("n_occurrences"), countDistinct($"doc_id").as("n_docs"))
+        .agg(sum($"k").as("n_occurrences"), count(lit(1)).as("n_docs"))
         .orderBy($"n_occurrences".desc, $"tok")
         .limit(50)
     },
