@@ -313,20 +313,26 @@ object TextQueries {
     "txt_bigram_lm" -> { (s, d) =>
       import s.implicits._
       val w = Window.partitionBy($"doc_id").orderBy($"i")
+      // (doc, bigram) multiplicities first: the groupBy clusters on a
+      // superset of the index's doc_id bucketing (no shuffle), and the
+      // scoring join then carries DISTINCT per-doc bigrams with their
+      // counts instead of every occurrence — the weighted mean
+      // sum(pred·k) div sum(k) is integer-identical to the flat form
       val bi = CorpusTokenIndex.tokens(s, d)
         .select($"doc_id", $"pos".as("i"), $"tok".as("a"))
         .withColumn("b", lead($"a", 1).over(w))
         .filter($"b".isNotNull)
+        .groupBy($"doc_id", $"a", $"b").agg(count(lit(1)).as("k"))
         .persist() // feeds the model counts AND the scoring join
-      val pair = bi.groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+      val pair = bi.groupBy($"a", $"b").agg(sum($"k").as("cab"))
       val prefix = pair.groupBy($"a").agg(sum($"cab").as("ca"))
       val scored = bi
         .join(pair, Seq("a", "b"))
         .join(prefix, Seq("a"))
         .withColumn("pred_ppm", expr("(cab * 1000000) div ca"))
       scored.groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          expr("sum(pred_ppm) div count(1)").as("mean_pred_ppm"),
+        .agg(sum($"k").as("n_bigrams"),
+          expr("sum(pred_ppm * k) div sum(k)").as("mean_pred_ppm"),
           min($"pred_ppm").as("min_pred_ppm"))
         .orderBy($"doc_id")
     },
@@ -423,13 +429,20 @@ object TextQueries {
         s"CAST(conv(substring(md5(concat('$r:', tok)), 1, 8), 16, 10) AS BIGINT) % $W")
       def buckets = explode(array((0 until R).map(r =>
         struct(lit(r.toLong).as("r"), bucket(r).as("bucket"))): _*)).as("rb")
-      val toks = CorpusTokenIndex.tokens(s, d)
+      // aggregate per token FIRST: a CMS cell is the sum of the counts
+      // of the tokens hashing into it, so building the sketch from the
+      // (tok, count) relation is cell-identical while hashing each
+      // DISTINCT token once instead of every corpus occurrence 4×; the
+      // exact top-20 shares the same persisted counts
+      val tokCounts = CorpusTokenIndex.tokens(s, d)
         .select($"tok")
         .filter(length($"tok") > 0)
-      val sketch = toks.select(buckets)
-        .select($"rb.r".as("r"), $"rb.bucket".as("bucket"))
-        .groupBy($"r", $"bucket").agg(count(lit(1)).as("n"))
-      val exact = toks.groupBy($"tok").agg(count(lit(1)).as("n_exact"))
+        .groupBy($"tok").agg(count(lit(1)).as("n_exact"))
+        .persist()
+      val sketch = tokCounts.select($"n_exact", buckets)
+        .select($"rb.r".as("r"), $"rb.bucket".as("bucket"), $"n_exact")
+        .groupBy($"r", $"bucket").agg(sum($"n_exact").as("n"))
+      val exact = tokCounts
         .orderBy($"n_exact".desc, $"tok").limit(20)
       exact
         .select($"tok", $"n_exact", buckets)
