@@ -322,6 +322,33 @@ object AnnQueries {
         .orderBy($"vec_id", $"rnk")
     },
 
+    // hard-negative mining (contrastive-training batch construction): for
+    // each vector, the single most-similar LSH-discovered neighbor with a
+    // DIFFERENT label — the "looks the same, labeled differently" example
+    // a triplet/InfoNCE loss learns the most from. emb_knn restricted to
+    // cross-label edges at rank 1. Oracle: full banding replay (shared
+    // EmbedPairCtes) + the label join in SQL.
+    // Scale shape: candidates come from the materialized LSH pair index
+    // (never all-pairs); the two label joins are vec_id-keyed against the
+    // embeddings table's 2 narrow columns; the top-1 is a window over each
+    // vector's own cross-label candidates — parallelism = |vectors|.
+    "emb_hard_negatives" -> { (s, d) =>
+      import s.implicits._
+      val lab = t(s, d, "embeddings")
+        .select($"vec_id", $"label".cast("long").as("label"))
+      val pairs = CorpusLshIndex.embedPairs(s, d)
+      val sym = pairs.select($"vec_a".as("vec_id"), $"vec_b".as("neg_id"), $"cos_ppm")
+        .unionByName(pairs.select($"vec_b".as("vec_id"), $"vec_a".as("neg_id"), $"cos_ppm"))
+      val w = Window.partitionBy($"vec_id").orderBy($"cos_ppm".desc, $"neg_id")
+      sym.join(lab, Seq("vec_id"))
+        .join(lab.select($"vec_id".as("neg_id"), $"label".as("neg_label")), Seq("neg_id"))
+        .filter($"label" =!= $"neg_label")
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" === 1)
+        .select($"vec_id", $"label", $"neg_id", $"neg_label", $"cos_ppm")
+        .orderBy($"vec_id")
+    },
+
     // Johnson–Lindenstrauss random-projection sketch: each quantized
     // vector projected onto RpPlanes md5-derived ±1 hyperplanes — the
     // dimensionality-reduction pass that turns a 64-dim corpus into a
@@ -376,6 +403,23 @@ object AnnQueries {
           |  FROM sym)
           |SELECT vec_id, rnk, neighbor, cos_ppm FROM rk WHERE rnk <= 5
           |ORDER BY vec_id, rnk""".stripMargin),
+
+    // the same symmetrized replay joined to labels, cross-label rank 1
+    "emb_hard_negatives" ->
+      (s"WITH ${DedupQueries.EmbedPairCtes},\n" +
+        """sym AS (
+          |  SELECT va AS vec_id, vb AS neg_id, cos_ppm FROM epairs
+          |  UNION ALL SELECT vb, va, cos_ppm FROM epairs),
+          |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+          |rk AS (
+          |  SELECT s.vec_id, a.label, s.neg_id, b.label AS neg_label, s.cos_ppm,
+          |    ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY s.cos_ppm DESC, s.neg_id) AS rn
+          |  FROM sym s
+          |  JOIN lab a ON a.vec_id = s.vec_id
+          |  JOIN lab b ON b.vec_id = s.neg_id
+          |  WHERE a.label <> b.label)
+          |SELECT vec_id, label, neg_id, neg_label, cos_ppm FROM rk WHERE rn = 1
+          |ORDER BY vec_id""".stripMargin),
 
     // ...the thresholded pairs resolved to clusters by the same
     // recursive-CTE transitive closure as dd_cluster, keep-min verdicts

@@ -130,6 +130,46 @@ object CurationQueries {
         .orderBy($"doc_id")
     },
 
+    // maximal duplicated-SPAN extraction (the exact-substring-dedup step
+    // after dd_segment's per-segment audit): adjacent cross-doc-duplicated
+    // segments merge into maximal runs (islands: seg_idx − row_number is
+    // constant within a run), reporting per affected doc how MANY runs it
+    // has and how LONG the longest is — ten scattered boilerplate segments
+    // and one 160-token mirrored block have the same dup_tok but opposite
+    // remediation (trim the template vs drop the page), and only the run
+    // structure tells them apart. Scale shape: the segment build and
+    // duplicate detection are dd_segment's (hash-keyed partial aggs, text
+    // never shuffles); the islands window partitions by doc_id over ONLY
+    // the duplicated segments (candidate-proportional), then two keyed
+    // partial aggs fold runs → docs.
+    "dd_span" -> { (s, d) =>
+      import s.implicits._
+      val segs = t(s, d, "documents")
+        .withColumn("tk", split($"text", " +"))
+        .withColumn("start", explode(expr(s"sequence(0, size(tk) - 1, $SegLen)")))
+        .select($"doc_id",
+          expr(s"CAST(start div $SegLen AS BIGINT)").as("seg_idx"),
+          expr(s"CAST(size(slice(tk, start + 1, $SegLen)) AS BIGINT)").as("seg_tok"),
+          md5(expr(s"concat_ws(' ', slice(tk, start + 1, $SegLen))")).as("h"))
+        .persist() // feeds the duplicate-hash agg AND the islands pass
+      // two-phase ((h, doc) then h) so no EXPAND for the distinct count
+      val dup = segs.groupBy($"h", $"doc_id").agg(count(lit(1)).as("k"))
+        .groupBy($"h").agg(count(lit(1)).as("nd"))
+        .filter($"nd" >= 2)
+        .select($"h")
+      val w = Window.partitionBy($"doc_id").orderBy($"seg_idx")
+      val runs = segs.join(dup, Seq("h"))
+        .withColumn("grp", $"seg_idx" - row_number().over(w))
+        .groupBy($"doc_id", $"grp")
+        .agg(count(lit(1)).as("run_segs"), sum($"seg_tok").as("run_tok"))
+      runs.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_runs"),
+          max($"run_segs").as("max_run_segs"),
+          max($"run_tok").as("max_run_tok"),
+          sum($"run_tok").as("dup_tok"))
+        .orderBy($"doc_id")
+    },
+
     // int8 symmetric quantization audit: per-vector scale = max |component|
     // in micro-units, codes = round-to-nearest(q·127/scale) — the storage
     // shape a 100 TB embedding corpus actually ships. Reports exact integer
@@ -412,6 +452,30 @@ object CurationQueries {
          |  CAST((SUM(CASE WHEN dup.h IS NOT NULL THEN seg_tok ELSE 0 END) * 1000000) // SUM(seg_tok) AS BIGINT) AS dup_ppm
          |FROM hashed LEFT JOIN dup ON dup.h = hashed.h
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dd_span" ->
+      s"""WITH ${segCte(SegLen)}
+         |, hashed AS (
+         |  SELECT doc_id, CAST(start_tok // $SegLen AS BIGINT) AS seg_idx,
+         |    CAST(len(ck) AS BIGINT) AS seg_tok,
+         |    md5(array_to_string(ck, ' ')) AS h
+         |  FROM segs),
+         |dup AS (
+         |  SELECT h FROM (SELECT h, doc_id FROM hashed GROUP BY 1, 2)
+         |  GROUP BY h HAVING COUNT(*) >= 2),
+         |isl AS (
+         |  SELECT doc_id, seg_idx, seg_tok,
+         |    seg_idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seg_idx) AS grp
+         |  FROM hashed JOIN dup USING (h)),
+         |runs AS (
+         |  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run_segs,
+         |    CAST(SUM(seg_tok) AS BIGINT) AS run_tok
+         |  FROM isl GROUP BY 1, 2)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+         |  CAST(MAX(run_segs) AS BIGINT) AS max_run_segs,
+         |  CAST(MAX(run_tok) AS BIGINT) AS max_run_tok,
+         |  CAST(SUM(run_tok) AS BIGINT) AS dup_tok
+         |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "emb_quantize" ->
       """WITH e AS (

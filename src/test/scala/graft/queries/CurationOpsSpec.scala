@@ -161,6 +161,28 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("dd_span agrees with dd_segment's duplicated mass and its runs tile that mass") {
+    val span = CurationQueries.queries("dd_span")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    spark.catalog.clearCache()
+    val seg = CurationQueries.queries("dd_segment")(spark, sf).collect()
+    spark.catalog.clearCache()
+    // exactly the docs with duplicated segments appear, with the SAME
+    // total duplicated token mass — dd_span only restructures it into runs
+    val dupDocs = seg.filter(_.getAs[Long]("n_dup_segs") > 0)
+    assert(dupDocs.nonEmpty, "corpus has cross-doc duplicated segments")
+    assert(span.keySet === dupDocs.map(_.getAs[Long]("doc_id")).toSet)
+    dupDocs.foreach { r =>
+      val s = span(r.getAs[Long]("doc_id"))
+      assert(s.getAs[Long]("dup_tok") === r.getAs[Long]("dup_tok"))
+      // runs partition the duplicated segments: counts and bounds agree
+      assert(s.getAs[Long]("n_runs") >= 1L &&
+        s.getAs[Long]("n_runs") <= r.getAs[Long]("n_dup_segs"))
+      assert(s.getAs[Long]("max_run_segs") <= r.getAs[Long]("n_dup_segs"))
+      assert(s.getAs[Long]("max_run_tok") <= s.getAs[Long]("dup_tok"))
+    }
+  }
+
   test("emb_quantize: int8 rounding error is bounded by scale/2 per dim and ~3937 ppm overall") {
     val out = CurationQueries.queries("emb_quantize")(spark, sf).collect()
     val dims = graft.Tables.t(spark, sf, "embeddings")

@@ -56,4 +56,28 @@ class KnnGraphSpec extends SparkSpec {
     info(f"emb_knn recall@5 (cos >= 0.35 truth) = $recall%.2f ($foundN/$truthN)")
     assert(recall >= 0.6, s"recall $recall below 0.6")
   }
+
+  test("emb_hard_negatives: one cross-label rank-1 row per vector, never beating the knn rank-1") {
+    val hn = SparkEntry.queries("emb_hard_negatives")(spark, sf)
+      .select($"vec_id", $"label", $"neg_id", $"neg_label", $"cos_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    spark.catalog.clearCache()
+    assert(hn.nonEmpty, "expected at least one cross-label candidate pair")
+    // one row per vector, labels genuinely differ, no self edges
+    assert(hn.map(_._1).distinct.length === hn.length, "at most one negative per vector")
+    assert(hn.forall(r => r._2 != r._4), "negative must carry a different label")
+    assert(hn.forall(r => r._1 != r._3), "no self edges")
+    // labels match the embeddings table on both endpoints
+    val labels = graft.Tables.t(spark, sf, "embeddings")
+      .select($"vec_id", $"label".cast("long")).as[(Long, Long)].collect().toMap
+    assert(hn.forall(r => labels(r._1) == r._2 && labels(r._3) == r._4))
+    // the hard negative is drawn from the SAME candidate pool as emb_knn,
+    // so it can never be more similar than that vector's overall rank-1
+    val knn1 = SparkEntry.queries("emb_knn")(spark, sf)
+      .filter($"rnk" === 1L)
+      .select($"vec_id", $"cos_ppm").as[(Long, Long)].collect().toMap
+    spark.catalog.clearCache()
+    assert(hn.forall(r => knn1.get(r._1).forall(r._5 <= _)),
+      "hard negative more similar than the unrestricted nearest neighbor")
+  }
 }
