@@ -245,6 +245,45 @@ object EventQueries {
         .orderBy($"step")
     },
 
+    // conversion-latency profile between funnel steps: for each converting
+    // user the time from first view to first qualifying click and from
+    // that click to first qualifying purchase, rolled up per step into
+    // exact integer stats (min/max/floor-div mean in µs) and exact
+    // second-resolution p50/p90 via the q35 value-histogram technique —
+    // cumulative counts over the (step, latency-second) histogram, whose
+    // window is bounded by the latency RANGE in seconds, never by users,
+    // so the shape holds at 100 TB (a per-user rank window would not).
+    "ev_funnel_time" -> { (s, d) =>
+      import s.implicits._
+      val base = ev(s, d)
+      val v = base.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts_us").as("v_us"))
+      val c = base.filter($"event_type" === "click").select($"user_id", $"ts_us")
+        .join(v, Seq("user_id")).filter($"ts_us" >= $"v_us")
+        .groupBy($"user_id").agg(min($"ts_us").as("c_us"), min($"v_us").as("v0_us"))
+      val p = base.filter($"event_type" === "purchase").select($"user_id", $"ts_us")
+        .join(c.select($"user_id", $"c_us"), Seq("user_id")).filter($"ts_us" >= $"c_us")
+        .groupBy($"user_id").agg(min($"ts_us").as("p_us"), min($"c_us").as("c0_us"))
+      val lat = c.select(lit("view>click").as("step"), ($"c_us" - $"v0_us").as("lat_us"))
+        .unionByName(p.select(lit("click>purchase").as("step"), ($"p_us" - $"c0_us").as("lat_us")))
+      val stats = lat.groupBy($"step")
+        .agg(count(lit(1)).as("n_users"), min($"lat_us").as("min_us"),
+          max($"lat_us").as("max_us"), expr("sum(lat_us) div count(1)").as("mean_us"))
+      val wCum = Window.partitionBy($"step").orderBy($"lat_s")
+      val wGrp = Window.partitionBy($"step")
+      val hist = lat.select($"step", expr("lat_us div 1000000").as("lat_s"))
+        .groupBy($"step", $"lat_s").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum($"cnt").over(wCum))
+        .withColumn("n", sum($"cnt").over(wGrp))
+      def exactAt(q: Double) =
+        min(when($"cum" >= greatest(lit(1L), ceil(lit(q) * $"n").cast("long")), $"lat_s"))
+      val quants = hist.groupBy($"step")
+        .agg(exactAt(0.5).as("p50_s"), exactAt(0.9).as("p90_s"))
+      stats.join(quants, Seq("step"))
+        .select($"step", $"n_users", $"min_us", $"max_us", $"mean_us", $"p50_s", $"p90_s")
+        .orderBy($"step")
+    },
+
     // volume trend per event type: exact integer least-squares slope over
     // the daily counts — slope = (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²), emitted
     // in milli-events/day via the positive-remainder floor-div so both
@@ -437,6 +476,40 @@ object EventQueries {
         |  UNION ALL SELECT 2, 'click', nc, nv FROM n
         |  UNION ALL SELECT 3, 'purchase', np, nc FROM n)
         |ORDER BY step""".stripMargin,
+
+    "ev_funnel_time" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us, MIN(v.v_us) AS v0_us
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.v_us GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us, MIN(c.c_us) AS c0_us
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_us GROUP BY e.user_id),
+        |lat AS (
+        |  SELECT 'view>click' AS step, c_us - v0_us AS lat_us FROM c
+        |  UNION ALL SELECT 'click>purchase', p_us - c0_us FROM p),
+        |stats AS (
+        |  SELECT step, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(MIN(lat_us) AS BIGINT) AS min_us, CAST(MAX(lat_us) AS BIGINT) AS max_us,
+        |    CAST(SUM(lat_us) // COUNT(*) AS BIGINT) AS mean_us
+        |  FROM lat GROUP BY step),
+        |hist AS (
+        |  SELECT step, lat_s, cnt,
+        |    SUM(cnt) OVER (PARTITION BY step ORDER BY lat_s) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY step) AS n
+        |  FROM (SELECT step, lat_us // 1000000 AS lat_s, COUNT(*) AS cnt
+        |        FROM lat GROUP BY 1, 2)),
+        |quants AS (
+        |  SELECT step,
+        |    CAST(MIN(CASE WHEN cum >= GREATEST(1, CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT)) THEN lat_s END) AS BIGINT) AS p50_s,
+        |    CAST(MIN(CASE WHEN cum >= GREATEST(1, CAST(CEIL(CAST(0.9 AS DOUBLE) * n) AS BIGINT)) THEN lat_s END) AS BIGINT) AS p90_s
+        |  FROM hist GROUP BY step)
+        |SELECT s.step, s.n_users, s.min_us, s.max_us, s.mean_us, q.p50_s, q.p90_s
+        |FROM stats s JOIN quants q ON q.step = s.step
+        |ORDER BY s.step""".stripMargin,
 
     "ev_trend" ->
       """WITH daily AS (

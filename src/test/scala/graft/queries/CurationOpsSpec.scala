@@ -161,6 +161,25 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("ev_funnel_time reconciles with ev_funnel counts and orders its latency stats") {
+    val ft = EventQueries.queries("ev_funnel_time")(spark, sf).collect()
+      .map(r => r.getAs[String]("step") -> r).toMap
+    spark.catalog.clearCache()
+    val f = EventQueries.queries("ev_funnel")(spark, sf).head()
+    spark.catalog.clearCache()
+    // every converting user contributes exactly one latency row per step
+    assert(ft("view>click").getAs[Long]("n_users") === f.getAs[Long]("n_click"))
+    assert(ft("click>purchase").getAs[Long]("n_users") === f.getAs[Long]("n_purchase"))
+    ft.values.foreach { r =>
+      assert(r.getAs[Long]("min_us") >= 0L, "funnel latencies are non-negative")
+      assert(r.getAs[Long]("min_us") <= r.getAs[Long]("mean_us") &&
+        r.getAs[Long]("mean_us") <= r.getAs[Long]("max_us"))
+      assert(r.getAs[Long]("p50_s") <= r.getAs[Long]("p90_s") &&
+        r.getAs[Long]("p90_s") <= r.getAs[Long]("max_us") / 1000000L)
+      assert(r.getAs[Long]("min_us") / 1000000L <= r.getAs[Long]("p50_s"))
+    }
+  }
+
   test("dd_span agrees with dd_segment's duplicated mass and its runs tile that mass") {
     val span = CurationQueries.queries("dd_span")(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
