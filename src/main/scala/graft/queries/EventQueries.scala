@@ -284,6 +284,27 @@ object EventQueries {
         .orderBy($"step")
     },
 
+    // rolling 7-day active users (DAU/WAU/stickiness): each distinct
+    // (user, day) contributes to its own day's DAU and to the WAU of the
+    // 7 target days it falls inside — a bounded 7× expansion of the
+    // deduplicated activity relation followed by two keyed partial aggs,
+    // instead of a range-window distinct (which no engine does exactly
+    // without holding per-window user sets). The growth/engagement
+    // ratio every event platform reports, engine-exact in ppm.
+    "ev_wau" -> { (s, d) =>
+      import s.implicits._
+      val activity = ev(s, d)
+        .select($"user_id", expr(s"ts_us div $DayUs").as("day")).distinct()
+      val dau = activity.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val wau = activity
+        .select($"user_id", explode(expr("sequence(day, day + 6)")).as("day"))
+        .distinct() // a user active twice inside one window counts once
+        .groupBy($"day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .withColumn("stickiness_ppm", expr("(dau * 1000000) div wau"))
+        .orderBy($"day")
+    },
+
     // volume trend per event type: exact integer least-squares slope over
     // the daily counts — slope = (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²), emitted
     // in milli-events/day via the positive-remainder floor-div so both
@@ -510,6 +531,18 @@ object EventQueries {
         |SELECT s.step, s.n_users, s.min_us, s.max_us, s.mean_us, q.p50_s, q.p90_s
         |FROM stats s JOIN quants q ON q.step = s.step
         |ORDER BY s.step""".stripMargin,
+
+    "ev_wau" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM activity GROUP BY day),
+        |contrib AS (
+        |  SELECT DISTINCT a.user_id, a.day + k AS day
+        |  FROM activity a, UNNEST(range(0, 7)) AS t(k)),
+        |wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM contrib GROUP BY day)
+        |SELECT d.day, d.dau, w.wau,
+        |  CAST((d.dau * 1000000) // w.wau AS BIGINT) AS stickiness_ppm
+        |FROM dau d JOIN wau w USING (day) ORDER BY d.day""".stripMargin,
 
     "ev_trend" ->
       """WITH daily AS (

@@ -271,6 +271,36 @@ object TextQueries {
     // collapses within-doc repeats (at 100 TB, group on md5(phrase) and
     // keep min(phrase) as the exemplar so the shuffle key is 16 bytes);
     // the top-50 is a TakeOrdered, never a global sort.
+    // per-doc n-gram novelty (the "what does each crawl batch actually
+    // add" curation audit): fraction of a doc's distinct word-3-grams
+    // whose FIRST corpus occurrence (min doc_id) is this doc. Late
+    // near-copies score near zero even when exact dedup passes them —
+    // the growth-curve signal dataset builders chart per ingest batch.
+    // Scale shape: 3-grams come from two codegen'd window leads over the
+    // token index (no text rescan); distinctness is the (doc, g) partial
+    // agg; first-occurrence is one (g)-keyed min; the flag join is
+    // g-co-partitioned with it.
+    "txt_novelty" -> { (s, d) =>
+      import s.implicits._
+      val toks = CorpusTokenIndex.tokens(s, d)
+        .select($"doc_id", $"pos".as("i"), $"tok")
+      val w = Window.partitionBy($"doc_id").orderBy($"i")
+      val g = toks
+        .withColumn("t1", lead($"tok", 1).over(w))
+        .withColumn("t2", lead($"tok", 2).over(w))
+        .filter($"t2".isNotNull)
+        .select($"doc_id", concat_ws(" ", $"tok", $"t1", $"t2").as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("k"))
+        .persist() // feeds the first-occurrence agg AND the flag join
+      val first = g.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+      g.join(first, Seq("g"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_new"))
+        .withColumn("novelty_ppm", expr("(n_new * 1000000) div n_grams"))
+        .orderBy($"doc_id")
+    },
+
     "txt_phrases" -> { (s, d) =>
       import s.implicits._
       // phrase strings come from codegen'd window LEADS over the
@@ -587,6 +617,21 @@ object TextQueries {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS BIGINT) AS rnk
         |  FROM counted)
         |SELECT lang, gram, n, rnk FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+
+    "txt_novelty" ->
+      """WITH g AS (
+        |  SELECT doc_id, string_split_regex(text, ' +') AS tk FROM documents),
+        |tri AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS g
+        |  FROM g, UNNEST(range(1, len(tk) - 1)) AS t(i)
+        |  WHERE len(tk) >= 3),
+        |fst AS (SELECT g, MIN(doc_id) AS first_doc FROM tri GROUP BY g)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST((SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
+        |FROM tri t JOIN fst f USING (g)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "txt_phrases" ->
       """WITH g AS (

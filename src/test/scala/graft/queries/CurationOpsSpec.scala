@@ -180,6 +180,51 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("ev_wau: weekly actives bound daily actives on exactly the active days") {
+    val out = EventQueries.queries("ev_wau")(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau"),
+        s"day ${r.getAs[Long]("day")}: WAU below DAU")
+      assert(r.getAs[Long]("stickiness_ppm") <= 1000000L)
+    }
+    // exactly the active days appear
+    val days = graft.Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) div 86400000000 AS day").distinct().count()
+    assert(out.length.toLong === days)
+  }
+
+  test("txt_novelty: the first doc is all-novel and later exact duplicates are zero-novel") {
+    val nov = TextQueries.queries("txt_novelty")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    spark.catalog.clearCache()
+    assert(nov.values.forall(r => r.getAs[Long]("n_new") <= r.getAs[Long]("n_grams")))
+    assert(nov(nov.keys.min).getAs[Long]("novelty_ppm") === 1000000L,
+      "the corpus's first doc can only contain first-seen 3-grams")
+    // in an exact-duplicate group every doc after the first contributes
+    // nothing new
+    val laters = graft.Tables.t(spark, sf, "documents")
+      .groupBy(md5($"text").as("f"))
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("first"), max($"doc_id").as("last"))
+      .filter($"n" >= 2)
+      .select($"last").as[Long].collect()
+      .filter(nov.contains)
+    laters.foreach { id =>
+      assert(nov(id).getAs[Long]("n_new") === 0L, s"later exact dup $id claims novel 3-grams")
+    }
+    // novelty is monotone evidence either way: totals must reconcile —
+    // every distinct corpus 3-gram is novel in exactly one doc
+    val distinctGrams = graft.Tables.t(spark, sf, "documents")
+      .select(split($"text", " +").as("tk"))
+      .where(expr("size(tk) >= 3"))
+      .selectExpr(
+        "explode(transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS g")
+      .distinct().count()
+    assert(nov.values.map(_.getAs[Long]("n_new")).sum === distinctGrams,
+      "each distinct 3-gram must be counted novel exactly once")
+  }
+
   test("dd_span agrees with dd_segment's duplicated mass and its runs tile that mass") {
     val span = CurationQueries.queries("dd_span")(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
