@@ -198,6 +198,27 @@ class EdgeCaseSpec extends SparkSpec {
     val mix = CurationQueries.queries("samp_mixture")(spark, edgeDir).collect()
     assert(mix.map(_.getAs[Long]("n_docs")).sum === 9L)
     assert(mix.map(_.getAs[Long]("doc_share_ppm")).sum <= 1000000L)
+    spark.catalog.clearCache()
+
+    // dd_span: the identical docs 6/7 are each one single maximal run
+    // covering the whole doc; nothing else is duplicated
+    val span = CurationQueries.queries("dd_span")(spark, edgeDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(span.keySet === Set(6L, 7L))
+    Seq(6L, 7L).foreach { id =>
+      assert(span(id).getAs[Long]("n_runs") === 1L)
+      assert(span(id).getAs[Long]("max_run_tok") === span(id).getAs[Long]("dup_tok"))
+    }
+    spark.catalog.clearCache()
+
+    // txt_novelty: docs under 3 tokens are absent; the later exact dup 7
+    // adds nothing; the first doc with 3-grams is fully novel
+    val novOut = TextQueries.queries("txt_novelty")(spark, edgeDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(novOut.keySet === Set(5L, 6L, 7L, 9L), "only 3-token-plus docs have 3-grams")
+    assert(novOut(5L).getAs[Long]("novelty_ppm") === 1000000L)
+    assert(novOut(7L).getAs[Long]("n_new") === 0L, "exact dup of doc 6 adds nothing")
+    assert(novOut(9L).getAs[Long]("novelty_ppm") === 1000000L)
   }
 
   test("the round-5 text/dedup/pipeline operators survive the pathological corpus") {
