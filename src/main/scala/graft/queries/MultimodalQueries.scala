@@ -134,6 +134,34 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n_assets"), sum($"n").as("n_payloads"),
           sum($"n" - 1).as("n_dups"), min($"keep").as("first_keep"))
         .orderBy($"key")
+    },
+
+    // payload opacity audit (codec-sanity / corruption triage): per-asset
+    // byte-value dispersion — a structured payload reuses few byte values,
+    // a compressed/encrypted one approaches uniform. Reports distinct
+    // byte count and the modal byte's share (ppm, smallest byte wins
+    // ties). Scale shape: the byte explode is payload-proportional and
+    // narrow; everything after is two chained partial aggs on (position,
+    // byte) then (position) — hashes of bytes, never payloads, shuffle.
+    "mm_byte_profile" -> { (s, d) =>
+      import s.implicits._
+      val b = payloads(s, d, 500).filter($"key" === "props")
+        .filter(length($"payload") > 0)
+        .select($"position", explode(expr("sequence(1, length(payload))")).as("i"), $"payload")
+        .select($"position",
+          expr("CAST(conv(hex(substring(payload, i, 1)), 16, 10) AS BIGINT)").as("byte"))
+        .groupBy($"position", $"byte").agg(count(lit(1)).as("cnt"))
+        .persist() // feeds the per-asset rollup AND the modal-byte join
+      val prof = b.groupBy($"position")
+        .agg(sum($"cnt").as("n_bytes"), count(lit(1)).as("n_distinct"),
+          max($"cnt").as("top_n"))
+      val top = b.join(prof.select($"position", $"top_n"), Seq("position"))
+        .filter($"cnt" === $"top_n")
+        .groupBy($"position").agg(min($"byte").as("top_byte"))
+      prof.join(top, Seq("position"))
+        .withColumn("top_ppm", expr("(top_n * 1000000) div n_bytes"))
+        .select($"position", $"n_bytes", $"n_distinct", $"top_byte", $"top_n", $"top_ppm")
+        .orderBy($"position")
     }
   )
 
@@ -193,6 +221,26 @@ object MultimodalQueries {
         |SELECT key, CAST(COUNT(*) AS BIGINT) AS n_assets, CAST(SUM(n) AS BIGINT) AS n_payloads,
         |  CAST(SUM(n - 1) AS BIGINT) AS n_dups, MIN(keep) AS first_keep
         |FROM g GROUP BY key ORDER BY key""".stripMargin,
+
+    "mm_byte_profile" ->
+      """WITH b AS (
+        |  SELECT 'evt-' || CAST(event_id AS VARCHAR) AS position,
+        |    ord(substr(props, CAST(i AS INT), 1)) AS byte
+        |  FROM events, UNNEST(range(1, length(props) + 1)) AS t(i)
+        |  WHERE event_id < 500 AND length(props) > 0),
+        |g AS (SELECT position, byte, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT position, CAST(SUM(cnt) AS BIGINT) AS n_bytes,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(cnt) AS BIGINT) AS top_n
+        |  FROM g GROUP BY position),
+        |top AS (
+        |  SELECT g.position, CAST(MIN(g.byte) AS BIGINT) AS top_byte
+        |  FROM g JOIN prof ON prof.position = g.position AND g.cnt = prof.top_n
+        |  GROUP BY g.position)
+        |SELECT p.position, p.n_bytes, p.n_distinct, t.top_byte, p.top_n,
+        |  CAST((p.top_n * 1000000) // p.n_bytes AS BIGINT) AS top_ppm
+        |FROM prof p JOIN top t ON t.position = p.position
+        |ORDER BY p.position""".stripMargin,
 
     "mm_phash_pairs" -> {
       val bitSums = (0 until 32).map { b =>
