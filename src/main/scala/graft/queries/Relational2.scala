@@ -502,6 +502,7 @@ object Relational2 {
         $"l_linenumber".cast("string")))
       val li = t(s, d, "lineitem")
         .select($"l_returnflag", $"l_quantity".cast("long").as("v"), rowHash.as("h"))
+        .persist() // histogram side + sample side + the two scalar guards
       val wGrp = Window.partitionBy($"l_returnflag")
       // exact percentiles from the value-count histogram
       val wCum = Window.partitionBy($"l_returnflag").orderBy($"v")
@@ -513,11 +514,35 @@ object Relational2 {
       val exact = hist.groupBy($"l_returnflag")
         .agg(max($"n").as("n_rows"),
           exactAt(0.5).as("exact_p50"), exactAt(0.9).as("exact_p90"))
-      // bottom-k sample via salted two-phase selection
+      // bottom-k sample via salted two-phase selection, behind a
+      // threshold pre-filter: md5 hex orders uniformly, so the kth
+      // smallest hash sits near position k/n of the hash space — rows
+      // whose first 16 bits clear 8× that position can never be in the
+      // bottom k (Chernoff margin e^-4k ≈ e^-512 against undershoot).
+      // The wide selection stages then carry O(k) rows per group instead
+      // of the whole relation — at 100 TB the shuffle drops from the
+      // corpus to megabytes. Exactness is by construction, not by
+      // probability: two 3-row scalar aggregates (group counts, survivor
+      // counts) gate the filter, and any undershooting group falls back
+      // to the unfiltered path.
+      val nByFlag = li.groupBy($"l_returnflag").agg(count(lit(1)).as("nf"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val hSpace16 = 65536L
+      val thr = nByFlag.map { case (f, n) =>
+        f -> math.min(hSpace16, (8L * k * hSpace16) / math.max(1L, n) + 1L) }.toMap
+      val thrCol = nByFlag.foldLeft(lit(hSpace16)) { case (acc, (f, _)) =>
+        when($"l_returnflag" === f, lit(thr(f))).otherwise(acc) }
+      val pre = li.filter(
+        expr("CAST(conv(substring(h, 1, 4), 16, 10) AS BIGINT)") < thrCol)
+      val preOk = pre.groupBy($"l_returnflag").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val enough = nByFlag.forall { case (f, n) =>
+        preOk.getOrElse(f, 0L) >= math.min(k.toLong, n) }
+      val bkBase = if (enough) pre else li
       val wSalt = Window.partitionBy($"l_returnflag", $"salt").orderBy($"h")
       val wSamp = Window.partitionBy($"l_returnflag").orderBy($"h")
       val wVal = Window.partitionBy($"l_returnflag").orderBy($"v", $"h")
-      val cand = li
+      val cand = bkBase
         .withColumn("salt", expr("pmod(CAST(conv(substring(h, 29, 4), 16, 10) AS BIGINT), 32)"))
         .withColumn("prn", row_number().over(wSalt))
         .filter($"prn" <= k)
