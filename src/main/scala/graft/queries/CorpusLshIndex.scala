@@ -104,6 +104,61 @@ object CorpusLshIndex {
     s.table(tableName(part, tag(d)))
   }
 
+  /** Incrementally extend the text index with a new document batch — the
+    * crawl-loop lifecycle at corpus scale: per-doc relations (sh, sig,
+    * band) append only the batch's own rows (a signature depends on
+    * nothing but the doc's own text), and the pair relation appends only
+    * candidates TOUCHING the batch — cross old×new pairs from a band
+    * join of the batch against the existing bucketed band table, plus
+    * within-batch pairs from the skew-aware self-join. Existing pairs
+    * are never recomputed, so an append costs |batch| × bucket
+    * occupancy, never a corpus rebuild — at 100 TB that is the
+    * difference between a nightly full signature pass and a per-crawl
+    * increment. LshIndexSpec proves the appended index is row-identical
+    * to a from-scratch build of the union corpus.
+    *
+    * The new relations are materialized BEFORE any table is mutated
+    * (they read the pre-append tables; persisting then forcing them
+    * keeps the lazy plans from observing their own appends), and the
+    * per-doc tables append through the same bucket spec, so bucket
+    * distribution — what candidate generation and the verify joins rely
+    * on — is preserved (each append adds one file per bucket).
+    *
+    * `newDocs`: (doc_id, text, …) with doc_ids disjoint from the
+    * indexed corpus. Session-scoped like the rest of the index: a crash
+    * mid-append is repaired by dropping the four tables (ensure then
+    * rebuilds from scratch).
+    */
+  def append(s: SparkSession, d: String, newDocs: DataFrame): Unit = synchronized {
+    ensure(s, d)
+    val tg = tag(d)
+    val shNew = DedupQueries.shingleArrays(newDocs).persist()
+    val sigNew = DedupQueries.signaturesFrom(
+      shNew.select(col("doc_id"), explode(col("ss")).as("s"))).persist()
+    val bandNew = DedupQueries.bandsOfSigs(sigNew).persist()
+    val bandOld = s.table(tableName("band", tg))
+    val cross = bandNew.as("a").join(bandOld.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val candNew = cross
+      .unionByName(DedupQueries.pairsOfBandsSkewAware(bandNew))
+      .distinct()
+    val shAll = s.table(tableName("sh", tg)).unionByName(shNew)
+    val jacNew = DedupQueries.jaccardFor(shAll, candNew).persist()
+    jacNew.count(): Unit // force off the pre-append tables
+    def add(df: DataFrame, part: String, bucketCols: Seq[String]): Unit =
+      df.write.mode(SaveMode.Append)
+        .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
+        .saveAsTable(tableName(part, tg))
+    add(jacNew, "jac", Seq("doc_a"))
+    add(shNew, "sh", Seq("doc_id"))
+    add(sigNew, "sig", Seq("doc_id"))
+    add(bandNew, "band", Seq("band", "bkey"))
+    Seq(shNew, sigNew, bandNew, jacNew).foreach(_.unpersist())
+  }
+
   /** The EMBEDDING side of the index: every multi-probe hyperplane-LSH
     * candidate pair with its exact integer cosine, unthresholded —
     * built once per corpus (the quantize → 80-plane banding → probe →

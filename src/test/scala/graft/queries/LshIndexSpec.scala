@@ -43,6 +43,30 @@ class LshIndexSpec extends SparkSpec {
       rows(norm(DedupQueries.shingleArrays(docs))))
   }
 
+  test("append extends the index to exactly the full-rebuild relations") {
+    import spark.implicits._
+    val all = t(spark, sf, "documents").select($"doc_id", $"text")
+    val base = all.filter($"doc_id" % 3 =!= 0)
+    val batch = all.filter($"doc_id" % 3 === 0)
+    val dir = graft.rawdata.Topic.tempDir("lsh-append")
+    base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    CorpusLshIndex.ensure(spark, dir)
+    CorpusLshIndex.append(spark, dir, batch)
+    // truth: the inline chain over the UNION corpus, rebuilt from scratch
+    val shAll = DedupQueries.shingleArrays(all).persist()
+    def norm(df: DataFrame) = df.select(col("doc_id"), array_sort(col("ss")).as("ss"))
+    assert(rows(norm(CorpusLshIndex.shingles(spark, dir))) == rows(norm(shAll)),
+      "appended shingle relation diverged from a full rebuild")
+    val bandsAll = DedupQueries.bandsFrom(
+      shAll.select(col("doc_id"), explode(col("ss")).as("s")))
+    assert(rows(CorpusLshIndex.bands(spark, dir)) == rows(bandsAll),
+      "appended band relation diverged from a full rebuild")
+    assert(rows(CorpusLshIndex.jaccard(spark, dir)) == rows(DedupQueries.jaccardOf(shAll)),
+      "appended verified-pair relation diverged from a full rebuild")
+    assert(CorpusLshIndex.jaccard(spark, dir).count() > 0)
+    spark.catalog.clearCache()
+  }
+
   test("bucketed band self-join plans without a shuffle exchange") {
     // at spec scale the band table is broadcast-sized, which would hide
     // the property under test — force the shuffled-join path so the
