@@ -172,6 +172,14 @@ object CorpusLshIndex {
       val dir = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir"), "graft-lsh-index"), tag(d))
       dir.mkdirs()
+      // the exact per-table band relation is materialized beside the
+      // pairs: appendEmbeddings joins a new batch's probes against it,
+      // so extending the index never re-bands the existing corpus
+      DedupQueries.embedExactBands(DedupQueries.embedBanded(t(s, d, "embeddings")))
+        .write.mode(SaveMode.Overwrite)
+        .option("path", new java.io.File(dir, "eband").getAbsolutePath)
+        .bucketBy(Buckets, "tbl", "bits")
+        .saveAsTable(tableName("eband", tag(d)))
       DedupQueries.embedLshPairsRaw(s, d)
         .write.mode(SaveMode.Overwrite)
         .option("path", new java.io.File(dir, "epair").getAbsolutePath)
@@ -179,6 +187,48 @@ object CorpusLshIndex {
         .saveAsTable(tbl)
     }
     s.table(tbl)
+  }
+
+  /** The embedding-side twin of [[append]]: extend the epair index with a
+    * new vector batch — the batch's probes join the materialized eband
+    * table for cross old×new candidates (hamming-1 collision is
+    * symmetric, so probing only from the new side loses nothing) and its
+    * own exact bands for within-batch pairs; verification reads the OLD
+    * endpoints' vectors by a candidate-proportional semi-joined scan of
+    * the corpus embeddings, never re-banding them. LshIndexSpec proves
+    * append == a from-scratch build over the union.
+    *
+    * `newVecs`: (vec_id, embedding) with vec_ids disjoint from the
+    * indexed corpus.
+    */
+  def appendEmbeddings(s: SparkSession, d: String, newVecs: DataFrame): Unit = synchronized {
+    embedPairs(s, d): Unit
+    val tg = tag(d)
+    val eNew = DedupQueries.embedBanded(newVecs).persist()
+    val bandNew = DedupQueries.embedExactBands(eNew)
+    val probesNew = DedupQueries.embedProbes(eNew)
+    val bandOld = s.table(tableName("eband", tg))
+    val cross = probesNew.withColumnRenamed("vec_id", "vn")
+      .join(bandOld.withColumnRenamed("vec_id", "vo"), Seq("tbl", "bits"))
+      .select(least(col("vn"), col("vo")).as("va"),
+        greatest(col("vn"), col("vo")).as("vb"))
+    val within = probesNew.withColumnRenamed("vec_id", "va")
+      .join(bandNew.withColumnRenamed("vec_id", "vb"), Seq("tbl", "bits"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"))
+    val cand = cross.unionByName(within).distinct()
+    // endpoint vectors: new side from the batch, old side from the corpus
+    // embeddings (quantize is a narrow map; the join keeps it
+    // candidate-proportional)
+    val qAll = graft.operators.VectorOps.quantized(s, d)
+      .unionByName(eNew.select(col("vec_id"), col("q"), col("nn")))
+    val jacNew = DedupQueries.embedVerify(cand, qAll, qAll).persist()
+    jacNew.count(): Unit // force off the pre-append tables
+    jacNew.write.mode(SaveMode.Append)
+      .bucketBy(Buckets, "vec_a").saveAsTable(tableName("epair", tg))
+    bandNew.write.mode(SaveMode.Append)
+      .bucketBy(Buckets, "tbl", "bits").saveAsTable(tableName("eband", tg))
+    Seq(eNew, jacNew).foreach(_.unpersist())
   }
 
   /** per-doc DISTINCT word-3-shingle arrays (doc_id, ss) */

@@ -875,40 +875,67 @@ object DedupQueries {
     * (vec_a < vec_b), unthresholded — dd_embed_lsh filters it to the
     * near-dup cutoff; emb_knn ranks it into a k-NN graph
     */
+  /** (vec_id, q, nn, bands) for any (vec_id, embedding) relation —
+    * zero-norm vectors are excluded before pairing: cosine against a
+    * zero vector is NaN and ANSI CAST(NaN AS BIGINT) throws (they stay
+    * in the corpus — emb_semdedup's left join gives them their own
+    * singleton cluster)
+    */
+  private[graft] def embedBanded(vecs: DataFrame): DataFrame =
+    graft.operators.VectorOps.withHyperplaneBands(
+      graft.operators.VectorOps.quantize(vecs)
+        .select(col("vec_id"), col("q"), col("nn")).filter(col("nn") > 0),
+      EmbedLshTables, EmbedLshBits)
+
+  /** exact band per table: (vec_id, tbl, bits) */
+  private[graft] def embedExactBands(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.select($"vec_id", explode(expr(
+      s"transform(sequence(0, ${EmbedLshTables - 1}), t -> " +
+        "named_struct('tbl', t, 'bits', bands[t]))")).as("bb"))
+      .select($"vec_id", $"bb.tbl".as("tbl"), $"bb.bits".as("bits"))
+  }
+
+  /** probe set per table: own band + its one-bit flips (hamming-1
+    * multi-probe; collision is symmetric, so probing from one side of a
+    * pair loses nothing)
+    */
+  private[graft] def embedProbes(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.select($"vec_id", explode(expr(
+      s"""flatten(transform(sequence(0, ${EmbedLshTables - 1}), t ->
+         |  transform(sequence(-1, ${EmbedLshBits - 1}), k -> named_struct('tbl', t, 'bits',
+         |    CASE WHEN k = -1 THEN bands[t]
+         |         ELSE bands[t] ^ shiftleft(1L, k) END))))""".stripMargin)).as("bb"))
+      .select($"vec_id", $"bb.tbl".as("tbl"), $"bb.bits".as("bits"))
+  }
+
+  /** exact integer cosine for a (va, vb) candidate relation; endpoint
+    * vectors come from `qa` / `qb` relations of (vec_id, q, nn)
+    */
+  private[graft] def embedVerify(cand: DataFrame, qa: DataFrame, qb: DataFrame): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    val sa = qa.select($"vec_id".as("va"), $"q".as("qa"), $"nn".as("na"))
+    val sb = qb.select($"vec_id".as("vb"), $"q".as("qb"), $"nn".as("nb"))
+    cand.join(sa, Seq("va")).join(sb, Seq("vb"))
+      .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
+      .withColumn("cos_ppm",
+        floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select($"va".as("vec_a"), $"vb".as("vec_b"), $"cos_ppm")
+  }
+
   private[graft] def embedLshPairsRaw(s: SparkSession, d: String): DataFrame = {
-    {
-      import s.implicits._
-      // zero-norm vectors are excluded before pairing: cosine against a
-      // zero vector is NaN and ANSI CAST(NaN AS BIGINT) throws (they stay
-      // in the corpus — emb_semdedup's left join gives them their own
-      // singleton cluster)
-      val e = graft.operators.VectorOps.withHyperplaneBands(
-        graft.operators.VectorOps.quantized(s, d).filter($"nn" > 0),
-        EmbedLshTables, EmbedLshBits).persist()
-      // exact band per table: (tbl, bits)
-      val bands = e.select($"vec_id".as("vb"), explode(expr(
-        s"transform(sequence(0, ${EmbedLshTables - 1}), t -> " +
-          "named_struct('tbl', t, 'bits', bands[t]))")).as("bb"))
-        .select($"vb", $"bb.tbl".as("tbl"), $"bb.bits".as("bits"))
-      // probe set per table: own band + its 8 one-bit flips
-      val probes = e.select($"vec_id".as("va"), explode(expr(
-        s"""flatten(transform(sequence(0, ${EmbedLshTables - 1}), t ->
-           |  transform(sequence(-1, ${EmbedLshBits - 1}), k -> named_struct('tbl', t, 'bits',
-           |    CASE WHEN k = -1 THEN bands[t]
-           |         ELSE bands[t] ^ shiftleft(1L, k) END))))""".stripMargin)).as("bb"))
-        .select($"va", $"bb.tbl".as("tbl"), $"bb.bits".as("bits"))
-      val cand = probes.join(bands, Seq("tbl", "bits"))
-        .filter($"va" < $"vb")
-        .select($"va", $"vb")
-        .distinct()
-      val sa = e.select($"vec_id".as("va"), $"q".as("qa"), $"nn".as("na"))
-      val sb = e.select($"vec_id".as("vb"), $"q".as("qb"), $"nn".as("nb"))
-      cand.join(sa, Seq("va")).join(sb, Seq("vb"))
-        .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
-        .withColumn("cos_ppm",
-          floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
-        .select($"va".as("vec_a"), $"vb".as("vec_b"), $"cos_ppm")
-    }
+    import s.implicits._
+    val e = embedBanded(t(s, d, "embeddings")).persist()
+    val cand = embedProbes(e).withColumnRenamed("vec_id", "va")
+      .join(embedExactBands(e).withColumnRenamed("vec_id", "vb"), Seq("tbl", "bits"))
+      .filter($"va" < $"vb")
+      .select($"va", $"vb")
+      .distinct()
+    embedVerify(cand, e, e)
   }
 
   /** thresholded near-dup pairs, read from the materialized embed-pair

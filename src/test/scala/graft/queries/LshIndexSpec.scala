@@ -67,6 +67,22 @@ class LshIndexSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("appendEmbeddings extends the epair index to exactly the full-rebuild pairs") {
+    import spark.implicits._
+    val all = t(spark, sf, "embeddings")
+    val base = all.filter($"vec_id" % 4 =!= 0)
+    val batch = all.filter($"vec_id" % 4 === 0).select($"vec_id", $"embedding")
+    val dir = graft.rawdata.Topic.tempDir("lsh-eappend")
+    base.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    CorpusLshIndex.embedPairs(spark, dir).count()
+    CorpusLshIndex.appendEmbeddings(spark, dir, batch)
+    val truth = DedupQueries.embedLshPairsRaw(spark, sf) // union corpus, from scratch
+    assert(rows(CorpusLshIndex.embedPairs(spark, dir)) == rows(truth),
+      "appended epair relation diverged from a full rebuild")
+    assert(CorpusLshIndex.embedPairs(spark, dir).count() > 0)
+    spark.catalog.clearCache()
+  }
+
   test("bucketed band self-join plans without a shuffle exchange") {
     // at spec scale the band table is broadcast-sized, which would hide
     // the property under test — force the shuffled-join path so the
