@@ -83,34 +83,50 @@ class LshIndexSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("bucketed band self-join plans without a shuffle exchange") {
+  /** the band self-join must read the bucketed table directly on both
+    * sides; the only legal exchange is the one under the final
+    * distinct() aggregation (it re-keys on the pair, not the bucket key)
+    */
+  private def assertExchangeFreeSelfJoin(band: DataFrame): Unit = {
     // at spec scale the band table is broadcast-sized, which would hide
     // the property under test — force the shuffled-join path so the
     // bucketing has to carry the distribution
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-    val cand = DedupQueries.pairsOfBands(CorpusLshIndex.bands(spark, sf))
-    cand.count() // finalize AQE
-    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
-      p match {
-        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
-        case other => other +: other.children.flatMap(leaves)
+      val cand = DedupQueries.pairsOfBands(band)
+      cand.count() // finalize AQE
+      def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p match {
+          case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+          case other => other +: other.children.flatMap(leaves)
+        }
+      val plan = cand.queryExecution.executedPlan
+      val joins = leaves(plan).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
       }
-    val plan = cand.queryExecution.executedPlan
-    // the join itself must read the bucketed table directly on both
-    // sides; the only legal exchange is the one under the final
-    // distinct() aggregation (it re-keys on the pair, not the bucket key)
-    val joins = leaves(plan).collect {
-      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
-      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
-    }
-    assert(joins.nonEmpty, s"expected a shuffled join over the bucketed table:\n$plan")
-    val shufflesUnderJoin = joins.flatMap(j => j.children.flatMap(leaves)).collect {
-      case e: ShuffleExchangeExec => e
-    }
-    assert(shufflesUnderJoin.isEmpty,
-      s"bucketing should satisfy the join distribution, found: $shufflesUnderJoin")
+      assert(joins.nonEmpty, s"expected a shuffled join over the bucketed table:\n$plan")
+      val shufflesUnderJoin = joins.flatMap(j => j.children.flatMap(leaves)).collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shufflesUnderJoin.isEmpty,
+        s"bucketing should satisfy the join distribution, found: $shufflesUnderJoin")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("bucketed band self-join plans without a shuffle exchange") {
+    assertExchangeFreeSelfJoin(CorpusLshIndex.bands(spark, sf))
+  }
+
+  test("the bucket property survives an append (multi-file buckets still co-locate)") {
+    import spark.implicits._
+    val all = t(spark, sf, "documents").select($"doc_id", $"text")
+    val dir = graft.rawdata.Topic.tempDir("lsh-append-plan")
+    all.filter($"doc_id" % 2 === 0).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    CorpusLshIndex.ensure(spark, dir)
+    CorpusLshIndex.append(spark, dir, all.filter($"doc_id" % 2 === 1))
+    assertExchangeFreeSelfJoin(CorpusLshIndex.bands(spark, dir))
+    spark.catalog.clearCache()
   }
 }
