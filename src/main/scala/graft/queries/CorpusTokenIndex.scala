@@ -85,4 +85,32 @@ object CorpusTokenIndex {
     ensure(s, d)
     s.table(tableName(CorpusLshIndex.tag(d)))
   }
+
+  /** Incrementally extend the token index with a new document batch —
+    * tokenization is per-doc, so the append is just the batch's own rows
+    * written through the same bucket spec (the crawl-loop twin of
+    * [[CorpusLshIndex.append]]). The bucket DISTRIBUTION — what per-doc
+    * windows and groupBys rely on to skip the exchange — survives the
+    * append (each append adds one sorted file per bucket); the
+    * one-file-per-bucket SORT guarantee does not, so windows re-sort
+    * within partitions until a periodic ensure-from-scratch compaction
+    * rewrites the table (the same maintenance trade every bucketed
+    * warehouse table makes). Row-set correctness is unconditional:
+    * TokenIndexSpec proves append == inline tokenization of the union.
+    *
+    * `newDocs`: (doc_id, source, lang, text) with doc_ids disjoint from
+    * the indexed corpus.
+    */
+  def append(s: SparkSession, d: String, newDocs: DataFrame): Unit = synchronized {
+    ensure(s, d)
+    newDocs
+      .select(col("doc_id"), col("source"), col("lang"),
+        posexplode(split(col("text"), " +")))
+      .toDF("doc_id", "source", "lang", "pos", "tok")
+      .repartition(Buckets, col("doc_id"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(Buckets, "doc_id")
+      .sortBy("doc_id", "pos")
+      .saveAsTable(tableName(CorpusLshIndex.tag(d)))
+  }
 }

@@ -55,6 +55,23 @@ class TokenIndexSpec extends SparkSpec {
       s"one-file-per-bucket (doc_id, pos) sort order should satisfy the window sort, found: $sorts")
   }
 
+  test("append extends the token index to exactly the union tokenization") {
+    import spark.implicits._
+    val all = t(spark, sf, "documents")
+      .select($"doc_id", $"source", $"lang", $"text")
+    val dir = graft.rawdata.Topic.tempDir("tok-append")
+    all.filter($"doc_id" % 2 === 0).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    CorpusTokenIndex.ensure(spark, dir)
+    CorpusTokenIndex.append(spark, dir, all.filter($"doc_id" % 2 === 1))
+    val inline = all
+      .select(col("doc_id"), col("source"), col("lang"),
+        posexplode(split(col("text"), " +")))
+      .toDF("doc_id", "source", "lang", "pos", "tok")
+    assert(rows(CorpusTokenIndex.tokens(spark, dir)) == rows(inline),
+      "appended token index diverged from the inline union tokenization")
+    spark.catalog.clearCache()
+  }
+
   test("grouped consumers over the index match their inline forms") {
     // txt_vocab and txt_hapax re-derived from raw text must equal the
     // index-backed query results (the oracle contract in miniature)
