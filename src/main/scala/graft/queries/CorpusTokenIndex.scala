@@ -113,4 +113,30 @@ object CorpusTokenIndex {
       .sortBy("doc_id", "pos")
       .saveAsTable(tableName(CorpusLshIndex.tag(d)))
   }
+
+  /** Restore the one-sorted-file-per-bucket layout appends dilute (the
+    * periodic compaction every bucketed warehouse table schedules):
+    * rewrite the current rows through the original write path, after
+    * which per-doc windows read the file sort again (no SortExec —
+    * TokenIndexSpec's append+compact case). The rows are localCheckpoint-
+    * pinned before the overwrite so the rewrite never reads the files it
+    * is replacing.
+    */
+  def compact(s: SparkSession, d: String): Unit = synchronized {
+    val tg = CorpusLshIndex.tag(d)
+    val tbl = tableName(tg)
+    if (s.catalog.tableExists(tbl)) {
+      val pinned = s.table(tbl).localCheckpoint(true)
+      val dir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir"), "graft-lsh-index"), tg)
+      pinned
+        .repartition(Buckets, col("doc_id"))
+        .write.mode(SaveMode.Overwrite)
+        .option("path", new java.io.File(dir, "tok").getAbsolutePath)
+        .bucketBy(Buckets, "doc_id")
+        .sortBy("doc_id", "pos")
+        .saveAsTable(tbl)
+      pinned.unpersist(): Unit
+    }
+  }
 }

@@ -31,8 +31,10 @@ class TokenIndexSpec extends SparkSpec {
     assert(CorpusTokenIndex.tokens(spark, sf).count() > 0)
   }
 
-  test("per-doc window over the index plans with no exchange and no sort") {
-    val toks = CorpusTokenIndex.tokens(spark, sf)
+  /** a per-doc window over the index must need neither exchange nor sort
+    * (bucket distribution + one sorted file per bucket)
+    */
+  private def assertNoExchangeNoSort(toks: DataFrame): Unit = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val led = toks.select(col("doc_id"), col("pos"), col("tok"))
       .withColumn("nxt", lead(col("tok"), 1).over(w))
@@ -55,6 +57,10 @@ class TokenIndexSpec extends SparkSpec {
       s"one-file-per-bucket (doc_id, pos) sort order should satisfy the window sort, found: $sorts")
   }
 
+  test("per-doc window over the index plans with no exchange and no sort") {
+    assertNoExchangeNoSort(CorpusTokenIndex.tokens(spark, sf))
+  }
+
   test("append extends the token index to exactly the union tokenization") {
     import spark.implicits._
     val all = t(spark, sf, "documents")
@@ -69,6 +75,12 @@ class TokenIndexSpec extends SparkSpec {
       .toDF("doc_id", "source", "lang", "pos", "tok")
     assert(rows(CorpusTokenIndex.tokens(spark, dir)) == rows(inline),
       "appended token index diverged from the inline union tokenization")
+    // compaction restores the one-sorted-file-per-bucket layout: rows
+    // unchanged, per-doc windows sort-free again
+    CorpusTokenIndex.compact(spark, dir)
+    assert(rows(CorpusTokenIndex.tokens(spark, dir)) == rows(inline),
+      "compaction changed the token rows")
+    assertNoExchangeNoSort(CorpusTokenIndex.tokens(spark, dir))
     spark.catalog.clearCache()
   }
 
