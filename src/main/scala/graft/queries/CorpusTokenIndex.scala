@@ -8,7 +8,7 @@ import graft.Tables.t
 /** Materialized corpus token relation — the tokenization pass, paid ONCE
   * per corpus per session and read by every token-level text operator
   * (txt_vocab, txt_phrases, txt_bigram_lm, txt_tfidf, txt_cms, txt_hapax,
-  * txt_skipgrams, txt_pmi, txt_bpe, txt_bpe_encode).
+  * txt_skipgrams, txt_pmi, txt_novelty, txt_bpe, txt_bpe_encode).
   *
   * Why: before this table each of those ten queries re-read the document
   * text and re-ran split+explode — ten full-corpus tokenization passes
