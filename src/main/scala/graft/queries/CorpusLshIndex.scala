@@ -104,6 +104,22 @@ object CorpusLshIndex {
     s.table(tableName(part, tag(d)))
   }
 
+  /** Invalidate `s`'s cached file listings for this corpus's index
+    * tables. A session caches a table's relation (with its file list)
+    * on first resolution, so files appended by ANOTHER session — e.g. a
+    * streaming micro-batch's cloned session — stay invisible until the
+    * reader refreshes (standard Spark external-append semantics). The
+    * append methods refresh their own session; cross-session readers
+    * (the self-maintaining streaming gate's root session) call this.
+    */
+  def refresh(s: SparkSession, d: String): Unit = {
+    val tg = tag(d)
+    Seq("sh", "sig", "band", "jac", "epair", "eband").foreach { part =>
+      val tbl = tableName(part, tg)
+      if (s.catalog.tableExists(tbl)) s.catalog.refreshTable(tbl)
+    }
+  }
+
   /** Incrementally extend the text index with a new document batch — the
     * crawl-loop lifecycle at corpus scale: per-doc relations (sh, sig,
     * band) append only the batch's own rows (a signature depends on
@@ -157,6 +173,7 @@ object CorpusLshIndex {
     add(sigNew, "sig", Seq("doc_id"))
     add(bandNew, "band", Seq("band", "bkey"))
     Seq(shNew, sigNew, bandNew, jacNew).foreach(_.unpersist())
+    refresh(s, d)
   }
 
   /** The EMBEDDING side of the index: every multi-probe hyperplane-LSH
@@ -229,6 +246,7 @@ object CorpusLshIndex {
     bandNew.write.mode(SaveMode.Append)
       .bucketBy(Buckets, "tbl", "bits").saveAsTable(tableName("eband", tg))
     Seq(eNew, jacNew).foreach(_.unpersist())
+    refresh(s, d)
   }
 
   /** per-doc DISTINCT word-3-shingle arrays (doc_id, ss) */

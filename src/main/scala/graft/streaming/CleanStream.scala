@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.queries.{DedupQueries, SamplingQueries, TextQueries}
+import graft.queries.{CorpusLshIndex, DedupQueries, SamplingQueries, TextQueries}
 
 /** Streaming head of the corpus-cleaning pipeline: documents tailed from
   * a topic are quality-gated and exactly deduplicated AS THEY ARRIVE,
@@ -80,6 +80,51 @@ object CleanStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("doc_id", "match_doc")
       .select($"doc_id", $"ts", $"match_doc", $"jaccard_ppm")
+  }
+
+  /** Self-MAINTAINING near-dup gate — the crawl-loop closure of
+    * [[nearDupFlags]]: each micro-batch is (1) flagged against the
+    * materialized corpus LSH index and (2) APPENDED to it
+    * (CorpusLshIndex.append), so later arrivals dedup against earlier
+    * stream arrivals, not just the static corpus — the invariant a
+    * stream-static join alone cannot give (its static side is frozen at
+    * query start). foreachBatch is the right Spark shape: inside it the
+    * micro-batch is a static DataFrame, so the BATCH candidate/verify
+    * chain runs as-is against the bucketed index tables, and the append
+    * keeps "index == everything seen so far" as durable cross-batch
+    * state (no unbounded executor state — the index is a table).
+    *
+    * `docs`: streaming (doc_id, text, …) with doc_ids disjoint from the
+    * corpus and each other. `onBatch` receives each micro-batch's flag
+    * relation (doc_id, match_doc, jaccard_ppm). Returns the started
+    * query (caller stops it).
+    */
+  def indexMaintainingNearDup(docs: DataFrame, d: String,
+      thresholdPpm: Long = 400000)(onBatch: DataFrame => Unit) = {
+    docs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      val s = batch.sparkSession
+      import s.implicits._
+      val b = batch.select($"doc_id", $"text").persist()
+      val bandsN = DedupQueries.bandsFrom(
+        DedupQueries.shinglesOf(b))
+      val bandsC = CorpusLshIndex.bands(s, d)
+      val cand = bandsN.as("n").join(bandsC.as("c"),
+          col("n.band") === col("c.band") && col("n.bkey") === col("c.bkey") &&
+            col("n.doc_id") =!= col("c.doc_id"))
+        .select(col("n.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+        .distinct()
+      val arrAll = CorpusLshIndex.shingles(s, d)
+        .unionByName(DedupQueries.shingleArrays(b))
+      // pinned BEFORE the append below mutates the tables it reads
+      val flags = DedupQueries.jaccardFor(arrAll, cand)
+        .filter(col("jaccard_ppm") >= thresholdPpm)
+        .select(col("doc_a").as("doc_id"), col("doc_b").as("match_doc"),
+          col("jaccard_ppm"))
+        .localCheckpoint(true)
+      onBatch(flags)
+      CorpusLshIndex.append(s, d, b) // the batch joins the corpus
+      b.unpersist(): Unit
+    }.start()
   }
 
   /** Streaming mixture gate — samp_stratified's per-stratum rate
