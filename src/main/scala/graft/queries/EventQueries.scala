@@ -348,6 +348,33 @@ object EventQueries {
         .withColumn("from_total", sum($"n").over(tw))
         .withColumn("p_ppm", expr("(n * 1000000) div from_total"))
         .orderBy($"from_type", $"to_type")
+    },
+
+    // weekly cohort accounting — the growth ledger every event platform
+    // keeps: per calendar week, how many users were active, how many are
+    // new (no activity the week before), retained (active both weeks),
+    // and churn-next (active this week, gone the next). Every metric is
+    // keyed by a week the user WAS active, so no phantom-week rows.
+    // Scale shape: one distinct on (user, week) — a partial-agg shuffle
+    // over the deduplicated activity relation — then three self-joins on
+    // (user_id, week±1), all co-partitioned on the same keys; the final
+    // per-week rollup is |weeks|-bounded. No window over raw events.
+    "ev_churn" -> { (s, d) =>
+      import s.implicits._
+      val act = ev(s, d)
+        .select($"user_id", expr(s"ts_us div ${7 * DayUs}").as("week"))
+        .distinct()
+      val prev = act.select($"user_id", ($"week" + 1).as("week"))
+      val next = act.select($"user_id", ($"week" - 1).as("week"))
+      val flags = act
+        .join(prev.withColumn("had_prev", lit(1)), Seq("user_id", "week"), "left")
+        .join(next.withColumn("has_next", lit(1)), Seq("user_id", "week"), "left")
+      flags.groupBy($"week")
+        .agg(count(lit(1)).as("active"),
+          count(when($"had_prev".isNull, 1)).as("new_users"),
+          count($"had_prev").as("retained"),
+          count(when($"has_next".isNull, 1)).as("churn_next"))
+        .orderBy($"week")
     }
   )
 
@@ -574,6 +601,22 @@ object EventQueries {
         |SELECT from_type, to_type, n,
         |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
         |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
-        |FROM tr ORDER BY from_type, to_type""".stripMargin
+        |FROM tr ORDER BY from_type, to_type""".stripMargin,
+
+    "ev_churn" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |f AS (
+        |  SELECT a.user_id, a.week,
+        |    CASE WHEN p.user_id IS NULL THEN NULL ELSE 1 END AS had_prev,
+        |    CASE WHEN x.user_id IS NULL THEN NULL ELSE 1 END AS has_next
+        |  FROM act a
+        |  LEFT JOIN act p ON p.user_id = a.user_id AND p.week = a.week - 1
+        |  LEFT JOIN act x ON x.user_id = a.user_id AND x.week = a.week + 1)
+        |SELECT week, CAST(COUNT(*) AS BIGINT) AS active,
+        |  CAST(COUNT(CASE WHEN had_prev IS NULL THEN 1 END) AS BIGINT) AS new_users,
+        |  CAST(COUNT(had_prev) AS BIGINT) AS retained,
+        |  CAST(COUNT(CASE WHEN has_next IS NULL THEN 1 END) AS BIGINT) AS churn_next
+        |FROM f GROUP BY week ORDER BY week""".stripMargin
   )
 }

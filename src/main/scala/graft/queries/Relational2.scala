@@ -560,6 +560,29 @@ object Relational2 {
         .select($"l_returnflag", $"n_rows", $"k_used",
           $"est_p50", $"exact_p50", $"est_p90", $"exact_p90")
         .orderBy($"l_returnflag")
+    },
+
+    // RANGE-frame trailing window: each order carries its customer's
+    // rolling 90-day order count and spend — the frame is VALUE-based
+    // (all orders within 89 prior days), not row-based, so same-day
+    // orders share one frame and the answer is insensitive to intra-day
+    // ordering. Scale shape: the window partitions by customer — frame
+    // evaluation is a per-customer sorted pass, parallelism = |customers|
+    // — and the DECIMAL sum keeps float addition order out of the
+    // answer. The canonical "trailing spend" feature every feature store
+    // materializes.
+    "q36_range_window" -> { (s, d) =>
+      import s.implicits._
+      val o = t(s, d, "orders").select($"o_orderkey", $"o_custkey",
+        expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+          .cast("long").as("day"),
+        d6($"o_totalprice").as("price"))
+      val w = Window.partitionBy($"o_custkey").orderBy($"day")
+        .rangeBetween(-89, Window.currentRow)
+      o.select($"o_orderkey", $"o_custkey", $"day",
+          count(lit(1)).over(w).as("n_90d"),
+          sum($"price").over(w).cast("double").as("spend_90d"))
+        .orderBy($"o_orderkey")
     }
   )
 
@@ -854,6 +877,20 @@ object Relational2 {
         |SELECT ex.l_returnflag, ex.n_rows, es.k_used,
         |  es.est_p50, ex.exact_p50, es.est_p90, ex.exact_p90
         |FROM ex JOIN es ON es.l_returnflag = ex.l_returnflag
-        |ORDER BY ex.l_returnflag""".stripMargin
+        |ORDER BY ex.l_returnflag""".stripMargin,
+
+    "q36_range_window" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    CAST(o_totalprice AS DECIMAL(28,6)) AS price
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, day,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_90d,
+        |  CAST(SUM(price) OVER w AS DOUBLE) AS spend_90d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |  RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
