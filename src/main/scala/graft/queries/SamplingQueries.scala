@@ -43,6 +43,11 @@ object SamplingQueries {
   /** docs kept per source by samp_curriculum */
   private val CurriculumK = 20L
 
+  /** samp_systematic: target picks, and the FIXED shard count that
+    * bounds the offset relation no matter the corpus size */
+  private val SysK = 100L
+  private val SysShards = 1024L
+
   /** uniform-in-[0, 2^32) deterministic hash of the doc id — shared with
     * the streaming mixture gate (CleanStream.mixtureGate) so stream and
     * batch select the same documents
@@ -204,6 +209,45 @@ object SamplingQueries {
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter($"rnk" <= CurriculumK)
         .orderBy($"source", $"rnk")
+    },
+
+    // weighted SYSTEMATIC sampling (the classic PPS design): lay every
+    // doc's weight (n_chars) end to end in doc_id order and take one
+    // pick at every multiple of step = total/K — a doc straddling m
+    // multiples enters the sample m times (probability-proportional-to-
+    // size, no RNG, engine-exact). The interesting part at scale is the
+    // GLOBAL cumulative sum with no global window over the corpus: a
+    // two-phase prefix sum — shard by a monotone doc_id range split
+    // (≤ NumShards shards by construction, whatever the corpus size),
+    // per-shard partial sums roll into shard offsets via a window over
+    // the ≤ NumShards-row sums relation, and a per-shard window adds the
+    // local prefix. Selection is then a narrow filter. This is how a
+    // 100 TB engine materializes epoch sampling plans.
+    "samp_systematic" -> { (s, d) =>
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select($"doc_id", $"n_chars".cast("long").as("w"))
+      // single-row bounds+total: the only all-reduce, broadcast to all
+      val bounds = docs.agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"),
+        sum($"w").as("tw"))
+      val sharded = docs.join(broadcast(bounds), lit(true))
+        .withColumn("span", expr(s"(hi - lo + $SysShards) div $SysShards"))
+        .withColumn("shard", expr("(doc_id - lo) div span"))
+      val wOff = Window.orderBy($"shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = sharded.groupBy($"shard").agg(sum($"w").as("sw"))
+        .withColumn("off", coalesce(sum($"sw").over(wOff), lit(0L)))
+        .select($"shard", $"off")
+      val wLoc = Window.partitionBy($"shard").orderBy($"doc_id")
+      sharded
+        .withColumn("loc", sum($"w").over(wLoc) - $"w")
+        .join(broadcast(offs), Seq("shard"))
+        .withColumn("cum", $"off" + $"loc")
+        .withColumn("step", greatest(lit(1L), expr(s"tw div $SysK")))
+        .withColumn("n_picks", expr("(cum + w) div step - cum div step"))
+        .filter($"n_picks" > 0)
+        .select($"doc_id", $"w", $"n_picks")
+        .orderBy($"doc_id")
     }
   )
 
@@ -304,6 +348,23 @@ object SamplingQueries {
          |           ORDER BY quality_ppm DESC, doc_id) AS BIGINT) AS rnk
          |  FROM q)
          |SELECT doc_id, source, quality_ppm, rnk
-         |FROM r WHERE rnk <= $CurriculumK ORDER BY source, rnk""".stripMargin
+         |FROM r WHERE rnk <= $CurriculumK ORDER BY source, rnk""".stripMargin,
+
+    // the oracle states the SPEC (a plain global cumsum); the Spark side
+    // must reproduce it exactly through its two-phase sharded prefix sum
+    "samp_systematic" ->
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+         |c AS (
+         |  SELECT doc_id, w,
+         |    COALESCE(SUM(w) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+         |    SUM(w) OVER () AS tw
+         |  FROM d),
+         |p AS (
+         |  SELECT doc_id, w,
+         |    (cum + w) // GREATEST(1, tw // $SysK) - cum // GREATEST(1, tw // $SysK) AS n_picks
+         |  FROM c)
+         |SELECT doc_id, w, CAST(n_picks AS BIGINT) AS n_picks
+         |FROM p WHERE n_picks > 0 ORDER BY doc_id""".stripMargin
   )
 }

@@ -23,8 +23,13 @@ class PlanAuditSpec extends SparkSpec {
   // the single best-pair row against the vocab relation
   private val nestedLoopAllowed =
     Set("ann_ivf_topk", "emb_kmeans", "emb_outliers", "samp_temperature",
-      "txt_bpe", "txt_bpe_encode")
-  private val globalWindowAllowed = Set("rd_ordering_group")
+      "txt_bpe", "txt_bpe_encode",
+      // single-row bounds/total relation crossed into the corpus
+      "samp_systematic")
+  // samp_systematic's second exemption: the shard-offset prefix window
+  // runs over the per-shard sums relation, ≤ SysShards (1024) rows by
+  // construction whatever the corpus size — not a corpus-sized funnel
+  private val globalWindowAllowed = Set("rd_ordering_group", "samp_systematic")
 
   // deliberate constant-bounded broadcasts the structural rule can't
   // see: ann_* broadcast the fixed 25-row query slice (vec_id <
