@@ -377,6 +377,43 @@ object AnnQueries {
           sum($"p" * $"p").as("proj_norm2"))
         .join(qe.select($"vec_id", $"nn"), Seq("vec_id"))
         .orderBy($"vec_id")
+    },
+
+    // HYBRID retrieval — the RAG-curation fusion query: lexical token-set
+    // overlap and embedding cosine scored together (equal-weight ppm sum)
+    // for the 5 query docs against the whole corpus, top-10 per query.
+    // documents.doc_id and embeddings.vec_id are the same key, so each
+    // candidate carries its token set and its quantized vector through
+    // ONE broadcast probe: the corpus pass is narrow (array_intersect on
+    // in-row arrays + the native integer dot), the only wide op is the
+    // per-query top-k window over a 5×|corpus| relation whose partitions
+    // are query-bounded. Both signals are exact integers (ppm), so the
+    // fused ranking is engine-exact and fully oracle-checked — no other
+    // operator in the family mixes modalities.
+    "ann_hybrid" -> { (s, d) =>
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select($"doc_id", array_distinct(split($"text", " +")).as("ts"))
+      val e = quantized(s, d)
+      val joined = toks.join(e, $"doc_id" === $"vec_id")
+      val corpus = joined
+        .select($"doc_id".as("cid"), $"ts".as("tb"), $"q".as("qb"), $"nn".as("nb"))
+      val qs = joined.filter($"doc_id" < NumQueries)
+        .select($"doc_id".as("qid"), $"ts".as("ta"), $"q".as("qa"), $"nn".as("na"))
+      val w = Window.partitionBy($"qid").orderBy($"score".desc, $"cid")
+      corpus.join(broadcast(qs), $"cid" =!= $"qid")
+        .withColumn("inter", size(array_intersect($"ta", $"tb")).cast("long"))
+        .withColumn("uni",
+          size($"ta").cast("long") + size($"tb").cast("long") - $"inter")
+        .withColumn("lex_ppm", expr("(inter * 1000000) div greatest(1L, uni)"))
+        .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
+        .withColumn("cos_ppm",
+          floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
+        .withColumn("score", $"lex_ppm" + $"cos_ppm")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 10)
+        .select($"qid", $"rnk", $"cid", $"score", $"lex_ppm", $"cos_ppm")
+        .orderBy($"qid", $"rnk")
     }
   )
 
@@ -662,6 +699,44 @@ object AnnQueries {
          |  FROM p GROUP BY vec_id)
          |SELECT sk.vec_id, sk.sketch_sig, sk.proj_norm2, CAST(n.nn AS BIGINT) AS nn
          |FROM sk JOIN n ON n.vec_id = sk.vec_id
-         |ORDER BY sk.vec_id""".stripMargin)
+         |ORDER BY sk.vec_id""".stripMargin),
+
+    // lexical set-overlap and cosine fused per pair: the pair universe
+    // comes from the dot side (every query×candidate), overlap LEFT-joins
+    // in so zero-intersection pairs still rank by cosine alone
+    "ann_hybrid" -> (QuantCte +
+      s""", tk AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok
+         |    FROM documents)),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM tk GROUP BY 1),
+         |ov AS (
+         |  SELECT a.doc_id AS qid, b.doc_id AS cid, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM tk a JOIN tk b ON a.tok = b.tok
+         |    AND a.doc_id < $NumQueries AND b.doc_id <> a.doc_id
+         |  GROUP BY 1, 2),
+         |dots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS cid, SUM(a.q * b.q) AS dot
+         |  FROM e a JOIN e b ON a.i = b.i
+         |    AND a.vec_id < $NumQueries AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.qid, d.cid,
+         |    (COALESCE(ov.inter, 0) * 1000000)
+         |      // GREATEST(1, sa.nt + sb.nt - COALESCE(ov.inter, 0)) AS lex_ppm,
+         |    CAST(FLOOR(d.dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+         |  FROM dots d
+         |  LEFT JOIN ov ON ov.qid = d.qid AND ov.cid = d.cid
+         |  JOIN sz sa ON sa.doc_id = d.qid JOIN sz sb ON sb.doc_id = d.cid
+         |  JOIN n na ON na.vec_id = d.qid JOIN n nb ON nb.vec_id = d.cid),
+         |ranked AS (
+         |  SELECT qid, cid, CAST(lex_ppm AS BIGINT) AS lex_ppm, cos_ppm,
+         |    CAST(lex_ppm + cos_ppm AS BIGINT) AS score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY lex_ppm + cos_ppm DESC, cid) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT qid, rnk, cid, score, lex_ppm, cos_ppm
+         |FROM ranked WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin)
   )
 }

@@ -39,7 +39,9 @@ class PlanAuditSpec extends SparkSpec {
   // construction
   private val constantSliceBroadcastAllowed =
     Set("ann_brute_topk", "ann_lsh_topk", "ann_pq_topk",
-      "ann_ivf_topk", "emb_kmeans", "emb_outliers")
+      "ann_ivf_topk", "emb_kmeans", "emb_outliers",
+      // the same fixed 5-row query slice, carrying token set + vector
+      "ann_hybrid")
 
   /** a hinted subtree is scale-safe iff its row count cannot grow with
     * the fact tables: an aggregation / limit / literal relation bounds
