@@ -33,6 +33,7 @@ object AnnQueries {
   private val KmeansK = 8 // k-means clusters (seeds: vec_id < k)
   private val KmeansIters = 3 // fixed Lloyd rounds (deterministic, SQL-replayable)
   private val RpPlanes = 16 // emb_rp: Johnson–Lindenstrauss projection dims
+  private val FpsK = 6 // emb_fps: greedy k-center picks (seed + 5 rounds)
 
   private def quantized(s: SparkSession, d: String): DataFrame =
     graft.operators.VectorOps.quantized(s, d)
@@ -414,6 +415,40 @@ object AnnQueries {
         .filter($"rnk" <= 10)
         .select($"qid", $"rnk", $"cid", $"score", $"lex_ppm", $"cos_ppm")
         .orderBy($"qid", $"rnk")
+    },
+
+    // farthest-point (greedy k-center) DIVERSITY sampling — the coreset
+    // selector: seed at vec_id 0, then k-1 rounds of "add the vector
+    // farthest from everything selected so far". The gap column is the
+    // selection-time min squared distance — the k-center coverage radius
+    // ladder, the quantity the 2-approximation guarantee is stated on.
+    // Scale shape per round: the selected set is ≤ k rows broadcast to a
+    // narrow corpus pass (native integer L2 kernel), one partial-agg min
+    // per vector, and a distributed top-1 (TakeOrdered) — never an
+    // all-pairs relation. Integer distances on quantized vectors make
+    // every round engine-exact, so the full greedy trajectory replays in
+    // the DuckDB oracle (k-1 unrolled CTE rounds, pair dists only from
+    // the ≤ k selected rows).
+    "emb_fps" -> { (s, d) =>
+      import s.implicits._
+      val e = quantized(s, d).select($"vec_id", $"q").persist()
+      var sel = e.filter($"vec_id" === 0)
+        .select(lit(1L).as("rnk"), $"vec_id", lit(0L).as("gap"))
+        .localCheckpoint(true)
+      for (r <- 2 to FpsK) {
+        val selq = e.join(broadcast(sel.select($"vec_id")), Seq("vec_id"))
+          .select($"vec_id".as("sid"), $"q".as("sq"))
+        val next = e
+          .join(broadcast(sel.select($"vec_id")), Seq("vec_id"), "left_anti")
+          .join(broadcast(selq), lit(true))
+          .withColumn("dd", graft.operators.VectorOps.l2Col($"q", $"sq"))
+          .groupBy($"vec_id").agg(min($"dd").as("gap"))
+          .orderBy($"gap".desc, $"vec_id").limit(1)
+          .select(lit(r.toLong).as("rnk"), $"vec_id", $"gap")
+        sel = sel.unionByName(next).localCheckpoint(true)
+      }
+      e.unpersist()
+      sel.orderBy($"rnk")
     }
   )
 
@@ -425,7 +460,34 @@ object AnnQueries {
       |n AS (SELECT vec_id, SUM(q * q) AS nn FROM e GROUP BY 1)
       |""".stripMargin
 
+  /** emb_fps oracle: the greedy trajectory unrolled — round r computes
+    * pair distances ONLY from the ≤ k selected rows (never all-pairs, so
+    * the replay stays cheap at the driver's sf0.01), takes the min per
+    * unselected vector, and picks the argmax with the vec_id tie-break.
+    */
+  private def FpsOracle: String = {
+    val rounds = (2 to FpsK).map { r =>
+      val p = r - 1
+      s"""d$p AS (
+         |  SELECT b.vec_id AS v, a.vec_id AS c, SUM((a.q - b.q) * (a.q - b.q)) AS dd
+         |  FROM e a JOIN s$p s ON a.vec_id = s.vec_id JOIN e b ON b.i = a.i
+         |  GROUP BY 1, 2),
+         |md$p AS (
+         |  SELECT v, MIN(dd) AS mind FROM d$p
+         |  WHERE v NOT IN (SELECT vec_id FROM s$p) GROUP BY v),
+         |p$r AS (SELECT v AS vec_id, mind FROM md$p ORDER BY mind DESC, v LIMIT 1),
+         |s$r AS (SELECT vec_id FROM s$p UNION ALL SELECT vec_id FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    val picks = (2 to FpsK).map(r =>
+      s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, CAST(mind AS BIGINT) FROM p$r")
+      .mkString("\n")
+    QuantCte + ", s1 AS (SELECT CAST(0 AS BIGINT) AS vec_id),\n" + rounds +
+      "\nSELECT CAST(1 AS BIGINT) AS rnk, CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS gap\n" +
+      picks + "\nORDER BY rnk"
+  }
+
   val oracles: Map[String, String] = Map(
+    "emb_fps" -> FpsOracle,
     // full multi-probe banding replay (shared CTEs with dd_embed_lsh —
     // DedupQueries.EmbedPairCtes regenerates the planes in SQL): the
     // UNTHRESHOLDED pair set symmetrized into the per-vector top-5

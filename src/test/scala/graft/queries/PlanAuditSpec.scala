@@ -25,7 +25,9 @@ class PlanAuditSpec extends SparkSpec {
     Set("ann_ivf_topk", "emb_kmeans", "emb_outliers", "samp_temperature",
       "txt_bpe", "txt_bpe_encode",
       // single-row bounds/total relation crossed into the corpus
-      "samp_systematic")
+      "samp_systematic",
+      // ≤ FpsK-row selected set crossed into the corpus each round
+      "emb_fps")
   // samp_systematic's second exemption: the shard-offset prefix window
   // runs over the per-shard sums relation, ≤ SysShards (1024) rows by
   // construction whatever the corpus size — not a corpus-sized funnel
@@ -41,7 +43,10 @@ class PlanAuditSpec extends SparkSpec {
     Set("ann_brute_topk", "ann_lsh_topk", "ann_pq_topk",
       "ann_ivf_topk", "emb_kmeans", "emb_outliers",
       // the same fixed 5-row query slice, carrying token set + vector
-      "ann_hybrid")
+      "ann_hybrid",
+      // emb_fps: the selected set is ≤ FpsK rows by construction (seed
+      // slice + one limit(1) pick per round)
+      "emb_fps")
 
   /** a hinted subtree is scale-safe iff its row count cannot grow with
     * the fact tables: an aggregation / limit / literal relation bounds
