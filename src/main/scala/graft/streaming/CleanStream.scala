@@ -82,6 +82,36 @@ object CleanStream {
       .select($"doc_id", $"ts", $"match_doc", $"jaccard_ppm")
   }
 
+  /** Streaming DECONTAMINATION gate — dd_decontam's stream twin: each
+    * arriving training document is flagged the moment it shares an
+    * 8-token shingle with the benchmark/eval set, BEFORE it can enter a
+    * training mix. The bench set is indexed once (per-shingle min bench
+    * doc — the same index dd_decontam builds) and persisted; arrivals
+    * explode their own shingles (narrow, per-row) into a stream-static
+    * equi join against it. No streaming aggregation: the output is the
+    * distinct (doc, bench_doc) contamination pair relation, deduped by
+    * the watermark-bounded dropDuplicates — the same stateless shape as
+    * [[nearDupFlags]], so state never grows with the corpus.
+    *
+    * `docs`: streaming (doc_id, text, ts). `bench`: static
+    * (doc_id, text). Returns (doc_id, ts, bench_doc).
+    */
+  def decontamFlags(docs: DataFrame, bench: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    import bench.sparkSession.implicits._
+    val benchIdx = DedupQueries.shingleArrays(bench)
+      .select($"doc_id".as("bd"), explode($"ss").as("s"))
+      .groupBy($"s").agg(min($"bd").as("bench_doc"))
+      .persist()
+    docs.withColumn("tk", split($"text", " +"))
+      .withColumn("ss", expr(DedupQueries.shingleExpr))
+      .select($"doc_id", $"ts", explode($"ss").as("s"))
+      .join(benchIdx, Seq("s"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_id", "bench_doc")
+      .select($"doc_id", $"ts", $"bench_doc")
+  }
+
   /** Self-MAINTAINING near-dup gate — the crawl-loop closure of
     * [[nearDupFlags]]: each micro-batch is (1) flagged against the
     * materialized corpus LSH index and (2) APPENDED to it
