@@ -121,6 +121,26 @@ object MultimodalQueries {
         .orderBy($"pos_a", $"pos_b")
     },
 
+    // connected components over the perceptual-hash near-dup graph: the
+    // asset-level twin of dd_cluster — cluster id = the numerically-min
+    // member, sizes included, so an asset pipeline can keep one
+    // representative per visual cluster. Reuses the dedup family's
+    // union-find / pointer-jumping dispatch (DedupQueries
+    // .connectedComponents — budget-gated driver fast path, distributed
+    // propagation past 1M edges); the edge list is mm_phash_pairs'
+    // banded hamming≤3 relation, never all-pairs over the asset corpus.
+    "mm_phash_clusters" -> { (s, d) =>
+      import s.implicits._
+      val edges = queries("mm_phash_pairs")(s, d).select(
+        regexp_extract($"pos_a", "evt-(\\d+)", 1).cast("long").as("a"),
+        regexp_extract($"pos_b", "evt-(\\d+)", 1).cast("long").as("b"))
+      DedupQueries.connectedComponents(edges)
+        .select(concat(lit("evt-"), $"doc_id".cast("string")).as("position"),
+          concat(lit("evt-"), $"cluster_id".cast("string")).as("cluster_pos"),
+          $"n_members")
+        .orderBy($"position")
+    },
+
     // exact asset dedup by content hash — the 100 TB image/audio dedup
     // baseline: one checksum groupBy per payload kind (map-side partial
     // agg, shuffle carries 16-byte hashes not payloads), then a per-kind
@@ -242,30 +262,58 @@ object MultimodalQueries {
         |FROM prof p JOIN top t ON t.position = p.position
         |ORDER BY p.position""".stripMargin,
 
-    "mm_phash_pairs" -> {
-      val bitSums = (0 until 32).map { b =>
-        s"SUM(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
-      }.mkString(",\n    ")
-      val sig = (0 until 32).map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH m AS (
-         |  SELECT 'evt-' || CAST(event_id AS VARCHAR) AS position, props AS txt
-         |  FROM events WHERE event_id < 300),
-         |g AS (
-         |  SELECT position, substr(txt, CAST(i AS INT), 4) AS g
-         |  FROM m, UNNEST(range(1, length(txt) - 2)) AS t(i)
-         |  WHERE length(txt) >= 4),
-         |v AS (SELECT position, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS v FROM g),
-         |bits AS (
-         |  SELECT position,
-         |    $bitSums
-         |  FROM v GROUP BY position),
-         |sims AS (SELECT position, CAST($sig AS BIGINT) AS phash FROM bits)
+    "mm_phash_pairs" ->
+      s"""WITH $PhashSimsCtes
          |SELECT a.position AS pos_a, b.position AS pos_b,
          |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
          |FROM sims a JOIN sims b ON a.position < b.position
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
-         |ORDER BY pos_a, pos_b""".stripMargin
-    }
+         |ORDER BY pos_a, pos_b""".stripMargin,
+
+    // transitive closure over the hamming≤3 pair graph on numeric asset
+    // ids (substr strips the 'evt-' prefix so MIN agrees with the Spark
+    // side's numeric min-label), dd_cluster's recursive-CTE twin
+    "mm_phash_clusters" ->
+      s"""WITH RECURSIVE $PhashSimsCtes,
+         |pairs AS (
+         |  SELECT CAST(substr(a.position, 5) AS BIGINT) AS a,
+         |    CAST(substr(b.position, 5) AS BIGINT) AS b
+         |  FROM sims a JOIN sims b ON a.position < b.position
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+         |sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         |reach AS (
+         |  SELECT a AS doc, a AS r FROM sym
+         |  UNION
+         |  SELECT s.b AS doc, reach.r FROM reach JOIN sym s ON s.a = reach.doc),
+         |comp AS (SELECT doc, MIN(r) AS c FROM reach GROUP BY doc),
+         |csz AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_members FROM comp GROUP BY 1)
+         |SELECT 'evt-' || CAST(comp.doc AS VARCHAR) AS position,
+         |  'evt-' || CAST(comp.c AS VARCHAR) AS cluster_pos, csz.n_members
+         |FROM comp JOIN csz ON csz.c = comp.c
+         |ORDER BY position""".stripMargin
   )
+
+  /** the shared phash signature pipeline (m → 4-grams → 32-bit simhash),
+    * consumed by both the pairs and the clusters oracle
+    */
+  private lazy val PhashSimsCtes: String = {
+    val bitSums = (0 until 32).map { b =>
+      s"SUM(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n    ")
+    val sig = (0 until 32).map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""m AS (
+       |  SELECT 'evt-' || CAST(event_id AS VARCHAR) AS position, props AS txt
+       |  FROM events WHERE event_id < 300),
+       |g AS (
+       |  SELECT position, substr(txt, CAST(i AS INT), 4) AS g
+       |  FROM m, UNNEST(range(1, length(txt) - 2)) AS t(i)
+       |  WHERE length(txt) >= 4),
+       |v AS (SELECT position, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS v FROM g),
+       |bits AS (
+       |  SELECT position,
+       |    $bitSums
+       |  FROM v GROUP BY position),
+       |sims AS (SELECT position, CAST($sig AS BIGINT) AS phash FROM bits)""".stripMargin
+  }
 }

@@ -248,6 +248,37 @@ object SamplingQueries {
         .filter($"n_picks" > 0)
         .select($"doc_id", $"w", $"n_picks")
         .orderBy($"doc_id")
+    },
+
+    // effective sample size of the temperature-weighted mixture — the
+    // diversity cost of re-weighting sources. Each doc's mix weight is
+    // u_s = w_s/(sw·n_s) (w = samp_temperature's source weight), so
+    // ESS = (Σu)²/Σu², the classic importance-sampling diagnostic: N
+    // when the mix is uniform, collapsing toward the dominant source's
+    // size as weights skew. All-integer: u in nano units via floor div,
+    // the final square in DECIMAL(38,0) (txt_pmi's exact-arithmetic
+    // pattern — int64 would overflow at Σu ≈ 1e9 squared). Scale shape:
+    // ONE tiny per-source agg touches the corpus; everything after is
+    // |sources| rows.
+    "samp_ess" -> { (s, d) =>
+      import s.implicits._
+      val n = t(s, d, "documents").groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", floor(sqrt($"n_docs".cast("double")) * lit(1000.0)).cast("long"))
+      val tot = n.agg(sum($"w").as("sw"), sum($"n_docs").as("n_total"))
+      val per = n.crossJoin(broadcast(tot))
+        .withColumn("mix_share_ppm", expr("(w * 1000000) div sw"))
+        .withColumn("doc_weight_nano", expr("(w * 1000000000) div (sw * n_docs)"))
+      val g = per.agg(
+          sum($"n_docs" * $"doc_weight_nano").as("s1"),
+          sum($"n_docs" * $"doc_weight_nano" * $"doc_weight_nano").as("s2"))
+        .withColumn("ess_milli",
+          expr("CAST((CAST(s1 AS DECIMAL(38,0)) * s1 * 1000) div s2 AS BIGINT)"))
+      per.crossJoin(broadcast(g.select($"ess_milli")))
+        .withColumn("ess_ratio_ppm", expr("(ess_milli * 1000) div n_total"))
+        .select($"source", $"n_docs", $"mix_share_ppm", $"doc_weight_nano",
+          $"ess_milli", $"ess_ratio_ppm")
+        .orderBy($"source")
     }
   )
 
@@ -365,6 +396,33 @@ object SamplingQueries {
          |    (cum + w) // GREATEST(1, tw // $SysK) - cum // GREATEST(1, tw // $SysK) AS n_picks
          |  FROM c)
          |SELECT doc_id, w, CAST(n_picks AS BIGINT) AS n_picks
-         |FROM p WHERE n_picks > 0 ORDER BY doc_id""".stripMargin
+         |FROM p WHERE n_picks > 0 ORDER BY doc_id""".stripMargin,
+
+    // HUGEINT where the Spark side uses DECIMAL(38,0): s1² ≈ 1e18·1000
+    // overflows BIGINT in both engines; for positive values // and div
+    // are the same exact floor.
+    "samp_ess" ->
+      s"""WITH n AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000.0) AS BIGINT) AS w
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sw,
+         |  CAST(SUM(n_docs) AS BIGINT) AS n_total FROM n),
+         |per AS (
+         |  SELECT source, n_docs,
+         |    CAST((w * 1000000) // sw AS BIGINT) AS mix_share_ppm,
+         |    CAST((w * 1000000000) // (sw * n_docs) AS BIGINT) AS doc_weight_nano
+         |  FROM n, tot),
+         |g AS (
+         |  SELECT CAST(SUM(n_docs * doc_weight_nano) AS BIGINT) AS s1,
+         |    CAST(SUM(n_docs * doc_weight_nano * doc_weight_nano) AS BIGINT) AS s2
+         |  FROM per),
+         |e AS (
+         |  SELECT CAST(CAST(s1 AS HUGEINT) * s1 * 1000 // s2 AS BIGINT) AS ess_milli
+         |  FROM g)
+         |SELECT per.source, per.n_docs, per.mix_share_ppm, per.doc_weight_nano,
+         |  e.ess_milli,
+         |  CAST(e.ess_milli * 1000 // tot.n_total AS BIGINT) AS ess_ratio_ppm
+         |FROM per, e, tot ORDER BY per.source""".stripMargin
   )
 }

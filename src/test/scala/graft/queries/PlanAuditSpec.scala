@@ -26,6 +26,9 @@ class PlanAuditSpec extends SparkSpec {
       "txt_bpe", "txt_bpe_encode",
       // single-row bounds/total relation crossed into the corpus
       "samp_systematic",
+      // single-row weight-total and ESS relations crossed into the
+      // |sources|-row mixture profile
+      "samp_ess",
       // ≤ FpsK-row selected set crossed into the corpus each round
       "emb_fps")
   // samp_systematic's second exemption: the shard-offset prefix window
