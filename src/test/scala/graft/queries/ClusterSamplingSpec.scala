@@ -67,4 +67,53 @@ class ClusterSamplingSpec extends SparkSpec {
       assert(toks.sum - toks.max < 4000L, s"source $src blew its token budget")
     }
   }
+
+  test("samp_ess: ESS bounded by N and min-source size, shares consistent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = SparkEntry.queries("samp_ess")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    val nTotal = rows.map(_._2).sum
+    val essMilli = rows.head._5
+    assert(rows.forall(_._5 == essMilli), "global ESS must be identical on every row")
+    // ESS ≤ N holds for ANY positive weights by Cauchy-Schwarz — including
+    // the nano-quantized ones the query actually sums — so floor rounding
+    // cannot break it
+    assert(essMilli <= nTotal * 1000L, s"ESS ${essMilli / 1000.0} exceeds corpus size $nTotal")
+    // ESS ≥ min_s n_s (sw² ≥ Σw² pushes ESS above the smallest stratum);
+    // quantization can only shave sub-milli amounts, leave 1‰ headroom
+    val minSource = rows.map(_._2).min
+    assert(essMilli >= minSource * 999L, s"ESS ${essMilli / 1000.0} below smallest source $minSource")
+    // mix shares are a floor-divided partition of unity
+    val shareSum = rows.map(_._3).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length,
+      s"mix_share_ppm sums to $shareSum")
+    assert(rows.forall(r => r._6 == essMilli * 1000L / nTotal), "ess_ratio_ppm inconsistent")
+  }
+
+  test("mm_phash_clusters: min-labeled components covering every hamming≤3 pair") {
+    val spark2 = spark
+    import spark2.implicits._
+    val clusters = SparkEntry.queries("mm_phash_clusters")(spark, sf)
+      .as[(String, String, Long)].collect()
+      .map { case (p, c, n) => p -> (c, n) }.toMap
+    spark.catalog.clearCache()
+    assert(clusters.nonEmpty, "the sf0.001 asset corpus has known phash near-dups")
+    val pairs = SparkEntry.queries("mm_phash_pairs")(spark, sf)
+      .select($"pos_a", $"pos_b").as[(String, String)].collect()
+    spark.catalog.clearCache()
+    assert(pairs.nonEmpty)
+    // transitive closure: both endpoints of every pair share a cluster
+    for ((a, b) <- pairs)
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split across clusters")
+    def num(p: String) = p.stripPrefix("evt-").toLong
+    val members = clusters.toSeq.groupBy(_._2._1).map { case (c, ms) => c -> ms.map(_._1) }
+    for ((cid, ps) <- members) {
+      assert(ps.map(num).min == num(cid), s"cluster $cid not labeled by its numeric-min member")
+      assert(ps.forall(p => clusters(p)._2 == ps.size.toLong), s"cluster $cid size mismatch")
+      assert(ps.size >= 2, "singleton assets must not appear in the cluster output")
+    }
+  }
 }
