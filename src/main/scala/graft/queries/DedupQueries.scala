@@ -848,6 +848,42 @@ object DedupQueries {
       clusteredOut.unionByName(singles).orderBy($"doc_id")
     },
 
+    // SOFT dedup — duplication-aware mixture reweighting (the D4/SemDeDup
+    // alternative to dropping duplicates): instead of keeping one doc per
+    // duplicate cluster, every member stays but carries weight 1/|cluster|,
+    // so each duplicated passage contributes ONE doc's worth of training
+    // mass no matter how many mirrors the crawl found. Per source this
+    // reports raw vs effective (weighted) doc and token mass and the
+    // resulting downweight ratio — the "how much of this domain is mirror
+    // mass" gate that decides whether to re-crawl or re-weight. Integer
+    // arithmetic throughout: per-doc weight is floored to ppm
+    // (1000000 div n) / token mass to per-mille units, so Spark and the
+    // oracle agree exactly at every boundary. Units are chosen for 9.2e18
+    // headroom: milli-token mass bounds the corpus at ~1e15 tokens before
+    // the sum needs the DECIMAL(38,0) escalation samp_ess already uses.
+    // Scale shape: the cluster relation is duplicate-proportional
+    // (≪ corpus); the corpus side is one narrow projection + LEFT join on
+    // doc_id + one partial agg to |sources| rows. No window, no sort.
+    "samp_softdedup" -> { (s, d) =>
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val comp = connectedComponents(duplicateEdges(s, d))
+        .select($"doc_id", $"n_members")
+      docs.select($"source", $"doc_id",
+          size(split($"text", " +")).cast("long").as("tok"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("n", coalesce($"n_members", lit(1L)))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(expr("CAST(n > 1 AS BIGINT)")).as("n_dup_docs"),
+          sum($"tok").as("n_tok"),
+          sum(expr("1000000 div n")).as("eff_docs_ppm"),
+          sum(expr("(tok * 1000) div n")).as("eff_tok_milli"))
+        .withColumn("downweight_ppm", expr("(eff_tok_milli * 1000) div n_tok"))
+        .orderBy($"source")
+    },
+
     // CORPUS-WIDE embedding near-dup: hyperplane-LSH candidate buckets +
     // exact quantized-cosine verification — the production composition
     // (dd_embed's id-band is a correctness-testable device; this one finds
@@ -1389,6 +1425,42 @@ object DedupQueries {
           |SELECT c.doc_id, c.cluster_id, z.n_members
           |FROM comp c JOIN csz z ON z.cluster_id = c.cluster_id
           |ORDER BY c.doc_id""".stripMargin),
+
+    // dd_cluster's component chain, then per-source raw vs 1/|cluster|-
+    // weighted doc/token mass in exact floored integer units.
+    "samp_softdedup" ->
+      (s"""WITH RECURSIVE ${lshCtes("documents")},
+          |$JaccardCtes,
+          |fpx AS (
+          |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          |  FROM documents),
+          |keepx AS (SELECT fp, MIN(doc_id) AS keep FROM fpx GROUP BY fp),
+          |exact_e AS (
+          |  SELECT k.keep AS a, f.doc_id AS b
+          |  FROM fpx f JOIN keepx k ON k.fp = f.fp WHERE f.doc_id <> k.keep),
+          |near_e AS (SELECT doc_a AS a, doc_b AS b FROM jacc WHERE jaccard_ppm >= 400000),
+          |edges AS (SELECT a, b FROM exact_e UNION SELECT a, b FROM near_e),
+          |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+          |reach AS (
+          |  SELECT a AS doc, a AS r FROM sym
+          |  UNION
+          |  SELECT s.b AS doc, reach.r FROM reach JOIN sym s ON s.a = reach.doc),
+          |comp AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc),
+          |csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members FROM comp GROUP BY 1),
+          |w AS (
+          |  SELECT d.source,
+          |    CAST(len(string_split_regex(d.text, ' +')) AS BIGINT) AS tok,
+          |    COALESCE(z.n_members, 1) AS n
+          |  FROM documents d
+          |  LEFT JOIN comp c ON c.doc_id = d.doc_id
+          |  LEFT JOIN csz z ON z.cluster_id = c.cluster_id)
+          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(CAST(n > 1 AS BIGINT)) AS BIGINT) AS n_dup_docs,
+          |  CAST(SUM(tok) AS BIGINT) AS n_tok,
+          |  CAST(SUM(1000000 // n) AS BIGINT) AS eff_docs_ppm,
+          |  CAST(SUM((tok * 1000) // n) AS BIGINT) AS eff_tok_milli,
+          |  CAST((SUM((tok * 1000) // n) * 1000) // SUM(tok) AS BIGINT) AS downweight_ppm
+          |FROM w GROUP BY source ORDER BY source""".stripMargin),
 
     "dd_canonical" ->
       (s"""WITH RECURSIVE ${lshCtes("documents")},

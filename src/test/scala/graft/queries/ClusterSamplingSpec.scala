@@ -68,6 +68,30 @@ class ClusterSamplingSpec extends SparkSpec {
     }
   }
 
+  test("samp_softdedup: effective mass bounded by raw, exact when dup-free") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = SparkEntry.queries("samp_softdedup")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    for ((src, nDocs, nDup, nTok, effDocs, effTok, down) <- rows) {
+      assert(nDup <= nDocs, s"$src: more dup docs than docs")
+      // weights are in (0, 1]: effective mass never exceeds raw mass
+      assert(effDocs <= nDocs * 1000000L, s"$src: eff docs exceed raw")
+      assert(effTok <= nTok * 1000L, s"$src: eff tokens exceed raw")
+      assert(down <= 1000000L, s"$src: downweight above unity")
+      // floor(x/1) is exact, so a dup-free source is NOT downweighted at
+      // all — and any dup doc (n>=2) strictly shrinks the doc mass
+      if (nDup == 0L) {
+        assert(effDocs == nDocs * 1000000L, s"$src: dup-free source downweighted")
+        assert(effTok == nTok * 1000L, s"$src: dup-free token mass shrunk")
+      } else assert(effDocs < nDocs * 1000000L, s"$src: dup docs at full weight")
+    }
+    // the corpus HAS duplicates (the dedup family's fixtures guarantee it)
+    assert(rows.map(_._3).sum > 0L, "no source reports any duplicate docs")
+  }
+
   test("samp_ess: ESS bounded by N and min-source size, shares consistent") {
     val spark2 = spark
     import spark2.implicits._
