@@ -375,6 +375,30 @@ object EventQueries {
           count($"had_prev").as("retained"),
           count(when($"has_next".isNull, 1)).as("churn_next"))
         .orderBy($"week")
+    },
+
+    // semi-structured payload extraction — every event carries a JSON
+    // `props` blob (the universal "loose bag of attributes" column of
+    // event pipelines); parse it ONCE with the schema'd from_json (typed
+    // struct, no per-row UDF, stays columnar) and profile the extracted
+    // field per event type: coverage (parse failures surface as NULL, so
+    // n - n_k is the malformed/missing count), range, mass, cardinality.
+    // Scale shape: parse is a narrow per-row pass; the agg is one
+    // partial-agg shuffle on event_type; the distinct-count EXPAND is
+    // bounded by the small extracted-value domain per type.
+    "ev_props" -> { (s, d) =>
+      import s.implicits._
+      events(s, d)
+        .select($"event_type",
+          from_json($"props", lit("k BIGINT")).getField("k").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          count($"k").as("n_k"),
+          sum($"k").as("sum_k"),
+          min($"k").as("min_k"),
+          max($"k").as("max_k"),
+          countDistinct($"k").as("n_distinct_k"))
+        .orderBy($"event_type")
     }
   )
 
@@ -617,6 +641,18 @@ object EventQueries {
         |  CAST(COUNT(CASE WHEN had_prev IS NULL THEN 1 END) AS BIGINT) AS new_users,
         |  CAST(COUNT(had_prev) AS BIGINT) AS retained,
         |  CAST(COUNT(CASE WHEN has_next IS NULL THEN 1 END) AS BIGINT) AS churn_next
-        |FROM f GROUP BY week ORDER BY week""".stripMargin
+        |FROM f GROUP BY week ORDER BY week""".stripMargin,
+
+    "ev_props" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(k) AS BIGINT) AS n_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  MIN(k) AS min_k, MAX(k) AS max_k,
+        |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -583,6 +583,51 @@ object Relational2 {
           count(lit(1)).over(w).as("n_90d"),
           sum($"price").over(w).cast("double").as("spend_90d"))
         .orderBy($"o_orderkey")
+    },
+
+    // blocked fuzzy (edit-distance) self-join — the entity-resolution
+    // primitive: find near-duplicate part NAMES without the all-pairs
+    // cross product. Blocking key = (brand, first name token), the
+    // classic cheap canopy: candidate pairs exist only inside a block, so
+    // the join is an equi-join Catalyst shuffles on the block key and the
+    // quadratic cost is bounded by max block occupancy, not |part|².
+    // levenshtein() is the codegen'd built-in (no UDF); the ≤3 threshold
+    // keeps only plausible typo/variant matches, and the per-brand rollup
+    // keeps the OUTPUT size |brands|-bounded while the pair relation
+    // stays a scalable intermediate. Same shape the dedup family uses for
+    // LSH buckets, here on a relational dimension.
+    "q37_fuzzy_join" -> { (s, d) =>
+      import s.implicits._
+      val p = t(s, d, "part")
+        .select($"p_partkey", $"p_name", $"p_brand",
+          split($"p_name", " ").getItem(0).as("tok1"))
+      val a = p.toDF("a_key", "a_name", "p_brand", "tok1")
+      val b = p.toDF("b_key", "b_name", "p_brand", "tok1")
+      a.join(b, Seq("p_brand", "tok1"))
+        .filter($"a_key" < $"b_key")
+        .withColumn("dist", levenshtein($"a_name", $"b_name"))
+        .filter($"dist" <= 3)
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when($"dist" === 0, 1L).otherwise(0L)).as("n_exact"),
+          sum(when($"dist" > 0, 1L).otherwise(0L)).as("n_near"))
+        .orderBy($"p_brand")
+    },
+
+    // unpivot/melt — the wide→long reshape (inverse of q27's pivot):
+    // per-flag exact DECIMAL sums of three measures, then the typed
+    // Dataset.unpivot API turns the 3 measure columns into (measure,
+    // value) rows. The unpivot itself is a narrow per-row EXPAND (no
+    // shuffle, no UDF); only the preceding agg shuffles, on l_returnflag.
+    "q38_unpivot" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "lineitem").groupBy($"l_returnflag")
+        .agg(sum(d6($"l_quantity")).cast("double").as("sum_qty"),
+          sum(d6($"l_extendedprice")).cast("double").as("sum_price"),
+          sum(d6($"l_discount")).cast("double").as("sum_disc"))
+        .unpivot(Array($"l_returnflag"),
+          Array($"sum_qty", $"sum_price", $"sum_disc"), "measure", "value")
+        .orderBy($"l_returnflag", $"measure")
     }
   )
 
@@ -891,6 +936,36 @@ object Relational2 {
         |FROM o
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
         |  RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q37_fuzzy_join" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, p_brand,
+        |    string_split(p_name, ' ')[1] AS tok1
+        |  FROM part),
+        |pr AS (
+        |  SELECT a.p_brand, levenshtein(a.p_name, b.p_name) AS dist
+        |  FROM p a JOIN p b
+        |    ON a.p_brand = b.p_brand AND a.tok1 = b.tok1
+        |    AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 3)
+        |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_near
+        |FROM pr GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q38_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM a
+        |ORDER BY l_returnflag, measure""".stripMargin
   )
 }

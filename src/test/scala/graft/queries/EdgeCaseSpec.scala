@@ -346,4 +346,50 @@ class EdgeCaseSpec extends SparkSpec {
     assert(knn.forall(_.getAs[Long]("rnk") >= 1L))
     spark.catalog.clearCache()
   }
+
+  /** an events table whose JSON payloads cover every failure shape the
+    * schema'd from_json parse must absorb: syntactically broken, key
+    * absent, SQL NULL blob, explicit JSON null value
+    */
+  private lazy val edgeEvDir: String = {
+    val dir = graft.rawdata.Topic.tempDir("edge-events")
+    Seq(
+      (1L, 1000000L, 1L, "click", 1.0, """{"k": 7}"""),
+      (2L, 2000000L, 1L, "click", 1.0, "not json at all"),
+      (3L, 3000000L, 2L, "view", 2.0, """{"other": 1}"""),
+      (4L, 4000000L, 2L, "view", 2.0, null.asInstanceOf[String]),
+      (5L, 5000000L, 3L, "view", 2.0, """{"k": null}"""),
+      (6L, 6000000L, 3L, "view", 0.5, """{"k": 9}"""))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros($"ts_us")).drop("ts_us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("ev_props: malformed, missing and null payloads become NULL, never an error") {
+    val out = EventQueries.queries("ev_props")(spark, edgeEvDir)
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long], Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // click: one good payload, one unparseable
+    assert(out("click") === (("click", 2L, 1L, Some(7L), Some(7L), Some(7L), 1L)))
+    // view: key-missing, blob-null and value-null all count as absent
+    assert(out("view") === (("view", 4L, 1L, Some(9L), Some(9L), Some(9L), 1L)))
+  }
+
+  test("q37_fuzzy_join: pairs exist only inside the (brand, token) block") {
+    val dir = graft.rawdata.Topic.tempDir("edge-part")
+    Seq(
+      (1L, "small ring", "Brand#1"),
+      (2L, "small ring", "Brand#1"),   // dist 0 to 1
+      (3L, "small rinx", "Brand#1"),   // dist 1 to 1 and 2
+      (4L, "small ring", "Brand#2"),   // identical name, other brand: blocked out
+      (5L, "large ring", "Brand#1"),   // dist 2 but different first token: blocked out
+      (6L, "smallish completely different", "Brand#1")) // own block, no partner
+      .toDF("p_partkey", "p_name", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = Relational2.queries("q37_fuzzy_join")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    // only Brand#1's {1,2,3} block pairs up: (1,2) exact, (1,3)+(2,3) near
+    assert(out.toSeq === Seq(("Brand#1", 3L, 1L, 2L)))
+  }
 }
