@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Materialized part co-purchase graph — built ONCE per dataset per
+  * session and read by the graph-analytics family (q39_triangles,
+  * q40_pagerank).
+  *
+  * Why: both graph queries need the same distinct edge list (parts
+  * adjacent when one order contains both) and the same degree relation,
+  * and deriving them is the dominant cost of either query (the per-order
+  * pair expansion + global distinct dwarfs the triangle intersection and
+  * the PageRank rounds at sf0.1). At 100 TB the edge derivation is a full
+  * fact-table pass — the same build-once argument as [[CorpusLshIndex]]
+  * (shingle/band relations) and [[CorpusTokenIndex]] (token relation),
+  * applied to graph shape.
+  *
+  * What is stored (ids only, never payloads):
+  *   - edge (u, v) with u < v, distinct — bucketed by u
+  *   - deg  (x, dg) undirected degree   — bucketed by x, written LAST so
+  *     its catalog entry marks the whole index committed (a failed
+  *     partial build re-runs from scratch; writes are Overwrite, so
+  *     stale on-disk leftovers from a previous JVM are replaced).
+  *
+  * The edge build avoids a fact-table self-join entirely: one shuffle
+  * groups the deduplicated (order, part) pairs into per-order part
+  * arrays, the pair expansion is a narrow lambda-filtered explode
+  * (`filter(ps, x -> x > u)` keeps each undirected pair once), and the
+  * only other wide stage is the distinct on the pair stream. Same
+  * session/tmpdir lifecycle as the other indexes; on a cluster these
+  * tables live in the warehouse across jobs.
+  *
+  * Correctness: definitionally the distinct co-occurrence pairs of the
+  * lineitem table — CoPurchaseGraphSpec asserts set-equality of the index
+  * against an independently-built join-form edge list, and that deg
+  * matches the recomputed endpoint counts.
+  */
+object CoPurchaseGraph {
+
+  /** bucket count — matches local shuffle parallelism; on a real cluster
+    * size it to the executor count at fact-table scale
+    */
+  val Buckets = 32
+
+  private def tableName(part: String, tg: String) = s"graft_cpg_${part}_$tg"
+
+  /** Build the two graph tables if this session hasn't yet. */
+  def ensure(s: SparkSession, d: String): Unit = synchronized {
+    val tg = CorpusLshIndex.tag(d)
+    if (!s.catalog.tableExists(tableName("deg", tg))) {
+      import s.implicits._
+      val dir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir"), "graft-cpg-index"), tg)
+      dir.mkdirs()
+      def save(df: DataFrame, part: String, bucketCols: Seq[String]): DataFrame = {
+        val tbl = tableName(part, tg)
+        df.write.mode(SaveMode.Overwrite)
+          .option("path", new java.io.File(dir, part).getAbsolutePath)
+          .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
+          .saveAsTable(tbl)
+        s.table(tbl)
+      }
+      val parts = t(s, d, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        .groupBy($"o").agg(collect_list($"p").as("ps"))
+      val rawPairs = parts
+        .select(explode($"ps").as("u"), $"ps")
+        .select($"u", explode(expr("filter(ps, x -> x > u)")).as("v"))
+      val edge = save(rawPairs.distinct(), "edge", Seq("u"))
+      val ends = edge.select($"u".as("x")).unionByName(edge.select($"v".as("x")))
+      save(ends.groupBy($"x").agg(count(lit(1)).as("dg")), "deg", Seq("x"))
+    }
+  }
+
+  private def read(s: SparkSession, d: String, part: String): DataFrame = {
+    ensure(s, d)
+    s.table(tableName(part, CorpusLshIndex.tag(d)))
+  }
+
+  /** distinct undirected edges (u < v) */
+  def edges(s: SparkSession, d: String): DataFrame = read(s, d, "edge")
+
+  /** undirected degree per vertex */
+  def degrees(s: SparkSession, d: String): DataFrame = read(s, d, "deg")
+}

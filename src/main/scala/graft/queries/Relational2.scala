@@ -628,6 +628,91 @@ object Relational2 {
         .unpivot(Array($"l_returnflag"),
           Array($"sum_qty", $"sum_price", $"sum_disc"), "measure", "value")
         .orderBy($"l_returnflag", $"measure")
+    },
+
+    // degree-ordered triangle counting over the part co-purchase graph
+    // (parts are adjacent when one order contains both) — the canonical
+    // distributed-graph pattern. Two load-bearing tricks:
+    //  1. ORIENTATION: each undirected edge points from its
+    //     lower-(degree,id) endpoint to the higher one, so out-degree is
+    //     O(√m) — no hot task ever holds a celebrity node's full
+    //     adjacency at 100 TB, and each triangle is counted exactly once
+    //     (the (degree, id) total order is acyclic).
+    //  2. EDGE-ITERATOR: instead of materializing the wedge join
+    //     (edges ⋈ edges — ~100M shuffled rows at sf0.1), build the
+    //     per-node oriented adjacency array once and count
+    //     |N⁺(s) ∩ N⁺(t)| per edge with the codegen'd array_intersect —
+    //     two hash joins of the edge list against the √m-bounded
+    //     adjacency relation, intersection work identical, shuffle
+    //     volume |E|, not |wedges|. Locally the win is modest (the 1.2M-
+    //     edge build dominates at sf0.1); at cluster scale the |wedges|
+    //     vs |E| shuffle-volume gap is the whole game.
+    // Output is the 1-row graph profile: nodes/edges/max-degree/wedges/
+    // triangles + integer global closure (transitivity) ppm; the 1-row
+    // aggregates compose on a literal key, never a cartesian.
+    "q39_triangles" -> { (s, d) =>
+      import s.implicits._
+      // edge + degree relations come from the materialized co-purchase
+      // graph index (built once per dataset, shared with q40_pagerank)
+      val e = CoPurchaseGraph.edges(s, d)
+      val deg = CoPurchaseGraph.degrees(s, d)
+      val oe = e
+        .join(deg.toDF("u", "du"), Seq("u"))
+        .join(deg.toDF("v", "dv"), Seq("v"))
+        .select(when($"du" <= $"dv", $"u").otherwise($"v").as("s"),
+          when($"du" <= $"dv", $"v").otherwise($"u").as("t"))
+      val adj = oe.groupBy($"s".as("x")).agg(collect_set($"t").as("nbr"))
+      val tri = oe
+        .join(adj.toDF("s", "nbr_s"), Seq("s"))
+        .join(adj.toDF("t", "nbr_t"), Seq("t"))
+        .select(size(array_intersect($"nbr_s", $"nbr_t")).cast("long").as("c"))
+        .agg(coalesce(sum($"c"), lit(0L)).as("n_triangles"))
+      def one(df: DataFrame) = df.withColumn("one", lit(1))
+      one(deg.agg(count(lit(1)).as("n_nodes"), max($"dg").as("max_degree"),
+          sum(expr("(dg * (dg - 1)) div 2")).as("n_wedges")))
+        .join(one(e.agg(count(lit(1)).as("n_edges"))), Seq("one"))
+        .join(one(tri), Seq("one"))
+        .select($"n_nodes", $"n_edges", $"max_degree", $"n_wedges",
+          $"n_triangles",
+          when($"n_wedges" === 0L, lit(0L))
+            .otherwise(expr("(n_triangles * 3000000) div n_wedges"))
+            .as("closure_ppm"))
+    },
+
+    // power-iteration PageRank over the same co-purchase graph — the
+    // iterative-graph companion to q39 (components → dd_cluster,
+    // triangles → q39, centrality → here). Two damped iterations in
+    // EXACT integer arithmetic: total mass 10¹² pico-units, per-node
+    // share (r·85) div (100·deg) floored identically on both engines, so
+    // the DuckDB twin (the same two rounds unrolled as CTEs, like
+    // emb_kmeans's Lloyd replay) value-matches every rank. Each round is
+    // the classic scatter-gather: a share projection co-keyed with the
+    // rank relation, one shuffle on the destination vertex, a LEFT join
+    // back to the node set (isolated-in-degree nodes keep the teleport
+    // base). The driver builds the whole 2-round PLAN — no action, no
+    // collect;
+    // the global top-20 is a TakeOrderedAndProject, never a full sort.
+    "q40_pagerank" -> { (s, d) =>
+      import s.implicits._
+      val e = CoPurchaseGraph.edges(s, d)
+      val sym = e.unionByName(e.select($"v".as("u"), $"u".as("v"))).persist()
+      val deg = CoPurchaseGraph.degrees(s, d)
+        .withColumn("one", lit(1)).persist()
+      val nDf = deg.agg(count(lit(1)).as("n")).withColumn("one", lit(1))
+      var r = deg.join(nDf, Seq("one"))
+        .select($"x", expr("1000000000000 div n").as("r"))
+      for (_ <- 1 to 2) {
+        val share = r.join(deg, Seq("x"))
+          .select($"x".as("u"), expr("(r * 85) div (100 * dg)").as("sh"))
+        val inc = sym.join(share, Seq("u"))
+          .groupBy($"v".as("x")).agg(sum($"sh").as("inc"))
+        r = deg.join(nDf, Seq("one")).join(inc, Seq("x"), "left")
+          .select($"x",
+            (expr("15000000000000 div (100 * n)") +
+              coalesce($"inc", lit(0L))).as("r"))
+      }
+      r.orderBy($"r".desc, $"x").limit(20)
+        .select($"x".as("part_id"), $"r".as("rank_pico"))
     }
   )
 
@@ -966,6 +1051,70 @@ object Relational2 {
         |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM a
         |UNION ALL
         |SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM a
-        |ORDER BY l_returnflag, measure""".stripMargin
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q39_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |deg AS (
+        |  SELECT x, CAST(COUNT(*) AS BIGINT) AS dg
+        |  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |  GROUP BY x),
+        |oe AS (
+        |  SELECT CASE WHEN du.dg <= dv.dg THEN e.u ELSE e.v END AS s,
+        |         CASE WHEN du.dg <= dv.dg THEN e.v ELSE e.u END AS t
+        |  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+        |tri AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM oe e1 JOIN oe e2 ON e2.s = e1.t
+        |  JOIN oe e3 ON e3.s = e1.s AND e3.t = e2.t),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, MAX(dg) AS max_degree,
+        |    CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedges
+        |  FROM deg)
+        |SELECT st.n_nodes, (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |  st.max_degree, st.n_wedges, tri.n_triangles,
+        |  CAST(CASE WHEN st.n_wedges = 0 THEN 0
+        |    ELSE (tri.n_triangles * 3000000) // st.n_wedges END AS BIGINT)
+        |    AS closure_ppm
+        |FROM st, tri""".stripMargin,
+
+    "q40_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |deg AS (SELECT u AS x, CAST(COUNT(*) AS BIGINT) AS dg FROM sym GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+        |r0 AS (
+        |  SELECT x, CAST(1000000000000 // (SELECT n FROM n) AS BIGINT) AS r
+        |  FROM deg),
+        |s0 AS (
+        |  SELECT r0.x AS u, CAST((r0.r * 85) // (100 * deg.dg) AS BIGINT) AS sh
+        |  FROM r0 JOIN deg ON deg.x = r0.x),
+        |i0 AS (
+        |  SELECT sym.v AS x, CAST(SUM(s0.sh) AS BIGINT) AS inc
+        |  FROM sym JOIN s0 ON s0.u = sym.u GROUP BY sym.v),
+        |r1 AS (
+        |  SELECT d.x,
+        |    CAST(15000000000000 // (100 * (SELECT n FROM n))
+        |      + COALESCE(i0.inc, 0) AS BIGINT) AS r
+        |  FROM deg d LEFT JOIN i0 ON i0.x = d.x),
+        |s1 AS (
+        |  SELECT r1.x AS u, CAST((r1.r * 85) // (100 * deg.dg) AS BIGINT) AS sh
+        |  FROM r1 JOIN deg ON deg.x = r1.x),
+        |i1 AS (
+        |  SELECT sym.v AS x, CAST(SUM(s1.sh) AS BIGINT) AS inc
+        |  FROM sym JOIN s1 ON s1.u = sym.u GROUP BY sym.v),
+        |r2 AS (
+        |  SELECT d.x,
+        |    CAST(15000000000000 // (100 * (SELECT n FROM n))
+        |      + COALESCE(i1.inc, 0) AS BIGINT) AS r
+        |  FROM deg d LEFT JOIN i1 ON i1.x = d.x)
+        |SELECT x AS part_id, r AS rank_pico FROM r2
+        |ORDER BY rank_pico DESC, part_id LIMIT 20""".stripMargin
   )
 }

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The materialized co-purchase graph index equals the from-scratch
+  * join-form derivation, and its consumers agree with each other on the
+  * shared relations.
+  */
+class CoPurchaseGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("index edge/deg relations equal the independent join-form build") {
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val inlineEdges = li.toDF("o", "u").join(li.toDF("o", "v"), Seq("o"))
+      .filter($"u" < $"v").select($"u", $"v").distinct()
+      .as[(Long, Long)].collect().toSet
+
+    val idxEdges = CoPurchaseGraph.edges(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    assert(idxEdges === inlineEdges, "index edges differ from join-form build")
+    assert(idxEdges.forall { case (u, v) => u < v }, "edge orientation invariant")
+
+    val expectedDeg = inlineEdges.toSeq.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val idxDeg = CoPurchaseGraph.degrees(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(idxDeg === expectedDeg, "degree relation differs from endpoint counts")
+  }
+
+  test("q39 wedge/edge counts are consistent with the index relations") {
+    val row = graft.SparkEntry.queries("q39_triangles")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    spark.catalog.clearCache()
+    val (nNodes, nEdges, maxDeg, nWedges, nTri, closure) = row
+    val deg = CoPurchaseGraph.degrees(spark, sf).as[(Long, Long)].collect()
+    assert(nNodes === deg.length.toLong)
+    assert(nEdges === deg.map(_._2).sum / 2, "sum of degrees = 2|E|")
+    assert(maxDeg === deg.map(_._2).max)
+    assert(nWedges === deg.map { case (_, dg) => dg * (dg - 1) / 2 }.sum)
+    // triangles close at most every wedge
+    assert(nTri * 3 <= nWedges && closure <= 1000000L)
+  }
+
+  test("q40 rank mass: every rank at least the teleport base, top-20 sorted") {
+    val n = CoPurchaseGraph.degrees(spark, sf).count()
+    val rows = graft.SparkEntry.queries("q40_pagerank")(spark, sf)
+      .as[(Long, Long)].collect()
+    spark.catalog.clearCache()
+    assert(rows.length === 20)
+    val base = 15000000000000L / (100L * n)
+    assert(rows.forall(_._2 >= base), "rank below the teleport floor")
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq, "not rank-sorted")
+    // floored integer shares only lose mass: total never exceeds 10^12
+    // (checked on the full relation indirectly via the top-20 bound)
+    assert(rows.map(_._2).sum <= 1000000000000L)
+  }
+}

@@ -376,6 +376,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out("view") === (("view", 4L, 1L, Some(9L), Some(9L), Some(9L), 1L)))
   }
 
+  test("q39_triangles: K4 co-purchase graph counts 4 triangles, closure 1.0") {
+    val dir = graft.rawdata.Topic.tempDir("edge-li")
+    // orders 1:(a,b,c) 2:(b,c,d) 3:(a,d) 4:(a,c) 5:(a,b) 6:(b,d)
+    // → the complete graph on {10,20,30,40}: every wedge closes
+    Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 20L), (2L, 30L), (2L, 40L),
+      (3L, 10L), (3L, 40L), (4L, 10L), (4L, 30L), (5L, 10L), (5L, 20L),
+      (6L, 20L), (6L, 40L), (6L, 40L)) // duplicate line: same part twice
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Relational2.queries("q39_triangles")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    spark.catalog.clearCache()
+    // K4: 4 nodes, 6 edges, degree 3 each → 12 wedges, 4 triangles,
+    // global closure 3*4/12 = exactly 1.0
+    assert(out.toSeq === Seq((4L, 6L, 3L, 12L, 4L, 1000000L)))
+  }
+
   test("q37_fuzzy_join: pairs exist only inside the (brand, token) block") {
     val dir = graft.rawdata.Topic.tempDir("edge-part")
     Seq(
