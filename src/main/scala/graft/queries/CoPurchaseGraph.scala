@@ -18,8 +18,13 @@ import graft.Tables.t
   * (shingle/band relations) and [[CorpusTokenIndex]] (token relation),
   * applied to graph shape.
   *
-  * What is stored (ids only, never payloads):
-  *   - edge (u, v) with u < v, distinct — bucketed by u
+  * What is stored (ids and counts only, never payloads):
+  *   - edge (u, v, supp) with u < v — one row per distinct co-purchased
+  *     pair, supp = how many orders contain both (the basket-support
+  *     count q41_assoc_rules consumes; q39/q40 read just the edge set) —
+  *     bucketed by u
+  *   - item (x, n_ord) per-part order count (basket item support) —
+  *     bucketed by x
   *   - deg  (x, dg) undirected degree   — bucketed by x, written LAST so
   *     its catalog entry marks the whole index committed (a failed
   *     partial build re-runs from scratch; writes are Overwrite, so
@@ -63,13 +68,16 @@ object CoPurchaseGraph {
           .saveAsTable(tbl)
         s.table(tbl)
       }
-      val parts = t(s, d, "lineitem")
+      val li = t(s, d, "lineitem")
         .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-        .groupBy($"o").agg(collect_list($"p").as("ps"))
+      val parts = li.groupBy($"o").agg(collect_list($"p").as("ps"))
       val rawPairs = parts
         .select(explode($"ps").as("u"), $"ps")
         .select($"u", explode(expr("filter(ps, x -> x > u)")).as("v"))
-      val edge = save(rawPairs.distinct(), "edge", Seq("u"))
+      val edge = save(rawPairs.groupBy($"u", $"v")
+        .agg(count(lit(1)).as("supp")), "edge", Seq("u"))
+      save(li.groupBy($"p".as("x")).agg(count(lit(1)).as("n_ord")),
+        "item", Seq("x"))
       val ends = edge.select($"u".as("x")).unionByName(edge.select($"v".as("x")))
       save(ends.groupBy($"x").agg(count(lit(1)).as("dg")), "deg", Seq("x"))
     }
@@ -80,9 +88,12 @@ object CoPurchaseGraph {
     s.table(tableName(part, CorpusLshIndex.tag(d)))
   }
 
-  /** distinct undirected edges (u < v) */
+  /** distinct undirected edges (u < v) with basket-support counts */
   def edges(s: SparkSession, d: String): DataFrame = read(s, d, "edge")
 
   /** undirected degree per vertex */
   def degrees(s: SparkSession, d: String): DataFrame = read(s, d, "deg")
+
+  /** per-part order counts (basket item support) */
+  def items(s: SparkSession, d: String): DataFrame = read(s, d, "item")
 }

@@ -653,8 +653,8 @@ object Relational2 {
     "q39_triangles" -> { (s, d) =>
       import s.implicits._
       // edge + degree relations come from the materialized co-purchase
-      // graph index (built once per dataset, shared with q40_pagerank)
-      val e = CoPurchaseGraph.edges(s, d)
+      // graph index (built once per dataset, shared with q40/q41)
+      val e = CoPurchaseGraph.edges(s, d).select($"u", $"v")
       val deg = CoPurchaseGraph.degrees(s, d)
       val oe = e
         .join(deg.toDF("u", "du"), Seq("u"))
@@ -694,7 +694,7 @@ object Relational2 {
     // the global top-20 is a TakeOrderedAndProject, never a full sort.
     "q40_pagerank" -> { (s, d) =>
       import s.implicits._
-      val e = CoPurchaseGraph.edges(s, d)
+      val e = CoPurchaseGraph.edges(s, d).select($"u", $"v")
       val sym = e.unionByName(e.select($"v".as("u"), $"u".as("v"))).persist()
       val deg = CoPurchaseGraph.degrees(s, d)
         .withColumn("one", lit(1)).persist()
@@ -713,6 +713,37 @@ object Relational2 {
       }
       r.orderBy($"r".desc, $"x").limit(20)
         .select($"x".as("part_id"), $"r".as("rank_pico"))
+    },
+
+    // market-basket association rules — top pairs by LIFT with a
+    // minimum-support floor, the retail-analytics classic. All three
+    // signals come straight off the materialized co-purchase index:
+    // pair support is the edge `supp` count, item support the `item`
+    // order counts, so the query itself touches no fact table — two
+    // broadcast-sized joins keyed on the edge endpoints plus the 1-row
+    // total-order count composed on a literal key. Lift runs in exact
+    // DECIMAL(38,0) with a single floored div (txt_pmi's overflow-proof
+    // pattern: supp·N·10⁶ overflows int64 once N·support pass ~3e6 at
+    // cluster scale), confidence in integer ppm both directions; the
+    // support floor keeps the output from chasing noise pairs and the
+    // top-20 is a TakeOrderedAndProject.
+    "q41_assoc_rules" -> { (s, d) =>
+      import s.implicits._
+      val nOrd = t(s, d, "lineitem").select($"l_orderkey").distinct()
+        .agg(count(lit(1)).as("nn")).withColumn("one", lit(1))
+      CoPurchaseGraph.edges(s, d)
+        .filter($"supp" >= 5L)
+        .join(CoPurchaseGraph.items(s, d).toDF("u", "supp_u"), Seq("u"))
+        .join(CoPurchaseGraph.items(s, d).toDF("v", "supp_v"), Seq("v"))
+        .withColumn("one", lit(1)).join(nOrd, Seq("one"))
+        .select($"u".as("part_a"), $"v".as("part_b"), $"supp".as("n_both"),
+          $"supp_u".as("n_a"), $"supp_v".as("n_b"),
+          expr("CAST((CAST(supp AS DECIMAL(38,0)) * nn * 1000000) div " +
+            "(CAST(supp_u AS DECIMAL(38,0)) * supp_v) AS BIGINT)")
+            .as("lift_ppm"),
+          expr("(supp * 1000000) div supp_u").as("conf_ab_ppm"),
+          expr("(supp * 1000000) div supp_v").as("conf_ba_ppm"))
+        .orderBy($"lift_ppm".desc, $"part_a", $"part_b").limit(20)
     }
   )
 
@@ -1115,6 +1146,25 @@ object Relational2 {
         |      + COALESCE(i1.inc, 0) AS BIGINT) AS r
         |  FROM deg d LEFT JOIN i1 ON i1.x = d.x)
         |SELECT x AS part_id, r AS rank_pico FROM r2
-        |ORDER BY rank_pico DESC, part_id LIMIT 20""".stripMargin
+        |ORDER BY rank_pico DESC, part_id LIMIT 20""".stripMargin,
+
+    "q41_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pairs AS (
+        |  SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS supp
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p),
+        |item AS (SELECT p AS x, CAST(COUNT(*) AS BIGINT) AS n_ord FROM li GROUP BY p),
+        |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS nn FROM li)
+        |SELECT pr.u AS part_a, pr.v AS part_b, pr.supp AS n_both,
+        |  iu.n_ord AS n_a, iv.n_ord AS n_b,
+        |  CAST((CAST(pr.supp AS DECIMAL(38,0)) * n.nn * 1000000)
+        |    // (CAST(iu.n_ord AS DECIMAL(38,0)) * iv.n_ord) AS BIGINT) AS lift_ppm,
+        |  CAST((pr.supp * 1000000) // iu.n_ord AS BIGINT) AS conf_ab_ppm,
+        |  CAST((pr.supp * 1000000) // iv.n_ord AS BIGINT) AS conf_ba_ppm
+        |FROM pairs pr
+        |JOIN item iu ON iu.x = pr.u JOIN item iv ON iv.x = pr.v, n
+        |WHERE pr.supp >= 5
+        |ORDER BY lift_ppm DESC, part_a, part_b LIMIT 20""".stripMargin
   )
 }
