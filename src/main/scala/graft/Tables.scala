@@ -19,13 +19,21 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with `ts` restored to TimestampType (µs, truncated from the
-    * parquet ns value — matches DuckDB's ns→µs cast truncation).
+  /** `events` with `ts` normalized to TimestampType regardless of how the
+    * driver generated the parquet column across rounds:
+    *   - TIMESTAMP(NANOS) → Spark reads a raw long (SPARK-40819 +
+    *     nanosAsLong conf); truncate ns→µs like DuckDB's cast does.
+    *   - naive timestamp[us] → Spark 4 infers TIMESTAMP_NTZ; cast to
+    *     TimestampType, which under the session's pinned UTC timezone
+    *     (GraftSession) denotes the same instant DuckDB's `epoch_us`
+    *     reads off the naive value.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = t(spark, dir, "events")
-    if (raw.schema("ts").dataType.typeName == "long")
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType.typeName match {
+      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 }

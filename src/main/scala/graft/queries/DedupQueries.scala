@@ -900,7 +900,48 @@ object DedupQueries {
     // (EmbedPairCtes — planes regenerated from the md5 recipe), so the
     // answer is hash-checked; recall vs exact all-pairs truth and
     // exactness of every emitted cosine are additionally in AnnSpec.
-    "dd_embed_lsh" -> { (s, d) => embedLshPairs(s, d) }
+    "dd_embed_lsh" -> { (s, d) => embedLshPairs(s, d) },
+
+    // Bloom-filter pre-screen audit for incremental exact dedup — the
+    // shuffle-avoidance pattern a 100 TB crawl loop actually runs: the
+    // corpus membership structure is k=3 md5-derived bit positions in an
+    // m=65536 space, materialized as a DISTINCT position relation (≤m
+    // rows regardless of corpus size) and BROADCAST to the probe side,
+    // so screening a new batch never shuffles the corpus. Per probe doc:
+    // bloom_hit (all 3 positions set), exact_dup (fingerprint present),
+    // and the verdict — false positives are the bloom's documented cost,
+    // and the no-false-negative law (exact_dup ⇒ bloom_hit) is asserted
+    // in AnalyticsOpsSpec. m is FIXED here so the DuckDB twin replays
+    // bit-for-bit; at real scale m tracks corpus cardinality (~10 bits
+    // per key for 1% FPR) and the same broadcast bound holds because the
+    // position relation never exceeds m rows.
+    "dd_bloom" -> { (s, d) =>
+      import s.implicits._
+      val newPred = col("doc_id") % 10 === 0
+      val fp = t(s, d, "documents")
+        .select($"doc_id",
+          md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+      val posd = (1 to 3).map(j => expr(
+        s"CAST(conv(substring(md5(concat(fp, '#$j')), 1, 8), 16, 10) AS BIGINT) % 65536")
+        .as(s"p$j"))
+      val corpusBits = fp.filter(!newPred)
+        .select(explode(array(posd: _*)).as("p")).distinct()
+        .withColumn("hit", lit(1L))
+      val bloom = fp.filter(newPred)
+        .select($"doc_id", explode(array(posd: _*)).as("p"))
+        .join(broadcast(corpusBits), Seq("p"), "left")
+        .groupBy($"doc_id")
+        .agg((sum(coalesce($"hit", lit(0L))) === 3L).as("bloom_hit"))
+      val exact = fp.filter(newPred)
+        .join(fp.filter(!newPred).select($"fp").distinct()
+          .withColumn("dup", lit(1L)), Seq("fp"), "left")
+        .select($"doc_id", $"dup".isNotNull.as("exact_dup"))
+      bloom.join(exact, Seq("doc_id"))
+        .select($"doc_id", $"bloom_hit", $"exact_dup",
+          when($"exact_dup", "true_dup").when($"bloom_hit", "false_pos")
+            .otherwise("clean").as("verdict"))
+        .orderBy($"doc_id")
+    }
   )
 
   /** corpus-wide embedding near-dup pairs (vec_a < vec_b, cos_ppm ≥
@@ -1524,6 +1565,35 @@ object DedupQueries {
       (s"WITH $EmbedPairCtes\n" +
         s"""SELECT va AS vec_a, vb AS vec_b, cos_ppm FROM epairs
            |WHERE cos_ppm >= $EmbedLshThresholdPpm
-           |ORDER BY vec_a, vec_b""".stripMargin)
+           |ORDER BY vec_a, vec_b""".stripMargin),
+
+    "dd_bloom" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |cb AS (
+        |  SELECT DISTINCT
+        |    CAST('0x' || substr(md5(fp || '#' || j), 1, 8) AS BIGINT) % 65536 AS p
+        |  FROM fp, UNNEST([1, 2, 3]) AS t(j) WHERE doc_id % 10 <> 0),
+        |probe AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 = 0),
+        |pp AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(fp || '#' || j), 1, 8) AS BIGINT) % 65536 AS p
+        |  FROM probe, UNNEST([1, 2, 3]) AS t(j)),
+        |hits AS (
+        |  SELECT pp.doc_id,
+        |    SUM(CASE WHEN cb.p IS NOT NULL THEN 1 ELSE 0 END) = 3 AS bloom_hit
+        |  FROM pp LEFT JOIN cb ON cb.p = pp.p GROUP BY pp.doc_id),
+        |ex AS (
+        |  SELECT p.doc_id, (c.fp IS NOT NULL) AS exact_dup
+        |  FROM probe p LEFT JOIN
+        |    (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 0) c
+        |    ON c.fp = p.fp)
+        |SELECT h.doc_id, h.bloom_hit, e.exact_dup,
+        |  CASE WHEN e.exact_dup THEN 'true_dup'
+        |       WHEN h.bloom_hit THEN 'false_pos'
+        |       ELSE 'clean' END AS verdict
+        |FROM hits h JOIN ex e ON e.doc_id = h.doc_id ORDER BY h.doc_id""".stripMargin
   )
 }

@@ -399,6 +399,46 @@ object EventQueries {
           max($"k").as("max_k"),
           countDistinct($"k").as("n_distinct_k"))
         .orderBy($"event_type")
+    },
+
+    // RFM user segmentation — the classic lifecycle scoring (recency /
+    // frequency / monetary) every event-analytics stack ships. One
+    // partial-agg shuffle on user_id computes all three signals; the
+    // corpus reference instant (global max ts) is a 1-row aggregate
+    // composed on a literal key, never a global window. Scores use FIXED
+    // thresholds (not ntile) deliberately: quantile scoring needs a
+    // global sort per dimension, and fixed cutoffs are what production
+    // RFM uses anyway (stable across refreshes). Monetary is summed and
+    // COMPARED in exact DECIMAL before the display cast, so the bucket
+    // boundaries can never drift on float rounding between engines.
+    "ev_rfm" -> { (s, d) =>
+      import s.implicits._
+      val e = ev(s, d)
+      val ref = e.agg(max($"ts_us").as("ref_us")).withColumn("one", lit(1))
+      e.groupBy($"user_id")
+        .agg(max($"ts_us").as("last_us"),
+          count(lit(1)).as("frequency"),
+          sum(when($"event_type" === "purchase", d6($"value"))
+            .otherwise(d6(lit(0)))).as("mon"))
+        .withColumn("one", lit(1)).join(ref, Seq("one"))
+        .withColumn("recency_hours", expr(s"(ref_us - last_us) div $HourUs"))
+        .withColumn("r_score",
+          when($"recency_hours" <= 6, 4L).when($"recency_hours" <= 24, 3L)
+            .when($"recency_hours" <= 72, 2L).otherwise(1L))
+        .withColumn("f_score",
+          when($"frequency" >= 75, 4L).when($"frequency" >= 67, 3L)
+            .when($"frequency" >= 60, 2L).otherwise(1L))
+        .withColumn("m_score",
+          when($"mon" >= 800, 4L).when($"mon" >= 590, 3L)
+            .when($"mon" >= 490, 2L).otherwise(1L))
+        .select($"user_id", $"recency_hours", $"frequency",
+          $"mon".cast("double").as("monetary"),
+          expr("r_score * 100 + f_score * 10 + m_score").as("rfm_code"),
+          when($"r_score" >= 3 && $"f_score" >= 3, "champion")
+            .when($"r_score" >= 3, "promising")
+            .when($"f_score" >= 3, "at_risk")
+            .otherwise("hibernating").as("segment"))
+        .orderBy($"user_id")
     }
   )
 
@@ -653,6 +693,36 @@ object EventQueries {
         |  CAST(SUM(k) AS BIGINT) AS sum_k,
         |  MIN(k) AS min_k, MAX(k) AS max_k,
         |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
-        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ev_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id, MAX(epoch_us(ts)) AS last_us,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(28,6))
+        |      ELSE CAST(0 AS DECIMAL(28,6)) END) AS mon
+        |  FROM events GROUP BY user_id),
+        |r AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events),
+        |sc AS (
+        |  SELECT user_id, (r.ref_us - u.last_us) // 3600000000 AS recency_hours,
+        |    frequency, mon,
+        |    CASE WHEN (r.ref_us - u.last_us) // 3600000000 <= 6 THEN 4
+        |         WHEN (r.ref_us - u.last_us) // 3600000000 <= 24 THEN 3
+        |         WHEN (r.ref_us - u.last_us) // 3600000000 <= 72 THEN 2
+        |         ELSE 1 END AS r_score,
+        |    CASE WHEN frequency >= 75 THEN 4 WHEN frequency >= 67 THEN 3
+        |         WHEN frequency >= 60 THEN 2 ELSE 1 END AS f_score,
+        |    CASE WHEN mon >= 800 THEN 4 WHEN mon >= 590 THEN 3
+        |         WHEN mon >= 490 THEN 2 ELSE 1 END AS m_score
+        |  FROM u, r)
+        |SELECT user_id, recency_hours, frequency,
+        |  CAST(mon AS DOUBLE) AS monetary,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code,
+        |  CASE WHEN r_score >= 3 AND f_score >= 3 THEN 'champion'
+        |       WHEN r_score >= 3 THEN 'promising'
+        |       WHEN f_score >= 3 THEN 'at_risk'
+        |       ELSE 'hibernating' END AS segment
+        |FROM sc ORDER BY user_id""".stripMargin
   )
 }

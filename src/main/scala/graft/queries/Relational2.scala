@@ -744,6 +744,43 @@ object Relational2 {
           expr("(supp * 1000000) div supp_u").as("conf_ab_ppm"),
           expr("(supp * 1000000) div supp_v").as("conf_ba_ppm"))
         .orderBy($"lift_ppm".desc, $"part_a", $"part_b").limit(20)
+    },
+
+    // bounded-hop BFS reachability profile from a deterministic seed
+    // (the minimum part id) over the co-purchase graph — the traversal
+    // member of the graph family (components → dd_cluster, triangles →
+    // q39, centrality → q40, reach → here). Three unrolled scatter
+    // rounds, each one equi-join of the symmetrized edge relation
+    // against the previous frontier plus a min-dist consolidation
+    // shuffle — the exact iterate-until-k shape of a distributed BFS,
+    // with each round persisted so round i's plan doesn't re-execute
+    // round i-1 twice (frontier + union both read it; at cluster scale
+    // this is the per-round checkpoint). The DuckDB twin unrolls the
+    // same three rounds as CTEs, so every level count value-matches.
+    "q42_reach" -> { (s, d) =>
+      import s.implicits._
+      val e = CoPurchaseGraph.edges(s, d).select($"u", $"v")
+      val sym = e.unionByName(e.select($"v".as("u"), $"u".as("v"))).persist()
+      val nodes = CoPurchaseGraph.degrees(s, d).select($"x")
+      var reach = nodes.agg(min($"x").as("x")).select($"x", lit(0L).as("dist"))
+      for (i <- 1 to 3) {
+        val frontier = reach.filter($"dist" === (i - 1).toLong).select($"x".as("u"))
+        val nxt = sym.join(frontier, Seq("u"))
+          .select($"v".as("x"), lit(i.toLong).as("dist"))
+        reach = reach.unionByName(nxt)
+          .groupBy($"x").agg(min($"dist").as("dist")).persist()
+      }
+      val profile = reach.groupBy($"dist")
+        .agg(count(lit(1)).as("n_nodes"),
+          min($"x").as("min_part"), max($"x").as("max_part"))
+      val unreached = nodes.join(reach.select($"x"), Seq("x"), "left_anti")
+        .agg(count(lit(1)).as("n_nodes"),
+          min($"x").as("min_part"), max($"x").as("max_part"))
+        .select(lit(-1L).as("dist"), $"n_nodes", $"min_part", $"max_part")
+        .filter($"n_nodes" > 0)
+      profile.select($"dist", $"n_nodes", $"min_part", $"max_part")
+        .unionByName(unreached)
+        .orderBy($"dist")
     }
   )
 
@@ -1165,6 +1202,37 @@ object Relational2 {
         |FROM pairs pr
         |JOIN item iu ON iu.x = pr.u JOIN item iv ON iv.x = pr.v, n
         |WHERE pr.supp >= 5
-        |ORDER BY lift_ppm DESC, part_a, part_b LIMIT 20""".stripMargin
+        |ORDER BY lift_ppm DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    "q42_reach" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |nodes AS (SELECT DISTINCT u AS x FROM sym),
+        |m0 AS (SELECT MIN(x) AS x, CAST(0 AS BIGINT) AS dist FROM nodes),
+        |r1 AS (SELECT DISTINCT s.v AS x, CAST(1 AS BIGINT) AS dist
+        |       FROM sym s JOIN m0 ON s.u = m0.x),
+        |m1 AS (SELECT x, MIN(dist) AS dist FROM
+        |       (SELECT * FROM m0 UNION ALL SELECT * FROM r1) GROUP BY x),
+        |r2 AS (SELECT DISTINCT s.v AS x, CAST(2 AS BIGINT) AS dist
+        |       FROM sym s JOIN (SELECT x FROM m1 WHERE dist = 1) f ON s.u = f.x),
+        |m2 AS (SELECT x, MIN(dist) AS dist FROM
+        |       (SELECT * FROM m1 UNION ALL SELECT * FROM r2) GROUP BY x),
+        |r3 AS (SELECT DISTINCT s.v AS x, CAST(3 AS BIGINT) AS dist
+        |       FROM sym s JOIN (SELECT x FROM m2 WHERE dist = 2) f ON s.u = f.x),
+        |m3 AS (SELECT x, MIN(dist) AS dist FROM
+        |       (SELECT * FROM m2 UNION ALL SELECT * FROM r3) GROUP BY x),
+        |prof AS (
+        |  SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    MIN(x) AS min_part, MAX(x) AS max_part
+        |  FROM m3 GROUP BY dist),
+        |unr AS (
+        |  SELECT CAST(-1 AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    MIN(n.x) AS min_part, MAX(n.x) AS max_part
+        |  FROM nodes n LEFT JOIN m3 ON m3.x = n.x WHERE m3.x IS NULL
+        |  HAVING COUNT(*) > 0)
+        |SELECT * FROM prof UNION ALL SELECT * FROM unr ORDER BY dist""".stripMargin
   )
 }

@@ -279,6 +279,32 @@ object SamplingQueries {
         .select($"source", $"n_docs", $"mix_share_ppm", $"doc_weight_nano",
           $"ess_milli", $"ess_ratio_ppm")
         .orderBy($"source")
+    },
+
+    // deterministic train/val/test hash split + leakage-proof audit —
+    // the assignment every training pipeline needs to be REPRODUCIBLE:
+    // split = md5-bucket of the doc id (900/50/50 per mille), so any
+    // engine / any rerun / any shard count lands every doc in the same
+    // fold (no rand(), no row_number order dependence). The audit is
+    // one narrow per-row bucket computation + a (source, split) partial
+    // agg; per-source share ppm comes from a broadcast-sized per-source
+    // total join. Fold-balance law (each source's train share within
+    // tolerance of 900k ppm) asserted in ClusterSamplingSpec.
+    "samp_hash_split" -> { (s, d) =>
+      import s.implicits._
+      val b = expr(
+        "CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000")
+      val g = t(s, d, "documents")
+        .withColumn("split",
+          when(b < 900, "train").when(b < 950, "val").otherwise("test"))
+        .withColumn("n_tok", size(split($"text", " +")).cast("long"))
+        .groupBy($"source", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      val tot = g.groupBy($"source").agg(sum($"n_docs").as("t_docs"))
+      g.join(tot, Seq("source"))
+        .select($"source", $"split", $"n_docs", $"n_tokens",
+          expr("(n_docs * 1000000) div t_docs").as("doc_share_ppm"))
+        .orderBy($"source", $"split")
     }
   )
 
@@ -423,6 +449,24 @@ object SamplingQueries {
          |SELECT per.source, per.n_docs, per.mix_share_ppm, per.doc_weight_nano,
          |  e.ess_milli,
          |  CAST(e.ess_milli * 1000 // tot.n_total AS BIGINT) AS ess_ratio_ppm
-         |FROM per, e, tot ORDER BY per.source""".stripMargin
+         |FROM per, e, tot ORDER BY per.source""".stripMargin,
+
+    "samp_hash_split" ->
+      """WITH x AS (
+        |  SELECT source,
+        |    CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < 900 THEN 'train'
+        |         WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < 950 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    len(string_split_regex(text, ' +')) AS n_tok
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |  FROM x GROUP BY source, split),
+        |tot AS (SELECT source, SUM(n_docs) AS t_docs FROM g GROUP BY source)
+        |SELECT g.source, g.split, g.n_docs, g.n_tokens,
+        |  CAST((g.n_docs * 1000000) // tot.t_docs AS BIGINT) AS doc_share_ppm
+        |FROM g JOIN tot ON tot.source = g.source
+        |ORDER BY g.source, g.split""".stripMargin
   )
 }

@@ -14,14 +14,19 @@ class CoPurchaseGraphSpec extends SparkSpec {
   test("index edge/deg relations equal the independent join-form build") {
     val li = graft.Tables.t(spark, sf, "lineitem")
       .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    val inlineEdges = li.toDF("o", "u").join(li.toDF("o", "v"), Seq("o"))
-      .filter($"u" < $"v").select($"u", $"v").distinct()
-      .as[(Long, Long)].collect().toSet
+    val inlinePairs = li.toDF("o", "u").join(li.toDF("o", "v"), Seq("o"))
+      .filter($"u" < $"v").groupBy($"u", $"v").agg(count(lit(1)).as("supp"))
+      .as[(Long, Long, Long)].collect()
+    val inlineEdges = inlinePairs.map { case (u, v, _) => (u, v) }.toSet
 
-    val idxEdges = CoPurchaseGraph.edges(spark, sf)
-      .as[(Long, Long)].collect().toSet
+    val idx = CoPurchaseGraph.edges(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val idxEdges = idx.map { case (u, v, _) => (u, v) }.toSet
     assert(idxEdges === inlineEdges, "index edges differ from join-form build")
     assert(idxEdges.forall { case (u, v) => u < v }, "edge orientation invariant")
+    assert(idx.map { case (u, v, s) => ((u, v), s) }.toMap ===
+      inlinePairs.map { case (u, v, s) => ((u, v), s) }.toMap,
+      "edge basket-support counts differ from the join-form co-occurrence counts")
 
     val expectedDeg = inlineEdges.toSeq.flatMap { case (u, v) => Seq(u, v) }
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
