@@ -915,34 +915,41 @@ object DedupQueries {
     // bit-for-bit; at real scale m tracks corpus cardinality (~10 bits
     // per key for 1% FPR) and the same broadcast bound holds because the
     // position relation never exceeds m rows.
-    "dd_bloom" -> { (s, d) =>
-      import s.implicits._
-      val newPred = col("doc_id") % 10 === 0
-      val fp = t(s, d, "documents")
-        .select($"doc_id",
-          md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
-      val posd = (1 to 3).map(j => expr(
-        s"CAST(conv(substring(md5(concat(fp, '#$j')), 1, 8), 16, 10) AS BIGINT) % 65536")
-        .as(s"p$j"))
-      val corpusBits = fp.filter(!newPred)
-        .select(explode(array(posd: _*)).as("p")).distinct()
-        .withColumn("hit", lit(1L))
-      val bloom = fp.filter(newPred)
-        .select($"doc_id", explode(array(posd: _*)).as("p"))
-        .join(broadcast(corpusBits), Seq("p"), "left")
-        .groupBy($"doc_id")
-        .agg((sum(coalesce($"hit", lit(0L))) === 3L).as("bloom_hit"))
-      val exact = fp.filter(newPred)
-        .join(fp.filter(!newPred).select($"fp").distinct()
-          .withColumn("dup", lit(1L)), Seq("fp"), "left")
-        .select($"doc_id", $"dup".isNotNull.as("exact_dup"))
-      bloom.join(exact, Seq("doc_id"))
-        .select($"doc_id", $"bloom_hit", $"exact_dup",
-          when($"exact_dup", "true_dup").when($"bloom_hit", "false_pos")
-            .otherwise("clean").as("verdict"))
-        .orderBy($"doc_id")
-    }
+    "dd_bloom" -> { (s, d) => bloomScreen(t(s, d, "documents")) }
   )
+
+  /** dd_bloom body over any (doc_id, text) relation — probe batch is
+    * doc_id % 10 == 0 (dd_incremental's convention), corpus the rest.
+    * Split out so BloomSpec can drive a corpus whose duplicates actually
+    * straddle the batch boundary (the driver fixture's dup groups don't).
+    */
+  private[graft] def bloomScreen(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val newPred = col("doc_id") % 10 === 0
+    val fp = docs.select($"doc_id",
+      md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+    val posd = (1 to 3).map(j => expr(
+      s"CAST(conv(substring(md5(concat(fp, '#$j')), 1, 8), 16, 10) AS BIGINT) % 65536")
+      .as(s"p$j"))
+    val corpusBits = fp.filter(!newPred)
+      .select(explode(array(posd: _*)).as("p")).distinct()
+      .withColumn("hit", lit(1L))
+    val bloom = fp.filter(newPred)
+      .select($"doc_id", explode(array(posd: _*)).as("p"))
+      .join(broadcast(corpusBits), Seq("p"), "left")
+      .groupBy($"doc_id")
+      .agg((sum(coalesce($"hit", lit(0L))) === 3L).as("bloom_hit"))
+    val exact = fp.filter(newPred)
+      .join(fp.filter(!newPred).select($"fp").distinct()
+        .withColumn("dup", lit(1L)), Seq("fp"), "left")
+      .select($"doc_id", $"dup".isNotNull.as("exact_dup"))
+    bloom.join(exact, Seq("doc_id"))
+      .select($"doc_id", $"bloom_hit", $"exact_dup",
+        when($"exact_dup", "true_dup").when($"bloom_hit", "false_pos")
+          .otherwise("clean").as("verdict"))
+      .orderBy($"doc_id")
+  }
 
   /** corpus-wide embedding near-dup pairs (vec_a < vec_b, cos_ppm ≥
     * threshold) — the dd_embed_lsh body, shared with emb_semdedup's

@@ -191,4 +191,36 @@ class AnalyticsOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("dd_bloom: no false negatives, verdicts partition the probe batch") {
+    val out = SparkEntry.queries("dd_bloom")(spark, sf).collect()
+    spark.catalog.clearCache()
+    val probes = graft.Tables.t(spark, sf, "documents")
+      .filter($"doc_id" % 10 === 0).count()
+    assert(out.length.toLong === probes, "one verdict per probe doc")
+    for (r <- out) {
+      val (hit, dup) = (r.getAs[Boolean]("bloom_hit"), r.getAs[Boolean]("exact_dup"))
+      // the bloom law: membership implies a hit — a miss PROVES novelty
+      assert(!dup || hit, s"false negative at doc ${r.getAs[Long]("doc_id")}")
+      val expected =
+        if (dup) "true_dup" else if (hit) "false_pos" else "clean"
+      assert(r.getAs[String]("verdict") === expected)
+    }
+  }
+
+  test("dd_bloom fires true_dup on a corpus whose dups straddle the batch boundary") {
+    // the driver fixture's duplicate groups never cross the %10 split,
+    // so the membership path needs its own corpus: ids 10,20 duplicate
+    // corpus docs 1,2 (whitespace/case variants — the normalizer must
+    // erase them); 30 is novel.
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"), (3L, "eta theta iota"),
+      (10L, "  Alpha   beta GAMMA "), (20L, "delta  epsilon zeta"),
+      (30L, "totally novel text never seen")).toDF("doc_id", "text")
+    val out = DedupQueries.bloomScreen(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(out(10L) === "true_dup")
+    assert(out(20L) === "true_dup")
+    assert(out(30L) !== "true_dup") // clean, or an honest false_pos
+  }
 }

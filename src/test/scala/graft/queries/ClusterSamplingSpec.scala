@@ -140,4 +140,24 @@ class ClusterSamplingSpec extends SparkSpec {
       assert(ps.size >= 2, "singleton assets must not appear in the cluster output")
     }
   }
+
+  test("samp_hash_split: folds cover every doc, stay deterministic, balance near 900/50/50") {
+    val out = SparkEntry.queries("samp_hash_split")(spark, sf).collect()
+    spark.catalog.clearCache()
+    val total = graft.Tables.t(spark, sf, "documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === total,
+      "folds must partition the corpus (disjoint + complete)")
+    // determinism: a rerun assigns identical fold counts
+    val again = SparkEntry.queries("samp_hash_split")(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // global fold balance: binomial(total, 0.9) 4-sigma envelope — loose
+    // enough for the sf0.001 corpus, tight enough to catch a broken
+    // bucket formula (e.g. mod on the wrong width)
+    val train = out.filter(_.getAs[String]("split") == "train")
+      .map(_.getAs[Long]("n_docs")).sum.toDouble
+    val sigma = math.sqrt(total * 0.9 * 0.1)
+    assert(math.abs(train - total * 0.9) <= 4 * sigma + 1,
+      s"train fold $train vs expected ${total * 0.9}")
+  }
 }

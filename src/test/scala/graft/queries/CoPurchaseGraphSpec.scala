@@ -62,4 +62,23 @@ class CoPurchaseGraphSpec extends SparkSpec {
     // (checked on the full relation indirectly via the top-20 bound)
     assert(rows.map(_._2).sum <= 1000000000000L)
   }
+
+  test("q42_reach levels agree with an independent neighbor expansion") {
+    val prof = graft.SparkEntry.queries("q42_reach")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    spark.catalog.clearCache()
+    val byDist = prof.map { case (dist, n, lo, hi) => dist -> (n, lo, hi) }.toMap
+    val edges = CoPurchaseGraph.edges(spark, sf)
+      .select($"u", $"v").as[(Long, Long)].collect()
+    val nodes = edges.flatMap { case (u, v) => Seq(u, v) }.distinct
+    val seed = nodes.min
+    assert(byDist(0L) === ((1L, seed, seed)), "level 0 is exactly the seed")
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val l1 = adj(seed)
+    assert(byDist(1L)._1 === l1.size.toLong, "level 1 = seed's neighbor count")
+    assert(byDist(1L)._2 === l1.min && byDist(1L)._3 === l1.max)
+    // levels partition the reachable set; unreached (dist = -1) tops it up
+    assert(prof.map(_._2).sum === nodes.length.toLong,
+      "profile rows account for every node exactly once")
+  }
 }
