@@ -27,6 +27,7 @@ object Bench {
       graft.queries.CorpusLshIndex.ensure(spark, sfDir)
       graft.queries.CorpusLshIndex.embedPairs(spark, sfDir).count(): Unit
       graft.queries.CorpusTokenIndex.ensure(spark, sfDir)
+      graft.queries.CoPurchaseGraph.ensure(spark, sfDir)
     } catch { case _: Throwable => () }
     val indexSec = (System.nanoTime() - x0) / 1e9
     // ingest throughput — the number directly comparable to the reference

@@ -78,6 +78,13 @@ object CoPurchaseGraph {
         .agg(count(lit(1)).as("supp")), "edge", Seq("u"))
       save(li.groupBy($"p".as("x")).agg(count(lit(1)).as("n_ord")),
         "item", Seq("x"))
+      // symmetrized adjacency (both orientations), bucketed on the
+      // scatter key — the iterative consumers (q40 PageRank, q42 BFS)
+      // join it against a per-round frontier every round; storing it
+      // saves each of them a runtime union + re-materialization, and
+      // the u-bucketing co-locates the scatter with any u-keyed build.
+      save(edge.select($"u", $"v")
+        .unionByName(edge.select($"v".as("u"), $"u".as("v"))), "sym", Seq("u"))
       val ends = edge.select($"u".as("x")).unionByName(edge.select($"v".as("x")))
       save(ends.groupBy($"x").agg(count(lit(1)).as("dg")), "deg", Seq("x"))
     }
@@ -96,4 +103,7 @@ object CoPurchaseGraph {
 
   /** per-part order counts (basket item support) */
   def items(s: SparkSession, d: String): DataFrame = read(s, d, "item")
+
+  /** both-orientation edge relation (u, v) — one row per directed arc */
+  def symEdges(s: SparkSession, d: String): DataFrame = read(s, d, "sym")
 }

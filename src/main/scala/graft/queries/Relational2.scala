@@ -694,22 +694,28 @@ object Relational2 {
     // the global top-20 is a TakeOrderedAndProject, never a full sort.
     "q40_pagerank" -> { (s, d) =>
       import s.implicits._
-      val e = CoPurchaseGraph.edges(s, d).select($"u", $"v")
-      val sym = e.unionByName(e.select($"v".as("u"), $"u".as("v"))).persist()
-      val deg = CoPurchaseGraph.degrees(s, d)
-        .withColumn("one", lit(1)).persist()
-      val nDf = deg.agg(count(lit(1)).as("n")).withColumn("one", lit(1))
-      var r = deg.join(nDf, Seq("one"))
-        .select($"x", expr("1000000000000 div n").as("r"))
+      // symmetrized adjacency comes pre-materialized from the index (no
+      // runtime union/persist); the node relation carries (x, dg, base)
+      // through every round so the loop never re-joins degrees — each
+      // round is exactly one broadcast scatter join + one partially-
+      // aggregated shuffle on the destination vertex.
+      val sym = CoPurchaseGraph.symEdges(s, d)
+      val degN = CoPurchaseGraph.degrees(s, d)
+        .withColumn("one", lit(1))
+        .join(CoPurchaseGraph.degrees(s, d).agg(count(lit(1)).as("n"))
+          .withColumn("one", lit(1)), Seq("one"))
+        .select($"x", $"dg",
+          expr("15000000000000 div (100 * n)").as("base"),
+          expr("1000000000000 div n").as("r0"))
+        .persist()
+      var r = degN.select($"x", $"dg", $"base", $"r0".as("r"))
       for (_ <- 1 to 2) {
-        val share = r.join(deg, Seq("x"))
-          .select($"x".as("u"), expr("(r * 85) div (100 * dg)").as("sh"))
+        val share = r.select($"x".as("u"), expr("(r * 85) div (100 * dg)").as("sh"))
         val inc = sym.join(share, Seq("u"))
           .groupBy($"v".as("x")).agg(sum($"sh").as("inc"))
-        r = deg.join(nDf, Seq("one")).join(inc, Seq("x"), "left")
-          .select($"x",
-            (expr("15000000000000 div (100 * n)") +
-              coalesce($"inc", lit(0L))).as("r"))
+        r = degN.join(inc, Seq("x"), "left")
+          .select($"x", $"dg", $"base",
+            ($"base" + coalesce($"inc", lit(0L))).as("r"))
       }
       r.orderBy($"r".desc, $"x").limit(20)
         .select($"x".as("part_id"), $"r".as("rank_pico"))
@@ -759,8 +765,7 @@ object Relational2 {
     // same three rounds as CTEs, so every level count value-matches.
     "q42_reach" -> { (s, d) =>
       import s.implicits._
-      val e = CoPurchaseGraph.edges(s, d).select($"u", $"v")
-      val sym = e.unionByName(e.select($"v".as("u"), $"u".as("v"))).persist()
+      val sym = CoPurchaseGraph.symEdges(s, d)
       val nodes = CoPurchaseGraph.degrees(s, d).select($"x")
       var reach = nodes.agg(min($"x").as("x")).select($"x", lit(0L).as("dist"))
       for (i <- 1 to 3) {

@@ -49,7 +49,10 @@ class PlanAuditSpec extends SparkSpec {
       "ann_hybrid",
       // emb_fps: the selected set is ≤ FpsK rows by construction (seed
       // slice + one limit(1) pick per round)
-      "emb_fps")
+      "emb_fps",
+      // dd_bloom: the broadcast is the DISTINCT bit-position relation,
+      // ≤ m = 65536 rows whatever the corpus size (positions live mod m)
+      "dd_bloom")
 
   /** a hinted subtree is scale-safe iff its row count cannot grow with
     * the fact tables: an aggregation / limit / literal relation bounds
