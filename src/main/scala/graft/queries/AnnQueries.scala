@@ -40,50 +40,82 @@ object AnnQueries {
 
   private val dotExpr = graft.operators.VectorOps.dotExpr
 
+  /** exact brute-force cosine top-k: broadcast the query set, one narrow
+    * pass over the corpus, per-query top-k window (shared with
+    * ann_recall_eval as the ground-truth side)
+    */
+  private def bruteTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = quantized(s, d)
+    val qs = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("qid"), $"q".as("qa"), $"nn".as("na"))
+    val corpus = e.select($"vec_id".as("cid"), $"q".as("qb"), $"nn".as("nb"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_ppm".desc, $"cid")
+    corpus.join(broadcast(qs), $"cid" =!= $"qid")
+      .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
+      .withColumn("cos_ppm",
+        floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= TopK)
+      .select($"qid", $"rnk", $"cid", $"cos_ppm")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** LSH (random-hyperplane) bucketed ANN top-k: signature = sign bits
+    * of the 8 plane dot products; multi-probe — each query also probes
+    * the 8 buckets one bit-flip away, trading 9 broadcast probes for
+    * recall (same trick scales to 100 TB: probes multiply the tiny query
+    * side, never the corpus). Shared with ann_recall_eval.
+    */
+  private def lshTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = graft.operators.VectorOps.withHyperplaneSig(quantized(s, d), Hyperplanes, Dims)
+    val qs = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("qid"), $"q".as("qa"), $"nn".as("na"), $"sig")
+      .withColumn("probe", explode(expr(
+        s"concat(array(sig), transform(sequence(0, ${Hyperplanes - 1}), j -> sig ^ shiftleft(1L, j)))")))
+      .drop("sig")
+    val corpus = e.select($"vec_id".as("cid"), $"q".as("qb"), $"nn".as("nb"), $"sig".as("probe"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_ppm".desc, $"cid")
+    corpus.join(broadcast(qs), Seq("probe"))
+      .filter($"cid" =!= $"qid")
+      .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
+      .withColumn("cos_ppm",
+        floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= TopK)
+      .select($"qid", $"rnk", $"cid", $"cos_ppm")
+      .orderBy($"qid", $"rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     // exact brute-force cosine top-k: broadcast the query set, one narrow
     // pass over the corpus, per-query top-k window
-    "ann_brute_topk" -> { (s, d) =>
-      import s.implicits._
-      val e = quantized(s, d)
-      val qs = e.filter($"vec_id" < NumQueries)
-        .select($"vec_id".as("qid"), $"q".as("qa"), $"nn".as("na"))
-      val corpus = e.select($"vec_id".as("cid"), $"q".as("qb"), $"nn".as("nb"))
-      val w = Window.partitionBy($"qid").orderBy($"cos_ppm".desc, $"cid")
-      corpus.join(broadcast(qs), $"cid" =!= $"qid")
-        .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
-        .withColumn("cos_ppm",
-          floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter($"rnk" <= TopK)
-        .select($"qid", $"rnk", $"cid", $"cos_ppm")
-        .orderBy($"qid", $"rnk")
-    },
+    "ann_brute_topk" -> { (s, d) => bruteTopk(s, d) },
 
     // LSH (random-hyperplane) bucketed ANN: signature = sign bits of the
     // 8 plane dot products; multi-probe — each query also probes the 8
     // buckets one bit-flip away, trading 9 broadcast probes for recall
     // (same trick scales to 100 TB: probes multiply the tiny query side,
     // never the corpus). Oracle: full signature replay; recall in AnnSpec.
-    "ann_lsh_topk" -> { (s, d) =>
+    "ann_lsh_topk" -> { (s, d) => lshTopk(s, d) },
+
+    // in-engine recall@k evaluation of the LSH index against the exact
+    // brute-force truth — the eval harness every ANN deployment needs
+    // before trusting an index at scale. Both sides are the shared
+    // deterministic top-k builders, the comparison one k·|queries|-row
+    // LEFT join; fully value-checked (both pipelines replay in the
+    // oracle, so recall itself is an exact integer, not a spec bound).
+    "ann_recall_eval" -> { (s, d) =>
       import s.implicits._
-      val e = graft.operators.VectorOps.withHyperplaneSig(quantized(s, d), Hyperplanes, Dims)
-      val qs = e.filter($"vec_id" < NumQueries)
-        .select($"vec_id".as("qid"), $"q".as("qa"), $"nn".as("na"), $"sig")
-        .withColumn("probe", explode(expr(
-          s"concat(array(sig), transform(sequence(0, ${Hyperplanes - 1}), j -> sig ^ shiftleft(1L, j)))")))
-        .drop("sig")
-      val corpus = e.select($"vec_id".as("cid"), $"q".as("qb"), $"nn".as("nb"), $"sig".as("probe"))
-      val w = Window.partitionBy($"qid").orderBy($"cos_ppm".desc, $"cid")
-      corpus.join(broadcast(qs), Seq("probe"))
-        .filter($"cid" =!= $"qid")
-        .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
-        .withColumn("cos_ppm",
-          floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter($"rnk" <= TopK)
-        .select($"qid", $"rnk", $"cid", $"cos_ppm")
-        .orderBy($"qid", $"rnk")
+      val b = bruteTopk(s, d).select($"qid", $"cid")
+      val l = lshTopk(s, d).select($"qid", $"cid").withColumn("hit", lit(1L))
+      b.join(l, Seq("qid", "cid"), "left")
+        .groupBy($"qid")
+        .agg(sum(coalesce($"hit", lit(0L))).as("n_hits"))
+        .select($"qid", $"n_hits",
+          expr(s"(n_hits * 1000000) div $TopK").as("recall_ppm"))
+        .orderBy($"qid")
     },
 
     // IVF-style ANN: cells = nearest of the deterministic seed centroids
@@ -572,6 +604,57 @@ object AnnQueries {
            |  FROM pair2)
            |SELECT qid, rnk, cid, cos_ppm FROM rk2 WHERE rnk <= $TopK
            |ORDER BY qid, rnk""".stripMargin),
+
+    // recall@k as an exact value: BOTH pipelines (LSH probe chain and
+    // the brute truth) replay on the shared eq/nrm relations, then one
+    // LEFT join counts the overlap per query
+    "ann_recall_eval" ->
+      (s"WITH ${DedupQueries.EmbedBaseCtes},\n" +
+        s"""sig AS (
+           |  SELECT vec_id,
+           |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(1 << (j % $Hyperplanes) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+           |  FROM pdots WHERE j < $Hyperplanes GROUP BY 1),
+           |qpro AS (
+           |  SELECT vec_id AS qid,
+           |    CAST(CASE WHEN k = -1 THEN sig
+           |              ELSE xor(sig, CAST(1 << CAST(k AS INT) AS BIGINT)) END AS BIGINT) AS probe
+           |  FROM sig, range(-1, $Hyperplanes) tk(k)
+           |  WHERE vec_id < $NumQueries),
+           |cand2 AS (
+           |  SELECT DISTINCT q.qid, c.vec_id AS cid
+           |  FROM qpro q JOIN sig c ON c.sig = q.probe
+           |  WHERE c.vec_id <> q.qid),
+           |pair2 AS (
+           |  SELECT c.qid, c.cid,
+           |    CAST(FLOOR(CAST(SUM(ea.q * eb.q) AS BIGINT) / (sqrt(MAX(na.nn)) * sqrt(MAX(nb.nn))) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+           |  FROM cand2 c
+           |  JOIN eq ea ON ea.vec_id = c.qid
+           |  JOIN eq eb ON eb.vec_id = c.cid AND eb.i = ea.i
+           |  JOIN nrm na ON na.vec_id = c.qid
+           |  JOIN nrm nb ON nb.vec_id = c.cid
+           |  GROUP BY 1, 2),
+           |ltop AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT qid, cid,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_ppm DESC, cid) AS rnk
+           |    FROM pair2) WHERE rnk <= $TopK),
+           |bdots AS (
+           |  SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+           |  FROM eq a JOIN eq b ON b.i = a.i AND a.vec_id < $NumQueries AND b.vec_id <> a.vec_id
+           |  GROUP BY 1, 2),
+           |bsims AS (
+           |  SELECT qid, cid,
+           |    CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+           |  FROM bdots JOIN nrm na ON na.vec_id = bdots.qid JOIN nrm nb ON nb.vec_id = bdots.cid),
+           |btop AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT qid, cid,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_ppm DESC, cid) AS rnk
+           |    FROM bsims) WHERE rnk <= $TopK)
+           |SELECT b.qid, CAST(COUNT(l.cid) AS BIGINT) AS n_hits,
+           |  CAST((COUNT(l.cid) * 1000000) // $TopK AS BIGINT) AS recall_ppm
+           |FROM btop b LEFT JOIN ltop l ON l.qid = b.qid AND l.cid = b.cid
+           |GROUP BY b.qid ORDER BY b.qid""".stripMargin),
 
     // PQ replay: the codebook is DETERMINISTIC (codewords = subvectors
     // of vec_id < 16 — no iteration), so encode, per-query LUT, ADC

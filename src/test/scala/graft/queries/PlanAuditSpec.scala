@@ -44,6 +44,8 @@ class PlanAuditSpec extends SparkSpec {
   // construction
   private val constantSliceBroadcastAllowed =
     Set("ann_brute_topk", "ann_lsh_topk", "ann_pq_topk",
+      // recall eval composes the same two fixed-query-slice broadcasts
+      "ann_recall_eval",
       "ann_ivf_topk", "emb_kmeans", "emb_outliers",
       // the same fixed 5-row query slice, carrying token set + vector
       "ann_hybrid",
