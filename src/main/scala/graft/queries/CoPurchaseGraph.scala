@@ -90,6 +90,56 @@ object CoPurchaseGraph {
     }
   }
 
+  /** Extend the index with a batch of NEW orders' lineitem rows without
+    * re-scanning the base fact table — the graph twin of
+    * [[CorpusLshIndex.append]]. The delta pair explode is batch-sized;
+    * the merges (edge ∪ delta pairs → summed supports, item ∪ delta
+    * counts) are index-sized aggregations; sym and deg re-derive from
+    * the merged edge relation, and deg is written LAST so it stays the
+    * commit marker. Merged relations are localCheckpoint-pinned before
+    * the in-place Overwrite (the [[CorpusTokenIndex.compact]] pattern —
+    * lineage to the files being replaced is cut first).
+    *
+    * Assumes batch orders are new, the topic-append contract: re-sending
+    * an already-indexed order would double-count its pair supports,
+    * exactly as re-publishing a message outside the idempotent commit
+    * would duplicate it.
+    */
+  def append(s: SparkSession, d: String, newLineitems: DataFrame): Unit = synchronized {
+    ensure(s, d)
+    import s.implicits._
+    val tg = CorpusLshIndex.tag(d)
+    val dir = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft-cpg-index"), tg)
+    def save(df: DataFrame, part: String, bucketCols: Seq[String]): Unit =
+      df.write.mode(SaveMode.Overwrite)
+        .option("path", new java.io.File(dir, part).getAbsolutePath)
+        .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
+        .saveAsTable(tableName(part, tg))
+    val li = newLineitems
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val parts = li.groupBy($"o").agg(collect_list($"p").as("ps"))
+    val pairsNew = parts
+      .select(explode($"ps").as("u"), $"ps")
+      .select($"u", explode(expr("filter(ps, x -> x > u)")).as("v"))
+      .groupBy($"u", $"v").agg(count(lit(1)).as("supp"))
+    val mergedEdge = s.table(tableName("edge", tg)).unionByName(pairsNew)
+      .groupBy($"u", $"v").agg(sum($"supp").as("supp"))
+      .localCheckpoint(true)
+    val mergedItem = s.table(tableName("item", tg))
+      .unionByName(li.groupBy($"p".as("x")).agg(count(lit(1)).as("n_ord")))
+      .groupBy($"x").agg(sum($"n_ord").as("n_ord"))
+      .localCheckpoint(true)
+    save(mergedEdge, "edge", Seq("u"))
+    save(mergedItem, "item", Seq("x"))
+    save(mergedEdge.select($"u", $"v")
+      .unionByName(mergedEdge.select($"v".as("u"), $"u".as("v"))), "sym", Seq("u"))
+    val ends = mergedEdge.select($"u".as("x"))
+      .unionByName(mergedEdge.select($"v".as("x")))
+    save(ends.groupBy($"x").agg(count(lit(1)).as("dg")), "deg", Seq("x"))
+    Seq(mergedEdge, mergedItem).foreach(_.unpersist(): Unit)
+  }
+
   private def read(s: SparkSession, d: String, part: String): DataFrame = {
     ensure(s, d)
     s.table(tableName(part, CorpusLshIndex.tag(d)))

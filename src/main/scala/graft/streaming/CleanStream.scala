@@ -112,6 +112,53 @@ object CleanStream {
       .select($"doc_id", $"ts", $"bench_doc")
   }
 
+  /** Streaming BLOOM pre-screen gate — dd_bloom's stream twin: every
+    * arriving document is screened against the corpus membership bloom
+    * (k=3 md5-derived positions in an m=65536 space) BEFORE any
+    * corpus-sized work happens. The bloom side is a ≤m-row broadcast
+    * relation probed by three stateless per-position left joins (no
+    * streaming aggregation, no watermark state at all); only the
+    * bloom-POSITIVE minority reaches the corpus-sized fingerprint
+    * verify join, and the bloom-negative majority is emitted as clean
+    * outright — sound because a bloom miss PROVES non-membership (the
+    * no-false-negative law AnalyticsOpsSpec asserts for the batch twin).
+    * That screened-before-joined shape is the entire point of a bloom
+    * gate at 100 TB: the expensive join's input is duplicates + the
+    * m-governed false-positive sliver, never the stream.
+    *
+    * `docs`: streaming (doc_id, text, ts). `corpus`: static
+    * (doc_id, text). Returns (doc_id, ts, bloom_hit, exact_dup,
+    * verdict) with dd_bloom's verdict domain.
+    */
+  def bloomFlags(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val normFp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    def pos(j: Int) = expr(
+      s"CAST(conv(substring(md5(concat(fp, '#$j')), 1, 8), 16, 10) AS BIGINT) % 65536")
+    val corpusFp = corpus.select(normFp.as("fp")).distinct().persist()
+    val bits = corpusFp
+      .select(explode(array((1 to 3).map(pos): _*)).as("p")).distinct().persist()
+    var cur = docs.select($"doc_id", $"ts", normFp.as("fp"))
+    for (j <- 1 to 3)
+      cur = cur.withColumn(s"pos$j", pos(j))
+        .join(broadcast(bits.select($"p".as(s"pos$j")).withColumn(s"h$j", lit(1L))),
+          Seq(s"pos$j"), "left")
+    val flagged = cur.withColumn("bloom_hit",
+      $"h1".isNotNull && $"h2".isNotNull && $"h3".isNotNull)
+    val out = Seq($"doc_id", $"ts", $"bloom_hit", $"exact_dup")
+    val screened = flagged.filter($"bloom_hit")
+      .join(corpusFp.withColumn("dup", lit(1L)), Seq("fp"), "left")
+      .withColumn("exact_dup", $"dup".isNotNull)
+      .select(out: _*)
+    val clean = flagged.filter(!$"bloom_hit")
+      .withColumn("exact_dup", lit(false))
+      .select(out: _*)
+    screened.unionByName(clean)
+      .withColumn("verdict",
+        when($"exact_dup", "true_dup").when($"bloom_hit", "false_pos")
+          .otherwise("clean"))
+  }
+
   /** Self-MAINTAINING near-dup gate — the crawl-loop closure of
     * [[nearDupFlags]]: each micro-batch is (1) flagged against the
     * materialized corpus LSH index and (2) APPENDED to it

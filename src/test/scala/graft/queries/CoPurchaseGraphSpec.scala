@@ -63,6 +63,38 @@ class CoPurchaseGraphSpec extends SparkSpec {
     assert(rows.map(_._2).sum <= 1000000000000L)
   }
 
+  test("append extends the graph index to exactly the full-rebuild relations") {
+    val all = graft.Tables.t(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    val base = all.filter($"l_orderkey" % 7 =!= 0)
+    val batch = all.filter($"l_orderkey" % 7 === 0)
+    val dir = graft.rawdata.Topic.tempDir("cpg-append")
+    base.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    CoPurchaseGraph.ensure(spark, dir)
+    CoPurchaseGraph.append(spark, dir, batch)
+    // truth: from-scratch join-form derivation over the UNION corpus
+    val li = all.select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val truthEdges = li.toDF("o", "u").join(li.toDF("o", "v"), Seq("o"))
+      .filter($"u" < $"v").groupBy($"u", $"v").agg(count(lit(1)).as("supp"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val idxEdges = CoPurchaseGraph.edges(spark, dir)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(idxEdges === truthEdges,
+      "appended edge/support relation diverged from a full rebuild")
+    val truthItems = li.groupBy($"p").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(CoPurchaseGraph.items(spark, dir).as[(Long, Long)].collect().sorted.toSeq
+      === truthItems, "appended item-support relation diverged")
+    val truthDeg = truthEdges.flatMap { case (u, v, _) => Seq(u, v) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq.sorted
+    assert(CoPurchaseGraph.degrees(spark, dir).as[(Long, Long)].collect().sorted.toSeq
+      === truthDeg, "appended degree relation diverged")
+    val sym = CoPurchaseGraph.symEdges(spark, dir).as[(Long, Long)].collect()
+    assert(sym.length === 2 * idxEdges.length &&
+      sym.toSet === truthEdges.flatMap { case (u, v, _) => Seq((u, v), (v, u)) }.toSet,
+      "appended symmetrized adjacency diverged")
+  }
+
   test("q42_reach levels agree with an independent neighbor expansion") {
     val prof = graft.SparkEntry.queries("q42_reach")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
