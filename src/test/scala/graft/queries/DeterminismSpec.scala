@@ -33,7 +33,11 @@ class DeterminismSpec extends SparkSpec {
     "dd_canonical", "dd_jaccard_hist", "emb_centroid_cos",
     "txt_skipgrams", "ev_trend", "emb_dim_stats", "txt_pmi", "dd_leakage",
     "pipe_report", "txt_cms", "samp_pareto", "ev_funnel_steps",
-    "dd_dup_rate", "ev_hourly")
+    "dd_dup_rate", "ev_hourly",
+    // round-6 late additions: RFM fixed-threshold scoring, bloom
+    // position screening, md5 fold assignment, BFS min-dist rounds,
+    // recall join of the two top-k pipelines
+    "ev_rfm", "dd_bloom", "samp_hash_split", "q42_reach", "ann_recall_eval")
 
   for (name <- names) {
     test(s"$name result invariant under repartitioning") {
