@@ -786,6 +786,27 @@ object Relational2 {
       profile.select($"dist", $"n_nodes", $"min_part", $"max_part")
         .unionByName(unreached)
         .orderBy($"dist")
+    },
+
+    // distribution-position window functions — percent_rank / cume_dist
+    // / first_value in one per-segment pass (the remaining standard
+    // window family q24/q25/q26 don't cover). The ORDER BY carries the
+    // unique custkey tie-break so there are no rank peers: cume_dist is
+    // exactly rn/n, percent_rank exactly (rn-1)/(n-1), and both engines
+    // round the same IEEE double to ppm. Window partitioned by segment —
+    // never a global funnel.
+    "q43_pct_dist" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+      t(s, d, "customer")
+        .select($"c_mktsegment", $"c_custkey", $"c_acctbal",
+          floor(percent_rank().over(w) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("pct_rank_ppm"),
+          floor(cume_dist().over(w) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("cume_ppm"),
+          first($"c_custkey").over(w).as("poorest_cust"))
+        .orderBy($"c_mktsegment", $"c_custkey")
     }
   )
 
@@ -1238,6 +1259,15 @@ object Relational2 {
         |    MIN(n.x) AS min_part, MAX(n.x) AS max_part
         |  FROM nodes n LEFT JOIN m3 ON m3.x = n.x WHERE m3.x IS NULL
         |  HAVING COUNT(*) > 0)
-        |SELECT * FROM prof UNION ALL SELECT * FROM unr ORDER BY dist""".stripMargin
+        |SELECT * FROM prof UNION ALL SELECT * FROM unr ORDER BY dist""".stripMargin,
+
+    "q43_pct_dist" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(FLOOR(percent_rank() OVER w * 1000000.0 + 0.5) AS BIGINT) AS pct_rank_ppm,
+        |  CAST(FLOOR(cume_dist() OVER w * 1000000.0 + 0.5) AS BIGINT) AS cume_ppm,
+        |  first_value(c_custkey) OVER w AS poorest_cust
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin
   )
 }
