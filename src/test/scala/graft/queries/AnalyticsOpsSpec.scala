@@ -208,6 +208,21 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("ev_rfm conserves event and purchase mass, codes stay in-domain") {
+    val out = SparkEntry.queries("ev_rfm")(spark, sf).collect()
+    spark.catalog.clearCache()
+    val ev = graft.Tables.events(spark, sf)
+    assert(out.map(_.getAs[Long]("frequency")).sum === ev.count(),
+      "per-user frequencies must partition the event count")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .agg(sum($"value")).as[Double].collect().head
+    assert(math.abs(out.map(_.getAs[Double]("monetary")).sum - purchases) < 1e-6,
+      "monetary mass must equal total purchase value")
+    assert(out.map(_.getAs[Long]("rfm_code")).forall(c => c >= 111L && c <= 444L))
+    val segs = Set("champion", "promising", "at_risk", "hibernating")
+    assert(out.map(_.getAs[String]("segment")).forall(segs.contains))
+  }
+
   test("dd_bloom fires true_dup on a corpus whose dups straddle the batch boundary") {
     // the driver fixture's duplicate groups never cross the %10 split,
     // so the membership path needs its own corpus: ids 10,20 duplicate

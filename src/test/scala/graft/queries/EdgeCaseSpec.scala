@@ -279,6 +279,21 @@ class EdgeCaseSpec extends SparkSpec {
     dir
   }
 
+  test("bloom screen and hash split survive pathological and empty-corpus shapes") {
+    // the pathological corpus has no doc_id % 10 == 0 rows: an EMPTY
+    // probe batch must yield an empty relation, not a crash
+    assert(graft.SparkEntry.queries("dd_bloom")(spark, edgeDir).collect().isEmpty)
+    // empty CORPUS side: every doc is a probe, the position relation is
+    // empty — everything must come out clean (no null-hit miscounts)
+    val allProbes = Seq((10L, "alpha"), (20L, "beta")).toDF("doc_id", "text")
+    val out = DedupQueries.bloomScreen(allProbes).collect()
+    assert(out.length === 2 && out.forall(_.getAs[String]("verdict") == "clean"))
+    // the fold assignment covers the whole pathological corpus, empty doc included
+    val split = graft.SparkEntry.queries("samp_hash_split")(spark, edgeDir).collect()
+    assert(split.map(_.getAs[Long]("n_docs")).sum === 9L)
+    spark.catalog.clearCache()
+  }
+
   test("quantization and similarity histogram survive zero-norm vectors under ANSI mode") {
     // emb_quantize: scale-0 vectors hit the guarded division path
     val q = CurationQueries.queries("emb_quantize")(spark, edgeEmbDir).collect()
