@@ -439,6 +439,42 @@ object EventQueries {
             .when($"f_score" >= 3, "at_risk")
             .otherwise("hibernating").as("segment"))
         .orderBy($"user_id")
+    },
+
+    // time-series gap filling — densify the hourly (type, window) grid
+    // and carry the last observed mean value forward over the synthetic
+    // rows (zero-fill for counts, LOCF for the level signal): the
+    // "ALIGN/FILL" operator time-series stores ship, without which
+    // downstream trend/anomaly math silently skips empty hours. Scale
+    // shape: events reduce FIRST (one partial-agg shuffle onto the
+    // |types|×|hours|-bounded grid); the dense axis comes from one
+    // sequence() explode of the 1-row min/max bounds crossed with the
+    // distinct type relation, the fill join and LOCF window then run on
+    // grid-sized data — never event-sized. Sums in exact DECIMAL, mean
+    // in floored integer milli-units, so LOCF values replay bit-for-bit.
+    "ev_fill" -> { (s, d) =>
+      import s.implicits._
+      val hourly = ev(s, d)
+        .groupBy(($"ts_us" - ($"ts_us" % HourUs)).as("win_us"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(d6($"value")).as("sv"))
+        // exact integer micro-units BEFORE the division: decimal `div`
+        // scale handling differs across engines by one ulp, int64 never
+        .withColumn("sv_micro", expr("CAST(sv * 1000000 AS BIGINT)"))
+        .withColumn("avg_milli", expr("sv_micro div (n * 1000)"))
+      val bounds = ev(s, d).agg(
+        (min($"ts_us") - (min($"ts_us") % HourUs)).as("lo"),
+        (max($"ts_us") - (max($"ts_us") % HourUs)).as("hi"))
+      val grid = bounds
+        .select(explode(expr(s"sequence(lo, hi, $HourUs)")).as("win_us"))
+        .crossJoin(ev(s, d).select($"event_type").distinct())
+      val w = Window.partitionBy($"event_type").orderBy($"win_us")
+      grid.join(hourly, Seq("win_us", "event_type"), "left")
+        .select($"win_us", $"event_type",
+          coalesce($"n", lit(0L)).as("n"),
+          $"n".isNull.as("filled"),
+          last($"avg_milli", ignoreNulls = true).over(w).as("locf_avg_milli"))
+        .orderBy($"event_type", $"win_us")
     }
   )
 
@@ -723,6 +759,32 @@ object EventQueries {
         |       WHEN r_score >= 3 THEN 'promising'
         |       WHEN f_score >= 3 THEN 'at_risk'
         |       ELSE 'hibernating' END AS segment
-        |FROM sc ORDER BY user_id""".stripMargin
+        |FROM sc ORDER BY user_id""".stripMargin,
+
+    "ev_fill" ->
+      """WITH h AS (
+        |  SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS win_us, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(value AS DECIMAL(28,6))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |hh AS (
+        |  SELECT win_us, event_type, n,
+        |    CAST(sv * 1000000 AS BIGINT) // (n * 1000) AS avg_milli
+        |  FROM h),
+        |b AS (SELECT MIN(epoch_us(ts)) - (MIN(epoch_us(ts)) % 3600000000) AS lo,
+        |             MAX(epoch_us(ts)) - (MAX(epoch_us(ts)) % 3600000000) AS hi
+        |      FROM events),
+        |grid AS (
+        |  SELECT g.win_us, t.event_type
+        |  FROM (SELECT unnest(generate_series(b.lo, b.hi, 3600000000)) AS win_us FROM b) g,
+        |       (SELECT DISTINCT event_type FROM events) t)
+        |SELECT grid.win_us, grid.event_type,
+        |  COALESCE(hh.n, 0) AS n,
+        |  hh.n IS NULL AS filled,
+        |  last_value(hh.avg_milli IGNORE NULLS)
+        |    OVER (PARTITION BY grid.event_type ORDER BY grid.win_us) AS locf_avg_milli
+        |FROM grid LEFT JOIN hh
+        |  ON hh.win_us = grid.win_us AND hh.event_type = grid.event_type
+        |ORDER BY grid.event_type, grid.win_us""".stripMargin
   )
 }

@@ -37,7 +37,8 @@ class DeterminismSpec extends SparkSpec {
     // round-6 late additions: RFM fixed-threshold scoring, bloom
     // position screening, md5 fold assignment, BFS min-dist rounds,
     // recall join of the two top-k pipelines
-    "ev_rfm", "dd_bloom", "samp_hash_split", "q42_reach", "ann_recall_eval")
+    "ev_rfm", "dd_bloom", "samp_hash_split", "q42_reach", "ann_recall_eval",
+    "ev_fill", "q43_pct_dist")
 
   for (name <- names) {
     test(s"$name result invariant under repartitioning") {
