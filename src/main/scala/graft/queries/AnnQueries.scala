@@ -454,35 +454,57 @@ object AnnQueries {
     // farthest from everything selected so far". The gap column is the
     // selection-time min squared distance — the k-center coverage radius
     // ladder, the quantity the 2-approximation guarantee is stated on.
-    // Scale shape per round: the selected set is ≤ k rows broadcast to a
-    // narrow corpus pass (native integer L2 kernel), one partial-agg min
-    // per vector, and a distributed top-1 (TakeOrdered) — never an
-    // all-pairs relation. Integer distances on quantized vectors make
+    // The trajectory is INCREMENTAL (the canonical greedy k-center
+    // recurrence): the candidate set carries last round's gap, and each
+    // round joins against ONLY the newest center — gap' = least(gap,
+    // d²(v, newest)) — so total distance evals are O(k·n), not O(k²·n).
+    // Scale shape per round: a 1-row broadcast, one narrow map over the
+    // candidates (native integer L2 kernel), and a distributed top-1
+    // (TakeOrdered) — never an all-pairs relation, never a re-scan of
+    // the selected set. Integer distances on quantized vectors make
     // every round engine-exact, so the full greedy trajectory replays in
     // the DuckDB oracle (k-1 unrolled CTE rounds, pair dists only from
-    // the ≤ k selected rows).
+    // the ≤ k selected rows). k defaults to FpsK and is overridable via
+    // spark.conf "graft.fps.k" (the oracle replays the default only).
     "emb_fps" -> { (s, d) =>
       import s.implicits._
+      val k = s.conf.getOption("graft.fps.k").map(_.toInt).getOrElse(FpsK)
       val e = quantized(s, d).select($"vec_id", $"q").persist()
-      var sel = e.filter($"vec_id" === 0)
-        .select(lit(1L).as("rnk"), $"vec_id", lit(0L).as("gap"))
-        .localCheckpoint(true)
-      for (r <- 2 to FpsK) {
-        val selq = e.join(broadcast(sel.select($"vec_id")), Seq("vec_id"))
-          .select($"vec_id".as("sid"), $"q".as("sq"))
-        val next = e
-          .join(broadcast(sel.select($"vec_id")), Seq("vec_id"), "left_anti")
-          .join(broadcast(selq), lit(true))
-          .withColumn("dd", graft.operators.VectorOps.l2Col($"q", $"sq"))
-          .groupBy($"vec_id").agg(min($"dd").as("gap"))
-          .orderBy($"gap".desc, $"vec_id").limit(1)
-          .select(lit(r.toLong).as("rnk"), $"vec_id", $"gap")
-        sel = sel.unionByName(next).localCheckpoint(true)
-      }
-      e.unpersist()
-      sel.orderBy($"rnk")
+      try {
+        val seed = e.filter($"vec_id" === 0).select($"q".as("nq"))
+        var cand = e.filter($"vec_id" =!= 0)
+          .join(broadcast(seed), lit(true))
+          .select($"vec_id", $"q",
+            graft.operators.VectorOps.l2Col($"q", $"nq").as("gap"))
+          .localCheckpoint(true)
+        var sel = s.range(1)
+          .select(lit(1L).as("rnk"), lit(0L).as("vec_id"), lit(0L).as("gap"))
+        for (r <- 2 to k) {
+          val pick = cand.orderBy($"gap".desc, $"vec_id").limit(1)
+            .select(lit(r.toLong).as("rnk"), $"vec_id", $"gap", $"q")
+            .localCheckpoint(true)
+          sel = sel.unionByName(pick.drop("q"))
+          cand = fpsUpdate(cand, pick).localCheckpoint(true)
+        }
+        sel.orderBy($"rnk")
+      } finally e.unpersist()
     }
   )
+
+  /** One incremental FPS round: gap' = least(gap, d²(v, newest)). The
+    * ONLY join is against the 1-row newest-center relation (FpsSpec
+    * proves the plan shape), so a full k-center run costs O(k·n)
+    * distance evals — the canonical greedy recurrence.
+    */
+  private[queries] def fpsUpdate(cand: DataFrame, pick: DataFrame): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    cand
+      .join(broadcast(pick.select($"vec_id".as("nid"), $"q".as("nq"))), lit(true))
+      .filter($"vec_id" =!= $"nid")
+      .select($"vec_id", $"q",
+        least($"gap", graft.operators.VectorOps.l2Col($"q", $"nq")).as("gap"))
+  }
 
   private val QuantCte =
     """WITH e AS (

@@ -25,6 +25,8 @@ import graft.Tables.t
   *     bucketed by u
   *   - item (x, n_ord) per-part order count (basket item support) —
   *     bucketed by x
+  *   - wm   (max_o) one-row order-key high-watermark — the append
+  *     contract's guard (see [[append]])
   *   - deg  (x, dg) undirected degree   — bucketed by x, written LAST so
   *     its catalog entry marks the whole index committed (a failed
   *     partial build re-runs from scratch; writes are Overwrite, so
@@ -45,10 +47,7 @@ import graft.Tables.t
   */
 object CoPurchaseGraph {
 
-  /** bucket count — matches local shuffle parallelism; on a real cluster
-    * size it to the executor count at fact-table scale
-    */
-  val Buckets = 32
+  import IndexBuckets.{buckets, bucketsOf}
 
   private def tableName(part: String, tg: String) = s"graft_cpg_${part}_$tg"
 
@@ -64,7 +63,7 @@ object CoPurchaseGraph {
         val tbl = tableName(part, tg)
         df.write.mode(SaveMode.Overwrite)
           .option("path", new java.io.File(dir, part).getAbsolutePath)
-          .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
+          .bucketBy(buckets(s), bucketCols.head, bucketCols.tail: _*)
           .saveAsTable(tbl)
         s.table(tbl)
       }
@@ -85,6 +84,9 @@ object CoPurchaseGraph {
       // the u-bucketing co-locates the scatter with any u-keyed build.
       save(edge.select($"u", $"v")
         .unionByName(edge.select($"v".as("u"), $"u".as("v"))), "sym", Seq("u"))
+      // order high-watermark: the append contract's guard relation (one
+      // row — max indexed order key)
+      save(li.agg(max($"o").as("max_o")), "wm", Seq("max_o"))
       val ends = edge.select($"u".as("x")).unionByName(edge.select($"v".as("x")))
       save(ends.groupBy($"x").agg(count(lit(1)).as("dg")), "deg", Seq("x"))
     }
@@ -95,15 +97,29 @@ object CoPurchaseGraph {
     * [[CorpusLshIndex.append]]. The delta pair explode is batch-sized;
     * the merges (edge ∪ delta pairs → summed supports, item ∪ delta
     * counts) are index-sized aggregations; sym and deg re-derive from
-    * the merged edge relation, and deg is written LAST so it stays the
-    * commit marker. Merged relations are localCheckpoint-pinned before
-    * the in-place Overwrite (the [[CorpusTokenIndex.compact]] pattern —
-    * lineage to the files being replaced is cut first).
+    * the merged edge relation. Merged relations are localCheckpoint-
+    * pinned before the in-place Overwrite (the
+    * [[CorpusTokenIndex.compact]] pattern — lineage to the files being
+    * replaced is cut first).
     *
-    * Assumes batch orders are new, the topic-append contract: re-sending
-    * an already-indexed order would double-count its pair supports,
-    * exactly as re-publishing a message outside the idempotent commit
-    * would duplicate it.
+    * Atomicity: unlike ensure (where deg not existing yet IS the
+    * uncommitted state), during an append all tables already exist — so
+    * the deg catalog entry is DROPPED before the first overwrite and
+    * recreated LAST. A failure anywhere in between leaves no deg entry,
+    * and the next ensure() sees the index uncommitted and rebuilds every
+    * table from the base fact table (appended batches are lost — the
+    * session-scoped repair contract shared with [[CorpusLshIndex]]); a
+    * reader can never observe a merged edge beside a stale deg/sym.
+    *
+    * Contract: each batch must carry COMPLETE, never-before-indexed
+    * orders — an order whose lineitems straddle two appends would lose
+    * its cross-batch co-purchase pairs and double-count item n_ord, and
+    * a re-sent order would double its pair supports (the same
+    * idempotence contract as re-publishing a message outside the
+    * commit). Enforced cheaply via a strict order-key high-watermark:
+    * min(batch order key) must exceed max(indexed order key) — crawl
+    * batches with monotone keys satisfy it by construction; anything
+    * else fails LOUDLY here instead of corrupting supports silently.
     */
   def append(s: SparkSession, d: String, newLineitems: DataFrame): Unit = synchronized {
     ensure(s, d)
@@ -114,10 +130,18 @@ object CoPurchaseGraph {
     def save(df: DataFrame, part: String, bucketCols: Seq[String]): Unit =
       df.write.mode(SaveMode.Overwrite)
         .option("path", new java.io.File(dir, part).getAbsolutePath)
-        .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
+        .bucketBy(bucketsOf(s, tableName(part, tg)), bucketCols.head, bucketCols.tail: _*)
         .saveAsTable(tableName(part, tg))
     val li = newLineitems
       .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      .localCheckpoint(true)
+    // high-watermark guard (two 1-row scalar reads, bounded by construction)
+    val wm = s.table(tableName("wm", tg)).as[Long].head()
+    val batchMin = li.agg(min($"o")).as[Long].head()
+    require(batchMin > wm,
+      s"co-purchase append: batch order keys must be complete and new — " +
+        s"min batch key $batchMin is not above the indexed high-watermark $wm " +
+        s"(straddled or re-sent orders would corrupt pair supports)")
     val parts = li.groupBy($"o").agg(collect_list($"p").as("ps"))
     val pairsNew = parts
       .select(explode($"ps").as("u"), $"ps")
@@ -130,14 +154,24 @@ object CoPurchaseGraph {
       .unionByName(li.groupBy($"p".as("x")).agg(count(lit(1)).as("n_ord")))
       .groupBy($"x").agg(sum($"n_ord").as("n_ord"))
       .localCheckpoint(true)
+    // uncommit: drop the marker BEFORE any table is mutated (its bucket
+    // count is captured first — the recreate must match its siblings)
+    val degBuckets = bucketsOf(s, tableName("deg", tg))
+    s.sql(s"DROP TABLE IF EXISTS ${tableName("deg", tg)}")
     save(mergedEdge, "edge", Seq("u"))
     save(mergedItem, "item", Seq("x"))
     save(mergedEdge.select($"u", $"v")
       .unionByName(mergedEdge.select($"v".as("u"), $"u".as("v"))), "sym", Seq("u"))
+    save(li.agg(max($"o").as("max_o")), "wm", Seq("max_o"))
     val ends = mergedEdge.select($"u".as("x"))
       .unionByName(mergedEdge.select($"v".as("x")))
-    save(ends.groupBy($"x").agg(count(lit(1)).as("dg")), "deg", Seq("x"))
-    Seq(mergedEdge, mergedItem).foreach(_.unpersist(): Unit)
+    // recommit: deg recreated LAST
+    ends.groupBy($"x").agg(count(lit(1)).as("dg"))
+      .write.mode(SaveMode.Overwrite)
+      .option("path", new java.io.File(dir, "deg").getAbsolutePath)
+      .bucketBy(degBuckets, "x")
+      .saveAsTable(tableName("deg", tg))
+    Seq(li, mergedEdge, mergedItem).foreach(_.unpersist(): Unit)
   }
 
   private def read(s: SparkSession, d: String, part: String): DataFrame = {

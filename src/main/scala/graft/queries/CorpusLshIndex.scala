@@ -50,10 +50,7 @@ import graft.Tables.t
   */
 object CorpusLshIndex {
 
-  /** bucket count — matches the local shuffle parallelism; on a real
-    * cluster size it to the executor count at corpus scale
-    */
-  val Buckets = 32
+  import IndexBuckets.{buckets, bucketsOf}
 
   private[queries] def tag(d: String): String = {
     val md = MessageDigest.getInstance("MD5")
@@ -79,7 +76,7 @@ object CorpusLshIndex {
         val tbl = tableName(part, tg)
         df.write.mode(SaveMode.Overwrite)
           .option("path", new java.io.File(dir, part).getAbsolutePath)
-          .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
+          .bucketBy(buckets(s), bucketCols.head, bucketCols.tail: _*)
           .saveAsTable(tbl)
         s.table(tbl)
       }
@@ -166,7 +163,7 @@ object CorpusLshIndex {
     jacNew.count(): Unit // force off the pre-append tables
     def add(df: DataFrame, part: String, bucketCols: Seq[String]): Unit =
       df.write.mode(SaveMode.Append)
-        .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
+        .bucketBy(bucketsOf(s, tableName(part, tg)), bucketCols.head, bucketCols.tail: _*)
         .saveAsTable(tableName(part, tg))
     add(jacNew, "jac", Seq("doc_a"))
     add(shNew, "sh", Seq("doc_id"))
@@ -195,12 +192,12 @@ object CorpusLshIndex {
       DedupQueries.embedExactBands(DedupQueries.embedBanded(t(s, d, "embeddings")))
         .write.mode(SaveMode.Overwrite)
         .option("path", new java.io.File(dir, "eband").getAbsolutePath)
-        .bucketBy(Buckets, "tbl", "bits")
+        .bucketBy(buckets(s), "tbl", "bits")
         .saveAsTable(tableName("eband", tag(d)))
       DedupQueries.embedLshPairsRaw(s, d)
         .write.mode(SaveMode.Overwrite)
         .option("path", new java.io.File(dir, "epair").getAbsolutePath)
-        .bucketBy(Buckets, "vec_a")
+        .bucketBy(buckets(s), "vec_a")
         .saveAsTable(tbl)
     }
     s.table(tbl)
@@ -242,9 +239,11 @@ object CorpusLshIndex {
     val jacNew = DedupQueries.embedVerify(cand, qAll, qAll).persist()
     jacNew.count(): Unit // force off the pre-append tables
     jacNew.write.mode(SaveMode.Append)
-      .bucketBy(Buckets, "vec_a").saveAsTable(tableName("epair", tg))
+      .bucketBy(bucketsOf(s, tableName("epair", tg)), "vec_a")
+      .saveAsTable(tableName("epair", tg))
     bandNew.write.mode(SaveMode.Append)
-      .bucketBy(Buckets, "tbl", "bits").saveAsTable(tableName("eband", tg))
+      .bucketBy(bucketsOf(s, tableName("eband", tg)), "tbl", "bits")
+      .saveAsTable(tableName("eband", tg))
     Seq(eNew, jacNew).foreach(_.unpersist())
     refresh(s, d)
   }

@@ -25,7 +25,8 @@ import graft.Tables.t
   * size to the text it replaces while every read is column-pruned to the
   * 1–3 columns a query needs.
   *
-  * Bucketing is load-bearing: 32 buckets on doc_id with files sorted by
+  * Bucketing is load-bearing: shuffle-parallelism-many buckets on doc_id
+  * ([[IndexBuckets]]) with files sorted by
   * (doc_id, pos) and exactly one file per bucket (the pre-write
   * repartition matches task→bucket one-to-one), so every per-doc window
   * (bigram lead, phrase leads, skip-gram context) and every
@@ -43,10 +44,7 @@ import graft.Tables.t
   */
 object CorpusTokenIndex {
 
-  /** bucket count — matches local shuffle parallelism; on a real cluster
-    * size it to the executor count at corpus scale
-    */
-  val Buckets = 32
+  import IndexBuckets.{buckets, bucketsOf}
 
   private def tableName(tg: String) = s"graft_lsh_tok_$tg"
 
@@ -67,10 +65,10 @@ object CorpusTokenIndex {
         .toDF("doc_id", "source", "lang", "pos", "tok")
         // one shuffle task per bucket ⇒ one file per bucket ⇒ the scan
         // reports the (doc_id, pos) sort order and windows skip the sort
-        .repartition(Buckets, col("doc_id"))
+        .repartition(buckets(s), col("doc_id"))
         .write.mode(SaveMode.Overwrite)
         .option("path", new java.io.File(dir, "tok").getAbsolutePath)
-        .bucketBy(Buckets, "doc_id")
+        .bucketBy(buckets(s), "doc_id")
         .sortBy("doc_id", "pos")
         .saveAsTable(tbl)
     }
@@ -107,9 +105,9 @@ object CorpusTokenIndex {
       .select(col("doc_id"), col("source"), col("lang"),
         posexplode(split(col("text"), " +")))
       .toDF("doc_id", "source", "lang", "pos", "tok")
-      .repartition(Buckets, col("doc_id"))
+      .repartition(bucketsOf(s, tableName(CorpusLshIndex.tag(d))), col("doc_id"))
       .write.mode(SaveMode.Append)
-      .bucketBy(Buckets, "doc_id")
+      .bucketBy(bucketsOf(s, tableName(CorpusLshIndex.tag(d))), "doc_id")
       .sortBy("doc_id", "pos")
       .saveAsTable(tableName(CorpusLshIndex.tag(d)))
   }
@@ -130,10 +128,10 @@ object CorpusTokenIndex {
       val dir = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir"), "graft-lsh-index"), tg)
       pinned
-        .repartition(Buckets, col("doc_id"))
+        .repartition(buckets(s), col("doc_id"))
         .write.mode(SaveMode.Overwrite)
         .option("path", new java.io.File(dir, "tok").getAbsolutePath)
-        .bucketBy(Buckets, "doc_id")
+        .bucketBy(buckets(s), "doc_id")
         .sortBy("doc_id", "pos")
         .saveAsTable(tbl)
       pinned.unpersist(): Unit

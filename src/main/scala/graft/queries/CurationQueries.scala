@@ -37,6 +37,14 @@ object CurationQueries {
   /** non-overlapping segment width (tokens) for dd_segment */
   private val SegLen = 16
 
+  /** BPE merge rounds learned/applied by txt_bpe / txt_bpe_encode — the
+    * Spark loops AND the DuckDB oracle generators both unroll this many
+    * rounds, so the full trajectory stays value-checked at any depth.
+    * Per-round cost is vocab-sized regardless (BpeScaleSpec proves the
+    * plan shape), so the depth is a vocab-quality knob, not a scale one.
+    */
+  private[queries] val BpeMerges = 8
+
   /** wrapped-symbol encoding for BPE: each symbol is `(sym)`, so the merge
     * of pair (a, b) is the plain string replace `(a)(b)` → `(ab)` with NO
     * shared boundary between adjacent matches — leftmost non-overlapping
@@ -237,12 +245,15 @@ object CurationQueries {
         .orderBy($"bin")
     },
 
-    // BPE encode (the apply side of txt_bpe): run the 3 learned merges
-    // over every corpus token and report per doc the post-merge subword
-    // count vs the character count — the compression-ratio signal that
-    // decides whether a learned vocab is worth shipping. The encode map
-    // is vocab-sized (broadcast-able at any corpus scale); the doc join
-    // is on the wrapped word form.
+    // BPE encode (the apply side of txt_bpe): run the BpeMerges learned
+    // merges over every corpus token and report per doc the post-merge
+    // subword count vs the character count — the compression-ratio signal
+    // that decides whether a learned vocab is worth shipping. The encode
+    // map is vocab-sized (broadcast-able at any corpus scale); the doc
+    // join is on the wrapped word form. Every intermediate is
+    // localCheckpoint-scoped (not persist), so rounds stay vocab-sized
+    // with flat lineage and nothing stays pinned in the cache manager
+    // after the query returns (CacheScopeSpec).
     "txt_bpe_encode" -> { (s, d) =>
       import s.implicits._
       val toks = CorpusTokenIndex.tokens(s, d)
@@ -251,13 +262,14 @@ object CurationQueries {
         .select($"doc_id", expr("regexp_replace(tok, '(.)', '($1)')").as("w"),
           length($"tok").cast("long").as("nch"))
       // the weighted distinct-word relation is vocab-sized and feeds
-      // every merge round AND the encode map — persist it so the corpus
-      // pass behind it runs once, not once per round's re-derivation
-      var words = toks.groupBy($"w").agg(count(lit(1)).as("wn")).persist()
+      // every merge round AND the encode map — checkpoint it so the
+      // corpus pass behind it runs once, not once per round
+      var words = toks.groupBy($"w").agg(count(lit(1)).as("wn")).localCheckpoint(true)
       var enc = words.select($"w".as("orig"), $"w".as("cur"))
-      for (_ <- 1 to 3) {
-        val best = pairsOf(words).orderBy($"pair_n".desc, $"a", $"b").limit(1).persist()
-        words = mergeBest(words, best)
+      for (_ <- 1 to BpeMerges) {
+        val best = pairsOf(words).orderBy($"pair_n".desc, $"a", $"b").limit(1)
+          .localCheckpoint(true)
+        words = mergeBest(words, best).localCheckpoint(true)
         enc = enc.crossJoin(broadcast(best.select($"a".as("ba"), $"b".as("bb"))))
           .withColumn("cur", expr("replace(cur, concat('(', ba, ')(', bb, ')'), concat('(', ba, bb, ')'))"))
           .select($"orig", $"cur")
@@ -270,24 +282,25 @@ object CurationQueries {
         .orderBy($"doc_id")
     },
 
-    // BPE merge training, 3 rounds (the tokenizer-training core): count
-    // adjacent symbol pairs over the weighted distinct-word relation, take
-    // the most frequent pair (ties: lexicographic), merge it greedily
-    // left-to-right in every word, repeat. Output = the learned merge
-    // table with each pair's pre-merge count.
+    // BPE merge training, BpeMerges rounds (the tokenizer-training core):
+    // count adjacent symbol pairs over the weighted distinct-word
+    // relation, take the most frequent pair (ties: lexicographic), merge
+    // it greedily left-to-right in every word, repeat. Output = the
+    // learned merge table with each pair's pre-merge count. Intermediates
+    // are localCheckpoint-scoped — vocab-sized rounds, flat lineage, no
+    // cache-manager residue (CacheScopeSpec).
     "txt_bpe" -> { (s, d) =>
       import s.implicits._
-      // vocab-sized and re-derived by every merge round: persist so the
-      // corpus pass runs once (same contract as txt_bpe_encode's words)
       val w0 = CorpusTokenIndex.tokens(s, d)
         .select($"tok")
         .filter(length($"tok") > 0)
         .select(expr("regexp_replace(tok, '(.)', '($1)')").as("w"))
         .groupBy($"w").agg(count(lit(1)).as("wn"))
-        .persist()
-      val rounds = (1 to 3).scanLeft((w0, Option.empty[DataFrame])) { case ((words, _), _) =>
-        val best = pairsOf(words).orderBy($"pair_n".desc, $"a", $"b").limit(1).persist()
-        (mergeBest(words, best), Some(best))
+        .localCheckpoint(true)
+      val rounds = (1 to BpeMerges).scanLeft((w0, Option.empty[DataFrame])) { case ((words, _), _) =>
+        val best = pairsOf(words).orderBy($"pair_n".desc, $"a", $"b").limit(1)
+          .localCheckpoint(true)
+        (mergeBest(words, best).localCheckpoint(true), Some(best))
       }
       rounds.tail.zipWithIndex
         .flatMap { case ((_, bestOpt), i) =>
@@ -550,22 +563,19 @@ object CurationQueries {
            |  SELECT replace(w0.w, '(' || b$i.a || ')(' || b$i.b || ')', '(' || b$i.a || b$i.b || ')') AS w,
            |    CAST(SUM(w0.wn) AS BIGINT) AS wn
            |  FROM w${i - 1} w0, b$i GROUP BY 1)""".stripMargin
+      val encExpr = (1 to BpeMerges).foldLeft("w0.w") { (acc, i) =>
+        s"replace($acc, '(' || b$i.a || ')(' || b$i.b || ')', '(' || b$i.a || b$i.b || ')')"
+      }
       s"""WITH toks AS (
          |  SELECT doc_id, regexp_replace(tok, '(.)', '(\\1)', 'g') AS w,
          |    CAST(length(tok) AS BIGINT) AS nch
          |  FROM (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok FROM documents)
          |  WHERE length(tok) > 0),
          |w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM toks GROUP BY 1),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)},
+         |${(1 to BpeMerges).map(round).mkString(",\n")},
          |enc AS (
-         |  SELECT w0.w AS orig,
-         |    replace(replace(replace(w0.w,
-         |      '(' || b1.a || ')(' || b1.b || ')', '(' || b1.a || b1.b || ')'),
-         |      '(' || b2.a || ')(' || b2.b || ')', '(' || b2.a || b2.b || ')'),
-         |      '(' || b3.a || ')(' || b3.b || ')', '(' || b3.a || b3.b || ')') AS cur
-         |  FROM w0, b1, b2, b3)
+         |  SELECT w0.w AS orig, $encExpr AS cur
+         |  FROM w0, ${(1 to BpeMerges).map(i => s"b$i").mkString(", ")})
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
          |  CAST(SUM(nch) AS BIGINT) AS n_chars,
          |  CAST(SUM(len(regexp_extract_all(enc.cur, '\\(([^)]*)\\)', 1))) AS BIGINT) AS n_subtok,
@@ -588,16 +598,15 @@ object CurationQueries {
            |  SELECT replace(w0.w, '(' || b$i.a || ')(' || b$i.b || ')', '(' || b$i.a || b$i.b || ')') AS w,
            |    CAST(SUM(w0.wn) AS BIGINT) AS wn
            |  FROM w${i - 1} w0, b$i GROUP BY 1)""".stripMargin
+      val picks = (1 to BpeMerges).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rnk, a, b, a || b AS merged, pair_n FROM b$i")
+        .mkString("\nUNION ALL ")
       s"""WITH w0 AS (
          |  SELECT regexp_replace(tok, '(.)', '(\\1)', 'g') AS w, CAST(COUNT(*) AS BIGINT) AS wn
          |  FROM (SELECT unnest(string_split_regex(text, ' +')) AS tok FROM documents)
          |  WHERE length(tok) > 0 GROUP BY 1),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)}
-         |SELECT CAST(1 AS BIGINT) AS rnk, a, b, a || b AS merged, pair_n FROM b1
-         |UNION ALL SELECT 2, a, b, a || b, pair_n FROM b2
-         |UNION ALL SELECT 3, a, b, a || b, pair_n FROM b3
+         |${(1 to BpeMerges).map(round).mkString(",\n")}
+         |$picks
          |ORDER BY rnk""".stripMargin
     },
 

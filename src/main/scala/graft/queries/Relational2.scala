@@ -502,7 +502,11 @@ object Relational2 {
         $"l_linenumber".cast("string")))
       val li = t(s, d, "lineitem")
         .select($"l_returnflag", $"l_quantity".cast("long").as("v"), rowHash.as("h"))
-        .persist() // histogram side + sample side + the two scalar guards
+        // histogram side + sample side + the two scalar guards all read
+        // this once-materialized relation; localCheckpoint (not persist)
+        // so the blocks are context-cleaned when the result is dropped —
+        // no cache-manager residue for a composing caller (CacheScopeSpec)
+        .localCheckpoint(true)
       val wGrp = Window.partitionBy($"l_returnflag")
       // exact percentiles from the value-count histogram
       val wCum = Window.partitionBy($"l_returnflag").orderBy($"v")
@@ -707,7 +711,10 @@ object Relational2 {
         .select($"x", $"dg",
           expr("15000000000000 div (100 * n)").as("base"),
           expr("1000000000000 div n").as("r0"))
-        .persist()
+        // node-sized; localCheckpoint so each round and the final top-k
+        // read one materialization and the blocks are context-cleaned
+        // when the result is dropped (CacheScopeSpec)
+        .localCheckpoint(true)
       var r = degN.select($"x", $"dg", $"base", $"r0".as("r"))
       for (_ <- 1 to 2) {
         val share = r.select($"x".as("u"), expr("(r * 85) div (100 * dg)").as("sh"))
@@ -759,9 +766,11 @@ object Relational2 {
     // rounds, each one equi-join of the symmetrized edge relation
     // against the previous frontier plus a min-dist consolidation
     // shuffle — the exact iterate-until-k shape of a distributed BFS,
-    // with each round persisted so round i's plan doesn't re-execute
-    // round i-1 twice (frontier + union both read it; at cluster scale
-    // this is the per-round checkpoint). The DuckDB twin unrolls the
+    // with each round localCheckpoint-consolidated so round i's plan
+    // doesn't re-execute round i-1 twice (frontier + union both read
+    // it; at cluster scale this is the per-round checkpoint) and the
+    // round blocks are context-cleaned when dropped, never pinned in
+    // the cache manager (CacheScopeSpec). The DuckDB twin unrolls the
     // same three rounds as CTEs, so every level count value-matches.
     "q42_reach" -> { (s, d) =>
       import s.implicits._
@@ -773,7 +782,7 @@ object Relational2 {
         val nxt = sym.join(frontier, Seq("u"))
           .select($"v".as("x"), lit(i.toLong).as("dist"))
         reach = reach.unionByName(nxt)
-          .groupBy($"x").agg(min($"dist").as("dist")).persist()
+          .groupBy($"x").agg(min($"dist").as("dist")).localCheckpoint(true)
       }
       val profile = reach.groupBy($"dist")
         .agg(count(lit(1)).as("n_nodes"),
@@ -1221,8 +1230,8 @@ object Relational2 {
         |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS nn FROM li)
         |SELECT pr.u AS part_a, pr.v AS part_b, pr.supp AS n_both,
         |  iu.n_ord AS n_a, iv.n_ord AS n_b,
-        |  CAST((CAST(pr.supp AS DECIMAL(38,0)) * n.nn * 1000000)
-        |    // (CAST(iu.n_ord AS DECIMAL(38,0)) * iv.n_ord) AS BIGINT) AS lift_ppm,
+        |  CAST((CAST(pr.supp AS HUGEINT) * n.nn * 1000000)
+        |    // (CAST(iu.n_ord AS HUGEINT) * iv.n_ord) AS BIGINT) AS lift_ppm,
         |  CAST((pr.supp * 1000000) // iu.n_ord AS BIGINT) AS conf_ab_ppm,
         |  CAST((pr.supp * 1000000) // iv.n_ord AS BIGINT) AS conf_ba_ppm
         |FROM pairs pr

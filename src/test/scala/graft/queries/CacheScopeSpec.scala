@@ -1,0 +1,37 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Cache ownership: the iterative / multi-consumer queries materialize
+  * their intermediates via localCheckpoint (context-cleaned when the
+  * result is dropped) or persist scoped in try/finally — NOT via
+  * unscoped Dataset.persist. A library user composing these in one
+  * long-lived session must accumulate ZERO pinned cache-manager entries;
+  * the Verify/Bench clearCache contract is a harness convenience, not a
+  * correctness requirement for these operators.
+  */
+class CacheScopeSpec extends SparkSpec {
+
+  private val scoped =
+    Seq("q35_bottomk_quantile", "q40_pagerank", "q42_reach",
+      "txt_bpe", "txt_bpe_encode", "emb_fps")
+
+  test("scoped queries leave no cache-manager entries, run back-to-back") {
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    // numCachedEntries is private[sql] in the Scala signature but public
+    // bytecode — reflection keeps this a read-only probe
+    def entries: Int =
+      cm.getClass.getMethod("numCachedEntries").invoke(cm)
+        .asInstanceOf[java.lang.Integer].intValue()
+    // other suites share the session — measure growth, not emptiness
+    val baseline = entries
+    for (name <- scoped) {
+      val n = SparkEntry.queries(name)(spark, sf).collect().length
+      assert(n > 0, s"$name returned no rows")
+      assert(entries == baseline,
+        s"$name left ${entries - baseline} pinned cache entries " +
+          "(unscoped persist) — composing callers would leak blocks")
+    }
+  }
+}

@@ -66,8 +66,12 @@ class CoPurchaseGraphSpec extends SparkSpec {
   test("append extends the graph index to exactly the full-rebuild relations") {
     val all = graft.Tables.t(spark, sf, "lineitem")
       .select($"l_orderkey", $"l_partkey")
-    val base = all.filter($"l_orderkey" % 7 =!= 0)
-    val batch = all.filter($"l_orderkey" % 7 === 0)
+    // the append contract requires complete, never-seen orders with keys
+    // above the indexed high-watermark — split by key range, not modulo
+    val cut = all.agg(expr("percentile_approx(l_orderkey, 0.8)")).as[Long].head()
+    val base = all.filter($"l_orderkey" <= cut)
+    val batch = all.filter($"l_orderkey" > cut)
+    assert(batch.count() > 0, "range split must leave a non-empty batch")
     val dir = graft.rawdata.Topic.tempDir("cpg-append")
     base.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     CoPurchaseGraph.ensure(spark, dir)
@@ -93,6 +97,37 @@ class CoPurchaseGraphSpec extends SparkSpec {
     assert(sym.length === 2 * idxEdges.length &&
       sym.toSet === truthEdges.flatMap { case (u, v, _) => Seq((u, v), (v, u)) }.toSet,
       "appended symmetrized adjacency diverged")
+    // the high-watermark guard trips LOUDLY on a re-sent / straddling
+    // batch instead of silently corrupting supports
+    val resent = intercept[IllegalArgumentException] {
+      CoPurchaseGraph.append(spark, dir, batch.limit(5))
+    }
+    assert(resent.getMessage.contains("high-watermark"))
+  }
+
+  test("a missing deg marker (failed append) makes ensure rebuild the whole index") {
+    val all = graft.Tables.t(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    val dir = graft.rawdata.Topic.tempDir("cpg-repair")
+    all.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    CoPurchaseGraph.ensure(spark, dir)
+    val committedEdges = CoPurchaseGraph.edges(spark, dir)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    // simulate a failure inside append's uncommitted window: deg dropped,
+    // edge mutated to garbage
+    val tg = CorpusLshIndex.tag(dir)
+    spark.sql(s"DROP TABLE IF EXISTS graft_cpg_deg_$tg")
+    // the next read-through ensure() must detect the missing marker and
+    // rebuild EVERY table from the base fact table — serving the prior
+    // catalog entries beside a missing/stale deg is exactly the silent
+    // inconsistency the marker exists to prevent
+    val repaired = CoPurchaseGraph.edges(spark, dir)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(repaired === committedEdges, "repair rebuild diverged from the committed index")
+    val deg = CoPurchaseGraph.degrees(spark, dir).as[(Long, Long)].collect().toMap
+    val expectedDeg = committedEdges.flatMap { case (u, v, _) => Seq(u, v) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(deg === expectedDeg, "repaired degree relation inconsistent with edges")
   }
 
   test("q42_reach levels agree with an independent neighbor expansion") {

@@ -259,7 +259,7 @@ class CurationOpsSpec extends SparkSpec {
       "mean relative error exceeds the int8 quantization bound 0.5/127")
   }
 
-  test("txt_bpe matches a driver-side greedy BPE reference for all 3 merge rounds") {
+  test("txt_bpe matches a driver-side greedy BPE reference for every merge round") {
     val got = CurationQueries.queries("txt_bpe")(spark, sf).collect()
       .sortBy(_.getAs[Long]("rnk"))
       .map(r => (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("pair_n")))
@@ -270,7 +270,7 @@ class CurationOpsSpec extends SparkSpec {
       .filter($"tok" =!= "").collect().map(_.getString(0))
     var words: Map[Vector[String], Long] =
       toks.groupBy(identity).map { case (t, g) => t.map(_.toString).toVector -> g.length.toLong }
-    val ref = (1 to 3).map { _ =>
+    val ref = (1 to CurationQueries.BpeMerges).map { _ =>
       val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
       for ((w, n) <- words; i <- 0 until w.length - 1) pc((w(i), w(i + 1))) += n
       val ((a, b), n) = pc.toSeq.minBy { case ((x, y), c) => (-c, x, y) }

@@ -52,6 +52,10 @@ class PlanAuditSpec extends SparkSpec {
       // emb_fps: the selected set is ≤ FpsK rows by construction (seed
       // slice + one limit(1) pick per round)
       "emb_fps",
+      // txt_bpe_encode: the broadcast is each round's checkpointed
+      // best-pair relation — exactly one row by limit(1) construction
+      // (the checkpoint hides the GlobalLimit from the structural rule)
+      "txt_bpe_encode",
       // dd_bloom: the broadcast is the DISTINCT bit-position relation,
       // ≤ m = 65536 rows whatever the corpus size (positions live mod m)
       "dd_bloom")

@@ -47,6 +47,8 @@ def norm(v):
     return v
 
 def approx_eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
     if isinstance(a, float) or isinstance(b, float):
         try:
             af, bf = float(a), float(b)
@@ -55,6 +57,11 @@ def approx_eq(a, b):
         if math.isnan(af) and math.isnan(bf): return True
         return math.isclose(af, bf, rel_tol=1e-9, abs_tol=1e-9)
     return a == b
+
+def skey(row):
+    # NULL-safe row ordering: None sorts before any value of the column's
+    # type without ever being compared to it (Python refuses None < int).
+    return tuple((v is None, 0 if v is None else v) for v in row)
 
 fails, passes, skips = [], [], []
 for name in sorted(json.loads(Path(OUT, "oracle_sql.json").read_text()) | {
@@ -75,8 +82,8 @@ for name in sorted(json.loads(Path(OUT, "oracle_sql.json").read_text()) | {
     ei = sorted(range(len(ecols)), key=lambda i: ecols[i])
     if sorted(cols) != sorted(ecols):
         fails.append((name, f"columns differ: spark={sorted(cols)} duck={sorted(ecols)}")); continue
-    g = sorted([tuple(norm(r[i]) for i in gi) for r in got])
-    e = sorted([tuple(norm(r[i]) for i in ei) for r in exp])
+    g = sorted([tuple(norm(r[i]) for i in gi) for r in got], key=skey)
+    e = sorted([tuple(norm(r[i]) for i in ei) for r in exp], key=skey)
     if len(g) != len(e):
         fails.append((name, f"row count: spark={len(g)} duck={len(e)}")); continue
     bad = None

@@ -44,7 +44,14 @@ def norm(v):
     except Exception: pass
     return v
 
+def skey(row):
+    # NULL-safe row ordering: None sorts before any value of the column's
+    # type without ever being compared to it (Python refuses None < int).
+    return tuple((v is None, 0 if v is None else v) for v in row)
+
 def approx_eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
     if isinstance(a, float) or isinstance(b, float):
         try:
             af, bf = float(a), float(b)
@@ -72,8 +79,8 @@ for name in NAMES:
     ei = sorted(range(len(ecols)), key=lambda i: ecols[i])
     if sorted(cols) != sorted(ecols):
         print(f"FAIL {name}: columns differ: spark={sorted(cols)} duck={sorted(ecols)}"); rc = 1; continue
-    g = sorted([tuple(norm(r[i]) for i in gi) for r in got])
-    e = sorted([tuple(norm(r[i]) for i in ei) for r in exp])
+    g = sorted([tuple(norm(r[i]) for i in gi) for r in got], key=skey)
+    e = sorted([tuple(norm(r[i]) for i in ei) for r in exp], key=skey)
     if len(g) != len(e):
         print(f"FAIL {name}: row count: spark={len(g)} duck={len(e)}"); rc = 1; continue
     bad = next(((rg, re_) for rg, re_ in zip(g, e)
