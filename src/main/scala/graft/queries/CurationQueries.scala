@@ -250,10 +250,13 @@ object CurationQueries {
     // subword count vs the character count — the compression-ratio signal
     // that decides whether a learned vocab is worth shipping. The encode
     // map is vocab-sized (broadcast-able at any corpus scale); the doc
-    // join is on the wrapped word form. Every intermediate is
-    // localCheckpoint-scoped (not persist), so rounds stay vocab-sized
-    // with flat lineage and nothing stays pinned in the cache manager
-    // after the query returns (CacheScopeSpec).
+    // join is on the wrapped word form. Each round's best/words are
+    // localCheckpoint-CUT, which at 8 rounds is load-bearing for the
+    // PLAN, not just the cache: words_r references words_{r-1} twice
+    // (pair counting + merge), so an uncut lineage tree doubles per
+    // round — 2^BpeMerges copies of the corpus subtree blows the driver
+    // before any task runs. The cut also leaves no cache-manager residue
+    // (CacheScopeSpec).
     "txt_bpe_encode" -> { (s, d) =>
       import s.implicits._
       val toks = CorpusTokenIndex.tokens(s, d)
@@ -286,9 +289,11 @@ object CurationQueries {
     // count adjacent symbol pairs over the weighted distinct-word
     // relation, take the most frequent pair (ties: lexicographic), merge
     // it greedily left-to-right in every word, repeat. Output = the
-    // learned merge table with each pair's pre-merge count. Intermediates
-    // are localCheckpoint-scoped — vocab-sized rounds, flat lineage, no
-    // cache-manager residue (CacheScopeSpec).
+    // learned merge table with each pair's pre-merge count. Each round
+    // localCheckpoint-CUT — at 8 rounds the uncut lineage doubles per
+    // round (words_r feeds pair counting AND the merge), so the cut is
+    // what keeps the driver-side plan linear in BpeMerges; it also
+    // leaves no cache-manager residue (CacheScopeSpec).
     "txt_bpe" -> { (s, d) =>
       import s.implicits._
       val w0 = CorpusTokenIndex.tokens(s, d)

@@ -766,24 +766,28 @@ object Relational2 {
     // rounds, each one equi-join of the symmetrized edge relation
     // against the previous frontier plus a min-dist consolidation
     // shuffle — the exact iterate-until-k shape of a distributed BFS,
-    // with each round localCheckpoint-consolidated so round i's plan
-    // doesn't re-execute round i-1 twice (frontier + union both read
-    // it; at cluster scale this is the per-round checkpoint) and the
-    // round blocks are context-cleaned when dropped, never pinned in
-    // the cache manager (CacheScopeSpec). The DuckDB twin unrolls the
-    // same three rounds as CTEs, so every level count value-matches.
+    // with each round persisted so round i's plan doesn't re-execute
+    // round i-1 twice (frontier + union both read it). The final
+    // node-sized relation is checkpointed once and the round persists
+    // released before returning (CacheScope.scoped), so a composing
+    // caller inherits no pinned blocks (CacheScopeSpec). The DuckDB
+    // twin unrolls the same three rounds as CTEs, so every level count
+    // value-matches.
     "q42_reach" -> { (s, d) =>
       import s.implicits._
       val sym = CoPurchaseGraph.symEdges(s, d)
       val nodes = CoPurchaseGraph.degrees(s, d).select($"x")
       var reach = nodes.agg(min($"x").as("x")).select($"x", lit(0L).as("dist"))
+      val rounds = Seq.newBuilder[DataFrame]
       for (i <- 1 to 3) {
         val frontier = reach.filter($"dist" === (i - 1).toLong).select($"x".as("u"))
         val nxt = sym.join(frontier, Seq("u"))
           .select($"v".as("x"), lit(i.toLong).as("dist"))
         reach = reach.unionByName(nxt)
-          .groupBy($"x").agg(min($"dist").as("dist")).localCheckpoint(true)
+          .groupBy($"x").agg(min($"dist").as("dist")).persist()
+        rounds += reach
       }
+      reach = CacheScope.scoped(rounds.result())(reach)
       val profile = reach.groupBy($"dist")
         .agg(count(lit(1)).as("n_nodes"),
           min($"x").as("min_part"), max($"x").as("max_part"))

@@ -87,7 +87,9 @@ final class GraftRawdataClient(
 
   // ---------------------------------------------------------------- produce
 
-  final class Producer(topic: String, cfg: TopicConfig) extends AutoCloseable {
+  final class Producer(
+      topic: String, cfg: TopicConfig,
+      clock: () => Long = () => System.currentTimeMillis()) extends AutoCloseable {
     @volatile private var producerClosed = false
 
     def topicName: String = topic
@@ -101,6 +103,51 @@ final class GraftRawdataClient(
     def publish(messages: DataFrame): Seq[TopicFile] = {
       if (producerClosed) throw new RawdataClosedException("rawdata producer")
       Topic.write(messages, topicDir(topic), cfg)
+    }
+
+    // --------------------------------- wall-clock open-file windowing
+
+    /** The reference producer's open file (AvroRawdataProducer.java: an
+      * active DataFileWriter rolled by the max.seconds timer / max.bytes
+      * size). Only maintained when cfg.wallClockWindows: published
+      * messages accumulate here and land as ONE topic file when the
+      * wall window elapses, the byte budget fills, or the producer
+      * closes — until then, readers don't see them, exactly like the
+      * reference's not-yet-uploaded open file.
+      */
+    private val openMsgs = scala.collection.mutable.ArrayBuffer.empty[RawdataMessage]
+    private var openedAtMs: Long = -1L
+    private var openBytes: Long = 0L
+
+    private def approxBytes(m: RawdataMessage): Long =
+      m.data.valuesIterator.map(_.length.toLong).sum + m.position.length + 48L
+
+    /** land the open file (no-op when nothing is open) */
+    private def flushOpen(): Seq[TopicFile] = {
+      if (openMsgs.isEmpty) Seq.empty
+      else {
+        import spark.implicits._
+        val batch = openMsgs.toSeq
+        openMsgs.clear(); openedAtMs = -1L; openBytes = 0L
+        Topic.write(spark.createDataset(batch).toDF(), topicDir(topic), cfg)
+      }
+    }
+
+    /** stage a published batch into the open file, rolling on elapsed
+      * wall time / bytes; returns any files that landed
+      */
+    private def stageWallClock(batch: Seq[RawdataMessage]): Seq[TopicFile] = {
+      val landed = Seq.newBuilder[TopicFile]
+      val now = clock()
+      if (openedAtMs >= 0 && now - openedAtMs >= cfg.maxWindowMs)
+        landed ++= flushOpen()
+      batch.foreach { m =>
+        if (openedAtMs < 0) openedAtMs = now
+        openMsgs += m
+        openBytes += approxBytes(m)
+        if (openBytes >= cfg.maxBytes) landed ++= flushOpen()
+      }
+      landed.result()
     }
 
     // ------------------------------------- two-phase buffer → publish
@@ -136,18 +183,23 @@ final class GraftRawdataClient(
       * RawdataNotBufferedException BEFORE anything is written (the
       * reference's all-or-nothing per-call contract), so a partial
       * publish can't slip through silently.
+      *
+      * In wall-clock mode the batch enters the producer's OPEN file and
+      * the returned seq holds only files that actually landed (a roll or
+      * byte overflow) — the reference's visibility semantics, where a
+      * published message is readable only after its file uploads.
       */
-    def publish(positions: String*): Seq[TopicFile] = {
-      val batch = synchronized {
-        if (producerClosed) throw new RawdataClosedException("rawdata producer")
-        val missing = positions.filterNot(pending.containsKey)
-        if (missing.nonEmpty) throw new RawdataNotBufferedException(missing.head)
-        val msgs = positions.map(pending.get)
-        positions.foreach(pending.remove)
-        msgs
+    def publish(positions: String*): Seq[TopicFile] = synchronized {
+      if (producerClosed) throw new RawdataClosedException("rawdata producer")
+      val missing = positions.filterNot(pending.containsKey)
+      if (missing.nonEmpty) throw new RawdataNotBufferedException(missing.head)
+      val batch = positions.map(pending.get)
+      positions.foreach(pending.remove)
+      if (cfg.wallClockWindows) stageWallClock(batch.toSeq)
+      else {
+        import spark.implicits._
+        publish(spark.createDataset(batch.toSeq).toDF())
       }
-      import spark.implicits._
-      publish(spark.createDataset(batch).toDF())
     }
 
     /** fire-and-track publish (reference AvroRawdataProducer.publishAsync:
@@ -156,8 +208,16 @@ final class GraftRawdataClient(
     def publishAsync(messages: DataFrame): java.util.concurrent.CompletableFuture[Seq[TopicFile]] =
       java.util.concurrent.CompletableFuture.supplyAsync(() => publish(messages))
 
-    /** reference producers are AutoCloseable; idempotent */
-    override def close(): Unit = producerClosed = true
+    /** reference producers are AutoCloseable; idempotent. Closing a
+      * wall-clock producer lands its open file first (the reference
+      * closes + uploads the active DataFileWriter on producer close).
+      */
+    override def close(): Unit = synchronized {
+      if (!producerClosed) {
+        if (cfg.wallClockWindows) flushOpen(): Unit
+        producerClosed = true
+      }
+    }
     def isClosed: Boolean = producerClosed
   }
 
@@ -169,6 +229,15 @@ final class GraftRawdataClient(
   def producer(topic: String, cfg: TopicConfig): Producer = {
     ensureOpen()
     track(new Producer(topic, cfg))
+  }
+
+  /** wall-clock-mode producer with an injectable clock — the TCK's
+    * Thread.sleep(1100) becomes a deterministic clock advance in tests;
+    * production callers use the TopicConfig overload (system clock)
+    */
+  def producer(topic: String, cfg: TopicConfig, clock: () => Long): Producer = {
+    ensureOpen()
+    track(new Producer(topic, cfg, clock))
   }
 
   // ---------------------------------------------------------------- consume

@@ -38,10 +38,23 @@ object PreExisting {
     new PreExisting(names.iterator.map(hash).toSet)
 }
 
+/** `wallClockWindows = false` (default): time windows cut on MESSAGE time
+  * (ULID timestamps) — the deterministic, replayable choice for a
+  * distributed bulk publish (the same batch always yields the same
+  * files). `true`: the reference producer's max.seconds parity mode —
+  * windows cut on INGEST wall time (AvroRawdataProducer.java's
+  * scheduled time-based roll), so a slow trickle of messages with
+  * arbitrary ULID timestamps still rolls files by elapsed producer
+  * time. Wall-clock windowing lives in the client producer
+  * (GraftRawdataClient.Producer — the surface with a producer
+  * lifetime); bulk Topic.write treats the whole batch as one ingest
+  * instant in this mode (byte-rolling still chunks it).
+  */
 case class TopicConfig(
     maxWindowMs: Long = 3600L * 1000,
     maxBytes: Long = 64L * 1024 * 1024,
-    syncIntervalBytes: Long = 512L * 1024)
+    syncIntervalBytes: Long = 512L * 1024,
+    wallClockWindows: Boolean = false)
 
 /** Spark-native rawdata topic: a directory of Avro files sharing the
   * reference's file naming + record schema.
@@ -123,9 +136,14 @@ object Topic {
       length(col("position")) + lit(48L)
     val win = Window.partitionBy(col("_win")).orderBy(col("_ulid_hex"))
 
+    // wall-clock mode: this publish IS one ingest instant — a single
+    // time window for the whole batch (byte-rolling still chunks it)
+    val winCol =
+      if (cfg.wallClockWindows) lit(0L)
+      else tsMs.divide(lit(cfg.maxWindowMs)).cast("long")
     val staged = messages
       .withColumn("_ulid_hex", idHex)
-      .withColumn("_win", tsMs.divide(lit(cfg.maxWindowMs)).cast("long"))
+      .withColumn("_win", winCol)
       .withColumn("_bytes", approxBytes)
       .withColumn("_chunk", ((sum(col("_bytes")).over(win) - col("_bytes")) / lit(cfg.maxBytes)).cast("long"))
       .repartition(col("_win"), col("_chunk"))

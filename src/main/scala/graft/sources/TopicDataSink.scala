@@ -68,10 +68,16 @@ final class TopicWrite(path: String, schema: StructType, cfg: TopicConfig)
   *
   * Delivery is effectively-once: a replayed epoch re-derives the SAME
   * file names (they are functions of each file's first message) and
-  * `Topic.commitTopicFile` treats an existing identical file as success
-  * — the replay converges on the committed state instead of duplicating
-  * it. The pre-existing-name snapshot is taken once at query start, so
-  * genuine re-publish of data that predates the stream still fails loud.
+  * `Topic.commitTopicFile` treats an existing file of identical length
+  * as success — the replay converges on the committed state instead of
+  * duplicating it. Unlike the batch sink, the streaming writer passes an
+  * EMPTY pre-existing snapshot: an epoch replayed after a query restart
+  * (checkpoint offset landed, commit marker didn't — the torn-crash
+  * window) re-derives names the restarted query's start-time listing
+  * already contains, and a query-start snapshot would misread that
+  * convergence as a loud "identical re-publish". The conflicting-writer
+  * guard stays: a name collision with DIFFERENT bytes still fails.
+  * (TopicSinkStreamSpec + TornMaintenanceSpec prove both restart shapes.)
   */
 final class TopicStreamingWrite(path: String, schema: StructType, cfg: TopicConfig)
     extends StreamingWrite {
@@ -79,9 +85,8 @@ final class TopicStreamingWrite(path: String, schema: StructType, cfg: TopicConf
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val conf = HadoopIO.conf()
     HadoopIO.fs(path, conf).mkdirs(new Path(path))
-    val preExisting = graft.rawdata.PreExisting.of(
-      Topic.listFiles(path).map(f => new Path(f.path).getName))
-    TopicStreamingWriterFactory(path, schema, cfg, HadoopIO.serializable(), preExisting)
+    TopicStreamingWriterFactory(path, schema, cfg, HadoopIO.serializable(),
+      graft.rawdata.PreExisting.of(Nil))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

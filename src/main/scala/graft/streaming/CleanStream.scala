@@ -20,6 +20,17 @@ import graft.queries.{CorpusLshIndex, DedupQueries, SamplingQueries, TextQueries
   * bound — the standard split between a streaming ingest gate and a
   * periodic wide-join compaction.
   */
+/** Ownership handle for a streaming gate's persisted STATIC side (the
+  * corpus index relations every micro-batch reuses). The gate's plan
+  * holds these caches for its whole run; close() releases them when the
+  * stream is torn down — without it, a long-lived session cycling gates
+  * accumulates pinned blocks (the cache-scope contract CacheScopeSpec
+  * enforces for the batch operators).
+  */
+final class GateCaches private[streaming] (cached: Seq[DataFrame]) extends AutoCloseable {
+  override def close(): Unit = cached.foreach(_.unpersist(): Unit)
+}
+
 object CleanStream {
 
   /** `docs`: streaming DataFrame with (doc_id, text, source, ts).
@@ -50,14 +61,19 @@ object CleanStream {
     * operator is the final dropDuplicatesWithinWatermark (a pair that
     * collides in several bands would otherwise flag more than once),
     * whose state is bounded by the watermark horizon. The static index
-    * is persisted here so every micro-batch reuses it; the caller owns
-    * the cache scope (clearCache, as with the batch chain).
+    * is persisted here so every micro-batch reuses it; close the
+    * returned [[GateCaches]] when the stream stops (the plain overload
+    * leaves the scope to the caller's clearCache, as before).
     *
     * `docs`: streaming (doc_id, text, ts). `corpus`: static
     * (doc_id, text). Returns (doc_id, ts, match_doc, jaccard_ppm).
     */
   def nearDupFlags(docs: DataFrame, corpus: DataFrame,
-      thresholdPpm: Long = 400000, watermark: String = "1 hour"): DataFrame = {
+      thresholdPpm: Long = 400000, watermark: String = "1 hour"): DataFrame =
+    nearDupFlagsScoped(docs, corpus, thresholdPpm, watermark)._1
+
+  def nearDupFlagsScoped(docs: DataFrame, corpus: DataFrame,
+      thresholdPpm: Long = 400000, watermark: String = "1 hour"): (DataFrame, GateCaches) = {
     import corpus.sparkSession.implicits._
     val arrC = DedupQueries.shingleArrays(corpus).persist()
     val bandsC = DedupQueries.bandArrays(arrC)
@@ -66,7 +82,7 @@ object CleanStream {
       docs.withColumn("tk", split($"text", " +"))
         .withColumn("ss", expr(DedupQueries.shingleExpr))
         .select($"doc_id", $"ts", $"ss"))
-    bandsN.as("n").join(bandsC.as("c"),
+    val flags = bandsN.as("n").join(bandsC.as("c"),
         col("n.band") === col("c.band") && col("n.bkey") === col("c.bkey") &&
           col("n.doc_id") =!= col("c.doc_id"))
       .select(col("n.doc_id").as("doc_id"), col("n.ts").as("ts"),
@@ -80,6 +96,7 @@ object CleanStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("doc_id", "match_doc")
       .select($"doc_id", $"ts", $"match_doc", $"jaccard_ppm")
+    (flags, new GateCaches(Seq(arrC, bandsC)))
   }
 
   /** Streaming DECONTAMINATION gate — dd_decontam's stream twin: each
@@ -97,19 +114,24 @@ object CleanStream {
     * (doc_id, text). Returns (doc_id, ts, bench_doc).
     */
   def decontamFlags(docs: DataFrame, bench: DataFrame,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour"): DataFrame =
+    decontamFlagsScoped(docs, bench, watermark)._1
+
+  def decontamFlagsScoped(docs: DataFrame, bench: DataFrame,
+      watermark: String = "1 hour"): (DataFrame, GateCaches) = {
     import bench.sparkSession.implicits._
     val benchIdx = DedupQueries.shingleArrays(bench)
       .select($"doc_id".as("bd"), explode($"ss").as("s"))
       .groupBy($"s").agg(min($"bd").as("bench_doc"))
       .persist()
-    docs.withColumn("tk", split($"text", " +"))
+    val flags = docs.withColumn("tk", split($"text", " +"))
       .withColumn("ss", expr(DedupQueries.shingleExpr))
       .select($"doc_id", $"ts", explode($"ss").as("s"))
       .join(benchIdx, Seq("s"))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("doc_id", "bench_doc")
       .select($"doc_id", $"ts", $"bench_doc")
+    (flags, new GateCaches(Seq(benchIdx)))
   }
 
   /** Streaming BLOOM pre-screen gate — dd_bloom's stream twin: every
@@ -128,9 +150,14 @@ object CleanStream {
     *
     * `docs`: streaming (doc_id, text, ts). `corpus`: static
     * (doc_id, text). Returns (doc_id, ts, bloom_hit, exact_dup,
-    * verdict) with dd_bloom's verdict domain.
+    * verdict) with dd_bloom's verdict domain. The scoped overload also
+    * hands back the [[GateCaches]] owning the persisted fingerprint/bit
+    * relations — close it when the gate stops.
     */
-  def bloomFlags(docs: DataFrame, corpus: DataFrame): DataFrame = {
+  def bloomFlags(docs: DataFrame, corpus: DataFrame): DataFrame =
+    bloomFlagsScoped(docs, corpus)._1
+
+  def bloomFlagsScoped(docs: DataFrame, corpus: DataFrame): (DataFrame, GateCaches) = {
     import corpus.sparkSession.implicits._
     val normFp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
     def pos(j: Int) = expr(
@@ -153,10 +180,11 @@ object CleanStream {
     val clean = flagged.filter(!$"bloom_hit")
       .withColumn("exact_dup", lit(false))
       .select(out: _*)
-    screened.unionByName(clean)
+    val verdicts = screened.unionByName(clean)
       .withColumn("verdict",
         when($"exact_dup", "true_dup").when($"bloom_hit", "false_pos")
           .otherwise("clean"))
+    (verdicts, new GateCaches(Seq(corpusFp, bits)))
   }
 
   /** Self-MAINTAINING near-dup gate — the crawl-loop closure of

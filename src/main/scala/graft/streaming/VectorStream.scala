@@ -21,8 +21,9 @@ import graft.operators.VectorOps
   * corpus vectors plus a per-row exact integer dot product. The only
   * stateful operator is the final watermark-bounded pair dedup (a pair
   * colliding in several probe tables would otherwise flag repeatedly).
-  * The caller owns the persisted index's cache scope, as with the batch
-  * chain.
+  * The scoped overload hands back the [[GateCaches]] owning the
+  * persisted corpus index relations — close it when the gate stops (the
+  * plain overload leaves the scope to the caller's clearCache).
   */
 object VectorStream {
 
@@ -34,7 +35,11 @@ object VectorStream {
     * cos_ppm) for every corpus vector above `thresholdPpm`.
     */
   def simFlags(arrivals: DataFrame, corpus: DataFrame,
-      thresholdPpm: Long = 350000, watermark: String = "1 hour"): DataFrame = {
+      thresholdPpm: Long = 350000, watermark: String = "1 hour"): DataFrame =
+    simFlagsScoped(arrivals, corpus, thresholdPpm, watermark)._1
+
+  def simFlagsScoped(arrivals: DataFrame, corpus: DataFrame,
+      thresholdPpm: Long = 350000, watermark: String = "1 hour"): (DataFrame, GateCaches) = {
     import corpus.sparkSession.implicits._
     val e = VectorOps.withHyperplaneBands(
       VectorOps.quantize(corpus).select($"vec_id", $"q", $"nn"), Tables, Bits).persist()
@@ -71,6 +76,7 @@ object VectorStream {
         flagged.withWatermark("ts", watermark)
           .dropDuplicatesWithinWatermark("vec_id", "match_vec")
       else flagged.dropDuplicates("vec_id", "match_vec")
-    deduped.select($"vec_id", $"ts", $"match_vec", $"cos_ppm")
+    (deduped.select($"vec_id", $"ts", $"match_vec", $"cos_ppm"),
+      new GateCaches(Seq(e, bands)))
   }
 }

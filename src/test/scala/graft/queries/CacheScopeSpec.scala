@@ -17,20 +17,13 @@ class CacheScopeSpec extends SparkSpec {
       "txt_bpe", "txt_bpe_encode", "emb_fps")
 
   test("scoped queries leave no cache-manager entries, run back-to-back") {
-    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sharedState.cacheManager
-    // numCachedEntries is private[sql] in the Scala signature but public
-    // bytecode — reflection keeps this a read-only probe
-    def entries: Int =
-      cm.getClass.getMethod("numCachedEntries").invoke(cm)
-        .asInstanceOf[java.lang.Integer].intValue()
     // other suites share the session — measure growth, not emptiness
-    val baseline = entries
+    val baseline = cacheEntries
     for (name <- scoped) {
       val n = SparkEntry.queries(name)(spark, sf).collect().length
       assert(n > 0, s"$name returned no rows")
-      assert(entries == baseline,
-        s"$name left ${entries - baseline} pinned cache entries " +
+      assert(cacheEntries == baseline,
+        s"$name left ${cacheEntries - baseline} pinned cache entries " +
           "(unscoped persist) — composing callers would leak blocks")
     }
   }

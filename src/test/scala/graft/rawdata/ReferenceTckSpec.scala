@@ -6,11 +6,13 @@ import graft.SparkSpec
 
 /** The reference's OWN test suite, ported case-for-case: every @Test in
   * FilesystemAvroRawdataClientTck.java (cited by line) re-asserted
-  * against the Spark-native facade. Deviations are explicit:
-  *  - receive(timeout) returns a (possibly multi-message) batch here, so
-  *    ordering asserts drain the consumer and compare sequences;
-  *  - time-based windowing rolls on MESSAGE time (ULID timestamps), so
-  *    the TCK's Thread.sleep(1100) becomes explicit ULID timestamps.
+  * against the Spark-native facade. The only shape deviation:
+  * receive(timeout) returns a (possibly multi-message) batch here, so
+  * ordering asserts drain the consumer and compare sequences. Time-based
+  * windowing is covered in BOTH modes: deterministic message-time
+  * windows (explicit ULID timestamps) and the reference's wall-clock
+  * max.seconds mode (TopicConfig.wallClockWindows, with the TCK's
+  * Thread.sleep(1100) as a deterministic clock advance).
   * (cursorOf has both forms: the Option-returning Spark-idiomatic one
   * and cursorOfStrict with the reference's
   * RawdataNoSuchPositionException.)
@@ -199,7 +201,7 @@ class ReferenceTckSpec extends SparkSpec {
     }
   }
 
-  // Tck.java:462 time-based windowing (message-time here, not wall clock)
+  // Tck.java:462 time-based windowing — deterministic message-time mode
   test("time-based windowing splits files on the message timeline") {
     val cfg = TopicConfig(maxWindowMs = 2000, maxBytes = Long.MaxValue / 4,
       syncIntervalBytes = 64 * 1024)
@@ -209,6 +211,53 @@ class ReferenceTckSpec extends SparkSpec {
     assert(Topic.listFiles(client.topicDir("tck-time")).length >= 2)
     val got = drain(client.consumer("tck-time"))
     assert(got.map(_.position) === Seq("a0", "a1", "a2"))
+  }
+
+  // Tck.java:462 time-based windowing — the reference's WALL-CLOCK
+  // max.seconds mode, ported faithfully: publish / sleep(1100) / publish
+  // with maxWindowMs=1000, except the sleep is a deterministic clock
+  // advance. Each elapsed window rolls the producer's open file; close
+  // lands the last one; every message survives in order.
+  test("wall-clock windowing rolls the open file on elapsed producer time") {
+    var now = T0
+    val cfg = TopicConfig(maxWindowMs = 1000, maxBytes = Long.MaxValue / 4,
+      syncIntervalBytes = 64 * 1024, wallClockWindows = true)
+    val p = client.producer("tck-wallclock", cfg, () => now)
+    val landed = Seq.newBuilder[TopicFile]
+    for (i <- 0 until 3) {
+      p.buffer(msgAt(T0 + i, 330 + i, s"a$i", "attribute-1" -> s"a$i".getBytes("UTF-8")))
+      landed ++= p.publish(s"a$i")
+      // a published-but-unrolled message is NOT yet visible (the
+      // reference's open file is unreadable until uploaded)
+      if (i < 2) now += 1100
+    }
+    assert(landed.result().length === 2, "two elapsed windows rolled two files")
+    p.close()
+    assert(Topic.listFiles(client.topicDir("tck-wallclock")).length === 3,
+      "close lands the open file: 3 single-message files like the reference TCK")
+    val got = drain(client.consumer("tck-wallclock"))
+    assert(got.map(_.position) === Seq("a0", "a1", "a2"))
+    got.zipWithIndex.foreach { case (m, i) =>
+      assert(new String(m.data("attribute-1"), "UTF-8") === s"a$i")
+    }
+  }
+
+  // wall-clock mode also rolls on max.bytes inside a window, and close()
+  // is idempotent with nothing open
+  test("wall-clock windowing still rolls on the byte budget") {
+    var now = T0
+    val cfg = TopicConfig(maxWindowMs = Long.MaxValue / 4, maxBytes = 300,
+      syncIntervalBytes = 64 * 1024, wallClockWindows = true)
+    val p = client.producer("tck-wallbytes", cfg, () => now)
+    val landed = (0 until 4).flatMap { i =>
+      p.buffer(msgAt(T0 + i, 340 + i, s"b$i", "payload" -> new Array[Byte](150)))
+      p.publish(s"b$i")
+    }
+    assert(landed.nonEmpty, "byte budget must roll at least one file before close")
+    p.close()
+    p.close() // idempotent
+    val got = drain(client.consumer("tck-wallbytes"))
+    assert(got.map(_.position) === (0 until 4).map(i => s"b$i"))
   }
 
   // Tck.java:489 thatFilesCreatedAfterConsumerHasSubscribedAreUsed

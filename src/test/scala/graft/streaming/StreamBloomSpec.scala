@@ -35,7 +35,9 @@ class StreamBloomSpec extends SparkSpec {
         decode(element_at($"data", "text"), "UTF-8").as("text"),
         timestamp_millis(Ulid.timestampMs($"id")).as("ts"))
 
-    val q = CleanStream.bloomFlags(streamDocs, corpus)
+    val baselineCaches = cacheEntries
+    val (verdicts, caches) = CleanStream.bloomFlagsScoped(streamDocs, corpus)
+    val q = verdicts
       .writeStream.format("memory").queryName("bloomgate").outputMode("append").start()
     try {
       q.processAllAvailable()
@@ -55,6 +57,11 @@ class StreamBloomSpec extends SparkSpec {
       assert(streamed.values.forall { case (hit, dup, _) => !dup || hit })
     } finally {
       q.stop()
+      // gate teardown releases the static-side caches it pinned —
+      // a session cycling gates must not accumulate blocks
+      caches.close()
+      assert(cacheEntries === baselineCaches,
+        "closed bloom gate left pinned static-side cache entries")
       spark.catalog.clearCache()
     }
   }
