@@ -34,6 +34,9 @@ object AnnQueries {
   private val KmeansIters = 3 // fixed Lloyd rounds (deterministic, SQL-replayable)
   private val RpPlanes = 16 // emb_rp: Johnson–Lindenstrauss projection dims
   private val FpsK = 6 // emb_fps: greedy k-center picks (seed + 5 rounds)
+  private val RangeTau = 250000L // ann_range: cosine radius (0.25 in ppm)
+  private val MmrPool = 20 // emb_mmr: relevance candidates re-ranked per query
+  private val MmrK = 5 // emb_mmr: diversified picks emitted per query
 
   private def quantized(s: SparkSession, d: String): DataFrame =
     graft.operators.VectorOps.quantized(s, d)
@@ -488,6 +491,96 @@ object AnnQueries {
         }
         sel.orderBy($"rnk")
       } finally e.unpersist()
+    },
+
+    // RANGE (radius) search — the fixed-threshold twin of top-k
+    // retrieval: every corpus vector within cosine ≥ τ of each query.
+    // The shape retrieval systems use for "all sufficiently-similar"
+    // queries (dedup candidates, recall-complete retrieval) where k is
+    // unknown a priori. Scale shape: the BEST possible — one broadcast
+    // of the fixed query slice, one narrow codegen'd pass over the
+    // corpus (native integer dot), a selective filter; no window, no
+    // shuffle, no per-query state at all. Output order (qid, cos desc,
+    // cid) is a result sort of the τ-bounded match set, not a
+    // corpus-sized sort.
+    "ann_range" -> { (s, d) =>
+      import s.implicits._
+      val e = quantized(s, d)
+      val qs = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("qid"), $"q".as("qa"), $"nn".as("na"))
+      val corpus = e.select($"vec_id".as("cid"), $"q".as("qb"), $"nn".as("nb"))
+      corpus.join(broadcast(qs), $"cid" =!= $"qid")
+        .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
+        .withColumn("cos_ppm",
+          floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
+        .filter($"cos_ppm" >= RangeTau)
+        .select($"qid", $"cid", $"cos_ppm")
+        .orderBy($"qid", $"cos_ppm".desc, $"cid")
+    },
+
+    // MMR (maximal marginal relevance) DIVERSIFIED retrieval — re-rank
+    // the top-[[MmrPool]] relevance candidates so each next result
+    // balances relevance against redundancy with what's already shown:
+    // pick r maximizes 7·rel − 3·max-sim-to-selected (λ=0.7 in tenths,
+    // integer-exact). The query-anchored diversity twin of emb_fps (same
+    // incremental recurrence — msim' = greatest(msim, sim-to-newest) —
+    // so each round joins ONLY the newest picks, O(k·pool) sim evals).
+    // Scale shape: the pool derivation is the brute broadcast pass +
+    // per-query top-20 window (bounded at 20·|queries| rows by
+    // construction, then localCheckpoint-pinned), and every MMR round
+    // operates on that fixed-size relation — corpus size only ever
+    // touches the one narrow relevance pass.
+    "emb_mmr" -> { (s, d) =>
+      import s.implicits._
+      def cosPpm(dotC: org.apache.spark.sql.Column,
+                 n1: org.apache.spark.sql.Column,
+                 n2: org.apache.spark.sql.Column) =
+        floor(dotC / (sqrt(n1) * sqrt(n2)) * lit(1000000.0) + lit(0.5)).cast("long")
+      val e = quantized(s, d)
+      val qs = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("qid"), $"q".as("qa"), $"nn".as("na"))
+      val corpus = e.select($"vec_id".as("cid"), $"q".as("qb"), $"nn".as("nb"))
+      val wrel = Window.partitionBy($"qid").orderBy($"rel_ppm".desc, $"cid")
+      val pool = corpus.join(broadcast(qs), $"cid" =!= $"qid")
+        .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
+        .withColumn("rel_ppm", cosPpm($"dot", $"na", $"nb"))
+        .withColumn("rr", row_number().over(wrel))
+        .filter($"rr" <= MmrPool)
+        .select($"qid", $"cid", $"qb", $"nb", $"rel_ppm")
+        .localCheckpoint(true) // ≤ MmrPool·NumQueries rows by construction
+      var pick = pool
+        .withColumn("rn", row_number().over(wrel))
+        .filter($"rn" === 1)
+        .select($"qid", $"cid", $"qb", $"nb", $"rel_ppm")
+        .localCheckpoint(true)
+      var out = pick.select($"qid", lit(1L).as("rnk"), $"cid", $"rel_ppm",
+        lit(0L).as("msim_ppm"))
+      def newest(p: DataFrame) =
+        p.select($"qid", $"cid".as("pid"), $"qb".as("pq"), $"nb".as("pn"))
+      var cand = pool.join(newest(pick), Seq("qid"))
+        .filter($"cid" =!= $"pid")
+        .withColumn("msim_ppm",
+          cosPpm(graft.operators.VectorOps.dotCol($"qb", $"pq"), $"nb", $"pn"))
+        .select($"qid", $"cid", $"qb", $"nb", $"rel_ppm", $"msim_ppm")
+        .localCheckpoint(true)
+      val wmmr = Window.partitionBy($"qid")
+        .orderBy(($"rel_ppm" * 7 - $"msim_ppm" * 3).desc, $"cid")
+      for (r <- 2 to MmrK) {
+        val pr = cand.withColumn("rn", row_number().over(wmmr))
+          .filter($"rn" === 1)
+          .select($"qid", $"cid", $"qb", $"nb", $"rel_ppm", $"msim_ppm")
+          .localCheckpoint(true)
+        out = out.unionByName(
+          pr.select($"qid", lit(r.toLong).as("rnk"), $"cid", $"rel_ppm", $"msim_ppm"))
+        if (r < MmrK)
+          cand = cand.join(newest(pr), Seq("qid"))
+            .filter($"cid" =!= $"pid")
+            .withColumn("msim_ppm", greatest($"msim_ppm",
+              cosPpm(graft.operators.VectorOps.dotCol($"qb", $"pq"), $"nb", $"pn")))
+            .select($"qid", $"cid", $"qb", $"nb", $"rel_ppm", $"msim_ppm")
+            .localCheckpoint(true)
+      }
+      out.orderBy($"qid", $"rnk")
     }
   )
 
@@ -540,8 +633,89 @@ object AnnQueries {
       picks + "\nORDER BY rnk"
   }
 
+  /** emb_mmr oracle: pool + pool-internal pair sims, then MmrK−1 unrolled
+    * greedy rounds. Max-sim-over-selected per round equals the Spark
+    * side's incremental greatest() chain, so every pick and its
+    * selection-time msim replay exactly.
+    */
+  private def MmrOracle: String = {
+    val rounds = (2 to MmrK).map { r =>
+      val p = r - 1
+      s"""m$p AS (
+         |  SELECT po.qid, po.cid, po.rel_ppm, MAX(ps.sim) AS msim
+         |  FROM pool po
+         |  JOIN ps ON ps.qid = po.qid AND ps.ca = po.cid
+         |  JOIN s$p sel ON sel.qid = ps.qid AND sel.cid = ps.cb
+         |  WHERE NOT EXISTS (SELECT 1 FROM s$p x WHERE x.qid = po.qid AND x.cid = po.cid)
+         |  GROUP BY 1, 2, 3),
+         |p$r AS (
+         |  SELECT qid, cid, rel_ppm, msim FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY qid ORDER BY rel_ppm * 7 - msim * 3 DESC, cid) AS rn
+         |    FROM m$p) WHERE rn = 1),
+         |s$r AS (SELECT qid, cid FROM s$p UNION ALL SELECT qid, cid FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    val picks = (2 to MmrK).map(r =>
+      s"UNION ALL SELECT qid, CAST($r AS BIGINT) AS rnk, cid, rel_ppm, CAST(msim AS BIGINT) FROM p$r")
+      .mkString("\n")
+    QuantCte +
+      s""", dots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS cid, SUM(a.q * b.q) AS dot
+         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < $NumQueries AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2),
+         |rel AS (
+         |  SELECT qid, cid,
+         |    CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) AS BIGINT) AS rel_ppm
+         |  FROM dots JOIN n na ON na.vec_id = dots.qid JOIN n nb ON nb.vec_id = dots.cid),
+         |pool AS (
+         |  SELECT qid, cid, rel_ppm FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY qid ORDER BY rel_ppm DESC, cid) AS rr FROM rel)
+         |  WHERE rr <= $MmrPool),
+         |pd AS (
+         |  SELECT p1.qid, p1.cid AS ca, p2.cid AS cb, SUM(ea.q * eb.q) AS dot
+         |  FROM pool p1 JOIN pool p2 ON p2.qid = p1.qid AND p2.cid <> p1.cid
+         |  JOIN e ea ON ea.vec_id = p1.cid
+         |  JOIN e eb ON eb.vec_id = p2.cid AND eb.i = ea.i
+         |  GROUP BY 1, 2, 3),
+         |ps AS (
+         |  SELECT qid, ca, cb,
+         |    CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) AS BIGINT) AS sim
+         |  FROM pd JOIN n na ON na.vec_id = pd.ca JOIN n nb ON nb.vec_id = pd.cb),
+         |p1 AS (
+         |  SELECT qid, cid, rel_ppm FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY qid ORDER BY rel_ppm DESC, cid) AS rn FROM pool)
+         |  WHERE rn = 1),
+         |s1 AS (SELECT qid, cid FROM p1),
+         |$rounds
+         |SELECT qid, CAST(1 AS BIGINT) AS rnk, cid, rel_ppm, CAST(0 AS BIGINT) AS msim_ppm
+         |FROM p1
+         |$picks
+         |ORDER BY qid, rnk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "emb_fps" -> FpsOracle,
+
+    // brute replay thresholded at the radius instead of ranked
+    "ann_range" -> (QuantCte +
+      s""", dots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS cid, SUM(a.q * b.q) AS dot
+         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < $NumQueries AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT qid, cid,
+         |    CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+         |  FROM dots JOIN n na ON na.vec_id = dots.qid JOIN n nb ON nb.vec_id = dots.cid)
+         |SELECT qid, cid, cos_ppm FROM sims WHERE cos_ppm >= $RangeTau
+         |ORDER BY qid, cos_ppm DESC, cid""".stripMargin),
+
+    // the greedy MMR trajectory unrolled (the emb_fps oracle pattern,
+    // query-anchored): pool = per-query top-20 relevance replay, pool-
+    // internal pair sims computed once, then each round takes the max
+    // sim against the selected set and the (7·rel − 3·msim, cid) argmax
+    "emb_mmr" -> MmrOracle,
     // full multi-probe banding replay (shared CTEs with dd_embed_lsh —
     // DedupQueries.EmbedPairCtes regenerates the planes in SQL): the
     // UNTHRESHOLDED pair set symmetrized into the per-vector top-5

@@ -305,6 +305,39 @@ object SamplingQueries {
         .select($"source", $"split", $"n_docs", $"n_tokens",
           expr("(n_docs * 1000000) div t_docs").as("doc_share_ppm"))
         .orderBy($"source", $"split")
+    },
+
+    // QUALITY-WEIGHTED sampling — acceptance probability proportional to
+    // the doc's blended quality score (the CCNet-style "keep good text
+    // preferentially" gate): keep iff hash·2·10⁶ < quality_ppm·2³².
+    // Acceptance = quality/2 exactly (a perfect-quality doc keeps with
+    // p=0.5, junk with p≈0), decided per row by the same deterministic
+    // md5 hash as every sampler here — reproducible on any engine, any
+    // shard count, any rerun. Integer overflow bound: h < 2³², h·2e6 <
+    // 2³²·2e6 ≈ 8.6e15 — safely inside int64 at any corpus size, because
+    // neither side grows with the data. Scale shape: the score + hash +
+    // verdict are ONE narrow pass over documents; the report is a
+    // |sources|-row partial agg. Per-doc verdict recount, determinism and
+    // the corpus-wide mean-quality lift of the kept set are the laws
+    // RecSimSpec asserts.
+    "samp_quality" -> { (s, d) =>
+      import s.implicits._
+      def ppm(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+      val scored = graft.queries.TextQueries.qualityScored(t(s, d, "documents"))
+        .select($"doc_id", $"source", ppm($"score").as("q_ppm"))
+        .withColumn("h", docHash)
+        .withColumn("keep", ($"h" * lit(2000000L)) < ($"q_ppm" * lit(HashSpace)))
+      scored.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+          sum($"q_ppm").as("sq_all"),
+          sum(when($"keep", $"q_ppm").otherwise(0L)).as("sq_kept"))
+        .select($"source", $"n_docs", $"n_kept",
+          expr("(n_kept * 1000000) div n_docs").as("kept_share_ppm"),
+          expr("sq_all div n_docs").as("mean_q_all_ppm"),
+          expr("sq_kept div greatest(1L, n_kept)").as("mean_q_kept_ppm"))
+        .orderBy($"source")
     }
   )
 
@@ -467,6 +500,21 @@ object SamplingQueries {
         |SELECT g.source, g.split, g.n_docs, g.n_tokens,
         |  CAST((g.n_docs * 1000000) // tot.t_docs AS BIGINT) AS doc_share_ppm
         |FROM g JOIN tot ON tot.source = g.source
-        |ORDER BY g.source, g.split""".stripMargin
+        |ORDER BY g.source, g.split""".stripMargin,
+
+    "samp_quality" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |    CAST(FLOOR((${graft.queries.TextQueries.qualityScoreSql}) * 1000000.0 + 0.5) AS BIGINT) AS q_ppm,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+         |  FROM documents),
+         |v AS (SELECT *, (h * 2000000 < q_ppm * 4294967296) AS keep FROM q)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) FILTER (keep) AS BIGINT) AS n_kept,
+         |  CAST((COUNT(*) FILTER (keep) * 1000000) // COUNT(*) AS BIGINT) AS kept_share_ppm,
+         |  CAST(SUM(q_ppm) // COUNT(*) AS BIGINT) AS mean_q_all_ppm,
+         |  CAST(COALESCE(SUM(q_ppm) FILTER (keep), 0)
+         |    // GREATEST(1, COUNT(*) FILTER (keep)) AS BIGINT) AS mean_q_kept_ppm
+         |FROM v GROUP BY source ORDER BY source""".stripMargin
   )
 }

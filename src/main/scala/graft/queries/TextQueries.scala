@@ -501,6 +501,48 @@ object TextQueries {
         .withColumn("ttr_ppm", expr("(n_types * 1000000) div n_tokens"))
         .withColumn("hapax_ppm", expr("(n_hapax * 1000000) div n_types"))
         .orderBy($"source")
+    },
+
+    // vocabulary COVERAGE curve — the tokenizer-budget question: how many
+    // of the most frequent types cover 50 / 90 / 99 % of all token
+    // occurrences? The cumulative rank over the (freq desc, tok) order is
+    // a TWO-LEVEL distributed prefix sum, because a single global window
+    // would funnel the whole vocabulary through one task: level 1 ranks
+    // WITHIN each frequency band (window partitioned by the count value —
+    // every row in a band adds the same n, so cum-in-band = rank·n);
+    // level 2 prefixes the band totals over the distinct-counts relation,
+    // which is O(√total-tokens) rows by construction (d distinct positive
+    // counts sum to ≥ d(d+1)/2 ≤ total) — the one whitelisted global
+    // window, over a provably sublinear relation. The three thresholds
+    // are conditional min-aggregates over the per-type cumulative ranks;
+    // output is one row.
+    "txt_coverage" -> { (s, d) =>
+      import s.implicits._
+      val tf = CorpusTokenIndex.tokens(s, d)
+        .groupBy($"tok").agg(count(lit(1)).as("n"))
+      val wBand = Window.partitionBy($"n").orderBy($"tok")
+      val ranked = tf.withColumn("rn", row_number().over(wBand).cast("long"))
+      val bands = tf.groupBy($"n")
+        .agg(count(lit(1)).as("band_types"))
+        .withColumn("band_freq", $"n" * $"band_types")
+      val wPfx = Window.orderBy($"n".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pfx = bands
+        .withColumn("types_before", coalesce(sum($"band_types").over(wPfx), lit(0L)))
+        .withColumn("freq_before", coalesce(sum($"band_freq").over(wPfx), lit(0L)))
+        .select($"n", $"types_before", $"freq_before")
+      val cum = ranked.join(pfx, Seq("n"))
+        .select(($"types_before" + $"rn").as("type_rank"),
+          ($"freq_before" + $"rn" * $"n").as("cum_freq"))
+      val tot = tf.agg(sum($"n").as("total_tokens"),
+        count(lit(1)).as("n_types")).withColumn("one", lit(1))
+      cum.withColumn("one", lit(1)).join(tot, Seq("one"))
+        .groupBy($"total_tokens", $"n_types")
+        .agg(min(when($"cum_freq" * 100 >= $"total_tokens" * 50, $"type_rank")).as("types_50pct"),
+          min(when($"cum_freq" * 100 >= $"total_tokens" * 90, $"type_rank")).as("types_90pct"),
+          min(when($"cum_freq" * 100 >= $"total_tokens" * 99, $"type_rank")).as("types_99pct"))
+        .select($"total_tokens", $"n_types",
+          $"types_50pct", $"types_90pct", $"types_99pct")
     }
   )
 
@@ -559,6 +601,25 @@ object TextQueries {
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok FROM documents)
         |GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 50""".stripMargin,
+
+    "txt_coverage" ->
+      """WITH tf AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split_regex(text, ' +')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |c AS (
+        |  SELECT CAST(SUM(n) OVER (ORDER BY n DESC, tok) AS BIGINT) AS cum_freq,
+        |    CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS type_rank
+        |  FROM tf),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types
+        |  FROM tf)
+        |SELECT tot.total_tokens, tot.n_types,
+        |  MIN(CASE WHEN cum_freq * 100 >= total_tokens * 50 THEN type_rank END) AS types_50pct,
+        |  MIN(CASE WHEN cum_freq * 100 >= total_tokens * 90 THEN type_rank END) AS types_90pct,
+        |  MIN(CASE WHEN cum_freq * 100 >= total_tokens * 99 THEN type_rank END) AS types_99pct
+        |FROM c, tot GROUP BY 1, 2""".stripMargin,
 
     "txt_pack_bins" ->
       """WITH d AS (

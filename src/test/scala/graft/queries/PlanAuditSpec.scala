@@ -34,7 +34,12 @@ class PlanAuditSpec extends SparkSpec {
   // samp_systematic's second exemption: the shard-offset prefix window
   // runs over the per-shard sums relation, ≤ SysShards (1024) rows by
   // construction whatever the corpus size — not a corpus-sized funnel
-  private val globalWindowAllowed = Set("rd_ordering_group", "samp_systematic")
+  // txt_coverage's third exemption: the band-prefix window runs over the
+  // distinct-frequency-counts relation, O(√total-tokens) rows by
+  // construction (d distinct positive counts sum to ≥ d(d+1)/2) — never
+  // the vocabulary, never the corpus
+  private val globalWindowAllowed =
+    Set("rd_ordering_group", "samp_systematic", "txt_coverage")
 
   // deliberate constant-bounded broadcasts the structural rule can't
   // see: ann_* broadcast the fixed 25-row query slice (vec_id <
@@ -58,7 +63,11 @@ class PlanAuditSpec extends SparkSpec {
       "txt_bpe_encode",
       // dd_bloom: the broadcast is the DISTINCT bit-position relation,
       // ≤ m = 65536 rows whatever the corpus size (positions live mod m)
-      "dd_bloom")
+      "dd_bloom",
+      // ann_range / emb_mmr: the same fixed 5-row query slice as
+      // ann_brute_topk; emb_mmr additionally re-broadcasts its
+      // window-bounded ≤ 20·|queries|-row candidate pool rounds
+      "ann_range", "emb_mmr")
 
   /** a hinted subtree is scale-safe iff its row count cannot grow with
     * the fact tables: an aggregation / limit / literal relation bounds
