@@ -107,7 +107,10 @@ object Bench {
       "q1_agg", "q3_join_agg", "q5_multijoin", "q7_antijoin", "q24_window_rank",
       "q28_asof_join", "ev_session", "ev_funnel", "rd_read_topic", "rd_seek_timestamp",
       "dd_exact", "dd_minhash", "dd_jaccard", "dd_simhash_pairs", "dd_cluster",
-      "ann_brute_topk", "ann_lsh_topk", "txt_langid", "txt_ngram_profile", "pipe_clean_corpus")
+      "ann_brute_topk", "ann_lsh_topk", "txt_langid", "txt_ngram_profile", "pipe_clean_corpus",
+      // round-7 additions: rec serving scales with the fact table, MMR
+      // with the pool, coverage with the vocabulary — probe all three
+      "q45_recs", "emb_mmr", "txt_coverage")
     val byName = results.toMap
     val headline = headlineNames.flatMap(n => byName.get(n).map(n -> _))
     val detailLine = s"""{"detail":"per-pass","setup_sec":${fmt(setupSec)},"lsh_index_build_sec":${fmt(lshSec)},"token_index_build_sec":${fmt(tokenSec)},"graph_index_build_sec":${fmt(graphSec)},"index_build_sec":${fmt(indexSec)},"queries_run1":${json(ordered.map { case (n, _) => n -> pass1(n) })},"queries_run2":${json(ordered.map { case (n, _) => n -> pass2(n) })},"queries_rerun":${json(rerun.toSeq.sortBy(_._1))}}"""

@@ -801,6 +801,53 @@ object Relational2 {
         .orderBy($"dist")
     },
 
+    // degeneracy peeling (k-core) on the co-purchase graph — the graph-
+    // sparsification step community detection and influence analysis run
+    // first: iteratively remove nodes whose CURRENT degree is below k,
+    // where k = 70 % of the mean degree (data-derived via one 1-row
+    // aggregate, so the threshold tracks graph density at any sf instead
+    // of hard-coding a constant that goes trivial at scale). Three
+    // synchronous peel rounds (the distributed formulation: a round
+    // removes ALL current sub-k nodes at once, then neighbors' degrees
+    // drop by their removed-neighbor counts — one semi/anti join + one
+    // partial-agg shuffle per round, the q42 BFS cost shape), profile =
+    // per-round removals + the surviving core. Exact integers
+    // throughout, so the full peel trajectory replays in the oracle's
+    // unrolled CTEs.
+    "q46_kcore" -> { (s, d) =>
+      import s.implicits._
+      val sym = CoPurchaseGraph.symEdges(s, d)
+      val deg0 = CoPurchaseGraph.degrees(s, d)
+      val kk = deg0.agg(sum($"dg").as("sd"), count(lit(1)).as("n"))
+        .select(expr("(sd * 7) div (n * 10)").as("k"))
+        .withColumn("one", lit(1))
+      var cur = deg0.withColumn("one", lit(1)).join(kk, Seq("one"))
+        .select($"x", $"dg", $"k")
+        .localCheckpoint(true)
+      // empty 0-row seed with the profile schema; rounds union onto it
+      var profile = s.range(0).select(lit(0L).as("rnd"), lit(0L).as("n_nodes"),
+        lit(0L).as("min_part"), lit(0L).as("max_part"))
+      for (r <- 1 to 3) {
+        val rem = cur.filter($"dg" < $"k")
+        profile = profile.unionByName(
+          rem.agg(count(lit(1)).as("n_nodes"),
+            min($"x").as("min_part"), max($"x").as("max_part"))
+            .select(lit(r.toLong).as("rnd"), $"n_nodes", $"min_part", $"max_part")
+            .filter($"n_nodes" > 0))
+        val dec = sym.join(rem.select($"x".as("u")), Seq("u"))
+          .groupBy($"v".as("x")).agg(count(lit(1)).as("c"))
+        cur = cur.join(rem.select($"x"), Seq("x"), "left_anti")
+          .join(dec, Seq("x"), "left")
+          .select($"x", ($"dg" - coalesce($"c", lit(0L))).as("dg"), $"k")
+          .localCheckpoint(true)
+      }
+      profile.unionByName(
+        cur.agg(count(lit(1)).as("n_nodes"),
+          min($"x").as("min_part"), max($"x").as("max_part"))
+          .select(lit(99L).as("rnd"), $"n_nodes", $"min_part", $"max_part"))
+        .orderBy($"rnd")
+    },
+
     // distribution-position window functions — percent_rank / cume_dist
     // / first_value in one per-segment pass (the remaining standard
     // window family q24/q25/q26 don't cover). The ORDER BY carries the
@@ -1281,6 +1328,49 @@ object Relational2 {
         |  first_value(c_custkey) OVER w AS poorest_cust
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
-        |ORDER BY c_mktsegment, c_custkey""".stripMargin
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    // the three peel rounds unrolled: r{i} = the sub-k removals of round
+    // i from the current degree relation d{i-1}, dec{i} their neighbor
+    // decrements, d{i} the surviving degrees feeding round i+1
+    "q46_kcore" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |d0 AS (SELECT u AS x, CAST(COUNT(*) AS BIGINT) AS dg FROM sym GROUP BY 1),
+        |kk AS (SELECT CAST((SUM(dg) * 7) // (COUNT(*) * 10) AS BIGINT) AS k FROM d0),
+        |r1 AS (SELECT x FROM d0, kk WHERE d0.dg < kk.k),
+        |dec1 AS (SELECT s.v AS x, CAST(COUNT(*) AS BIGINT) AS c
+        |         FROM sym s JOIN r1 ON s.u = r1.x GROUP BY 1),
+        |d1 AS (SELECT d0.x, d0.dg - COALESCE(dec1.c, 0) AS dg
+        |       FROM d0 LEFT JOIN dec1 ON dec1.x = d0.x
+        |       WHERE d0.x NOT IN (SELECT x FROM r1)),
+        |r2 AS (SELECT x FROM d1, kk WHERE d1.dg < kk.k),
+        |dec2 AS (SELECT s.v AS x, CAST(COUNT(*) AS BIGINT) AS c
+        |         FROM sym s JOIN r2 ON s.u = r2.x GROUP BY 1),
+        |d2 AS (SELECT d1.x, d1.dg - COALESCE(dec2.c, 0) AS dg
+        |       FROM d1 LEFT JOIN dec2 ON dec2.x = d1.x
+        |       WHERE d1.x NOT IN (SELECT x FROM r2)),
+        |r3 AS (SELECT x FROM d2, kk WHERE d2.dg < kk.k),
+        |dec3 AS (SELECT s.v AS x, CAST(COUNT(*) AS BIGINT) AS c
+        |         FROM sym s JOIN r3 ON s.u = r3.x GROUP BY 1),
+        |d3 AS (SELECT d2.x, d2.dg - COALESCE(dec3.c, 0) AS dg
+        |       FROM d2 LEFT JOIN dec3 ON dec3.x = d2.x
+        |       WHERE d2.x NOT IN (SELECT x FROM r3))
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS rnd, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    MIN(x) AS min_part, MAX(x) AS max_part FROM r1 HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT), MIN(x), MAX(x)
+        |  FROM r2 HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT), MIN(x), MAX(x)
+        |  FROM r3 HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT CAST(99 AS BIGINT), CAST(COUNT(*) AS BIGINT), MIN(x), MAX(x)
+        |  FROM d3)
+        |ORDER BY rnd""".stripMargin
   )
 }

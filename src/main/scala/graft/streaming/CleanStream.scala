@@ -289,4 +289,25 @@ object CleanStream {
       .withColumn("copy", explode(expr("sequence(1L, copies)")))
       .drop("__h", "milli")
   }
+
+  /** Streaming QUALITY-WEIGHTED sampling gate — the streaming twin of
+    * samp_quality: each arriving document is accepted with probability
+    * quality/2, decided by the deterministic md5 hash (keep iff
+    * h·2·10⁶ < quality_ppm·2³², integer on both sides). Entirely
+    * STATELESS — one narrow per-row projection, no watermark, no state
+    * store — so the gate adds nothing to a stream's state footprint and
+    * its verdicts are id-identical to the batch sampler on the same
+    * rows (StreamQualitySampleSpec).
+    *
+    * `docs`: streaming (doc_id, text, source, ...). Returns
+    * (doc_id, source, q_ppm, keep).
+    */
+  def qualitySampleGate(docs: DataFrame): DataFrame =
+    TextQueries.qualityScored(docs)
+      .withColumn("q_ppm",
+        floor(col("score") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("keep",
+        SamplingQueries.docHash * lit(2000000L) <
+          col("q_ppm") * lit(SamplingQueries.hashSpace))
+      .select(col("doc_id"), col("source"), col("q_ppm"), col("keep"))
 }

@@ -38,7 +38,12 @@ class DeterminismSpec extends SparkSpec {
     // position screening, md5 fold assignment, BFS min-dist rounds,
     // recall join of the two top-k pipelines
     "ev_rfm", "dd_bloom", "samp_hash_split", "q42_reach", "ann_recall_eval",
-    "ev_fill", "q43_pct_dist")
+    "ev_fill", "q43_pct_dist",
+    // round-7 additions: jaccard neighbor model + anti-join scoring,
+    // greedy MMR pick trajectory, hash-threshold quality sampler,
+    // two-level prefix-sum coverage curve
+    "q44_item_sim", "q45_recs", "emb_mmr", "samp_quality", "txt_coverage",
+    "q46_kcore")
 
   for (name <- names) {
     test(s"$name result invariant under repartitioning") {

@@ -157,6 +157,30 @@ class RecSimSpec extends SparkSpec {
       "corpus-wide kept mean is below the full-corpus mean — the sampler is not quality-weighting")
   }
 
+  test("q46_kcore: the peel trajectory matches a driver-side exact simulation") {
+    import spark.implicits._
+    CoPurchaseGraph.ensure(spark, sf)
+    val edges = CoPurchaseGraph.symEdges(spark, sf)
+      .select($"u", $"v").as[(Long, Long)].collect()
+    val adj = edges.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2) }
+    var deg = adj.map { case (u, vs) => u -> vs.length.toLong }
+    val k = (deg.values.sum * 7) / (deg.size * 10)
+    val sim = Seq.newBuilder[(Long, Long, Long, Long)]
+    for (r <- 1 to 3) {
+      val rem = deg.filter(_._2 < k).keys.toSet
+      if (rem.nonEmpty)
+        sim += ((r.toLong, rem.size.toLong, rem.min, rem.max))
+      deg = (deg -- rem).map { case (x, dg) =>
+        x -> (dg - adj(x).count(rem.contains))
+      }
+    }
+    sim += ((99L, deg.size.toLong, deg.keys.min, deg.keys.max))
+    val got = q("q46_kcore")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === sim.result(),
+      s"peel trajectory diverges from the exact simulation (k=$k)")
+  }
+
   test("txt_coverage: thresholds are monotone, within the vocabulary, and definitionally minimal") {
     import spark.implicits._
     val row = q("txt_coverage").head()
