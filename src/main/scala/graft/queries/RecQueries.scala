@@ -46,7 +46,7 @@ object RecQueries {
     * supp²·10⁶ passes int64 once supports reach ~3e6 at cluster scale
     * (the q41 lift overflow argument).
     */
-  private[queries] def itemNeighbors(s: SparkSession, d: String): DataFrame = {
+  private[graft] def itemNeighbors(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = CoPurchaseGraph.edges(s, d).filter($"supp" >= MinSupp)
     val bi = e.select($"u".as("a"), $"v".as("b"), $"supp")

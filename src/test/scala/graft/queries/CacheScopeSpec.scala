@@ -14,7 +14,10 @@ class CacheScopeSpec extends SparkSpec {
 
   private val scoped =
     Seq("q35_bottomk_quantile", "q40_pagerank", "q42_reach",
-      "txt_bpe", "txt_bpe_encode", "emb_fps")
+      "txt_bpe", "txt_bpe_encode", "emb_fps",
+      // round-7 iterative additions: MMR rounds and k-core peels run on
+      // localCheckpoint-pinned rounds, never unscoped persist
+      "emb_mmr", "q46_kcore")
 
   test("scoped queries leave no cache-manager entries, run back-to-back") {
     // other suites share the session — measure growth, not emptiness
