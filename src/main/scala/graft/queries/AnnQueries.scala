@@ -233,6 +233,60 @@ object AnnQueries {
         .limit(20)
     },
 
+    // cluster-balanced sampling (the diversity-preserving corpus
+    // subsetting step: cap every embedding cluster at the same budget so
+    // the head cluster can't dominate the sample): nearest-seed-centroid
+    // assignment (emb_outliers' broadcast argmin), then the cap smallest
+    // (md5, vec_id) per cluster with cap = total div 2k — data-derived,
+    // so the budget tracks corpus size. Selection behind the q35
+    // Chernoff threshold pre-filter: md5 orders uniformly, so rows whose
+    // first 16 hash bits clear 8x the cap-th position can never be
+    // selected — the per-cluster ranking window carries O(cap) rows, not
+    // the corpus (at 100 TB the k-partition window funnel this would
+    // otherwise be is the difference between megabytes and the dataset).
+    // Exactness is gated, not assumed: two k-row scalar aggregates
+    // (k = 8 clusters, bounded by construction) check each cluster has
+    // >= min(cap, n_c) survivors and fall back to the unfiltered path.
+    "samp_cluster" -> { (s, d) =>
+      import s.implicits._
+      val e = quantized(s, d).select($"vec_id", $"q")
+      val cents = e.filter($"vec_id" < KmeansK).select($"vec_id".as("cid"), $"q".as("cq"))
+      val asg = e.join(broadcast(cents), lit(true))
+        .withColumn("dist", graft.operators.VectorOps.l2Col($"q", $"cq"))
+        .groupBy($"vec_id").agg(min(struct($"dist", $"cid")).as("m"))
+        .select($"vec_id", $"m.cid".as("cid"))
+        .withColumn("h", md5($"vec_id".cast("string")))
+        // assignment feeds the scalar guards, the pre-filter AND the
+        // membership report; localCheckpoint so no cache-manager residue
+        .localCheckpoint(true)
+      val byCid = asg.groupBy($"cid").agg(count(lit(1)).as("nc"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val total = byCid.map(_._2).sum
+      val cap = math.max(1L, total / (2L * KmeansK))
+      val hSpace16 = 65536L
+      val thr = byCid.map { case (c, n) =>
+        c -> math.min(hSpace16, (8L * cap * hSpace16) / math.max(1L, n) + 1L) }.toMap
+      val thrCol = byCid.foldLeft(lit(hSpace16)) { case (acc, (c, _)) =>
+        when($"cid" === c, lit(thr(c))).otherwise(acc) }
+      val pre = asg.filter(
+        expr("CAST(conv(substring(h, 1, 4), 16, 10) AS BIGINT)") < thrCol)
+      val preOk = pre.groupBy($"cid").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val enough = byCid.forall { case (c, n) =>
+        preOk.getOrElse(c, 0L) >= math.min(cap, n) }
+      val base = if (enough) pre else asg
+      val w = Window.partitionBy($"cid").orderBy($"hv", $"vec_id")
+      val kept = base
+        .withColumn("hv", expr("CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= cap)
+      asg.groupBy($"cid").agg(count(lit(1)).as("n_members"))
+        .join(kept.groupBy($"cid").agg(count(lit(1)).as("n_kept"),
+          min($"vec_id").as("min_kept"), max($"vec_id").as("max_kept")), Seq("cid"))
+        .select($"cid", $"n_members", $"n_kept", $"min_kept", $"max_kept")
+        .orderBy($"cid")
+    },
+
     // product-quantization ANN (ADC scan + exact re-rank): 8 subspaces
     // x 8 dims, 16 deterministic codewords per subspace (the first 16
     // vectors' subvectors). Corpus vectors are encoded once to 8 small
@@ -1007,6 +1061,37 @@ object AnnQueries {
          |  WHERE rn = 1)
          |SELECT vec_id, cid, CAST(d AS BIGINT) AS dist FROM a1
          |ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin),
+
+    // same assignment CTEs as emb_outliers, then the capped per-cluster
+    // pick replayed directly (the oracle needs no threshold pre-filter —
+    // exactness of the Spark side is what the compare proves)
+    "samp_cluster" -> (QuantCte +
+      s""", c0 AS (SELECT vec_id AS cid, i, q AS c FROM e WHERE vec_id < $KmeansK),
+         |d1 AS (
+         |  SELECT e.vec_id, c.cid, SUM((e.q - c.c) * (e.q - c.c)) AS d
+         |  FROM e JOIN c0 c ON c.i = e.i GROUP BY 1, 2),
+         |a1 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM d1)
+         |  WHERE rn = 1),
+         |cc AS (SELECT GREATEST(1, COUNT(*) // ${2 * KmeansK}) AS cap FROM a1),
+         |r AS (
+         |  SELECT vec_id, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY cid
+         |      ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+         |        vec_id) AS rk
+         |  FROM a1),
+         |kept AS (SELECT r.* FROM r, cc WHERE r.rk <= cc.cap),
+         |ks AS (
+         |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    MIN(vec_id) AS min_kept, MAX(vec_id) AS max_kept
+         |  FROM kept GROUP BY cid),
+         |ms AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members FROM a1 GROUP BY cid)
+         |SELECT ms.cid, ms.n_members, ks.n_kept, ks.min_kept, ks.max_kept
+         |FROM ms JOIN ks ON ks.cid = ms.cid
+         |ORDER BY ms.cid""".stripMargin),
 
     "emb_label_stats" -> (QuantCte +
       """, l AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),

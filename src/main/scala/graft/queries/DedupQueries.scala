@@ -524,6 +524,59 @@ object DedupQueries {
         .orderBy($"doc_short", $"doc_long")
     },
 
+    // winnowing fingerprint near-dup candidates (the MOSS local
+    // selection scheme; Schleimer/Wilkerson/Aiken SIGMOD'03): per doc,
+    // hash every 8-char gram of the normalized text, slide a 4-gram
+    // window and keep the minimum hash per window (tie → RIGHTMOST
+    // occurrence, the paper's rule). The winnowing guarantee — any
+    // shared substring of >= k+w-1 = 11 chars yields a shared selected
+    // fingerprint — makes this the substring-sensitive complement to
+    // shingled minhash (which nominates on set overlap, not contiguity).
+    // Selection is ONE packed-long windowed min per doc: key = h·2²²
+    // + (2²²−1 − pos) encodes (min hash, max pos) in a single BIGINT,
+    // so no struct-valued window and both engines compare identically
+    // (40-bit hash + 22-bit position; docs cap at 4M chars — a corpus
+    // with longer docs raises the split, not this packing). Cross-doc:
+    // fingerprint posting lists capped at 16 docs (boilerplate guard —
+    // the same frequency cap every inverted-index nominator here uses),
+    // pair counts via one equi self-join on the fingerprint key. The
+    // corpus text never shuffles: grams, hashes and selection are all
+    // doc-local projections/windows; only 8-byte fingerprints move.
+    "dd_winnow" -> { (s, d) =>
+      import s.implicits._
+      val (k, w) = (8, 4)
+      val grams = t(s, d, "documents")
+        .select($"doc_id", trim(regexp_replace(lower($"text"), "\\s+", " ")).as("nt"))
+        .filter(length($"nt") >= k)
+        .select($"doc_id", posexplode(expr(
+          s"transform(sequence(1, length(nt) - ${k - 1}), i -> " +
+            s"cast(conv(substring(md5(substring(nt, i, $k)), 1, 10), 16, 10) as long))")))
+        .toDF("doc_id", "p0", "h")
+        .select($"doc_id", ($"p0" + 1).as("pos"), $"h")
+      val win = Window.partitionBy($"doc_id").orderBy($"pos")
+        .rowsBetween(Window.currentRow, w - 1)
+      val full = Window.partitionBy($"doc_id")
+      val sig = grams
+        .withColumn("key", min($"h" * lit(1L << 22) + (lit((1L << 22) - 1) - $"pos")).over(win))
+        .withColumn("last_start", max($"pos").over(full) - (w - 1))
+        .filter($"pos" <= $"last_start")
+        // integral div — a double `/` would shave the low bits of the
+        // 62-bit packed key past the 53-bit mantissa
+        .select($"doc_id", expr(s"key div ${1L << 22}").as("fp"))
+        .distinct()
+        .persist() // feeds the posting-list cap AND both join sides
+      val capped = sig.groupBy($"fp").agg(count(lit(1)).as("n_docs"))
+        .filter($"n_docs".between(2, 16))
+        .select($"fp")
+      sig.join(capped, Seq("fp"))
+        .select($"fp", $"doc_id".as("doc_a"))
+        .join(sig.select($"fp", $"doc_id".as("doc_b")), Seq("fp"))
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared_fps"))
+        .orderBy($"shared_fps".desc, $"doc_a", $"doc_b")
+        .limit(30)
+    },
+
     // per-source exact-duplication rate (the data-card dup stat): docs,
     // distinct normalized fingerprints, dup mass in ppm — which sources
     // are mirror-heavy before any pair-level work is spent on them.
@@ -1309,6 +1362,32 @@ object DedupQueries {
         |  AND (a.n_tok < b.n_tok OR (a.n_tok = b.n_tok AND a.doc_id < b.doc_id))
         |WHERE list_slice(b.tk, 1, CAST(a.n_tok AS INT)) = a.tk
         |ORDER BY doc_short, doc_long""".stripMargin,
+
+    "dd_winnow" ->
+      """WITH nd AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |    CAST('0x' || substr(md5(substr(nt, CAST(i AS INT), 8)), 1, 10) AS BIGINT) AS h
+        |  FROM nd, UNNEST(range(1, length(nt) - 6)) AS t(i)
+        |  WHERE length(nt) >= 8),
+        |win AS (
+        |  SELECT doc_id, pos,
+        |    MIN(h * 4194304 + (4194303 - pos)) OVER (PARTITION BY doc_id
+        |      ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key,
+        |    MAX(pos) OVER (PARTITION BY doc_id) - 3 AS last_start
+        |  FROM g),
+        |sig AS (
+        |  SELECT DISTINCT doc_id, key // 4194304 AS fp
+        |  FROM win WHERE pos <= last_start),
+        |capped AS (
+        |  SELECT fp FROM sig GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 16)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(COUNT(*) AS BIGINT) AS shared_fps
+        |FROM sig a JOIN capped c ON c.fp = a.fp
+        |JOIN sig b ON b.fp = a.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY shared_fps DESC, doc_a, doc_b LIMIT 30""".stripMargin,
 
     "dd_containment" ->
       (s"WITH ${lshCtes("documents")},\n" +

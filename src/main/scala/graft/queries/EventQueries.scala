@@ -23,7 +23,24 @@ object EventQueries {
   private val HourUs = 3600L * 1000000L
   private val HalfHourUs = 1800L * 1000000L
   private val DayUs = 86400L * 1000000L
+  private val WeekUs = 7L * 86400L * 1000000L
   private val GapUs = 1800L * 1000000L // 30 min session gap
+
+  /** Inter-event gap buckets, coarse-to-fine powers of the natural
+    * operational scales (1s/10s/1m/10m/1h/1d). A CASE chain of integer
+    * comparisons — identical text runs on Spark and DuckDB, so the
+    * histogram is bit-exact (a float log-bucket would not be). Labels
+    * are lexicographically ordered so ORDER BY bucket is the natural
+    * coarse-to-fine order on both engines.
+    */
+  private val GapBucketCase: String =
+    """CASE WHEN delta_us < 1000000 THEN 'b0_lt_1s'
+      |     WHEN delta_us < 10000000 THEN 'b1_1s_10s'
+      |     WHEN delta_us < 60000000 THEN 'b2_10s_1m'
+      |     WHEN delta_us < 600000000 THEN 'b3_1m_10m'
+      |     WHEN delta_us < 3600000000 THEN 'b4_10m_1h'
+      |     WHEN delta_us < 86400000000 THEN 'b5_1h_1d'
+      |     ELSE 'b6_ge_1d' END""".stripMargin
 
   private def ev(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -102,6 +119,57 @@ object EventQueries {
         .groupBy(($"cohort_us" / DayUs).cast("long").as("cohort_day"), $"offset_days")
         .agg(countDistinct($"user_id").as("n_users"))
         .orderBy($"cohort_day", $"offset_days")
+    },
+
+    // weekly cohort retention MATRIX — ev_retention's day-level counts
+    // normalized into the (cohort week x weeks-since-signup) rate grid a
+    // growth dashboard plots: retained_ppm = users active at offset w as
+    // ppm of the cohort's size. Integer div so the rates hash-match.
+    // Scale shape: one distinct on (user, week) — partial-agg shuffle —
+    // one cohort agg per user, one matrix agg on the tiny (weeks x
+    // offsets) key space, and the size join keys on cohort_week (weeks-
+    // sized relation, AQE broadcasts it). Nothing funnels through one
+    // partition; the matrix itself is O(horizon²) rows at any corpus sf.
+    "ev_cohort" -> { (s, d) =>
+      import s.implicits._
+      val weekly = ev(s, d)
+        .select($"user_id", ($"ts_us" - ($"ts_us" % WeekUs)).as("week_us")).distinct()
+      val cohort = weekly.groupBy($"user_id").agg(min($"week_us").as("cohort_us"))
+      // the matrix feeds BOTH the offset-0 size relation and the rate
+      // join — persist or the events scan runs twice (caller-scoped
+      // cache, per the SparkEntry contract)
+      val matrix = weekly.join(cohort, Seq("user_id"))
+        .withColumn("offset_weeks", (($"week_us" - $"cohort_us") / WeekUs).cast("long"))
+        .groupBy(($"cohort_us" / WeekUs).cast("long").as("cohort_week"), $"offset_weeks")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .persist()
+      val size = matrix.filter($"offset_weeks" === 0)
+        .select($"cohort_week", $"n_users".as("cohort_size"))
+      matrix.join(size, Seq("cohort_week"))
+        .withColumn("retained_ppm", expr("(n_users * 1000000) div cohort_size"))
+        .select($"cohort_week", $"offset_weeks", $"n_users", $"cohort_size", $"retained_ppm")
+        .orderBy($"cohort_week", $"offset_weeks")
+    },
+
+    // inter-arrival gap histogram (ingest capacity / session-gap tuning:
+    // where does the 30-min sessionization threshold sit in THIS
+    // stream's gap distribution?): per-user consecutive-event deltas,
+    // bucketed on operational scales by an integer CASE chain. Scale
+    // shape: one per-user window lag (partitioned — never global), then
+    // a partial-agg shuffle on the 7-bucket key; distinct users per
+    // bucket rides the same shuffle.
+    "ev_interarrival" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      ev(s, d)
+        .withColumn("delta_us", $"ts_us" - lag($"ts_us", 1).over(w))
+        .filter($"delta_us".isNotNull)
+        .withColumn("bucket", expr(GapBucketCase))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_gaps"),
+          countDistinct($"user_id").as("n_users"),
+          min($"delta_us").as("min_us"), max($"delta_us").as("max_us"))
+        .orderBy($"bucket")
     },
 
     // keep latest event per (user, type) — the batch form of streaming
@@ -533,6 +601,38 @@ object EventQueries {
         |FROM activity a JOIN cohort c ON a.user_id = c.user_id
         |WHERE (a.day_us - c.cohort_us) / 86400000000 <= 7
         |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin,
+
+    "ev_cohort" ->
+      """WITH weekly AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) - (epoch_us(ts) % 604800000000) AS week_us FROM events),
+        |cohort AS (
+        |  SELECT user_id, MIN(week_us) AS cohort_us FROM weekly GROUP BY user_id),
+        |matrix AS (
+        |  SELECT CAST(c.cohort_us / 604800000000 AS BIGINT) AS cohort_week,
+        |    CAST((w.week_us - c.cohort_us) / 604800000000 AS BIGINT) AS offset_weeks,
+        |    CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+        |  FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+        |  GROUP BY 1, 2),
+        |sz AS (
+        |  SELECT cohort_week, n_users AS cohort_size FROM matrix WHERE offset_weeks = 0)
+        |SELECT m.cohort_week, m.offset_weeks, m.n_users, sz.cohort_size,
+        |  CAST((m.n_users * 1000000) // sz.cohort_size AS BIGINT) AS retained_ppm
+        |FROM matrix m JOIN sz ON sz.cohort_week = m.cohort_week
+        |ORDER BY m.cohort_week, m.offset_weeks""".stripMargin,
+
+    "ev_interarrival" ->
+      s"""WITH gaps AS (
+         |  SELECT user_id,
+         |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS delta_us
+         |  FROM events)
+         |SELECT ${GapBucketCase.replace("\n", "\n|  ")} AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  MIN(delta_us) AS min_us, MAX(delta_us) AS max_us
+         |FROM gaps WHERE delta_us IS NOT NULL
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "ev_dedup_latest" ->
       """WITH r AS (

@@ -848,6 +848,42 @@ object Relational2 {
         .orderBy($"rnd")
     },
 
+    // synchronous label propagation (community detection) on the
+    // co-purchase graph: every node starts labeled by itself; each round
+    // adopts the most frequent label among its neighbors (tie → smallest
+    // label), all nodes updating simultaneously. Two rounds, then the
+    // community size profile. The argmax is a partial-agg
+    // min(struct(-count, label)) — per-node neighbor-label counts never
+    // pass through a window or a global sort. Scale shape per round: one
+    // equi-join of the (bucketed) symmetric edge list against the label
+    // relation + two partial-agg shuffles — the q42/q46 BFS cost shape,
+    // with localCheckpoint truncating the growing lineage. Top-20 via
+    // TakeOrderedAndProject.
+    "q47_labelprop" -> { (s, d) =>
+      import s.implicits._
+      val sym = CoPurchaseGraph.symEdges(s, d)
+      val nodes = CoPurchaseGraph.degrees(s, d).select($"x")
+      var lbl = nodes.select($"x", $"x".as("lbl")).localCheckpoint(true)
+      for (_ <- 1 to 2) {
+        val pick = sym.join(lbl.select($"x".as("v"), $"lbl"), Seq("v"))
+          .groupBy($"u", $"lbl").agg(count(lit(1)).as("c"))
+          .groupBy($"u".as("x"))
+          .agg(min(struct((-$"c").as("nc"), $"lbl".as("l"))).as("m"))
+          .select($"x", $"m.l".as("new_lbl"))
+        // every d0 node has >= 1 edge by construction, but the left join
+        // + coalesce keeps isolated nodes stable if the graph ever admits
+        // them (and mirrors the oracle's LEFT JOIN exactly)
+        lbl = lbl.join(pick, Seq("x"), "left")
+          .select($"x", coalesce($"new_lbl", $"lbl").as("lbl"))
+          .localCheckpoint(true)
+      }
+      lbl.groupBy($"lbl".as("community"))
+        .agg(count(lit(1)).as("n_members"),
+          min($"x").as("min_member"), max($"x").as("max_member"))
+        .orderBy($"n_members".desc, $"community")
+        .limit(20)
+    },
+
     // distribution-position window functions — percent_rank / cume_dist
     // / first_value in one per-segment pass (the remaining standard
     // window family q24/q25/q26 don't cover). The ORDER BY carries the
@@ -1371,6 +1407,35 @@ object Relational2 {
         |  UNION ALL
         |  SELECT CAST(99 AS BIGINT), CAST(COUNT(*) AS BIGINT), MIN(x), MAX(x)
         |  FROM d3)
-        |ORDER BY rnd""".stripMargin
+        |ORDER BY rnd""".stripMargin,
+
+    // both synchronous rounds unrolled: c{i} = per-node neighbor-label
+    // counts against l{i-1}, p{i} the argmax pick (count desc, label
+    // asc), l{i} the updated labeling
+    "q47_labelprop" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |l0 AS (SELECT DISTINCT u AS x, u AS lbl FROM sym),
+        |c1 AS (SELECT s.u AS x, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM sym s JOIN l0 l ON l.x = s.v GROUP BY 1, 2),
+        |p1 AS (SELECT x, lbl FROM (
+        |         SELECT x, lbl, ROW_NUMBER() OVER (PARTITION BY x
+        |           ORDER BY c DESC, lbl) AS rn FROM c1) WHERE rn = 1),
+        |l1 AS (SELECT l0.x, COALESCE(p1.lbl, l0.x) AS lbl
+        |       FROM l0 LEFT JOIN p1 ON p1.x = l0.x),
+        |c2 AS (SELECT s.u AS x, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM sym s JOIN l1 l ON l.x = s.v GROUP BY 1, 2),
+        |p2 AS (SELECT x, lbl FROM (
+        |         SELECT x, lbl, ROW_NUMBER() OVER (PARTITION BY x
+        |           ORDER BY c DESC, lbl) AS rn FROM c2) WHERE rn = 1),
+        |l2 AS (SELECT l1.x, COALESCE(p2.lbl, l1.x) AS lbl
+        |       FROM l1 LEFT JOIN p2 ON p2.x = l1.x)
+        |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  MIN(x) AS min_member, MAX(x) AS max_member
+        |FROM l2 GROUP BY lbl
+        |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
   )
 }
