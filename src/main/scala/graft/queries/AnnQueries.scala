@@ -121,6 +121,55 @@ object AnnQueries {
         .orderBy($"qid")
     },
 
+    // IVF nprobe recall curve — the cost/recall tuning table an IVF
+    // deployment reads before fixing its probe count: recall@k vs the
+    // exact brute truth at nprobe = 1, 2, 4. The cell assignment is
+    // ranked ONCE (crnk <= max probe, persisted); each sweep point just
+    // re-filters the probe set, so the corpus-side work doesn't triple.
+    // Like ann_recall_eval, both pipelines are deterministic and replay
+    // in the oracle — the curve is exact integers, not a spec bound; the
+    // per-query monotonicity law recall(4) >= recall(2) >= recall(1) is
+    // additionally asserted in RecallCurveSpec. Scale: probes multiply
+    // the tiny query side only, never the corpus.
+    "ann_ivf_recall" -> { (s, d) =>
+      import s.implicits._
+      val e = quantized(s, d)
+      val cents = e.filter($"vec_id" % CentroidStep === 0)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"nn".as("nc"))
+      val w0 = Window.partitionBy($"vec_id").orderBy($"c_ppm".desc, $"cent_id")
+      val asgn = e.join(broadcast(cents), lit(true))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(q, qc, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .withColumn("c_ppm",
+          floor($"dot" / (sqrt($"nn") * sqrt($"nc")) * lit(1000000.0) + lit(0.5)).cast("long"))
+        .withColumn("crnk", row_number().over(w0))
+        .filter($"crnk" <= 4)
+        .select($"vec_id", $"q", $"nn", $"cent_id", $"crnk")
+        .persist() // one ranked assignment feeds all three sweep points
+      val cells = asgn.filter($"crnk" === 1)
+        .select($"vec_id".as("cid"), $"q".as("qb"), $"nn".as("nb"), $"cent_id")
+      val truth = bruteTopk(s, d).select($"qid", $"cid").persist()
+      val runs = Seq(1, 2, 4).map { np =>
+        val probes = asgn.filter($"crnk" <= np && $"vec_id" < NumQueries)
+          .select($"vec_id".as("qid"), $"q".as("qa"), $"nn".as("na"), $"cent_id")
+        val w = Window.partitionBy($"qid").orderBy($"cos_ppm".desc, $"cid")
+        val top = cells.join(broadcast(probes), Seq("cent_id"))
+          .filter($"cid" =!= $"qid")
+          .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
+          .withColumn("cos_ppm",
+            floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= TopK)
+          .select($"qid", $"cid").withColumn("hit", lit(1L))
+        truth.join(top, Seq("qid", "cid"), "left")
+          .groupBy($"qid")
+          .agg(sum(coalesce($"hit", lit(0L))).as("n_hits"))
+          .select(lit(np.toLong).as("nprobe"), $"qid", $"n_hits",
+            expr(s"(n_hits * 1000000) div $TopK").as("recall_ppm"))
+      }
+      runs.reduce(_ unionByName _).orderBy($"nprobe", $"qid")
+    },
+
     // IVF-style ANN: cells = nearest of the deterministic seed centroids
     // (vec_id % 100 == 0); queries probe their 2 nearest cells. Oracle:
     // full assignment replay (deterministic seeds + tie-breaks).
@@ -984,6 +1033,71 @@ object AnnQueries {
          |  FROM ipair)
          |SELECT qid, rnk, cid, cos_ppm FROM irk WHERE rnk <= $TopK
          |ORDER BY qid, rnk""".stripMargin),
+
+    // the IVF CTEs ranked to crnk <= 4 once, then each sweep point
+    // re-filters the probe set and scores against the brute truth
+    "ann_ivf_recall" -> (QuantCte +
+      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStep = 0),
+         |cdots AS (
+         |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
+         |  FROM e a
+         |  JOIN e b ON b.i = a.i
+         |  JOIN cents c ON c.cent_id = b.vec_id
+         |  GROUP BY 1, 2),
+         |asgn AS (
+         |  SELECT d.vec_id, d.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+         |      CAST(FLOOR(d.dot / (sqrt(nv.nn) * sqrt(nc.nn)) * 1000000.0 + 0.5) AS BIGINT) DESC,
+         |      d.cent_id) AS crnk
+         |  FROM cdots d
+         |  JOIN n nv ON nv.vec_id = d.vec_id
+         |  JOIN n nc ON nc.vec_id = d.cent_id),
+         |cells AS (SELECT vec_id AS cid, cent_id FROM asgn WHERE crnk <= 1),
+         |bdots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+         |  FROM e a JOIN e b ON b.i = a.i AND a.vec_id < $NumQueries AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2),
+         |bsims AS (
+         |  SELECT qid, cid,
+         |    CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+         |  FROM bdots JOIN n na ON na.vec_id = bdots.qid JOIN n nb ON nb.vec_id = bdots.cid),
+         |btop AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_ppm DESC, cid) AS rnk
+         |    FROM bsims) WHERE rnk <= $TopK),
+         |""".stripMargin +
+      Seq(1, 2, 4).map { np =>
+        s"""qp$np AS (SELECT vec_id AS qid, cent_id FROM asgn
+           |  WHERE crnk <= $np AND vec_id < $NumQueries),
+           |ic$np AS (
+           |  SELECT q.qid, cl.cid FROM qp$np q JOIN cells cl ON cl.cent_id = q.cent_id
+           |  WHERE cl.cid <> q.qid),
+           |ip$np AS (
+           |  SELECT c.qid, c.cid,
+           |    CAST(FLOOR(CAST(SUM(ea.q * eb.q) AS BIGINT) / (sqrt(MAX(na.nn)) * sqrt(MAX(nb.nn))) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+           |  FROM ic$np c
+           |  JOIN e ea ON ea.vec_id = c.qid
+           |  JOIN e eb ON eb.vec_id = c.cid AND eb.i = ea.i
+           |  JOIN n na ON na.vec_id = c.qid
+           |  JOIN n nb ON nb.vec_id = c.cid
+           |  GROUP BY 1, 2),
+           |it$np AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT qid, cid,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_ppm DESC, cid) AS rnk
+           |    FROM ip$np) WHERE rnk <= $TopK),
+           |r$np AS (
+           |  SELECT CAST($np AS BIGINT) AS nprobe, b.qid,
+           |    CAST(SUM(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           |  FROM btop b LEFT JOIN it$np t ON t.qid = b.qid AND t.cid = b.cid
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n") +
+      s"""
+         |SELECT nprobe, qid, n_hits,
+         |  CAST((n_hits * 1000000) // $TopK AS BIGINT) AS recall_ppm
+         |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r4)
+         |ORDER BY nprobe, qid""".stripMargin),
 
     "ann_brute_topk" -> (QuantCte +
       s""", dots AS (

@@ -51,6 +51,37 @@ object DedupQueries {
     "array_distinct(if(size(tk) < 3, array(), " +
       "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))))"
 
+  /** Per-doc winnowing fingerprints (dd_winnow's selection, shared with
+    * the streaming winnow gate) as ONE row-local array pipeline: gram
+    * hashes packed as h·2²² + (2²²−1 − pos) — min of a window is then
+    * (min hash, tie → rightmost) in a single BIGINT compare — the
+    * 4-window sliding min via transform+array_min+slice, fingerprint =
+    * packed div 2²². ZERO shuffle and zero window operator: selection
+    * happens inside the row that carries the text, which is both the
+    * 100 TB shape (nothing moves until the 8-byte fps do) and what lets
+    * the same code run on an unbounded stream (row-local expressions are
+    * stateless; a per-doc window would be unsupported there). Docs
+    * shorter than k+w−1 = 11 normalized chars have no full window and
+    * yield no fingerprints, same as the windowed form. Adds `fp`
+    * (exploded, with duplicates removed per doc), drops nothing else.
+    */
+  private[graft] def winnowSigs(docs: DataFrame): DataFrame = {
+    val (k, w, shift) = (8, 4, 1L << 22)
+    docs
+      .withColumn("nt", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .filter(length(col("nt")) >= k + w - 1)
+      .withColumn("hs", expr(
+        s"transform(sequence(1, length(nt) - ${k - 1}), i -> " +
+          s"cast(conv(substring(md5(substring(nt, i, $k)), 1, 10), 16, 10) as long)" +
+          s" * ${shift}L + (${shift - 1}L - i))"))
+      // integral div — a double `/` would shave the low bits of the
+      // 62-bit packed key past the 53-bit mantissa
+      .withColumn("fp", explode(expr(
+        s"array_distinct(transform(sequence(1, size(hs) - ${w - 1}), " +
+          s"j -> array_min(slice(hs, j, $w)) div ${shift}L))")))
+      .drop("nt", "hs")
+  }
+
   private[graft] def shingleArrays(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -532,11 +563,11 @@ object DedupQueries {
     // shared substring of >= k+w-1 = 11 chars yields a shared selected
     // fingerprint — makes this the substring-sensitive complement to
     // shingled minhash (which nominates on set overlap, not contiguity).
-    // Selection is ONE packed-long windowed min per doc: key = h·2²²
-    // + (2²²−1 − pos) encodes (min hash, max pos) in a single BIGINT,
-    // so no struct-valued window and both engines compare identically
-    // (40-bit hash + 22-bit position; docs cap at 4M chars — a corpus
-    // with longer docs raises the split, not this packing). Cross-doc:
+    // Selection is row-local (winnowSigs): the packed-BIGINT sliding
+    // min runs in array expressions inside the row that carries the
+    // text — no window operator, no selection shuffle (40-bit hash +
+    // 22-bit position; docs cap at 4M chars — a corpus with longer docs
+    // raises the split, not this packing). Cross-doc:
     // fingerprint posting lists capped at 16 docs (boilerplate guard —
     // the same frequency cap every inverted-index nominator here uses),
     // pair counts via one equi self-join on the fingerprint key. The
@@ -544,25 +575,8 @@ object DedupQueries {
     // doc-local projections/windows; only 8-byte fingerprints move.
     "dd_winnow" -> { (s, d) =>
       import s.implicits._
-      val (k, w) = (8, 4)
-      val grams = t(s, d, "documents")
-        .select($"doc_id", trim(regexp_replace(lower($"text"), "\\s+", " ")).as("nt"))
-        .filter(length($"nt") >= k)
-        .select($"doc_id", posexplode(expr(
-          s"transform(sequence(1, length(nt) - ${k - 1}), i -> " +
-            s"cast(conv(substring(md5(substring(nt, i, $k)), 1, 10), 16, 10) as long))")))
-        .toDF("doc_id", "p0", "h")
-        .select($"doc_id", ($"p0" + 1).as("pos"), $"h")
-      val win = Window.partitionBy($"doc_id").orderBy($"pos")
-        .rowsBetween(Window.currentRow, w - 1)
-      val full = Window.partitionBy($"doc_id")
-      val sig = grams
-        .withColumn("key", min($"h" * lit(1L << 22) + (lit((1L << 22) - 1) - $"pos")).over(win))
-        .withColumn("last_start", max($"pos").over(full) - (w - 1))
-        .filter($"pos" <= $"last_start")
-        // integral div — a double `/` would shave the low bits of the
-        // 62-bit packed key past the 53-bit mantissa
-        .select($"doc_id", expr(s"key div ${1L << 22}").as("fp"))
+      val sig = winnowSigs(t(s, d, "documents").select($"doc_id", $"text"))
+        .select($"doc_id", $"fp")
         .distinct()
         .persist() // feeds the posting-list cap AND both join sides
       val capped = sig.groupBy($"fp").agg(count(lit(1)).as("n_docs"))

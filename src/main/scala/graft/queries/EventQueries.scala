@@ -172,6 +172,58 @@ object EventQueries {
         .orderBy($"bucket")
     },
 
+    // hour-of-day x day-of-week seasonality profile (capacity planning /
+    // anomaly baselining): event share per cell of the 7x24 grid, in
+    // ppm. Day-of-week from pure epoch arithmetic — (epoch_day + 4) % 7,
+    // 0 = Sunday (day 0 was a Thursday) — so no calendar/timezone
+    // function can skew engine parity. Scale shape: one partial-agg
+    // shuffle onto the fixed 168-cell key space, the total a 1-row
+    // broadcast; the share numerator runs in DECIMAL(38,0) (n·10⁶
+    // passes int64 only below ~9e12 events/cell — true at any test sf,
+    // not at the cluster corpus).
+    "ev_seasonality" -> { (s, d) =>
+      import s.implicits._
+      val cells = ev(s, d)
+        .select(expr(s"((ts_us div $DayUs) + 4) % 7").as("dow"),
+          expr(s"(ts_us % $DayUs) div $HourUs").as("hour"))
+        .groupBy($"dow", $"hour").agg(count(lit(1)).as("n_events"))
+        .persist() // feeds the 1-row total AND the share projection
+      val tot = cells.agg(sum($"n_events").as("total")).withColumn("one", lit(1))
+      cells.withColumn("one", lit(1)).join(broadcast(tot), Seq("one")).drop("one")
+        .withColumn("share_ppm", expr(
+          "CAST((CAST(n_events AS DECIMAL(38,0)) * 1000000) div total AS BIGINT)"))
+        .select($"dow", $"hour", $"n_events", $"share_ppm")
+        .orderBy($"dow", $"hour")
+    },
+
+    // seasonal-naive forecast baseline + backtest (the capacity-planning
+    // sanity model any fancier forecaster must beat): predict each day's
+    // per-type event count as the floored mean of all PRIOR same-weekday
+    // counts, score the whole history, report per-type MAE / worst miss.
+    // Integer floor-mean so the backtest is engine-exact. Scale shape:
+    // the window runs over the DAILY relation (types x days — thousands
+    // of rows at any corpus size, partitioned by (type, dow)), never over
+    // raw events; days with no prior same-dow observation are unscored.
+    "ev_forecast" -> { (s, d) =>
+      import s.implicits._
+      val daily = ev(s, d)
+        .select($"event_type", expr(s"ts_us div $DayUs").as("day"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+        .withColumn("dow", expr("(day + 4) % 7"))
+      val w = Window.partitionBy($"event_type", $"dow").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      daily
+        .withColumn("psum", sum($"n").over(w))
+        .withColumn("pcnt", count($"n").over(w))
+        .filter($"pcnt" >= 1)
+        .withColumn("err", abs($"n" - expr("psum div pcnt")))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_scored"),
+          expr("sum(err) div count(1)").as("mae"),
+          max($"err").as("max_err"))
+        .orderBy($"event_type")
+    },
+
     // keep latest event per (user, type) — the batch form of streaming
     // dropDuplicates-keep-last; per-key window, unique tie-break
     "ev_dedup_latest" -> { (s, d) =>
@@ -633,6 +685,38 @@ object EventQueries {
          |  MIN(delta_us) AS min_us, MAX(delta_us) AS max_us
          |FROM gaps WHERE delta_us IS NOT NULL
          |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "ev_seasonality" ->
+      """WITH b AS (
+        |  SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+        |    (epoch_us(ts) % 86400000000) // 3600000000 AS hour
+        |  FROM events),
+        |c AS (SELECT dow, hour, CAST(COUNT(*) AS BIGINT) AS n_events
+        |      FROM b GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM c)
+        |SELECT c.dow, c.hour, c.n_events,
+        |  CAST((CAST(c.n_events AS HUGEINT) * 1000000) // t.total AS BIGINT) AS share_ppm
+        |FROM c CROSS JOIN t ORDER BY c.dow, c.hour""".stripMargin,
+
+    "ev_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |    SUM(n) OVER (PARTITION BY event_type, (day + 4) % 7 ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS psum,
+        |    COUNT(n) OVER (PARTITION BY event_type, (day + 4) % 7 ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pcnt
+        |  FROM daily),
+        |sc AS (
+        |  SELECT event_type, ABS(n - psum // pcnt) AS err
+        |  FROM w WHERE pcnt >= 1)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |  CAST(SUM(err) // COUNT(*) AS BIGINT) AS mae,
+        |  CAST(MAX(err) AS BIGINT) AS max_err
+        |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ev_dedup_latest" ->
       """WITH r AS (

@@ -861,25 +861,45 @@ object Relational2 {
     // TakeOrderedAndProject.
     "q47_labelprop" -> { (s, d) =>
       import s.implicits._
-      val sym = CoPurchaseGraph.symEdges(s, d)
-      val nodes = CoPurchaseGraph.degrees(s, d).select($"x")
-      var lbl = nodes.select($"x", $"x".as("lbl")).localCheckpoint(true)
-      for (_ <- 1 to 2) {
-        val pick = sym.join(lbl.select($"x".as("v"), $"lbl"), Seq("v"))
-          .groupBy($"u", $"lbl").agg(count(lit(1)).as("c"))
-          .groupBy($"u".as("x"))
-          .agg(min(struct((-$"c").as("nc"), $"lbl".as("l"))).as("m"))
-          .select($"x", $"m.l".as("new_lbl"))
-        // every d0 node has >= 1 edge by construction, but the left join
-        // + coalesce keeps isolated nodes stable if the graph ever admits
-        // them (and mirrors the oracle's LEFT JOIN exactly)
-        lbl = lbl.join(pick, Seq("x"), "left")
-          .select($"x", coalesce($"new_lbl", $"lbl").as("lbl"))
-          .localCheckpoint(true)
-      }
-      lbl.groupBy($"lbl".as("community"))
+      lpaLabels(s, d).groupBy($"lbl".as("community"))
         .agg(count(lit(1)).as("n_members"),
           min($"x").as("min_member"), max($"x").as("max_member"))
+        .orderBy($"n_members".desc, $"community")
+        .limit(20)
+    },
+
+    // modularity scoring of the q47 partition — the "was that clustering
+    // any good" number (Newman's Q, per community): contribution =
+    // intra_edges/m − (degree_sum/2m)², both terms floored to ppm so the
+    // full score table hash-matches. The degree term squares a quantity
+    // that reaches ~1e12 at cluster scale — computed in DECIMAL(38,0)
+    // (HUGEINT on the oracle side), never BIGINT. Scale shape: the label
+    // relation joins the edge list twice on its endpoints (bucketed
+    // sides), degree mass is one partial agg, and m is a 1-row broadcast
+    // — no window, no global sort, top-20 via TakeOrdered.
+    "q48_modularity" -> { (s, d) =>
+      import s.implicits._
+      val lbl = lpaLabels(s, d)
+      val edges = CoPurchaseGraph.edges(s, d).select($"u", $"v")
+      val mRel = edges.agg(count(lit(1)).as("m")).withColumn("one", lit(1))
+      val intra = edges
+        .join(lbl.select($"x".as("u"), $"lbl".as("cu")), Seq("u"))
+        .join(lbl.select($"x".as("v"), $"lbl".as("cv")), Seq("v"))
+        .filter($"cu" === $"cv")
+        .groupBy($"cu".as("community")).agg(count(lit(1)).as("intra_edges"))
+      CoPurchaseGraph.degrees(s, d).join(lbl, Seq("x"))
+        .groupBy($"lbl".as("community"))
+        .agg(sum($"dg").as("degree_sum"), count(lit(1)).as("n_members"))
+        .join(intra, Seq("community"), "left")
+        .withColumn("intra_edges", coalesce($"intra_edges", lit(0L)))
+        .withColumn("one", lit(1)).join(broadcast(mRel), Seq("one")).drop("one")
+        .withColumn("intra_ppm", expr("(intra_edges * 1000000) div m"))
+        .withColumn("deg_ppm", expr(
+          "CAST((CAST(degree_sum AS DECIMAL(38,0)) * degree_sum * 1000000) div " +
+            "(CAST(m AS DECIMAL(38,0)) * m * 4) AS BIGINT)"))
+        .withColumn("contribution_ppm", $"intra_ppm" - $"deg_ppm")
+        .select($"community", $"n_members", $"intra_edges", $"degree_sum",
+          $"intra_ppm", $"deg_ppm", $"contribution_ppm")
         .orderBy($"n_members".desc, $"community")
         .limit(20)
     },
@@ -905,6 +925,36 @@ object Relational2 {
         .orderBy($"c_mktsegment", $"c_custkey")
     }
   )
+
+  /** Two-round synchronous label propagation over the co-purchase graph
+    * (q47's labeling, shared with q48's modularity scoring): every node
+    * starts labeled by itself; each round adopts the most frequent
+    * neighbor label (tie → smallest), all nodes simultaneously. The
+    * argmax is a partial-agg min(struct(-count, label)) — never a
+    * window; each round is one edge-list equi-join + two partial-agg
+    * shuffles (the q42/q46 BFS cost shape), with localCheckpoint
+    * truncating the growing lineage. Returns (x, lbl).
+    */
+  private def lpaLabels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sym = CoPurchaseGraph.symEdges(s, d)
+    val nodes = CoPurchaseGraph.degrees(s, d).select($"x")
+    var lbl = nodes.select($"x", $"x".as("lbl")).localCheckpoint(true)
+    for (_ <- 1 to 2) {
+      val pick = sym.join(lbl.select($"x".as("v"), $"lbl"), Seq("v"))
+        .groupBy($"u", $"lbl").agg(count(lit(1)).as("c"))
+        .groupBy($"u".as("x"))
+        .agg(min(struct((-$"c").as("nc"), $"lbl".as("l"))).as("m"))
+        .select($"x", $"m.l".as("new_lbl"))
+      // every node has >= 1 edge by construction, but the left join +
+      // coalesce keeps isolated nodes stable if the graph ever admits
+      // them (and mirrors the oracle's LEFT JOIN exactly)
+      lbl = lbl.join(pick, Seq("x"), "left")
+        .select($"x", coalesce($"new_lbl", $"lbl").as("lbl"))
+        .localCheckpoint(true)
+    }
+    lbl
+  }
 
   /** `1 + leading-zero-count` of a 32-bit value as a pure integer
     * comparison chain — identical text runs on Spark and DuckDB, no
@@ -1413,29 +1463,63 @@ object Relational2 {
     // counts against l{i-1}, p{i} the argmax pick (count desc, label
     // asc), l{i} the updated labeling
     "q47_labelprop" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e AS (
-        |  SELECT DISTINCT a.p AS u, b.p AS v
-        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
-        |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
-        |l0 AS (SELECT DISTINCT u AS x, u AS lbl FROM sym),
-        |c1 AS (SELECT s.u AS x, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
-        |       FROM sym s JOIN l0 l ON l.x = s.v GROUP BY 1, 2),
-        |p1 AS (SELECT x, lbl FROM (
-        |         SELECT x, lbl, ROW_NUMBER() OVER (PARTITION BY x
-        |           ORDER BY c DESC, lbl) AS rn FROM c1) WHERE rn = 1),
-        |l1 AS (SELECT l0.x, COALESCE(p1.lbl, l0.x) AS lbl
-        |       FROM l0 LEFT JOIN p1 ON p1.x = l0.x),
-        |c2 AS (SELECT s.u AS x, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
-        |       FROM sym s JOIN l1 l ON l.x = s.v GROUP BY 1, 2),
-        |p2 AS (SELECT x, lbl FROM (
-        |         SELECT x, lbl, ROW_NUMBER() OVER (PARTITION BY x
-        |           ORDER BY c DESC, lbl) AS rn FROM c2) WHERE rn = 1),
-        |l2 AS (SELECT l1.x, COALESCE(p2.lbl, l1.x) AS lbl
-        |       FROM l1 LEFT JOIN p2 ON p2.x = l1.x)
-        |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
-        |  MIN(x) AS min_member, MAX(x) AS max_member
-        |FROM l2 GROUP BY lbl
-        |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+      (s"WITH $LpaCtes\n" +
+        """SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+          |  MIN(x) AS min_member, MAX(x) AS max_member
+          |FROM l2 GROUP BY lbl
+          |ORDER BY n_members DESC, community LIMIT 20""".stripMargin),
+
+    // the LPA labeling CTEs + Newman's Q per community; the squared
+    // degree mass runs in HUGEINT (the Spark side's DECIMAL(38,0))
+    "q48_modularity" ->
+      (s"WITH $LpaCtes,\n" +
+        """m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+          |d0 AS (SELECT u AS x, CAST(COUNT(*) AS BIGINT) AS dg FROM sym GROUP BY 1),
+          |ds AS (
+          |  SELECT l2.lbl AS community, CAST(SUM(d0.dg) AS BIGINT) AS degree_sum,
+          |    CAST(COUNT(*) AS BIGINT) AS n_members
+          |  FROM d0 JOIN l2 ON l2.x = d0.x GROUP BY 1),
+          |ie AS (
+          |  SELECT la.lbl AS community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+          |  FROM e JOIN l2 la ON la.x = e.u
+          |  JOIN l2 lb ON lb.x = e.v AND lb.lbl = la.lbl
+          |  GROUP BY 1)
+          |SELECT ds.community, ds.n_members,
+          |  COALESCE(ie.intra_edges, 0) AS intra_edges, ds.degree_sum,
+          |  CAST((COALESCE(ie.intra_edges, 0) * 1000000) // m.m AS BIGINT) AS intra_ppm,
+          |  CAST((CAST(ds.degree_sum AS HUGEINT) * ds.degree_sum * 1000000) //
+          |    (CAST(m.m AS HUGEINT) * m.m * 4) AS BIGINT) AS deg_ppm,
+          |  CAST((COALESCE(ie.intra_edges, 0) * 1000000) // m.m
+          |    - CAST((CAST(ds.degree_sum AS HUGEINT) * ds.degree_sum * 1000000) //
+          |        (CAST(m.m AS HUGEINT) * m.m * 4) AS BIGINT) AS BIGINT) AS contribution_ppm
+          |FROM ds LEFT JOIN ie ON ie.community = ds.community CROSS JOIN m
+          |ORDER BY ds.n_members DESC, ds.community LIMIT 20""".stripMargin)
   )
+
+  /** the q47/q48 shared 2-round LPA unroll (no WITH prefix): li/e/sym
+    * rebuild the co-purchase graph from the fact table, l0 the identity
+    * labeling, c{i}/p{i}/l{i} each synchronous round
+    */
+  // a def (like HllRhoCase): the oracles val above initializes first
+  private def LpaCtes: String =
+    """li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+      |l0 AS (SELECT DISTINCT u AS x, u AS lbl FROM sym),
+      |c1 AS (SELECT s.u AS x, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM sym s JOIN l0 l ON l.x = s.v GROUP BY 1, 2),
+      |p1 AS (SELECT x, lbl FROM (
+      |         SELECT x, lbl, ROW_NUMBER() OVER (PARTITION BY x
+      |           ORDER BY c DESC, lbl) AS rn FROM c1) WHERE rn = 1),
+      |l1 AS (SELECT l0.x, COALESCE(p1.lbl, l0.x) AS lbl
+      |       FROM l0 LEFT JOIN p1 ON p1.x = l0.x),
+      |c2 AS (SELECT s.u AS x, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM sym s JOIN l1 l ON l.x = s.v GROUP BY 1, 2),
+      |p2 AS (SELECT x, lbl FROM (
+      |         SELECT x, lbl, ROW_NUMBER() OVER (PARTITION BY x
+      |           ORDER BY c DESC, lbl) AS rn FROM c2) WHERE rn = 1),
+      |l2 AS (SELECT l1.x, COALESCE(p2.lbl, l1.x) AS lbl
+      |       FROM l1 LEFT JOIN p2 ON p2.x = l1.x)""".stripMargin
 }

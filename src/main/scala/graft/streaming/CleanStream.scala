@@ -154,6 +154,46 @@ object CleanStream {
     * hands back the [[GateCaches]] owning the persisted fingerprint/bit
     * relations — close it when the gate stops.
     */
+  /** Streaming WINNOWING gate — dd_winnow's stream twin: each arriving
+    * document is flagged the moment one of its winnowing fingerprints
+    * appears in the static corpus index, i.e. the moment it provably
+    * shares a >= 11-char substring with an indexed document whose
+    * fingerprint posting list is below the boilerplate cap. The corpus
+    * side is fingerprinted once ([[DedupQueries.winnowSigs]] — the SAME
+    * row-local selection the batch operator uses, so gate and batch
+    * nominate identically) with posting lists capped at 15 corpus docs
+    * (16 including the arrival, the batch rule's cap applied to the
+    * probe-vs-corpus form). The arrival side is stateless by
+    * construction: winnowing is row-local array math, the probe is a
+    * stream-static equi join on the 8-byte fingerprint key — the only
+    * state is the watermark-bounded pair dedup.
+    *
+    * `docs`: streaming (doc_id, text, ts). `corpus`: static
+    * (doc_id, text). Returns (doc_id, ts, match_doc).
+    */
+  def winnowFlags(docs: DataFrame, corpus: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    winnowFlagsScoped(docs, corpus, watermark)._1
+
+  def winnowFlagsScoped(docs: DataFrame, corpus: DataFrame,
+      watermark: String = "1 hour"): (DataFrame, GateCaches) = {
+    import corpus.sparkSession.implicits._
+    val sigC = DedupQueries.winnowSigs(corpus)
+      .select($"doc_id".as("match_doc"), $"fp").distinct().persist()
+    val postings = sigC
+      .join(sigC.groupBy($"fp").agg(count(lit(1)).as("n_docs"))
+        .filter($"n_docs" <= 15).select($"fp"), Seq("fp"))
+      .persist()
+    val flags = DedupQueries.winnowSigs(docs)
+      .select($"doc_id", $"ts", $"fp")
+      .join(postings, Seq("fp"))
+      .filter($"doc_id" =!= $"match_doc")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_id", "match_doc")
+      .select($"doc_id", $"ts", $"match_doc")
+    (flags, new GateCaches(Seq(sigC, postings)))
+  }
+
   def bloomFlags(docs: DataFrame, corpus: DataFrame): DataFrame =
     bloomFlagsScoped(docs, corpus)._1
 

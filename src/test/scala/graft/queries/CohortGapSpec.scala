@@ -55,6 +55,23 @@ class CohortGapSpec extends SparkSpec {
     }
   }
 
+  test("ev_seasonality: event mass conserves, cells stay on the 7x24 grid, shares floor-sum to 1e6") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = SparkEntry.queries("ev_seasonality")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    spark.catalog.clearCache()
+    val n = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_._3).sum == n, "every event lands in exactly one cell")
+    for ((dow, hour, _, ppm) <- rows) {
+      assert(dow >= 0 && dow <= 6 && hour >= 0 && hour <= 23)
+      assert(ppm >= 0 && ppm <= 1000000L)
+    }
+    // floored shares: sum is at most 1e6 and misses by < #cells
+    val s = rows.map(_._4).sum
+    assert(s <= 1000000L && s > 1000000L - rows.length)
+  }
+
   test("samp_cluster: exact per-cluster budget, full membership, deterministic") {
     val spark2 = spark
     import spark2.implicits._

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Laws for ann_ivf_recall (the nprobe sweep) and ev_forecast (the
+  * seasonal-naive backtest) that the value-compare can't state:
+  * monotonicity of the recall curve, consistency with ann_ivf_topk, and
+  * a from-scratch backtest recompute.
+  */
+class RecallCurveSpec extends SparkSpec {
+
+  test("ann_ivf_recall: recall is monotone in nprobe and consistent with ann_ivf_topk") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = SparkEntry.queries("ann_ivf_recall")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    spark.catalog.clearCache()
+    val byQid = rows.groupBy(_._2)
+    assert(byQid.nonEmpty)
+    for ((qid, rs) <- byQid) {
+      val r = rs.map(x => x._1 -> x._4).toMap
+      assert(r.keySet == Set(1L, 2L, 4L), s"qid $qid missing a sweep point")
+      assert(r(1L) <= r(2L) && r(2L) <= r(4L),
+        s"qid $qid: widening the probe set must never lose recall")
+    }
+    for ((_, _, hits, ppm) <- rows) assert(ppm == hits * 1000000L / 5)
+
+    // the nprobe=2 sweep point must equal a direct recall computation
+    // of ann_ivf_topk (the production operator) against ann_brute_topk
+    val ivf = SparkEntry.queries("ann_ivf_topk")(spark, sf)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val brute = SparkEntry.queries("ann_brute_topk")(spark, sf)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    val direct = brute.groupBy(_._1).map { case (q, ps) =>
+      q -> ps.count(ivf.contains).toLong }
+    for ((qid, hits) <- direct)
+      assert(rows.find(r => r._1 == 2L && r._2 == qid).get._3 == hits,
+        s"qid $qid: sweep point 2 disagrees with the production operator")
+  }
+
+  test("ev_forecast matches a from-scratch seasonal-naive backtest") {
+    val spark2 = spark
+    import spark2.implicits._
+    val daily = graft.Tables.events(spark, sf)
+      .select($"event_type", expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+
+    val expected = daily.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (tp, ds) =>
+      val errs = ds.groupBy { case (_, day, _) => (day + 4) % 7 }.values.flatMap { grp =>
+        val sorted = grp.sortBy(_._2)
+        sorted.zipWithIndex.drop(1).map { case ((_, _, n), i) =>
+          val prior = sorted.take(i).map(_._3)
+          math.abs(n - prior.sum / prior.length)
+        }
+      }.toSeq
+      // a type whose every dow group is a singleton has nothing scored
+      // and is absent from the engine output too
+      if (errs.isEmpty) None
+      else Some((tp, errs.length.toLong, errs.sum / errs.length, errs.max))
+    }
+
+    val got = SparkEntry.queries("ev_forecast")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expected, "backtest diverges from the naive recompute")
+    assert(got.nonEmpty)
+  }
+}
