@@ -35,6 +35,55 @@ object TextOps {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Distinct winnowing fingerprints (k=8-gram Karp-Rabin hashes, min
+    * per w=4 window, tie → rightmost) of an already-normalized string,
+    * in one linear pass. The hash is the polynomial
+    * Σ c_j·257^(k-1-j) mod (2⁴⁰−87) over CODE POINTS — pure integer
+    * arithmetic, so the DuckDB oracle replays it with ord()+Horner and
+    * the values match bit-for-bit (md5-per-gram computed the same
+    * selection 5× slower; the rolling update makes each position O(1)).
+    * Tie-break rides the same packed key as before: h·2²² + (2²²−1−pos)
+    * compares (min hash, max pos) in one BIGINT; Math.floorDiv unpacks
+    * it with the oracle's floor-division semantics. Strings shorter
+    * than k+w−1 = 11 code points have no full window → empty result.
+    */
+  def winnowFps(s: UTF8String): ArrayData = {
+    val K = 8; val W = 4; val B = 257L; val M = 1099511627689L; val Shift = 1L << 22
+    val cp = s.toString.codePoints.toArray
+    val n = cp.length
+    if (n < K + W - 1) return new GenericArrayData(Array.empty[Any])
+    val nGrams = n - K + 1
+    var bTop = 1L // 257^(K-1) mod M
+    var j = 1
+    while (j < K) { bTop = bTop * B % M; j += 1 }
+    val keys = new Array[Long](nGrams)
+    var h = 0L
+    var i = 0
+    while (i < K) { h = (h * B + cp(i)) % M; i += 1 }
+    keys(0) = h * Shift + (Shift - 1 - 1)
+    var p = 1
+    while (p < nGrams) {
+      h = ((h - cp(p - 1) * bTop % M) % M + M) % M
+      h = (h * B + cp(p + K - 1)) % M
+      keys(p) = h * Shift + (Shift - 1 - (p + 1))
+      p += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]
+    var w0 = 0
+    while (w0 + W <= nGrams) {
+      var mn = keys(w0)
+      var t = 1
+      while (t < W) { if (keys(w0 + t) < mn) mn = keys(w0 + t); t += 1 }
+      sel.add(Math.floorDiv(mn, Shift))
+      w0 += 1
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** Native Catalyst expression: string → array of its overlapping
@@ -66,5 +115,34 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.charNgrams($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression: normalized string → array<bigint> of its
+  * distinct winnowing fingerprints (TextOps.winnowFps — one generated
+  * call into the linear rolling-hash kernel). The whole selection stays
+  * inside the row that carries the text: no per-gram strings, no md5,
+  * no window operator (the shape dd_winnow and the streaming winnow
+  * gate share).
+  */
+case class WinnowFps(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps requires a STRING input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextOps.winnowFps(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.winnowFps($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
     copy(child = newChild)
 }

@@ -121,6 +121,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           s"char_ngrams expects (text, <int literal n>), got $exprs")
       }))
+    // winnow_fps(text) — SQL access to the native winnowing fingerprint
+    // kernel (rolling Karp-Rabin, min-per-window selection)
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.size != 1)
+          throw new IllegalArgumentException(s"winnow_fps expects 1 argument, got ${exprs.size}")
+        WinnowFps(exprs.head)
+      }))
     // optimizer rewrite: HOF dot-product/norm idioms → native LongDot
     ext.injectOptimizerRule(_ => NativeVectorRewrite)
   }

@@ -336,6 +336,62 @@ object AnnQueries {
         .orderBy($"cid")
     },
 
+    // PQ codebook distortion audit (the index-quality monitor a PQ
+    // deployment watches for drift: if the corpus distribution moves
+    // away from the codebook, ADC ranking quality silently decays
+    // before recall evals catch it): per subspace, the floored mean /
+    // max / exact-hit-count of the squared encode error over the whole
+    // corpus. Same deterministic codebook as ann_pq_topk (first 16
+    // vectors' subvectors), so the audit replays exactly in the oracle.
+    // Scale shape: one broadcast of the 128-row codebook, per-(vector,
+    // subspace) argmin partial agg, then an 8-row report; the error
+    // accumulator runs in DECIMAL(38,0) (HUGEINT oracle-side) — a
+    // cluster-scale corpus overflows int64 on the sum.
+    "emb_pq_distortion" -> { (s, d) =>
+      import s.implicits._
+      val (m, subDim, nCodes) = (8, 8, 16)
+      val e = quantized(s, d)
+      val subs = e.select($"vec_id", explode(expr(
+        s"transform(sequence(0, ${m - 1}), m -> struct(m AS sub, slice(q, m * $subDim + 1, $subDim) AS sv))")).as("x"))
+        .select($"vec_id", $"x.sub".as("sub"), $"x.sv".as("sv"))
+      val codebook = subs.filter($"vec_id" < nCodes)
+        .select($"vec_id".as("code"), $"sub", $"sv".as("cv"))
+      subs.join(broadcast(codebook), Seq("sub"))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+        .groupBy($"vec_id", $"sub")
+        .agg(min($"dist").as("err"))
+        .groupBy($"sub".cast("long").as("sub"))
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("CAST(sum(CAST(err AS DECIMAL(38,0))) div count(1) AS BIGINT)").as("mean_err"),
+          max($"err").as("max_err"),
+          sum(when($"err" === 0L, 1L).otherwise(0L)).as("n_exact"))
+        .orderBy($"sub")
+    },
+
+    // cross-label near-dup audit (split/domain contamination at the
+    // embedding level: near-identical vectors straddling a label
+    // boundary are exactly how eval answers leak into training data):
+    // the materialized LSH near-dup pairs joined to their labels, kept
+    // where the labels differ, aggregated per canonicalized label pair.
+    // Scale shape: reads the once-built CorpusLshIndex pair relation —
+    // no new pair generation — plus two equi joins on vec_id and a
+    // partial agg on the tiny label-pair key space.
+    "emb_cross_label" -> { (s, d) =>
+      import s.implicits._
+      val lab = t(s, d, "embeddings")
+        .select($"vec_id", $"label".cast("long").as("label"))
+      DedupQueries.embedLshPairs(s, d)
+        .join(lab.select($"vec_id".as("vec_a"), $"label".as("la")), Seq("vec_a"))
+        .join(lab.select($"vec_id".as("vec_b"), $"label".as("lb")), Seq("vec_b"))
+        .filter($"la" =!= $"lb")
+        .select(least($"la", $"lb").as("label_lo"),
+          greatest($"la", $"lb").as("label_hi"), $"cos_ppm")
+        .groupBy($"label_lo", $"label_hi")
+        .agg(count(lit(1)).as("n_pairs"), max($"cos_ppm").as("max_cos_ppm"))
+        .orderBy($"label_lo", $"label_hi")
+    },
+
     // product-quantization ANN (ADC scan + exact re-rank): 8 subspaces
     // x 8 dims, 16 deterministic codewords per subspace (the first 16
     // vectors' subvectors). Corpus vectors are encoded once to 8 small
@@ -1098,6 +1154,40 @@ object AnnQueries {
          |  CAST((n_hits * 1000000) // $TopK AS BIGINT) AS recall_ppm
          |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r4)
          |ORDER BY nprobe, qid""".stripMargin),
+
+    // subspace split on the flat (vec_id, i, q) relation: sub = (i-1)//8,
+    // codebook = the first 16 vectors, per-(vector, subspace) min over
+    // the 16 candidate distances
+    "emb_pq_distortion" -> (QuantCte +
+      """, sd AS (
+        |  SELECT a.vec_id, c.vec_id AS code, (a.i - 1) // 8 AS sub,
+        |    SUM((a.q - c.q) * (a.q - c.q)) AS dist
+        |  FROM e a
+        |  JOIN e c ON c.i = a.i AND c.vec_id < 16
+        |  GROUP BY 1, 2, 3),
+        |enc AS (SELECT vec_id, sub, MIN(dist) AS err FROM sd GROUP BY 1, 2)
+        |SELECT CAST(sub AS BIGINT) AS sub, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CAST(err AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_err,
+        |  CAST(MAX(err) AS BIGINT) AS max_err,
+        |  CAST(SUM(CASE WHEN err = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+        |FROM enc GROUP BY sub ORDER BY sub""".stripMargin),
+
+    // the materialized pair relation regenerated from the md5 recipe
+    // (EmbedPairCtes), joined to labels, canonicalized per label pair
+    "emb_cross_label" ->
+      (s"WITH ${DedupQueries.EmbedPairCtes},\n" +
+        s"""lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+           |x AS (
+           |  SELECT LEAST(la.label, lb.label) AS label_lo,
+           |    GREATEST(la.label, lb.label) AS label_hi, p.cos_ppm
+           |  FROM epairs p
+           |  JOIN lab la ON la.vec_id = p.va
+           |  JOIN lab lb ON lb.vec_id = p.vb
+           |  WHERE p.cos_ppm >= ${DedupQueries.EmbedLshThresholdPpm}
+           |    AND la.label <> lb.label)
+           |SELECT label_lo, label_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  CAST(MAX(cos_ppm) AS BIGINT) AS max_cos_ppm
+           |FROM x GROUP BY 1, 2 ORDER BY label_lo, label_hi""".stripMargin),
 
     "ann_brute_topk" -> (QuantCte +
       s""", dots AS (

@@ -52,35 +52,28 @@ object DedupQueries {
       "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))))"
 
   /** Per-doc winnowing fingerprints (dd_winnow's selection, shared with
-    * the streaming winnow gate) as ONE row-local array pipeline: gram
-    * hashes packed as h·2²² + (2²²−1 − pos) — min of a window is then
-    * (min hash, tie → rightmost) in a single BIGINT compare — the
-    * 4-window sliding min via transform+array_min+slice, fingerprint =
-    * packed div 2²². ZERO shuffle and zero window operator: selection
-    * happens inside the row that carries the text, which is both the
-    * 100 TB shape (nothing moves until the 8-byte fps do) and what lets
-    * the same code run on an unbounded stream (row-local expressions are
-    * stateless; a per-doc window would be unsupported there). Docs
-    * shorter than k+w−1 = 11 normalized chars have no full window and
-    * yield no fingerprints, same as the windowed form. Adds `fp`
-    * (exploded, with duplicates removed per doc), drops nothing else.
+    * the streaming winnow gate): ONE generated call into the native
+    * linear rolling-hash kernel (functions.WinnowFps — Karp-Rabin
+    * polynomial mod 2⁴⁰−87 over code points, min per 4-window, tie →
+    * rightmost via the packed h·2²² + (2²²−1 − pos) key). ZERO shuffle
+    * and zero window operator: selection happens inside the row that
+    * carries the text, which is both the 100 TB shape (nothing moves
+    * until the 8-byte fps do) and what lets the same code run on an
+    * unbounded stream (row-local expressions are stateless; a per-doc
+    * window would be unsupported there). Docs shorter than k+w−1 = 11
+    * normalized chars have no full window and yield no fingerprints.
+    * Adds `fp` (exploded, duplicates removed per doc), drops nothing
+    * else.
     */
-  private[graft] def winnowSigs(docs: DataFrame): DataFrame = {
-    val (k, w, shift) = (8, 4, 1L << 22)
+  private[graft] def winnowSigs(docs: DataFrame): DataFrame =
     docs
       .withColumn("nt", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
-      .filter(length(col("nt")) >= k + w - 1)
-      .withColumn("hs", expr(
-        s"transform(sequence(1, length(nt) - ${k - 1}), i -> " +
-          s"cast(conv(substring(md5(substring(nt, i, $k)), 1, 10), 16, 10) as long)" +
-          s" * ${shift}L + (${shift - 1}L - i))"))
-      // integral div — a double `/` would shave the low bits of the
-      // 62-bit packed key past the 53-bit mantissa
-      .withColumn("fp", explode(expr(
-        s"array_distinct(transform(sequence(1, size(hs) - ${w - 1}), " +
-          s"j -> array_min(slice(hs, j, $w)) div ${shift}L))")))
-      .drop("nt", "hs")
-  }
+      .filter(length(col("nt")) >= 11)
+      .withColumn("fp", explode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.WinnowFps(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("nt"))))))
+      .drop("nt")
 
   private[graft] def shingleArrays(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -1377,16 +1370,22 @@ object DedupQueries {
         |WHERE list_slice(b.tk, 1, CAST(a.n_tok AS INT)) = a.tk
         |ORDER BY doc_short, doc_long""".stripMargin,
 
+    // the gram hash is the same Karp-Rabin polynomial the native kernel
+    // rolls, unrolled to a Horner chain over ord() code points
     "dd_winnow" ->
-      """WITH nd AS (
-        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, i AS pos,
-        |    CAST('0x' || substr(md5(substr(nt, CAST(i AS INT), 8)), 1, 10) AS BIGINT) AS h
-        |  FROM nd, UNNEST(range(1, length(nt) - 6)) AS t(i)
-        |  WHERE length(nt) >= 8),
-        |win AS (
+      (s"""WITH nd AS (
+         |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+         |  FROM documents),
+         |nd2 AS (
+         |  SELECT doc_id, nt,
+         |    list_transform(range(1, length(nt) + 1), i -> ord(substr(nt, i, 1))) AS cs
+         |  FROM nd WHERE length(nt) >= 8),
+         |g AS (
+         |  SELECT doc_id, i AS pos,
+         |    ${(1 to 7).foldLeft("CAST(cs[i] AS BIGINT)")((acc, j) =>
+                s"(($acc * 257 + cs[i + $j]) % 1099511627689)")} AS h
+         |  FROM nd2, UNNEST(range(1, length(nt) - 6)) AS t(i)),""".stripMargin + "\n" +
+      """win AS (
         |  SELECT doc_id, pos,
         |    MIN(h * 4194304 + (4194303 - pos)) OVER (PARTITION BY doc_id
         |      ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key,
@@ -1401,7 +1400,7 @@ object DedupQueries {
         |  CAST(COUNT(*) AS BIGINT) AS shared_fps
         |FROM sig a JOIN capped c ON c.fp = a.fp
         |JOIN sig b ON b.fp = a.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 ORDER BY shared_fps DESC, doc_a, doc_b LIMIT 30""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY shared_fps DESC, doc_a, doc_b LIMIT 30""".stripMargin),
 
     "dd_containment" ->
       (s"WITH ${lshCtes("documents")},\n" +

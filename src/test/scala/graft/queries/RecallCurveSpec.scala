@@ -41,6 +41,43 @@ class RecallCurveSpec extends SparkSpec {
         s"qid $qid: sweep point 2 disagrees with the production operator")
   }
 
+  test("emb_pq_distortion: codebook vectors encode exactly, means bounded by maxes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = SparkEntry.queries("emb_pq_distortion")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    spark.catalog.clearCache()
+    assert(rows.map(_._1).toSeq == (0L to 7L), "one row per subspace, in order")
+    val nVecs = rows.head._2
+    for ((sub, n, mean, mx, exact) <- rows) {
+      assert(n == nVecs, s"subspace $sub saw a different corpus")
+      assert(mean >= 0 && mean <= mx)
+      // each of the 16 codebook vectors is its own codeword -> 0 error
+      assert(exact >= 16, s"subspace $sub lost a codebook self-encode")
+      assert(exact <= n)
+    }
+  }
+
+  test("emb_cross_label agrees with a direct label join of dd_embed_lsh") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = SparkEntry.queries("dd_embed_lsh")(spark, sf)
+      .select($"vec_a", $"vec_b", $"cos_ppm").as[(Long, Long, Long)].collect()
+    val labels = graft.Tables.t(spark, sf, "embeddings")
+      .select($"vec_id", $"label".cast("long")).as[(Long, Long)].collect().toMap
+    val expected = pairs
+      .filter { case (a, b, _) => labels(a) != labels(b) }
+      .groupBy { case (a, b, _) =>
+        (math.min(labels(a), labels(b)), math.max(labels(a), labels(b))) }
+      .map { case ((lo, hi), ps) => (lo, hi, ps.length.toLong, ps.map(_._3).max) }
+      .toSeq.sortBy { case (lo, hi, _, _) => (lo, hi) }
+    val got = SparkEntry.queries("emb_cross_label")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(got == expected)
+    assert(got.nonEmpty, "the synthetic corpus has known cross-label near-dups")
+  }
+
   test("ev_forecast matches a from-scratch seasonal-naive backtest") {
     val spark2 = spark
     import spark2.implicits._

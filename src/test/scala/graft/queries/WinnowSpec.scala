@@ -1,28 +1,31 @@
 package graft.queries
 
-import java.security.MessageDigest
+
 
 import graft.{SparkSpec, SparkEntry}
 
 /** dd_winnow checked against a from-scratch in-memory winnowing pass
-  * over the collected sf0.001 corpus (MessageDigest + sliding-window
-  * scan, no Spark and no SQL), plus the scheme's structural laws.
+  * over the collected sf0.001 corpus (plain-Scala Horner hashing +
+  * sliding-window scan, no Spark and no SQL), plus the scheme's
+  * structural laws.
   */
 class WinnowSpec extends SparkSpec {
 
-  private val K = 8 // gram chars
+  private val K = 8 // gram code points
   private val W = 4 // winnow window (grams)
   private val Shift = 1L << 22
+  private val B = 257L
+  private val M = 1099511627689L // 2^40 - 87, prime
 
-  private def md5hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-
-  /** the selected fingerprint set of one normalized doc */
+  /** the selected fingerprint set of one normalized doc — direct Horner
+    * per position (the kernel rolls; polynomial value mod M is the same)
+    */
   private def winnow(nt: String): Set[Long] = {
-    if (nt.length < K) return Set.empty
-    val hashes = (1 to nt.length - K + 1).map { pos =>
-      val h = java.lang.Long.parseLong(md5hex(nt.substring(pos - 1, pos - 1 + K)).take(10), 16)
+    val cp = nt.codePoints.toArray
+    if (cp.length < K) return Set.empty
+    val hashes = (1 to cp.length - K + 1).map { pos =>
+      var h = 0L
+      for (j <- 0 until K) h = (h * B + cp(pos - 1 + j)) % M
       h * Shift + (Shift - 1 - pos)
     }
     hashes.sliding(W).filter(_.size == W).map(w => w.min / Shift).toSet
