@@ -584,6 +584,56 @@ object DedupQueries {
         .limit(30)
     },
 
+    // LSH band-configuration tuning curve (the text-side sibling of
+    // ann_ivf_recall): re-band the SAME materialized 12-perm minhash
+    // signature as 6x2 / 4x3 / 3x4 (bands x rows) and report candidate
+    // volume, verified-true count and precision per configuration — the
+    // table that tells an operator which (b, r) to run BEFORE paying a
+    // corpus-scale dedup pass at the wrong operating point. Reads the
+    // once-built signature + shingle relations (no re-shingling, no
+    // re-hashing); each config is a band self-join on its own keys +
+    // the candidate-bounded jaccard verify. Nesting law (r=3 and r=4
+    // candidates are subsets of r=2, because every wider band contains
+    // an aligned 2-row band) is asserted in LshCurveSpec.
+    "dd_lsh_curve" -> { (s, d) =>
+      import s.implicits._
+      val sigs = CorpusLshIndex.sigs(s, d)
+      val arr = CorpusLshIndex.shingles(s, d) // (doc_id, ss) distinct arrays
+      val sh = arr.select($"doc_id", explode($"ss").as("s"))
+      val sizes = arr.select($"doc_id", size($"ss").cast("long").as("n_sh")).persist()
+      val rows = Seq(2, 3, 4).map { r =>
+        val bandCols = (0 until Perms / r).map { b =>
+          val parts = (0 until r).map(i => col(s"h${b * r + i}").cast("string"))
+          struct(lit(b).as("band"), md5(concat_ws(",", parts: _*)).as("bkey"))
+        }
+        val bands = sigs.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+          .select($"bb.band".as("band"), $"bb.bkey".as("bkey"), $"doc_id")
+        val cand = bands.select($"band", $"bkey", $"doc_id".as("doc_a"))
+          .join(bands.select($"band", $"bkey", $"doc_id".as("doc_b")), Seq("band", "bkey"))
+          .filter($"doc_a" < $"doc_b")
+          .select($"doc_a", $"doc_b").distinct()
+          .persist() // feeds the intersect join AND the final aggregate
+        val inter = cand
+          .join(sh.select($"doc_id".as("doc_a"), $"s"), Seq("doc_a"))
+          .join(sh.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
+          .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_int"))
+        cand
+          .join(inter, Seq("doc_a", "doc_b"), "left")
+          .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("na")), Seq("doc_a"))
+          .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), Seq("doc_b"))
+          .withColumn("ni", coalesce($"n_int", lit(0L)))
+          .withColumn("jac",
+            floor($"ni" / ($"na" + $"nb" - $"ni") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .agg(count(lit(1)).as("n_candidates"),
+            coalesce(sum(when($"jac" >= 400000, 1L).otherwise(0L)), lit(0L)).as("n_true"))
+          .select(lit(r.toLong).as("band_rows"), lit((Perms / r).toLong).as("n_bands"),
+            $"n_candidates", $"n_true",
+            expr("CASE WHEN n_candidates = 0 THEN 0 " +
+              "ELSE (n_true * 1000000) div n_candidates END").as("precision_ppm"))
+      }
+      rows.reduce(_ unionByName _).orderBy($"band_rows")
+    },
+
     // per-source exact-duplication rate (the data-card dup stat): docs,
     // distinct normalized fingerprints, dup mass in ppm — which sources
     // are mirror-heavy before any pair-level work is spent on them.
@@ -1401,6 +1451,61 @@ object DedupQueries {
         |FROM sig a JOIN capped c ON c.fp = a.fp
         |JOIN sig b ON b.fp = a.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY shared_fps DESC, doc_a, doc_b LIMIT 30""".stripMargin),
+
+    // the shared tok/shingle/signature CTEs, then each (b, r) config
+    // re-bands the same signature and scores its own candidate set
+    "dd_lsh_curve" -> {
+      val minCols = (0 until Perms).map { j =>
+        s"MIN((${permA(j)} * x31 + ${permB(j)}) % $P) AS h$j"
+      }.mkString(",\n    ")
+      val configs = Seq(2, 3, 4).map { r =>
+        val bandSelects = (0 until Perms / r).map { b =>
+          val parts = (0 until r).map(i => s"CAST(h${b * r + i} AS VARCHAR)")
+          s"SELECT doc_id, $b AS band, md5(${parts.mkString(" || ',' || ")}) AS bkey FROM sigs"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""bands$r AS (
+           |  $bandSelects),
+           |cand$r AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands$r a JOIN bands$r b
+           |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           |int$r AS (
+           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_int
+           |  FROM cand$r c
+           |  JOIN sh sa ON sa.doc_id = c.doc_a
+           |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+           |  GROUP BY 1, 2),
+           |sc$r AS (
+           |  SELECT CAST($r AS BIGINT) AS band_rows, CAST(${Perms / r} AS BIGINT) AS n_bands,
+           |    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           |    CAST(COALESCE(SUM(CASE WHEN FLOOR(COALESCE(i.n_int, 0)
+           |      / CAST(za.n_sh + zb.n_sh - COALESCE(i.n_int, 0) AS DOUBLE)
+           |      * 1000000.0 + 0.5) >= 400000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true
+           |  FROM cand$r c
+           |  LEFT JOIN int$r i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+           |  JOIN sizes za ON za.doc_id = c.doc_a
+           |  JOIN sizes zb ON zb.doc_id = c.doc_b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(text, ' +') AS tk FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' ' || tk[CAST(i AS INT) + 2] AS s
+         |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS t(i)),
+         |hashed AS (
+         |  SELECT doc_id, s, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $P AS x31 FROM sh),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    $minCols
+         |  FROM hashed GROUP BY doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         |$configs
+         |SELECT band_rows, n_bands, n_candidates, n_true,
+         |  CASE WHEN n_candidates = 0 THEN 0
+         |       ELSE CAST((n_true * 1000000) // n_candidates AS BIGINT) END AS precision_ppm
+         |FROM (SELECT * FROM sc2 UNION ALL SELECT * FROM sc3 UNION ALL SELECT * FROM sc4)
+         |ORDER BY band_rows""".stripMargin
+    },
 
     "dd_containment" ->
       (s"WITH ${lshCtes("documents")},\n" +
