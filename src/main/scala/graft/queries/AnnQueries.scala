@@ -369,6 +369,42 @@ object AnnQueries {
         .orderBy($"sub")
     },
 
+    // label-centroid tagging audit (the classifier-free domain tagger a
+    // curation pipeline runs when real labels exist only for a slice:
+    // assign every vector to its nearest LABEL centroid and confront
+    // the assignment with the true label as a confusion matrix — a
+    // diagonal-heavy matrix says centroid tagging is good enough to
+    // label the unlabeled remainder; confused label pairs say where it
+    // is not). Centroids are exact integer floor-means per (label, dim)
+    // — the emb_kmeans update formula — so the whole matrix replays in
+    // the oracle. Scale shape: one partial agg onto the (labels x 64)
+    // key space, one broadcast of the |labels|-row centroid relation,
+    // one argmin partial agg, then a tiny-key matrix agg.
+    "emb_centroid_confusion" -> { (s, d) =>
+      import s.implicits._
+      val e = quantized(s, d)
+      val lab = t(s, d, "embeddings")
+        .select($"vec_id", $"label".cast("long").as("label"))
+      val el = e.join(lab, Seq("vec_id"))
+        .select($"vec_id", $"label", $"q")
+        .persist() // feeds the centroid build AND the assignment pass
+      val cents = el.select($"label".as("alabel"), posexplode($"q"))
+        .toDF("alabel", "i", "x")
+        .groupBy($"alabel", $"i")
+        .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+        .withColumn("c", expr("(sx - pmod(sx, n)) div n"))
+        .groupBy($"alabel")
+        .agg(expr("transform(array_sort(collect_list(struct(i, c))), p -> p.c)").as("cq"))
+      el.join(broadcast(cents), lit(true))
+        .withColumn("dist", graft.operators.VectorOps.l2Col($"q", $"cq"))
+        .groupBy($"vec_id", $"label")
+        .agg(min(struct($"dist", $"alabel")).as("m"))
+        .select($"label".as("true_label"), $"m.alabel".as("assigned_label"))
+        .groupBy($"true_label", $"assigned_label")
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy($"true_label", $"assigned_label")
+    },
+
     // cross-label near-dup audit (split/domain contamination at the
     // embedding level: near-identical vectors straddling a label
     // boundary are exactly how eval answers leak into training data):
@@ -1171,6 +1207,27 @@ object AnnQueries {
         |  CAST(MAX(err) AS BIGINT) AS max_err,
         |  CAST(SUM(CASE WHEN err = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
         |FROM enc GROUP BY sub ORDER BY sub""".stripMargin),
+
+    // the same integer floor-mean centroid formula as the emb_kmeans
+    // oracle, one argmin per vector, then the matrix agg
+    "emb_centroid_confusion" -> (QuantCte +
+      """, l AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |cd AS (
+        |  SELECT l.label AS alabel, e.i,
+        |    (CAST(SUM(e.q) AS BIGINT) - (((CAST(SUM(e.q) AS BIGINT) % COUNT(*)) + COUNT(*)) % COUNT(*))) // COUNT(*) AS c
+        |  FROM e JOIN l ON l.vec_id = e.vec_id GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT e.vec_id, cd.alabel, SUM((e.q - cd.c) * (e.q - cd.c)) AS d
+        |  FROM e JOIN cd ON cd.i = e.i GROUP BY 1, 2),
+        |a AS (
+        |  SELECT vec_id, alabel FROM (
+        |    SELECT vec_id, alabel,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, alabel) AS rn
+        |    FROM dd) WHERE rn = 1)
+        |SELECT l.label AS true_label, a.alabel AS assigned_label,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |FROM a JOIN l ON l.vec_id = a.vec_id
+        |GROUP BY 1, 2 ORDER BY true_label, assigned_label""".stripMargin),
 
     // the materialized pair relation regenerated from the md5 recipe
     // (EmbedPairCtes), joined to labels, canonicalized per label pair

@@ -30,7 +30,13 @@ class PlanAuditSpec extends SparkSpec {
       // |sources|-row mixture profile
       "samp_ess",
       // ≤ FpsK-row selected set crossed into the corpus each round
-      "emb_fps")
+      "emb_fps",
+      // |labels|-row centroid relation crossed into the corpus (the
+      // relation is an Aggregate, so the broadcast rule bounds it; the
+      // join itself is the same deliberate tiny-side BNLJ as emb_kmeans)
+      "emb_centroid_confusion",
+      // the nprobe sweep composes ann_ivf_topk's centroid-seed BNLJ
+      "ann_ivf_recall")
   // samp_systematic's second exemption: the shard-offset prefix window
   // runs over the per-shard sums relation, ≤ SysShards (1024) rows by
   // construction whatever the corpus size — not a corpus-sized funnel
@@ -67,7 +73,12 @@ class PlanAuditSpec extends SparkSpec {
       // ann_range / emb_mmr: the same fixed 5-row query slice as
       // ann_brute_topk; emb_mmr additionally re-broadcasts its
       // window-bounded ≤ 20·|queries|-row candidate pool rounds
-      "ann_range", "emb_mmr")
+      "ann_range", "emb_mmr",
+      // the nprobe sweep broadcasts ann_ivf_topk's two constant slices
+      // (fixed 5-row query set, % step centroid seeds)
+      "ann_ivf_recall",
+      // the 16-row codebook slice, same constant bound as ann_pq_topk
+      "emb_pq_distortion")
 
   /** a hinted subtree is scale-safe iff its row count cannot grow with
     * the fact tables: an aggregation / limit / literal relation bounds

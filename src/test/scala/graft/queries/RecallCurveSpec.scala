@@ -78,6 +78,40 @@ class RecallCurveSpec extends SparkSpec {
     assert(got.nonEmpty, "the synthetic corpus has known cross-label near-dups")
   }
 
+  test("emb_centroid_confusion matches a from-scratch centroid-tagging recompute") {
+    val spark2 = spark
+    import spark2.implicits._
+    val raw = graft.Tables.t(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding", $"label".cast("long"))
+      .as[(Long, Seq[Float], Long)].collect()
+    val vecs = raw.map { case (id, emb, lab) =>
+      (id, emb.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray, lab)
+    }
+
+    // integer floor-mean centroid per (label, dim), like the engine
+    val cents = vecs.groupBy(_._3).map { case (lab, vs) =>
+      val dims = vs.head._2.length
+      lab -> Array.tabulate(dims) { i =>
+        val sx = vs.map(_._2(i)).sum
+        val n = vs.length
+        (sx - (((sx % n) + n) % n)) / n
+      }
+    }
+    val expected = vecs.map { case (_, q, trueLab) =>
+      val assigned = cents.toSeq.map { case (lab, c) =>
+        (q.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, lab)
+      }.min._2
+      (trueLab, assigned)
+    }.groupBy(identity).map { case ((t, a), xs) => (t, a, xs.length.toLong) }
+      .toSeq.sorted
+
+    val got = SparkEntry.queries("emb_centroid_confusion")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(got == expected, "confusion matrix diverges from the naive recompute")
+    assert(got.map(_._3).sum == vecs.length.toLong)
+  }
+
   test("ev_forecast matches a from-scratch seasonal-naive backtest") {
     val spark2 = spark
     import spark2.implicits._
