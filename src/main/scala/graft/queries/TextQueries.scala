@@ -482,6 +482,41 @@ object TextQueries {
         .orderBy($"n_exact".desc, $"tok")
     },
 
+    // EXACT heavy-hitter tokens via a Misra-Gries candidate prefilter
+    // (the two-pass pattern for "all keys above frequency φ" when the
+    // key space — a web corpus's vocabulary — is too wide to shuffle):
+    // pass 1 runs the weighted MG summary as a typed Aggregator
+    // ([[graft.operators.MisraGries]]) — bounded memory per partition,
+    // mergeable partials, NO shuffle of token keys at all; its ≤cap-entry
+    // candidate set PROVABLY contains every token with count > N/(cap+1)
+    // (MisraGriesSpec asserts the law), so with threshold N div 256 and
+    // cap = 512 > 255 completeness is by construction, not probability.
+    // Pass 2 broadcast-semi-joins the tiny candidate list against the
+    // token index and counts exactly — the only shuffle carries O(cap)
+    // candidate keys instead of the vocabulary. Output is exact counts
+    // only (deterministic); the summary's internal lower bounds are
+    // merge-order-dependent and never surface. The single-row collect is
+    // bounded by construction (one MgSummary, ≤cap entries).
+    "txt_heavy" -> { (s, d) =>
+      import s.implicits._
+      val toks = CorpusTokenIndex.tokens(s, d)
+        .select($"tok")
+        .filter(length($"tok") > 0)
+        .as[String]
+      val mg = new graft.operators.MisraGries(512)
+      val summary = toks.select(mg.toColumn).head()
+      val thr = math.max(1L, summary.total / 256L)
+      val cand = summary.keys.toSeq.toDF("tok")
+      toks.toDF("tok")
+        .join(broadcast(cand), Seq("tok"))
+        .groupBy($"tok")
+        .agg(count(lit(1)).as("n_exact"))
+        .filter($"n_exact" >= thr)
+        .select($"tok", $"n_exact", lit(summary.total).as("n_total"),
+          lit(thr).as("thr"))
+        .orderBy($"n_exact".desc, $"tok")
+    },
+
     // lexical-diversity profile per source: type/token counts, hapax
     // (once-only) types, integer-ppm type-token and hapax ratios — the
     // vocabulary-growth signal that separates template-generated sources
@@ -787,6 +822,17 @@ object TextQueries {
         |SELECT lk.tok, lk.n_exact, CAST(MIN(s.n) AS BIGINT) AS cms_estimate
         |FROM lk JOIN sketch s ON s.r = lk.r AND s.bucket = lk.bucket
         |GROUP BY 1, 2 ORDER BY n_exact DESC, tok""".stripMargin,
+
+    "txt_heavy" ->
+      """WITH toks AS (
+        |  SELECT tok FROM (SELECT unnest(string_split_regex(text, ' +')) AS tok FROM documents)
+        |  WHERE length(tok) > 0),
+        |tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_exact) AS BIGINT) AS n,
+        |  CAST(GREATEST(1, SUM(n_exact) // 256) AS BIGINT) AS thr FROM tc)
+        |SELECT tc.tok, tc.n_exact, tot.n AS n_total, tot.thr
+        |FROM tc, tot WHERE tc.n_exact >= tot.thr
+        |ORDER BY n_exact DESC, tok""".stripMargin,
 
     "txt_pmi" ->
       """WITH toks AS (
