@@ -487,6 +487,80 @@ object AnnQueries {
         .orderBy($"qid", $"rnk")
     },
 
+    // IVF-PQ composed index scan — the production ANN shape (FAISS
+    // IndexIVFPQ): the coarse quantizer (ann_ivf_topk's deterministic
+    // cells, cosine assignment, nprobe=2) restricts the search to the
+    // probed cells' members FIRST, then PQ asymmetric-distance ranking
+    // (ann_pq_topk's 8×8 codes + query LUT) runs only inside those
+    // cells, and full-precision math touches nothing but the ≤5k-row
+    // shortlist in the exact re-rank. Scale shape — why this beats
+    // either index alone at 100 TB: the ADC join's corpus side is cut
+    // to the probed cells BEFORE any distance work (codes ⋈ candidate
+    // cids, AQE-broadcastable candidate list), the LUT is
+    // |queries|·8·16 rows (always broadcast), and the shuffle carries
+    // (qid, cid, partial adist) triples with map-side combine — never
+    // vectors. Fully deterministic (same seeds as the parents), so the
+    // whole composition replays in the oracle.
+    "ann_ivf_pq" -> { (s, d) =>
+      import s.implicits._
+      val (mSub, subDim, nCodes, shortlist) = (8, 8, 16, 5 * TopK)
+      val e = quantized(s, d)
+      val cents = e.filter($"vec_id" % CentroidStep === 0)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"nn".as("nc"))
+      def assign(df: DataFrame, keep: Int): DataFrame = {
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("c_ppm").desc, col("cent_id"))
+        df.join(broadcast(cents), lit(true))
+          .withColumn("dot", expr("aggregate(zip_with(q, qc, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+          .withColumn("c_ppm",
+            floor(col("dot") / (sqrt(col("nn")) * sqrt(col("nc"))) * lit(1000000.0) + lit(0.5)).cast("long"))
+          .withColumn("crnk", row_number().over(w))
+          .filter(col("crnk") <= keep)
+          .select(col("vec_id"), col("cent_id"))
+      }
+      val cells = assign(e, 1).select($"vec_id".as("cid"), $"cent_id")
+      val probes = assign(e.filter($"vec_id" < NumQueries), 2)
+        .select($"vec_id".as("qid"), $"cent_id")
+      val cand = cells.join(broadcast(probes), Seq("cent_id"))
+        .filter($"cid" =!= $"qid")
+        .select($"qid", $"cid")
+      val subs = e.select($"vec_id", explode(expr(
+        s"transform(sequence(0, ${mSub - 1}), m -> struct(m AS sub, slice(q, m * $subDim + 1, $subDim) AS sv))")).as("x"))
+        .select($"vec_id", $"x.sub".as("sub"), $"x.sv".as("sv"))
+      val codebook = subs.filter($"vec_id" < nCodes)
+        .select($"vec_id".as("code"), $"sub", $"sv".as("cv"))
+      def sqDist = expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+      val codes = subs.join(broadcast(codebook), Seq("sub"))
+        .withColumn("dist", sqDist)
+        .groupBy($"vec_id", $"sub")
+        .agg(min(struct($"dist", $"code")).as("mn"))
+        .select($"vec_id".as("cid"), $"sub", $"mn.code".as("code"))
+      val lut = subs.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("qid"), $"sub", $"sv")
+        .join(broadcast(codebook), Seq("sub"))
+        .withColumn("qdist", sqDist)
+        .select($"qid", $"sub", $"code", $"qdist")
+      // cell restriction FIRST: only probed-cell members reach the ADC
+      val wAdc = Window.partitionBy($"qid").orderBy($"adist".asc, $"cid")
+      val short = codes.join(cand, Seq("cid"))
+        .join(broadcast(lut), Seq("qid", "sub", "code"))
+        .groupBy($"qid", $"cid")
+        .agg(sum($"qdist").as("adist"))
+        .withColumn("srnk", row_number().over(wAdc))
+        .filter($"srnk" <= shortlist)
+        .select($"qid", $"cid")
+      val wExact = Window.partitionBy($"qid").orderBy($"dist".asc, $"cid")
+      broadcast(short)
+        .join(e.select($"vec_id".as("cid"), $"q".as("qb")), Seq("cid"))
+        .join(broadcast(e.filter($"vec_id" < NumQueries)
+          .select($"vec_id".as("qid"), $"q".as("qa"))), Seq("qid"))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+        .withColumn("rnk", row_number().over(wExact).cast("long"))
+        .filter($"rnk" <= TopK)
+        .select($"qid", $"rnk", $"cid", $"dist")
+        .orderBy($"qid", $"rnk")
+    },
+
     // per-label embedding cluster statistics — the k-means E-step summary
     // a label-balance / cluster-quality audit runs over training vectors:
     // per-dimension component sums (= unnormalized centroid), squared
@@ -1050,6 +1124,65 @@ object AnnQueries {
     // PQ replay: the codebook is DETERMINISTIC (codewords = subvectors
     // of vec_id < 16 — no iteration), so encode, per-query LUT, ADC
     // shortlist and exact re-rank all replay in SQL
+    // IVF-PQ composition: the IVF cell/probe CTEs restrict the candidate
+    // pairs, the PQ code/LUT CTEs rank them by ADC, exact re-rank last
+    "ann_ivf_pq" -> (QuantCte +
+      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStep = 0),
+         |cdots AS (
+         |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
+         |  FROM e a
+         |  JOIN e b ON b.i = a.i
+         |  JOIN cents c ON c.cent_id = b.vec_id
+         |  GROUP BY 1, 2),
+         |asgn AS (
+         |  SELECT d.vec_id, d.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+         |      CAST(FLOOR(d.dot / (sqrt(nv.nn) * sqrt(nc.nn)) * 1000000.0 + 0.5) AS BIGINT) DESC,
+         |      d.cent_id) AS crnk
+         |  FROM cdots d
+         |  JOIN n nv ON nv.vec_id = d.vec_id
+         |  JOIN n nc ON nc.vec_id = d.cent_id),
+         |cells AS (SELECT vec_id AS cid, cent_id FROM asgn WHERE crnk <= 1),
+         |qprobes AS (SELECT vec_id AS qid, cent_id FROM asgn WHERE crnk <= 2 AND vec_id < $NumQueries),
+         |cand AS (
+         |  SELECT q.qid, cl.cid FROM qprobes q JOIN cells cl ON cl.cent_id = q.cent_id
+         |  WHERE cl.cid <> q.qid),
+         |sub AS (
+         |  SELECT vec_id, CAST((i - 1) // 8 AS INT) AS sub, CAST((i - 1) % 8 AS INT) AS pos, q
+         |  FROM e),
+         |cdist AS (
+         |  SELECT a.vec_id, a.sub, c.vec_id AS code, CAST(SUM((a.q - c.q) * (a.q - c.q)) AS BIGINT) AS dist
+         |  FROM sub a JOIN sub c ON c.sub = a.sub AND c.pos = a.pos AND c.vec_id < 16
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id AS cid, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+         |    FROM cdist) WHERE rn = 1),
+         |lut AS (SELECT vec_id AS qid, sub, code, dist AS qdist FROM cdist WHERE vec_id < $NumQueries),
+         |adc AS (
+         |  SELECT ca.qid, ca.cid, CAST(SUM(l.qdist) AS BIGINT) AS adist
+         |  FROM cand ca
+         |  JOIN codes c ON c.cid = ca.cid
+         |  JOIN lut l ON l.qid = ca.qid AND l.sub = c.sub AND l.code = c.code
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS srnk
+         |    FROM adc) WHERE srnk <= ${5 * TopK}),
+         |ex AS (
+         |  SELECT s.qid, s.cid, CAST(SUM((ea.q - eb.q) * (ea.q - eb.q)) AS BIGINT) AS dist
+         |  FROM short s
+         |  JOIN e ea ON ea.vec_id = s.qid
+         |  JOIN e eb ON eb.vec_id = s.cid AND eb.i = ea.i
+         |  GROUP BY 1, 2)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, dist FROM (
+         |  SELECT qid, cid, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS rnk
+         |  FROM ex) WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin),
+
     "ann_pq_topk" -> (QuantCte +
       s""", sub AS (
          |  SELECT vec_id, CAST((i - 1) // 8 AS INT) AS sub, CAST((i - 1) % 8 AS INT) AS pos, q

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.rawdata.{EventsAsTopic, Topic}
@@ -182,6 +183,33 @@ object MultimodalQueries {
         .withColumn("top_ppm", expr("(top_n * 1000000) div n_bytes"))
         .select($"position", $"n_bytes", $"n_distinct", $"top_byte", $"top_n", $"top_ppm")
         .orderBy($"position")
+    },
+
+    // byte-budget shard packing (the WebDataset/tar-shard layout step of
+    // a multimodal training pipeline: assets streamed into fixed-size
+    // shards in arrival order so a training loader can fetch shard files
+    // sequentially): per payload stream (the map key), assets are packed
+    // greedily in sequence order into 2048-byte shards — an asset lands
+    // in the shard where its running byte offset starts, the same
+    // straddle rule as txt_pack_bins. Scale shape: one running-sum
+    // window per stream (parallelism = #streams; salt the stream key to
+    // widen, exactly as documented for txt_pack_bins), then a per-shard
+    // partial agg — payload bytes are COUNTED but never shuffled (the
+    // window carries only the length column).
+    "mm_shard_pack" -> { (s, d) =>
+      import s.implicits._
+      val budget = 2048L
+      val w = Window.partitionBy($"key").orderBy($"eid")
+      payloads(s, d, 500)
+        .select($"key", $"position",
+          expr("CAST(substring(position, 5) AS BIGINT)").as("eid"),
+          length($"payload").cast("long").as("n_bytes"))
+        .withColumn("shard",
+          floor((sum($"n_bytes").over(w) - $"n_bytes") / lit(budget)).cast("long"))
+        .groupBy($"key", $"shard")
+        .agg(count(lit(1)).as("n_items"), sum($"n_bytes").as("n_bytes"),
+          min($"eid").as("first_eid"), max($"eid").as("last_eid"))
+        .orderBy($"key", $"shard")
     }
   )
 
@@ -261,6 +289,23 @@ object MultimodalQueries {
         |  CAST((p.top_n * 1000000) // p.n_bytes AS BIGINT) AS top_ppm
         |FROM prof p JOIN top t ON t.position = p.position
         |ORDER BY p.position""".stripMargin,
+
+    "mm_shard_pack" ->
+      """WITH m AS (
+        |  SELECT 'props' AS key, event_id AS eid, CAST(length(props) AS BIGINT) AS n_bytes
+        |  FROM events WHERE event_id < 500
+        |  UNION ALL
+        |  SELECT 'user', event_id, CAST(length(CAST(user_id AS VARCHAR)) AS BIGINT)
+        |  FROM events WHERE event_id < 500),
+        |x AS (
+        |  SELECT key, eid, n_bytes,
+        |    CAST((SUM(n_bytes) OVER (PARTITION BY key ORDER BY eid) - n_bytes) // 2048
+        |      AS BIGINT) AS shard
+        |  FROM m)
+        |SELECT key, shard, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+        |  CAST(MIN(eid) AS BIGINT) AS first_eid, CAST(MAX(eid) AS BIGINT) AS last_eid
+        |FROM x GROUP BY 1, 2 ORDER BY key, shard""".stripMargin,
 
     "mm_phash_pairs" ->
       s"""WITH $PhashSimsCtes

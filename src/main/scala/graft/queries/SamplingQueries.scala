@@ -338,6 +338,56 @@ object SamplingQueries {
           expr("sq_all div n_docs").as("mean_q_all_ppm"),
           expr("sq_kept div greatest(1L, n_kept)").as("mean_q_kept_ppm"))
         .orderBy($"source")
+    },
+
+    // DSIR-style importance weighting (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling", NeurIPS'23): score
+    // every raw document by how target-like its hashed-unigram profile
+    // is — weight_ppm(bucket) = smoothed P_target(bucket)/P_raw(bucket),
+    // doc score = token-count-weighted mean of its buckets' ratios.
+    // Target here = the lang='en' slice (stand-in for "trusted corpus");
+    // the feature space is 1024 md5-hashed buckets, the paper's
+    // hashed-ngram trick that makes the model corpus-size-independent.
+    // Integer-exact end to end: ratios as
+    // ((ct+1)·(Nr+B)·10⁶) div ((cr+1)·(Nt+B)) in DECIMAL(38,0) (the
+    // cross-multiplied add-one form — one integral divide, no float
+    // log-likelihoods), so selection replays bit-identically in the
+    // oracle. Scale shape: BOTH count relations are ≤B=1024 rows no
+    // matter the corpus size (the whole point of hashing the feature
+    // space) — the weight table broadcasts; per-doc bucket counts group
+    // on a superset of the token index's doc_id bucketing (no exchange);
+    // the doc score is one partial agg on doc_id. Output: the top-64
+    // most target-like raw docs (the resampling shortlist) with their
+    // weights.
+    "samp_dsir" -> { (s, d) =>
+      import s.implicits._
+      val B = 1024
+      val toks = CorpusTokenIndex.tokens(s, d)
+        .filter(length($"tok") > 0)
+        .select($"doc_id", $"lang",
+          expr(s"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % $B").as("bucket"))
+      val docBuckets = toks.groupBy($"doc_id", $"lang", $"bucket")
+        .agg(count(lit(1)).as("k"))
+        .persist() // feeds the two global count relations AND the scoring join
+      val raw = docBuckets.groupBy($"bucket").agg(sum($"k").as("cr"))
+      val tgt = docBuckets.filter($"lang" === "en")
+        .groupBy($"bucket").agg(sum($"k").as("ct"))
+      val totals = docBuckets.agg(
+        sum($"k").as("nr"),
+        sum(when($"lang" === "en", $"k").otherwise(0L)).as("nt"))
+      val weights = raw.join(tgt, Seq("bucket"), "left")
+        .crossJoin(broadcast(totals))
+        .withColumn("w_ppm", expr(
+          s"CAST((CAST(coalesce(ct, 0L) + 1L AS DECIMAL(38,0)) * (nr + $B) * 1000000) div " +
+            s"(CAST(cr + 1L AS DECIMAL(38,0)) * (nt + $B)) AS BIGINT)"))
+        .select($"bucket", $"w_ppm")
+      docBuckets
+        .join(broadcast(weights), Seq("bucket"))
+        .groupBy($"doc_id")
+        .agg(sum($"k").as("n_tokens"),
+          expr("sum(w_ppm * k) div sum(k)").as("dsir_ppm"))
+        .orderBy($"dsir_ppm".desc, $"doc_id")
+        .limit(64)
     }
   )
 
@@ -515,6 +565,30 @@ object SamplingQueries {
          |  CAST(SUM(q_ppm) // COUNT(*) AS BIGINT) AS mean_q_all_ppm,
          |  CAST(COALESCE(SUM(q_ppm) FILTER (keep), 0)
          |    // GREATEST(1, COUNT(*) FILTER (keep)) AS BIGINT) AS mean_q_kept_ppm
-         |FROM v GROUP BY source ORDER BY source""".stripMargin
+         |FROM v GROUP BY source ORDER BY source""".stripMargin,
+
+    "samp_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024 AS bucket
+        |  FROM (SELECT doc_id, lang, unnest(string_split_regex(text, ' +')) AS tok
+        |        FROM documents)
+        |  WHERE length(tok) > 0),
+        |db AS (SELECT doc_id, lang, bucket, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM toks GROUP BY 1, 2, 3),
+        |raw AS (SELECT bucket, CAST(SUM(k) AS BIGINT) AS cr FROM db GROUP BY 1),
+        |tgt AS (SELECT bucket, CAST(SUM(k) AS BIGINT) AS ct
+        |  FROM db WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(k) AS BIGINT) AS nr,
+        |  CAST(COALESCE(SUM(k) FILTER (lang = 'en'), 0) AS BIGINT) AS nt FROM db),
+        |w AS (
+        |  SELECT raw.bucket,
+        |    CAST((CAST(COALESCE(tgt.ct, 0) + 1 AS HUGEINT) * (tot.nr + 1024) * 1000000) //
+        |      (CAST(raw.cr + 1 AS HUGEINT) * (tot.nt + 1024)) AS BIGINT) AS w_ppm
+        |  FROM raw LEFT JOIN tgt ON tgt.bucket = raw.bucket CROSS JOIN tot)
+        |SELECT db.doc_id, CAST(SUM(db.k) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(w.w_ppm * db.k) // SUM(db.k) AS BIGINT) AS dsir_ppm
+        |FROM db JOIN w ON w.bucket = db.bucket
+        |GROUP BY db.doc_id ORDER BY dsir_ppm DESC, doc_id LIMIT 64""".stripMargin
   )
 }

@@ -367,6 +367,53 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // held-out LM quality filtering (the CCNet/KenLM pattern: train a
+    // small LM on a trusted half, score the rest, drop what the model
+    // finds improbable) — add-one-smoothed bigram LM trained on even
+    // doc_ids, scoring odd doc_ids. Integer-exact throughout:
+    // pred_ppm = ((cab+1)·10⁶) div (ca+V) with V = train token-type
+    // count, so unseen bigrams and unseen prefixes both score the
+    // uniform floor instead of crashing the product at zero — the
+    // smoothing is what makes a HELD-OUT scorer well-defined, which
+    // txt_bigram_lm (self-scoring, never missing) doesn't need. Scale
+    // shape: the model is a vocab-sized relation (pair + prefix counts),
+    // the scoring join carries DISTINCT per-doc bigrams with
+    // multiplicities (txt_bigram_lm's weighted-mean trick), V rides in
+    // as a broadcast 1-row relation, and the per-doc agg groups on a
+    // superset of the token index's doc_id bucketing. keep flags the
+    // docs at/above the corpus-independent uniform-floor multiple
+    // (mean ≥ 16·10⁶ div V-ish is corpus-dependent; the fixed 700 ppm
+    // cutoff is the demonstrative gate — the mechanics, not the tuned
+    // threshold, are the operator).
+    "txt_lm_filter" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"doc_id").orderBy($"i")
+      val bi = CorpusTokenIndex.tokens(s, d)
+        .select($"doc_id", $"pos".as("i"), $"tok".as("a"))
+        .withColumn("b", lead($"a", 1).over(w))
+        .filter($"b".isNotNull)
+        .groupBy($"doc_id", $"a", $"b").agg(count(lit(1)).as("k"))
+        .persist() // feeds train-side model counts AND the held-out scoring join
+      val train = bi.filter($"doc_id" % 2 === 0)
+      val pair = train.groupBy($"a", $"b").agg(sum($"k").as("cab"))
+      val prefix = pair.groupBy($"a").agg(sum($"cab").as("ca"))
+      val vocab = CorpusTokenIndex.tokens(s, d)
+        .filter($"doc_id" % 2 === 0)
+        .agg(countDistinct($"tok").as("v"))
+      val scored = bi.filter($"doc_id" % 2 === 1)
+        .join(pair, Seq("a", "b"), "left")
+        .join(prefix, Seq("a"), "left")
+        .crossJoin(broadcast(vocab))
+        .withColumn("pred_ppm", expr(
+          "((coalesce(cab, 0L) + 1L) * 1000000) div (coalesce(ca, 0L) + v)"))
+      scored.groupBy($"doc_id")
+        .agg(sum($"k").as("n_bigrams"),
+          expr("sum(pred_ppm * k) div sum(k)").as("mean_pred_ppm"),
+          min($"pred_ppm").as("min_pred_ppm"))
+        .withColumn("keep", ($"mean_pred_ppm" >= 700L).cast("long"))
+        .orderBy($"doc_id")
+    },
+
     // per-doc top-3 distinctive terms by df-normalized term weight — the
     // log-free TF-IDF variant score = tf·10⁶ div df, kept integer so the
     // ranking is bit-identical on any engine (log-based idf ties the
@@ -822,6 +869,39 @@ object TextQueries {
         |SELECT lk.tok, lk.n_exact, CAST(MIN(s.n) AS BIGINT) AS cms_estimate
         |FROM lk JOIN sketch s ON s.r = lk.r AND s.bucket = lk.bucket
         |GROUP BY 1, 2 ORDER BY n_exact DESC, tok""".stripMargin,
+
+    "txt_lm_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i, tok AS a
+        |  FROM (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok,
+        |          generate_subscripts(string_split_regex(text, ' +'), 1) AS i
+        |        FROM documents)),
+        |bi AS (
+        |  SELECT doc_id, a,
+        |    LEAD(a) OVER (PARTITION BY doc_id ORDER BY i) AS b
+        |  FROM toks),
+        |bi2 AS (SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM bi WHERE b IS NOT NULL GROUP BY 1, 2, 3),
+        |pair AS (SELECT a, b, CAST(SUM(k) AS BIGINT) AS cab
+        |  FROM bi2 WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |prefix AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM pair GROUP BY 1),
+        |vocab AS (
+        |  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+        |  FROM (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok FROM documents)
+        |  WHERE doc_id % 2 = 0),
+        |scored AS (
+        |  SELECT bi2.doc_id, bi2.k,
+        |    ((COALESCE(pair.cab, 0) + 1) * 1000000) // (COALESCE(prefix.ca, 0) + vocab.v) AS pred_ppm
+        |  FROM bi2
+        |  LEFT JOIN pair ON pair.a = bi2.a AND pair.b = bi2.b
+        |  LEFT JOIN prefix ON prefix.a = bi2.a
+        |  CROSS JOIN vocab
+        |  WHERE bi2.doc_id % 2 = 1)
+        |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(pred_ppm * k) // SUM(k) AS BIGINT) AS mean_pred_ppm,
+        |  CAST(MIN(pred_ppm) AS BIGINT) AS min_pred_ppm,
+        |  CAST(CASE WHEN SUM(pred_ppm * k) // SUM(k) >= 700 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "txt_heavy" ->
       """WITH toks AS (
