@@ -84,6 +84,47 @@ object TextOps {
     while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
     new GenericArrayData(out)
   }
+
+  /** Content-defined chunks of an already-normalized string (the
+    * LBFS/rsync/restic boundary rule): cut after code point p wherever
+    * the k=8-gram Karp-Rabin hash STARTING at 1-based position p
+    * satisfies h ≡ 0 (mod 64) — the same polynomial as [[winnowFps]]
+    * (Σ c_j·257^(k-1-j) mod 2⁴⁰−87 over code points), so the DuckDB
+    * oracle replays the boundary set with ord()+Horner bit-for-bit.
+    * Expected chunk length ≈ 64 code points; a string with no boundary
+    * is one chunk; strings shorter than k have no gram and are the
+    * CALLER's job to filter (mirroring the length-≥-8 predicate both
+    * engines apply). One linear pass, no per-gram strings.
+    */
+  def cdcChunks(s: UTF8String): ArrayData = {
+    val K = 8; val B = 257L; val M = 1099511627689L; val Mask = 64L
+    val cp = s.toString.codePoints.toArray
+    val n = cp.length
+    if (n < K) return new GenericArrayData(Array.empty[Any])
+    val nGrams = n - K + 1
+    var bTop = 1L
+    var j = 1
+    while (j < K) { bTop = bTop * B % M; j += 1 }
+    val out = new java.util.ArrayList[Any]
+    var h = 0L
+    var i = 0
+    while (i < K) { h = (h * B + cp(i)) % M; i += 1 }
+    var prev = 0
+    var p = 0 // 0-based gram start; boundary cuts after code point p+1 (1-based pos)
+    if (h % Mask == 0L) { out.add(UTF8String.fromString(new String(cp, prev, 1 - prev))); prev = 1 }
+    p = 1
+    while (p < nGrams) {
+      h = ((h - cp(p - 1) * bTop % M) % M + M) % M
+      h = (h * B + cp(p + K - 1)) % M
+      if (h % Mask == 0L) {
+        out.add(UTF8String.fromString(new String(cp, prev, p + 1 - prev)))
+        prev = p + 1
+      }
+      p += 1
+    }
+    out.add(UTF8String.fromString(new String(cp, prev, n - prev)))
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** Native Catalyst expression: string → array of its overlapping
@@ -144,5 +185,33 @@ case class WinnowFps(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.winnowFps($c)")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression: normalized string → array<string> of its
+  * content-defined chunks (TextOps.cdcChunks — one generated call into
+  * the linear rolling-hash kernel). Boundary selection is a pure
+  * function of content, so insert/delete edits only re-chunk the
+  * neighborhood of the edit — the property the storage-dedup estimator
+  * dd_cdc measures.
+  */
+case class CdcChunks(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks requires a STRING input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextOps.cdcChunks(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.cdcChunks($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
     copy(child = newChild)
 }

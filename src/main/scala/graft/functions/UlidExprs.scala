@@ -131,6 +131,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(s"winnow_fps expects 1 argument, got ${exprs.size}")
         WinnowFps(exprs.head)
       }))
+    // cdc_chunks(text) — SQL access to the native content-defined
+    // chunking kernel (rolling Karp-Rabin, h % 64 == 0 boundary rule)
+    ext.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.size != 1)
+          throw new IllegalArgumentException(s"cdc_chunks expects 1 argument, got ${exprs.size}")
+        CdcChunks(exprs.head)
+      }))
     // optimizer rewrite: HOF dot-product/norm idioms → native LongDot
     ext.injectOptimizerRule(_ => NativeVectorRewrite)
   }

@@ -221,10 +221,10 @@ object AnnQueries {
     // KmeansK vec_ids, exactly KmeansIters assignment/update rounds,
     // integer arithmetic throughout (squared euclidean distance on
     // quantized ints; centroid update = per-dimension FLOOR division
-    // implemented as (s - pmod(s, n)) div n, because Spark's `div`
-    // truncates toward zero while DuckDB's `//` floors — subtracting the
-    // positive remainder first makes both exact and identical on negative
-    // sums). Scale shape: each round broadcasts the k-row centroid
+    // implemented as (s - pmod(s, n)) div n: BOTH Spark's `div` and
+    // DuckDB's `//` truncate toward zero, so subtracting the positive
+    // remainder first makes the division exact — hence floor — in both
+    // engines, identical on negative sums). Scale shape: each round broadcasts the k-row centroid
     // relation against the corpus (map-side assignment — the BNLJ is the
     // deliberate tiny-side pattern, same as ann_ivf_topk), then one
     // partial-agg shuffle of 64 longs per cluster for the update. Output:
@@ -581,6 +581,42 @@ object AnnQueries {
       norms.join(cent, Seq("label"))
         .select($"label", $"n_vecs", $"sum_norm2", $"centroid_dot")
         .orderBy($"label")
+    },
+
+    // per-label diagonal-Mahalanobis OOD scoring (the label-noise /
+    // out-of-distribution audit a labeled embedding corpus runs before
+    // training: a vector far from its OWN label's distribution in
+    // variance-normalized units is a suspect label or an outlier —
+    // complements emb_outliers, which measures unnormalized distance to
+    // global seed centroids, and emb_cross_label, which compares AGAINST
+    // other labels). Integer-exact: per-(label, dim) floor-div mean and
+    // variance (the kmeans pmod/div trick, so negative sums floor
+    // identically in both engines), z²-term = ((q−mean)²·10³) div var,
+    // summed per vector → z2_milli; top-20 most OOD. Scale shape: the
+    // stats relation is |labels|·d rows regardless of corpus size
+    // (broadcast), scoring is one narrow pass + a vec_id partial agg,
+    // top-20 via TakeOrdered — never a global sort.
+    "emb_mahal" -> { (s, d) =>
+      import s.implicits._
+      val lab = t(s, d, "embeddings")
+        .select($"vec_id", $"label".cast("long").as("label"))
+      val qe = quantized(s, d).join(lab, Seq("vec_id"))
+        .select($"vec_id", $"label", posexplode($"q"))
+        .toDF("vec_id", "label", "i0", "qv")
+        .persist() // feeds the stats build AND the scoring pass
+      val stats = qe.groupBy($"label", $"i0")
+        .agg(count(lit(1)).as("n"), sum($"qv").as("sx"),
+          sum($"qv" * $"qv").as("sxx"))
+        .withColumn("mean_q", expr("(sx - pmod(sx, n)) div n"))
+        .withColumn("msq", expr("(sxx - pmod(sxx, n)) div n"))
+        .withColumn("var_q", expr("greatest(1L, msq - mean_q * mean_q)"))
+        .select($"label", $"i0", $"mean_q", $"var_q")
+      qe.join(broadcast(stats), Seq("label", "i0"))
+        .withColumn("z", expr("((qv - mean_q) * (qv - mean_q) * 1000) div var_q"))
+        .groupBy($"vec_id", $"label")
+        .agg(sum($"z").as("z2_milli"))
+        .orderBy($"z2_milli".desc, $"vec_id")
+        .limit(20)
     },
 
     // SemDeDup end-to-end: embedding near-dup pairs (hyperplane-LSH +
@@ -1124,6 +1160,28 @@ object AnnQueries {
     // PQ replay: the codebook is DETERMINISTIC (codewords = subvectors
     // of vec_id < 16 — no iteration), so encode, per-query LUT, ADC
     // shortlist and exact re-rank all replay in SQL
+    // both engines truncate integral division toward zero, so the
+    // subtract-positive-remainder form makes the mean an exact floor on
+    // each (sxx is nonnegative — plain // is already floor there)
+    "emb_mahal" -> (QuantCte +
+      """, lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |qe AS (SELECT e.vec_id, lab.label, e.i, e.q FROM e JOIN lab USING (vec_id)),
+        |st AS (
+        |  SELECT label, i, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(q) AS BIGINT) AS sx, CAST(SUM(q * q) AS BIGINT) AS sxx
+        |  FROM qe GROUP BY 1, 2),
+        |st2 AS (
+        |  SELECT label, i, (sx - ((sx % n) + n) % n) // n AS mean_q,
+        |    GREATEST(1, sxx // n -
+        |      ((sx - ((sx % n) + n) % n) // n) * ((sx - ((sx % n) + n) % n) // n)) AS var_q
+        |  FROM st),
+        |z AS (
+        |  SELECT qe.vec_id, qe.label,
+        |    ((qe.q - st2.mean_q) * (qe.q - st2.mean_q) * 1000) // st2.var_q AS zt
+        |  FROM qe JOIN st2 ON st2.label = qe.label AND st2.i = qe.i)
+        |SELECT vec_id, label, CAST(SUM(zt) AS BIGINT) AS z2_milli
+        |FROM z GROUP BY 1, 2 ORDER BY z2_milli DESC, vec_id LIMIT 20""".stripMargin),
+
     // IVF-PQ composition: the IVF cell/probe CTEs restrict the candidate
     // pairs, the PQ code/LUT CTEs rank them by ADC, exact re-rank last
     "ann_ivf_pq" -> (QuantCte +

@@ -584,6 +584,40 @@ object DedupQueries {
         .limit(30)
     },
 
+    // content-defined chunking dedup estimator (the LBFS/rsync/restic
+    // storage-dedup layer, measured per source): chunk every normalized
+    // doc at content-defined boundaries (native CdcChunks kernel — the
+    // same Karp-Rabin polynomial as dd_winnow, cut where the 8-gram
+    // hash ≡ 0 mod 64, expected chunk ≈ 64 chars), fingerprint chunks,
+    // and report how many stored chars a chunk-store would save per
+    // source. Content-defined (not fixed-width) boundaries are the
+    // point: an insert/delete only re-chunks its neighborhood, so
+    // shifted copies still dedup — the property that makes this the
+    // storage-layer complement of the similarity dedups above. Scale
+    // shape: chunking is row-local inside the row that carries the
+    // text; the shuffle carries (source, 16-byte fp, len) with
+    // map-side combine — never chunk bodies; output is |sources| rows.
+    "dd_cdc" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents")
+        .withColumn("nt", trim(regexp_replace(lower($"text"), "\\s+", " ")))
+        .filter(length($"nt") >= 8)
+        .select($"source", explode(
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            graft.functions.CdcChunks(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("nt"))))).as("ch"))
+        .select($"source", md5($"ch").as("fp"), length($"ch").cast("long").as("len"))
+        .groupBy($"source", $"fp")
+        .agg(count(lit(1)).as("n"), max($"len").as("chunk_len"))
+        .groupBy($"source")
+        .agg(sum($"n").as("n_chunks"), count(lit(1)).as("n_distinct"),
+          sum($"n" * $"chunk_len").as("total_chars"),
+          sum($"chunk_len").as("distinct_chars"))
+        .withColumn("saved_ppm",
+          expr("((total_chars - distinct_chars) * 1000000) div total_chars"))
+        .orderBy($"source")
+    },
+
     // LSH band-configuration tuning curve (the text-side sibling of
     // ann_ivf_recall): re-band the SAME materialized 12-perm minhash
     // signature as 6x2 / 4x3 / 3x4 (bands x rows) and report candidate
@@ -1451,6 +1485,45 @@ object DedupQueries {
         |FROM sig a JOIN capped c ON c.fp = a.fp
         |JOIN sig b ON b.fp = a.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY shared_fps DESC, doc_a, doc_b LIMIT 30""".stripMargin),
+
+    // same nd/g rolling-hash CTEs as dd_winnow (len ≥ 8 instead of 11),
+    // boundaries where h % 64 = 0, chunks = substrings between cuts
+    "dd_cdc" ->
+      (s"""WITH nd AS (
+         |  SELECT doc_id, source, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+         |  FROM documents),
+         |nd2 AS (
+         |  SELECT doc_id, source, nt,
+         |    list_transform(range(1, length(nt) + 1), i -> ord(substr(nt, i, 1))) AS cs
+         |  FROM nd WHERE length(nt) >= 8),
+         |g AS (
+         |  SELECT doc_id, i AS pos,
+         |    ${(1 to 7).foldLeft("CAST(cs[i] AS BIGINT)")((acc, j) =>
+                s"(($acc * 257 + cs[i + $j]) % 1099511627689)")} AS h
+         |  FROM nd2, UNNEST(range(1, length(nt) - 6)) AS t(i)),""".stripMargin + "\n" +
+      """bl AS (
+        |  SELECT doc_id, COALESCE(list_sort(list(pos) FILTER (h % 64 = 0)), []) AS bp
+        |  FROM g GROUP BY doc_id),
+        |ch AS (
+        |  SELECT nd2.doc_id, nd2.source, nd2.nt,
+        |    list_prepend(0, bl.bp) AS starts,
+        |    list_append(bl.bp, CAST(length(nd2.nt) AS BIGINT)) AS ends
+        |  FROM nd2 JOIN bl ON bl.doc_id = nd2.doc_id),
+        |ex AS (
+        |  SELECT source,
+        |    substr(nt, CAST(starts[CAST(j AS INT)] + 1 AS INT),
+        |      CAST(ends[CAST(j AS INT)] - starts[CAST(j AS INT)] AS INT)) AS chunk
+        |  FROM ch, UNNEST(range(1, len(starts) + 1)) AS t(j)),
+        |cg AS (
+        |  SELECT source, md5(chunk) AS fp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(MAX(length(chunk)) AS BIGINT) AS chunk_len
+        |  FROM ex GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(n) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(n * chunk_len) AS BIGINT) AS total_chars,
+        |  CAST(SUM(chunk_len) AS BIGINT) AS distinct_chars,
+        |  CAST(((SUM(n * chunk_len) - SUM(chunk_len)) * 1000000) // SUM(n * chunk_len) AS BIGINT) AS saved_ppm
+        |FROM cg GROUP BY source ORDER BY source""".stripMargin),
 
     // the shared tok/shingle/signature CTEs, then each (b, r) config
     // re-bands the same signature and scores its own candidate set
