@@ -75,6 +75,25 @@ object DedupQueries {
             org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("nt"))))))
       .drop("nt")
 
+  /** Content-defined chunk rows of any (…, text) relation — the ONE
+    * chunking recipe (normalize, length ≥ 8 guard, native CdcChunks
+    * kernel), shared by the batch dd_cdc estimator and the streaming
+    * novel-chunk gate so the two can never drift. Adds (fp, chunk_chars)
+    * per exploded chunk; keeps every input column; drops the chunk body
+    * after fingerprinting (nothing downstream ever shuffles text).
+    */
+  private[graft] def cdcChunked(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("nt", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .filter(length(col("nt")) >= 8)
+      .withColumn("ch", explode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.CdcChunks(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("nt"))))))
+      .withColumn("fp", md5(col("ch")))
+      .withColumn("chunk_chars", length(col("ch")).cast("long"))
+      .drop("nt", "ch")
+
   private[graft] def shingleArrays(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -494,6 +513,57 @@ object DedupQueries {
     // MinHash+LSH candidate pairs
     "dd_minhash" -> { (s, d) => CorpusLshIndex.candidates(s, d) },
 
+    // source-level minhash sketch algebra (the mergeable-summary law
+    // applied to SETS: the minhash of a union is the element-wise min
+    // of the minhashes) — each source's 12-perm signature is the min of
+    // its docs' signatures read from the materialized index, pairwise
+    // source similarity estimated as agreeing-perm share and reported
+    // NEXT TO the exact shingle-set jaccard so the estimator's error is
+    // visible (the txt_cms/q34 estimate-vs-truth pattern). Why it
+    // matters at 100 TB: the per-source sketch is 12 longs that merge
+    // across any partitioning — comparing two crawls' content overlap
+    // costs an exchange of 12·|sources| longs, not a shingle join; the
+    // exact side here is the calibration harness you run once at small
+    // scale to trust the sketch at large. Scale shape: sketch side is
+    // two chained partial aggs ((doc → source) min-merge); the exact
+    // side shuffles distinct (source, shingle) rows once; both pair
+    // relations are |sources|²-bounded by construction.
+    "dd_minhash_merge" -> { (s, d) =>
+      import s.implicits._
+      val src = t(s, d, "documents").select($"doc_id", $"source")
+      val sigs = CorpusLshIndex.sigs(s, d).join(src, Seq("doc_id"))
+      val mins = (0 until Perms).map(j => min(col(s"h$j")).as(s"h$j"))
+      val srcSig = sigs.groupBy($"source").agg(mins.head, mins.tail: _*)
+      val a = srcSig.select($"source".as("source_a") +:
+        (0 until Perms).map(j => col(s"h$j").as(s"a$j")): _*)
+      val b = srcSig.select($"source".as("source_b") +:
+        (0 until Perms).map(j => col(s"h$j").as(s"b$j")): _*)
+      val agree = (0 until Perms)
+        .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      // exact twin: distinct (source, shingle) → per-source set sizes +
+      // pairwise intersections (posting lists bounded by |sources|)
+      val ssh = CorpusLshIndex.shingles(s, d)
+        .select($"doc_id", explode($"ss").as("sg"))
+        .join(src, Seq("doc_id"))
+        .select($"source", $"sg").distinct().persist()
+      val sizes = ssh.groupBy($"source").agg(count(lit(1)).as("nsh"))
+      val inter = ssh.select($"source".as("source_a"), $"sg")
+        .join(ssh.select($"source".as("source_b"), $"sg"), Seq("sg"))
+        .filter($"source_a" < $"source_b")
+        .groupBy($"source_a", $"source_b").agg(count(lit(1)).as("ni"))
+      a.join(b, $"source_a" < $"source_b")
+        .withColumn("n_agree", agree)
+        .join(inter, Seq("source_a", "source_b"), "left")
+        .join(sizes.select($"source".as("source_a"), $"nsh".as("na")), Seq("source_a"))
+        .join(sizes.select($"source".as("source_b"), $"nsh".as("nb")), Seq("source_b"))
+        .withColumn("ni", coalesce($"ni", lit(0L)))
+        .select($"source_a", $"source_b", $"n_agree",
+          expr(s"(n_agree * 1000000) div $Perms").as("est_jaccard_ppm"),
+          expr("(ni * 1000000) div (na + nb - ni)").as("exact_jaccard_ppm"))
+        .orderBy($"source_a", $"source_b")
+    },
+
     // 32-bit SimHash fingerprints — one aggregation, 32 conditional sums
     "dd_simhash" -> { (s, d) => simhashes(s, d) },
 
@@ -599,14 +669,8 @@ object DedupQueries {
     // map-side combine — never chunk bodies; output is |sources| rows.
     "dd_cdc" -> { (s, d) =>
       import s.implicits._
-      t(s, d, "documents")
-        .withColumn("nt", trim(regexp_replace(lower($"text"), "\\s+", " ")))
-        .filter(length($"nt") >= 8)
-        .select($"source", explode(
-          org.apache.spark.sql.graftbridge.ColumnBridge.column(
-            graft.functions.CdcChunks(
-              org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("nt"))))).as("ch"))
-        .select($"source", md5($"ch").as("fp"), length($"ch").cast("long").as("len"))
+      cdcChunked(t(s, d, "documents"))
+        .select($"source", $"fp", $"chunk_chars".as("len"))
         .groupBy($"source", $"fp")
         .agg(count(lit(1)).as("n"), max($"len").as("chunk_len"))
         .groupBy($"source")
@@ -1335,6 +1399,48 @@ object DedupQueries {
     "dd_minhash" ->
       (s"WITH ${lshCtes("documents")}\n" +
         "SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
+
+    // same shingle/perm recipe, carried per source: doc sigs min-merge
+    // into source sigs (the union law), exact jaccard on distinct
+    // (source, shingle) beside the estimate
+    "dd_minhash_merge" -> {
+      val minCols = (0 until Perms).map { j =>
+        s"MIN((${permA(j)} * x31 + ${permB(j)}) % $P) AS h$j"
+      }.mkString(",\n    ")
+      val srcMin = (0 until Perms).map(j => s"MIN(h$j) AS h$j").mkString(", ")
+      val agree = (0 until Perms)
+        .map(j => s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, string_split_regex(text, ' +') AS tk FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, source,
+         |    tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' ' || tk[CAST(i AS INT) + 2] AS s
+         |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS t(i)),
+         |hashed AS (
+         |  SELECT doc_id, source, s, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $P AS x31 FROM sh),
+         |sigs AS (
+         |  SELECT doc_id, source,
+         |    $minCols
+         |  FROM hashed GROUP BY doc_id, source),
+         |ssig AS (SELECT source, $srcMin FROM sigs GROUP BY source),
+         |ssh AS (SELECT DISTINCT source, s FROM sh),
+         |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nsh FROM ssh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS ni
+         |  FROM ssh a JOIN ssh b ON a.s = b.s AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a.source AS source_a, b.source AS source_b, CAST($agree AS BIGINT) AS n_agree
+         |  FROM ssig a JOIN ssig b ON a.source < b.source)
+         |SELECT p.source_a, p.source_b, p.n_agree,
+         |  CAST((p.n_agree * 1000000) // $Perms AS BIGINT) AS est_jaccard_ppm,
+         |  CAST((COALESCE(i.ni, 0) * 1000000) // (sa.nsh + sb.nsh - COALESCE(i.ni, 0)) AS BIGINT) AS exact_jaccard_ppm
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.source_a = p.source_a AND i.source_b = p.source_b
+         |JOIN sizes sa ON sa.source = p.source_a
+         |JOIN sizes sb ON sb.source = p.source_b
+         |ORDER BY p.source_a, p.source_b""".stripMargin
+    },
 
     "dd_simhash" ->
       (s"WITH $SimhashCtes\n" +

@@ -49,6 +49,36 @@ object EventQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // A/B experiment readout: users deterministically hash-split into
+    // two arms (md5 — the same coin every engine flips, so assignment
+    // replays exactly; the samp_hash_split rule applied to
+    // experimentation), per-event-type arm means in exact integer
+    // micro-units and the relative lift in ppm. Scale shape: one
+    // partial-agg shuffle on (event_type, arm) — assignment is a narrow
+    // projection, no user relation materialized anywhere — then a
+    // |event_types|-row self-join. The experiment-analysis staple over
+    // an event stream of any size.
+    "ev_abtest" -> { (s, d) =>
+      import s.implicits._
+      val arm = expr(
+        "CAST(conv(substring(md5(concat('arm:', CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2")
+      val g = ev(s, d)
+        .withColumn("arm", arm)
+        .groupBy($"event_type", $"arm")
+        .agg(count(lit(1)).as("n"), sum(d6($"value")).as("sv"))
+        // integral micro-units before the division (the ev_fill rule)
+        .withColumn("mean_micro", expr("CAST(sv * 1000000 AS BIGINT) div n"))
+      g.filter($"arm" === 0)
+        .select($"event_type", $"n".as("n_a"), $"mean_micro".as("mean_a_micro"))
+        .join(g.filter($"arm" === 1)
+          .select($"event_type", $"n".as("n_b"), $"mean_micro".as("mean_b_micro")),
+          Seq("event_type"))
+        .withColumn("lift_ppm", expr(
+          "((mean_b_micro - mean_a_micro) * 1000000) div greatest(1L, abs(mean_a_micro))"))
+        .select($"event_type", $"n_a", $"n_b", $"mean_a_micro", $"mean_b_micro", $"lift_ppm")
+        .orderBy($"event_type")
+    },
+
     // tumbling 1h windows: one partial-aggregated shuffle on (window, type)
     "ev_tumbling" -> { (s, d) =>
       import s.implicits._
@@ -599,6 +629,21 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_abtest" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST('0x' || substr(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS arm,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS sv_micro
+        |  FROM events GROUP BY 1, 2),
+        |g2 AS (SELECT event_type, arm, n, sv_micro // n AS mean_micro FROM g)
+        |SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+        |  CAST(a.mean_micro AS BIGINT) AS mean_a_micro,
+        |  CAST(b.mean_micro AS BIGINT) AS mean_b_micro,
+        |  CAST(((b.mean_micro - a.mean_micro) * 1000000) // GREATEST(1, ABS(a.mean_micro)) AS BIGINT) AS lift_ppm
+        |FROM g2 a JOIN g2 b ON b.event_type = a.event_type AND a.arm = 0 AND b.arm = 1
+        |ORDER BY a.event_type""".stripMargin,
+
     "ev_tumbling" ->
       """SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS win_us, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,

@@ -382,9 +382,9 @@ object TextQueries {
     // as a broadcast 1-row relation, and the per-doc agg groups on a
     // superset of the token index's doc_id bucketing. keep flags the
     // docs at/above the corpus-independent uniform-floor multiple
-    // (mean ≥ 16·10⁶ div V-ish is corpus-dependent; the fixed 700 ppm
-    // cutoff is the demonstrative gate — the mechanics, not the tuned
-    // threshold, are the operator).
+    // (the fixed 30000 ppm cutoff sits at the observed score median so
+    // both verdicts occur — the mechanics, not the tuned threshold, are
+    // the operator).
     "txt_lm_filter" -> { (s, d) =>
       import s.implicits._
       val w = Window.partitionBy($"doc_id").orderBy($"i")
@@ -410,7 +410,7 @@ object TextQueries {
         .agg(sum($"k").as("n_bigrams"),
           expr("sum(pred_ppm * k) div sum(k)").as("mean_pred_ppm"),
           min($"pred_ppm").as("min_pred_ppm"))
-        .withColumn("keep", ($"mean_pred_ppm" >= 700L).cast("long"))
+        .withColumn("keep", ($"mean_pred_ppm" >= 30000L).cast("long"))
         .orderBy($"doc_id")
     },
 
@@ -900,7 +900,7 @@ object TextQueries {
         |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
         |  CAST(SUM(pred_ppm * k) // SUM(k) AS BIGINT) AS mean_pred_ppm,
         |  CAST(MIN(pred_ppm) AS BIGINT) AS min_pred_ppm,
-        |  CAST(CASE WHEN SUM(pred_ppm * k) // SUM(k) >= 700 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |  CAST(CASE WHEN SUM(pred_ppm * k) // SUM(k) >= 30000 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "txt_heavy" ->

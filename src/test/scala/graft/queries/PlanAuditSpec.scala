@@ -36,7 +36,10 @@ class PlanAuditSpec extends SparkSpec {
       // join itself is the same deliberate tiny-side BNLJ as emb_kmeans)
       "emb_centroid_confusion",
       // the nprobe sweep composes ann_ivf_topk's centroid-seed BNLJ
-      "ann_ivf_recall")
+      "ann_ivf_recall",
+      // the IVF-PQ composition reuses ann_ivf_topk's centroid-seed BNLJ
+      // for its coarse assignment
+      "ann_ivf_pq")
   // samp_systematic's second exemption: the shard-offset prefix window
   // runs over the per-shard sums relation, ≤ SysShards (1024) rows by
   // construction whatever the corpus size — not a corpus-sized funnel
@@ -78,7 +81,11 @@ class PlanAuditSpec extends SparkSpec {
       // (fixed 5-row query set, % step centroid seeds)
       "ann_ivf_recall",
       // the 16-row codebook slice, same constant bound as ann_pq_topk
-      "emb_pq_distortion")
+      "emb_pq_distortion",
+      // IVF-PQ composition: fixed query slice, % step centroid seeds,
+      // 16-row codebook, 640-row LUT, and the shortlist (window-bounded
+      // ≤ 25·|queries| rows) — every broadcast constant-bounded
+      "ann_ivf_pq")
 
   /** a hinted subtree is scale-safe iff its row count cannot grow with
     * the fact tables: an aggregation / limit / literal relation bounds
