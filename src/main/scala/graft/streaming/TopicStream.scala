@@ -53,4 +53,48 @@ object TopicStream {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("orderingGroup"))
       .agg(count(lit(1)).as("n"))
   }
+
+  case class SeqMsg(orderingGroup: String, sequenceNumber: Long)
+  case class Gap(orderingGroup: String, fromSeq: Long, missing: Long)
+  /** per-group high-watermark (public: the state encoder's generated
+    * code needs accessor visibility)
+    */
+  case class SeqSeen(maxSeq: Long)
+
+  /** Streaming sequence-gap audit — rd_gap_detect's streaming twin: the
+    * consumer-side integrity monitor that flags missing sequence numbers
+    * AS the topic is tailed instead of in a nightly batch audit. State
+    * is ONE long per ordering group (the sequence high-watermark) —
+    * O(groups) forever, no timeout (a group's sequence never resets).
+    *
+    * Ordering deviation, stated: rows are sorted by sequence WITHIN each
+    * micro-batch (so a one-batch replay emits exactly the batch
+    * operator's gap set — StreamGapSpec proves the totals match); across
+    * batches the gate sees arrival order, so a gap later filled by an
+    * out-of-order delivery stays reported — the gate is the alert, the
+    * batch audit is the reconciler (the same split documented for the
+    * near-dup gates).
+    */
+  def gaps(msgs: DataFrame): Dataset[Gap] = {
+    implicit val stEnc: org.apache.spark.sql.Encoder[SeqSeen] = Encoders.product[SeqSeen]
+    implicit val outEnc: org.apache.spark.sql.Encoder[Gap] = Encoders.product[Gap]
+    implicit val inEnc: org.apache.spark.sql.Encoder[SeqMsg] = Encoders.product[SeqMsg]
+    msgs.select(col("orderingGroup"), col("sequenceNumber")).as[SeqMsg]
+      .groupByKey(_.orderingGroup)(Encoders.STRING)
+      .flatMapGroupsWithState[SeqSeen, Gap](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (group: String, batch: Iterator[SeqMsg],
+            state: org.apache.spark.sql.streaming.GroupState[SeqSeen]) =>
+          var last = state.getOption.map(_.maxSeq).getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[Gap]
+          batch.toSeq.sortBy(_.sequenceNumber).foreach { m =>
+            if (last != Long.MinValue && m.sequenceNumber > last + 1)
+              out += Gap(group, last + 1, m.sequenceNumber - last - 1)
+            if (m.sequenceNumber > last) last = m.sequenceNumber
+          }
+          state.update(SeqSeen(last))
+          out.result().iterator
+      }
+  }
 }
