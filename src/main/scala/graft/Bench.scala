@@ -35,6 +35,9 @@ object Bench {
     }
     val tokenSec = timedStage(graft.queries.CorpusTokenIndex.ensure(spark, sfDir))
     val graphSec = timedStage(graft.queries.CoPurchaseGraph.ensure(spark, sfDir))
+    // reported separately; index_build_sec keeps its 3-index composition
+    // so the field stays comparable across rounds
+    val ivfSec = timedStage(graft.queries.EmbIvfIndex.ensure(spark, sfDir))
     val indexSec = lshSec + tokenSec + graphSec
     // ingest throughput — the number directly comparable to the reference
     // producer/consumer (messages through the full Avro topic path).
@@ -113,7 +116,7 @@ object Bench {
       "q45_recs", "emb_mmr", "txt_coverage")
     val byName = results.toMap
     val headline = headlineNames.flatMap(n => byName.get(n).map(n -> _))
-    val detailLine = s"""{"detail":"per-pass","setup_sec":${fmt(setupSec)},"lsh_index_build_sec":${fmt(lshSec)},"token_index_build_sec":${fmt(tokenSec)},"graph_index_build_sec":${fmt(graphSec)},"index_build_sec":${fmt(indexSec)},"queries_run1":${json(ordered.map { case (n, _) => n -> pass1(n) })},"queries_run2":${json(ordered.map { case (n, _) => n -> pass2(n) })},"queries_rerun":${json(rerun.toSeq.sortBy(_._1))}}"""
+    val detailLine = s"""{"detail":"per-pass","setup_sec":${fmt(setupSec)},"lsh_index_build_sec":${fmt(lshSec)},"token_index_build_sec":${fmt(tokenSec)},"graph_index_build_sec":${fmt(graphSec)},"ivf_index_build_sec":${fmt(ivfSec)},"index_build_sec":${fmt(indexSec)},"queries_run1":${json(ordered.map { case (n, _) => n -> pass1(n) })},"queries_run2":${json(ordered.map { case (n, _) => n -> pass2(n) })},"queries_rerun":${json(rerun.toSeq.sortBy(_._1))}}"""
     val allLine = s"""{"detail":"all-queries","n":${results.size},"queries":${json(results)}}"""
     val finalLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"ingest_msgs":$nMsgs,"ingest_write_msgs_per_sec":${fmt(writeRate)},"ingest_read_msgs_per_sec":${fmt(readRate)},"lsh_index_build_sec":${fmt(lshSec)},"index_build_sec":${fmt(indexSec)},"queries":${json(headline)},"sf":"$sfDir"}"""
     // pre-probe artifact first: a killed/timed-out probe must never cost

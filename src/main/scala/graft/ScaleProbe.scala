@@ -130,7 +130,8 @@ object ScaleProbe {
       "lsh" -> (() => graft.queries.CorpusLshIndex.ensure(spark, dest)),
       "embed" -> (() => graft.queries.CorpusLshIndex.embedPairs(spark, dest).count(): Unit),
       "token" -> (() => graft.queries.CorpusTokenIndex.ensure(spark, dest)),
-      "graph" -> (() => graft.queries.CoPurchaseGraph.ensure(spark, dest)))
+      "graph" -> (() => graft.queries.CoPurchaseGraph.ensure(spark, dest)),
+      "ivf" -> (() => graft.queries.EmbIvfIndex.ensure(spark, dest)))
     var truncated = false
     val indexSec = indexStages.flatMap { case (name, body) =>
       if (elapsed > budgetSec) { truncated = true; None }

@@ -25,11 +25,11 @@ import graft.Tables.t
 object AnnQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val NumQueries = 5 // query set: vec_id < 5
-  private val TopK = 5
+  private[queries] val NumQueries = 5 // query set: vec_id < 5
+  private[queries] val TopK = 5
   private val Hyperplanes = 8 // LSH signature bits
   private val Dims = 64
-  private val CentroidStep = 100 // IVF seeds: vec_id % step == 0
+  private[queries] val CentroidStep = 100 // IVF seeds: vec_id % step == 0
   private val KmeansK = 8 // k-means clusters (seeds: vec_id < k)
   private val KmeansIters = 3 // fixed Lloyd rounds (deterministic, SQL-replayable)
   private val RpPlanes = 16 // emb_rp: Johnson–Lindenstrauss projection dims
@@ -195,6 +195,46 @@ object AnnQueries {
         .select($"vec_id".as("qid"), $"q".as("qa"), $"nn".as("na"), $"cent_id")
       val w = Window.partitionBy($"qid").orderBy($"cos_ppm".desc, $"cid")
       cells.join(broadcast(probes), Seq("cent_id"))
+        .filter($"cid" =!= $"qid")
+        .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
+        .withColumn("cos_ppm",
+          floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= TopK)
+        .select($"qid", $"rnk", $"cid", $"cos_ppm")
+        .orderBy($"qid", $"rnk")
+    },
+
+    // the SAME IVF semantics served from the materialized
+    // [[EmbIvfIndex]] — the deploy shape: frozen codebook broadcast to
+    // rank each query's cells, the ≤|queries|·nprobe probed cell ids
+    // collected (bounded by construction — the partition-pruning driver
+    // list every IVF serving system builds), and the posting-list scan
+    // PARTITION-PRUNED to exactly those cells' directories — at 100 TB
+    // the scan touches nprobe/|cells| of the corpus, not the corpus.
+    // Output is row-identical to ann_ivf_topk (same seeds, same
+    // assignment, same ranking — IvfIndexSpec proves equality AND the
+    // pruned file count), so it shares ann_ivf_topk's oracle verbatim.
+    "ann_ivf_index" -> { (s, d) =>
+      import s.implicits._
+      val cents = EmbIvfIndex.cents(s, d)
+      val qs = quantized(s, d).filter($"vec_id" < NumQueries)
+      val w0 = Window.partitionBy($"vec_id").orderBy($"c_ppm".desc, $"cent_id")
+      val probes = qs.join(broadcast(cents), lit(true))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(q, qc, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .withColumn("c_ppm",
+          floor($"dot" / (sqrt($"nn") * sqrt($"nc")) * lit(1000000.0) + lit(0.5)).cast("long"))
+        .withColumn("crnk", row_number().over(w0))
+        .filter($"crnk" <= 2)
+        .select($"vec_id".as("qid"), $"q".as("qa"), $"nn".as("na"), $"cent_id")
+      val probed = probes.select($"cent_id").distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val cellRows = EmbIvfIndex.cells(s, d)
+        .filter($"cent_id".isin(probed: _*))
+        .select($"cent_id", $"vec_id".as("cid"), $"q".as("qb"), $"nn".as("nb"))
+      val w = Window.partitionBy($"qid").orderBy($"cos_ppm".desc, $"cid")
+      cellRows.join(broadcast(probes), Seq("cent_id"))
         .filter($"cid" =!= $"qid")
         .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
         .withColumn("cos_ppm",
@@ -1000,7 +1040,12 @@ object AnnQueries {
          |ORDER BY qid, rnk""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  // ann_ivf_index is definitionally ann_ivf_topk served from the
+  // materialized index — one oracle, two queries
+  val oracles: Map[String, String] = baseOracles +
+    ("ann_ivf_index" -> baseOracles("ann_ivf_topk"))
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "emb_fps" -> FpsOracle,
 
     // brute replay thresholded at the radius instead of ranked

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized IVF index over the embedding corpus — the DEPLOY shape
+  * of the ANN family: the coarse codebook and the per-cell posting lists
+  * stored as tables, so a query probes ONLY its nprobe cells' files
+  * instead of scanning the corpus. ann_ivf_topk recomputes the cell
+  * assignment per run (fine for a one-shot audit); a serving deployment
+  * builds the index once and pays per query a centroid broadcast plus a
+  * PARTITION-PRUNED scan of nprobe/|cells| of the data — at 100 TB the
+  * difference between touching terabytes and touching gigabytes per
+  * query batch (IvfIndexSpec proves the pruned scan reads only the
+  * probed cells' partitions, and that the probe result is row-identical
+  * to ann_ivf_topk's inline computation).
+  *
+  * Stored tables (session-scoped catalog + tmpdir path, the same
+  * lifecycle contract as [[CorpusLshIndex]]):
+  *   - cent  (cent_id, qc, nc)               — the frozen coarse codebook
+  *     (deterministic vec_id % CentroidStep seeds, ann_ivf_topk's rule)
+  *   - cells (cent_id, vec_id, q, nn)        — posting lists,
+  *     DIRECTORY-PARTITIONED by cent_id: pruning is by partition
+  *     directory, the physical analogue of FAISS's inverted lists
+  *
+  * `cells` is written LAST so its catalog entry marks the index
+  * committed (a failed partial build re-runs from scratch; Overwrite
+  * writes never read stale leftovers).
+  *
+  * Append contract (the real-world IVF lifecycle): the codebook is
+  * FROZEN at build time — new vectors are assigned to the existing
+  * centroids and appended to their cells' partitions. Quality decay
+  * under drift is the operator's concern (emb_pq_distortion is the
+  * matching monitor); correctness is not: append == rebuild whenever
+  * the new ids don't add seed positions (IvfIndexSpec).
+  */
+object EmbIvfIndex {
+
+  private def tableName(part: String, tg: String) = s"graft_ivf_${part}_$tg"
+
+  private def assignOnce(e: DataFrame, cents: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"c_ppm".desc, $"cent_id")
+    e.join(broadcast(cents), lit(true))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(q, qc, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("c_ppm",
+        floor($"dot" / (sqrt($"nn") * sqrt($"nc")) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("crnk", row_number().over(w))
+      .filter($"crnk" === 1)
+      .select($"cent_id", $"vec_id", $"q", $"nn")
+  }
+
+  /** Build the codebook + posting lists if this session hasn't yet. */
+  def ensure(s: SparkSession, d: String): Unit = synchronized {
+    import s.implicits._
+    val tg = CorpusLshIndex.tag(d)
+    if (!s.catalog.tableExists(tableName("cells", tg))) {
+      val dir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir"), "graft-ivf-index"), tg)
+      dir.mkdirs()
+      val e = graft.operators.VectorOps.quantized(s, d)
+      val cents = e.filter($"vec_id" % AnnQueries.CentroidStep === 0)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"nn".as("nc"))
+      cents.write.mode(SaveMode.Overwrite)
+        .option("path", new java.io.File(dir, "cent").getAbsolutePath)
+        .saveAsTable(tableName("cent", tg))
+      assignOnce(e, s.table(tableName("cent", tg)))
+        .write.mode(SaveMode.Overwrite)
+        .option("path", new java.io.File(dir, "cells").getAbsolutePath)
+        .partitionBy("cent_id")
+        .saveAsTable(tableName("cells", tg))
+    }
+  }
+
+  def cents(s: SparkSession, d: String): DataFrame = {
+    ensure(s, d)
+    s.table(tableName("cent", CorpusLshIndex.tag(d)))
+  }
+
+  def cells(s: SparkSession, d: String): DataFrame = {
+    ensure(s, d)
+    s.table(tableName("cells", CorpusLshIndex.tag(d)))
+  }
+
+  /** Assign a new vector batch to the FROZEN codebook and append to the
+    * cells' partitions. Batches must carry never-seen vec_ids (same
+    * whole-batch contract as the other indexes' appends).
+    */
+  def append(s: SparkSession, d: String, newVecs: DataFrame): Unit = {
+    val tg = CorpusLshIndex.tag(d)
+    ensure(s, d)
+    // insertInto is position-based; a partitioned saveAsTable catalogs
+    // the partition column LAST (vec_id, q, nn, cent_id)
+    assignOnce(newVecs, s.table(tableName("cent", tg)))
+      .select(col("vec_id"), col("q"), col("nn"), col("cent_id"))
+      .write.mode(SaveMode.Append)
+      .format("parquet")
+      .insertInto(tableName("cells", tg))
+    s.catalog.refreshTable(tableName("cells", tg))
+  }
+}

@@ -39,7 +39,10 @@ class PlanAuditSpec extends SparkSpec {
       "ann_ivf_recall",
       // the IVF-PQ composition reuses ann_ivf_topk's centroid-seed BNLJ
       // for its coarse assignment
-      "ann_ivf_pq")
+      "ann_ivf_pq",
+      // the served-index probe ranks query cells via the same
+      // codebook-broadcast BNLJ (codebook = % step seeds, k rows)
+      "ann_ivf_index")
   // samp_systematic's second exemption: the shard-offset prefix window
   // runs over the per-shard sums relation, ≤ SysShards (1024) rows by
   // construction whatever the corpus size — not a corpus-sized funnel
@@ -85,7 +88,10 @@ class PlanAuditSpec extends SparkSpec {
       // IVF-PQ composition: fixed query slice, % step centroid seeds,
       // 16-row codebook, 640-row LUT, and the shortlist (window-bounded
       // ≤ 25·|queries| rows) — every broadcast constant-bounded
-      "ann_ivf_pq")
+      "ann_ivf_pq",
+      // served-index probe: fixed query slice + its ≤|queries|·nprobe
+      // probe relation
+      "ann_ivf_index")
 
   /** a hinted subtree is scale-safe iff its row count cannot grow with
     * the fact tables: an aggregation / limit / literal relation bounds
