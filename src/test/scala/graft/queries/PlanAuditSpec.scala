@@ -50,8 +50,12 @@ class PlanAuditSpec extends SparkSpec {
   // distinct-frequency-counts relation, O(√total-tokens) rows by
   // construction (d distinct positive counts sum to ≥ d(d+1)/2) — never
   // the vocabulary, never the corpus
+  // samp_waterfill: its windows run over the |sources|-row token
+  // profile — an aggregate of the corpus, bounded by the source
+  // vocabulary whatever the corpus size
   private val globalWindowAllowed =
-    Set("rd_ordering_group", "samp_systematic", "txt_coverage")
+    Set("rd_ordering_group", "samp_systematic", "txt_coverage",
+      "samp_waterfill")
 
   // deliberate constant-bounded broadcasts the structural rule can't
   // see: ann_* broadcast the fixed 25-row query slice (vec_id <
