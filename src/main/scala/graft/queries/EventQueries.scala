@@ -79,6 +79,42 @@ object EventQueries {
         .orderBy($"event_type")
     },
 
+    // CUSUM drift detection over the hourly count series (the
+    // change-point monitor that catches a sustained rate shift long
+    // before any single hour looks anomalous — ev_anomaly's per-hour
+    // z-test misses slow drifts by design). The sequential recurrence
+    // S_i = max(0, S_{i-1} + (x_i − mean − slack)) looks
+    // window-inexpressible, but has the exact closed form
+    // S_i = P_i − min_{j≤i} P_j over the prefix sums P of the centered
+    // series — so the whole detector is TWO stacked window functions
+    // over the per-type hourly relation (|types|·|hours| rows, an
+    // aggregate of the stream — never event-sized), integer-exact end
+    // to end. Alert = S_i ≥ 8·slack with slack = max(1, mean div 10),
+    // i.e. a sustained excess of ~80 % of an average hour. Scale shape:
+    // one (type, hour) partial agg over events, then type-partitioned
+    // windows on the tiny grid.
+    "ev_cusum" -> { (s, d) =>
+      import s.implicits._
+      val hourly = ev(s, d)
+        .groupBy($"event_type", ($"ts_us" - ($"ts_us" % HourUs)).as("win_us"))
+        .agg(count(lit(1)).as("x"))
+      val wType = Window.partitionBy($"event_type")
+      val wOrd = Window.partitionBy($"event_type").orderBy($"win_us")
+      hourly
+        .withColumn("n_hours", count(lit(1)).over(wType))
+        .withColumn("mean_x", expr("sum(x) over (partition by event_type) div n_hours"))
+        .withColumn("slack", greatest(lit(1L), expr("mean_x div 10")))
+        .withColumn("p", sum($"x" - $"mean_x" - $"slack").over(wOrd))
+        .withColumn("s", $"p" - min($"p").over(wOrd))
+        .withColumn("smax", max($"s").over(wType))
+        .groupBy($"event_type")
+        .agg(max($"n_hours").as("n_hours"), max($"mean_x").as("mean_x"),
+          max($"s").as("max_cusum"),
+          min(when($"s" === $"smax", $"win_us")).as("peak_win_us"),
+          sum(when($"s" >= lit(8L) * $"slack", 1L).otherwise(0L)).as("n_alert_hours"))
+        .orderBy($"event_type")
+    },
+
     // tumbling 1h windows: one partial-aggregated shuffle on (window, type)
     "ev_tumbling" -> { (s, d) =>
       import s.implicits._
@@ -629,6 +665,36 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_cusum" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) - (epoch_us(ts) % 3600000000) AS win_us,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, win_us, x,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_hours,
+        |    CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT)
+        |      // COUNT(*) OVER (PARTITION BY event_type) AS mean_x
+        |  FROM hourly),
+        |st2 AS (
+        |  SELECT *, GREATEST(1, mean_x // 10) AS slack FROM st),
+        |pp AS (
+        |  SELECT *,
+        |    SUM(x - mean_x - slack) OVER (PARTITION BY event_type ORDER BY win_us) AS p
+        |  FROM st2),
+        |ss AS (
+        |  SELECT *,
+        |    p - MIN(p) OVER (PARTITION BY event_type ORDER BY win_us) AS s
+        |  FROM pp),
+        |sm AS (
+        |  SELECT *, MAX(s) OVER (PARTITION BY event_type) AS smax FROM ss)
+        |SELECT event_type, CAST(MAX(n_hours) AS BIGINT) AS n_hours,
+        |  CAST(MAX(mean_x) AS BIGINT) AS mean_x,
+        |  CAST(MAX(s) AS BIGINT) AS max_cusum,
+        |  CAST(MIN(CASE WHEN s = smax THEN win_us END) AS BIGINT) AS peak_win_us,
+        |  CAST(COALESCE(SUM(CASE WHEN s >= 8 * slack THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_alert_hours
+        |FROM sm GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "ev_abtest" ->
       """WITH g AS (
         |  SELECT event_type,
