@@ -348,6 +348,40 @@ object CurationQueries {
     // One (dim)-keyed partial-agg shuffle; output is d rows. Bit budget:
     // Σq² per dim ≤ n·1e12 — int64-safe to ~9e6 vectors per dimension,
     // past that re-scale the quantization unit (same knob as emb_gram).
+    // whitening transform audit (the feature-standardization step a
+    // training pipeline applies before distance-based ops so no single
+    // dimension dominates): per-dim global mean/variance over the
+    // quantized corpus, every component standardized to
+    // z = ((q − mean)·10³) div sd with sd = floor(√var) ≥ 1 — IEEE sqrt
+    // of an exactly-representable integer is correctly rounded in both
+    // engines, so the transform replays bit-for-bit. Output is the
+    // |dims|-row audit of the WHITENED distribution (mean_z ≈ 0,
+    // msq_z ≈ 10⁶ when var ≫ 1) — the check that the transform actually
+    // standardized. Scale shape: stats are one (dim) partial agg
+    // (|dims| rows, broadcast back), the transform a narrow pass, the
+    // audit a second |dims|-row agg — the corpus never shuffles.
+    "emb_whiten" -> { (s, d) =>
+      import s.implicits._
+      val e = t(s, d, "embeddings")
+        .select(posexplode($"embedding")).toDF("i0", "x")
+        .select(($"i0" + 1).cast("long").as("i"),
+          expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)").as("qv"))
+      val stats = e.groupBy($"i")
+        .agg(count(lit(1)).as("n"), sum($"qv").as("sx"), sum($"qv" * $"qv").as("sxx"))
+        .withColumn("mean_q", expr("(sx - pmod(sx, n)) div n"))
+        .withColumn("var_q", expr("greatest(1L, sxx div n - mean_q * mean_q)"))
+        .withColumn("sd", expr("greatest(1L, CAST(FLOOR(sqrt(var_q)) AS BIGINT))"))
+        .select($"i", $"mean_q", $"var_q", $"sd")
+      e.join(broadcast(stats), Seq("i"))
+        .withColumn("z", expr("((qv - mean_q) * 1000) div sd"))
+        .groupBy($"i")
+        .agg(max($"mean_q").as("mean_q"), max($"sd").as("sd"),
+          count(lit(1)).as("n"),
+          expr("(sum(z) - pmod(sum(z), count(1))) div count(1)").as("mean_z"),
+          expr("sum(z * z) div count(1)").as("msq_z"))
+        .orderBy($"i")
+    },
+
     "emb_dim_stats" -> { (s, d) =>
       import s.implicits._
       t(s, d, "embeddings")
@@ -630,6 +664,34 @@ object CurationQueries {
         |  si.sx AS sxi, sj.sx AS sxj, si.n AS n
         |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
         |ORDER BY i, j""".stripMargin,
+
+    // z's integral divide truncates toward zero in BOTH engines (same
+    // semantics, same sign handling); the mean_z divide uses the
+    // subtract-remainder floor form on both sides
+    "emb_whiten" ->
+      """WITH e AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+        |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(qv) AS BIGINT) AS sx, CAST(SUM(qv * qv) AS BIGINT) AS sxx
+        |  FROM e GROUP BY i),
+        |st AS (
+        |  SELECT i, (sx - ((sx % n + n) % n)) // n AS mean_q, n FROM s),
+        |st2 AS (
+        |  SELECT st.i, st.mean_q,
+        |    GREATEST(1, CAST(FLOOR(sqrt(GREATEST(1, s.sxx // s.n - st.mean_q * st.mean_q))) AS BIGINT)) AS sd
+        |  FROM st JOIN s ON s.i = st.i),
+        |z AS (
+        |  SELECT e.i, st2.mean_q, st2.sd,
+        |    ((e.qv - st2.mean_q) * 1000) // st2.sd AS z
+        |  FROM e JOIN st2 ON st2.i = e.i)
+        |SELECT i, CAST(MAX(mean_q) AS BIGINT) AS mean_q, CAST(MAX(sd) AS BIGINT) AS sd,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST((SUM(z) - ((SUM(z) % COUNT(*) + COUNT(*)) % COUNT(*))) // COUNT(*) AS BIGINT) AS mean_z,
+        |  CAST(SUM(z * z) // COUNT(*) AS BIGINT) AS msq_z
+        |FROM z GROUP BY i ORDER BY i""".stripMargin,
 
     "emb_dim_stats" ->
       """WITH e AS (

@@ -923,6 +923,36 @@ object Relational2 {
             .cast("long").as("cume_ppm"),
           first($"c_custkey").over(w).as("poorest_cust"))
         .orderBy($"c_mktsegment", $"c_custkey")
+    },
+
+    // exact weighted quantiles (weighted median + quartiles of price
+    // weighted by quantity — the "median price per shipped unit" stat
+    // plain quantiles get wrong whenever weights vary): the q35 exact
+    // trick generalized to weights — quantile = min value whose
+    // CUMULATIVE WEIGHT reaches the fraction of total weight, computed
+    // on the (group, value) weight histogram. Integer-exact: prices in
+    // cents, the fraction test cross-multiplied (cum·4 ≥ total·k), no
+    // interpolation. Scale shape: one (group, value) partial agg over
+    // the fact table, then a cumulative window over the histogram —
+    // |distinct values| rows per group, never the data (q35's
+    // documented histogram shape).
+    "q49_weighted_median" -> { (s, d) =>
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+        .select($"l_returnflag",
+          expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").as("pc"),
+          $"l_quantity".cast("long").as("wt"))
+      val hist = li.groupBy($"l_returnflag", $"pc").agg(sum($"wt").as("cw"))
+      val wCum = Window.partitionBy($"l_returnflag").orderBy($"pc")
+      val wAll = Window.partitionBy($"l_returnflag")
+      def at(k: Int) = min(when($"cum" * 4 >= $"tw" * k, $"pc"))
+      hist
+        .withColumn("cum", sum($"cw").over(wCum))
+        .withColumn("tw", sum($"cw").over(wAll))
+        .groupBy($"l_returnflag")
+        .agg(max($"tw").as("total_weight"),
+          at(1).as("wp25_cents"), at(2).as("wp50_cents"), at(3).as("wp75_cents"))
+        .orderBy($"l_returnflag")
     }
   )
 
@@ -1415,6 +1445,25 @@ object Relational2 {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q49_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+        |    CAST(l_quantity AS BIGINT) AS wt
+        |  FROM lineitem),
+        |hist AS (
+        |  SELECT l_returnflag, pc, CAST(SUM(wt) AS BIGINT) AS cw
+        |  FROM li GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, pc,
+        |    CAST(SUM(cw) OVER (PARTITION BY l_returnflag ORDER BY pc) AS BIGINT) AS cum,
+        |    CAST(SUM(cw) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        |  FROM hist)
+        |SELECT l_returnflag, CAST(MAX(tw) AS BIGINT) AS total_weight,
+        |  CAST(MIN(CASE WHEN cum * 4 >= tw * 1 THEN pc END) AS BIGINT) AS wp25_cents,
+        |  CAST(MIN(CASE WHEN cum * 4 >= tw * 2 THEN pc END) AS BIGINT) AS wp50_cents,
+        |  CAST(MIN(CASE WHEN cum * 4 >= tw * 3 THEN pc END) AS BIGINT) AS wp75_cents
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the three peel rounds unrolled: r{i} = the sub-k removals of round
     // i from the current degree relation d{i-1}, dec{i} their neighbor

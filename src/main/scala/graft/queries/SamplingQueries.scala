@@ -340,6 +340,41 @@ object SamplingQueries {
         .orderBy($"source")
     },
 
+    // Neyman optimal stratified allocation (survey-sampling's n_h ∝
+    // N_h·S_h rule, applied to corpus strata: variable strata earn more
+    // of the annotation/eval budget than uniform ones): per-language
+    // doc counts and integer length-variances (sd = floor √var — IEEE
+    // sqrt of exactly-representable integers, identical both engines),
+    // weights N·sd, and the EXACT integer apportionment via largest-
+    // remainder rounding so Σ alloc = n precisely (base = floor share,
+    // the deficit distributed to the largest remainders with a
+    // deterministic lang tie-break). Scale shape: one |strata|-row
+    // partial agg over the corpus; every window runs on the
+    // |strata|-row profile.
+    "samp_neyman" -> { (s, d) =>
+      import s.implicits._
+      val n = 200L
+      val st = t(s, d, "documents")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sx"),
+          sum($"n_chars" * $"n_chars").as("sxx"))
+        .withColumn("mean_c", expr("sx div n_docs"))
+        .withColumn("var_c", expr("greatest(0L, sxx div n_docs - mean_c * mean_c)"))
+        .withColumn("sd_chars", expr("CAST(FLOOR(sqrt(var_c)) AS BIGINT)"))
+        .withColumn("w", $"n_docs" * $"sd_chars")
+      val tot = st.agg(greatest(lit(1L), sum($"w")).as("tw"))
+      val wr = Window.orderBy($"rem".desc, $"lang")
+      val wAll = Window.partitionBy(lit(1))
+      st.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($n * w) div tw"))
+        .withColumn("rem", expr(s"($n * w) % tw"))
+        .withColumn("rk", row_number().over(wr).cast("long"))
+        .withColumn("deficit", lit(n) - sum($"base").over(wAll))
+        .withColumn("alloc", $"base" + when($"rk" <= $"deficit", 1L).otherwise(0L))
+        .select($"lang", $"n_docs", $"sd_chars", $"w".as("weight"), $"alloc")
+        .orderBy($"lang")
+    },
+
     // water-filling token allocation (the budget solve behind "cap the
     // giant sources so the mix fits B tokens"): find the unique cap c*
     // with Σ min(tokens_s, c*) = B, allocate min(tokens_s, c*) per
@@ -614,6 +649,29 @@ object SamplingQueries {
          |  CAST(COALESCE(SUM(q_ppm) FILTER (keep), 0)
          |    // GREATEST(1, COUNT(*) FILTER (keep)) AS BIGINT) AS mean_q_kept_ppm
          |FROM v GROUP BY source ORDER BY source""".stripMargin,
+
+    "samp_neyman" ->
+      """WITH st AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY lang),
+        |st2 AS (
+        |  SELECT lang, n_docs,
+        |    CAST(FLOOR(sqrt(GREATEST(0, sxx // n_docs - (sx // n_docs) * (sx // n_docs)))) AS BIGINT) AS sd_chars
+        |  FROM st),
+        |st3 AS (SELECT lang, n_docs, sd_chars, n_docs * sd_chars AS w FROM st2),
+        |tot AS (SELECT GREATEST(1, SUM(w)) AS tw FROM st3),
+        |base AS (
+        |  SELECT st3.*, (200 * w) // tot.tw AS base, (200 * w) % tot.tw AS rem
+        |  FROM st3 CROSS JOIN tot),
+        |rk AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS BIGINT) AS rk,
+        |    200 - SUM(base) OVER () AS deficit
+        |  FROM base)
+        |SELECT lang, n_docs, sd_chars, CAST(w AS BIGINT) AS weight,
+        |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM rk ORDER BY lang""".stripMargin,
 
     "samp_waterfill" ->
       """WITH prof AS (

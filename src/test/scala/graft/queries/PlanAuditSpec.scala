@@ -53,9 +53,11 @@ class PlanAuditSpec extends SparkSpec {
   // samp_waterfill: its windows run over the |sources|-row token
   // profile — an aggregate of the corpus, bounded by the source
   // vocabulary whatever the corpus size
+  // samp_neyman: its apportionment window runs over the |strata|-row
+  // profile — bounded whatever the corpus size
   private val globalWindowAllowed =
     Set("rd_ordering_group", "samp_systematic", "txt_coverage",
-      "samp_waterfill")
+      "samp_waterfill", "samp_neyman")
 
   // deliberate constant-bounded broadcasts the structural rule can't
   // see: ann_* broadcast the fixed 25-row query slice (vec_id <
