@@ -921,6 +921,57 @@ object DedupQueries {
         .orderBy($"source", $"bin")
     },
 
+    // the full training-mix composition: quality gate → exact dedup →
+    // LSH near-dup removal (cleanedCorpus — the pipe_clean chain) →
+    // water-filling budget solve over the CLEANED per-source profile
+    // (samp_waterfill's closed form) → per-source admission in doc_id
+    // order until the allocation is spent (samp_token_budget's straddle
+    // rule: a doc is admitted iff its running offset starts under the
+    // allocation) → the final mixture manifest a training run logs:
+    // per source, cleaned docs/tokens, allocated tokens, admitted
+    // docs/tokens. Scale shape: everything after cleaning runs on the
+    // |sources|-row profile except the admission window (per-source
+    // running sum over survivors — txt_pack_bins' documented shape).
+    "pipe_train_mix" -> { (s, d) =>
+      import s.implicits._
+      val budget = 8000L
+      val clean = cleanedCorpus(s, d)
+        .select($"source", $"doc_id",
+          size(split($"text", " +")).cast("long").as("n_tok"))
+        .persist() // feeds the profile AND the admission window
+      val prof = clean.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      val wSolve = Window.orderBy($"n_tokens", $"source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(lit(1))
+      val solved = prof
+        .withColumn("cum", sum($"n_tokens").over(wSolve))
+        .withColumn("i",
+          row_number().over(Window.orderBy($"n_tokens", $"source")).cast("long"))
+        .withColumn("s_total", count(lit(1)).over(wAll))
+        .withColumn("feasible", expr(
+          s"cum + (s_total - i) * n_tokens <= $budget"))
+      val cap = solved
+        .agg(coalesce(
+          max(when($"feasible", expr(
+            s"if(i = s_total, n_tokens, ($budget - cum) div (s_total - i))"))),
+          expr(s"$budget div max(s_total)")).as("cap"))
+      val alloc = prof.crossJoin(broadcast(cap))
+        .select($"source", $"n_docs", $"n_tokens",
+          least($"n_tokens", $"cap").as("alloc_tokens"))
+      val wAdm = Window.partitionBy($"source").orderBy($"doc_id")
+      clean
+        .withColumn("cum_before", sum($"n_tok").over(wAdm) - $"n_tok")
+        .join(broadcast(alloc), Seq("source"))
+        .groupBy($"source")
+        .agg(max($"n_docs").as("n_docs_clean"),
+          max($"n_tokens").as("n_tokens_clean"),
+          max($"alloc_tokens").as("alloc_tokens"),
+          sum(when($"cum_before" < $"alloc_tokens", 1L).otherwise(0L)).as("n_docs_admitted"),
+          coalesce(sum(when($"cum_before" < $"alloc_tokens", $"n_tok")), lit(0L)).as("n_tokens_admitted"))
+        .orderBy($"source")
+    },
+
     // embedding-cosine near-dup pairs above threshold, bounded by id-band
     // (bucketized equi join + exact quantized dot products — see VectorOps)
     "dd_embed" -> { (s, d) =>
@@ -1736,6 +1787,61 @@ object DedupQueries {
           |SELECT doc_id, source FROM kept1
           |WHERE doc_id NOT IN (SELECT doc_b FROM losers)
           |ORDER BY doc_id""".stripMargin),
+
+    // clean chain + samp_waterfill's solve on the cleaned profile +
+    // the admission window, ending in the |sources|-row manifest
+    "pipe_train_mix" ->
+      (s"""WITH quality AS (
+          |  SELECT doc_id, source, text FROM documents
+          |  WHERE CAST(FLOOR(${TextQueries.qualityScoreSql} * 1000000.0 + 0.5) AS BIGINT) >= 550000),
+          |keep_first AS (
+          |  SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+          |kept1 AS (
+          |  SELECT q.doc_id, q.source, q.text FROM quality q
+          |  JOIN keep_first k ON k.doc_id = q.doc_id),
+          |${lshCtes("kept1")},
+          |$JaccardCtes,
+          |losers AS (SELECT DISTINCT doc_b FROM jacc WHERE jaccard_ppm >= 400000),
+          |cleaned AS (
+          |  SELECT doc_id, source, text FROM kept1
+          |  WHERE doc_id NOT IN (SELECT doc_b FROM losers)),
+          |dtok AS (
+          |  SELECT source, doc_id,
+          |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tok
+          |  FROM cleaned),
+          |prof AS (
+          |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+          |  FROM dtok GROUP BY 1),
+          |solved AS (
+          |  SELECT source, n_docs, n_tokens,
+          |    CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, source) AS BIGINT) AS cum,
+          |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS BIGINT) AS i,
+          |    CAST(COUNT(*) OVER () AS BIGINT) AS s_total
+          |  FROM prof),
+          |cap AS (
+          |  SELECT COALESCE(
+          |    MAX(CASE WHEN cum + (s_total - i) * n_tokens <= 8000
+          |      THEN CASE WHEN i = s_total THEN n_tokens
+          |           ELSE (8000 - cum) // (s_total - i) END END),
+          |    8000 // MAX(s_total)) AS cap
+          |  FROM solved),
+          |alloc AS (
+          |  SELECT p.source, p.n_docs, p.n_tokens,
+          |    LEAST(p.n_tokens, c.cap) AS alloc_tokens
+          |  FROM prof p CROSS JOIN cap c),
+          |adm AS (
+          |  SELECT d.source, d.doc_id, d.n_tok,
+          |    SUM(d.n_tok) OVER (PARTITION BY d.source ORDER BY d.doc_id) - d.n_tok AS cum_before
+          |  FROM dtok d)
+          |SELECT a.source,
+          |  CAST(MAX(al.n_docs) AS BIGINT) AS n_docs_clean,
+          |  CAST(MAX(al.n_tokens) AS BIGINT) AS n_tokens_clean,
+          |  CAST(MAX(al.alloc_tokens) AS BIGINT) AS alloc_tokens,
+          |  CAST(SUM(CASE WHEN a.cum_before < al.alloc_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_admitted,
+          |  CAST(COALESCE(SUM(CASE WHEN a.cum_before < al.alloc_tokens THEN a.n_tok END), 0) AS BIGINT) AS n_tokens_admitted
+          |FROM adm a JOIN alloc al ON al.source = a.source
+          |GROUP BY a.source ORDER BY a.source""".stripMargin),
 
     "pipe_pack_corpus" ->
       (s"""WITH quality AS (
