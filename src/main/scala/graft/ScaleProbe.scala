@@ -124,6 +124,15 @@ object ScaleProbe {
       body
       (System.nanoTime() - s) / 1e9
     }
+    // self-contained run: a stale dest from an earlier probe would let
+    // the topic-ingest stage (and any index table left by another JVM)
+    // report near-zero — delete first so every stage pays its real cost
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(): Unit
+    }
+    rmTree(new java.io.File(dest))
+    graft.rawdata.EventsAsTopic.invalidate(dest)
     val amplifySec = timed(amplify(spark, src, dest, amp))
     val topicSec = timed(graft.rawdata.EventsAsTopic.topicDir(spark, dest): Unit)
     val indexStages: Seq[(String, () => Unit)] = Seq(

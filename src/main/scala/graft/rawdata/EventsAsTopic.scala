@@ -65,4 +65,15 @@ object EventsAsTopic {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
     f.delete(): Unit
   }
+
+  /** Drop the built topic (dir + once-per-JVM cache entry) for `sfDir` —
+    * the scale probe uses this so its topic-ingest stage always pays the
+    * real build cost instead of finding a _BUILT marker from an earlier
+    * probe run on the same host.
+    */
+  def invalidate(sfDir: String): Unit = lock.synchronized {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    deleteRec(new File(sys.props("java.io.tmpdir"), s"graft-topics/$key"))
+    built = built - sfDir
+  }
 }
