@@ -953,6 +953,36 @@ object Relational2 {
         .agg(max($"tw").as("total_weight"),
           at(1).as("wp25_cents"), at(2).as("wp50_cents"), at(3).as("wp75_cents"))
         .orderBy($"l_returnflag")
+    },
+
+    // ANALYZE-style column statistics as a query (the equi-depth
+    // histogram + NDV a cost-based optimizer keeps per column): 10
+    // decile upper bounds over l_quantity, each = the exact value at
+    // rank ⌈k·n/10⌉ via the cumulative value histogram, beside the
+    // cumulative row count at each bound and the exact distinct count.
+    // Scale shape: one (value) partial agg over the fact table, then
+    // every window and the 10-way decile sweep run on the |distinct
+    // values|-row histogram — the relation ANALYZE itself materializes;
+    // the 10-row decile relation joins it as a broadcast.
+    "q50_stats_hist" -> { (s, d) =>
+      import s.implicits._
+      val hist = t(s, d, "lineitem")
+        .select($"l_quantity".cast("long").as("v"))
+        .groupBy($"v").agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy($"v")
+      val wAll = Window.partitionBy(lit(1))
+      val c = hist
+        .withColumn("cum", sum($"c").over(wCum))
+        .withColumn("n", sum($"c").over(wAll))
+        .withColumn("ndv", count(lit(1)).over(wAll))
+      val ks = s.range(1, 11).select($"id".as("bucket"))
+      c.join(broadcast(ks), lit(true))
+        .groupBy($"bucket")
+        .agg(min(when($"cum" * 10 >= $"n" * $"bucket", $"v")).as("ub"),
+          max($"n").as("n_rows"), max($"ndv").as("ndv"))
+        .join(c.select($"v".as("ub"), $"cum".as("cum_rows")), Seq("ub"))
+        .select($"bucket", $"ub", $"cum_rows", $"n_rows", $"ndv")
+        .orderBy($"bucket")
     }
   )
 
@@ -1464,6 +1494,26 @@ object Relational2 {
         |  CAST(MIN(CASE WHEN cum * 4 >= tw * 2 THEN pc END) AS BIGINT) AS wp50_cents,
         |  CAST(MIN(CASE WHEN cum * 4 >= tw * 3 THEN pc END) AS BIGINT) AS wp75_cents
         |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q50_stats_hist" ->
+      """WITH hist AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |cm AS (
+        |  SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER () AS BIGINT) AS n,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS ndv
+        |  FROM hist),
+        |dec AS (
+        |  SELECT t.k AS bucket,
+        |    MIN(CASE WHEN cum * 10 >= n * t.k THEN v END) AS ub,
+        |    MAX(n) AS n_rows, MAX(ndv) AS ndv
+        |  FROM cm, UNNEST(range(1, 11)) AS t(k) GROUP BY 1)
+        |SELECT CAST(d.bucket AS BIGINT) AS bucket, CAST(d.ub AS BIGINT) AS ub,
+        |  CAST(cm.cum AS BIGINT) AS cum_rows, CAST(d.n_rows AS BIGINT) AS n_rows,
+        |  CAST(d.ndv AS BIGINT) AS ndv
+        |FROM dec d JOIN cm ON cm.v = d.ub
+        |ORDER BY bucket""".stripMargin,
 
     // the three peel rounds unrolled: r{i} = the sub-k removals of round
     // i from the current degree relation d{i-1}, dec{i} their neighbor

@@ -85,6 +85,34 @@ object RawdataQueries {
         .orderBy(col("from_ts_ms"))
     },
 
+    // compaction planning (the maintenance query behind Topic.compact:
+    // WHICH small files should merge, decided from the listing alone
+    // before any data is read): consecutive window files greedily packed
+    // into merge groups of ≤ 3× the mean file's messages (data-derived
+    // budget, so the plan adapts to the topic's own density), the
+    // txt_pack_bins straddle rule over the file listing. Scale shape:
+    // the whole query runs on the |files|-row listing relation — one
+    // LIST, no message data touched; the single ordered window is over
+    // that listing (one row per topic file, the same bounded relation
+    // every maintenance pass already holds in memory).
+    "rd_compact_plan" -> { (s, d) =>
+      val files = Topic.fileListingDF(s, topic(s, d))
+        .select(col("fromTsMs").as("from_ts_ms"), col("count").as("n_messages"))
+      val wAll = Window.partitionBy(lit(1))
+      val wOrd = Window.partitionBy(lit(1)).orderBy(col("from_ts_ms"))
+      files
+        .withColumn("budget", expr(
+          "greatest(1L, (sum(n_messages) over (partition by 1) div count(1) over (partition by 1)) * 3)"))
+        .withColumn("cum", sum(col("n_messages")).over(wOrd))
+        .withColumn("merge_group",
+          floor((col("cum") - col("n_messages")) / col("budget")).cast("long"))
+        .groupBy(col("merge_group"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n_messages")).as("n_messages"),
+          min(col("from_ts_ms")).as("first_from_ts_ms"),
+          max(col("from_ts_ms")).as("last_from_ts_ms"))
+        .orderBy(col("merge_group"))
+    },
+
     // integrity audit: the count each filename CLAIMS (producer-written
     // metadata) vs the count a real distributed read of that exact file
     // yields — the trust-but-verify pass an operator runs before relying
@@ -206,6 +234,19 @@ object RawdataQueries {
         |  arg_min(position, ulid_hex) AS first_position
         |FROM m GROUP BY ts_ms // 86400000
         |ORDER BY from_ts_ms""".stripMargin),
+
+    "rd_compact_plan" -> (M +
+      """, f AS (
+        |  SELECT MIN(ts_ms) AS from_ts_ms, CAST(COUNT(*) AS BIGINT) AS n_messages
+        |  FROM m GROUP BY ts_ms // 86400000),
+        |b AS (
+        |  SELECT *, GREATEST(1, (SUM(n_messages) OVER () // COUNT(*) OVER ()) * 3) AS budget,
+        |    SUM(n_messages) OVER (ORDER BY from_ts_ms) AS cum
+        |  FROM f)
+        |SELECT CAST((cum - n_messages) // budget AS BIGINT) AS merge_group,
+        |  CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(n_messages) AS BIGINT) AS n_messages,
+        |  MIN(from_ts_ms) AS first_from_ts_ms, MAX(from_ts_ms) AS last_from_ts_ms
+        |FROM b GROUP BY 1 ORDER BY merge_group""".stripMargin),
 
     "rd_integrity" -> (M +
       """SELECT MIN(ts_ms) AS from_ts_ms, CAST(COUNT(*) AS BIGINT) AS meta_n,

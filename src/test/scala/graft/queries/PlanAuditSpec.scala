@@ -42,7 +42,9 @@ class PlanAuditSpec extends SparkSpec {
       "ann_ivf_pq",
       // the served-index probe ranks query cells via the same
       // codebook-broadcast BNLJ (codebook = % step seeds, k rows)
-      "ann_ivf_index")
+      "ann_ivf_index",
+      // the 10-row decile relation crossed into the value histogram
+      "q50_stats_hist")
   // samp_systematic's second exemption: the shard-offset prefix window
   // runs over the per-shard sums relation, ≤ SysShards (1024) rows by
   // construction whatever the corpus size — not a corpus-sized funnel
@@ -55,9 +57,13 @@ class PlanAuditSpec extends SparkSpec {
   // vocabulary whatever the corpus size
   // samp_neyman: its apportionment window runs over the |strata|-row
   // profile — bounded whatever the corpus size
+  // q50_stats_hist / rd_compact_plan: windows over the |distinct
+  // values| histogram and the |files| listing — both aggregates of the
+  // data, bounded whatever the corpus size
   private val globalWindowAllowed =
     Set("rd_ordering_group", "samp_systematic", "txt_coverage",
-      "samp_waterfill", "samp_neyman")
+      "samp_waterfill", "samp_neyman", "q50_stats_hist",
+      "rd_compact_plan")
 
   // deliberate constant-bounded broadcasts the structural rule can't
   // see: ann_* broadcast the fixed 25-row query slice (vec_id <
@@ -97,7 +103,9 @@ class PlanAuditSpec extends SparkSpec {
       "ann_ivf_pq",
       // served-index probe: fixed query slice + its ≤|queries|·nprobe
       // probe relation
-      "ann_ivf_index")
+      "ann_ivf_index",
+      // the 10-row decile relation crossed into the value histogram
+      "q50_stats_hist")
 
   /** a hinted subtree is scale-safe iff its row count cannot grow with
     * the fact tables: an aggregation / limit / literal relation bounds
