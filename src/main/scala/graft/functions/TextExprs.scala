@@ -125,6 +125,75 @@ object TextOps {
     out.add(UTF8String.fromString(new String(cp, prev, n - prev)))
     new GenericArrayData(out.toArray)
   }
+
+  /** 32-bit perceptual hash of a string (the SimHash-over-4-grams recipe
+    * the mm_phash family and the streaming phash gate share): per
+    * overlapping 4-char-gram, v = the first 4 md5 bytes as an unsigned
+    * int (definitionally `conv(substring(md5(g), 1, 8), 16, 10)`); bit b
+    * of the hash is set iff more than half the grams have bit b set
+    * (sum(±1) > 0 — order-independent, so this single pass is
+    * bit-identical to the grouped-aggregation SQL form, PhashKernelSpec).
+    * Strings shorter than 4 chars return 0 — callers filter them, as the
+    * SQL form's empty gram array does implicitly. One MessageDigest
+    * reused across grams; the 32 counters live in one int array instead
+    * of 32 interpreted HOF passes over a per-row gram array.
+    */
+  def phash32(s: UTF8String): Long = {
+    val str = s.toString
+    val n = str.length
+    if (n < 4) return 0L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i + 4 <= n) {
+      val g = str.substring(i, i + 4)
+      md.reset()
+      val dig = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val v = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      var b = 0
+      while (b < 32) {
+        if (((v >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 32) {
+      if (counts(b) > 0) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+}
+
+/** Native Catalyst expression: string → 32-bit perceptual hash
+  * (TextOps.phash32 — one generated call into the single-pass kernel).
+  * Replaces the explode + grouped ±1 bit-sum aggregation (batch) and the
+  * 32 interpreted filter passes (stream) with row-local math — the
+  * signature never needs a shuffle, which is also what makes the
+  * streaming gate stateless.
+  */
+case class Phash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"phash32 requires a STRING input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "phash32"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextOps.phash32(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.phash32($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Phash32 =
+    copy(child = newChild)
 }
 
 /** Native Catalyst expression: string → array of its overlapping

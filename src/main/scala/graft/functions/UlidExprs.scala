@@ -141,6 +141,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(s"cdc_chunks expects 1 argument, got ${exprs.size}")
         CdcChunks(exprs.head)
       }))
+    // phash32(text) — SQL access to the native single-pass perceptual
+    // hash kernel (SimHash over 4-gram md5 values)
+    ext.injectFunction((
+      FunctionIdentifier("phash32"),
+      new ExpressionInfo(classOf[Phash32].getName, "phash32"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.size != 1)
+          throw new IllegalArgumentException(s"phash32 expects 1 argument, got ${exprs.size}")
+        Phash32(exprs.head)
+      }))
     // optimizer rewrite: HOF dot-product/norm idioms → native LongDot
     ext.injectOptimizerRule(_ => NativeVectorRewrite)
   }

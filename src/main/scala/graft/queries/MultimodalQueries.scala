@@ -94,20 +94,18 @@ object MultimodalQueries {
     // occupancy — never all-pairs over the asset corpus.
     "mm_phash_pairs" -> { (s, d) =>
       import s.implicits._
-      val p = payloads(s, d, 300).filter($"key" === "props")
+      // signature via the native single-pass phash32 kernel — row-local
+      // (no gram explode, no 32-column grouped aggregation), bit-equal
+      // to the SQL form by the order-independence of the ±1 bit sums
+      // (PhashKernelSpec); the oracle keeps the explicit SQL replay
+      val sig = payloads(s, d, 300).filter($"key" === "props")
         .select($"position", decode($"payload", "UTF-8").as("txt"))
-      val grams = p.select($"position",
-          explode(expr(
-            "if(length(txt) < 4, array(), transform(sequence(1, length(txt) - 3), i -> substring(txt, i, 4)))")).as("g"))
-        .withColumn("v", conv(substring(md5($"g"), 1, 8), 16, 10).cast("long"))
-      val bitSums = (0 until 32).map { b =>
-        sum(when(shiftright($"v", b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$b")
-      }
-      val sigExpr = (0 until 32).map { b =>
-        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      val sig = grams.groupBy($"position").agg(bitSums.head, bitSums.tail: _*)
-        .select($"position", sigExpr.as("phash")).persist()
+        .filter(length($"txt") >= 4)
+        .select($"position",
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            graft.functions.Phash32(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("txt")))).as("phash"))
+        .persist()
       val banded = sig.select($"position", $"phash",
           explode(expr(
             "transform(sequence(0, 3), b -> named_struct('band', b, 'bits', (phash >> (b * 8)) & 255))")).as("bb"))

@@ -23,31 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object PhashStream {
 
-  /** gram-hash array of the `txt` column (one md5 per 4-gram, the array
-    * materialized once per row and shared by all 32 bit tests)
-    */
-  private def gramHashes: Column =
-    expr(
-      "transform(if(length(txt) < 4, array(), sequence(1, length(txt) - 3)), " +
-        "i -> CAST(conv(substring(md5(substring(txt, i, 4)), 1, 8), 16, 10) AS BIGINT))")
-
-  /** 32-bit phash from a materialized gram-hash array column `vs` */
-  private def phashOf: Column =
-    (0 until 32).map { b =>
-      when(expr(s"size(filter(vs, v -> ((v >> $b) & 1) = 1)) * 2 > size(vs)"),
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
   /** (position[, ts], band, bits, phash) banded rows of a
     * (position[, ts], txt) relation — shared shape for the static index
-    * and the arrival side
+    * and the arrival side. The signature is the native single-pass
+    * phash32 kernel (row-local, codegen'd — what keeps the gate
+    * stateless AND off the interpreted HOF path).
     */
   private def banded(p: DataFrame, carry: Seq[String]): DataFrame = {
     import p.sparkSession.implicits._
     val cols = carry.map(col) ++ Seq($"phash", $"bb.band".as("band"), $"bb.bits".as("bits"))
     p.filter(length($"txt") >= 4)
-      .withColumn("vs", gramHashes)
-      .withColumn("phash", phashOf)
+      .withColumn("phash",
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.Phash32(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("txt")))))
       .select(carry.map(col) :+ $"phash" :+
         explode(expr(
           "transform(sequence(0, 3), b -> named_struct('band', b, 'bits', (phash >> (b * 8)) & 255))")).as("bb"): _*)
