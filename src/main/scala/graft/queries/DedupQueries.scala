@@ -682,6 +682,27 @@ object DedupQueries {
         .orderBy($"source")
     },
 
+    // cross-source shared-chunk matrix (the chunk-level "who shares
+    // storage with whom": dd_cdc measures WITHIN-source dedup, this
+    // measures ACROSS — syndication/boilerplate shows up as chunk mass
+    // two sources would co-store). Distinct (source, chunk-fp) rows
+    // self-joined on the 16-byte fp — posting lists bounded by
+    // |sources|, chunk bodies never shuffle; output |source-pairs| rows
+    // with shared chunk count and chars.
+    "dd_cdc_cross" -> { (s, d) =>
+      import s.implicits._
+      val ch = cdcChunked(t(s, d, "documents"))
+        .groupBy($"source", $"fp").agg(max($"chunk_chars").as("len"))
+        .persist() // both sides of the pair join
+      ch.select($"source".as("source_a"), $"fp", $"len")
+        .join(ch.select($"source".as("source_b"), $"fp"), Seq("fp"))
+        .filter($"source_a" < $"source_b")
+        .groupBy($"source_a", $"source_b")
+        .agg(count(lit(1)).as("n_shared_chunks"), sum($"len").as("shared_chars"))
+        .filter($"n_shared_chunks" >= 2)
+        .orderBy($"source_a", $"source_b")
+    },
+
     // LSH band-configuration tuning curve (the text-side sibling of
     // ann_ivf_recall): re-band the SAME materialized 12-perm minhash
     // signature as 6x2 / 4x3 / 3x4 (bands x rows) and report candidate
@@ -1642,6 +1663,44 @@ object DedupQueries {
         |FROM sig a JOIN capped c ON c.fp = a.fp
         |JOIN sig b ON b.fp = a.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY shared_fps DESC, doc_a, doc_b LIMIT 30""".stripMargin),
+
+    // the dd_cdc chunk CTEs carried per source, distinct per (source,
+    // fp), pair join on fp
+    "dd_cdc_cross" ->
+      (s"""WITH nd AS (
+         |  SELECT doc_id, source, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+         |  FROM documents),
+         |nd2 AS (
+         |  SELECT doc_id, source, nt,
+         |    list_transform(range(1, length(nt) + 1), i -> ord(substr(nt, i, 1))) AS cs
+         |  FROM nd WHERE length(nt) >= 8),
+         |g AS (
+         |  SELECT doc_id, i AS pos,
+         |    ${(1 to 7).foldLeft("CAST(cs[i] AS BIGINT)")((acc, j) =>
+                s"(($acc * 257 + cs[i + $j]) % 1099511627689)")} AS h
+         |  FROM nd2, UNNEST(range(1, length(nt) - 6)) AS t(i)),""".stripMargin + "\n" +
+      """bl AS (
+        |  SELECT doc_id, COALESCE(list_sort(list(pos) FILTER (h % 64 = 0)), []) AS bp
+        |  FROM g GROUP BY doc_id),
+        |ch AS (
+        |  SELECT nd2.doc_id, nd2.source, nd2.nt,
+        |    list_prepend(0, bl.bp) AS starts,
+        |    list_append(bl.bp, CAST(length(nd2.nt) AS BIGINT)) AS ends
+        |  FROM nd2 JOIN bl ON bl.doc_id = nd2.doc_id),
+        |ex AS (
+        |  SELECT source,
+        |    substr(nt, CAST(starts[CAST(j AS INT)] + 1 AS INT),
+        |      CAST(ends[CAST(j AS INT)] - starts[CAST(j AS INT)] AS INT)) AS chunk
+        |  FROM ch, UNNEST(range(1, len(starts) + 1)) AS t(j)),
+        |sfp AS (
+        |  SELECT source, md5(chunk) AS fp, CAST(MAX(length(chunk)) AS BIGINT) AS len
+        |  FROM ex GROUP BY 1, 2)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared_chunks,
+        |  CAST(SUM(a.len) AS BIGINT) AS shared_chars
+        |FROM sfp a JOIN sfp b ON b.fp = a.fp AND a.source < b.source
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY source_a, source_b""".stripMargin),
 
     // same nd/g rolling-hash CTEs as dd_winnow (len ≥ 8 instead of 11),
     // boundaries where h % 64 = 0, chunks = substrings between cuts

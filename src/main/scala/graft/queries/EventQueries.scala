@@ -79,6 +79,29 @@ object EventQueries {
         .orderBy($"event_type")
     },
 
+    // sample-ratio-mismatch check (the A/B health gate run BEFORE
+    // reading ev_abtest's lift: a biased assignment invalidates the
+    // readout, and SRM is the canonical symptom): per event type, the
+    // two arms' user-weighted event counts against the expected 50/50,
+    // deviation in ppm with a 2 % flag. Same deterministic md5 arm as
+    // ev_abtest (the two queries must agree on assignment by
+    // construction). One (event_type, arm) partial agg; |types| rows.
+    "ev_srm" -> { (s, d) =>
+      import s.implicits._
+      val arm = expr(
+        "CAST(conv(substring(md5(concat('arm:', CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2")
+      ev(s, d)
+        .withColumn("arm", arm)
+        .groupBy($"event_type")
+        .agg(sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"))
+        .withColumn("n", $"n_a" + $"n_b")
+        .withColumn("dev_ppm", expr("(abs(n_a * 2 - n) * 1000000) div n"))
+        .withColumn("srm_flag", ($"dev_ppm" > 20000L).cast("long"))
+        .select($"event_type", $"n_a", $"n_b", $"n", $"dev_ppm", $"srm_flag")
+        .orderBy($"event_type")
+    },
+
     // CUSUM drift detection over the hourly count series (the
     // change-point monitor that catches a sustained rate shift long
     // before any single hour looks anomalous — ev_anomaly's per-hour
@@ -665,6 +688,22 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_srm" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST('0x' || substr(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS arm
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+        |    CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM g GROUP BY 1)
+        |SELECT event_type, n_a, n_b, n,
+        |  CAST((ABS(n_a * 2 - n) * 1000000) // n AS BIGINT) AS dev_ppm,
+        |  CAST(CASE WHEN (ABS(n_a * 2 - n) * 1000000) // n > 20000 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+        |FROM c ORDER BY event_type""".stripMargin,
+
     "ev_cusum" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) - (epoch_us(ts) % 3600000000) AS win_us,
