@@ -955,6 +955,37 @@ object Relational2 {
         .orderBy($"l_returnflag")
     },
 
+    // join-cardinality estimation calibration (the other half of the
+    // CBO loop q50 starts: the textbook uniform-NDV formula
+    // |A⋈B| ≈ |A|·|B| div max(ndv_A, ndv_B) scored against the ACTUAL
+    // join size for the schema's three FK joins). The query every
+    // optimizer-trusting deployment should run once on its own data —
+    // FK joins are the formula's best case (error ≈ unmatched-key
+    // mass), and a large err_ppm here means the stats are stale or the
+    // distribution violates uniformity. Scale shape: stats are one
+    // partial agg + one exact-distinct per side; actuals are the plain
+    // equi joins counted; everything meets in 1-row relations.
+    "q51_join_card_est" -> { (s, d) =>
+      import s.implicits._
+      def one(name: String, a: DataFrame, ka: String, b: DataFrame, kb: String): DataFrame = {
+        val sa = a.agg(count(lit(1)).as("n_a"), countDistinct(col(ka)).as("ndv_a"))
+        val sb = b.agg(count(lit(1)).as("n_b"), countDistinct(col(kb)).as("ndv_b"))
+        val actual = a.join(b, col(ka) === col(kb)).agg(count(lit(1)).as("actual_rows"))
+        sa.crossJoin(sb).crossJoin(actual)
+          .withColumn("est_rows", expr("(n_a * n_b) div greatest(ndv_a, ndv_b)"))
+          .select(lit(name).as("join_name"), $"n_a", $"n_b", $"ndv_a", $"ndv_b",
+            $"est_rows", $"actual_rows",
+            expr("((est_rows - actual_rows) * 1000000) div greatest(1L, actual_rows)").as("err_ppm"))
+      }
+      one("lineitem_orders", t(s, d, "lineitem").select($"l_orderkey"), "l_orderkey",
+          t(s, d, "orders").select($"o_orderkey"), "o_orderkey")
+        .unionByName(one("lineitem_part", t(s, d, "lineitem").select($"l_partkey"), "l_partkey",
+          t(s, d, "part").select($"p_partkey"), "p_partkey"))
+        .unionByName(one("orders_customer", t(s, d, "orders").select($"o_custkey"), "o_custkey",
+          t(s, d, "customer").select($"c_custkey"), "c_custkey"))
+        .orderBy($"join_name")
+    },
+
     // ANALYZE-style column statistics as a query (the equi-depth
     // histogram + NDV a cost-based optimizer keeps per column): 10
     // decile upper bounds over l_quantity, each = the exact value at
@@ -1494,6 +1525,33 @@ object Relational2 {
         |  CAST(MIN(CASE WHEN cum * 4 >= tw * 2 THEN pc END) AS BIGINT) AS wp50_cents,
         |  CAST(MIN(CASE WHEN cum * 4 >= tw * 3 THEN pc END) AS BIGINT) AS wp75_cents
         |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q51_join_card_est" ->
+      """WITH j AS (
+        |  SELECT 'lineitem_orders' AS join_name,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_a,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_b,
+        |    (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS ndv_a,
+        |    (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS ndv_b,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey) AS actual_rows
+        |  UNION ALL
+        |  SELECT 'lineitem_part',
+        |    (SELECT COUNT(*) FROM lineitem), (SELECT COUNT(*) FROM part),
+        |    (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+        |    (SELECT COUNT(DISTINCT p_partkey) FROM part),
+        |    (SELECT COUNT(*) FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+        |  UNION ALL
+        |  SELECT 'orders_customer',
+        |    (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM customer),
+        |    (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+        |    (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+        |    (SELECT COUNT(*) FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey))
+        |SELECT join_name, n_a, n_b, ndv_a, ndv_b,
+        |  CAST((n_a * n_b) // GREATEST(ndv_a, ndv_b) AS BIGINT) AS est_rows,
+        |  actual_rows,
+        |  CAST(((n_a * n_b) // GREATEST(ndv_a, ndv_b) - actual_rows) * 1000000
+        |    // GREATEST(1, actual_rows) AS BIGINT) AS err_ppm
+        |FROM j ORDER BY join_name""".stripMargin,
 
     "q50_stats_hist" ->
       """WITH hist AS (

@@ -564,6 +564,30 @@ object TextQueries {
         .orderBy($"n_exact".desc, $"tok")
     },
 
+    // per-language document-length decile profile (the distribution
+    // audit behind truncation/packing decisions — means hide the bimodal
+    // shapes that break a fixed context budget): exact equi-depth decile
+    // upper bounds per lang, q50_stats_hist's histogram machinery in its
+    // GROUPED form. Scale shape: one (lang, n_chars) partial agg, then
+    // lang-partitioned windows over the per-group value histogram and a
+    // broadcast 10-row decile sweep — never the corpus.
+    "txt_len_deciles" -> { (s, d) =>
+      import s.implicits._
+      val hist = t(s, d, "documents")
+        .groupBy($"lang", $"n_chars").agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy($"lang").orderBy($"n_chars")
+      val wAll = Window.partitionBy($"lang")
+      val c = hist
+        .withColumn("cum", sum($"c").over(wCum))
+        .withColumn("n", sum($"c").over(wAll))
+      val ks = s.range(1, 11).select($"id".as("bucket"))
+      c.join(broadcast(ks), lit(true))
+        .groupBy($"lang", $"bucket")
+        .agg(min(when($"cum" * 10 >= $"n" * $"bucket", $"n_chars")).as("ub"),
+          max($"n").as("n_docs"))
+        .orderBy($"lang", $"bucket")
+    },
+
     // lexical-diversity profile per source: type/token counts, hapax
     // (once-only) types, integer-ppm type-token and hapax ratios — the
     // vocabulary-growth signal that separates template-generated sources
@@ -902,6 +926,21 @@ object TextQueries {
         |  CAST(MIN(pred_ppm) AS BIGINT) AS min_pred_ppm,
         |  CAST(CASE WHEN SUM(pred_ppm * k) // SUM(k) >= 30000 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "txt_len_deciles" ->
+      """WITH hist AS (
+        |  SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT lang, n_chars,
+        |    CAST(SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM hist)
+        |SELECT lang, CAST(t.k AS BIGINT) AS bucket,
+        |  CAST(MIN(CASE WHEN cum * 10 >= n * t.k THEN n_chars END) AS BIGINT) AS ub,
+        |  CAST(MAX(n) AS BIGINT) AS n_docs
+        |FROM cm, UNNEST(range(1, 11)) AS t(k)
+        |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
 
     "txt_heavy" ->
       """WITH toks AS (

@@ -44,7 +44,9 @@ class PlanAuditSpec extends SparkSpec {
       // codebook-broadcast BNLJ (codebook = % step seeds, k rows)
       "ann_ivf_index",
       // the 10-row decile relation crossed into the value histogram
-      "q50_stats_hist")
+      "q50_stats_hist",
+      // same 10-row decile cross, per-lang form
+      "txt_len_deciles")
   // samp_systematic's second exemption: the shard-offset prefix window
   // runs over the per-shard sums relation, ≤ SysShards (1024) rows by
   // construction whatever the corpus size — not a corpus-sized funnel
@@ -105,7 +107,9 @@ class PlanAuditSpec extends SparkSpec {
       // probe relation
       "ann_ivf_index",
       // the 10-row decile relation crossed into the value histogram
-      "q50_stats_hist")
+      "q50_stats_hist",
+      // same 10-row decile cross, per-lang form
+      "txt_len_deciles")
 
   /** a hinted subtree is scale-safe iff its row count cannot grow with
     * the fact tables: an aggregation / limit / literal relation bounds
