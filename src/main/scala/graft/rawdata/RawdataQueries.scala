@@ -113,6 +113,35 @@ object RawdataQueries {
         .orderBy(col("merge_group"))
     },
 
+    // retention planning (Topic.expire's decision query): which window
+    // files fall wholly before the retention horizon, and what message
+    // mass goes with them — decided from the listing alone, like
+    // rd_compact_plan. The horizon is data-derived (the topic's minimum
+    // window start + 60 % of its ts span, so the plan is non-degenerate
+    // at any sf); a window file is expirable iff even its LAST possible
+    // message (window start + the producer's window length) predates the
+    // horizon — the same whole-file-only rule Topic.expire enforces
+    // (RetentionSpec's out-of-order overlap safety). |files|-row
+    // relation end to end.
+    "rd_expire_plan" -> { (s, d) =>
+      val files = Topic.fileListingDF(s, topic(s, d))
+        .select(col("fromTsMs").as("from_ts_ms"), col("count").as("n_messages"))
+      val wAll = Window.partitionBy(lit(1))
+      files
+        .withColumn("horizon_ms", expr(
+          "min(from_ts_ms) over (partition by 1) + " +
+            "((max(from_ts_ms) over (partition by 1) - min(from_ts_ms) over (partition by 1)) * 6) div 10"))
+        .withColumn("expire",
+          (col("from_ts_ms") + lit(EventsAsTopic.DayMs)) < col("horizon_ms"))
+        .groupBy(col("expire"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n_messages")).as("n_messages"),
+          min(col("from_ts_ms")).as("first_from_ts_ms"),
+          max(col("from_ts_ms")).as("last_from_ts_ms"),
+          max(col("horizon_ms")).as("horizon_ms"))
+        .withColumn("expire", col("expire").cast("long"))
+        .orderBy(col("expire"))
+    },
+
     // integrity audit: the count each filename CLAIMS (producer-written
     // metadata) vs the count a real distributed read of that exact file
     // yields — the trust-but-verify pass an operator runs before relying
@@ -247,6 +276,20 @@ object RawdataQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(n_messages) AS BIGINT) AS n_messages,
         |  MIN(from_ts_ms) AS first_from_ts_ms, MAX(from_ts_ms) AS last_from_ts_ms
         |FROM b GROUP BY 1 ORDER BY merge_group""".stripMargin),
+
+    "rd_expire_plan" -> (M +
+      """, f AS (
+        |  SELECT MIN(ts_ms) AS from_ts_ms, CAST(COUNT(*) AS BIGINT) AS n_messages
+        |  FROM m GROUP BY ts_ms // 86400000),
+        |h AS (
+        |  SELECT *, MIN(from_ts_ms) OVER () +
+        |    ((MAX(from_ts_ms) OVER () - MIN(from_ts_ms) OVER ()) * 6) // 10 AS horizon_ms
+        |  FROM f)
+        |SELECT CAST(CASE WHEN from_ts_ms + 86400000 < horizon_ms THEN 1 ELSE 0 END AS BIGINT) AS expire,
+        |  CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(n_messages) AS BIGINT) AS n_messages,
+        |  MIN(from_ts_ms) AS first_from_ts_ms, MAX(from_ts_ms) AS last_from_ts_ms,
+        |  CAST(MAX(horizon_ms) AS BIGINT) AS horizon_ms
+        |FROM h GROUP BY 1 ORDER BY expire""".stripMargin),
 
     "rd_integrity" -> (M +
       """SELECT MIN(ts_ms) AS from_ts_ms, CAST(COUNT(*) AS BIGINT) AS meta_n,

@@ -65,7 +65,7 @@ class PlanAuditSpec extends SparkSpec {
   private val globalWindowAllowed =
     Set("rd_ordering_group", "samp_systematic", "txt_coverage",
       "samp_waterfill", "samp_neyman", "q50_stats_hist",
-      "rd_compact_plan")
+      "rd_compact_plan", "rd_expire_plan")
 
   // deliberate constant-bounded broadcasts the structural rule can't
   // see: ann_* broadcast the fixed 25-row query slice (vec_id <
