@@ -45,6 +45,20 @@ class MisraGriesSpec extends SparkSpec {
     }
   }
 
+  test("adversarial arrival orders cannot break the completeness law") {
+    val cap = 16
+    val n = stream.size.toLong
+    val mustSurvive = truth.collect { case (k, c) if c > n / (cap + 1) => k }
+    // sorted order (all copies of a key adjacent) and reverse-sorted
+    // order (heavy keys last) are the classic decrement-pressure cases
+    for (ordered <- Seq(stream.sorted, stream.sorted.reverse)) {
+      val s = summarize(ordered, cap, parts = 1)
+      val kept = s.keys.toSet
+      mustSurvive.foreach(k => assert(kept.contains(k), s"order lost $k"))
+      assert(s.keys.length <= cap)
+    }
+  }
+
   test("stored counts are lower bounds within N/(cap+1) of the truth") {
     val cap = 16
     val n = stream.size.toLong

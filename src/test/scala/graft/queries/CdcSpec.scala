@@ -54,6 +54,16 @@ class CdcSpec extends SparkSpec {
     assert((a -- b).size <= 2, s"prefix edit disturbed ${(a -- b).size} chunks")
   }
 
+  test("suffix edits disturb at most the final chunk region") {
+    // append at the END: every chunk before the last original boundary
+    // must survive identically (the mirror of the prefix-locality law)
+    val edited = base + " APPENDED-SUFFIX"
+    val a = chunks(base)
+    val b = chunks(edited)
+    assert(a.dropRight(1) === b.take(a.size - 1),
+      "a suffix edit must leave every fully-closed chunk untouched")
+  }
+
   test("expected chunk length tracks the 1/64 boundary rate") {
     val cs = chunks(base)
     val mean = cs.map(_.length).sum.toDouble / cs.size
