@@ -136,17 +136,20 @@ object TextOps {
     * Strings shorter than 4 chars return 0 — callers filter them, as the
     * SQL form's empty gram array does implicitly. One MessageDigest
     * reused across grams; the 32 counters live in one int array instead
-    * of 32 interpreted HOF passes over a per-row gram array.
+    * of 32 interpreted HOF passes over a per-row gram array. Grams are
+    * CODE-POINT 4-grams (Spark's substring/length and the DuckDB oracle's
+    * substr are code-point based) — iterating UTF-16 chars would shift
+    * gram boundaries and split surrogate pairs on any non-BMP input.
     */
   def phash32(s: UTF8String): Long = {
-    val str = s.toString
-    val n = str.length
+    val cp = s.toString.codePoints.toArray
+    val n = cp.length
     if (n < 4) return 0L
     val md = java.security.MessageDigest.getInstance("MD5")
     val counts = new Array[Int](32)
     var i = 0
     while (i + 4 <= n) {
-      val g = str.substring(i, i + 4)
+      val g = new String(cp, i, 4)
       md.reset()
       val dig = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val v = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |

@@ -46,11 +46,18 @@ class MisraGries(cap: Int) extends Aggregator[String, MgBuffer, MgSummary] {
 
   private def prune(b: MgBuffer): Unit = {
     if (b.counts.size > cap) {
-      // evict by the (cap+1)-th largest stored count: one pass to find
-      // it, one pass to subtract — removes at least one key per call
-      val sorted = b.counts.values.toArray
-      java.util.Arrays.sort(sorted)
-      val dec = sorted(sorted.length - cap - 1)
+      // evict by the (cap+1)-th largest stored count — removes at least
+      // one key per call. On the reduce path the buffer is exactly cap+1
+      // entries, so the pivot is just the minimum (one pass, no sort /
+      // allocation — reduce runs once per element on all-distinct
+      // streams); only a merge can overshoot cap+1 and need the sort.
+      val dec =
+        if (b.counts.size == cap + 1) b.counts.valuesIterator.min
+        else {
+          val sorted = b.counts.values.toArray
+          java.util.Arrays.sort(sorted)
+          sorted(sorted.length - cap - 1)
+        }
       val dead = mutable.ArrayBuffer.empty[String]
       b.counts.mapValuesInPlace((_, v) => v - dec)
       b.counts.foreach { case (k, v) => if (v <= 0L) dead += k }

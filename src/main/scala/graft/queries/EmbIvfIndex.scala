@@ -89,8 +89,27 @@ object EmbIvfIndex {
     * whole-batch contract as the other indexes' appends).
     */
   def append(s: SparkSession, d: String, newVecs: DataFrame): Unit = {
+    import s.implicits._
     val tg = CorpusLshIndex.tag(d)
     ensure(s, d)
+    // Guard the contract instead of only documenting it: a batch that
+    // adds a seed position (vec_id % CentroidStep == 0) or re-sends a
+    // vec_id already in the cells table would silently diverge from a
+    // rebuild while consumers keep trusting append == rebuild. Both
+    // checks are one counting aggregate over the (small) batch; the
+    // duplicate check semi-joins the batch against the posting lists.
+    val seeds = newVecs
+      .filter(col("vec_id") % AnnQueries.CentroidStep === 0).limit(1).count()
+    require(seeds == 0L,
+      "EmbIvfIndex.append: batch contains a seed position " +
+        s"(vec_id % ${AnnQueries.CentroidStep} == 0) — the codebook is " +
+        "frozen; such a batch would diverge from a rebuild")
+    val dups = newVecs.join(
+      s.table(tableName("cells", tg)).select($"vec_id"), Seq("vec_id"),
+      "left_semi").limit(1).count()
+    require(dups == 0L,
+      "EmbIvfIndex.append: batch contains vec_ids already present in the " +
+        "cells table — appends must carry never-seen ids")
     // insertInto is position-based; a partitioned saveAsTable catalogs
     // the partition column LAST (vec_id, q, nn, cent_id)
     assignOnce(newVecs, s.table(tableName("cent", tg)))

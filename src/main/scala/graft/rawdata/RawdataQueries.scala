@@ -98,7 +98,6 @@ object RawdataQueries {
     "rd_compact_plan" -> { (s, d) =>
       val files = Topic.fileListingDF(s, topic(s, d))
         .select(col("fromTsMs").as("from_ts_ms"), col("count").as("n_messages"))
-      val wAll = Window.partitionBy(lit(1))
       val wOrd = Window.partitionBy(lit(1)).orderBy(col("from_ts_ms"))
       files
         .withColumn("budget", expr(
@@ -126,7 +125,6 @@ object RawdataQueries {
     "rd_expire_plan" -> { (s, d) =>
       val files = Topic.fileListingDF(s, topic(s, d))
         .select(col("fromTsMs").as("from_ts_ms"), col("count").as("n_messages"))
-      val wAll = Window.partitionBy(lit(1))
       files
         .withColumn("horizon_ms", expr(
           "min(from_ts_ms) over (partition by 1) + " +

@@ -62,15 +62,43 @@ class IvfIndexSpec extends SparkSpec {
     // seeds all come from the base half (codebook frozen at build)
     assert(frozen.agg(max($"cent_id")).head().getLong(0) < Split)
 
+    // the append contract excludes new seed positions (they would have
+    // been codebook seeds in a rebuild) — the batch honors it, and
+    // append() now enforces it (test below)
     val newVecs = graft.operators.VectorOps.quantized(spark, sf)
-      .filter($"vec_id" >= Split)
+      .filter($"vec_id" >= Split && $"vec_id" % AnnQueries.CentroidStep =!= 0)
     EmbIvfIndex.append(spark, base, newVecs)
 
     val got = EmbIvfIndex.cells(spark, base)
       .select($"cent_id", $"vec_id").as[(Long, Long)].collect().toSet
-    val want = assignTo(graft.operators.VectorOps.quantized(spark, sf), frozen)
+    val want = assignTo(
+        graft.operators.VectorOps.quantized(spark, sf)
+          .filter($"vec_id" < Split || $"vec_id" % AnnQueries.CentroidStep =!= 0),
+        frozen)
       .select($"cent_id", $"vec_id").as[(Long, Long)].collect().toSet
     assert(got === want)
     assert(got.exists(_._2 >= Split), "appended vectors missing from cells")
+  }
+
+  test("append rejects batches that violate its contract") {
+    val base = graft.rawdata.Topic.tempDir("ivf-append-guard")
+    val all = graft.Tables.t(spark, sf, "embeddings")
+    val Split = all.agg(max($"vec_id")).head().getLong(0) * 3 / 4
+    all.filter($"vec_id" < Split).write.mode("overwrite")
+      .parquet(s"$base/embeddings.parquet")
+    EmbIvfIndex.ensure(spark, base)
+    val q = graft.operators.VectorOps.quantized(spark, sf)
+    // a batch carrying a would-be seed position (vec_id % CentroidStep == 0)
+    val seedErr = intercept[IllegalArgumentException] {
+      EmbIvfIndex.append(spark, base,
+        q.filter($"vec_id" >= Split && $"vec_id" % AnnQueries.CentroidStep === 0))
+    }
+    assert(seedErr.getMessage.contains("seed position"))
+    // a batch re-sending ids already in the posting lists
+    val dupErr = intercept[IllegalArgumentException] {
+      EmbIvfIndex.append(spark, base,
+        q.filter($"vec_id" < Split && $"vec_id" % AnnQueries.CentroidStep =!= 0).limit(5))
+    }
+    assert(dupErr.getMessage.contains("already present"))
   }
 }
