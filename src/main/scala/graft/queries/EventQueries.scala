@@ -684,6 +684,81 @@ object EventQueries {
           $"n".isNull.as("filled"),
           last($"avg_milli", ignoreNulls = true).over(w).as("locf_avg_milli"))
         .orderBy($"event_type", $"win_us")
+    },
+
+    // robust outlier audit per type: median + MAD instead of ev_anomaly's
+    // mean/σ z-score (one fat-finger event shifts a mean; it cannot move
+    // a median) — count of events beyond 3 MADs. Exactness: values are
+    // quantized to integer micro-units FIRST, so both medians interpolate
+    // exact (half-)integers and every comparison is integer math — the
+    // outputs carry ×2/×4 scalings (med_micro_x2, mad_micro_x4) to stay
+    // integers; |v−med| > 3·MAD replays as 2·dev2 > 3·mad4. Scale shape:
+    // two grouped exact percentiles + one counting agg, all shuffling
+    // the |types| key space; the per-type medians broadcast back.
+    "ev_mad" -> { (s, d) =>
+      import s.implicits._
+      val e = ev(s, d).select($"event_type",
+        expr("CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT)").as("v"))
+      val med = e.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(2 * percentile(v, 0.5D) AS BIGINT)").as("med2"))
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev2", abs($"v" * 2 - $"med2"))
+      val mad = dev.groupBy($"event_type")
+        .agg(expr("CAST(2 * percentile(dev2, 0.5D) AS BIGINT)").as("mad4"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(max($"n_events").as("n_events"),
+          max($"med2").as("med_micro_x2"),
+          max($"mad4").as("mad_micro_x4"),
+          sum(when($"dev2" * 2 > $"mad4" * 3, 1L).otherwise(0L)).as("n_outliers"))
+        .withColumn("outlier_ppm", expr("(n_outliers * 1000000) div n_events"))
+        .orderBy($"event_type")
+    },
+
+    // position-based (U-shaped 40/20/40) multi-touch attribution — the
+    // complement of ev_attribution's last-touch: each purchase's value is
+    // credited across ALL the non-purchase touches of its journey (the
+    // stretch since the user's previous purchase): 40 % first touch,
+    // 40 % last, the middle 20 % split evenly. Exact integer micro-unit
+    // arithmetic with the division remainders pinned to the first touch,
+    // so each journey's credits sum to EXACTLY the purchase value (the
+    // conservation law StreamAttributionSpec-style specs can hold on to).
+    // Scale shape: one user-partitioned window pass numbers journeys,
+    // one more ranks touches within (user, journey), the purchase-value
+    // join is on (user, journey), and the report is a |channels| partial
+    // agg — no self-joins, nothing driver-side.
+    "ev_attribution_pos" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val base = ev(s, d)
+        .withColumn("v", expr("CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT)"))
+        .withColumn("journey", coalesce(
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).over(wPrev),
+          lit(0L)))
+      val purch = base.filter($"event_type" === "purchase")
+        .select($"user_id", $"journey", $"v")
+      val wj = Window.partitionBy($"user_id", $"journey").orderBy($"ts_us", $"event_id")
+      val wjAll = Window.partitionBy($"user_id", $"journey")
+      val ranked = base.filter($"event_type" =!= "purchase")
+        .select($"user_id", $"journey", $"event_type", $"ts_us", $"event_id")
+        .withColumn("rnk", row_number().over(wj).cast("long"))
+        .withColumn("k", count(lit(1)).over(wjAll))
+      ranked.join(purch, Seq("user_id", "journey"))
+        .withColumn("f", expr("(v * 2) div 5"))
+        .withColumn("mid", expr("v - 2 * ((v * 2) div 5)"))
+        .withColumn("m", $"k" - 2)
+        .withColumn("credit", expr(
+          """CASE WHEN k = 1 THEN v
+            |     WHEN rnk = 1 AND k = 2 THEN f + mid
+            |     WHEN rnk = 1 THEN f + (mid - m * (mid div m))
+            |     WHEN rnk = k THEN f
+            |     ELSE mid div m END""".stripMargin))
+        .groupBy($"event_type".as("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum($"credit").as("credited_micro"))
+        .orderBy($"channel")
     }
   )
 
@@ -1119,6 +1194,64 @@ object EventQueries {
         |    OVER (PARTITION BY grid.event_type ORDER BY grid.win_us) AS locf_avg_milli
         |FROM grid LEFT JOIN hh
         |  ON hh.win_us = grid.win_us AND hh.event_type = grid.event_type
-        |ORDER BY grid.event_type, grid.win_us""".stripMargin
+        |ORDER BY grid.event_type, grid.win_us""".stripMargin,
+
+    "ev_mad" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(2 * quantile_cont(v, 0.5) AS BIGINT) AS med2
+        |  FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, ABS(e.v * 2 - m.med2) AS dev2, m.n_events, m.med2
+        |  FROM e JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type,
+        |  MAX(d.n_events) AS n_events,
+        |  MAX(d.med2) AS med_micro_x2,
+        |  MAX(md.mad4) AS mad_micro_x4,
+        |  CAST(SUM(CASE WHEN d.dev2 * 2 > md.mad4 * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST((SUM(CASE WHEN d.dev2 * 2 > md.mad4 * 3 THEN 1 ELSE 0 END) * 1000000)
+        |    // MAX(d.n_events) AS BIGINT) AS outlier_ppm
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    "ev_attribution_pos" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS v,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS journey
+        |  FROM events),
+        |purch AS (
+        |  SELECT user_id, journey, v FROM base WHERE event_type = 'purchase'),
+        |ranked AS (
+        |  SELECT user_id, journey, event_type,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id, journey
+        |           ORDER BY ts_us, event_id) AS BIGINT) AS rnk,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id, journey) AS BIGINT) AS k
+        |  FROM base WHERE event_type <> 'purchase'),
+        |credited AS (
+        |  SELECT r.event_type AS channel,
+        |    CASE WHEN r.k = 1 THEN p.v
+        |         WHEN r.rnk = 1 AND r.k = 2
+        |           THEN (p.v * 2) // 5 + (p.v - 2 * ((p.v * 2) // 5))
+        |         WHEN r.rnk = 1
+        |           THEN (p.v * 2) // 5
+        |             + ((p.v - 2 * ((p.v * 2) // 5))
+        |                - (r.k - 2) * ((p.v - 2 * ((p.v * 2) // 5)) // (r.k - 2)))
+        |         WHEN r.rnk = r.k THEN (p.v * 2) // 5
+        |         ELSE (p.v - 2 * ((p.v * 2) // 5)) // (r.k - 2) END AS credit
+        |  FROM ranked r
+        |  JOIN purch p ON p.user_id = r.user_id AND p.journey = r.journey)
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(credit) AS BIGINT) AS credited_micro
+        |FROM credited GROUP BY channel ORDER BY channel""".stripMargin
   )
 }

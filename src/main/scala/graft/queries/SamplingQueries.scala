@@ -48,6 +48,9 @@ object SamplingQueries {
   private val SysK = 100L
   private val SysShards = 1024L
 
+  /** samp_priority: sample size k (τ comes from the (k+1)-th priority) */
+  private val PriorityK = 48
+
   /** uniform-in-[0, 2^32) deterministic hash of the doc id — shared with
     * the streaming mixture gate (CleanStream.mixtureGate) so stream and
     * batch select the same documents
@@ -471,6 +474,37 @@ object SamplingQueries {
           expr("sum(w_ppm * k) div sum(k)").as("dsir_ppm"))
         .orderBy($"dsir_ppm".desc, $"doc_id")
         .limit(64)
+    },
+
+    // Duffield–Lund–Thorup PRIORITY SAMPLING (the weighted-without-
+    // replacement scheme with the optimal-variance subset-sum estimator):
+    // priority q = w / u with u uniform in (0,1], keep the k largest,
+    // τ = the (k+1)-th priority, estimator ŵ = max(w, τ) — Σŵ over the
+    // sample is an unbiased estimate of Σw over the corpus. Determinism:
+    // u = (docHash+1)/2³², so q = (w·2³²)/(h+1) is ONE IEEE division of
+    // two exactly-representable integers (w·2³² < 2⁵³ for any doc under
+    // ~2M chars) — bit-identical across engines, no libm. Scale shape:
+    // one narrow pass computes q, the k+1 survivors come from a
+    // distributed TakeOrdered (no global sort), τ broadcasts back as a
+    // 1-row relation.
+    "samp_priority" -> { (s, d) =>
+      import s.implicits._
+      val k = PriorityK
+      val base = t(s, d, "documents")
+        .select($"doc_id", $"source", $"n_chars".cast("long").as("w"), docHash.as("h"))
+        .withColumn("q",
+          ($"w" * lit(HashSpace)).cast("double") / ($"h" + lit(1L)).cast("double"))
+      val topK1 = base.orderBy($"q".desc, $"doc_id").limit(k + 1)
+      val wRank = Window.orderBy($"q".desc, $"doc_id")
+      val ranked = topK1.withColumn("rn", row_number().over(wRank))
+      val tau = ranked.filter($"rn" === k + 1)
+        .select($"q".as("tau")).withColumn("one", lit(1))
+      ranked.filter($"rn" <= k).withColumn("one", lit(1))
+        .join(broadcast(tau), Seq("one"))
+        .select($"doc_id", $"source", $"w",
+          floor($"q").cast("long").as("pri_int"),
+          floor(greatest($"w".cast("double"), $"tau")).cast("long").as("est_w"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -719,6 +753,25 @@ object SamplingQueries {
         |SELECT db.doc_id, CAST(SUM(db.k) AS BIGINT) AS n_tokens,
         |  CAST(SUM(w.w_ppm * db.k) // SUM(db.k) AS BIGINT) AS dsir_ppm
         |FROM db JOIN w ON w.bucket = db.bucket
-        |GROUP BY db.doc_id ORDER BY dsir_ppm DESC, doc_id LIMIT 64""".stripMargin
+        |GROUP BY db.doc_id ORDER BY dsir_ppm DESC, doc_id LIMIT 64""".stripMargin,
+
+    "samp_priority" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source, w,
+         |    CAST(w * $HashSpace AS DOUBLE) / CAST(h + 1 AS DOUBLE) AS q
+         |  FROM b),
+         |r AS (
+         |  SELECT doc_id, source, w, q,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS rn
+         |  FROM q),
+         |tau AS (SELECT q AS tau FROM r WHERE rn = ${PriorityK + 1})
+         |SELECT doc_id, source, w,
+         |  CAST(FLOOR(q) AS BIGINT) AS pri_int,
+         |  CAST(FLOOR(GREATEST(CAST(w AS DOUBLE), tau)) AS BIGINT) AS est_w
+         |FROM r CROSS JOIN tau WHERE rn <= $PriorityK ORDER BY doc_id""".stripMargin
   )
 }

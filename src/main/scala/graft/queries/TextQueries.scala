@@ -649,6 +649,70 @@ object TextQueries {
           min(when($"cum_freq" * 100 >= $"total_tokens" * 99, $"type_rank")).as("types_99pct"))
         .select($"total_tokens", $"n_types",
           $"types_50pct", $"types_90pct", $"types_99pct")
+    },
+
+    // tokenizer-fertility profile per language (the multilingual-budget
+    // audit: a tokenizer that spends 2× the bytes per token on one
+    // language silently halves that language's effective context) —
+    // chars/bytes per whitespace token and tokens per doc, integer-ppm.
+    // Scale shape: one narrow corpus pass computing three per-row
+    // lengths, then a |langs|-row partial agg; the shuffle carries five
+    // longs per language.
+    "txt_fertility" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"lang",
+          size(split($"text", " +")).cast("long").as("n_tok"),
+          length($"text").cast("long").as("n_chr"),
+          expr("octet_length(text)").cast("long").as("n_byt"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("n_tokens"),
+          sum($"n_chr").as("n_chars"),
+          sum($"n_byt").as("n_bytes"))
+        .withColumn("chars_per_tok_ppm", expr("(n_chars * 1000000) div n_tokens"))
+        .withColumn("bytes_per_tok_ppm", expr("(n_bytes * 1000000) div n_tokens"))
+        .withColumn("toks_per_doc_ppm", expr("(n_tokens * 1000000) div n_docs"))
+        .orderBy($"lang")
+    },
+
+    // Zipf-fit audit: OLS of ln(freq) on ln(rank) over the top-100
+    // vocabulary types — the one-row corpus health check (natural text
+    // slopes ≈ −1; template-generated or boilerplate-heavy corpora bend
+    // away). Numeric determinism: the only libm calls (the two ln's) are
+    // rounded to integer micro-units immediately, so every sum/product in
+    // the normal equations is EXACT 64-bit integer math; the final
+    // slope/intercept/r² are single IEEE divisions of exact integers —
+    // bit-identical across engines. Scale shape: vocabulary partial agg,
+    // a distributed top-100 (TakeOrdered, no global sort), then a window
+    // over the 100-row relation.
+    "txt_zipf" -> { (s, d) =>
+      import s.implicits._
+      val tf = CorpusTokenIndex.tokens(s, d)
+        .filter(length($"tok") > 0)
+        .groupBy($"tok").agg(count(lit(1)).as("n"))
+      val top = tf.orderBy($"n".desc, $"tok").limit(100)
+      val wr = Window.orderBy($"n".desc, $"tok")
+      val pts = top
+        .withColumn("r", row_number().over(wr).cast("long"))
+        .select(
+          floor(log($"r".cast("double")) * lit(1000000.0) + lit(0.5)).cast("long").as("x"),
+          floor(log($"n".cast("double")) * lit(1000000.0) + lit(0.5)).cast("long").as("y"))
+      pts
+        .agg(count(lit(1)).as("k"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+          sum($"y" * $"y").as("syy"))
+        .withColumn("num", $"k" * $"sxy" - $"sx" * $"sy")
+        .withColumn("den", $"k" * $"sxx" - $"sx" * $"sx")
+        .withColumn("deny", $"k" * $"syy" - $"sy" * $"sy")
+        .withColumn("slope", $"num".cast("double") / $"den".cast("double"))
+        .select($"k".as("n_points"),
+          floor($"slope" * lit(1000000.0) + lit(0.5)).cast("long").as("slope_ppm"),
+          floor((($"sy".cast("double") - $"slope" * $"sx".cast("double")) / $"k".cast("double"))
+            + lit(0.5)).cast("long").as("intercept_micro"),
+          floor(($"num".cast("double") * $"num".cast("double"))
+            / ($"den".cast("double") * $"deny".cast("double")) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("r2_ppm"))
     }
   )
 
@@ -996,6 +1060,57 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
         |  CAST((COUNT(*) * 1000000) // SUM(n) AS BIGINT) AS ttr_ppm,
         |  CAST((SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS hapax_ppm
-        |FROM tc GROUP BY source ORDER BY source""".stripMargin
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+
+    "txt_fertility" ->
+      """WITH per AS (
+        |  SELECT lang,
+        |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tok,
+        |    CAST(length(text) AS BIGINT) AS n_chr,
+        |    CAST(strlen(text) AS BIGINT) AS n_byt
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+        |  CAST(SUM(n_byt) AS BIGINT) AS n_bytes,
+        |  CAST((SUM(n_chr) * 1000000) // SUM(n_tok) AS BIGINT) AS chars_per_tok_ppm,
+        |  CAST((SUM(n_byt) * 1000000) // SUM(n_tok) AS BIGINT) AS bytes_per_tok_ppm,
+        |  CAST((SUM(n_tok) * 1000000) // COUNT(*) AS BIGINT) AS toks_per_doc_ppm
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "txt_zipf" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(text, ' +')) AS tok FROM documents),
+        |tf AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM toks WHERE length(tok) > 0 GROUP BY 1),
+        |top AS (SELECT n, tok FROM tf ORDER BY n DESC, tok LIMIT 100),
+        |pts AS (
+        |  SELECT
+        |    CAST(floor(ln(CAST(row_number() OVER (ORDER BY n DESC, tok) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+        |  FROM top),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM pts),
+        |f AS (
+        |  SELECT k, sx, sy,
+        |    k * sxy - sx * sy AS num,
+        |    k * sxx - sx * sx AS den,
+        |    k * syy - sy * sy AS deny
+        |  FROM s),
+        |g AS (
+        |  SELECT k, sx, sy, num, den, deny,
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope
+        |  FROM f)
+        |SELECT k AS n_points,
+        |  CAST(floor(slope * 1000000 + 0.5) AS BIGINT) AS slope_ppm,
+        |  CAST(floor(((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE)) + 0.5) AS BIGINT) AS intercept_micro,
+        |  CAST(floor((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS r2_ppm
+        |FROM g""".stripMargin
   )
 }
