@@ -1014,6 +1014,56 @@ object Relational2 {
         .join(c.select($"v".as("ub"), $"cum".as("cum_rows")), Seq("ub"))
         .select($"bucket", $"ub", $"cum_rows", $"n_rows", $"ndv")
         .orderBy($"bucket")
+    },
+
+    // per-group OLS regression (price-vs-quantity slope/intercept/R² per
+    // return flag) — the GROUPED closed-form normal equations with no
+    // float ACCUMULATION anywhere: x is the integral quantity, y the
+    // exact price in cents, the five sums and the cross terms live in
+    // DECIMAL(38,0) (HUGEINT on the oracle side); floats appear only in
+    // the final per-group statistics, each a single IEEE division of
+    // correctly-rounded casts — bit-identical across engines at any
+    // scale, where a double regr_slope drifts with accumulation order.
+    // Scale shape: one partial-agg shuffle on the 3-value flag key;
+    // everything after is |flags| rows.
+    "q52_regr" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "lineitem")
+        .select($"l_returnflag",
+          $"l_quantity".cast("long").as("x"),
+          // the price is a raw DOUBLE: quantize through DECIMAL(18,2)
+          // (identical half-up rounding on both engines) BEFORE the
+          // cents scaling — double*100 is inexact and cast-to-long
+          // truncates here but rounds there
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("y"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"),
+          sum($"x" * $"x").as("sxx"),
+          sum($"y".cast("decimal(38,0)") * $"y").as("syy"))
+        .withColumn("num", expr(
+          "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+        .withColumn("den", expr(
+          "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+        .withColumn("deny", expr(
+          "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+        // the cross terms are EXACT (decimal/hugeint); the final three
+        // statistics are single IEEE divisions of correctly-rounded
+        // casts (BigDecimal.doubleValue here, hugeint→double there —
+        // both round-to-nearest, verified identical), so the ppm
+        // outputs replay bit-for-bit. Spark's decimal `div`/`pmod` path
+        // is NOT usable here: decimal division rounds to a derived
+        // scale and loses low digits on 38-digit operands.
+        .withColumn("slope", expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"))
+        .select($"l_returnflag", $"n",
+          floor($"slope" * lit(1000000.0) + lit(0.5)).cast("long").as("slope_ppm"),
+          floor((($"sy".cast("double") - $"slope" * $"sx".cast("double"))
+            / $"n".cast("double")) + lit(0.5)).cast("long").as("intercept_cents"),
+          floor(($"num".cast("double") * $"num".cast("double"))
+            / ($"den".cast("double") * $"deny".cast("double")) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("r2_ppm"))
+        .orderBy($"l_returnflag")
     }
   )
 
@@ -1572,6 +1622,39 @@ object Relational2 {
         |  CAST(d.ndv AS BIGINT) AS ndv
         |FROM dec d JOIN cm ON cm.v = d.ub
         |ORDER BY bucket""".stripMargin,
+
+    // HUGEINT where the Spark side uses DECIMAL(38,0) (the samp_ess
+    // rule); floats only in the final single divisions of
+    // correctly-rounded casts
+    "q52_regr" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x * y) AS HUGEINT) AS sxy, CAST(SUM(x * x) AS HUGEINT) AS sxx,
+        |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |  FROM b GROUP BY 1),
+        |f AS (
+        |  SELECT l_returnflag, n, sx, sy,
+        |    n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS den,
+        |    n * syy - sy * sy AS deny
+        |  FROM g),
+        |h AS (
+        |  SELECT l_returnflag, n, sx, sy, num, den, deny,
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope
+        |  FROM f)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(FLOOR(slope * 1000000 + 0.5) AS BIGINT) AS slope_ppm,
+        |  CAST(FLOOR((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS intercept_cents,
+        |  CAST(FLOOR(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |    / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS r2_ppm
+        |FROM h ORDER BY l_returnflag""".stripMargin,
 
     // the three peel rounds unrolled: r{i} = the sub-k removals of round
     // i from the current degree relation d{i-1}, dec{i} their neighbor

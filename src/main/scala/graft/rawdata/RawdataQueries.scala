@@ -216,6 +216,32 @@ object RawdataQueries {
           sum(when(col("d") > 1, col("d") - 1).otherwise(0L)).as("missing_total"))
         .select(col("orderingGroup").as("ordering_group"), col("n_gaps"), col("missing_total"))
         .orderBy(col("ordering_group"))
+    },
+
+    // consumer-lag monitor (the reference deployment's standing health
+    // question: how far behind is each consumer group's cursor?): the
+    // committed cursor is modeled as the LAST ULID before a data-derived
+    // horizon (min ts + 60 % of the span — the rd_expire_plan rule, so
+    // the probe is non-degenerate at any sf); backlog per ordering group
+    // = messages whose ULID sorts after it, with the first pending
+    // ULID/timestamp a resume call would seek to. Scale shape: one
+    // 1-row cursor aggregate broadcasts into a single conditional
+    // partial agg over the topic scan — no self-join, no window.
+    "rd_backlog" -> { (s, d) =>
+      val msgs = Topic.readDF(s, topic(s, d))
+      val bounds = msgs.agg(expr(
+        "min(ts_ms) + ((max(ts_ms) - min(ts_ms)) * 6) div 10").as("horizon"))
+      val cur = msgs.crossJoin(broadcast(bounds))
+        .agg(max(when(col("ts_ms") < col("horizon"), col("ulid_hex"))).as("cursor"))
+      msgs.crossJoin(broadcast(cur))
+        .groupBy(col("orderingGroup").as("ordering_group"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("ulid_hex") > col("cursor"), 1L).otherwise(0L)).as("n_pending"),
+          min(when(col("ulid_hex") > col("cursor"), col("ulid_hex"))).as("first_pending_ulid"),
+          min(when(col("ulid_hex") > col("cursor"), col("ts_ms"))).as("first_pending_ts_ms"),
+          max(col("ts_ms")).as("last_ts_ms"))
+        .withColumn("pending_ppm", expr("(n_pending * 1000000) div n_total"))
+        .orderBy(col("ordering_group"))
     }
   )
 
@@ -323,6 +349,23 @@ object RawdataQueries {
         |SELECT ordering_group,
         |  CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
         |  CAST(SUM(CASE WHEN d > 1 THEN d - 1 ELSE 0 END) AS BIGINT) AS missing_total
-        |FROM g GROUP BY ordering_group ORDER BY ordering_group""".stripMargin)
+        |FROM g GROUP BY ordering_group ORDER BY ordering_group""".stripMargin),
+
+    "rd_backlog" -> (M +
+      """, h AS (
+        |  SELECT MIN(ts_ms) + ((MAX(ts_ms) - MIN(ts_ms)) * 6) // 10 AS horizon FROM m),
+        |cur AS (
+        |  SELECT MAX(CASE WHEN m.ts_ms < h.horizon THEN m.ulid_hex END) AS cursor
+        |  FROM m CROSS JOIN h)
+        |SELECT ordering_group,
+        |  CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CASE WHEN m.ulid_hex > cur.cursor THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+        |  MIN(CASE WHEN m.ulid_hex > cur.cursor THEN m.ulid_hex END) AS first_pending_ulid,
+        |  MIN(CASE WHEN m.ulid_hex > cur.cursor THEN m.ts_ms END) AS first_pending_ts_ms,
+        |  MAX(m.ts_ms) AS last_ts_ms,
+        |  CAST((SUM(CASE WHEN m.ulid_hex > cur.cursor THEN 1 ELSE 0 END) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS pending_ppm
+        |FROM m CROSS JOIN cur
+        |GROUP BY ordering_group ORDER BY ordering_group""".stripMargin)
   )
 }
