@@ -25,6 +25,7 @@ object SparkEntry {
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracles),
       (graft.queries.Relational2.queries, graft.queries.Relational2.oracles),
+      (graft.queries.Relational3.queries, graft.queries.Relational3.oracles),
       (graft.queries.RecQueries.queries, graft.queries.RecQueries.oracles),
       (graft.queries.EventQueries.queries, graft.queries.EventQueries.oracles),
       (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),

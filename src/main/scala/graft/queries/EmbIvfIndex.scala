@@ -110,6 +110,16 @@ object EmbIvfIndex {
     require(dups == 0L,
       "EmbIvfIndex.append: batch contains vec_ids already present in the " +
         "cells table — appends must carry never-seen ids")
+    // A batch can also violate the contract INTERNALLY (same vec_id twice
+    // in one batch passes both checks above but writes duplicate posting
+    // rows, silently diverging from a rebuild). distinct-vs-total over
+    // the small batch catches it in one aggregate.
+    val (total, distinct) = newVecs
+      .agg(count(lit(1)), countDistinct($"vec_id"))
+      .as[(Long, Long)].head()
+    require(total == distinct,
+      s"EmbIvfIndex.append: batch repeats vec_ids internally ($total rows, " +
+        s"$distinct distinct vec_ids) — appends must carry unique ids")
     // insertInto is position-based; a partitioned saveAsTable catalogs
     // the partition column LAST (vec_id, q, nn, cent_id)
     assignOnce(newVecs, s.table(tableName("cent", tg)))

@@ -1038,9 +1038,13 @@ object Relational2 {
           expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("y"))
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"),
-          sum($"x").as("sx"), sum($"y").as("sy"),
-          sum($"x" * $"y").as("sxy"),
-          sum($"x" * $"x").as("sxx"),
+          // every sum accumulates in DECIMAL(38,0): a LongType sum wraps
+          // silently under non-ANSI semantics (sxy crosses 2^63 around
+          // sf~3000 with y in cents) while the oracle sums to HUGEINT
+          sum($"x".cast("decimal(38,0)")).as("sx"),
+          sum($"y".cast("decimal(38,0)")).as("sy"),
+          sum($"x".cast("decimal(38,0)") * $"y").as("sxy"),
+          sum($"x".cast("decimal(38,0)") * $"x").as("sxx"),
           sum($"y".cast("decimal(38,0)") * $"y").as("syy"))
         .withColumn("num", expr(
           "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))

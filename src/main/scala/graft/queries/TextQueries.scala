@@ -682,8 +682,13 @@ object TextQueries {
     // away). Numeric determinism: the only libm calls (the two ln's) are
     // rounded to integer micro-units immediately, so every sum/product in
     // the normal equations is EXACT 64-bit integer math; the final
-    // slope/intercept/r² are single IEEE divisions of exact integers —
-    // bit-identical across engines. Scale shape: vocabulary partial agg,
+    // slope/intercept/r² are single IEEE divisions of exact integers.
+    // Caveat: ln itself is only correct to ~1 ulp on either engine, so an
+    // ln value landing within an ulp of a micro-unit .5 boundary could in
+    // principle floor differently per engine — the replay is exact in
+    // practice on the bounded rank/freq domain here (verified by the hash
+    // gate), but it is not a formal bit-exactness guarantee the way
+    // q52_regr's all-integer pipeline is. Scale shape: vocabulary partial agg,
     // a distributed top-100 (TakeOrdered, no global sort), then a window
     // over the 100-row relation.
     "txt_zipf" -> { (s, d) =>

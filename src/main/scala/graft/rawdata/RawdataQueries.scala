@@ -221,8 +221,11 @@ object RawdataQueries {
     // consumer-lag monitor (the reference deployment's standing health
     // question: how far behind is each consumer group's cursor?): the
     // committed cursor is modeled as the LAST ULID before a data-derived
-    // horizon (min ts + 60 % of the span — the rd_expire_plan rule, so
-    // the probe is non-degenerate at any sf); backlog per ordering group
+    // horizon (min ts + 60 % of the span — the rd_expire_plan rule; if no
+    // message precedes the horizon, e.g. a single-timestamp topic, the
+    // NULL cursor coalesces to "" so everything reports pending rather
+    // than the NULL-comparison silently reporting 0); backlog per
+    // ordering group
     // = messages whose ULID sorts after it, with the first pending
     // ULID/timestamp a resume call would seek to. Scale shape: one
     // 1-row cursor aggregate broadcasts into a single conditional
@@ -231,8 +234,14 @@ object RawdataQueries {
       val msgs = Topic.readDF(s, topic(s, d))
       val bounds = msgs.agg(expr(
         "min(ts_ms) + ((max(ts_ms) - min(ts_ms)) * 6) div 10").as("horizon"))
+      // a missing commit (no message before the horizon — e.g. every
+      // message sharing one ts_ms, span 0) must report EVERYTHING
+      // pending, not silently 0: coalesce the NULL cursor to the empty
+      // string, which sorts below every ULID
       val cur = msgs.crossJoin(broadcast(bounds))
-        .agg(max(when(col("ts_ms") < col("horizon"), col("ulid_hex"))).as("cursor"))
+        .agg(coalesce(
+          max(when(col("ts_ms") < col("horizon"), col("ulid_hex"))),
+          lit("")).as("cursor"))
       msgs.crossJoin(broadcast(cur))
         .groupBy(col("orderingGroup").as("ordering_group"))
         .agg(count(lit(1)).as("n_total"),
@@ -355,7 +364,7 @@ object RawdataQueries {
       """, h AS (
         |  SELECT MIN(ts_ms) + ((MAX(ts_ms) - MIN(ts_ms)) * 6) // 10 AS horizon FROM m),
         |cur AS (
-        |  SELECT MAX(CASE WHEN m.ts_ms < h.horizon THEN m.ulid_hex END) AS cursor
+        |  SELECT COALESCE(MAX(CASE WHEN m.ts_ms < h.horizon THEN m.ulid_hex END), '') AS cursor
         |  FROM m CROSS JOIN h)
         |SELECT ordering_group,
         |  CAST(COUNT(*) AS BIGINT) AS n_total,

@@ -100,5 +100,13 @@ class IvfIndexSpec extends SparkSpec {
         q.filter($"vec_id" < Split && $"vec_id" % AnnQueries.CentroidStep =!= 0).limit(5))
     }
     assert(dupErr.getMessage.contains("already present"))
+    // a batch repeating a vec_id INTERNALLY (never seen by the index, so
+    // it passes the seed and posting-list checks, but would write
+    // duplicate posting rows and diverge from a rebuild)
+    val fresh = q.filter($"vec_id" >= Split && $"vec_id" % AnnQueries.CentroidStep =!= 0).limit(3)
+    val internalErr = intercept[IllegalArgumentException] {
+      EmbIvfIndex.append(spark, base, fresh.union(fresh))
+    }
+    assert(internalErr.getMessage.contains("repeats vec_ids internally"))
   }
 }
