@@ -1,12 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** ~20-query headline subset covering every operator family — the
+    * bench's compact final line and both scale probes measure these
+    */
+  val headlineNames: Seq[String] = Seq(
+    "q1_agg", "q3_join_agg", "q5_multijoin", "q7_antijoin", "q24_window_rank",
+    "q28_asof_join", "ev_session", "ev_funnel", "rd_read_topic", "rd_seek_timestamp",
+    "dd_exact", "dd_minhash", "dd_jaccard", "dd_simhash_pairs", "dd_cluster",
+    "ann_brute_topk", "ann_lsh_topk", "txt_langid", "txt_ngram_profile", "pipe_clean_corpus",
+    // round-7 additions: rec serving scales with the fact table, MMR
+    // with the pool, coverage with the vocabulary — probe all three
+    "q45_recs", "emb_mmr", "txt_coverage")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus))
+      .config("spark.sql.shuffle.partitions", cpus)
+      // Shuffle files live until ContextCleaner GCs their RDDs; with a
+      // large heap the JVM may not GC for the whole run, so a 212-query
+      // bench accumulates tens of GB of dead shuffle files in
+      // spark.local.dir and the amp=100 probe then dies on a full disk.
+      // Cut the periodic-GC interval (default 30min) so the cleaner
+      // reclaims them while the bench runs.
+      .config("spark.cleaner.periodicGC.interval", "2min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // One-time ingest (events → Avro topic on disk) is setup, not query
@@ -53,6 +72,7 @@ object Bench {
       val r0 = System.nanoTime()
       nMsgs = graft.rawdata.Topic.read(spark, freshDir).count()
       val r = (System.nanoTime() - r0) / 1e9
+      ScaleProbe.rmTree(new java.io.File(freshDir)) // measurement scratch
       (w, r)
     }.reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2)))
     val writeRate = if (writeSec > 0) nMsgs / writeSec else 0.0
@@ -106,14 +126,6 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     spark.catalog.clearCache() // no pinned blocks outlive the run
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val headlineNames = Seq(
-      "q1_agg", "q3_join_agg", "q5_multijoin", "q7_antijoin", "q24_window_rank",
-      "q28_asof_join", "ev_session", "ev_funnel", "rd_read_topic", "rd_seek_timestamp",
-      "dd_exact", "dd_minhash", "dd_jaccard", "dd_simhash_pairs", "dd_cluster",
-      "ann_brute_topk", "ann_lsh_topk", "txt_langid", "txt_ngram_profile", "pipe_clean_corpus",
-      // round-7 additions: rec serving scales with the fact table, MMR
-      // with the pool, coverage with the vocabulary — probe all three
-      "q45_recs", "emb_mmr", "txt_coverage")
     val byName = results.toMap
     val headline = headlineNames.flatMap(n => byName.get(n).map(n -> _))
     val detailLine = s"""{"detail":"per-pass","setup_sec":${fmt(setupSec)},"lsh_index_build_sec":${fmt(lshSec)},"token_index_build_sec":${fmt(tokenSec)},"graph_index_build_sec":${fmt(graphSec)},"ivf_index_build_sec":${fmt(ivfSec)},"index_build_sec":${fmt(indexSec)},"queries_run1":${json(ordered.map { case (n, _) => n -> pass1(n) })},"queries_run2":${json(ordered.map { case (n, _) => n -> pass2(n) })},"queries_rerun":${json(rerun.toSeq.sortBy(_._1))}}"""
@@ -126,29 +138,60 @@ object Bench {
       try out.println(lines.mkString("[", ",\n", "]")) finally out.close()
     }
     writeDetail(Seq(detailLine, allLine, finalLine))
-    // Amplified-scale probe (~sf1 from sf0.1): measure scaling curvature
-    // one decade up — index builds and headline queries on an `amp`×
-    // key-offset content-perturbed corpus, each compared against amp ×
-    // its own sf0.1 time. SPARK_GRAFT_AMP=0 disables; runs only for the
-    // bench-default sf0.1 corpus (probing an amplified amplification or
-    // the tiny sf dirs means nothing).
+    // Amplified-scale probes: measure scaling curvature one decade up
+    // (amp=10, ~sf1) and — chained off its results — a SECOND decade
+    // (amp=100, ~sf10, ~1.7 GB parquet): index builds and headline
+    // queries on an `amp`× key-offset content-perturbed corpus. The
+    // amp=10 stage compares each query's min-of-2 time against 10× its
+    // sf0.1 bench time; the amp=100 stage compares a single pass (its
+    // runtimes are long enough that GC noise is relative noise) against
+    // 10× the amp=10 MIN time — decade-over-decade, so base-scale noise
+    // doesn't compound into the second-decade ratio, with a tighter 1.3×
+    // flag threshold. SPARK_GRAFT_AMP=0 / SPARK_GRAFT_AMP2=0 disable;
+    // runs only for the bench-default sf0.1 corpus.
+    def scaleJson(r: ScaleProbe.Result): String = {
+      val idx = r.indexSec.map { case (n, v) => "\"" + n + "_index_build_sec\":" + fmt(v) }
+      val errs = r.errors.map { case (n, e) => "\"" + n + ":" + e + "\"" }
+      s"""{"detail":"scale-probe","amp":${r.amp},"amplify_sec":${fmt(r.amplifySec)},"topic_ingest_sec":${fmt(r.topicIngestSec)},${(idx :+ s""""queries":${json(r.queries)}""").mkString(",")},"linear_ratio":${json(r.ratios)},"flagged":[${r.flagged.map("\"" + _ + "\"").mkString(",")}],"stage_errors":[${errs.mkString(",")}],"truncated":${r.truncated}}"""
+    }
+    def ampDir(amp: Int) = sys.env.getOrElse(s"SPARK_GRAFT_AMP_DIR_$amp",
+      new java.io.File(sys.props("java.io.tmpdir"), s"graft_amp$amp").getAbsolutePath)
     val amp = sys.env.getOrElse("SPARK_GRAFT_AMP", "10").toInt
-    val scaleLine =
+    val probe10 =
       if (amp <= 1 || !sfDir.contains("sf0.1")) None
       else try {
-        val dest = sys.env.getOrElse("SPARK_GRAFT_AMP_DIR",
-          new java.io.File(sys.props("java.io.tmpdir"), "graft_sf1").getAbsolutePath)
-        val r = ScaleProbe.run(spark, sfDir, dest, amp, headlineNames, byName)
-        val ratioJson = json(r.ratios.map { case (n, v) => n -> v })
-        Some(s"""{"detail":"scale-probe","amp":${r.amp},"amplify_sec":${fmt(r.amplifySec)},"topic_ingest_sec":${fmt(r.topicIngestSec)},${r.indexSec.map { case (n, v) => "\"" + n + "_index_build_sec\":" + fmt(v) }.mkString(",")},"queries":${json(r.queries)},"linear_ratio":$ratioJson,"flagged":[${r.flagged.map("\"" + _ + "\"").mkString(",")}],"truncated":${r.truncated}}""")
+        Some(ScaleProbe.run(spark, sfDir, ampDir(amp), amp, headlineNames, byName,
+          linFactor = amp.toDouble, passes = 2, flagRatio = 1.5, budgetSec = 420.0))
+      } catch { case _: Throwable => None }
+    val scaleLine10 = probe10.map(scaleJson).orElse {
+      if (amp <= 1 || !sfDir.contains("sf0.1")) None
+      else Some(s"""{"detail":"scale-probe","amp":$amp,"error":"probe failed"}""")
+    }
+    // artifact checkpoint: a killed/timed-out amp=100 stage must never
+    // cost the round its amp=10 probe
+    writeDetail(Seq(detailLine, allLine) ++ scaleLine10 ++ Seq(finalLine))
+    val amp2 = sys.env.getOrElse("SPARK_GRAFT_AMP2", "100").toInt
+    val scaleLine100 = probe10.filter(r => amp2 > amp && !r.truncated).flatMap { r10 =>
+      try {
+        val dest = ampDir(amp2)
+        val r = ScaleProbe.run(spark, sfDir, dest, amp2, headlineNames,
+          r10.queries.toMap, linFactor = amp2.toDouble / amp, passes = 1,
+          flagRatio = 1.3, budgetSec = 1500.0)
+        // the second-decade corpus (+topic+indexes, several GB) is probe
+        // scratch — reclaim it; the amp=10 dir stays for dev iteration
+        ScaleProbe.rmTree(new java.io.File(dest))
+        Some(scaleJson(r))
       } catch {
         case e: Throwable =>
-          Some(s"""{"detail":"scale-probe","error":"${e.getClass.getSimpleName}"}""")
+          try ScaleProbe.rmTree(new java.io.File(ampDir(amp2))) catch { case _: Throwable => () }
+          Some(s"""{"detail":"scale-probe","amp":$amp2,"error":"${e.getClass.getSimpleName}"}""")
       }
-    writeDetail(Seq(detailLine, allLine) ++ scaleLine ++ Seq(finalLine))
+    }
+    writeDetail(Seq(detailLine, allLine) ++ scaleLine10 ++ scaleLine100 ++ Seq(finalLine))
     println(detailLine)
     println(allLine)
-    scaleLine.foreach(println)
+    scaleLine10.foreach(println)
+    scaleLine100.foreach(println)
     println(finalLine)
     spark.stop()
   }

@@ -37,13 +37,139 @@ object CurationQueries {
   /** non-overlapping segment width (tokens) for dd_segment */
   private val SegLen = 16
 
-  /** BPE merge rounds learned/applied by txt_bpe / txt_bpe_encode — the
-    * Spark loops AND the DuckDB oracle generators both unroll this many
+  /** sliding exact-match window width (tokens) for dd_slide */
+  private val SlideLen = 32
+
+  /** Total BPE merges learned/applied by txt_bpe / txt_bpe_encode — the
+    * Spark loops AND the DuckDB oracle generators both unroll the same
     * rounds, so the full trajectory stays value-checked at any depth.
-    * Per-round cost is vocab-sized regardless (BpeScaleSpec proves the
-    * plan shape), so the depth is a vocab-quality knob, not a scale one.
+    *
+    * Merges are learned in BATCHED rounds (the standard vocab-scale
+    * trick): each round counts pairs ONCE, then selects up to [[BpeBatch]]
+    * mutually symbol-disjoint pairs — a pair is selected iff it is the
+    * best-ranked pair (count desc, then lex) among ALL pairs sharing
+    * either of its symbols, i.e. the local maxima of the conflict graph;
+    * winners are provably pairwise disjoint, and the global best pair
+    * always wins, so every round makes progress. Selected pairs apply
+    * sequentially in rank order within the round. A real tokenizer run
+    * (10k+ merges) is then merges/[[BpeBatch]] driver-scheduled rounds,
+    * not one round per merge — per-round cost stays vocab-sized either
+    * way.
     */
-  private[queries] val BpeMerges = 8
+  private[queries] val BpeMerges = 32
+
+  /** disjoint merges selected per batched round */
+  private[queries] val BpeBatch = 8
+
+  private[queries] val BpeRounds: Int = BpeMerges / BpeBatch
+
+  /** One batched round's selection over the weighted word relation: the
+    * locally-maximal symbol-disjoint pairs, top [[BpeBatch]] by
+    * (count desc, a, b), with their in-round rank rn. Winner-per-symbol is
+    * one partial-agg min(struct) — never a vocab-sized window; the only
+    * un-partitioned window (rn) runs over the ≤BpeBatch rows a distributed
+    * TakeOrdered already bounded. Checkpointed: the relation feeds
+    * BpeBatch 1-row extracts plus the merge table, and the cut keeps the
+    * per-round driver plan constant-size.
+    */
+  private def selectBatch(words: DataFrame): DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    val pairs = pairsOf(words)
+    val sym = pairs.select($"a", $"b", $"pair_n",
+      explode(array_distinct(array($"a", $"b"))).as("s"))
+    val winners = sym.groupBy($"s").agg(
+      min(struct((-$"pair_n").as("np"), $"a".as("wa"), $"b".as("wb"))).as("m"))
+    val sel = sym.join(winners, Seq("s"))
+      .filter($"m.np" === -$"pair_n" && $"m.wa" === $"a" && $"m.wb" === $"b")
+      .groupBy($"a", $"b", $"pair_n").agg(count(lit(1)).as("wins"))
+      .filter($"wins" === when($"a" === $"b", 1L).otherwise(2L))
+    sel.orderBy($"pair_n".desc, $"a", $"b").limit(BpeBatch)
+      .withColumn("rn",
+        row_number().over(Window.orderBy($"pair_n".desc, $"a", $"b")))
+      .select($"rn", $"a", $"b", $"pair_n")
+      .localCheckpoint(true)
+  }
+
+  /** the k-th selected merge of a round as a 1-row relation: (pat, rep)
+    * replace arguments, NULL (→ sentinel no-op) when the round selected
+    * fewer than k pairs — so the apply fold never needs a data-dependent
+    * plan shape
+    */
+  private def mergeArgs(top: DataFrame, k: Int): DataFrame = {
+    val s = top.sparkSession
+    import s.implicits._
+    top.filter($"rn" === k).agg(
+      max(concat(lit("("), $"a", lit(")("), $"b", lit(")"))).as("pat"),
+      max(concat(lit("("), $"a", $"b", lit(")"))).as("rep"))
+  }
+
+  /** fold a column through the round's ≤BpeBatch merges in rank order
+    * (char(1) is the can't-be-a-pattern sentinel: a pattern is always
+    * paren-wrapped, and both engines apply the identical no-op)
+    */
+  private def applyBatchTo(df: DataFrame, top: DataFrame, colName: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    (1 to BpeBatch).foldLeft(df) { (cur, k) =>
+      cur.crossJoin(broadcast(mergeArgs(top, k)))
+        .withColumn(colName,
+          expr(s"replace($colName, coalesce(pat, char(1)), coalesce(rep, ''))"))
+        .drop("pat", "rep")
+    }
+  }
+
+  /** apply a round's merges to the weighted word relation (two distinct
+    * pre-merge words can collapse onto one post-merge form)
+    */
+  private def applyBatch(words: DataFrame, top: DataFrame): DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    applyBatchTo(words, top, "w").groupBy($"w").agg(sum($"wn").as("wn"))
+  }
+
+  /** DuckDB twin of one batched round (selectBatch + applyBatch over
+    * w{r-1} → top$r, w$r): winner-per-symbol via a per-symbol window,
+    * the disjointness HAVING, the top-BpeBatch rank, and the rank-order
+    * replace fold. Every CTE is MATERIALIZED: top$r is referenced
+    * 2·BpeBatch+1 times and w$r chains into the next round, so DuckDB's
+    * default per-reference inlining would re-expand the whole upstream
+    * chain per reference — (2·BpeBatch)^rounds copies of the base scan
+    * ("Too many open files" long before any result).
+    */
+  private def bpeRoundSql(r: Int): String =
+    s"""p$r AS MATERIALIZED (
+       |  SELECT a, b, CAST(SUM(wn) AS BIGINT) AS pair_n FROM (
+       |    SELECT w, wn, sym AS a, LEAD(sym) OVER (PARTITION BY w ORDER BY i) AS b
+       |    FROM (SELECT w, wn, unnest(regexp_extract_all(w, '\\(([^)]*)\\)', 1)) AS sym,
+       |                 generate_subscripts(regexp_extract_all(w, '\\(([^)]*)\\)', 1), 1) AS i
+       |          FROM w${r - 1}))
+       |  WHERE b IS NOT NULL GROUP BY 1, 2),
+       |sym$r AS MATERIALIZED (SELECT DISTINCT a, b, pair_n, s
+       |          FROM (SELECT a, b, pair_n, unnest([a, b]) AS s FROM p$r)),
+       |win$r AS MATERIALIZED (SELECT s, a, b FROM (
+       |    SELECT s, a, b, ROW_NUMBER() OVER (PARTITION BY s ORDER BY pair_n DESC, a, b) AS wrn
+       |    FROM sym$r) WHERE wrn = 1),
+       |sel$r AS MATERIALIZED (
+       |  SELECT y.a, y.b, y.pair_n
+       |  FROM sym$r y JOIN win$r x ON y.s = x.s AND y.a = x.a AND y.b = x.b
+       |  GROUP BY 1, 2, 3
+       |  HAVING COUNT(*) = CASE WHEN y.a = y.b THEN 1 ELSE 2 END),
+       |top$r AS MATERIALIZED (
+       |  SELECT a, b, pair_n, ROW_NUMBER() OVER (ORDER BY pair_n DESC, a, b) AS rn
+       |  FROM (SELECT * FROM sel$r ORDER BY pair_n DESC, a, b LIMIT $BpeBatch)),
+       |w$r AS MATERIALIZED (SELECT ${bpeApplySql("w", r)} AS w, CAST(SUM(wn) AS BIGINT) AS wn
+       |        FROM w${r - 1} GROUP BY 1)""".stripMargin
+
+  /** fold a SQL expression through round r's merges in rank order —
+    * scalar subqueries against top$r, chr(1) as the absent-merge no-op
+    * sentinel (the exact twin of applyBatchTo)
+    */
+  private def bpeApplySql(inner: String, r: Int): String =
+    (1 to BpeBatch).foldLeft(inner) { (acc, k) =>
+      s"replace($acc, COALESCE((SELECT '(' || a || ')(' || b || ')' FROM top$r WHERE rn = $k), chr(1)), " +
+        s"COALESCE((SELECT '(' || a || b || ')' FROM top$r WHERE rn = $k), ''))"
+    }
 
   /** wrapped-symbol encoding for BPE: each symbol is `(sym)`, so the merge
     * of pair (a, b) is the plain string replace `(a)(b)` → `(ab)` with NO
@@ -79,16 +205,6 @@ object CurationQueries {
       .toDF("i0", "xi", "dj", "xj")
       .groupBy(($"i0" + 1).cast("long").as("i"), ($"i0" + $"dj" + 1).cast("long").as("j"))
       .agg(sum($"xi" * $"xj").as("sxy"))
-  }
-
-  private def mergeBest(words: DataFrame, best: DataFrame): DataFrame = {
-    val s = words.sparkSession
-    import s.implicits._
-    words
-      .crossJoin(broadcast(best.select($"a".as("ba"), $"b".as("bb"))))
-      .withColumn("w", expr("replace(w, concat('(', ba, ')(', bb, ')'), concat('(', ba, bb, ')'))"))
-      // two distinct pre-merge words can collapse onto one post-merge form
-      .groupBy($"w").agg(sum($"wn").as("wn"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -178,6 +294,54 @@ object CurationQueries {
         .orderBy($"doc_id")
     },
 
+    // Sliding exact-substring dedup (the Lee et al. "Deduplicating
+    // Training Data" granularity dd_segment's fixed 16-token grid cannot
+    // reach): hash EVERY SlideLen-token window at stride 1, so an exact
+    // duplicated block is caught at ANY token offset — a copy shifted by
+    // 1..15 tokens misaligns every grid segment and dd_segment reports
+    // nothing, while here every interior window of the block still
+    // matches (SlideDedupSpec proves exactly that case). Windows in ≥2
+    // distinct docs fold into per-doc runs of consecutive window
+    // indices; a run of r windows covers an r+SlideLen-1-token duplicated
+    // span. Scale shape: the window build is a narrow codegen'd pass
+    // (sequence + slice + md5), the duplicate test is two chained
+    // partial aggs on the 16-byte hash (text never shuffles), and the
+    // islands window partitions by doc_id over ONLY duplicated windows.
+    // Cost vs dd_segment: ~SlideLen× the hashed bytes — the price of
+    // offset-invariance; a production pass would swap the per-window md5
+    // for a token-level Karp-Rabin rolling hash (the dd_winnow kernel's
+    // trick) to get back to O(corpus) hashing.
+    "dd_slide" -> { (s, d) =>
+      import s.implicits._
+      val win = t(s, d, "documents")
+        .withColumn("tk", split($"text", " +"))
+        // guard BEFORE sequence: size < SlideLen would count DOWN (ANSI)
+        .filter(size($"tk") >= SlideLen)
+        .withColumn("start", explode(expr(s"sequence(0, size(tk) - $SlideLen)")))
+        .select($"doc_id", $"start".cast("long").as("win_idx"),
+          md5(expr(s"concat_ws(' ', slice(tk, start + 1, $SlideLen))")).as("h"))
+        .persist() // feeds the duplicate-hash agg AND the islands pass
+      // two-phase ((h, doc) then h) so no EXPAND for the distinct count
+      val dup = win.groupBy($"h", $"doc_id").agg(count(lit(1)).as("k"))
+        .groupBy($"h").agg(count(lit(1)).as("nd"))
+        .filter($"nd" >= 2)
+        .select($"h")
+      val w = Window.partitionBy($"doc_id").orderBy($"win_idx")
+      val runs = win.join(dup, Seq("h"))
+        .withColumn("grp", $"win_idx" - row_number().over(w))
+        .groupBy($"doc_id", $"grp")
+        .agg(count(lit(1)).as("run_wins"))
+      runs.groupBy($"doc_id")
+        .agg(sum($"run_wins").as("n_dup_wins"),
+          count(lit(1)).as("n_runs"),
+          max($"run_wins" + lit(SlideLen - 1L)).as("max_span_tok"),
+          // spans of runs separated by short gaps can overlap by up to
+          // SlideLen-1 tokens; the sum is the per-run span total, not a
+          // disjoint-coverage claim
+          sum($"run_wins" + lit(SlideLen - 1L)).as("dup_tok"))
+        .orderBy($"doc_id")
+    },
+
     // int8 symmetric quantization audit: per-vector scale = max |component|
     // in micro-units, codes = round-to-nearest(q·127/scale) — the storage
     // shape a 100 TB embedding corpus actually ships. Reports exact integer
@@ -250,12 +414,12 @@ object CurationQueries {
     // subword count vs the character count — the compression-ratio signal
     // that decides whether a learned vocab is worth shipping. The encode
     // map is vocab-sized (broadcast-able at any corpus scale); the doc
-    // join is on the wrapped word form. Each round's best/words are
-    // localCheckpoint-CUT, which at 8 rounds is load-bearing for the
-    // PLAN, not just the cache: words_r references words_{r-1} twice
-    // (pair counting + merge), so an uncut lineage tree doubles per
-    // round — 2^BpeMerges copies of the corpus subtree blows the driver
-    // before any task runs. The cut also leaves no cache-manager residue
+    // join is on the wrapped word form. Each round's top/words are
+    // localCheckpoint-CUT, which is load-bearing for the PLAN, not just
+    // the cache: words_r references words_{r-1} twice (pair counting +
+    // merge), so an uncut lineage tree doubles per round — 2^rounds
+    // copies of the corpus subtree blows the driver before any task
+    // runs. The cut also leaves no cache-manager residue
     // (CacheScopeSpec).
     "txt_bpe_encode" -> { (s, d) =>
       import s.implicits._
@@ -269,13 +433,10 @@ object CurationQueries {
       // corpus pass behind it runs once, not once per round
       var words = toks.groupBy($"w").agg(count(lit(1)).as("wn")).localCheckpoint(true)
       var enc = words.select($"w".as("orig"), $"w".as("cur"))
-      for (_ <- 1 to BpeMerges) {
-        val best = pairsOf(words).orderBy($"pair_n".desc, $"a", $"b").limit(1)
-          .localCheckpoint(true)
-        words = mergeBest(words, best).localCheckpoint(true)
-        enc = enc.crossJoin(broadcast(best.select($"a".as("ba"), $"b".as("bb"))))
-          .withColumn("cur", expr("replace(cur, concat('(', ba, ')(', bb, ')'), concat('(', ba, bb, ')'))"))
-          .select($"orig", $"cur")
+      for (_ <- 1 to BpeRounds) {
+        val top = selectBatch(words)
+        words = applyBatch(words, top).localCheckpoint(true)
+        enc = applyBatchTo(enc, top, "cur").select($"orig", $"cur")
       }
       toks.join(enc, toks("w") === enc("orig"))
         .withColumn("n_sym", expr("CAST(size(regexp_extract_all(cur, '\\\\(([^)]*)\\\\)', 1)) AS BIGINT)"))
@@ -285,34 +446,37 @@ object CurationQueries {
         .orderBy($"doc_id")
     },
 
-    // BPE merge training, BpeMerges rounds (the tokenizer-training core):
-    // count adjacent symbol pairs over the weighted distinct-word
-    // relation, take the most frequent pair (ties: lexicographic), merge
-    // it greedily left-to-right in every word, repeat. Output = the
-    // learned merge table with each pair's pre-merge count. Each round
-    // localCheckpoint-CUT — at 8 rounds the uncut lineage doubles per
-    // round (words_r feeds pair counting AND the merge), so the cut is
-    // what keeps the driver-side plan linear in BpeMerges; it also
-    // leaves no cache-manager residue (CacheScopeSpec).
+    // BPE merge training in BpeRounds BATCHED rounds (the tokenizer-
+    // training core at vocab scale): each round counts adjacent symbol
+    // pairs ONCE over the weighted distinct-word relation, selects up to
+    // BpeBatch locally-maximal symbol-disjoint pairs (see BpeMerges
+    // doc), applies them in rank order, repeats. Output = the learned
+    // merge table, rnk = contiguous global merge index in application
+    // order, pair_n = the pair's count at its round's START. Each
+    // round's top/words are localCheckpoint-CUT — the uncut lineage
+    // doubles per round (words_r feeds pair counting AND the merge), so
+    // the cut is what keeps the driver-side plan linear in rounds; it
+    // also leaves no cache-manager residue (CacheScopeSpec). The final
+    // renumbering window is un-partitioned but runs over ≤BpeMerges
+    // rows by construction (the union of BpeRounds limit-BpeBatch
+    // selections).
     "txt_bpe" -> { (s, d) =>
       import s.implicits._
-      val w0 = CorpusTokenIndex.tokens(s, d)
+      var words = CorpusTokenIndex.tokens(s, d)
         .select($"tok")
         .filter(length($"tok") > 0)
         .select(expr("regexp_replace(tok, '(.)', '($1)')").as("w"))
         .groupBy($"w").agg(count(lit(1)).as("wn"))
         .localCheckpoint(true)
-      val rounds = (1 to BpeMerges).scanLeft((w0, Option.empty[DataFrame])) { case ((words, _), _) =>
-        val best = pairsOf(words).orderBy($"pair_n".desc, $"a", $"b").limit(1)
-          .localCheckpoint(true)
-        (mergeBest(words, best).localCheckpoint(true), Some(best))
+      val tops = (1 to BpeRounds).map { r =>
+        val top = selectBatch(words)
+        words = applyBatch(words, top).localCheckpoint(true)
+        top.select(lit(r.toLong).as("round"), $"rn", $"a", $"b", $"pair_n")
       }
-      rounds.tail.zipWithIndex
-        .flatMap { case ((_, bestOpt), i) =>
-          bestOpt.map(_.select(lit(i + 1L).as("rnk"), $"a", $"b",
-            concat($"a", $"b").as("merged"), $"pair_n"))
-        }
-        .reduce(_.union(_))
+      tops.reduce(_.union(_))
+        .withColumn("rnk",
+          row_number().over(Window.orderBy($"round", $"rn")).cast("long"))
+        .select($"rnk", $"a", $"b", concat($"a", $"b").as("merged"), $"pair_n")
         .orderBy($"rnk")
     },
 
@@ -529,6 +693,29 @@ object CurationQueries {
          |  CAST(SUM(run_tok) AS BIGINT) AS dup_tok
          |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "dd_slide" ->
+      s"""WITH win AS MATERIALIZED (
+         |  SELECT doc_id, CAST(start AS BIGINT) AS win_idx,
+         |    md5(array_to_string(tk[CAST(start + 1 AS INT):CAST(start + $SlideLen AS INT)], ' ')) AS h
+         |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS tk FROM documents
+         |        WHERE len(string_split_regex(text, ' +')) >= $SlideLen),
+         |       UNNEST(range(0, len(tk) - $SlideLen + 1)) AS t(start)),
+         |dup AS (
+         |  SELECT h FROM (SELECT h, doc_id FROM win GROUP BY 1, 2)
+         |  GROUP BY h HAVING COUNT(*) >= 2),
+         |isl AS (
+         |  SELECT doc_id, win_idx,
+         |    win_idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY win_idx) AS grp
+         |  FROM win JOIN dup USING (h)),
+         |runs AS (
+         |  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run_wins
+         |  FROM isl GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(run_wins) AS BIGINT) AS n_dup_wins,
+         |  CAST(COUNT(*) AS BIGINT) AS n_runs,
+         |  CAST(MAX(run_wins + ${SlideLen - 1}) AS BIGINT) AS max_span_tok,
+         |  CAST(SUM(run_wins + ${SlideLen - 1}) AS BIGINT) AS dup_tok
+         |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "emb_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
@@ -589,32 +776,15 @@ object CurationQueries {
         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
 
     "txt_bpe_encode" -> {
-      def round(i: Int): String =
-        s"""p$i AS (
-           |  SELECT a, b, CAST(SUM(wn) AS BIGINT) AS pair_n FROM (
-           |    SELECT w, wn, sym AS a, LEAD(sym) OVER (PARTITION BY w ORDER BY i) AS b
-           |    FROM (SELECT w, wn, unnest(regexp_extract_all(w, '\\(([^)]*)\\)', 1)) AS sym,
-           |                 generate_subscripts(regexp_extract_all(w, '\\(([^)]*)\\)', 1), 1) AS i
-           |          FROM w${i - 1}))
-           |  WHERE b IS NOT NULL GROUP BY 1, 2),
-           |b$i AS (SELECT a, b, pair_n FROM p$i ORDER BY pair_n DESC, a, b LIMIT 1),
-           |w$i AS (
-           |  SELECT replace(w0.w, '(' || b$i.a || ')(' || b$i.b || ')', '(' || b$i.a || b$i.b || ')') AS w,
-           |    CAST(SUM(w0.wn) AS BIGINT) AS wn
-           |  FROM w${i - 1} w0, b$i GROUP BY 1)""".stripMargin
-      val encExpr = (1 to BpeMerges).foldLeft("w0.w") { (acc, i) =>
-        s"replace($acc, '(' || b$i.a || ')(' || b$i.b || ')', '(' || b$i.a || b$i.b || ')')"
-      }
+      val encExpr = (1 to BpeRounds).foldLeft("w")(bpeApplySql)
       s"""WITH toks AS (
          |  SELECT doc_id, regexp_replace(tok, '(.)', '(\\1)', 'g') AS w,
          |    CAST(length(tok) AS BIGINT) AS nch
          |  FROM (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok FROM documents)
          |  WHERE length(tok) > 0),
-         |w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM toks GROUP BY 1),
-         |${(1 to BpeMerges).map(round).mkString(",\n")},
-         |enc AS (
-         |  SELECT w0.w AS orig, $encExpr AS cur
-         |  FROM w0, ${(1 to BpeMerges).map(i => s"b$i").mkString(", ")})
+         |w0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM toks GROUP BY 1),
+         |${(1 to BpeRounds).map(bpeRoundSql).mkString(",\n")},
+         |enc AS (SELECT w AS orig, $encExpr AS cur FROM w0)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
          |  CAST(SUM(nch) AS BIGINT) AS n_chars,
          |  CAST(SUM(len(regexp_extract_all(enc.cur, '\\(([^)]*)\\)', 1))) AS BIGINT) AS n_subtok,
@@ -624,29 +794,18 @@ object CurationQueries {
     },
 
     "txt_bpe" -> {
-      def round(i: Int): String =
-        s"""p$i AS (
-           |  SELECT a, b, CAST(SUM(wn) AS BIGINT) AS pair_n FROM (
-           |    SELECT w, wn, sym AS a, LEAD(sym) OVER (PARTITION BY w ORDER BY i) AS b
-           |    FROM (SELECT w, wn, unnest(regexp_extract_all(w, '\\(([^)]*)\\)', 1)) AS sym,
-           |                 generate_subscripts(regexp_extract_all(w, '\\(([^)]*)\\)', 1), 1) AS i
-           |          FROM w${i - 1}))
-           |  WHERE b IS NOT NULL GROUP BY 1, 2),
-           |b$i AS (SELECT a, b, pair_n FROM p$i ORDER BY pair_n DESC, a, b LIMIT 1),
-           |w$i AS (
-           |  SELECT replace(w0.w, '(' || b$i.a || ')(' || b$i.b || ')', '(' || b$i.a || b$i.b || ')') AS w,
-           |    CAST(SUM(w0.wn) AS BIGINT) AS wn
-           |  FROM w${i - 1} w0, b$i GROUP BY 1)""".stripMargin
-      val picks = (1 to BpeMerges).map(i =>
-        s"SELECT CAST($i AS BIGINT) AS rnk, a, b, a || b AS merged, pair_n FROM b$i")
+      val picks = (1 to BpeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, rn, a, b, pair_n FROM top$r")
         .mkString("\nUNION ALL ")
-      s"""WITH w0 AS (
+      s"""WITH w0 AS MATERIALIZED (
          |  SELECT regexp_replace(tok, '(.)', '(\\1)', 'g') AS w, CAST(COUNT(*) AS BIGINT) AS wn
          |  FROM (SELECT unnest(string_split_regex(text, ' +')) AS tok FROM documents)
          |  WHERE length(tok) > 0 GROUP BY 1),
-         |${(1 to BpeMerges).map(round).mkString(",\n")}
-         |$picks
-         |ORDER BY rnk""".stripMargin
+         |${(1 to BpeRounds).map(bpeRoundSql).mkString(",\n")},
+         |u AS ($picks)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY round, rn) AS BIGINT) AS rnk,
+         |  a, b, a || b AS merged, pair_n
+         |FROM u ORDER BY rnk""".stripMargin
     },
 
     "emb_gram" ->

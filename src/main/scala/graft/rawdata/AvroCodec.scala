@@ -120,25 +120,117 @@ object AvroCodec {
     new DataFileReader[GenericRecord](
       new FsInput(new Path(path), conf), new GenericDatumReader[GenericRecord](schema))
 
+  /** Transient-failure retries per file read. Object-store read channels
+    * reset under normal operation (the reference's GCSSeekableInput.java:1
+    * exists to reopen the GCS channel on seek/failure); a committed topic
+    * file is immutable, so a reopen-and-skip retry is always safe. Two
+    * retries bounds the cost on genuinely corrupt files (which still fail,
+    * with the original IOException).
+    */
+  private val ReadRetries = 2
+
   def readFile(path: String, conf: Configuration): Iterator[RawdataMessage] =
-    iterate(open(path, conf))
+    resilient(path, 0L, conf)
 
   /** Read records at/after a block offset (the filename's last-block
     * offset) — the reference's lastMessage fast path
     * (AvroRawdataClient.java:126-147).
     */
-  def readFileFrom(path: String, blockOffset: Long, conf: Configuration): Iterator[RawdataMessage] = {
-    val reader = open(path, conf)
-    if (blockOffset > 0) reader.seek(blockOffset)
-    iterate(reader)
+  def readFileFrom(path: String, blockOffset: Long, conf: Configuration): Iterator[RawdataMessage] =
+    resilient(path, blockOffset, conf)
+
+  /** First record of a file, closing the reader regardless of content
+    * (driver-side call — no TaskContext to close it for us).
+    */
+  def readFirst(path: String, conf: Configuration): Option[RawdataMessage] = {
+    val it = resilient(path, 0L, conf)
+    try { if (it.hasNext) Some(it.next()) else None }
+    finally it.closeNow()
   }
 
-  /** First record of a file, closing the reader regardless of content. */
-  def readFirst(path: String, conf: Configuration): Option[RawdataMessage] = {
-    val reader = open(path, conf)
-    try { if (reader.hasNext) Some(fromRecord(reader.next())) else None }
-    finally reader.close()
+  /** true iff the failure chain contains an IOException — the transient
+    * class worth a reopen (Avro wraps stream failures in
+    * AvroRuntimeException, so the cause chain is walked)
+    */
+  private def transientIO(e: Throwable): Boolean = {
+    var t = e
+    while (t != null) {
+      if (t.isInstanceOf[java.io.IOException]) return true
+      t = if (t.getCause eq t) null else t.getCause
+    }
+    false
   }
+
+  private def quietClose(r: DataFileReader[GenericRecord]): Unit =
+    try r.close() catch { case _: Exception => () }
+
+  /** Iterator over a topic file that survives transient read failures by
+    * reopening the file and skipping the records already delivered — the
+    * Spark-side twin of the reference's channel-reopen behavior
+    * (GCSSeekableInput.java). The skip re-seeks to `blockOffset` first, so
+    * the replay cost is bounded by the records since that offset, and the
+    * iterator delivers each record EXACTLY once across any number of
+    * reopens (FaultInjectionSpec proves no loss/duplication under injected
+    * channel resets).
+    */
+  private def resilient(path: String, blockOffset: Long, conf: Configuration): ResilientIterator =
+    new ResilientIterator(path, blockOffset, conf)
+
+  private final class ResilientIterator(
+      path: String, blockOffset: Long, conf: Configuration) extends Iterator[RawdataMessage] {
+      private var delivered = 0L
+      private var retries = ReadRetries
+      private var reader: DataFileReader[GenericRecord] = null
+      private var closed = false
+      // A partially consumed iterator (e.g. a local limit short-circuiting
+      // the flatMap in Topic.readFiles) would otherwise leak the file
+      // handle for the executor's lifetime.
+      private val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeOnce())
+
+      private def closeOnce(): Unit = if (!closed) {
+        closed = true
+        if (reader != null) quietClose(reader)
+      }
+
+      private def attempt[T](body: DataFileReader[GenericRecord] => T): T = {
+        while (true) {
+          try {
+            if (reader == null) {
+              val r = open(path, conf)
+              try {
+                if (blockOffset > 0) r.seek(blockOffset)
+                var i = 0L
+                while (i < delivered) { r.next(); i += 1 }
+              } catch { case e: Throwable => quietClose(r); throw e }
+              reader = r
+            }
+            return body(reader)
+          } catch {
+            case e: Throwable if retries > 0 && transientIO(e) =>
+              retries -= 1
+              if (reader != null) { quietClose(reader); reader = null }
+          }
+        }
+        throw new IllegalStateException("unreachable")
+      }
+
+      def hasNext: Boolean = {
+        if (closed) return false
+        val h = attempt(_.hasNext)
+        if (!h) closeOnce()
+        h
+      }
+
+      def next(): RawdataMessage = {
+        val m = attempt(r => fromRecord(r.next()))
+        delivered += 1
+        m
+      }
+
+      /** explicit close for driver-side callers with no TaskContext */
+      def closeNow(): Unit = closeOnce()
+    }
 
   def readBytes(content: Array[Byte]): Iterator[RawdataMessage] = {
     val reader = new DataFileReader[GenericRecord](

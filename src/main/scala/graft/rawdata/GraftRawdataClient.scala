@@ -248,7 +248,8 @@ final class GraftRawdataClient(
     */
   final class Consumer(
       topic: String, pollIntervalMs: Long = 100,
-      startAfterHex: Option[String] = None, startInclusive: Boolean = false) extends AutoCloseable {
+      startAfterHex: Option[String] = None, startInclusive: Boolean = false,
+      maxMessagesPerPoll: Long = GraftRawdataClient.DefaultMaxMessagesPerPoll) extends AutoCloseable {
 
     @volatile private var consumerClosed = false
 
@@ -302,7 +303,27 @@ final class GraftRawdataClient(
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       while (true) {
         val files = Topic.listFilesCached(dir, pollIntervalMs)
-        val fresh = files.filterNot(f => consumedFiles.contains(f.path))
+        val freshAll = files.filterNot(f => consumedFiles.contains(f.path))
+        // Backlog guard: each poll materializes its batch on the driver
+        // (reference parity — AvroRawdataConsumer buffers per file), so a
+        // consumer resuming against a month of backlog must NOT collect
+        // the whole backlog at once. Cap the batch at maxMessagesPerPoll
+        // messages by taking a PREFIX of the fresh files in delivery
+        // order (per-file counts come from the filename metadata, free);
+        // the remainder stays un-consumed and drains on subsequent
+        // polls from the cursor. File granularity: always at least one
+        // file (a single file is bounded by the producer's window), and
+        // per-poll ULID ranges may interleave across polls exactly as
+        // they already could when a distributed publish lands files out
+        // of order.
+        val fresh =
+          if (freshAll.map(_.count).sum <= maxMessagesPerPoll) freshAll
+          else {
+            val ordered = freshAll.sortBy(f => (f.fromTsMs, f.path))
+            var acc = 0L
+            val take = ordered.takeWhile { f => acc += f.count; acc <= maxMessagesPerPoll }
+            if (take.nonEmpty) take else ordered.take(1)
+          }
         if (fresh.nonEmpty) {
           val msgs = Topic.readFiles(spark, fresh).collect()
             .map(m => (m.id.map("%02x".format(_)).mkString, m))
@@ -319,7 +340,11 @@ final class GraftRawdataClient(
         }
         val leftNs = deadline - System.nanoTime()
         if (leftNs <= 0) return Seq.empty
-        Thread.sleep(math.max(1L, math.min(pollIntervalMs, leftNs / 1000000L + 1)))
+        // when the cap left un-consumed files behind (all of this batch
+        // filtered below the start cursor), the next prefix is already
+        // available — loop immediately instead of sleeping a poll
+        if (fresh.size >= freshAll.size)
+          Thread.sleep(math.max(1L, math.min(pollIntervalMs, leftNs / 1000000L + 1)))
       }
       Seq.empty // unreachable
     }
@@ -343,6 +368,14 @@ final class GraftRawdataClient(
   def consumer(topic: String, pollIntervalMs: Long): Consumer = {
     ensureOpen()
     track(new Consumer(topic, pollIntervalMs))
+  }
+
+  /** consumer with an explicit per-poll backlog cap (see
+    * [[GraftRawdataClient.DefaultMaxMessagesPerPoll]])
+    */
+  def consumer(topic: String, pollIntervalMs: Long, maxMessagesPerPoll: Long): Consumer = {
+    ensureOpen()
+    track(new Consumer(topic, pollIntervalMs, maxMessagesPerPoll = maxMessagesPerPoll))
   }
 
   /** reference `consumer(topic, cursor)`: the receive loop starts at the
@@ -433,4 +466,15 @@ final class GraftRawdataClient(
     ensureOpen()
     new Metadata(topic)
   }
+}
+
+object GraftRawdataClient {
+  /** Default cap on messages a single Consumer.receive() poll will
+    * materialize on the driver: a consumer resuming against a month of
+    * backlog drains it in bounded batches over successive polls instead
+    * of collecting the whole backlog at once (the reference consumer
+    * streams file-by-file and never holds more than one file's buffer —
+    * AvroRawdataConsumer.java:71-96).
+    */
+  val DefaultMaxMessagesPerPoll: Long = 10000L
 }

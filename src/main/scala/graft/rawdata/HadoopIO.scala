@@ -56,6 +56,13 @@ object HadoopIO {
   /** (source session conf identity, derived copy) — single-slot cache. */
   @volatile private var cached: (Configuration, Configuration) = null
 
+  /** Drop the cached derived copy. The cache is keyed by the session
+    * conf's IDENTITY, so a caller that MUTATES the session's Hadoop conf
+    * (e.g. registering a custom `fs.<scheme>.impl` — FaultInjectionSpec)
+    * must invalidate or the stale copy keeps serving.
+    */
+  private[rawdata] def invalidateConfCache(): Unit = cached = null
+
   /** Child path by string concatenation — never `new Path(parent, child)`,
     * which URI-parses the child and rejects the ':' in topic filenames as
     * a scheme separator.

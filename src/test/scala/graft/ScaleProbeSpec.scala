@@ -61,10 +61,10 @@ class ScaleProbeSpec extends SparkSpec {
       s"a copy's pair mass blew past 5x the base corpus: ${perCopy.toSeq} vs $basePairs")
   }
 
-  test("amplified embeddings decorrelate across copies") {
+  test("amplified embeddings decorrelate across copies AND within each copy") {
     // cross-copy pairs of the SAME source vector must not dominate the
-    // banded-LSH embed candidates: the per-copy offset vector pushes
-    // them apart. Same-source pairs are (va % 2^32 == vb % 2^32).
+    // banded-LSH embed candidates: the per-vector offset pushes them
+    // apart. Same-source pairs are (va % 2^32 == vb % 2^32).
     val pairs = graft.queries.CorpusLshIndex.embedPairs(spark, dest)
       .select($"vec_a", $"vec_b")
     val total = pairs.count()
@@ -74,5 +74,19 @@ class ScaleProbeSpec extends SparkSpec {
     assert(total > 0, "amplified embed index produced no candidates")
     assert(sameSource * 2 <= total,
       s"cross-copy self-pairs dominate ($sameSource of $total) — offset vectors too weak")
+    // the round-9 regression this spec missed: a per-copy CONSTANT
+    // offset collapsed every copy into one band bucket (all signatures
+    // = sign(h·offset)), making the band join quadratic per copy —
+    // 45 GB of shuffle at amp=100. Bound each copy's pair mass by a
+    // small multiple of the base corpus's, like the text test above.
+    val basePairs = graft.queries.CorpusLshIndex.embedPairs(spark, sf).count()
+    val perCopy = pairs
+      .groupBy(($"vec_a" divide lit(ScaleProbe.KeyOffset)).cast("long").as("cp"))
+      .count().select($"count").as[Long].collect()
+    // 10x base still rules out the collapse by orders of magnitude: a
+    // one-bucket copy pairs ~n²/2 ≈ 2M per band vs base ~39k (randomized
+    // copies legitimately sit a few x above the clustered base corpus)
+    assert(perCopy.forall(n => n <= 10 * math.max(1L, basePairs)),
+      s"a copy's embed pair mass blew past 10x the base corpus: ${perCopy.toSeq} vs $basePairs")
   }
 }

@@ -259,36 +259,55 @@ class CurationOpsSpec extends SparkSpec {
       "mean relative error exceeds the int8 quantization bound 0.5/127")
   }
 
-  test("txt_bpe matches a driver-side greedy BPE reference for every merge round") {
+  test("txt_bpe matches a driver-side batched-BPE reference for every merge") {
     val got = CurationQueries.queries("txt_bpe")(spark, sf).collect()
       .sortBy(_.getAs[Long]("rnk"))
       .map(r => (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("pair_n")))
-    // plain-Scala reference: weighted pair counts over the distinct-word
-    // multiset, greedy left-to-right non-overlapping merge per round
+    // plain-Scala reference of the BATCHED algorithm: per round, weighted
+    // pair counts over the distinct-word multiset, locally-maximal
+    // symbol-disjoint selection (a pair wins iff it best-ranks among all
+    // pairs sharing either symbol), top-BpeBatch by (count desc, lex),
+    // applied greedily left-to-right in rank order
     val toks = graft.Tables.t(spark, sf, "documents")
       .selectExpr("explode(split(text, ' +')) AS tok")
       .filter($"tok" =!= "").collect().map(_.getString(0))
     var words: Map[Vector[String], Long] =
       toks.groupBy(identity).map { case (t, g) => t.map(_.toString).toVector -> g.length.toLong }
-    val ref = (1 to CurationQueries.BpeMerges).map { _ =>
+    def rank(p: ((String, String), Long)): (Long, String, String) = (-p._2, p._1._1, p._1._2)
+    val refRounds = (1 to CurationQueries.BpeRounds).map { _ =>
       val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
       for ((w, n) <- words; i <- 0 until w.length - 1) pc((w(i), w(i + 1))) += n
-      val ((a, b), n) = pc.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
-      words = words.toSeq.map { case (w, wn) =>
-        val nw = Vector.newBuilder[String]
-        var i = 0
-        while (i < w.length) {
-          if (i + 1 < w.length && w(i) == a && w(i + 1) == b) { nw += a + b; i += 2 }
-          else { nw += w(i); i += 1 }
-        }
-        (nw.result(), wn)
-      }.groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }
-      (a, b, n)
+      val bySym = scala.collection.mutable.Map.empty[String, ((String, String), Long)]
+      for (p <- pc; s <- Set(p._1._1, p._1._2))
+        if (!bySym.contains(s) ||
+            Ordering[(Long, String, String)].lt(rank(p), rank(bySym(s)))) bySym(s) = p
+      val top = pc.toSeq
+        .filter { case p@((a, b), _) => Set(a, b).forall(s => bySym(s) == p) }
+        .sortBy(rank).take(CurationQueries.BpeBatch)
+      for (((a, b), _) <- top) {
+        words = words.toSeq.map { case (w, wn) =>
+          val nw = Vector.newBuilder[String]
+          var i = 0
+          while (i < w.length) {
+            if (i + 1 < w.length && w(i) == a && w(i + 1) == b) { nw += a + b; i += 2 }
+            else { nw += w(i); i += 1 }
+          }
+          (nw.result(), wn)
+        }.groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }
+      }
+      top.map { case ((a, b), n) => (a, b, n) }
     }
+    val ref = refRounds.flatten
     assert(got.toSeq === ref,
-      s"BPE merge table diverged from the greedy reference: got ${got.toSeq}, want $ref")
-    assert(got.map(_._3).toSeq === got.map(_._3).toSeq.sortBy(-_),
-      "merge counts must be non-increasing across rounds")
+      s"BPE merge table diverged from the batched reference: got ${got.toSeq}, want $ref")
+    // within a round, selection order is count-desc; the first merge of a
+    // later round may legitimately out-count the last merge of an earlier
+    // round (its conflicting rival was deferred), so monotonicity holds
+    // per round only
+    refRounds.foreach { g =>
+      assert(g.map(_._3) === g.map(_._3).sortBy(-_),
+        "merge counts must be non-increasing within a round")
+    }
   }
 
   test("txt_bpe_encode compresses: n_tok ≤ n_subtok ≤ n_chars, covers every doc, merges actually fired") {
