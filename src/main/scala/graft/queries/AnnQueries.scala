@@ -29,7 +29,28 @@ object AnnQueries {
   private[queries] val TopK = 5
   private val Hyperplanes = 8 // LSH signature bits
   private val Dims = 64
-  private[queries] val CentroidStep = 100 // IVF seeds: vec_id % step == 0
+  private[queries] val CentroidStep = 100 // IVF seed-step FLOOR: vec_id % step == 0
+
+  /** IVF nlist scale rule: step(n) = max(100, round(sqrt(5n))), so the
+    * centroid count n/step tracks ~0.45·sqrt(n) instead of n/100. At a
+    * FIXED step, nlist grows linearly and the broadcast
+    * nearest-centroid assignment costs n·nlist = n²/step — the
+    * quadratic curve the amp=100 probe exists to catch (its embed-LSH
+    * twin measured 67 GB of shuffle from the same mistake). sqrt-scaled
+    * nlist keeps assignment ~n^1.5 work with a sqrt-sized broadcast.
+    * Every driver-testdata sf (500/2000 vectors) lands on the 100
+    * floor, so the static SQL oracles (which unroll `% 100`) replay
+    * unchanged; bigger corpora get wider steps deterministically.
+    */
+  private[graft] def centroidStepFor(n: Long): Long =
+    math.max(CentroidStep.toLong, math.round(math.sqrt(5.0 * n)))
+
+  /** the step the corpus at `d` is (or would be) indexed with — a
+    * function of the immutable embeddings table, so appends and every
+    * query family agree
+    */
+  private[graft] def centroidStep(s: SparkSession, d: String): Long =
+    centroidStepFor(graft.Tables.t(s, d, "embeddings").count())
   private val KmeansK = 8 // k-means clusters (seeds: vec_id < k)
   private val KmeansIters = 3 // fixed Lloyd rounds (deterministic, SQL-replayable)
   private val RpPlanes = 16 // emb_rp: Johnson–Lindenstrauss projection dims
@@ -134,7 +155,7 @@ object AnnQueries {
     "ann_ivf_recall" -> { (s, d) =>
       import s.implicits._
       val e = quantized(s, d)
-      val cents = e.filter($"vec_id" % CentroidStep === 0)
+      val cents = e.filter($"vec_id" % centroidStep(s, d) === 0)
         .select($"vec_id".as("cent_id"), $"q".as("qc"), $"nn".as("nc"))
       val w0 = Window.partitionBy($"vec_id").orderBy($"c_ppm".desc, $"cent_id")
       val asgn = e.join(broadcast(cents), lit(true))
@@ -176,7 +197,7 @@ object AnnQueries {
     "ann_ivf_topk" -> { (s, d) =>
       import s.implicits._
       val e = quantized(s, d)
-      val cents = e.filter($"vec_id" % CentroidStep === 0)
+      val cents = e.filter($"vec_id" % centroidStep(s, d) === 0)
         .select($"vec_id".as("cent_id"), $"q".as("qc"), $"nn".as("nc"))
       // nearest-centroid assignment: max cosine, centroid id tie-break
       def assign(df: DataFrame, keep: Int): DataFrame = {
@@ -545,7 +566,7 @@ object AnnQueries {
       import s.implicits._
       val (mSub, subDim, nCodes, shortlist) = (8, 8, 16, 5 * TopK)
       val e = quantized(s, d)
-      val cents = e.filter($"vec_id" % CentroidStep === 0)
+      val cents = e.filter($"vec_id" % centroidStep(s, d) === 0)
         .select($"vec_id".as("cent_id"), $"q".as("qc"), $"nn".as("nc"))
       def assign(df: DataFrame, keep: Int): DataFrame = {
         val w = Window.partitionBy(col("vec_id")).orderBy(col("c_ppm").desc, col("cent_id"))

@@ -189,7 +189,8 @@ object CorpusLshIndex {
       // the exact per-table band relation is materialized beside the
       // pairs: appendEmbeddings joins a new batch's probes against it,
       // so extending the index never re-bands the existing corpus
-      DedupQueries.embedExactBands(DedupQueries.embedBanded(t(s, d, "embeddings")))
+      DedupQueries.embedExactBands(DedupQueries.embedBanded(
+        t(s, d, "embeddings"), DedupQueries.embedLshBits(s, d)))
         .write.mode(SaveMode.Overwrite)
         .option("path", new java.io.File(dir, "eband").getAbsolutePath)
         .bucketBy(buckets(s), "tbl", "bits")
@@ -218,9 +219,13 @@ object CorpusLshIndex {
   def appendEmbeddings(s: SparkSession, d: String, newVecs: DataFrame): Unit = synchronized {
     embedPairs(s, d): Unit
     val tg = tag(d)
-    val eNew = DedupQueries.embedBanded(newVecs).persist()
+    // the batch MUST band at the INDEX's width (a function of the
+    // immutable base embeddings table, not the batch size) or its band
+    // values never collide with the stored eband table
+    val bits = DedupQueries.embedLshBits(s, d)
+    val eNew = DedupQueries.embedBanded(newVecs, bits).persist()
     val bandNew = DedupQueries.embedExactBands(eNew)
-    val probesNew = DedupQueries.embedProbes(eNew)
+    val probesNew = DedupQueries.embedProbes(eNew, bits)
     val bandOld = s.table(tableName("eband", tg))
     val cross = probesNew.withColumnRenamed("vec_id", "vn")
       .join(bandOld.withColumnRenamed("vec_id", "vo"), Seq("tbl", "bits"))

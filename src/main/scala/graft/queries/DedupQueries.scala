@@ -112,20 +112,43 @@ object DedupQueries {
     shingleArrays(docs).select($"doc_id", explode($"ss").as("s"))
   }
 
-  /** 32-bit SimHash per doc: token hash bits weighted ±1 and re-signed —
-    * computed as ONE aggregation with 32 conditional sums
+  /** SimHash band-width scale rule: the fingerprint is 4 bands of
+    * bandBits each (pigeonhole: hamming ≤ 3 ⇒ at least one exact band),
+    * with bandBits = clamp(ceil(log2(n/8)), 8, 16) — i.e. ~constant
+    * expected band-bucket occupancy, the same rule as embedLshBitsFor.
+    * At the fixed 4×8-bit width the band join's candidate mass grows
+    * quadratically (the amp=100 probe measured dd_simhash_pairs at
+    * 53 s — 5.7× over linear — from exactly this); log-scaled bands
+    * keep it ~n·log n up to the 64-bit cap (Google's production
+    * simhash width), past which combinatorial band blocks would be the
+    * next step. Every oracle-checked sf (500 docs) lands on the 8-bit
+    * floor, so the static 32-bit SQL oracles replay unchanged.
+    */
+  private[graft] def simhashBandBits(n: Long): Int = {
+    val target = math.max(1.0, n / 8.0)
+    math.min(16, math.max(8, math.ceil(math.log(target) / math.log(2.0)).toInt))
+  }
+
+  /** 4·bandBits-wide SimHash per doc: token hash bits weighted ±1 and
+    * re-signed — ONE aggregation with width conditional sums. Bits 0-31
+    * come from md5 hex chars 1-8 exactly as the 32-bit form did (the
+    * oracle-checked widths are bit-identical to the old build); wider
+    * fingerprints extend with chars 9-16.
     */
   private def simhashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val width = 4 * simhashBandBits(t(s, d, "documents").count())
     // token index: doc_id bucketing feeds the per-doc bit-sum groupBy
     // with NO shuffle (the one wide stage this signature build had)
     val toks = CorpusTokenIndex.tokens(s, d)
       .select($"doc_id", $"tok")
       .withColumn("v", conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"))
-    val bitSums = (0 until 32).map { b =>
-      sum(when(shiftright($"v", b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$b")
+      .withColumn("v2", conv(substring(md5($"tok"), 9, 8), 16, 10).cast("long"))
+    val bitSums = (0 until width).map { b =>
+      val src = if (b < 32) $"v" else $"v2"
+      sum(when(shiftright(src, b % 32).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$b")
     }
-    val sig = (0 until 32).map { b =>
+    val sig = (0 until width).map { b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     toks.groupBy($"doc_id")
@@ -574,10 +597,12 @@ object DedupQueries {
     // comparison never happens — only within-band pairs are evaluated.
     "dd_simhash_pairs" -> { (s, d) =>
       import s.implicits._
+      val bb = simhashBandBits(t(s, d, "documents").count())
+      val mask = (1L << bb) - 1
       val sig = simhashes(s, d).persist()
       val banded = sig.select($"doc_id", $"simhash",
         explode(expr(
-          "transform(sequence(0, 3), b -> named_struct('band', b, 'bits', (simhash >> (b * 8)) & 255))")).as("bb"))
+          s"transform(sequence(0, 3), b -> named_struct('band', b, 'bits', (simhash >> (b * $bb)) & $mask))")).as("bb"))
         .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.bits".as("bits"))
       banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
@@ -1245,11 +1270,37 @@ object DedupQueries {
     * in the corpus — emb_semdedup's left join gives them their own
     * singleton cluster)
     */
-  private[graft] def embedBanded(vecs: DataFrame): DataFrame =
+  /** Corpus-scaled band width: bits = max(8, ceil(log2(n/8))), i.e. a
+    * CONSTANT expected bucket occupancy (~8) however big the corpus.
+    * This is the load-bearing LSH scale rule: at fixed bits, occupancy
+    * grows linearly with n and the band join's candidate mass grows
+    * QUADRATICALLY — the round-9 amp=100 probe measured exactly that
+    * (67 GB of shuffle from 200k vectors at the old fixed 8 bits).
+    * With log-scaled bits the mass stays ~n·log n. Every driver-testdata
+    * sf lands on the 8-bit floor, so the static SQL oracles (which
+    * unroll 8-bit hyperplane constants) replay unchanged; a corpus big
+    * enough to widen the bands is exactly the regime the oracle harness
+    * never runs at. Per-table recall at a fixed cosine drops as bits
+    * grow (p^bits); the hamming-1 multi-probe (whose flip count follows
+    * bits) and the 10 tables are the standard compensation.
+    */
+  private[graft] def embedLshBitsFor(n: Long): Int = {
+    val target = math.max(1.0, n / 8.0)
+    math.max(EmbedLshBits, math.ceil(math.log(target) / math.log(2.0)).toInt)
+  }
+
+  /** the band width the corpus at `d` was (or would be) indexed with —
+    * appends MUST reuse it, so it is a function of the base embeddings
+    * table, which is immutable for a given dir
+    */
+  private[graft] def embedLshBits(s: SparkSession, d: String): Int =
+    embedLshBitsFor(t(s, d, "embeddings").count())
+
+  private[graft] def embedBanded(vecs: DataFrame, bits: Int): DataFrame =
     graft.operators.VectorOps.withHyperplaneBands(
       graft.operators.VectorOps.quantize(vecs)
         .select(col("vec_id"), col("q"), col("nn")).filter(col("nn") > 0),
-      EmbedLshTables, EmbedLshBits)
+      EmbedLshTables, bits)
 
   /** exact band per table: (vec_id, tbl, bits) */
   private[graft] def embedExactBands(e: DataFrame): DataFrame = {
@@ -1265,12 +1316,12 @@ object DedupQueries {
     * multi-probe; collision is symmetric, so probing from one side of a
     * pair loses nothing)
     */
-  private[graft] def embedProbes(e: DataFrame): DataFrame = {
+  private[graft] def embedProbes(e: DataFrame, bits: Int): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     e.select($"vec_id", explode(expr(
       s"""flatten(transform(sequence(0, ${EmbedLshTables - 1}), t ->
-         |  transform(sequence(-1, ${EmbedLshBits - 1}), k -> named_struct('tbl', t, 'bits',
+         |  transform(sequence(-1, ${bits - 1}), k -> named_struct('tbl', t, 'bits',
          |    CASE WHEN k = -1 THEN bands[t]
          |         ELSE bands[t] ^ shiftleft(1L, k) END))))""".stripMargin)).as("bb"))
       .select($"vec_id", $"bb.tbl".as("tbl"), $"bb.bits".as("bits"))
@@ -1293,8 +1344,9 @@ object DedupQueries {
 
   private[graft] def embedLshPairsRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = embedBanded(t(s, d, "embeddings")).persist()
-    val cand = embedProbes(e).withColumnRenamed("vec_id", "va")
+    val bits = embedLshBits(s, d)
+    val e = embedBanded(t(s, d, "embeddings"), bits).persist()
+    val cand = embedProbes(e, bits).withColumnRenamed("vec_id", "va")
       .join(embedExactBands(e).withColumnRenamed("vec_id", "vb"), Seq("tbl", "bits"))
       .filter($"va" < $"vb")
       .select($"va", $"vb")

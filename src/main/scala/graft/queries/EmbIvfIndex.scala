@@ -61,7 +61,8 @@ object EmbIvfIndex {
         new java.io.File(sys.props("java.io.tmpdir"), "graft-ivf-index"), tg)
       dir.mkdirs()
       val e = graft.operators.VectorOps.quantized(s, d)
-      val cents = e.filter($"vec_id" % AnnQueries.CentroidStep === 0)
+      // corpus-scaled seed step (sqrt-scaled nlist — AnnQueries.centroidStep)
+      val cents = e.filter($"vec_id" % AnnQueries.centroidStep(s, d) === 0)
         .select($"vec_id".as("cent_id"), $"q".as("qc"), $"nn".as("nc"))
       cents.write.mode(SaveMode.Overwrite)
         .option("path", new java.io.File(dir, "cent").getAbsolutePath)
@@ -98,11 +99,12 @@ object EmbIvfIndex {
     // rebuild while consumers keep trusting append == rebuild. Both
     // checks are one counting aggregate over the (small) batch; the
     // duplicate check semi-joins the batch against the posting lists.
+    val step = AnnQueries.centroidStep(s, d)
     val seeds = newVecs
-      .filter(col("vec_id") % AnnQueries.CentroidStep === 0).limit(1).count()
+      .filter(col("vec_id") % step === 0).limit(1).count()
     require(seeds == 0L,
       "EmbIvfIndex.append: batch contains a seed position " +
-        s"(vec_id % ${AnnQueries.CentroidStep} == 0) — the codebook is " +
+        s"(vec_id % $step == 0) — the codebook is " +
         "frozen; such a batch would diverge from a rebuild")
     val dups = newVecs.join(
       s.table(tableName("cells", tg)).select($"vec_id"), Seq("vec_id"),

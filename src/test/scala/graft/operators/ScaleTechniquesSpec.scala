@@ -67,4 +67,46 @@ class ScaleTechniquesSpec extends SparkSpec {
       .filter($"k" === 0).select($"__salt").distinct().count()
     assert(saltSpread === 16L, "hot key must be spread across all 16 salts")
   }
+
+  test("embed LSH band width scales log2 with the corpus, floored at the oracle width") {
+    import graft.queries.DedupQueries.embedLshBitsFor
+    // every driver testdata sf lands on the 8-bit floor — the static
+    // SQL oracles stay valid
+    for (n <- Seq(1L, 500L, 2000L)) assert(embedLshBitsFor(n) === 8, s"n=$n")
+    // past the floor, expected bucket occupancy n/2^bits stays in [4, 8]
+    // — constant occupancy is what keeps band-join mass ~linear where a
+    // fixed width would degrade quadratically (the amp=100 probe's
+    // 67 GB failure mode)
+    for (n <- Seq(20000L, 200000L, 2000000L, 200000000L)) {
+      val bits = embedLshBitsFor(n)
+      val occ = n.toDouble / (1L << bits)
+      assert(occ <= 8.0 + 1e-9, s"n=$n bits=$bits occupancy $occ")
+      assert(occ >= 4.0, s"n=$n bits=$bits occupancy $occ undershoots (recall paid for nothing)")
+    }
+  }
+
+  test("simhash band width scales log2 with the corpus, floored at the oracle width") {
+    import graft.queries.DedupQueries.simhashBandBits
+    // oracle-checked sfs (500 docs) land on the 8-bit floor → 32-bit
+    // fingerprints, bit-identical to the original build
+    for (n <- Seq(1L, 500L, 2000L)) assert(simhashBandBits(n) === 8, s"n=$n")
+    assert(simhashBandBits(5000L) === 10)   // bench sf0.1
+    assert(simhashBandBits(500000L) === 16) // amp=100; capped at 64-bit total
+    assert(simhashBandBits(100000000L) === 16, "width caps at the 64-bit fingerprint")
+  }
+
+  test("IVF seed step scales sqrt with the corpus, floored at the oracle step") {
+    import graft.queries.AnnQueries.centroidStepFor
+    // every driver testdata sf lands on the 100 floor — `% 100` oracles
+    // stay valid
+    for (n <- Seq(1L, 500L, 2000L)) assert(centroidStepFor(n) === 100L, s"n=$n")
+    // past the floor, nlist = n/step tracks ~0.45*sqrt(n): assignment
+    // work n*nlist stays ~n^1.5 where a fixed step makes it n²/100
+    for (n <- Seq(20000L, 200000L, 2000000L, 2000000000L)) {
+      val step = centroidStepFor(n)
+      val nlist = n.toDouble / step
+      val ratio = nlist / math.sqrt(n.toDouble)
+      assert(ratio > 0.4 && ratio < 0.5, s"n=$n step=$step nlist/sqrt(n)=$ratio")
+    }
+  }
 }
