@@ -869,6 +869,29 @@ object AnnQueries {
     // shuffle, no per-query state at all. Output order (qid, cos desc,
     // cid) is a result sort of the τ-bounded match set, not a
     // corpus-sized sort.
+    // LSH band-health monitor (the operational audit for the
+    // corpus-scaled band-width rule): per hash table, the bucket count,
+    // worst bucket, mean occupancy and the exact candidate-pair mass
+    // Σ c·(c−1)/2 the band join will generate — the dashboard row that
+    // says "your bands are too narrow for this corpus" BEFORE a dedup
+    // run writes 67 GB of shuffle (the amp=100 probe's round-9
+    // finding). Scale shape: one (tbl, bits) partial agg over the
+    // banded relation, then a |tables|-row rollup; nothing pair-shaped
+    // is ever materialized.
+    "ann_band_stats" -> { (s, d) =>
+      import s.implicits._
+      val bands = DedupQueries.embedExactBands(DedupQueries.embedBanded(
+        t(s, d, "embeddings"), DedupQueries.embedLshBits(s, d)))
+      val occ = bands.groupBy($"tbl", $"bits").agg(count(lit(1)).as("c"))
+      occ.groupBy($"tbl".cast("long").as("tbl"))
+        .agg(sum($"c").as("n_vectors"),
+          count(lit(1)).as("n_buckets"),
+          max($"c").as("max_bucket"),
+          expr("CAST(SUM((c * (c - 1)) div 2) AS BIGINT)").as("cand_pairs"))
+        .withColumn("occupancy_ppm", expr("(n_vectors * 1000000) div n_buckets"))
+        .orderBy($"tbl")
+    },
+
     "ann_range" -> { (s, d) =>
       import s.implicits._
       val e = quantized(s, d)
@@ -1068,6 +1091,15 @@ object AnnQueries {
 
   private lazy val baseOracles: Map[String, String] = Map(
     "emb_fps" -> FpsOracle,
+
+    // band replay (the dd_embed_lsh CTE chain) rolled up per table
+    "ann_band_stats" -> (s"WITH ${DedupQueries.EmbedPairCtes},\n" +
+      """occ AS (SELECT tbl, bits, COUNT(*) AS c FROM ebands GROUP BY 1, 2)
+        |SELECT CAST(tbl AS BIGINT) AS tbl, CAST(SUM(c) AS BIGINT) AS n_vectors,
+        |  CAST(COUNT(*) AS BIGINT) AS n_buckets, CAST(MAX(c) AS BIGINT) AS max_bucket,
+        |  CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS cand_pairs,
+        |  CAST((SUM(c) * 1000000) // COUNT(*) AS BIGINT) AS occupancy_ppm
+        |FROM occ GROUP BY 1 ORDER BY tbl""".stripMargin),
 
     // brute replay thresholded at the radius instead of ranked
     "ann_range" -> (QuantCte +

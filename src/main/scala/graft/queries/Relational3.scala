@@ -57,6 +57,38 @@ object Relational3 {
         .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
     },
 
+    // TPC-H Q22 shape ("global sales opportunity"): customers from a
+    // nation subset whose balance exceeds the subset's positive-balance
+    // average AND who have gone dormant (no order in the stream's last
+    // four months) — the scalar-aggregate subquery + correlated
+    // NOT-EXISTS + group-report composition, adapted to this schema
+    // (nationkey plays Q22's phone country code; the no-orders-at-all
+    // predicate becomes a recency window because every synthetic
+    // customer has orders). The average test is EXACT: bal·cnt >
+    // sum_bal in DECIMAL, no float average to diverge per engine. Scale
+    // shape: the 1-row stats relation broadcasts into the customer
+    // scan, the dormancy NOT EXISTS is a left-anti join on custkey with
+    // the date filter pushed below it, one |nations|-key partial agg.
+    "q55_dormant" -> { (s, d) =>
+      import s.implicits._
+      val c = t(s, d, "customer")
+        .filter($"c_nationkey".isin(1L, 3L, 5L, 7L, 9L))
+        .select($"c_custkey", $"c_nationkey", d2($"c_acctbal").as("bal"))
+      val stats = c.agg(
+        sum(when($"bal" > 0, $"bal")).as("sum_bal"),
+        count(when($"bal" > 0, lit(1))).as("cnt"))
+      val recent = t(s, d, "orders")
+        .filter($"o_orderdate" >= to_timestamp(lit("2001-04-01 00:00:00")))
+        .select($"o_custkey")
+      c.crossJoin(broadcast(stats))
+        .filter($"bal" * $"cnt" > $"sum_bal")
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum($"bal").cast("double").as("totacctbal"))
+        .orderBy($"c_nationkey")
+    },
+
     // TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
     // finished multi-supplier order. The EXISTS becomes a left-semi join
     // (same order, different supplier) and the NOT EXISTS a left-anti
@@ -111,6 +143,22 @@ object Relational3 {
         |              FROM ps ps2 JOIN eu eu2 ON ps2.l_suppkey = eu2.s_suppkey
         |              WHERE ps2.l_partkey = ps.l_partkey)
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+
+    "q55_dormant" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)),
+        |s AS (
+        |  SELECT SUM(CASE WHEN bal > 0 THEN bal END) AS sum_bal,
+        |         COUNT(CASE WHEN bal > 0 THEN 1 END) AS cnt FROM c)
+        |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |       CAST(SUM(bal) AS DOUBLE) AS totacctbal
+        |FROM c, s
+        |WHERE bal * cnt > sum_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2001-04-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q54_waiting" ->
       """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
