@@ -11,7 +11,10 @@ object Bench {
     "ann_brute_topk", "ann_lsh_topk", "txt_langid", "txt_ngram_profile", "pipe_clean_corpus",
     // round-7 additions: rec serving scales with the fact table, MMR
     // with the pool, coverage with the vocabulary — probe all three
-    "q45_recs", "emb_mmr", "txt_coverage")
+    "q45_recs", "emb_mmr", "txt_coverage",
+    // round-9: the partition-pruned IVF serving path and the band-health
+    // audit — the two operators that watch the new sketch scale rules
+    "ann_ivf_index", "ann_band_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -38,7 +38,23 @@ object CurationQueries {
   private val SegLen = 16
 
   /** sliding exact-match window width (tokens) for dd_slide */
-  private val SlideLen = 32
+  private[graft] val SlideLen = 32
+
+  /** stride-1 SlideLen-token window hashes of a (doc_id, text) relation
+    * — shared by dd_slide and its streaming gate (SlideStream) so both
+    * hash identically. Docs under SlideLen tokens emit nothing (and the
+    * guard keeps ANSI sequence() from counting down).
+    */
+  private[graft] def slideWindows(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .withColumn("tk", split($"text", " +"))
+      .filter(size($"tk") >= SlideLen)
+      .withColumn("start", explode(expr(s"sequence(0, size(tk) - $SlideLen)")))
+      .select($"doc_id", $"start".cast("long").as("win_idx"),
+        md5(expr(s"concat_ws(' ', slice(tk, start + 1, $SlideLen))")).as("h"))
+  }
 
   /** Total BPE merges learned/applied by txt_bpe / txt_bpe_encode — the
     * Spark loops AND the DuckDB oracle generators both unroll the same
@@ -313,13 +329,7 @@ object CurationQueries {
     // trick) to get back to O(corpus) hashing.
     "dd_slide" -> { (s, d) =>
       import s.implicits._
-      val win = t(s, d, "documents")
-        .withColumn("tk", split($"text", " +"))
-        // guard BEFORE sequence: size < SlideLen would count DOWN (ANSI)
-        .filter(size($"tk") >= SlideLen)
-        .withColumn("start", explode(expr(s"sequence(0, size(tk) - $SlideLen)")))
-        .select($"doc_id", $"start".cast("long").as("win_idx"),
-          md5(expr(s"concat_ws(' ', slice(tk, start + 1, $SlideLen))")).as("h"))
+      val win = slideWindows(t(s, d, "documents"))
         .persist() // feeds the duplicate-hash agg AND the islands pass
       // two-phase ((h, doc) then h) so no EXPAND for the distinct count
       val dup = win.groupBy($"h", $"doc_id").agg(count(lit(1)).as("k"))
