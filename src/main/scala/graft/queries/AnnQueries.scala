@@ -970,6 +970,39 @@ object AnnQueries {
             .localCheckpoint(true)
       }
       out.orderBy($"qid", $"rnk")
+    },
+
+    // kNN-graph reciprocity audit (the hubness diagnostic: asymmetric
+    // top-k edges mark hub vectors that appear in everyone's neighbor
+    // list but reciprocate few — a known failure signal for ANN-graph
+    // clustering and semdedup): of each vector's top-5 edges (emb_knn's
+    // exact definition), the per-label fraction whose REVERSE edge is
+    // also a top-5 edge, in exact ppm. Scale shape: candidates come from
+    // the materialized LSH pair index (never all-pairs); the reverse
+    // probe is a self equi-join of the |V|·5 edge list on the flipped
+    // key — one shuffle of a narrow 2-column relation; label join is
+    // vec_id-keyed; final agg is |labels| rows.
+    "ann_reciprocal" -> { (s, d) =>
+      import s.implicits._
+      val pairs = CorpusLshIndex.embedPairs(s, d)
+      val sym = pairs.select($"vec_a".as("vec_id"), $"vec_b".as("neighbor"), $"cos_ppm")
+        .unionByName(pairs.select($"vec_b".as("vec_id"), $"vec_a".as("neighbor"), $"cos_ppm"))
+      val w = Window.partitionBy($"vec_id").orderBy($"cos_ppm".desc, $"neighbor")
+      val knn = sym.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"vec_id", $"neighbor")
+      val rev = knn.select($"neighbor".as("vec_id"), $"vec_id".as("neighbor"),
+        lit(1L).as("has_rev"))
+      val lab = t(s, d, "embeddings")
+        .select($"vec_id", $"label".cast("long").as("label"))
+      knn.join(rev, Seq("vec_id", "neighbor"), "left")
+        .join(lab, Seq("vec_id"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(coalesce($"has_rev", lit(0L))).as("n_reciprocal"))
+        .select($"label", $"n_edges", $"n_reciprocal",
+          expr("(1000000 * n_reciprocal) div n_edges").as("recip_ppm"))
+        .orderBy($"label")
     }
   )
 
@@ -1091,6 +1124,29 @@ object AnnQueries {
 
   private lazy val baseOracles: Map[String, String] = Map(
     "emb_fps" -> FpsOracle,
+
+    // emb_knn's banding replay, self-joined on the flipped edge
+    "ann_reciprocal" ->
+      (s"WITH ${DedupQueries.EmbedPairCtes},\n" +
+        """sym AS (
+          |  SELECT va AS vec_id, vb AS neighbor, cos_ppm FROM epairs
+          |  UNION ALL SELECT vb, va, cos_ppm FROM epairs),
+          |knn AS (
+          |  SELECT vec_id, neighbor FROM (
+          |    SELECT vec_id, neighbor,
+          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_ppm DESC, neighbor) AS rnk
+          |    FROM sym) WHERE rnk <= 5),
+          |j AS (
+          |  SELECT k.vec_id, k.neighbor,
+          |    CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END AS has_rev
+          |  FROM knn k
+          |  LEFT JOIN knn r ON r.vec_id = k.neighbor AND r.neighbor = k.vec_id)
+          |SELECT CAST(label AS BIGINT) AS label,
+          |  CAST(COUNT(*) AS BIGINT) AS n_edges,
+          |  CAST(SUM(has_rev) AS BIGINT) AS n_reciprocal,
+          |  CAST((1000000 * SUM(has_rev)) // COUNT(*) AS BIGINT) AS recip_ppm
+          |FROM j JOIN embeddings e ON e.vec_id = j.vec_id
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // band replay (the dd_embed_lsh CTE chain) rolled up per table
     "ann_band_stats" -> (s"WITH ${DedupQueries.EmbedPairCtes},\n" +

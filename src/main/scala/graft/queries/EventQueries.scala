@@ -759,6 +759,95 @@ object EventQueries {
         .agg(count(lit(1)).as("n_touches"),
           sum($"credit").as("credited_micro"))
         .orderBy($"channel")
+    },
+
+    // Kaplan-Meier survival ("time from first touch to first purchase"):
+    // the product-limit estimator over per-user durations, with users who
+    // never purchase right-censored at the stream horizon. Convention:
+    // deaths at t precede censorings at t (both still count at risk at
+    // t). The survival curve is EXACT integer arithmetic — each step is
+    // s ← s·(n−d) div n in ppm, replayed in DuckDB by a recursive CTE —
+    // so no float product can diverge per engine. Scale shape: ONE
+    // user_id partial-agg shuffle over the stream; everything after is a
+    // ≤|calendar-days| histogram (30 rows here, bounded by the observed
+    // time span, never by |users|), so the unpartitioned window and the
+    // one-row array fold are constant-size at any sf.
+    "ev_survival" -> { (s, d) =>
+      import s.implicits._
+      val e = ev(s, d).select($"user_id",
+        expr(s"ts_us div $DayUs").as("day"), $"event_type")
+      val horizon = e.agg(max($"day").as("h"))
+      val perUser = e.groupBy($"user_id").agg(
+        min($"day").as("first_day"),
+        min(when($"event_type" === "purchase", $"day")).as("purch_day"))
+      val durs = perUser.crossJoin(broadcast(horizon)).select(
+        when($"purch_day".isNotNull, $"purch_day" - $"first_day")
+          .otherwise($"h" - $"first_day").as("dur"),
+        $"purch_day".isNotNull.as("observed"))
+      val hist = durs.groupBy($"dur").agg(
+        count(lit(1)).as("n_total"),
+        sum(when($"observed", 1L).otherwise(0L)).as("d_events"))
+      // reverse-cumulative risk set over the tiny calendar-bounded hist
+      val wDesc = Window.orderBy($"dur".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = hist.withColumn("n_risk", sum($"n_total").over(wDesc))
+        .filter($"d_events" > 0)
+        .select($"dur", $"n_risk", $"d_events")
+      risk.agg(sort_array(collect_list(struct($"dur", $"n_risk", $"d_events"))).as("a"))
+        .select($"a", posexplode($"a"))
+        .select($"col.dur".as("t_day"),
+          $"col.n_risk".as("n_risk"),
+          $"col.d_events".as("n_events"),
+          expr("""aggregate(slice(a, 1, pos + 1), CAST(1000000 AS BIGINT),
+                 (acc, x) -> (acc * (x.n_risk - x.d_events)) div x.n_risk)""")
+            .as("surv_ppm"))
+        .orderBy($"t_day")
+    },
+
+    // activity-concentration audit (the "how skewed is this corpus by
+    // contributor" question a training-data pipeline must answer before
+    // per-user caps): exact Gini coefficient and top-decile share of the
+    // per-user event-count distribution. The rank-weighted sum Σ i·c_i is
+    // computed from the count-of-counts HISTOGRAM (for a run of m users
+    // tied at count c after p predecessors the rank sum is
+    // m·p + m(m+1)/2), so no window ever runs over |users| rows — the
+    // only |users|-scale stage is the user_id partial agg; the histogram
+    // is |distinct activity levels|, bounded by max per-user activity.
+    // All arithmetic is DECIMAL(38,0) integer with ppm floor division.
+    "ev_gini" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      val counts = ev(s, d).groupBy($"user_id").agg(count(lit(1)).as("c"))
+      val hist = counts.groupBy($"c").agg(count(lit(1)).as("m"))
+      val n1 = hist.agg(sum($"m").as("n"))
+      val wAsc = Window.orderBy($"c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wDesc = Window.orderBy($"c".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val h2 = hist
+        .withColumn("p", sum($"m").over(wAsc) - $"m")   // users less active
+        .withColumn("pd", sum($"m").over(wDesc) - $"m") // users more active
+        .crossJoin(broadcast(n1))
+        .withColumn("k", expr("n div 10"))
+        // of the k most-active users, how many sit at this count level
+        // (ties at the decile boundary split exactly)
+        .withColumn("take", greatest(lit(0L), least($"m", $"k" - $"pd")))
+      // sic2 = 2·Σ i·c_i = Σ c·(2mp + m² + m): multiplies only, the /2 is
+      // folded into the Gini numerator so every step stays integer-exact
+      val g = h2.agg(
+        sum($"c".cast(dec) * (lit(2).cast(dec) * $"m".cast(dec) * $"p".cast(dec) +
+          $"m".cast(dec) * $"m".cast(dec) + $"m".cast(dec))).as("sic2"),
+        max($"n").as("n"),
+        max($"k").as("k"),
+        sum($"c".cast(dec) * $"m".cast(dec)).as("tot"),
+        sum($"c".cast(dec) * $"take".cast(dec)).as("top"))
+      g.select(
+        $"n".as("n_users"),
+        $"tot".cast("long").as("n_events"),
+        expr("""(CAST(1000000 AS DECIMAL(38,0)) * (sic2 - (n + 1) * tot))
+                div (CAST(n AS DECIMAL(38,0)) * tot)""").as("gini_ppm"),
+        $"k".as("top_decile_users"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * top) div tot").as("top_decile_ppm"))
     }
   )
 
@@ -1252,6 +1341,73 @@ object EventQueries {
         |  JOIN purch p ON p.user_id = r.user_id AND p.journey = r.journey)
         |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
         |  CAST(SUM(credit) AS BIGINT) AS credited_micro
-        |FROM credited GROUP BY channel ORDER BY channel""".stripMargin
+        |FROM credited GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // the integer product-limit fold replayed as a recursive CTE: at each
+    // event time (ascending), s ← s·(n−d) // n starting from 1e6
+    "ev_survival" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type FROM events),
+        |h AS (SELECT MAX(day) AS h FROM e),
+        |pu AS (
+        |  SELECT user_id, MIN(day) AS first_day,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN day END) AS purch_day
+        |  FROM e GROUP BY 1),
+        |durs AS (
+        |  SELECT CASE WHEN purch_day IS NOT NULL THEN purch_day - first_day
+        |              ELSE h - first_day END AS dur,
+        |    purch_day IS NOT NULL AS observed
+        |  FROM pu, h),
+        |hist AS (
+        |  SELECT dur, COUNT(*) AS n_total,
+        |    SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS d_events
+        |  FROM durs GROUP BY 1),
+        |risk AS (
+        |  SELECT dur, SUM(n_total) OVER (ORDER BY dur DESC) AS n_risk, d_events
+        |  FROM hist),
+        |ev2 AS (
+        |  SELECT dur, CAST(n_risk AS BIGINT) AS n_risk,
+        |    CAST(d_events AS BIGINT) AS d_events,
+        |    ROW_NUMBER() OVER (ORDER BY dur) AS rn
+        |  FROM risk WHERE d_events > 0),
+        |rec AS (
+        |  SELECT rn, dur, n_risk, d_events,
+        |    (1000000 * (n_risk - d_events)) // n_risk AS s
+        |  FROM ev2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e2.rn, e2.dur, e2.n_risk, e2.d_events,
+        |    (r.s * (e2.n_risk - e2.d_events)) // e2.n_risk
+        |  FROM ev2 e2 JOIN rec r ON e2.rn = r.rn + 1)
+        |SELECT dur AS t_day, n_risk, d_events AS n_events,
+        |  CAST(s AS BIGINT) AS surv_ppm
+        |FROM rec ORDER BY t_day""".stripMargin,
+
+    // the same count-of-counts histogram algebra: rank sums from runs,
+    // decile boundary split with GREATEST/LEAST, HUGEINT-exact // ppm
+    "ev_gini" ->
+      """WITH counts AS (
+        |  SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+        |hist AS (SELECT c, COUNT(*) AS m FROM counts GROUP BY 1),
+        |n1 AS (SELECT SUM(m) AS n FROM hist),
+        |h2 AS (
+        |  SELECT c, m,
+        |    SUM(m) OVER (ORDER BY c) - m AS p,
+        |    SUM(m) OVER (ORDER BY c DESC) - m AS pd,
+        |    n, n // 10 AS k
+        |  FROM hist, n1),
+        |h3 AS (
+        |  SELECT c, m, p, n, k,
+        |    GREATEST(0, LEAST(m, k - pd)) AS take
+        |  FROM h2),
+        |g AS (
+        |  SELECT SUM(c * (2 * m * p + m * m + m)) AS sic2,
+        |    MAX(n) AS n, MAX(k) AS k,
+        |    SUM(c * m) AS tot, SUM(c * take) AS top
+        |  FROM h3)
+        |SELECT CAST(n AS BIGINT) AS n_users, CAST(tot AS BIGINT) AS n_events,
+        |  CAST((1000000 * (sic2 - (n + 1) * tot)) // (n * tot) AS BIGINT) AS gini_ppm,
+        |  CAST(k AS BIGINT) AS top_decile_users,
+        |  CAST((1000000 * top) // tot AS BIGINT) AS top_decile_ppm
+        |FROM g""".stripMargin
   )
 }

@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables.t
 
-/** SURVEY §2.B continued: the last two canonical hard relational shapes —
-  * TPC-H Q2's correlated min-cost scalar subquery (q53_mincost) and
-  * TPC-H Q21's double EXISTS / NOT-EXISTS on the same fact table
-  * (q54_waiting) — adapted to this schema (no partsupp table, no
-  * commit/receipt dates): the supply cost is derived from lineitem as the
-  * minimum exact DECIMAL(18,2) extended price a supplier has ever quoted
-  * for a part, and "late" is l_shipdate > o_orderdate + 60 days.
+/** SURVEY §2.B continued: the canonical hard relational shapes missing
+  * from [[Relational]]/[[Relational2]] — TPC-H Q2's correlated min-cost
+  * scalar subquery (q53_mincost), Q21's double EXISTS / NOT-EXISTS on the
+  * same fact table (q54_waiting), Q22's scalar-average + dormancy
+  * composition (q55_dormant), Q8's market-share ratio-of-conditional-sums
+  * (q56_share), Q9's multi-dim profit rollup (q57_profit) and Q18's
+  * group-HAVING-join-back large-order report (q58_big_orders) — adapted
+  * to this schema (no partsupp table, no commit/receipt dates): supply
+  * cost derives from lineitem as the minimum exact DECIMAL(18,2) extended
+  * price a supplier ever quoted for a part, unit cost from p_retailprice,
+  * and "late" is l_shipdate > o_orderdate + 60 days.
   *
   * Same oracle-parity rules as [[Relational]]: exact DECIMAL money,
   * identical aliases, unique-key total orderings (no LIMIT ties).
@@ -21,6 +25,7 @@ object Relational3 {
   type Q = (SparkSession, String) => DataFrame
 
   private def d2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def d6(c: Column): Column = c.cast(DecimalType(28, 6))
 
   val queries: Map[String, Q] = Map(
     // TPC-H Q2 shape: for each STANDARD part of size <= 15, the EUROPE
@@ -118,6 +123,157 @@ object Relational3 {
         .groupBy($"s_name")
         .agg(count(lit(1)).as("numwait"))
         .orderBy($"numwait".desc, $"s_name")
+    },
+
+    // TPC-H Q8 shape ("national market share"): of the PROMO-part revenue
+    // sold to AMERICA-region customers, what fraction was supplied by
+    // ASIA-region suppliers, by order year. The ratio-of-conditional-sums
+    // is computed over EXACT DECIMAL(28,6) volumes (sum first, divide the
+    // two exact sums as doubles at the very end — the q1_agg rule), so the
+    // only float op is one final division of identical operands on both
+    // engines. Scale shape: the fact table shuffles once per equi-join key
+    // (partkey, orderkey, suppkey); region/nation are broadcast (fixed
+    // 5/25 rows); part/customer/supplier are sf-scaling dims left to AQE;
+    // the customer membership test is a left-semi join (never widens the
+    // fact rows); final agg is |years| rows.
+    "q56_share" -> { (s, d) =>
+      import s.implicits._
+      val vol = d6(d2($"l_extendedprice") * (lit(1) - d2($"l_discount")))
+      val amerCust = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, d, "region").filter($"r_name" === "AMERICA")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey")
+      val supp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+        .select($"s_suppkey", ($"r_name" === "ASIA").as("is_asia"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").filter($"p_type" === "PROMO").select($"p_partkey"),
+          $"l_partkey" === $"p_partkey")
+        .join(t(s, d, "orders").select($"o_orderkey", $"o_custkey",
+          year($"o_orderdate").cast("long").as("o_year")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(amerCust, $"o_custkey" === $"c_custkey", "left_semi")
+        .join(supp, $"l_suppkey" === $"s_suppkey")
+        .groupBy($"o_year")
+        .agg(sum(when($"is_asia", vol)).as("asia_d"), sum(vol).as("all_d"))
+        .select($"o_year",
+          coalesce($"asia_d", lit(0).cast(DecimalType(28, 6))).cast("double").as("asia_volume"),
+          $"all_d".cast("double").as("total_volume"),
+          (coalesce($"asia_d", lit(0).cast(DecimalType(28, 6))).cast("double") /
+            $"all_d".cast("double")).as("mkt_share"))
+        .orderBy($"o_year")
+    },
+
+    // TPC-H Q9 shape ("product type profit"): per supplier nation per
+    // order year, the exact-DECIMAL profit on widget parts — revenue
+    // minus unit-cost×quantity with p_retailprice standing in for the
+    // missing ps_supplycost. Every term is summed in DECIMAL(28,6)
+    // (never a float accumulation), cast to double only at output.
+    // Scale shape: lineitem shuffles on partkey/suppkey/orderkey;
+    // nation broadcast; part/supplier/orders AQE-sized; final agg is
+    // |nations|×|years| rows.
+    "q57_profit" -> { (s, d) =>
+      import s.implicits._
+      val amount =
+        d6(d2($"l_extendedprice") * (lit(1) - d2($"l_discount"))) -
+          d6(d2($"p_retailprice") * d2($"l_quantity"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").filter($"p_name".contains("widget"))
+          .select($"p_partkey", $"p_retailprice"), $"l_partkey" === $"p_partkey")
+        .join(t(s, d, "supplier").select($"s_suppkey", $"s_nationkey"),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(t(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+        .join(t(s, d, "orders").select($"o_orderkey",
+          year($"o_orderdate").cast("long").as("o_year")),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"n_name", $"o_year")
+        .agg(sum(amount).cast("double").as("profit"))
+        .orderBy($"n_name", $"o_year".desc)
+    },
+
+    // TPC-H Q18 shape ("large volume customers"): orders whose total
+    // quantity clears a HAVING threshold, joined back to orders and
+    // customer for the report. The aggregate runs on the fact table
+    // FIRST (one orderkey partial-agg shuffle, map-side combined), so
+    // the join-back only carries the ~1% of orders that survive; the
+    // threshold sum is exact DECIMAL(18,2). Unique-key total ordering
+    // (orderkey breaks totalprice ties) instead of Q18's LIMIT 100 —
+    // the no-LIMIT-ties house rule.
+    "q58_big_orders" -> { (s, d) =>
+      import s.implicits._
+      val big = t(s, d, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum(d2($"l_quantity")).as("sum_qty"))
+        .filter($"sum_qty" > 250)
+      big
+        .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"c_custkey", $"o_orderkey",
+          $"o_orderdate".cast("date").cast("string").as("o_orderdate"),
+          round($"o_totalprice", 2).as("o_totalprice"),
+          $"sum_qty".cast("double").as("sum_qty"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+    },
+
+    // TPC-H Q7 shape ("volume shipping"): bilateral trade between two
+    // trading blocs — revenue where the SUPPLIER sits in one bloc and
+    // the CUSTOMER in the other (both directions kept, the classic
+    // two-tuple membership + direction predicate; blocs = odd/even
+    // nationkey < 10 so the fixture has flows in both directions at
+    // every sf). Exact DECIMAL(28,6) volume sums. Scale shape: the
+    // bloc filter semi-reduces supplier and customer BEFORE the fact
+    // joins (two tiny broadcast nation joins); lineitem shuffles once
+    // per equi key; final agg is 2×|years| rows.
+    "q59_shipping" -> { (s, d) =>
+      import s.implicits._
+      val vol = d6(d2($"l_extendedprice") * (lit(1) - d2($"l_discount")))
+      def bloc(col: Column): Column =
+        when(col % 2 === 1, "BLOC_ODD").otherwise("BLOC_EVEN")
+      val supp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").filter($"n_nationkey" < 10)),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", bloc($"n_nationkey").as("supp_bloc"))
+      val cust = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation").filter($"n_nationkey" < 10)
+          .select($"n_nationkey".as("cn_key"))),
+          $"c_nationkey" === $"cn_key")
+        .select($"c_custkey", bloc($"cn_key").as("cust_bloc"))
+      t(s, d, "lineitem")
+        .join(supp, $"l_suppkey" === $"s_suppkey")
+        .join(t(s, d, "orders").select($"o_orderkey", $"o_custkey",
+          year($"o_orderdate").cast("long").as("l_year")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .filter($"supp_bloc" =!= $"cust_bloc")
+        .groupBy($"supp_bloc", $"cust_bloc", $"l_year")
+        .agg(sum(vol).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"supp_bloc", $"cust_bloc", $"l_year")
+    },
+
+    // TPC-H Q11 shape ("important stock"): parts whose total lineitem
+    // value clears a GLOBAL scalar threshold — the HAVING-against-a-
+    // scalar-subquery shape. The fraction test is scale-INVARIANT
+    // (value·n_parts > 3/2·total ⇔ value > 1.5× the mean per-part
+    // value) and EXACT: both sides are DECIMAL(38,6)·integer products,
+    // no float fraction. Scale shape: one partkey partial-agg shuffle
+    // over the fact table; the 1-row global total (computed from the
+    // per-part aggregate, not a second fact scan) broadcasts into the
+    // HAVING filter; output ordered by the surviving value.
+    "q60_top_stock" -> { (s, d) =>
+      import s.implicits._
+      val perPart = t(s, d, "lineitem")
+        .groupBy($"l_partkey")
+        .agg(sum(d2($"l_extendedprice")).as("value"))
+      val tot = perPart.agg(
+        sum($"value").cast(DecimalType(38, 2)).as("total"),
+        count(lit(1)).as("n_parts"))
+      perPart.crossJoin(broadcast(tot))
+        .filter($"value" * $"n_parts" * 2 > $"total" * 3)
+        .select($"l_partkey", $"value".cast("double").as("value"))
+        .orderBy($"value".desc, $"l_partkey")
     }
   )
 
@@ -176,6 +332,88 @@ object Relational3 {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name""".stripMargin
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "q56_share" ->
+      """WITH amer AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA'),
+        |supp AS (
+        |  SELECT s_suppkey, r_name = 'ASIA' AS is_asia FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |v AS (
+        |  SELECT year(o_orderdate) AS o_year, is_asia,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)) AS vol
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supp ON l_suppkey = s_suppkey
+        |  WHERE o_custkey IN (SELECT c_custkey FROM amer))
+        |SELECT o_year,
+        |  CAST(COALESCE(SUM(CASE WHEN is_asia THEN vol END), 0) AS DOUBLE) AS asia_volume,
+        |  CAST(SUM(vol) AS DOUBLE) AS total_volume,
+        |  CAST(COALESCE(SUM(CASE WHEN is_asia THEN vol END), 0) AS DOUBLE)
+        |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+        |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q57_profit" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |  CAST(SUM(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))
+        |    - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,6))
+        |  ) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "q58_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |  ROUND(o_totalprice, 2) AS o_totalprice,
+        |  CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q59_shipping" ->
+      """WITH supp AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN n_nationkey % 2 = 1 THEN 'BLOC_ODD' ELSE 'BLOC_EVEN' END AS supp_bloc
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_nationkey < 10),
+        |cust AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN n_nationkey % 2 = 1 THEN 'BLOC_ODD' ELSE 'BLOC_EVEN' END AS cust_bloc
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_nationkey < 10)
+        |SELECT supp_bloc, cust_bloc, year(o_orderdate) AS l_year,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN supp ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN cust ON o_custkey = c_custkey
+        |WHERE supp_bloc <> cust_bloc
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q60_top_stock" ->
+      """WITH pp AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT SUM(value) AS total, COUNT(*) AS n_parts FROM pp)
+        |SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        |FROM pp, tot
+        |WHERE value * n_parts * 2 > total * 3
+        |ORDER BY value DESC, l_partkey""".stripMargin
   )
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables.t
 
 /** SURVEY §2.D — training-data text analysis over `documents`.
@@ -718,6 +719,34 @@ object TextQueries {
           floor(($"num".cast("double") * $"num".cast("double"))
             / ($"den".cast("double") * $"deny".cast("double")) * lit(1000000.0) + lit(0.5))
             .cast("long").as("r2_ppm"))
+    },
+
+    // Simpson diversity index per language (the lexical-diversity twin of
+    // txt_zipf's rank law): the probability two tokens drawn without
+    // replacement are the same type, D = Σ nᵢ(nᵢ−1) / (N(N−1)) — EXACT
+    // integer arithmetic end to end (the collision count is a
+    // DECIMAL(38,0) sum, the ppm is one integer floor division), unlike
+    // an entropy score whose per-engine log rounding could drift. Scale
+    // shape: one (lang, token) partial-agg shuffle (map-side combined —
+    // the same vocabulary-sized reduce as txt_vocab), then a |langs|-row
+    // final agg; nothing is ever per-document wide.
+    "txt_simpson" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      t(s, d, "documents")
+        .select($"lang", explode(split($"text", " +")).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"lang", $"w").agg(count(lit(1)).as("n"))
+        .groupBy($"lang").agg(
+          sum($"n").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum($"n".cast(dec) * ($"n" - 1)).as("coll"))
+        .select($"lang", $"n_tokens", $"n_types",
+          when($"n_tokens" > 1,
+            expr("""(CAST(1000000 AS DECIMAL(38,0)) * coll)
+                    div (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))"""))
+            .otherwise(0L).as("simpson_ppm"))
+        .orderBy($"lang")
     }
   )
 
@@ -1116,6 +1145,23 @@ object TextQueries {
         |  CAST(floor(slope * 1000000 + 0.5) AS BIGINT) AS slope_ppm,
         |  CAST(floor(((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE)) + 0.5) AS BIGINT) AS intercept_micro,
         |  CAST(floor((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS r2_ppm
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "txt_simpson" ->
+      """WITH tok AS (
+        |  SELECT lang, w
+        |  FROM documents, UNNEST(string_split_regex(text, ' +')) AS u(w)
+        |  WHERE length(w) > 0),
+        |tc AS (SELECT lang, w, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT lang, SUM(n) AS n_tokens, COUNT(*) AS n_types,
+        |    SUM(n * (n - 1)) AS coll
+        |  FROM tc GROUP BY 1)
+        |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  CAST(CASE WHEN n_tokens > 1
+        |    THEN (1000000 * coll) // (n_tokens * (n_tokens - 1))
+        |    ELSE 0 END AS BIGINT) AS simpson_ppm
+        |FROM agg ORDER BY lang""".stripMargin
   )
 }
