@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the amp=100 scale probe's embed-index build OOM'd a
+  // local[32] JVM at 8g (Spark exits 52 on executor-thread OOM — not
+  // catchable by the probe's per-stage error isolation); the host has
+  // 125 GiB, so the old default was the only thing that could kill an
+  // otherwise-green bench.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -31,6 +31,27 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "2min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_INGEST_ONLY=1: measure just the topic write/read rates
+    // (the profiling loop for producer-path changes — full bench noise
+    // makes an isolated ingest number impossible to read otherwise)
+    if (sys.env.get("SPARK_GRAFT_INGEST_ONLY").contains("1")) {
+      val msgs = graft.rawdata.EventsAsTopic.messagesFromEvents(spark, sfDir)
+      var n = 0L
+      val (w, r) = (1 to 3).map { _ =>
+        val dir = graft.rawdata.Topic.tempDir("bench-ingest")
+        val i0 = System.nanoTime()
+        graft.rawdata.Topic.write(msgs, dir, graft.rawdata.EventsAsTopic.cfg)
+        val w = (System.nanoTime() - i0) / 1e9
+        val r0 = System.nanoTime()
+        n = graft.rawdata.Topic.read(spark, dir).count()
+        val r = (System.nanoTime() - r0) / 1e9
+        ScaleProbe.rmTree(new java.io.File(dir))
+        (w, r)
+      }.reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2)))
+      println(s"""{"metric":"ingest","msgs":$n,"write_msgs_per_sec":${(n / w).round},"read_msgs_per_sec":${(n / r).round}}""")
+      spark.stop()
+      return
+    }
     // One-time ingest (events → Avro topic on disk) is setup, not query
     // time; build it up front so its cost doesn't land on whichever
     // topic-backed query happens to run first, and report it separately.
