@@ -14,7 +14,11 @@ object Bench {
     "q45_recs", "emb_mmr", "txt_coverage",
     // round-9: the partition-pruned IVF serving path and the band-health
     // audit — the two operators that watch the new sketch scale rules
-    "ann_ivf_index", "ann_band_stats")
+    "ann_ivf_index", "ann_band_stats",
+    // round-9 statistical family: the histogram-algebra concentration
+    // audit (its only |users|-scale stage is one partial agg — the probe
+    // proves the rank-sum trick keeps it linear) and the K-M estimator
+    "ev_gini", "ev_survival")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

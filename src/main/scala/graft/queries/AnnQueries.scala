@@ -972,6 +972,73 @@ object AnnQueries {
       out.orderBy($"qid", $"rnk")
     },
 
+    // simplified silhouette (cluster-quality audit of the seed
+    // partition): per vector a = L2² to its own (nearest) centroid and
+    // b = L2² to the runner-up centroid; since b ≥ a by construction the
+    // per-point score (b−a)·10⁶ div b lives in [0, 10⁶] and every step
+    // is integer-exact (no negative floor-division parity questions).
+    // Per-cluster mean/min/max silhouette says which clusters are
+    // well-separated BEFORE a curation pass trusts their labels.
+    // Scale shape: one broadcast of the k-row centroid relation (the
+    // deliberate tiny-side BNLJ, same as emb_kmeans/emb_outliers), a
+    // per-vector k-element sorted array (k = 8, constant), one cid
+    // partial agg — the corpus never shuffles wide.
+    "emb_silhouette" -> { (s, d) =>
+      import s.implicits._
+      val e = quantized(s, d).select($"vec_id", $"q")
+      val cents = e.filter($"vec_id" < KmeansK).select($"vec_id".as("cid"), $"q".as("cq"))
+      val ab = e.join(broadcast(cents), lit(true))
+        .withColumn("dist", graft.operators.VectorOps.l2Col($"q", $"cq"))
+        .groupBy($"vec_id")
+        .agg(sort_array(collect_list(struct($"dist", $"cid"))).as("arr"))
+        .select($"vec_id",
+          expr("arr[0].cid").as("cid"),
+          expr("arr[0].dist").as("a"),
+          expr("arr[1].dist").as("b"))
+      ab.withColumn("sil", when($"b" > 0,
+          expr("((b - a) * 1000000) div b")).otherwise(lit(0L)))
+        .groupBy($"cid")
+        .agg(count(lit(1)).as("n_members"),
+          expr("SUM(sil) div COUNT(*)").as("mean_sil_ppm"),
+          min($"sil").as("min_sil_ppm"),
+          max($"sil").as("max_sil_ppm"))
+        .orderBy($"cid")
+    },
+
+    // density-based outlier factor (the simplified LOF of Breunig et
+    // al.: a point is suspicious when its k-distance is large RELATIVE
+    // to its neighbors' k-distances — catches local outliers a global
+    // centroid distance like emb_outliers misses): per vector the
+    // 5-distance (cosine distance of its rank-5 emb_knn edge) over the
+    // mean 5-distance of its neighbors, exact ppm via
+    // (10⁶·kdist·k) div Σ neighbor-kdist. Top-20 shortlist, unique-key
+    // tie-break. Scale shape: edges come from the materialized LSH pair
+    // index (never all-pairs); kdist is one vec_id partial agg of the
+    // |V|·5 edge list; the neighbor lookup is one equi-join of that
+    // narrow list against the |V|-row kdist relation.
+    "emb_lof" -> { (s, d) =>
+      import s.implicits._
+      val pairs = CorpusLshIndex.embedPairs(s, d)
+      val sym = pairs.select($"vec_a".as("vec_id"), $"vec_b".as("neighbor"), $"cos_ppm")
+        .unionByName(pairs.select($"vec_b".as("vec_id"), $"vec_a".as("neighbor"), $"cos_ppm"))
+      val w = Window.partitionBy($"vec_id").orderBy($"cos_ppm".desc, $"neighbor")
+      val knn = sym.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"vec_id", $"neighbor", (lit(1000000L) - $"cos_ppm").as("dist"))
+      val kd = knn.groupBy($"vec_id")
+        .agg(max($"dist").as("kdist"), count(lit(1)).as("k"))
+      val snk = knn
+        .join(kd.select($"vec_id".as("neighbor"), $"kdist".as("nkdist")), Seq("neighbor"))
+        .groupBy($"vec_id")
+        .agg(sum($"nkdist").as("snk"))
+      kd.join(snk, Seq("vec_id"))
+        .select($"vec_id", $"kdist",
+          when($"snk" > 0, expr("(1000000 * kdist * k) div snk"))
+            .otherwise(lit(1000000L)).as("lof_ppm"))
+        .orderBy($"lof_ppm".desc, $"vec_id")
+        .limit(20)
+    },
+
     // kNN-graph reciprocity audit (the hubness diagnostic: asymmetric
     // top-k edges mark hub vectors that appear in everyone's neighbor
     // list but reciprocate few — a known failure signal for ANN-graph
@@ -1124,6 +1191,52 @@ object AnnQueries {
 
   private lazy val baseOracles: Map[String, String] = Map(
     "emb_fps" -> FpsOracle,
+
+    // the emb_outliers assignment CTEs, runner-up rank kept, integer
+    // silhouette per point then per-cluster integer means
+    "emb_silhouette" -> (QuantCte +
+      s""", c0 AS (SELECT vec_id AS cid, i, q AS c FROM e WHERE vec_id < $KmeansK),
+         |d1 AS (
+         |  SELECT e.vec_id, c.cid, SUM((e.q - c.c) * (e.q - c.c)) AS d
+         |  FROM e JOIN c0 c ON c.i = e.i GROUP BY 1, 2),
+         |r AS (
+         |  SELECT vec_id, cid, CAST(d AS BIGINT) AS d,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |  FROM d1),
+         |s AS (
+         |  SELECT a.vec_id, a.cid,
+         |    CASE WHEN b.d > 0 THEN ((b.d - a.d) * 1000000) // b.d ELSE 0 END AS sil
+         |  FROM (SELECT vec_id, cid, d FROM r WHERE rn = 1) a
+         |  JOIN (SELECT vec_id, d FROM r WHERE rn = 2) b ON a.vec_id = b.vec_id)
+         |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(sil) // COUNT(*) AS BIGINT) AS mean_sil_ppm,
+         |  CAST(MIN(sil) AS BIGINT) AS min_sil_ppm,
+         |  CAST(MAX(sil) AS BIGINT) AS max_sil_ppm
+         |FROM s GROUP BY cid ORDER BY cid""".stripMargin),
+
+    // emb_knn's banding replay: k-distances from the rank-5 edges, the
+    // neighbor mean via one equi-join, exact ppm ratio
+    "emb_lof" ->
+      (s"WITH ${DedupQueries.EmbedPairCtes},\n" +
+        """sym AS (
+          |  SELECT va AS vec_id, vb AS neighbor, cos_ppm FROM epairs
+          |  UNION ALL SELECT vb, va, cos_ppm FROM epairs),
+          |knn AS (
+          |  SELECT vec_id, neighbor, 1000000 - cos_ppm AS dist FROM (
+          |    SELECT vec_id, neighbor, cos_ppm,
+          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_ppm DESC, neighbor) AS rnk
+          |    FROM sym) WHERE rnk <= 5),
+          |kd AS (
+          |  SELECT vec_id, MAX(dist) AS kdist, COUNT(*) AS k
+          |  FROM knn GROUP BY 1),
+          |sn AS (
+          |  SELECT knn.vec_id, SUM(n.kdist) AS snk
+          |  FROM knn JOIN kd n ON n.vec_id = knn.neighbor GROUP BY 1)
+          |SELECT kd.vec_id, CAST(kd.kdist AS BIGINT) AS kdist,
+          |  CAST(CASE WHEN sn.snk > 0 THEN (1000000 * kd.kdist * kd.k) // sn.snk
+          |       ELSE 1000000 END AS BIGINT) AS lof_ppm
+          |FROM kd JOIN sn ON sn.vec_id = kd.vec_id
+          |ORDER BY lof_ppm DESC, kd.vec_id LIMIT 20""".stripMargin),
 
     // emb_knn's banding replay, self-joined on the flipped edge
     "ann_reciprocal" ->

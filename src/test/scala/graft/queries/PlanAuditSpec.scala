@@ -78,6 +78,9 @@ class PlanAuditSpec extends SparkSpec {
       // recall eval composes the same two fixed-query-slice broadcasts
       "ann_recall_eval",
       "ann_ivf_topk", "emb_kmeans", "emb_outliers",
+      // emb_silhouette: the same k-row centroid seed slice (vec_id < K)
+      // as emb_kmeans/emb_outliers — constant bound, sf-independent
+      "emb_silhouette",
       // the same fixed 5-row query slice, carrying token set + vector
       "ann_hybrid",
       // emb_fps: the selected set is ≤ FpsK rows by construction (seed

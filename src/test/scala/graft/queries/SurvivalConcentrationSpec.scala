@@ -148,6 +148,29 @@ class SurvivalConcentrationSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("emb_silhouette: scores bounded [0, 1e6], means inside per-cluster min/max, members total |V|") {
+    val r = rows("emb_silhouette")
+    val vecs = graft.Tables.t(spark, sf, "embeddings").count()
+    assert(r.map(_.getAs[Long]("n_members")).sum === vecs)
+    for (row <- r) {
+      val (mn, mean, mx) = (row.getAs[Long]("min_sil_ppm"),
+        row.getAs[Long]("mean_sil_ppm"), row.getAs[Long]("max_sil_ppm"))
+      assert(mn >= 0 && mx <= 1000000L)
+      assert(mn <= mean && mean <= mx)
+    }
+  }
+
+  test("emb_lof: a clone-dense vector scores ~1e6 while scores stay positive and ordered") {
+    val r = rows("emb_lof")
+    assert(r.length === 20)
+    val scores = r.map(_.getAs[Long]("lof_ppm"))
+    assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)))
+    // the top-20 list is the OUTLIER end: every entry at or above parity
+    // would mean no local density variation at all — sanity floor only
+    assert(scores.forall(_ > 0))
+    assert(r.map(_.getAs[Long]("kdist")).forall(_ >= 0))
+  }
+
   test("q57_profit: grand total reconciles against a single global aggregate") {
     import org.apache.spark.sql.types.DecimalType
     val per = SparkEntry.queries("q57_profit")(spark, sf)
