@@ -814,6 +814,37 @@ object EventQueries {
     // only |users|-scale stage is the user_id partial agg; the histogram
     // is |distinct activity levels|, bounded by max per-user activity.
     // All arithmetic is DECIMAL(38,0) integer with ppm floor division.
+    // cohort lifetime-value curves (the growth-analytics staple): users
+    // cohorted by first-event week; per (cohort, weeks-since) the
+    // purchase count, value, and cumulative LTV per cohort user — all in
+    // exact integer micro-units (the ev_abtest/ev_fill rule: DECIMAL sum
+    // first, one integral division at the end). Scale shape: one user_id
+    // partial-agg shuffle for cohorts, one (cohort, offset) partial agg
+    // of the purchase stream; the running sum's window is partitioned by
+    // cohort over the ≤|calendar-weeks| offsets of the ALREADY-AGGREGATED
+    // relation — |cohorts|×|weeks| rows total, never |users|.
+    "ev_ltv" -> { (s, d) =>
+      import s.implicits._
+      val e = ev(s, d).select($"user_id",
+        expr(s"ts_us div $WeekUs").as("week"), $"event_type", $"value")
+      val cohort = e.groupBy($"user_id").agg(min($"week").as("cohort"))
+      val sizes = cohort.groupBy($"cohort").agg(count(lit(1)).as("cohort_users"))
+      val p = e.filter($"event_type" === "purchase")
+        .join(cohort, Seq("user_id"))
+        .withColumn("week_offset", $"week" - $"cohort")
+        .groupBy($"cohort", $"week_offset")
+        .agg(sum(d6($"value")).as("sv"), count(lit(1)).as("n_purchases"))
+      val w = Window.partitionBy($"cohort").orderBy($"week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      p.withColumn("cum_sv", sum($"sv").over(w))
+        .join(sizes, Seq("cohort"))
+        .select($"cohort", $"week_offset", $"cohort_users", $"n_purchases",
+          expr("CAST(sv * 1000000 AS BIGINT)").as("week_value_micro"),
+          expr("CAST(cum_sv * 1000000 AS BIGINT) div cohort_users")
+            .as("cum_ltv_micro_per_user"))
+        .orderBy($"cohort", $"week_offset")
+    },
+
     "ev_gini" -> { (s, d) =>
       import s.implicits._
       val dec = DecimalType(38, 0)
@@ -1342,6 +1373,29 @@ object EventQueries {
         |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
         |  CAST(SUM(credit) AS BIGINT) AS credited_micro
         |FROM credited GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "ev_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS week, event_type, value
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort FROM e GROUP BY 1),
+        |sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM c GROUP BY 1),
+        |p AS (
+        |  SELECT c.cohort, e.week - c.cohort AS week_offset,
+        |    SUM(CAST(e.value AS DECIMAL(28,6))) AS sv,
+        |    CAST(COUNT(*) AS BIGINT) AS n_purchases
+        |  FROM e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+        |q AS (
+        |  SELECT cohort, week_offset, n_purchases, sv,
+        |    SUM(sv) OVER (PARTITION BY cohort ORDER BY week_offset) AS cum_sv
+        |  FROM p)
+        |SELECT q.cohort, q.week_offset, s.cohort_users, q.n_purchases,
+        |  CAST(q.sv * 1000000 AS BIGINT) AS week_value_micro,
+        |  CAST(CAST(q.cum_sv * 1000000 AS BIGINT) // s.cohort_users AS BIGINT)
+        |    AS cum_ltv_micro_per_user
+        |FROM q JOIN sizes s USING (cohort)
+        |ORDER BY cohort, week_offset""".stripMargin,
 
     // the integer product-limit fold replayed as a recursive CTE: at each
     // event time (ascending), s ← s·(n−d) // n starting from 1e6

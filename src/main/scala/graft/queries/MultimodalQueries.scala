@@ -85,6 +85,33 @@ object MultimodalQueries {
       feats.toDF("position", "n_bytes", "sum_bytes", "mean_milli", "h0", "h1", "h2", "h3")
     },
 
+    // resize planning for the image modality (the letterbox-fit pass a
+    // vision-training pipeline runs before batching): source dims come
+    // from a STUB header decode (two big-endian byte pairs of the opaque
+    // payload — stands in for reading a real image header; clearly
+    // marked, deterministic, oracle-replayed), then the fit to a 224-box
+    // is EXACT integer math — dst = (src·224) div max(w,h), symmetric
+    // padding, scale in ppm. A narrow codegen'd pass, no shuffle at all;
+    // the plan rows are what a real resize kernel would consume
+    // per-batch downstream.
+    "mm_resize_plan" -> { (s, d) =>
+      import s.implicits._
+      def byteAt(i: Int) =
+        expr(s"CAST(conv(hex(substring(payload, $i, 1)), 16, 10) AS BIGINT)")
+      payloads(s, d, 500)
+        .filter($"key" === "props" && length($"payload") >= 4)
+        .select($"position",
+          (lit(160L) + (byteAt(1) * 256 + byteAt(2)) % 1200).as("src_w"),
+          (lit(120L) + (byteAt(3) * 256 + byteAt(4)) % 900).as("src_h"))
+        .select($"position", $"src_w", $"src_h",
+          expr("(src_w * 224) div greatest(src_w, src_h)").as("dst_w"),
+          expr("(src_h * 224) div greatest(src_w, src_h)").as("dst_h"),
+          expr("(1000000 * 224) div greatest(src_w, src_h)").as("scale_ppm"))
+        .withColumn("pad_x", expr("(224 - dst_w) div 2"))
+        .withColumn("pad_y", expr("(224 - dst_h) div 2"))
+        .orderBy($"position")
+    },
+
     // perceptual-hash near-dup for the binary modality: a 32-bit simhash
     // over the payload's byte 4-grams (the codec-free stand-in for an
     // image phash — same banding machinery as dd_simhash_pairs), pairs
@@ -253,6 +280,23 @@ object MultimodalQueries {
         |  CAST(SUM(CASE WHEN byte >= 128 AND byte < 192 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
         |  CAST(SUM(CASE WHEN byte >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS h3
         |FROM b GROUP BY position ORDER BY position""".stripMargin,
+
+    "mm_resize_plan" ->
+      """WITH m AS (
+        |  SELECT 'evt-' || CAST(event_id AS VARCHAR) AS position, props AS payload
+        |  FROM events WHERE event_id < 500 AND length(props) >= 4),
+        |dims AS (
+        |  SELECT position,
+        |    160 + (ord(substr(payload, 1, 1)) * 256 + ord(substr(payload, 2, 1))) % 1200 AS src_w,
+        |    120 + (ord(substr(payload, 3, 1)) * 256 + ord(substr(payload, 4, 1))) % 900 AS src_h
+        |  FROM m)
+        |SELECT position, CAST(src_w AS BIGINT) AS src_w, CAST(src_h AS BIGINT) AS src_h,
+        |  CAST((src_w * 224) // greatest(src_w, src_h) AS BIGINT) AS dst_w,
+        |  CAST((src_h * 224) // greatest(src_w, src_h) AS BIGINT) AS dst_h,
+        |  CAST((1000000 * 224) // greatest(src_w, src_h) AS BIGINT) AS scale_ppm,
+        |  CAST((224 - (src_w * 224) // greatest(src_w, src_h)) // 2 AS BIGINT) AS pad_x,
+        |  CAST((224 - (src_h * 224) // greatest(src_w, src_h)) // 2 AS BIGINT) AS pad_y
+        |FROM dims ORDER BY position""".stripMargin,
 
     "mm_dedup" ->
       """WITH m AS (

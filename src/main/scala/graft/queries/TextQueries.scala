@@ -730,6 +730,43 @@ object TextQueries {
     // shape: one (lang, token) partial-agg shuffle (map-side combined —
     // the same vocabulary-sized reduce as txt_vocab), then a |langs|-row
     // final agg; nothing is ever per-document wide.
+    // cross-language vocabulary overlap (the multilingual-corpus audit:
+    // high token Jaccard between two "languages" flags mislabeled or
+    // code-mixed sources before per-language budgets are trusted): exact
+    // per-pair |A∩B| / |A∪B| in ppm over the distinct-token vocabularies.
+    // Scale shape: one (lang, token) distinct shuffle builds the
+    // vocabulary; the pair counts come from ONE more token-keyed
+    // partial agg (each token contributes its C(langs-with-it, 2) pairs
+    // via a per-row combination explode, bounded by |langs|² = constant),
+    // never a vocabulary self-join; all-pairs completeness via the
+    // |langs|²-row frame built from the size relation.
+    "txt_lang_overlap" -> { (s, d) =>
+      import s.implicits._
+      val vocab = t(s, d, "documents")
+        .select($"lang", explode(split($"text", " +")).as("w"))
+        .filter(length($"w") > 0)
+        .distinct()
+      val sizes = vocab.groupBy($"lang").agg(count(lit(1)).as("n"))
+      // per token: the sorted list of langs containing it → its C(k,2)
+      // pair contributions (k ≤ |langs|, a constant-bounded explode)
+      val common = vocab.groupBy($"w")
+        .agg(sort_array(collect_set($"lang")).as("ls"))
+        .select(explode(expr(
+          """flatten(transform(ls, (a, i) ->
+             |  transform(slice(ls, i + 2, size(ls)), b -> struct(a AS lang_a, b AS lang_b))))"""
+            .stripMargin)).as("p"))
+        .groupBy($"p.lang_a".as("lang_a"), $"p.lang_b".as("lang_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val frame = sizes.select($"lang".as("lang_a"), $"n".as("n_a"))
+        .crossJoin(sizes.select($"lang".as("lang_b"), $"n".as("n_b")))
+        .filter($"lang_a" < $"lang_b")
+      frame.join(common, Seq("lang_a", "lang_b"), "left")
+        .withColumn("n_common", coalesce($"n_common", lit(0L)))
+        .select($"lang_a", $"lang_b", $"n_a", $"n_b", $"n_common",
+          expr("(1000000 * n_common) div (n_a + n_b - n_common)").as("jaccard_ppm"))
+        .orderBy($"lang_a", $"lang_b")
+    },
+
     "txt_simpson" -> { (s, d) =>
       import s.implicits._
       val dec = DecimalType(38, 0)
@@ -1146,6 +1183,24 @@ object TextQueries {
         |  CAST(floor(((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE)) + 0.5) AS BIGINT) AS intercept_micro,
         |  CAST(floor((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS r2_ppm
         |FROM g""".stripMargin,
+
+    "txt_lang_overlap" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT lang, w
+        |  FROM documents, UNNEST(string_split_regex(text, ' +')) AS u(w)
+        |  WHERE length(w) > 0),
+        |sizes AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM vocab GROUP BY 1),
+        |common AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM vocab a JOIN vocab b ON a.w = b.w AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT sa.lang AS lang_a, sb.lang AS lang_b, sa.n AS n_a, sb.n AS n_b,
+        |  COALESCE(c.n_common, 0) AS n_common,
+        |  CAST((1000000 * COALESCE(c.n_common, 0)) // (sa.n + sb.n - COALESCE(c.n_common, 0)) AS BIGINT) AS jaccard_ppm
+        |FROM sizes sa
+        |JOIN sizes sb ON sa.lang < sb.lang
+        |LEFT JOIN common c ON c.lang_a = sa.lang AND c.lang_b = sb.lang
+        |ORDER BY lang_a, lang_b""".stripMargin,
 
     "txt_simpson" ->
       """WITH tok AS (

@@ -171,6 +171,53 @@ class SurvivalConcentrationSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("kdist")).forall(_ >= 0))
   }
 
+  test("ev_ltv: cumulative curves are non-decreasing per cohort and totals reconcile") {
+    val r = rows("ev_ltv")
+    assert(r.nonEmpty)
+    for ((_, rs) <- r.groupBy(_.getAs[Long]("cohort"))) {
+      val sorted = rs.sortBy(_.getAs[Long]("week_offset"))
+      val cums = sorted.map(_.getAs[Long]("cum_ltv_micro_per_user"))
+      for (w <- cums.sliding(2) if w.length == 2)
+        assert(w(1) >= w(0), "per-user cumulative LTV cannot decrease")
+      assert(sorted.forall(_.getAs[Long]("week_offset") >= 0))
+    }
+    // total cohort users across first-offset rows == users with purchases' cohorts covered
+    val totalPurchases = r.map(_.getAs[Long]("n_purchases")).sum
+    val expected = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(totalPurchases === expected)
+  }
+
+  test("txt_lang_overlap: complete pair frame, symmetric-free ordering, Jaccard bounds") {
+    val r = rows("txt_lang_overlap")
+    val langs = graft.Tables.t(spark, sf, "documents")
+      .select("lang").distinct().count().toInt
+    assert(r.length === langs * (langs - 1) / 2)
+    for (row <- r) {
+      val (a, b) = (row.getAs[String]("lang_a"), row.getAs[String]("lang_b"))
+      assert(a < b)
+      val (na, nb, nc) = (row.getAs[Long]("n_a"), row.getAs[Long]("n_b"), row.getAs[Long]("n_common"))
+      assert(nc <= math.min(na, nb))
+      val j = row.getAs[Long]("jaccard_ppm")
+      assert(j === 1000000L * nc / (na + nb - nc))
+      assert(j >= 0 && j <= 1000000L)
+    }
+  }
+
+  test("mm_resize_plan: fits preserve aspect within integer floor, long side = 224, pads center") {
+    for (row <- rows("mm_resize_plan")) {
+      val (sw, sh) = (row.getAs[Long]("src_w"), row.getAs[Long]("src_h"))
+      val (dw, dh) = (row.getAs[Long]("dst_w"), row.getAs[Long]("dst_h"))
+      assert(math.max(dw, dh) === 224L, "longest side must land exactly on the box")
+      assert(dw <= 224 && dh <= 224 && dw >= 1 && dh >= 1)
+      val m = math.max(sw, sh)
+      assert(dw === sw * 224 / m && dh === sh * 224 / m)
+      assert(row.getAs[Long]("pad_x") === (224 - dw) / 2)
+      assert(row.getAs[Long]("pad_y") === (224 - dh) / 2)
+      assert(row.getAs[Long]("scale_ppm") === 224000000L / m)
+    }
+  }
+
   test("q57_profit: grand total reconciles against a single global aggregate") {
     import org.apache.spark.sql.types.DecimalType
     val per = SparkEntry.queries("q57_profit")(spark, sf)
