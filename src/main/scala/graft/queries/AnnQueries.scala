@@ -995,8 +995,11 @@ object AnnQueries {
           expr("arr[0].cid").as("cid"),
           expr("arr[0].dist").as("a"),
           expr("arr[1].dist").as("b"))
+      // L2² of ±10⁶-quantized 64-dim vectors reaches ~2.6·10¹⁴, so the
+      // ×10⁶ ppm scaling is DECIMAL(38,0)-guarded (a long product wraps)
       ab.withColumn("sil", when($"b" > 0,
-          expr("((b - a) * 1000000) div b")).otherwise(lit(0L)))
+          expr("""(CAST(b - a AS DECIMAL(38,0)) * 1000000)
+                  div CAST(b AS DECIMAL(38,0))""")).otherwise(lit(0L)))
         .groupBy($"cid")
         .agg(count(lit(1)).as("n_members"),
           expr("SUM(sil) div COUNT(*)").as("mean_sil_ppm"),
@@ -1205,7 +1208,8 @@ object AnnQueries {
          |  FROM d1),
          |s AS (
          |  SELECT a.vec_id, a.cid,
-         |    CASE WHEN b.d > 0 THEN ((b.d - a.d) * 1000000) // b.d ELSE 0 END AS sil
+         |    CASE WHEN b.d > 0 THEN (CAST(b.d - a.d AS HUGEINT) * 1000000) // b.d
+         |         ELSE 0 END AS sil
          |  FROM (SELECT vec_id, cid, d FROM r WHERE rn = 1) a
          |  JOIN (SELECT vec_id, d FROM r WHERE rn = 2) b ON a.vec_id = b.vec_id)
          |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,

@@ -798,8 +798,12 @@ object EventQueries {
         .select($"col.dur".as("t_day"),
           $"col.n_risk".as("n_risk"),
           $"col.d_events".as("n_events"),
+          // acc ≤ 10⁶ but n_risk is |users|-scale, so the per-step
+          // product is DECIMAL(38,0)-guarded (a long acc·(n−d) wraps
+          // past ~9·10¹² users); div returns the exact floored long
           expr("""aggregate(slice(a, 1, pos + 1), CAST(1000000 AS BIGINT),
-                 (acc, x) -> (acc * (x.n_risk - x.d_events)) div x.n_risk)""")
+                 (acc, x) -> (CAST(acc AS DECIMAL(38,0)) * (x.n_risk - x.d_events))
+                   div CAST(x.n_risk AS DECIMAL(38,0)))""")
             .as("surv_ppm"))
         .orderBy($"t_day")
     },
@@ -1426,11 +1430,11 @@ object EventQueries {
         |  FROM risk WHERE d_events > 0),
         |rec AS (
         |  SELECT rn, dur, n_risk, d_events,
-        |    (1000000 * (n_risk - d_events)) // n_risk AS s
+        |    (CAST(1000000 AS HUGEINT) * (n_risk - d_events)) // n_risk AS s
         |  FROM ev2 WHERE rn = 1
         |  UNION ALL
         |  SELECT e2.rn, e2.dur, e2.n_risk, e2.d_events,
-        |    (r.s * (e2.n_risk - e2.d_events)) // e2.n_risk
+        |    (CAST(r.s AS HUGEINT) * (e2.n_risk - e2.d_events)) // e2.n_risk
         |  FROM ev2 e2 JOIN rec r ON e2.rn = r.rn + 1)
         |SELECT dur AS t_day, n_risk, d_events AS n_events,
         |  CAST(s AS BIGINT) AS surv_ppm
