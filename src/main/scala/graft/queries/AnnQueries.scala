@@ -1071,7 +1071,11 @@ object AnnQueries {
         .agg(count(lit(1)).as("n_edges"),
           sum(coalesce($"has_rev", lit(0L))).as("n_reciprocal"))
         .select($"label", $"n_edges", $"n_reciprocal",
-          expr("(1000000 * n_reciprocal) div n_edges").as("recip_ppm"))
+          // DECIMAL-guarded: a per-label edge count past ~9·10¹² would
+          // wrap the 10⁶ ppm product in a long (DuckDB side sums to
+          // HUGEINT already)
+          expr("""(CAST(1000000 AS DECIMAL(38,0)) * n_reciprocal)
+                  div CAST(n_edges AS DECIMAL(38,0))""").as("recip_ppm"))
         .orderBy($"label")
     }
   )
