@@ -1012,7 +1012,8 @@ object AnnQueries {
     // al.: a point is suspicious when its k-distance is large RELATIVE
     // to its neighbors' k-distances — catches local outliers a global
     // centroid distance like emb_outliers misses): per vector the
-    // 5-distance (cosine distance of its rank-5 emb_knn edge) over the
+    // 5-distance (cosine distance of its rank-5 emb_knn edge; its
+    // last edge when the LSH candidates run short of 5) over the
     // mean 5-distance of its neighbors, exact ppm via
     // (10⁶·kdist·k) div Σ neighbor-kdist. Top-20 shortlist, unique-key
     // tie-break. Scale shape: edges come from the materialized LSH pair
