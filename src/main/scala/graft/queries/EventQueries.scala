@@ -818,6 +818,42 @@ object EventQueries {
     // only |users|-scale stage is the user_id partial agg; the histogram
     // is |distinct activity levels|, bounded by max per-user activity.
     // All arithmetic is DECIMAL(38,0) integer with ppm floor division.
+    // autocorrelation diagnostic for the hourly event series (does the
+    // stream remember itself one hour / one day back? — the seasonality
+    // test ev_seasonality's profile implies but never measures): Pearson
+    // r² at lags 1 and 24 over observed-hour pairs, q52_regr's rule —
+    // all sums and normal-equation terms EXACT integers in
+    // DECIMAL(38,0), floats confined to the final single IEEE divisions
+    // of identical operands; the sign is reported separately as exact
+    // integer so no sqrt is ever taken. Scale shape: one hour-keyed
+    // partial agg of the stream, then a self equi-join and 1-row agg of
+    // the ≤|hours| series — calendar-bounded, never |events|-wide.
+    "ev_autocorr" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      val hourly = ev(s, d).select(expr(s"ts_us div $HourUs").as("h"))
+        .groupBy($"h").agg(count(lit(1)).as("x"))
+      def atLag(lag: Int): DataFrame = {
+        val b = hourly.select(($"h" - lag).as("h"), $"x".as("y"))
+        hourly.join(b, Seq("h"))
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x".cast(dec) * $"y").as("sxy"),
+            sum($"x".cast(dec) * $"x").as("sxx"),
+            sum($"y".cast(dec) * $"y").as("syy"))
+          .select(lit(lag.toLong).as("lag"), $"n".as("n_pairs"),
+            expr("""CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                         WHEN n * sxy - sx * sy < 0 THEN -1
+                         ELSE 0 END AS BIGINT)""").as("r_sign"),
+            expr("""CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                    THEN CAST(FLOOR(
+                      (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+                      * (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * syy - sy * sy AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT)
+                    ELSE 0 END""").as("r2_ppm"))
+      }
+      atLag(1).unionByName(atLag(24)).orderBy($"lag")
+    },
+
     // cohort lifetime-value curves (the growth-analytics staple): users
     // cohorted by first-event week; per (cohort, weeks-since) the
     // purchase count, value, and cumulative LTV per cohort user — all in
@@ -1377,6 +1413,30 @@ object EventQueries {
         |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
         |  CAST(SUM(credit) AS BIGINT) AS credited_micro
         |FROM credited GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "ev_autocorr" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |lags AS (SELECT CAST(l AS BIGINT) AS lag FROM UNNEST([1, 24]) AS t(l)),
+        |pairs AS (
+        |  SELECT lag, a.x, b.x AS y
+        |  FROM lags, hourly a, hourly b WHERE b.h = a.h + lag),
+        |g AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM pairs GROUP BY lag)
+        |SELECT lag, n AS n_pairs,
+        |  CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+        |       WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT) AS r_sign,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |  THEN CAST(FLOOR(
+        |    (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+        |    * (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * syy - sy * sy AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT)
+        |  ELSE 0 END AS r2_ppm
+        |FROM g ORDER BY lag""".stripMargin,
 
     "ev_ltv" ->
       """WITH e AS (

