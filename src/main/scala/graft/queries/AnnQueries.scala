@@ -62,6 +62,37 @@ object AnnQueries {
   private def quantized(s: SparkSession, d: String): DataFrame =
     graft.operators.VectorOps.quantized(s, d)
 
+  /** emb_knn's exact edge definition — each vector's top-5
+    * LSH-discovered neighbors by (cos_ppm desc, neighbor) — shared by
+    * emb_knn, emb_lof and ann_reciprocal so the three can never drift
+    * on k, tie-break or candidate source. Returns (vec_id, neighbor,
+    * cos_ppm, rnk); [[KnnEdgeCtes]] is its SQL twin.
+    * (emb_hard_negatives is NOT this relation: it ranks after its
+    * label filter.)
+    */
+  private def knnEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = CorpusLshIndex.embedPairs(s, d)
+    val sym = pairs.select($"vec_a".as("vec_id"), $"vec_b".as("neighbor"), $"cos_ppm")
+      .unionByName(pairs.select($"vec_b".as("vec_id"), $"vec_a".as("neighbor"), $"cos_ppm"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cos_ppm".desc, $"neighbor")
+    sym.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
+  }
+
+  /** SQL twin of [[knnEdges]]: banding replay → symmetrized pairs →
+    * per-vector top-5 as the `knn5(vec_id, neighbor, cos_ppm, rnk)` CTE
+    */
+  private lazy val KnnEdgeCtes: String =
+    s"""${DedupQueries.EmbedPairCtes},
+       |sym AS (
+       |  SELECT va AS vec_id, vb AS neighbor, cos_ppm FROM epairs
+       |  UNION ALL SELECT vb, va, cos_ppm FROM epairs),
+       |knn5 AS (
+       |  SELECT vec_id, neighbor, cos_ppm, rnk FROM (
+       |    SELECT vec_id, neighbor, cos_ppm,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_ppm DESC, neighbor) AS rnk
+       |    FROM sym) WHERE rnk <= 5)""".stripMargin
+
   private val dotExpr = graft.operators.VectorOps.dotExpr
 
   /** exact brute-force cosine top-k: broadcast the query set, one narrow
@@ -714,13 +745,8 @@ object AnnQueries {
     // each vector's OWN candidates — parallelism = |vectors|.
     "emb_knn" -> { (s, d) =>
       import s.implicits._
-      val pairs = CorpusLshIndex.embedPairs(s, d)
-      val sym = pairs.select($"vec_a".as("vec_id"), $"vec_b".as("neighbor"), $"cos_ppm")
-        .unionByName(pairs.select($"vec_b".as("vec_id"), $"vec_a".as("neighbor"), $"cos_ppm"))
-      val w = Window.partitionBy($"vec_id").orderBy($"cos_ppm".desc, $"neighbor")
-      sym.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter($"rnk" <= 5)
-        .select($"vec_id", $"rnk", $"neighbor", $"cos_ppm")
+      knnEdges(s, d)
+        .select($"vec_id", $"rnk".cast("long").as("rnk"), $"neighbor", $"cos_ppm")
         .orderBy($"vec_id", $"rnk")
     },
 
@@ -1002,7 +1028,9 @@ object AnnQueries {
                   div CAST(b AS DECIMAL(38,0))""")).otherwise(lit(0L)))
         .groupBy($"cid")
         .agg(count(lit(1)).as("n_members"),
-          expr("SUM(sil) div COUNT(*)").as("mean_sil_ppm"),
+          // DECIMAL-guarded sum: sil ≤ 10⁶, so a long Σ wraps past
+          // ~9·10¹² cluster members (DuckDB sums to HUGEINT already)
+          expr("SUM(CAST(sil AS DECIMAL(38,0))) div COUNT(*)").as("mean_sil_ppm"),
           min($"sil").as("min_sil_ppm"),
           max($"sil").as("max_sil_ppm"))
         .orderBy($"cid")
@@ -1022,12 +1050,7 @@ object AnnQueries {
     // narrow list against the |V|-row kdist relation.
     "emb_lof" -> { (s, d) =>
       import s.implicits._
-      val pairs = CorpusLshIndex.embedPairs(s, d)
-      val sym = pairs.select($"vec_a".as("vec_id"), $"vec_b".as("neighbor"), $"cos_ppm")
-        .unionByName(pairs.select($"vec_b".as("vec_id"), $"vec_a".as("neighbor"), $"cos_ppm"))
-      val w = Window.partitionBy($"vec_id").orderBy($"cos_ppm".desc, $"neighbor")
-      val knn = sym.withColumn("rnk", row_number().over(w))
-        .filter($"rnk" <= 5)
+      val knn = knnEdges(s, d)
         .select($"vec_id", $"neighbor", (lit(1000000L) - $"cos_ppm").as("dist"))
       val kd = knn.groupBy($"vec_id")
         .agg(max($"dist").as("kdist"), count(lit(1)).as("k"))
@@ -1055,13 +1078,7 @@ object AnnQueries {
     // vec_id-keyed; final agg is |labels| rows.
     "ann_reciprocal" -> { (s, d) =>
       import s.implicits._
-      val pairs = CorpusLshIndex.embedPairs(s, d)
-      val sym = pairs.select($"vec_a".as("vec_id"), $"vec_b".as("neighbor"), $"cos_ppm")
-        .unionByName(pairs.select($"vec_b".as("vec_id"), $"vec_a".as("neighbor"), $"cos_ppm"))
-      val w = Window.partitionBy($"vec_id").orderBy($"cos_ppm".desc, $"neighbor")
-      val knn = sym.withColumn("rnk", row_number().over(w))
-        .filter($"rnk" <= 5)
-        .select($"vec_id", $"neighbor")
+      val knn = knnEdges(s, d).select($"vec_id", $"neighbor")
       val rev = knn.select($"neighbor".as("vec_id"), $"vec_id".as("neighbor"),
         lit(1L).as("has_rev"))
       val lab = t(s, d, "embeddings")
@@ -1226,15 +1243,9 @@ object AnnQueries {
     // emb_knn's banding replay: k-distances from the rank-5 edges, the
     // neighbor mean via one equi-join, exact ppm ratio
     "emb_lof" ->
-      (s"WITH ${DedupQueries.EmbedPairCtes},\n" +
-        """sym AS (
-          |  SELECT va AS vec_id, vb AS neighbor, cos_ppm FROM epairs
-          |  UNION ALL SELECT vb, va, cos_ppm FROM epairs),
-          |knn AS (
-          |  SELECT vec_id, neighbor, 1000000 - cos_ppm AS dist FROM (
-          |    SELECT vec_id, neighbor, cos_ppm,
-          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_ppm DESC, neighbor) AS rnk
-          |    FROM sym) WHERE rnk <= 5),
+      (s"WITH $KnnEdgeCtes,\n" +
+        """knn AS (
+          |  SELECT vec_id, neighbor, 1000000 - cos_ppm AS dist FROM knn5),
           |kd AS (
           |  SELECT vec_id, MAX(dist) AS kdist, COUNT(*) AS k
           |  FROM knn GROUP BY 1),
@@ -1249,15 +1260,8 @@ object AnnQueries {
 
     // emb_knn's banding replay, self-joined on the flipped edge
     "ann_reciprocal" ->
-      (s"WITH ${DedupQueries.EmbedPairCtes},\n" +
-        """sym AS (
-          |  SELECT va AS vec_id, vb AS neighbor, cos_ppm FROM epairs
-          |  UNION ALL SELECT vb, va, cos_ppm FROM epairs),
-          |knn AS (
-          |  SELECT vec_id, neighbor FROM (
-          |    SELECT vec_id, neighbor,
-          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_ppm DESC, neighbor) AS rnk
-          |    FROM sym) WHERE rnk <= 5),
+      (s"WITH $KnnEdgeCtes,\n" +
+        """knn AS (SELECT vec_id, neighbor FROM knn5),
           |j AS (
           |  SELECT k.vec_id, k.neighbor,
           |    CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END AS has_rev
@@ -1301,16 +1305,9 @@ object AnnQueries {
     // DedupQueries.EmbedPairCtes regenerates the planes in SQL): the
     // UNTHRESHOLDED pair set symmetrized into the per-vector top-5
     "emb_knn" ->
-      (s"WITH ${DedupQueries.EmbedPairCtes},\n" +
-        """sym AS (
-          |  SELECT va AS vec_id, vb AS neighbor, cos_ppm FROM epairs
-          |  UNION ALL SELECT vb, va, cos_ppm FROM epairs),
-          |rk AS (
-          |  SELECT vec_id, neighbor, cos_ppm,
-          |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_ppm DESC, neighbor) AS BIGINT) AS rnk
-          |  FROM sym)
-          |SELECT vec_id, rnk, neighbor, cos_ppm FROM rk WHERE rnk <= 5
-          |ORDER BY vec_id, rnk""".stripMargin),
+      (s"WITH $KnnEdgeCtes\n" +
+        """SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, neighbor, cos_ppm
+          |FROM knn5 ORDER BY vec_id, rnk""".stripMargin),
 
     // the same symmetrized replay joined to labels, cross-label rank 1
     "emb_hard_negatives" ->

@@ -840,18 +840,32 @@ object EventQueries {
             sum($"x".cast(dec) * $"y").as("sxy"),
             sum($"x".cast(dec) * $"x").as("sxx"),
             sum($"y".cast(dec) * $"y").as("syy"))
+          // the moment sums sx/sy are plain longs; every cross product
+          // is widened to DECIMAL(38,0) BEFORE the arithmetic (a bare
+          // sx * sy is a long×long multiply that wraps past ~3·10⁹
+          // matched events — the q52_regr overflow class)
+          .withColumn("num", expr(
+            "n * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+          .withColumn("den1", expr(
+            "n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+          .withColumn("den2", expr(
+            "n * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
           .select(lit(lag.toLong).as("lag"), $"n".as("n_pairs"),
-            expr("""CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
-                         WHEN n * sxy - sx * sy < 0 THEN -1
+            expr("""CAST(CASE WHEN num > 0 THEN 1
+                         WHEN num < 0 THEN -1
                          ELSE 0 END AS BIGINT)""").as("r_sign"),
-            expr("""CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            expr("""CASE WHEN den1 > 0 AND den2 > 0
                     THEN CAST(FLOOR(
-                      (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
-                      * (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * syy - sy * sy AS DOUBLE))
+                      (CAST(num AS DOUBLE) / CAST(den1 AS DOUBLE))
+                      * (CAST(num AS DOUBLE) / CAST(den2 AS DOUBLE))
                       * 1000000.0 + 0.5) AS BIGINT)
                     ELSE 0 END""").as("r2_ppm"))
       }
-      atLag(1).unionByName(atLag(24)).orderBy($"lag")
+      // a pair-less lag (stream shorter than the lag) emits NO row on
+      // either engine — the oracle's GROUP BY lag drops it, so must we
+      atLag(1).unionByName(atLag(24))
+        .filter($"n_pairs" > 0)
+        .orderBy($"lag")
     },
 
     // cohort lifetime-value curves (the growth-analytics staple): users

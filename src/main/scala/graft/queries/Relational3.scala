@@ -271,7 +271,13 @@ object Relational3 {
         sum($"value").cast(DecimalType(38, 2)).as("total"),
         count(lit(1)).as("n_parts"))
       perPart.crossJoin(broadcast(tot))
-        .filter($"value" * $"n_parts" * 2 > $"total" * 3)
+        // the fraction test in exact integer CENTS on both engines: a
+        // DECIMAL(38,2)×BIGINT product would exceed DuckDB's 38-digit
+        // width and silently fall back to DOUBLE there, so both sides
+        // compare (value·100)·n·2 > (total·100)·3 as DECIMAL(38,0)/
+        // HUGEINT integers instead
+        .filter(($"value" * 100).cast(DecimalType(38, 0)) * $"n_parts" * 2 >
+          ($"total" * 100).cast(DecimalType(38, 0)) * 3)
         .select($"l_partkey", $"value".cast("double").as("value"))
         .orderBy($"value".desc, $"l_partkey")
     }
@@ -413,7 +419,8 @@ object Relational3 {
         |tot AS (SELECT SUM(value) AS total, COUNT(*) AS n_parts FROM pp)
         |SELECT l_partkey, CAST(value AS DOUBLE) AS value
         |FROM pp, tot
-        |WHERE value * n_parts * 2 > total * 3
+        |WHERE CAST(value * 100 AS HUGEINT) * n_parts * 2
+        |    > CAST(total * 100 AS HUGEINT) * 3
         |ORDER BY value DESC, l_partkey""".stripMargin
   )
 }

@@ -773,9 +773,10 @@ object TextQueries {
     // |langs|²-row frame built from the size relation.
     "txt_lang_overlap" -> { (s, d) =>
       import s.implicits._
-      val vocab = t(s, d, "documents")
-        .select($"lang", explode(split($"text", " +")).as("w"))
-        .filter(length($"w") > 0)
+      // token index read for the same reason as txt_simpson/txt_fano
+      val vocab = CorpusTokenIndex.tokens(s, d)
+        .filter(length($"tok") > 0)
+        .select($"lang", $"tok".as("w"))
         .distinct()
       val sizes = vocab.groupBy($"lang").agg(count(lit(1)).as("n"))
       // per token: the sorted list of langs containing it → its C(k,2)
@@ -801,9 +802,13 @@ object TextQueries {
     "txt_simpson" -> { (s, d) =>
       import s.implicits._
       val dec = DecimalType(38, 0)
-      t(s, d, "documents")
-        .select($"lang", explode(split($"text", " +")).as("w"))
-        .filter(length($"w") > 0)
+      // reads the materialized token index (definitionally identical to
+      // the inline split+explode — TokenIndexSpec — so the oracle's
+      // inline tokenization is unchanged; saves the corpus-wide
+      // re-tokenization pass)
+      CorpusTokenIndex.tokens(s, d)
+        .filter(length($"tok") > 0)
+        .select($"lang", $"tok".as("w"))
         .groupBy($"lang", $"w").agg(count(lit(1)).as("n"))
         .groupBy($"lang").agg(
           sum($"n").as("n_tokens"),
