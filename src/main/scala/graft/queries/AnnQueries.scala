@@ -1095,6 +1095,118 @@ object AnnQueries {
           expr("""(CAST(1000000 AS DECIMAL(38,0)) * n_reciprocal)
                   div CAST(n_edges AS DECIMAL(38,0))""").as("recip_ppm"))
         .orderBy($"label")
+    },
+
+    // label-separability AUC (how well does "cosine to the label's
+    // centroid" retrieve that label's members? — the exact Mann-Whitney
+    // readout a curation pipeline runs before trusting centroid scores
+    // for routing or filtering): for every label, score EVERY vector by
+    // its cosine to that label's exact integer centroid, then compute
+    // the in-label-vs-rest AUC from the score histogram with exact
+    // rational tie handling (ties contribute 1/2 — the 2× numerator
+    // stays integer). Scale shape: one (label, dim) partial agg for
+    // centroids, a |labels|-row broadcast against the corpus for
+    // scoring, then everything runs on the per-label SCORE HISTOGRAM
+    // (≤ 2·10⁶ distinct ppm values per label by construction) — the
+    // rank sums never sort the corpus.
+    "emb_ood_auc" -> { (s, d) =>
+      import s.implicits._
+      val lab = t(s, d, "embeddings")
+        .select($"vec_id", $"label".cast("long").as("label"))
+      val el = graft.operators.VectorOps.quantized(s, d)
+        .join(lab, Seq("vec_id"))
+      val cents = el.select($"label".as("clabel"), posexplode($"q"))
+        .toDF("clabel", "i", "x")
+        .groupBy($"clabel", $"i")
+        .agg(sum($"x").as("sx"), count(lit(1)).as("cn0"))
+        .withColumn("c", expr("(sx - pmod(sx, cn0)) div cn0"))
+        .groupBy($"clabel")
+        .agg(expr("transform(array_sort(collect_list(struct(i, c))), p -> p.c)").as("cq"))
+        .withColumn("cnn", graft.operators.VectorOps.dotCol($"cq", $"cq"))
+        .filter($"cnn" > 0)
+      val scored = el.filter($"nn" > 0)
+        .join(broadcast(cents), lit(true))
+        .withColumn("dot", graft.operators.VectorOps.dotCol($"q", $"cq"))
+        .select($"clabel", $"label",
+          floor($"dot" / (sqrt($"nn") * sqrt($"cnn")) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("score"))
+      val h = scored.groupBy($"clabel", $"score")
+        .agg(sum(when($"label" === $"clabel", 1L).otherwise(0L)).as("np"),
+          sum(when($"label" =!= $"clabel", 1L).otherwise(0L)).as("nng"))
+      val wBelow = Window.partitionBy($"clabel").orderBy($"score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      h.withColumn("below", coalesce(sum($"nng").over(wBelow), lit(0L)))
+        .groupBy($"clabel")
+        .agg(sum($"np").as("n_pos"), sum($"nng").as("n_neg"),
+          // 2× the Mann-Whitney numerator, DECIMAL-widened: below·np is
+          // an n²-scale product that wraps a long past ~3·10⁹ vectors
+          sum($"np".cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+            (lit(2).cast(org.apache.spark.sql.types.DecimalType(38, 0)) * $"below" + $"nng"))
+            .as("num2"))
+        .filter($"n_pos" > 0 && $"n_neg" > 0)
+        .select($"clabel".as("label"), $"n_pos", $"n_neg",
+          expr("""(CAST(1000000 AS DECIMAL(38,0)) * num2)
+                  div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)""").as("auc_ppm"))
+        .orderBy($"label")
+    },
+
+    // semi-hard triplet mining readout (the metric-learning curation
+    // staple: for each anchor, the best same-label neighbor is the
+    // positive, the best cross-label neighbor the negative; a POSITIVE
+    // margin means the negative is semi-hard — below the positive but
+    // present in the k-NN list — while a non-positive margin flags a
+    // hard negative outranking the anchor's own class): per-label
+    // counts and exact floor-mean/min/max of the pos−neg cosine margin
+    // over emb_knn's shared edge relation. Scale shape: two vec_id
+    // equi-joins onto the |V|·5 edge list, a per-anchor partial agg,
+    // then a |labels|-row final agg.
+    "emb_triplet" -> { (s, d) =>
+      import s.implicits._
+      val lab = t(s, d, "embeddings")
+        .select($"vec_id", $"label".cast("long").as("label"))
+      val per = knnEdges(s, d)
+        .join(lab.select($"vec_id", $"label".as("la")), Seq("vec_id"))
+        .join(lab.select($"vec_id".as("neighbor"), $"label".as("ln")), Seq("neighbor"))
+        .groupBy($"vec_id", $"la")
+        .agg(max(when($"ln" === $"la", $"cos_ppm")).as("pos_cos"),
+          max(when($"ln" =!= $"la", $"cos_ppm")).as("neg_cos"))
+        .filter($"pos_cos".isNotNull && $"neg_cos".isNotNull)
+        .withColumn("margin", $"pos_cos" - $"neg_cos")
+      per.groupBy($"la")
+        .agg(count(lit(1)).as("n_anchors"),
+          sum(when($"margin" > 0, 1L).otherwise(0L)).as("n_semi_hard"),
+          // margins can be negative: floor-div (not Spark's
+          // truncating div) so both engines round the mean the same way
+          sum($"margin".cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sm"),
+          min($"margin").as("min_margin_ppm"),
+          max($"margin").as("max_margin_ppm"))
+        .select($"la".as("label"), $"n_anchors", $"n_semi_hard",
+          expr("CAST((sm - pmod(sm, n_anchors)) div n_anchors AS BIGINT)")
+            .as("mean_margin_ppm"),
+          $"min_margin_ppm", $"max_margin_ppm")
+        .orderBy($"label")
+    },
+
+    // IVF posting-list balance audit (dd_band_stats' sibling for the
+    // served vector index: partition pruning only pays if cells are
+    // balanced — one fat cell means most probes scan most of the
+    // corpus): per cell, its population and ppm share of the indexed
+    // corpus, read straight from the materialized EmbIvfIndex cells
+    // directory. Scale shape: one cent_id partial agg over the posting
+    // lists + a broadcast 1-row total; |cells| ~ √n rows by the nlist
+    // scale rule.
+    "ann_cell_stats" -> { (s, d) =>
+      import s.implicits._
+      val occ = EmbIvfIndex.cells(s, d)
+        .groupBy($"cent_id").agg(count(lit(1)).as("n_vecs"))
+      val tot = occ.agg(sum($"n_vecs").as("t"))
+      occ.crossJoin(broadcast(tot))
+        .select($"cent_id", $"n_vecs",
+          // DECIMAL-guarded: a corpus past ~9·10¹² vectors would wrap
+          // the 10⁶ product in a long
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_vecs) div CAST(t AS DECIMAL(38,0))")
+            .as("share_ppm"))
+        .orderBy($"cent_id")
     }
   )
 
@@ -1273,6 +1385,100 @@ object AnnQueries {
           |  CAST((1000000 * SUM(has_rev)) // COUNT(*) AS BIGINT) AS recip_ppm
           |FROM j JOIN embeddings e ON e.vec_id = j.vec_id
           |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // exact integer centroids (the emb_centroid_cos floor-div formula),
+    // every (vector, label) cosine, then the Mann-Whitney rank sum off
+    // the per-label score histogram with the exact 2× tie numerator
+    "emb_ood_auc" -> (QuantCte +
+      """, lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |cs AS (
+        |  SELECT l.label AS clabel, e.i, CAST(SUM(e.q) AS BIGINT) AS sx,
+        |    CAST(COUNT(*) AS BIGINT) AS cn0
+        |  FROM e JOIN lab l ON l.vec_id = e.vec_id GROUP BY 1, 2),
+        |cc AS (SELECT clabel, i, (sx - ((sx % cn0 + cn0) % cn0)) // cn0 AS c FROM cs),
+        |cnn AS (SELECT clabel, CAST(SUM(c * c) AS BIGINT) AS cnn FROM cc GROUP BY 1),
+        |sc AS (
+        |  SELECT l.label, c.clabel,
+        |    CAST(FLOOR(CAST(SUM(e.q * c.c) AS BIGINT)
+        |      / (sqrt(MAX(n.nn)) * sqrt(MAX(cnn.cnn))) * 1000000.0 + 0.5) AS BIGINT) AS score
+        |  FROM e
+        |  JOIN lab l ON l.vec_id = e.vec_id
+        |  JOIN n ON n.vec_id = e.vec_id AND n.nn > 0
+        |  JOIN cc c ON c.i = e.i
+        |  JOIN cnn ON cnn.clabel = c.clabel AND cnn.cnn > 0
+        |  GROUP BY l.label, c.clabel, e.vec_id),
+        |h AS (
+        |  SELECT clabel, score,
+        |    CAST(SUM(CASE WHEN label = clabel THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(SUM(CASE WHEN label = clabel THEN 0 ELSE 1 END) AS BIGINT) AS nng
+        |  FROM sc GROUP BY 1, 2),
+        |wd AS (
+        |  SELECT clabel, np, nng,
+        |    COALESCE(SUM(nng) OVER (PARTITION BY clabel ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM h),
+        |agg AS (
+        |  SELECT clabel AS label, SUM(np) AS n_pos, SUM(nng) AS n_neg,
+        |    SUM(np * (2 * below + nng)) AS num2
+        |  FROM wd GROUP BY 1)
+        |SELECT label, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        |  CAST((1000000 * num2) // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+        |FROM agg WHERE n_pos > 0 AND n_neg > 0 ORDER BY label""".stripMargin),
+
+    // emb_knn's banding replay joined to anchor/neighbor labels: best
+    // same-label vs best cross-label neighbor per anchor, floor-mean of
+    // the margin so negative sums round identically on both engines
+    "emb_triplet" ->
+      (s"WITH $KnnEdgeCtes,\n" +
+        """lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+          |pa AS (
+          |  SELECT k.vec_id, la.label AS la,
+          |    MAX(CASE WHEN lb.label = la.label THEN k.cos_ppm END) AS pos_cos,
+          |    MAX(CASE WHEN lb.label <> la.label THEN k.cos_ppm END) AS neg_cos
+          |  FROM knn5 k
+          |  JOIN lab la ON la.vec_id = k.vec_id
+          |  JOIN lab lb ON lb.vec_id = k.neighbor
+          |  GROUP BY 1, 2),
+          |m AS (
+          |  SELECT la, pos_cos - neg_cos AS margin FROM pa
+          |  WHERE pos_cos IS NOT NULL AND neg_cos IS NOT NULL),
+          |g AS (
+          |  SELECT la AS label, CAST(COUNT(*) AS BIGINT) AS n_anchors,
+          |    CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_semi_hard,
+          |    SUM(margin) AS sm,
+          |    CAST(MIN(margin) AS BIGINT) AS min_margin_ppm,
+          |    CAST(MAX(margin) AS BIGINT) AS max_margin_ppm
+          |  FROM m GROUP BY 1)
+          |SELECT label, n_anchors, n_semi_hard,
+          |  CAST((sm - ((sm % n_anchors + n_anchors) % n_anchors)) // n_anchors AS BIGINT)
+          |    AS mean_margin_ppm,
+          |  min_margin_ppm, max_margin_ppm
+          |FROM g ORDER BY label""".stripMargin),
+
+    // the ann_ivf_topk assignment CTEs rolled up per cell
+    "ann_cell_stats" -> (QuantCte +
+      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStep = 0),
+         |cdots AS (
+         |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
+         |  FROM e a
+         |  JOIN e b ON b.i = a.i
+         |  JOIN cents c ON c.cent_id = b.vec_id
+         |  GROUP BY 1, 2),
+         |asgn AS (
+         |  SELECT d.vec_id, d.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+         |      CAST(FLOOR(d.dot / (sqrt(nv.nn) * sqrt(nc.nn)) * 1000000.0 + 0.5) AS BIGINT) DESC,
+         |      d.cent_id) AS crnk
+         |  FROM cdots d
+         |  JOIN n nv ON nv.vec_id = d.vec_id
+         |  JOIN n nc ON nc.vec_id = d.cent_id),
+         |g AS (
+         |  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |  FROM asgn WHERE crnk <= 1 GROUP BY 1),
+         |tot AS (SELECT SUM(n_vecs) AS t FROM g)
+         |SELECT g.cent_id, g.n_vecs,
+         |  CAST((1000000 * g.n_vecs) // tot.t AS BIGINT) AS share_ppm
+         |FROM g, tot ORDER BY g.cent_id""".stripMargin),
 
     // band replay (the dd_embed_lsh CTE chain) rolled up per table
     "ann_band_stats" -> (s"WITH ${DedupQueries.EmbedPairCtes},\n" +

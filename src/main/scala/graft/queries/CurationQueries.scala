@@ -603,6 +603,25 @@ object CurationQueries {
         .orderBy($"la", $"lb")
     },
 
+    // vector-norm histogram (the normalization-drift audit run before
+    // trusting any cosine machinery: unit-normalized embeddings pile
+    // into the 0.9–1.1 buckets, a second mode or a fat bucket-0 tail
+    // means an upstream encoder change or zero vectors): exact integer
+    // micro-norm floor(√nn) — IEEE sqrt of an exactly-representable
+    // int64, deterministic on every engine — bucketed in 0.1 steps.
+    // Scale shape: one narrow per-row kernel + a partial agg onto the
+    // ~dozen-bucket key space; the corpus never shuffles.
+    "emb_norm_hist" -> { (s, d) =>
+      import s.implicits._
+      graft.operators.VectorOps.quantized(s, d)
+        .select(expr("CAST(FLOOR(sqrt(nn)) AS BIGINT)").as("norm_micro"))
+        .groupBy(expr("norm_micro div 100000").as("bucket"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min($"norm_micro").as("min_norm_micro"),
+          max($"norm_micro").as("max_norm_micro"))
+        .orderBy($"bucket")
+    },
+
     // top principal direction by 3 integer power-iteration rounds over
     // the exact Gram matrix (the PCA head on emb_gram's shoulders): each
     // round is w = G·v, then an exact floor-div renormalization to
@@ -896,6 +915,20 @@ object CurationQueries {
         |FROM dt JOIN nrm na ON na.label = dt.la JOIN nrm nb ON nb.label = dt.lb
         |WHERE na.nn > 0 AND nb.nn > 0
         |ORDER BY la, lb""".stripMargin,
+
+    // the same micro-quantization, exact int64 norm, IEEE sqrt floor
+    "emb_norm_hist" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS nn FROM e GROUP BY 1),
+        |nm AS (SELECT CAST(FLOOR(sqrt(nn)) AS BIGINT) AS norm_micro FROM n)
+        |SELECT CAST(norm_micro // 100000 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(MIN(norm_micro) AS BIGINT) AS min_norm_micro,
+        |  CAST(MAX(norm_micro) AS BIGINT) AS max_norm_micro
+        |FROM nm GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "emb_pca1" -> {
       def round(r: Int): String =

@@ -352,6 +352,7 @@ object DedupQueries {
     * between shuffling |shingles| rows and shuffling 12·|shingles|.
     */
   private val P = 2147483647L
+  private val OphK = 16 // one-permutation minhash buckets
   private def permA(j: Int): Long = 2L * j + 1
   private def permB(j: Int): Long = 12582917L * (j + 1)
 
@@ -940,6 +941,73 @@ object DedupQueries {
           expr(s"(agree * 1000000) div $Perms").as("est_ppm"),
           $"jaccard_ppm", abs(expr(s"(agree * 1000000) div $Perms") - $"jaccard_ppm").as("err_ppm"))
         .orderBy($"doc_a", $"doc_b")
+    },
+
+    // one-permutation minhash (Li/Owen/Zhang's OPH): ONE hash
+    // evaluation per shingle routed to bucket h mod 16, each bucket
+    // keeping its min — at 100 TB the signature pass costs one hash
+    // sweep instead of dd_minhash's Perms sweeps. Empty buckets borrow
+    // from the next non-empty bucket cyclically (rotation
+    // densification), so every doc carries a full 16-slot signature.
+    // Accuracy is audited exactly like dd_minhash_est: slot agreement
+    // on the SAME candidate pairs beside their exact jaccard. Scale
+    // shape: one narrow hash pass + a (doc, bucket) partial agg; the
+    // densify join and the agreement join are doc-/candidate-
+    // proportional (≤ 16 slots per doc, the bucket spine is a
+    // constant-16 explode).
+    "dd_oph" -> { (s, d) =>
+      import s.implicits._
+      val hashed = CorpusLshIndex.shingles(s, d)
+        .select($"doc_id", explode($"ss").as("s"))
+        .withColumn("x31",
+          conv(substring(md5($"s"), 1, 15), 16, 10).cast("long") % P)
+      val pres = hashed
+        .groupBy($"doc_id", ($"x31" % OphK).as("b"))
+        .agg(min($"x31").as("mn"))
+      // cyclic borrow: duplicate present buckets at b and b+16, each
+      // target slot takes the value of the nearest present slot ≥ it
+      val pres2 = pres.select($"doc_id", $"b".as("p2"), $"mn")
+        .unionByName(pres.select($"doc_id", ($"b" + OphK).as("p2"), $"mn"))
+      val dens = pres.select($"doc_id").distinct()
+        .select($"doc_id", explode(sequence(lit(0L), lit(OphK - 1L))).as("tb"))
+        .join(pres2, Seq("doc_id"))
+        .filter($"p2" >= $"tb")
+        .groupBy($"doc_id", $"tb")
+        .agg(min_by($"mn", $"p2").as("sig"))
+      CorpusLshIndex.jaccard(s, d)
+        .join(dens.select($"doc_id".as("doc_a"), $"tb", $"sig".as("siga")),
+          Seq("doc_a"))
+        .join(dens.select($"doc_id".as("doc_b"), $"tb", $"sig".as("sigb")),
+          Seq("doc_b", "tb"))
+        .groupBy($"doc_a", $"doc_b")
+        .agg(sum(when($"siga" === $"sigb", 1L).otherwise(0L)).as("n_agree"),
+          max($"jaccard_ppm").as("jaccard_ppm"))
+        .select($"doc_a", $"doc_b", $"n_agree",
+          expr(s"(n_agree * 1000000) div $OphK").as("est_ppm"),
+          $"jaccard_ppm",
+          abs(expr(s"(n_agree * 1000000) div $OphK") - $"jaccard_ppm")
+            .as("err_ppm"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // text-LSH band-health monitor (ann_band_stats' twin for the
+    // shingle-minhash index — run BEFORE a corpus-scale dedup pass):
+    // per band, bucket count, max occupancy and the implied candidate
+    // pair mass Σ c(c−1)/2 — a hot band here is exactly what the
+    // skew-aware join exists for, and watching cand_pairs grow
+    // super-linearly is the earliest warning the banding parameters
+    // need rescaling. Scale shape: reads the materialized band table,
+    // one (band, bkey) partial agg, final agg on the |bands| key space.
+    "dd_band_stats" -> { (s, d) =>
+      import s.implicits._
+      val occ = CorpusLshIndex.bands(s, d)
+        .groupBy($"band", $"bkey").agg(count(lit(1)).as("c"))
+      occ.groupBy($"band".cast("long").as("band"))
+        .agg(sum($"c").as("n_docs"), count(lit(1)).as("n_buckets"),
+          max($"c").as("max_bucket"),
+          expr("CAST(SUM((c * (c - 1)) div 2) AS BIGINT)").as("cand_pairs"))
+        .withColumn("occupancy_ppm", expr("(n_docs * 1000000) div n_buckets"))
+        .orderBy($"band")
     },
 
     // end-to-end corpus cleaning: quality gate → exact dedup (keep-first)
@@ -1882,6 +1950,47 @@ object DedupQueries {
            |FROM est e JOIN jacc j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
            |ORDER BY e.doc_a, e.doc_b""".stripMargin)
     },
+
+    // the same hashed-shingle CTE bucketed mod 16 with the cyclic
+    // rotation borrow, agreement on the exact-jaccard candidate pairs
+    "dd_oph" ->
+      (s"WITH ${lshCtes("documents")},\n$JaccardCtes,\n" +
+        s"""oph AS (
+           |  SELECT doc_id, x31 % $OphK AS b, MIN(x31) AS mn
+           |  FROM hashed GROUP BY 1, 2),
+           |oph2 AS (
+           |  SELECT doc_id, b AS p2, mn FROM oph
+           |  UNION ALL SELECT doc_id, b + $OphK, mn FROM oph),
+           |tgt AS (
+           |  SELECT d.doc_id, t.tb
+           |  FROM (SELECT DISTINCT doc_id FROM oph) d
+           |  CROSS JOIN range(0, $OphK) t(tb)),
+           |dens AS (
+           |  SELECT g.doc_id, g.tb, min_by(o2.mn, o2.p2) AS sig
+           |  FROM tgt g JOIN oph2 o2 ON o2.doc_id = g.doc_id AND o2.p2 >= g.tb
+           |  GROUP BY 1, 2),
+           |est AS (
+           |  SELECT j.doc_a, j.doc_b, j.jaccard_ppm,
+           |    CAST(SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+           |  FROM jacc j
+           |  JOIN dens a ON a.doc_id = j.doc_a
+           |  JOIN dens b ON b.doc_id = j.doc_b AND b.tb = a.tb
+           |  GROUP BY 1, 2, 3)
+           |SELECT doc_a, doc_b, n_agree,
+           |  CAST((n_agree * 1000000) // $OphK AS BIGINT) AS est_ppm,
+           |  jaccard_ppm,
+           |  CAST(ABS((n_agree * 1000000) // $OphK - jaccard_ppm) AS BIGINT) AS err_ppm
+           |FROM est ORDER BY doc_a, doc_b""".stripMargin),
+
+    // the banding replay rolled up per band, ann_band_stats' shape
+    "dd_band_stats" ->
+      (s"WITH ${lshCtes("documents")},\n" +
+        """occ AS (SELECT band, bkey, COUNT(*) AS c FROM bands GROUP BY 1, 2)
+          |SELECT CAST(band AS BIGINT) AS band, CAST(SUM(c) AS BIGINT) AS n_docs,
+          |  CAST(COUNT(*) AS BIGINT) AS n_buckets, CAST(MAX(c) AS BIGINT) AS max_bucket,
+          |  CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS cand_pairs,
+          |  CAST((SUM(c) * 1000000) // COUNT(*) AS BIGINT) AS occupancy_ppm
+          |FROM occ GROUP BY 1 ORDER BY band""".stripMargin),
 
     "pipe_clean_corpus" ->
       (s"""WITH quality AS (

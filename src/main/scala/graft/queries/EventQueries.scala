@@ -933,8 +933,116 @@ object EventQueries {
                 div (CAST(n AS DECIMAL(38,0)) * tot)""").as("gini_ppm"),
         $"k".as("top_decile_users"),
         expr("(CAST(1000000 AS DECIMAL(38,0)) * top) div tot").as("top_decile_ppm"))
+    },
+
+    // Lorenz curve of user activity (the full concentration CURVE behind
+    // ev_gini's single number): users ordered by event count are sliced
+    // into 10 equal-population deciles — boundary ties split exactly, the
+    // ev_gini take rule — each reporting its population, event mass and
+    // the cumulative share of all events in ppm. Scale shape: one
+    // per-user partial agg, then everything (including the rank windows)
+    // runs on the count-level HISTOGRAM — |distinct counts| rows, an
+    // aggregate of the data — never a per-user global sort.
+    "ev_lorenz" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      val hist = ev(s, d).groupBy($"user_id").agg(count(lit(1)).as("c"))
+        .groupBy($"c").agg(count(lit(1)).as("m"))
+      val wAsc = Window.orderBy($"c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val n1 = hist.agg(sum($"m").as("n"),
+        sum($"c".cast(dec) * $"m".cast(dec)).as("tot"))
+      val wCum = Window.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("p", sum($"m").over(wAsc) - $"m")
+        .crossJoin(broadcast(n1))
+        .select($"c", $"m", $"p", $"n", $"tot",
+          explode(sequence(lit(1L), lit(10L))).as("decile"))
+        // users ranked (p, p+m] at this count level vs the decile's
+        // rank interval ((n(k-1)) div 10, (nk) div 10]
+        .withColumn("take", greatest(lit(0L),
+          least($"p" + $"m", expr("(n * decile) div 10")) -
+            greatest($"p", expr("(n * (decile - 1)) div 10"))))
+        .filter($"take" > 0)
+        .groupBy($"decile")
+        .agg(sum($"take").as("n_users"),
+          sum($"c".cast(dec) * $"take".cast(dec)).as("ev"),
+          max($"tot").as("tot"))
+        .withColumn("cum", sum($"ev").over(wCum))
+        .select($"decile", $"n_users",
+          $"ev".cast("long").as("n_events"),
+          $"cum".cast("long").as("cum_events"),
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * cum) div tot").as("cum_share_ppm"))
+        .orderBy($"decile")
+    },
+
+    // Benford first-digit audit (the classic fabricated-data smell test,
+    // per event type over the value column in exact cents): the observed
+    // leading-digit mix vs the log10(1+1/d) reference shares, both in
+    // ppm. The reference shares are integer CONSTANTS summing to exactly
+    // 10⁶ — no log is evaluated on either engine, so the whole audit is
+    // integer arithmetic after one deterministic double→cents floor.
+    // Scale shape: a narrow projection + a partial agg onto the
+    // (event_type × 9)-digit key space; the total runs per type via a
+    // partitioned window over that tiny relation.
+    "ev_benford" -> { (s, d) =>
+      import s.implicits._
+      val digits = ev(s, d)
+        .select($"event_type",
+          expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").as("cents"))
+        .filter($"cents" > 0)
+        .select($"event_type",
+          substring($"cents".cast("string"), 1, 1).cast("long").as("digit"))
+      val perType = Window.partitionBy($"event_type")
+      digits.groupBy($"event_type", $"digit").agg(count(lit(1)).as("n"))
+        .withColumn("t", sum($"n").over(perType))
+        .select($"event_type", $"digit", $"n",
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n) div t").as("obs_ppm"),
+          expr(BenfordCase).as("exp_ppm"))
+        .withColumn("dev_ppm", abs($"obs_ppm" - $"exp_ppm"))
+        .orderBy($"event_type", $"digit")
+    },
+
+    // day-over-day volatility per type (the NOISE magnitude readout
+    // beside ev_trend's slope and ev_cusum's drift): total variation,
+    // floor-mean absolute change and the worst up/down spike of the
+    // daily count series — consecutive-calendar-day steps only, via one
+    // equi-join of the daily rollup on day+1 (absent days drop the
+    // step, identically on both engines). Scale shape: one (type, day)
+    // partial agg over the stream, then everything runs on the
+    // |types|×|days| calendar-bounded rollup.
+    "ev_volatility" -> { (s, d) =>
+      import s.implicits._
+      val daily = ev(s, d)
+        .groupBy($"event_type", expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x"))
+      daily.join(
+        daily.select($"event_type", ($"day" + 1L).as("day"), $"x".as("xp")),
+        Seq("event_type", "day"))
+        .withColumn("dlt", $"x" - $"xp")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_steps"),
+          sum(abs($"dlt")).as("total_variation"),
+          max($"dlt").as("max_up"),
+          min($"dlt").as("max_down"))
+        .withColumn("mean_abs_change",
+          expr("total_variation div n_steps"))
+        .select($"event_type", $"n_steps", $"total_variation",
+          $"mean_abs_change", $"max_up", $"max_down")
+        .orderBy($"event_type")
     }
   )
+
+  /** floor(log10(1+1/d)·10⁶+0.5) for d = 1..9 — the Benford reference
+    * shares as integer ppm constants (they sum to exactly 10⁶), shared
+    * verbatim by the Spark side and the DuckDB oracle so no engine ever
+    * evaluates a log
+    */
+  private val BenfordCase: String =
+    """CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+      |  WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+      |  WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+      |  ELSE 45757 END AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ev_srm" ->
@@ -1540,6 +1648,77 @@ object EventQueries {
         |  CAST((1000000 * (sic2 - (n + 1) * tot)) // (n * tot) AS BIGINT) AS gini_ppm,
         |  CAST(k AS BIGINT) AS top_decile_users,
         |  CAST((1000000 * top) // tot AS BIGINT) AS top_decile_ppm
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // ev_gini's histogram + tie-splitting rank intervals, unrolled per
+    // decile instead of only the top one
+    "ev_lorenz" ->
+      """WITH counts AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |hist AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM counts GROUP BY 1),
+        |n1 AS (SELECT SUM(m) AS n, SUM(c * m) AS tot FROM hist),
+        |lv AS (
+        |  SELECT c, m,
+        |    COALESCE(SUM(m) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+        |    n, tot
+        |  FROM hist, n1),
+        |x AS (
+        |  SELECT l.c, l.m, l.p, l.n, l.tot, t.decile,
+        |    GREATEST(0, LEAST(l.p + l.m, (l.n * t.decile) // 10)
+        |      - GREATEST(l.p, (l.n * (t.decile - 1)) // 10)) AS take
+        |  FROM lv l, UNNEST(range(1, 11)) AS t(decile)),
+        |g AS (
+        |  SELECT decile, SUM(take) AS n_users, SUM(c * take) AS ev, MAX(tot) AS tot
+        |  FROM x WHERE take > 0 GROUP BY 1),
+        |cu AS (
+        |  SELECT decile, n_users, ev, tot,
+        |    SUM(ev) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM g)
+        |SELECT decile, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(ev AS BIGINT) AS n_events, CAST(cum AS BIGINT) AS cum_events,
+        |  CAST((1000000 * cum) // tot AS BIGINT) AS cum_share_ppm
+        |FROM cu ORDER BY decile""".stripMargin,
+
+    // the same cents floor, leading digit via integer→string (identical
+    // text on both engines), constant reference shares
+    "ev_benford" ->
+      s"""WITH cts AS (
+         |  SELECT event_type, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM events),
+         |dg AS (
+         |  SELECT event_type,
+         |    CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM cts WHERE cents > 0),
+         |g AS (
+         |  SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM dg GROUP BY 1, 2),
+         |t AS (SELECT event_type, SUM(n) AS t FROM g GROUP BY 1),
+         |j AS (
+         |  SELECT g.event_type, g.digit, g.n,
+         |    CAST((1000000 * g.n) // t.t AS BIGINT) AS obs_ppm,
+         |    ${BenfordCase.replace("\n", " ")} AS exp_ppm
+         |  FROM g JOIN t ON t.event_type = g.event_type)
+         |SELECT event_type, digit, n, obs_ppm, exp_ppm,
+         |  CAST(ABS(obs_ppm - exp_ppm) AS BIGINT) AS dev_ppm
+         |FROM j ORDER BY event_type, digit""".stripMargin,
+
+    // the same daily rollup self-joined on day+1 — consecutive steps only
+    "ev_volatility" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT a.event_type, a.x - b.x AS dlt
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND b.day = a.day - 1)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_steps,
+        |  CAST(SUM(ABS(dlt)) AS BIGINT) AS total_variation,
+        |  CAST(SUM(ABS(dlt)) // COUNT(*) AS BIGINT) AS mean_abs_change,
+        |  CAST(MAX(dlt) AS BIGINT) AS max_up,
+        |  CAST(MIN(dlt) AS BIGINT) AS max_down
+        |FROM st GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -310,6 +310,29 @@ object SamplingQueries {
         .orderBy($"source", $"split")
     },
 
+    // deterministic 5-fold cross-validation manifest (the ablation /
+    // held-out-eval twin of samp_hash_split): fold = md5 hash of the
+    // doc id mod 5, so the assignment is a pure row-local function —
+    // reproducible on any engine, any shard count, any rerun, and
+    // folds are disjoint-and-exhaustive BY CONSTRUCTION. Output is the
+    // per-(source, fold) doc/token mass with each fold's ppm share of
+    // its source. Scale shape: one narrow hash projection + a partial
+    // agg onto the |sources|×5 key space.
+    "samp_kfold" -> { (s, d) =>
+      import s.implicits._
+      val g = t(s, d, "documents")
+        .withColumn("fold", expr(
+          "CAST(conv(substring(md5(concat('fold:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 5"))
+        .withColumn("n_tok", size(split($"text", " +")).cast("long"))
+        .groupBy($"source", $"fold")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      val tot = g.groupBy($"source").agg(sum($"n_docs").as("t_docs"))
+      g.join(tot, Seq("source"))
+        .select($"source", $"fold", $"n_docs", $"n_tokens",
+          expr("(n_docs * 1000000) div t_docs").as("doc_share_ppm"))
+        .orderBy($"source", $"fold")
+    },
+
     // QUALITY-WEIGHTED sampling — acceptance probability proportional to
     // the doc's blended quality score (the CCNet-style "keep good text
     // preferentially" gate): keep iff hash·2·10⁶ < quality_ppm·2³².
@@ -668,6 +691,23 @@ object SamplingQueries {
         |  CAST((g.n_docs * 1000000) // tot.t_docs AS BIGINT) AS doc_share_ppm
         |FROM g JOIN tot ON tot.source = g.source
         |ORDER BY g.source, g.split""".stripMargin,
+
+    // the same md5 recipe with a 'fold:' salt, mod 5
+    "samp_kfold" ->
+      """WITH x AS (
+        |  SELECT source,
+        |    CAST('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS fold,
+        |    len(string_split_regex(text, ' +')) AS n_tok
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |  FROM x GROUP BY source, fold),
+        |tot AS (SELECT source, SUM(n_docs) AS t_docs FROM g GROUP BY source)
+        |SELECT g.source, g.fold, g.n_docs, g.n_tokens,
+        |  CAST((g.n_docs * 1000000) // tot.t_docs AS BIGINT) AS doc_share_ppm
+        |FROM g JOIN tot ON tot.source = g.source
+        |ORDER BY g.source, g.fold""".stripMargin,
 
     "samp_quality" ->
       s"""WITH q AS (

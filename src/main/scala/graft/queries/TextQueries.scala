@@ -820,10 +820,135 @@ object TextQueries {
                     div (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))"""))
             .otherwise(0L).as("simpson_ppm"))
         .orderBy($"lang")
+    },
+
+    // Heaps-law vocabulary-growth curve (is the crawl still yielding new
+    // types, or has the corpus saturated?): the doc_id axis cut into 10
+    // equal id-RANGE slices — ingest order, no global rank sort — each
+    // checkpoint reporting docs/tokens seen so far and the exact
+    // cumulative vocabulary (a type counts at the slice of its FIRST
+    // occurrence, via one min-agg over the token index). Scale shape:
+    // one narrow per-doc projection, one per-type min partial agg, then
+    // everything runs on the 10-row slice spine.
+    "txt_heaps" -> { (s, d) =>
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select($"doc_id", size(split($"text", " +")).cast("long").as("n_tok"))
+      val bounds = docs.agg(min($"doc_id").as("lo"),
+        (max($"doc_id") - min($"doc_id") + lit(1L)).as("span"))
+      val perb = docs.crossJoin(broadcast(bounds))
+        .groupBy(expr("((doc_id - lo) * 10) div span").as("b"))
+        .agg(count(lit(1)).as("nd"), sum($"n_tok").as("nt"))
+      val newTypes = CorpusTokenIndex.tokens(s, d)
+        .filter(length($"tok") > 0)
+        .groupBy($"tok").agg(min($"doc_id").as("fd"))
+        .crossJoin(broadcast(bounds))
+        .groupBy(expr("((fd - lo) * 10) div span").as("b"))
+        .agg(count(lit(1)).as("nv"))
+      val spine = bounds.select(explode(sequence(lit(0L), lit(9L))).as("b"))
+      val w = Window.orderBy($"b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine
+        .join(perb, Seq("b"), "left")
+        .join(newTypes, Seq("b"), "left")
+        .select($"b", coalesce($"nd", lit(0L)).as("nd"),
+          coalesce($"nt", lit(0L)).as("nt"), coalesce($"nv", lit(0L)).as("nv"))
+        .select(($"b" + 1L).as("decile"),
+          sum($"nd").over(w).as("n_docs"),
+          sum($"nt").over(w).as("cum_tokens"),
+          sum($"nv").over(w).as("vocab"),
+          $"nv".as("new_types"))
+        .orderBy($"decile")
+    },
+
+    // per-language character-class mass profile (the encoding/OCR-noise
+    // audit a multilingual corpus runs before trusting its language
+    // labels: a "language" whose mass is mostly digits or symbols is a
+    // mislabeled log dump): letters / digits / spaces / other as exact
+    // counts + ppm of the language's character mass. Counts come from
+    // length deltas of class-stripped text — narrow codegen'd per-row
+    // work, one partial-agg shuffle onto the |langs| key space.
+    "txt_char_classes" -> { (s, d) =>
+      import s.implicits._
+      def stripped(pat: String) =
+        (length($"text") - length(regexp_replace($"text", pat, ""))).cast("long")
+      t(s, d, "documents")
+        .select($"lang", length($"text").cast("long").as("nc"),
+          stripped("[a-z]").as("al"), stripped("[0-9]").as("dg"),
+          stripped(" ").as("sp"))
+        .groupBy($"lang")
+        .agg(sum($"nc").as("n_chars"), sum($"al").as("n_alpha"),
+          sum($"dg").as("n_digit"), sum($"sp").as("n_space"))
+        .filter($"n_chars" > 0)
+        .select($"lang", $"n_chars", $"n_alpha", $"n_digit", $"n_space",
+          ($"n_chars" - $"n_alpha" - $"n_digit" - $"n_space").as("n_other"),
+          // DECIMAL-guarded: a per-lang char mass past ~9·10¹² would
+          // wrap the 10⁶ ppm product in a long
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_alpha) div CAST(n_chars AS DECIMAL(38,0))").as("alpha_ppm"),
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_digit) div CAST(n_chars AS DECIMAL(38,0))").as("digit_ppm"),
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_space) div CAST(n_chars AS DECIMAL(38,0))").as("space_ppm"))
+        .orderBy($"lang")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    // same id-range slicing, same first-occurrence rule over the inline
+    // tokenization the token index is definitionally identical to
+    "txt_heaps" ->
+      """WITH dd AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |bounds AS (
+        |  SELECT MIN(doc_id) AS lo, MAX(doc_id) - MIN(doc_id) + 1 AS span FROM dd),
+        |perb AS (
+        |  SELECT ((d.doc_id - b.lo) * 10) // b.span AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(d.n_tok) AS BIGINT) AS nt
+        |  FROM dd d, bounds b GROUP BY 1),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok
+        |  FROM documents),
+        |firsts AS (
+        |  SELECT tok, MIN(doc_id) AS fd FROM toks WHERE len(tok) > 0 GROUP BY 1),
+        |nvb AS (
+        |  SELECT ((f.fd - b.lo) * 10) // b.span AS b, CAST(COUNT(*) AS BIGINT) AS nv
+        |  FROM firsts f, bounds b GROUP BY 1),
+        |j AS (
+        |  SELECT t.b, COALESCE(p.nd, 0) AS nd, COALESCE(p.nt, 0) AS nt,
+        |    COALESCE(n.nv, 0) AS nv
+        |  FROM range(0, 10) t(b)
+        |  LEFT JOIN perb p ON p.b = t.b
+        |  LEFT JOIN nvb n ON n.b = t.b)
+        |SELECT CAST(b + 1 AS BIGINT) AS decile,
+        |  CAST(SUM(nd) OVER w AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt) OVER w AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(nv) OVER w AS BIGINT) AS vocab,
+        |  CAST(nv AS BIGINT) AS new_types
+        |FROM j
+        |WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY decile""".stripMargin,
+
+    // length deltas of class-stripped text (regexp_replace with the 'g'
+    // flag = Spark's replace-all default), HUGEINT ppm floor division
+    "txt_char_classes" ->
+      """WITH x AS (
+        |  SELECT lang, CAST(LENGTH(text) AS BIGINT) AS nc,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS al,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS dg,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS sp
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, SUM(nc) AS n_chars, SUM(al) AS n_alpha,
+        |    SUM(dg) AS n_digit, SUM(sp) AS n_space
+        |  FROM x GROUP BY 1)
+        |SELECT lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(n_alpha AS BIGINT) AS n_alpha, CAST(n_digit AS BIGINT) AS n_digit,
+        |  CAST(n_space AS BIGINT) AS n_space,
+        |  CAST(n_chars - n_alpha - n_digit - n_space AS BIGINT) AS n_other,
+        |  CAST((1000000 * n_alpha) // n_chars AS BIGINT) AS alpha_ppm,
+        |  CAST((1000000 * n_digit) // n_chars AS BIGINT) AS digit_ppm,
+        |  CAST((1000000 * n_space) // n_chars AS BIGINT) AS space_ppm
+        |FROM g WHERE n_chars > 0 ORDER BY lang""".stripMargin,
     "txt_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens,

@@ -35,6 +35,9 @@ class PlanAuditSpec extends SparkSpec {
       // relation is an Aggregate, so the broadcast rule bounds it; the
       // join itself is the same deliberate tiny-side BNLJ as emb_kmeans)
       "emb_centroid_confusion",
+      // the same |labels|-row centroid relation crossed into the corpus
+      // for the per-label scoring pass
+      "emb_ood_auc",
       // the nprobe sweep composes ann_ivf_topk's centroid-seed BNLJ
       "ann_ivf_recall",
       // the IVF-PQ composition reuses ann_ivf_topk's centroid-seed BNLJ
