@@ -1030,8 +1030,142 @@ object EventQueries {
         .select($"event_type", $"n_steps", $"total_variation",
           $"mean_abs_change", $"max_up", $"max_down")
         .orderBy($"event_type")
+    },
+
+    // session-depth histogram (what ev_session's per-user counts hide:
+    // are sessions one-shot bounces or long engaged runs?): the same
+    // 30-min gap rule, sessions numbered by the running new-session sum,
+    // depths bucketed on powers of two — exact integer CASE, no log.
+    // Scale shape: user-partitioned windows (never a global funnel), a
+    // (user, session) partial agg, then a 5-bucket final agg with a
+    // broadcast 1-row session total.
+    "ev_session_hist" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val depth = ev(s, d)
+        .withColumn("new_session",
+          when(($"ts_us" - lag($"ts_us", 1).over(w)) > GapUs ||
+            lag($"ts_us", 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("sid", sum($"new_session")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sid").agg(count(lit(1)).as("n"))
+      val tot = depth.agg(count(lit(1)).as("t"))
+      depth.select(expr(DepthBucketCase).as("bucket"), $"n")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_sessions"), sum($"n").as("n_events"))
+        .crossJoin(broadcast(tot))
+        .select($"bucket", $"n_sessions", $"n_events",
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_sessions) div CAST(t AS DECIMAL(38,0))")
+            .as("share_ppm"))
+        .orderBy($"bucket")
+    },
+
+    // exact higher-moment profile per type (the value-distribution
+    // health check behind ev_anomaly's mean/σ: a skewed or fat-tailed
+    // value stream invalidates the 2σ rule): two-pass centered moments —
+    // integer floor-mean first, then EXACT DECIMAL sums of d, d², d³
+    // about it (centering is what keeps Σd³ inside 38 digits at any
+    // per-type count; the raw Σx³ wraps past ~10⁸ rows) — variance and
+    // skewness then single identically-parenthesized IEEE chains of
+    // those exact operands, deterministic on every engine. Scale shape:
+    // two |types|-keyed partial aggs + a |types|-row broadcast.
+    "ev_moments" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      val cents = ev(s, d).select($"event_type",
+        expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").as("c"))
+      val means = cents.groupBy($"event_type")
+        .agg(sum($"c".cast(dec)).as("s1"), count(lit(1)).as("n0"))
+        .select($"event_type", expr("CAST(s1 div n0 AS BIGINT)").as("mc"))
+      cents.join(broadcast(means), Seq("event_type"))
+        .withColumn("dv", $"c" - $"mc")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), max($"mc").as("mean_cents"),
+          sum($"dv".cast(dec)).as("sd1"),
+          sum(($"dv" * $"dv").cast(dec)).as("sd2"),
+          sum($"dv".cast(dec) * $"dv" * $"dv").as("sd3"))
+        .withColumn("a", expr("n * sd2 - sd1 * sd1"))
+        .select($"event_type", $"n", $"mean_cents",
+          expr("""CAST(FLOOR(CAST(a AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)""")
+            .as("var_milli"),
+          expr(SkewMilliExpr).as("skew_milli"))
+        .orderBy($"event_type")
+    },
+
+    // peak sliding 60-min load per type (the capacity number behind
+    // ev_hourly's calendar profile: the worst trailing hour, wherever
+    // it lands): minute-bucket counts, a value-RANGE window summing the
+    // trailing 60 minutes (gaps handled by the value frame, no fill),
+    // then the per-type max and the EARLIEST minute achieving it.
+    // Scale shape: one (type, minute) partial agg, windows partitioned
+    // by type over the calendar-bounded minute series, a |types|-row
+    // broadcast of the peaks.
+    "ev_peak" -> { (s, d) =>
+      import s.implicits._
+      val perMin = ev(s, d)
+        .groupBy($"event_type", expr("ts_us div 60000000").as("minute"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"event_type").orderBy($"minute")
+        .rangeBetween(-59, 0)
+      val rolled = perMin.withColumn("roll", sum($"n").over(w))
+      val peak = rolled.groupBy($"event_type").agg(max($"roll").as("pk"))
+      rolled.join(broadcast(peak), Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(max($"roll").as("peak_events"),
+          min(when($"roll" === $"pk", $"minute")).as("peak_minute"),
+          count(lit(1)).as("n_active_minutes"),
+          expr("(sum(n) * 1000) div count(1)").as("mean_per_min_milli"))
+        .orderBy($"event_type")
+    },
+
+    // engagement-depth histogram (distinct active DAYS per user — the
+    // dimension ev_wau's weekly series and ev_retention's day-offset
+    // grid both integrate away): the EXACT count-of-counts, no bucket
+    // scheme — a user's distinct-day count is bounded by the stream's
+    // calendar span, so the key space is tiny at any sf and the full
+    // distribution shape survives. Scale shape: one user-keyed
+    // distinct-day partial agg, a |span-days| final agg, a broadcast
+    // 1-row user total; ppm DECIMAL-guarded.
+    "ev_active_days" -> { (s, d) =>
+      import s.implicits._
+      val days = ev(s, d)
+        .groupBy($"user_id")
+        .agg(countDistinct(expr("ts_us div 86400000000")).as("n_days"))
+      val tot = days.agg(count(lit(1)).as("t"))
+      days.groupBy($"n_days")
+        .agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(tot))
+        .select($"n_days", $"n_users",
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_users) div CAST(t AS DECIMAL(38,0))")
+            .as("share_ppm"))
+        .orderBy($"n_days")
     }
   )
+
+  /** power-of-two session-depth buckets — identical CASE text on both
+    * engines, lexicographically ordered coarse-to-fine
+    */
+  private val DepthBucketCase: String =
+    """CASE WHEN n = 1 THEN 'b0_1'
+      |     WHEN n <= 3 THEN 'b1_2_3'
+      |     WHEN n <= 7 THEN 'b2_4_7'
+      |     WHEN n <= 15 THEN 'b3_8_15'
+      |     ELSE 'b4_ge_16' END""".stripMargin
+
+  /** skewness g1 = B/A^1.5 in milli-units from the exact centered sums:
+    * B's n²·Σd³ term can exceed 38 digits, so B is evaluated in DOUBLE
+    * from the exact DECIMAL operands with this exact parenthesization —
+    * both engines run the same IEEE op sequence, so the floor is
+    * engine-identical. A ≤ 0 (constant stream) → 0.
+    */
+  private val SkewMilliExpr: String =
+    """CASE WHEN a > 0 THEN
+      |  CAST(FLOOR((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(sd3 AS DOUBLE)
+      |        - (3.0 * CAST(n AS DOUBLE)) * (CAST(sd1 AS DOUBLE) * CAST(sd2 AS DOUBLE))
+      |        + (2.0 * CAST(sd1 AS DOUBLE)) * (CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE)))
+      |      / (CAST(a AS DOUBLE) * sqrt(CAST(a AS DOUBLE))) * 1000.0 + 0.5) AS BIGINT)
+      |ELSE CAST(0 AS BIGINT) END""".stripMargin
 
   /** floor(log10(1+1/d)·10⁶+0.5) for d = 1..9 — the Benford reference
     * shares as integer ppm constants (they sum to exactly 10⁶), shared
@@ -1719,6 +1853,91 @@ object EventQueries {
         |  CAST(SUM(ABS(dlt)) // COUNT(*) AS BIGINT) AS mean_abs_change,
         |  CAST(MAX(dlt) AS BIGINT) AS max_up,
         |  CAST(MIN(dlt) AS BIGINT) AS max_down
-        |FROM st GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM st GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // the same gap rule, running-sum session ids, identical CASE buckets
+    "ev_session_hist" -> {
+      val bucketCase = DepthBucketCase.replace("\n", " ")
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         |lg AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS pts
+         |  FROM e),
+         |ns AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    CASE WHEN pts IS NULL OR ts_us - pts > 1800000000 THEN 1 ELSE 0 END AS new_session
+         |  FROM lg),
+         |sd AS (
+         |  SELECT user_id,
+         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM ns),
+         |dp AS (SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n FROM sd GROUP BY 1, 2),
+         |tot AS (SELECT COUNT(*) AS t FROM dp),
+         |b AS (SELECT $bucketCase AS bucket, n FROM dp)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |  CAST(SUM(n) AS BIGINT) AS n_events,
+         |  CAST((1000000 * COUNT(*)) // MAX(tot.t) AS BIGINT) AS share_ppm
+         |FROM b, tot GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+
+    // floor-mean first pass, exact centered DECIMAL/HUGEINT sums, the
+    // identically-parenthesized double chain for var/skew
+    "ev_moments" -> {
+      val skew = SkewMilliExpr.replace("\n", " ")
+      s"""WITH c AS (
+         |  SELECT event_type, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+         |  FROM events),
+         |m0 AS (
+         |  SELECT event_type, CAST(SUM(c) // COUNT(*) AS BIGINT) AS mc
+         |  FROM c GROUP BY 1),
+         |d AS (
+         |  SELECT c.event_type, c.c - m0.mc AS dv, m0.mc
+         |  FROM c JOIN m0 ON m0.event_type = c.event_type),
+         |g AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, MAX(mc) AS mean_cents,
+         |    SUM(dv) AS sd1, SUM(dv * dv) AS sd2, SUM(dv * dv * dv) AS sd3
+         |  FROM d GROUP BY 1),
+         |x AS (SELECT event_type, n, mean_cents, sd1, sd2, sd3,
+         |        n * sd2 - sd1 * sd1 AS a FROM g)
+         |SELECT event_type, n, CAST(mean_cents AS BIGINT) AS mean_cents,
+         |  CAST(FLOOR(CAST(a AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS var_milli,
+         |  $skew AS skew_milli
+         |FROM x ORDER BY event_type""".stripMargin
+    },
+
+    // the same minute buckets, value-RANGE trailing-hour frame, earliest
+    // argmax minute
+    "ev_peak" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 60000000 AS minute FROM events),
+        |pm AS (
+        |  SELECT event_type, minute, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, minute, n,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY minute
+        |      RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS roll
+        |  FROM pm),
+        |p AS (SELECT event_type, MAX(roll) AS pk FROM r GROUP BY 1)
+        |SELECT r.event_type, CAST(MAX(r.roll) AS BIGINT) AS peak_events,
+        |  MIN(CASE WHEN r.roll = p.pk THEN r.minute END) AS peak_minute,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active_minutes,
+        |  CAST((SUM(r.n) * 1000) // COUNT(*) AS BIGINT) AS mean_per_min_milli
+        |FROM r JOIN p ON p.event_type = r.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // distinct active days per user, exact count-of-counts
+    "ev_active_days" ->
+      """WITH ud AS (
+        |  SELECT user_id,
+        |    CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS n_days
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS t FROM ud)
+        |SELECT n_days, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST((1000000 * COUNT(*)) // MAX(tot.t) AS BIGINT) AS share_ppm
+        |FROM ud, tot GROUP BY n_days ORDER BY n_days""".stripMargin
   )
 }

@@ -280,6 +280,44 @@ object Relational3 {
           ($"total" * 100).cast(DecimalType(38, 0)) * 3)
         .select($"l_partkey", $"value".cast("double").as("value"))
         .orderBy($"value".desc, $"l_partkey")
+    },
+
+    // 2-D skyline (Pareto frontier) per brand: parts no other same-brand
+    // part beats on BOTH axes (cheaper-or-equal price AND
+    // larger-or-equal size, strict on at least one). The classic
+    // operator needs "max size over every cheaper part" — a GLOBAL
+    // order — so the scalable shape splits it two-level: $100 price
+    // buckets give a |brands|x|buckets| aggregate whose running max
+    // (prior buckets only) is a tiny window, and within each bucket a
+    // (brand, bucket)-PARTITIONED value-range window supplies the
+    // strictly-cheaper / cheaper-or-equal in-bucket maxima — no
+    // single-partition window, no self-join, dominance is two integer
+    // comparisons per row. Price is exact cents (the double→cents
+    // floor), so both engines compare identical integers.
+    "q61_skyline" -> { (s, d) =>
+      import s.implicits._
+      val p = t(s, d, "part").select($"p_brand", $"p_partkey",
+        expr("CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT)").as("price_cents"),
+        $"p_size".cast("long").as("p_size"))
+        .withColumn("bucket", expr("price_cents div 10000"))
+      val wb = Window.partitionBy($"p_brand").orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pref = p.groupBy($"p_brand", $"bucket")
+        .agg(max($"p_size").as("bmax"))
+        .withColumn("pref_max", max($"bmax").over(wb))
+        .select($"p_brand", $"bucket", $"pref_max")
+      val wIn = Window.partitionBy($"p_brand", $"bucket").orderBy($"price_cents")
+      val lo = lit(Long.MinValue)
+      p.join(pref, Seq("p_brand", "bucket"))
+        .withColumn("m_lt", greatest(
+          coalesce(max($"p_size").over(wIn.rangeBetween(Window.unboundedPreceding, -1)), lo),
+          coalesce($"pref_max", lo)))
+        .withColumn("m_le", greatest(
+          max($"p_size").over(wIn.rangeBetween(Window.unboundedPreceding, 0)),
+          coalesce($"pref_max", lo)))
+        .filter($"m_lt" < $"p_size" && !($"m_le" > $"p_size"))
+        .select($"p_brand", $"p_partkey", $"price_cents", $"p_size")
+        .orderBy($"p_brand", $"price_cents", $"p_partkey")
     }
   )
 
@@ -421,6 +459,21 @@ object Relational3 {
         |FROM pp, tot
         |WHERE CAST(value * 100 AS HUGEINT) * n_parts * 2
         |    > CAST(total * 100 AS HUGEINT) * 3
-        |ORDER BY value DESC, l_partkey""".stripMargin
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q61_skyline" ->
+      """WITH p AS (
+        |  SELECT p_brand, p_partkey,
+        |    CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+        |    CAST(p_size AS BIGINT) AS p_size
+        |  FROM part)
+        |SELECT o.p_brand, o.p_partkey, o.price_cents, o.p_size
+        |FROM p o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p q
+        |  WHERE q.p_brand = o.p_brand
+        |    AND q.price_cents <= o.price_cents AND q.p_size >= o.p_size
+        |    AND (q.price_cents < o.price_cents OR q.p_size > o.p_size))
+        |ORDER BY o.p_brand, o.price_cents, o.p_partkey""".stripMargin
   )
 }

@@ -888,6 +888,63 @@ object TextQueries {
           expr("(CAST(1000000 AS DECIMAL(38,0)) * n_digit) div CAST(n_chars AS DECIMAL(38,0))").as("digit_ppm"),
           expr("(CAST(1000000 AS DECIMAL(38,0)) * n_space) div CAST(n_chars AS DECIMAL(38,0))").as("space_ppm"))
         .orderBy($"lang")
+    },
+
+    // per-language token-length histogram (the tokenizer-budget shape
+    // behind txt_fertility's single ratio: a language whose mass sits in
+    // long tokens fragments worse under any subword scheme): exact
+    // counts + ppm share per (lang, length) — lengths are bounded by the
+    // longest word, so the key space is tiny whatever the corpus size.
+    // Scale shape: one column-pruned token-index read, one partial agg.
+    "txt_word_len_hist" -> { (s, d) =>
+      import s.implicits._
+      val g = CorpusTokenIndex.tokens(s, d)
+        .filter(length($"tok") > 0)
+        .groupBy($"lang", length($"tok").cast("long").as("len"))
+        .agg(count(lit(1)).as("n"))
+      val tot = g.groupBy($"lang").agg(sum($"n").as("t"))
+      g.join(tot, Seq("lang"))
+        .select($"lang", $"len", $"n",
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n) div CAST(t AS DECIMAL(38,0))")
+            .as("share_ppm"))
+        .orderBy($"lang", $"len")
+    },
+
+    // C4/Gopher-style filter FUNNEL per source (txt_quality scores docs;
+    // this reports what each curation rule would actually cut, per
+    // source — the report that decides which rules to tune before a big
+    // run): five independent rules + the conjunction, every ratio test
+    // cross-multiplied so it is exact integer math (no float mean-word-
+    // length or TTR). Scale shape: one narrow projection with codegen'd
+    // array HOFs per row, one |sources| partial agg — no shuffle beyond
+    // the final agg, no token explode.
+    "txt_filter_funnel" -> { (s, d) =>
+      import s.implicits._
+      graft.Tables.t(s, d, "documents")
+        .select($"source",
+          expr("size(filter(split(text, ' +'), x -> length(x) > 0))").as("n_tok"),
+          expr("length(replace(text, ' ', ''))").as("tok_chars"),
+          expr("size(filter(split(text, ' +'), x -> x IN ('the','a','of','and','to','in')))").as("n_stop"),
+          expr("size(array_distinct(filter(split(text, ' +'), x -> length(x) > 0)))").as("n_dist"),
+          expr("length(text) - length(regexp_replace(text, '[0-9]', ''))").as("n_digit"),
+          $"n_chars")
+        .select($"source",
+          ($"n_tok" >= 16 && $"n_tok" <= 256).as("f_len"),
+          ($"tok_chars" >= $"n_tok" * 3 && $"tok_chars" <= $"n_tok" * 8).as("f_wordlen"),
+          ($"n_stop" * 25 >= $"n_tok").as("f_stop"),
+          ($"n_dist" * 2 >= $"n_tok").as("f_ttr"),
+          ($"n_digit" * 10 <= $"n_chars").as("f_digit"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"f_len", 1L).otherwise(0L)).as("n_len"),
+          sum(when($"f_wordlen", 1L).otherwise(0L)).as("n_wordlen"),
+          sum(when($"f_stop", 1L).otherwise(0L)).as("n_stop"),
+          sum(when($"f_ttr", 1L).otherwise(0L)).as("n_ttr"),
+          sum(when($"f_digit", 1L).otherwise(0L)).as("n_digit"),
+          sum(when($"f_len" && $"f_wordlen" && $"f_stop" && $"f_ttr" && $"f_digit",
+            1L).otherwise(0L)).as("n_all"))
+        .withColumn("pass_all_ppm", expr("(n_all * 1000000) div n_docs"))
+        .orderBy($"source")
     }
   )
 
@@ -949,6 +1006,53 @@ object TextQueries {
         |  CAST((1000000 * n_digit) // n_chars AS BIGINT) AS digit_ppm,
         |  CAST((1000000 * n_space) // n_chars AS BIGINT) AS space_ppm
         |FROM g WHERE n_chars > 0 ORDER BY lang""".stripMargin,
+
+    // inline tokenization (definitionally identical to the token index)
+    "txt_word_len_hist" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split_regex(text, ' +')) AS tok FROM documents),
+        |x AS (
+        |  SELECT lang, CAST(LENGTH(tok) AS BIGINT) AS len
+        |  FROM toks WHERE LENGTH(tok) > 0),
+        |g AS (SELECT lang, len, CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY 1, 2),
+        |tot AS (SELECT lang, SUM(n) AS t FROM g GROUP BY 1)
+        |SELECT g.lang, g.len, g.n,
+        |  CAST((1000000 * g.n) // tot.t AS BIGINT) AS share_ppm
+        |FROM g JOIN tot ON tot.lang = g.lang
+        |ORDER BY g.lang, g.len""".stripMargin,
+
+    // identical rules, cross-multiplied integer tests, list HOFs
+    "txt_filter_funnel" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    len(list_filter(string_split_regex(text, ' +'), x -> length(x) > 0)) AS n_tok,
+        |    length(replace(text, ' ', '')) AS tok_chars,
+        |    len(list_filter(string_split_regex(text, ' +'),
+        |        x -> x IN ('the','a','of','and','to','in'))) AS n_stop,
+        |    len(list_distinct(list_filter(string_split_regex(text, ' +'),
+        |        x -> length(x) > 0))) AS n_dist,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        |    n_chars
+        |  FROM documents),
+        |b AS (
+        |  SELECT source,
+        |    n_tok >= 16 AND n_tok <= 256 AS f_len,
+        |    tok_chars >= n_tok * 3 AND tok_chars <= n_tok * 8 AS f_wordlen,
+        |    n_stop * 25 >= n_tok AS f_stop,
+        |    n_dist * 2 >= n_tok AS f_ttr,
+        |    n_digit * 10 <= n_chars AS f_digit
+        |  FROM f)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+        |  CAST(SUM(CASE WHEN f_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_wordlen,
+        |  CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+        |  CAST(SUM(CASE WHEN f_ttr THEN 1 ELSE 0 END) AS BIGINT) AS n_ttr,
+        |  CAST(SUM(CASE WHEN f_digit THEN 1 ELSE 0 END) AS BIGINT) AS n_digit,
+        |  CAST(SUM(CASE WHEN f_len AND f_wordlen AND f_stop AND f_ttr AND f_digit
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_all,
+        |  CAST((SUM(CASE WHEN f_len AND f_wordlen AND f_stop AND f_ttr AND f_digit
+        |    THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS pass_all_ppm
+        |FROM b GROUP BY source ORDER BY source""".stripMargin,
     "txt_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens,

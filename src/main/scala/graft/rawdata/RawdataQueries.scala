@@ -218,6 +218,20 @@ object RawdataQueries {
         .orderBy(col("ordering_group"))
     },
 
+    // publish-rate profile (the capacity question an operator asks a
+    // topic first: how fast do messages arrive, and is the keyspace
+    // spread across ordering groups or funneled into one?): per-hour
+    // message counts + distinct active groups from the ULID timestamps.
+    // Scale shape: one narrow decode projection + a partial agg onto
+    // the calendar-bounded hour key space.
+    "rd_rate_hist" -> { (s, d) =>
+      Topic.readDF(s, topic(s, d))
+        .groupBy(expr("ts_ms div 3600000").as("hour"))
+        .agg(count(lit(1)).as("n_messages"),
+          countDistinct(col("orderingGroup")).as("n_groups"))
+        .orderBy(col("hour"))
+    },
+
     // consumer-lag monitor (the reference deployment's standing health
     // question: how far behind is each consumer group's cursor?): the
     // committed cursor is modeled as the LAST ULID before a data-derived
@@ -250,6 +264,39 @@ object RawdataQueries {
           min(when(col("ulid_hex") > col("cursor"), col("ts_ms"))).as("first_pending_ts_ms"),
           max(col("ts_ms")).as("last_ts_ms"))
         .withColumn("pending_ppm", expr("(n_pending * 1000000) div n_total"))
+        .orderBy(col("ordering_group"))
+    },
+
+    // backlog drain estimate (the follow-up to rd_backlog's "how far
+    // behind": HOW LONG until a resumed consumer catches up, assuming it
+    // keeps pace with the group's historical publish rate): per group,
+    // pending count (rd_backlog's cursor rule) ÷ observed rate
+    // (n_total/span) as exact integer milli-hours — the product
+    // n_pending·span_ms can pass 2⁶³ at scale, so it multiplies in
+    // DECIMAL(38,0)/HUGEINT; a zero-span group (single-instant burst)
+    // reports 0 rather than throwing under ANSI. Scale shape: the same
+    // 1-row cursor broadcast into ONE per-group conditional partial agg.
+    "rd_replay" -> { (s, d) =>
+      val msgs = Topic.readDF(s, topic(s, d))
+      val bounds = msgs.agg(expr(
+        "min(ts_ms) + ((max(ts_ms) - min(ts_ms)) * 6) div 10").as("horizon"))
+      val cur = msgs.crossJoin(broadcast(bounds))
+        .agg(coalesce(
+          max(when(col("ts_ms") < col("horizon"), col("ulid_hex"))),
+          lit("")).as("cursor"))
+      msgs.crossJoin(broadcast(cur))
+        .groupBy(col("orderingGroup").as("ordering_group"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("ulid_hex") > col("cursor"), 1L).otherwise(0L)).as("n_pending"),
+          (max(col("ts_ms")) - min(col("ts_ms"))).as("span_ms"))
+        .withColumn("rate_per_hour_milli",
+          expr("""CASE WHEN span_ms > 0 THEN
+                 |  (CAST(n_total AS DECIMAL(38,0)) * 3600000 * 1000) div CAST(span_ms AS DECIMAL(38,0))
+                 |ELSE CAST(0 AS BIGINT) END""".stripMargin))
+        .withColumn("eta_milli_hours",
+          expr("""CASE WHEN span_ms > 0 THEN
+                 |  (CAST(n_pending AS DECIMAL(38,0)) * span_ms * 1000) div (CAST(n_total AS DECIMAL(38,0)) * 3600000)
+                 |ELSE CAST(0 AS BIGINT) END""".stripMargin))
         .orderBy(col("ordering_group"))
     }
   )
@@ -360,6 +407,11 @@ object RawdataQueries {
         |  CAST(SUM(CASE WHEN d > 1 THEN d - 1 ELSE 0 END) AS BIGINT) AS missing_total
         |FROM g GROUP BY ordering_group ORDER BY ordering_group""".stripMargin),
 
+    "rd_rate_hist" -> (M +
+      """SELECT ts_ms // 3600000 AS hour, CAST(COUNT(*) AS BIGINT) AS n_messages,
+        |  CAST(COUNT(DISTINCT ordering_group) AS BIGINT) AS n_groups
+        |FROM m GROUP BY 1 ORDER BY hour""".stripMargin),
+
     "rd_backlog" -> (M +
       """, h AS (
         |  SELECT MIN(ts_ms) + ((MAX(ts_ms) - MIN(ts_ms)) * 6) // 10 AS horizon FROM m),
@@ -375,6 +427,28 @@ object RawdataQueries {
         |  CAST((SUM(CASE WHEN m.ulid_hex > cur.cursor THEN 1 ELSE 0 END) * 1000000)
         |    // COUNT(*) AS BIGINT) AS pending_ppm
         |FROM m CROSS JOIN cur
-        |GROUP BY ordering_group ORDER BY ordering_group""".stripMargin)
+        |GROUP BY ordering_group ORDER BY ordering_group""".stripMargin),
+
+    "rd_replay" -> (M +
+      """, h AS (
+        |  SELECT MIN(ts_ms) + ((MAX(ts_ms) - MIN(ts_ms)) * 6) // 10 AS horizon FROM m),
+        |cur AS (
+        |  SELECT COALESCE(MAX(CASE WHEN m.ts_ms < h.horizon THEN m.ulid_hex END), '') AS cursor
+        |  FROM m CROSS JOIN h),
+        |g AS (
+        |  SELECT ordering_group,
+        |    CAST(COUNT(*) AS BIGINT) AS n_total,
+        |    CAST(SUM(CASE WHEN m.ulid_hex > cur.cursor THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+        |    MAX(m.ts_ms) - MIN(m.ts_ms) AS span_ms
+        |  FROM m CROSS JOIN cur
+        |  GROUP BY ordering_group)
+        |SELECT ordering_group, n_total, n_pending, span_ms,
+        |  CASE WHEN span_ms > 0 THEN
+        |    CAST((CAST(n_total AS HUGEINT) * 3600000 * 1000) // CAST(span_ms AS HUGEINT) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END AS rate_per_hour_milli,
+        |  CASE WHEN span_ms > 0 THEN
+        |    CAST((CAST(n_pending AS HUGEINT) * span_ms * 1000) // (CAST(n_total AS HUGEINT) * 3600000) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END AS eta_milli_hours
+        |FROM g ORDER BY ordering_group""".stripMargin)
   )
 }
