@@ -18,7 +18,11 @@ object Bench {
     // round-9 statistical family: the histogram-algebra concentration
     // audit (its only |users|-scale stage is one partial agg — the probe
     // proves the rank-sum trick keeps it linear) and the K-M estimator
-    "ev_gini", "ev_survival")
+    "ev_gini", "ev_survival",
+    // round-9 tail: the two-level bucket-window skyline (the probe proves
+    // no single-partition window hides inside) and the mutual-kNN
+    // component resolution over the banded edge relation
+    "q61_skyline", "emb_knn_cc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -750,6 +750,28 @@ object AnnQueries {
         .orderBy($"vec_id", $"rnk")
     },
 
+    // connected components of the MUTUAL-kNN graph (the cluster
+    // discovery emb_kmeans presupposes k for: mutual top-5 edges — a is
+    // in b's top-5 AND b in a's — are the standard density-robust
+    // skeleton, and their components are the corpus's natural groups):
+    // the shared knnEdges relation (same k/tie-break as emb_knn /
+    // ann_reciprocal), mutuality as one self left-semi join on the
+    // already-aggregated edge list, then the SAME dispatching
+    // connected-components machinery dd_cluster uses (driver union-find
+    // ≤1e6 edges, distributed pointer-jumping above). Oracle replays
+    // the banding + a recursive reach CTE.
+    "emb_knn_cc" -> { (s, d) =>
+      import s.implicits._
+      val k = knnEdges(s, d).select($"vec_id", $"neighbor")
+      val rev = k.select($"neighbor".as("vec_id"), $"vec_id".as("neighbor"))
+      val mutual = k.join(rev, Seq("vec_id", "neighbor"), "left_semi")
+        .filter($"vec_id" < $"neighbor")
+        .select($"vec_id".as("a"), $"neighbor".as("b"))
+      DedupQueries.connectedComponents(mutual)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"), col("n_members"))
+        .orderBy(col("vec_id"))
+    },
+
     // hard-negative mining (contrastive-training batch construction): for
     // each vector, the single most-similar LSH-discovered neighbor with a
     // DIFFERENT label — the "looks the same, labeled differently" example
@@ -1514,6 +1536,27 @@ object AnnQueries {
       (s"WITH $KnnEdgeCtes\n" +
         """SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, neighbor, cos_ppm
           |FROM knn5 ORDER BY vec_id, rnk""".stripMargin),
+
+    // the same knn5 relation, mutual edges, recursive min-label reach
+    "emb_knn_cc" ->
+      (s"WITH RECURSIVE $KnnEdgeCtes,\n" +
+        """ke AS (SELECT vec_id, neighbor FROM knn5),
+          |mut AS (
+          |  SELECT k1.vec_id AS a, k1.neighbor AS b
+          |  FROM ke k1 JOIN ke k2
+          |    ON k2.vec_id = k1.neighbor AND k2.neighbor = k1.vec_id
+          |  WHERE k1.vec_id < k1.neighbor),
+          |msym AS (SELECT a, b FROM mut UNION SELECT b AS a, a AS b FROM mut),
+          |reach AS (
+          |  SELECT a AS v, a AS r FROM msym
+          |  UNION
+          |  SELECT s.b AS v, reach.r FROM reach JOIN msym s ON s.a = reach.v),
+          |comp AS (SELECT v AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+          |csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+          |        FROM comp GROUP BY 1)
+          |SELECT c.vec_id, c.cluster_id, z.n_members
+          |FROM comp c JOIN csz z ON z.cluster_id = c.cluster_id
+          |ORDER BY c.vec_id""".stripMargin),
 
     // the same symmetrized replay joined to labels, cross-label rank 1
     "emb_hard_negatives" ->

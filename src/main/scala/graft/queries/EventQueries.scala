@@ -1140,6 +1140,33 @@ object EventQueries {
           expr("(CAST(1000000 AS DECIMAL(38,0)) * n_users) div CAST(t AS DECIMAL(38,0))")
             .as("share_ppm"))
         .orderBy($"n_days")
+    },
+
+    // per-type user-concentration Simpson index (ev_gini scores the
+    // GLOBAL activity skew; this asks, per event type, "if two of these
+    // events are drawn at random, how likely are they from the same
+    // user?" — the bot/whale detector for a single stream): exact
+    // integer end to end, Σc(c−1) summed in DECIMAL(38,0) (c² wraps a
+    // long past c≈3·10⁹) and one ppm floor division — immune to the
+    // per-engine log rounding an entropy score would carry. Scale
+    // shape: one (type, user) partial-agg shuffle, then a |types|-row
+    // final agg.
+    "ev_user_simpson" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      ev(s, d)
+        .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("c"))
+        .groupBy($"event_type")
+        .agg(sum($"c").as("n_events"), count(lit(1)).as("n_users"),
+          sum(($"c".cast(dec) * ($"c" - 1))).as("coll"),
+          max($"c").as("mx"))
+        .select($"event_type", $"n_events", $"n_users",
+          expr("""CASE WHEN n_events > 1 THEN
+                 |  (coll * 1000000) div (CAST(n_events AS DECIMAL(38,0)) * (n_events - 1))
+                 |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("simpson_ppm"),
+          expr("(CAST(mx AS DECIMAL(38,0)) * 1000000) div CAST(n_events AS DECIMAL(38,0))")
+            .as("top_user_share_ppm"))
+        .orderBy($"event_type")
     }
   )
 
@@ -1938,6 +1965,24 @@ object EventQueries {
         |tot AS (SELECT COUNT(*) AS t FROM ud)
         |SELECT n_days, CAST(COUNT(*) AS BIGINT) AS n_users,
         |  CAST((1000000 * COUNT(*)) // MAX(tot.t) AS BIGINT) AS share_ppm
-        |FROM ud, tot GROUP BY n_days ORDER BY n_days""".stripMargin
+        |FROM ud, tot GROUP BY n_days ORDER BY n_days""".stripMargin,
+
+    // HUGEINT collision sums, the identical guard and floor divisions
+    "ev_user_simpson" ->
+      """WITH cu AS (
+        |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    SUM(CAST(c AS HUGEINT) * (c - 1)) AS coll,
+        |    MAX(c) AS mx
+        |  FROM cu GROUP BY 1)
+        |SELECT event_type, n_events, n_users,
+        |  CASE WHEN n_events > 1 THEN
+        |    CAST((coll * 1000000) // (CAST(n_events AS HUGEINT) * (n_events - 1)) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END AS simpson_ppm,
+        |  CAST((CAST(mx AS HUGEINT) * 1000000) // n_events AS BIGINT) AS top_user_share_ppm
+        |FROM g ORDER BY event_type""".stripMargin
   )
 }

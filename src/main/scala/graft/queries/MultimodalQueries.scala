@@ -28,6 +28,38 @@ object MultimodalQueries {
       .select($"position", explode($"data").as(Seq("key", "payload")))
   }
 
+  /** the shared banded phash candidate relation (pos_a, pos_b, hamming),
+    * consumed by mm_phash_pairs (≤3 cut), mm_phash_hist (full curve) and
+    * transitively mm_phash_clusters: signature via the native single-pass
+    * phash32 kernel — row-local (no gram explode, no 32-column grouped
+    * aggregation), bit-equal to the SQL form by the order-independence of
+    * the ±1 bit sums (PhashKernelSpec); the oracles keep the explicit SQL
+    * replay. Candidates come from 4×8-bit band buckets, never all-pairs.
+    * The signature relation is persisted (caller owns the cache scope —
+    * the SparkEntry contract).
+    */
+  private def phashCandidates(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sig = payloads(s, d, 300).filter($"key" === "props")
+      .select($"position", decode($"payload", "UTF-8").as("txt"))
+      .filter(length($"txt") >= 4)
+      .select($"position",
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.Phash32(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("txt")))).as("phash"))
+      .persist()
+    val banded = sig.select($"position", $"phash",
+        explode(expr(
+          "transform(sequence(0, 3), b -> named_struct('band', b, 'bits', (phash >> (b * 8)) & 255))")).as("bb"))
+      .select($"position", $"phash", $"bb.band".as("band"), $"bb.bits".as("bits"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.position") < col("b.position"))
+      .select(col("a.position").as("pos_a"), col("b.position").as("pos_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long").as("hamming"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     // typed metadata extraction over opaque binary payloads: size, magic
     // bytes, checksum — a narrow codegen'd pass, no shuffle at all
@@ -121,30 +153,28 @@ object MultimodalQueries {
     // occupancy — never all-pairs over the asset corpus.
     "mm_phash_pairs" -> { (s, d) =>
       import s.implicits._
-      // signature via the native single-pass phash32 kernel — row-local
-      // (no gram explode, no 32-column grouped aggregation), bit-equal
-      // to the SQL form by the order-independence of the ±1 bit sums
-      // (PhashKernelSpec); the oracle keeps the explicit SQL replay
-      val sig = payloads(s, d, 300).filter($"key" === "props")
-        .select($"position", decode($"payload", "UTF-8").as("txt"))
-        .filter(length($"txt") >= 4)
-        .select($"position",
-          org.apache.spark.sql.graftbridge.ColumnBridge.column(
-            graft.functions.Phash32(
-              org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("txt")))).as("phash"))
-        .persist()
-      val banded = sig.select($"position", $"phash",
-          explode(expr(
-            "transform(sequence(0, 3), b -> named_struct('band', b, 'bits', (phash >> (b * 8)) & 255))")).as("bb"))
-        .select($"position", $"phash", $"bb.band".as("band"), $"bb.bits".as("bits"))
-      banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-            col("a.position") < col("b.position"))
-        .select(col("a.position").as("pos_a"), col("b.position").as("pos_b"),
-          bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long").as("hamming"))
-        .distinct()
+      phashCandidates(s, d)
         .filter($"hamming" <= 3)
         .orderBy($"pos_a", $"pos_b")
+    },
+
+    // hamming-distance histogram of the banded phash candidates (the
+    // threshold-tuning curve behind mm_phash_pairs' fixed ≤3 cut — the
+    // asset-side twin of dd_jaccard_hist/dd_lsh_curve: how many
+    // candidate pairs would each hamming threshold admit?): exact
+    // counts + DECIMAL-free ppm share per distance over the SURFACED
+    // candidate set (banded, never all-pairs — the distribution a
+    // production run can actually afford to measure).
+    "mm_phash_hist" -> { (s, d) =>
+      import s.implicits._
+      val cand = phashCandidates(s, d)
+      val tot = cand.agg(count(lit(1)).as("t"))
+      cand.groupBy($"hamming")
+        .agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(tot))
+        .select($"hamming", $"n_pairs",
+          expr("(n_pairs * 1000000) div t").as("share_ppm"))
+        .orderBy($"hamming")
     },
 
     // connected components over the perceptual-hash near-dup graph: the
@@ -356,6 +386,24 @@ object MultimodalQueries {
          |FROM sims a JOIN sims b ON a.position < b.position
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
          |ORDER BY pos_a, pos_b""".stripMargin,
+
+    // the same signatures, the 4x8-bit band replay (so the histogram is
+    // over exactly the SURFACED candidate set, like the Spark side),
+    // exact counts + integer ppm
+    "mm_phash_hist" ->
+      s"""WITH $PhashSimsCtes,
+         |band AS (
+         |  SELECT position, phash, t.b AS band, (phash >> (t.b * 8)) & 255 AS bits
+         |  FROM sims, UNNEST([0, 1, 2, 3]) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.position AS pos_a, b.position AS pos_b,
+         |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.bits = b.bits AND a.position < b.position),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cand)
+         |SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST((COUNT(*) * 1000000) // MAX(tot.t) AS BIGINT) AS share_ppm
+         |FROM cand, tot GROUP BY hamming ORDER BY hamming""".stripMargin,
 
     // transitive closure over the hamming≤3 pair graph on numeric asset
     // ids (substr strips the 'evt-' prefix so MIN agrees with the Spark

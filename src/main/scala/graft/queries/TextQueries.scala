@@ -945,6 +945,36 @@ object TextQueries {
             1L).otherwise(0L)).as("n_all"))
         .withColumn("pass_all_ppm", expr("(n_all * 1000000) div n_docs"))
         .orderBy($"source")
+    },
+
+    // per-source keyness: the top-5 OVER-represented tokens by the exact
+    // representation ratio P(tok|source)/P(tok) in ppm (the corpus-mix
+    // fingerprint — which vocabulary a source floods relative to the
+    // whole corpus; a log-odds score would carry per-engine log
+    // rounding, the raw ratio is one integer division). Min support
+    // o ≥ 5 keeps noise tokens out. Scale shape: a (source, tok) and a
+    // tok partial agg off the bucketed token index, the |sources| and
+    // 1-row totals broadcast, top-5 via a source-partitioned window over
+    // the already-aggregated relation. o·tc·10⁶ multiplies in
+    // DECIMAL(38,0) (≤10³⁵ at any plausible corpus).
+    "txt_keyness" -> { (s, d) =>
+      import s.implicits._
+      val toks = CorpusTokenIndex.tokens(s, d).filter(length($"tok") > 0)
+        .select($"source", $"tok")
+      val st = toks.groupBy($"source", $"tok").agg(count(lit(1)).as("o"))
+        .filter($"o" >= 5)
+      val tt = toks.groupBy($"tok").agg(count(lit(1)).as("t"))
+      val ss = toks.groupBy($"source").agg(count(lit(1)).as("sc"))
+      val tot = toks.agg(count(lit(1)).as("tc"))
+      val w = Window.partitionBy($"source").orderBy($"keyness_ppm".desc, $"tok")
+      st.join(tt, Seq("tok")).join(broadcast(ss), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .withColumn("keyness_ppm",
+          expr("(CAST(o AS DECIMAL(38,0)) * tc * 1000000) div (CAST(t AS DECIMAL(38,0)) * sc)"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 5)
+        .select($"source", $"tok", $"o", $"keyness_ppm", $"rnk")
+        .orderBy($"source", $"rnk")
     }
   )
 
@@ -1053,6 +1083,30 @@ object TextQueries {
         |  CAST((SUM(CASE WHEN f_len AND f_wordlen AND f_stop AND f_ttr AND f_digit
         |    THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS pass_all_ppm
         |FROM b GROUP BY source ORDER BY source""".stripMargin,
+
+    // inline tokenization (definitionally identical to the token index),
+    // HUGEINT ratio, the same min-support and tie-break
+    "txt_keyness" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(text, ' +')) AS tok FROM documents),
+        |x AS (SELECT source, tok FROM toks WHERE LENGTH(tok) > 0),
+        |st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS o FROM x GROUP BY 1, 2),
+        |tt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS t FROM x GROUP BY 1),
+        |ss AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sc FROM x GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tc FROM x),
+        |k AS (
+        |  SELECT st.source, st.tok, st.o,
+        |    CAST((CAST(st.o AS HUGEINT) * tc * 1000000)
+        |      // (CAST(tt.t AS HUGEINT) * ss.sc) AS BIGINT) AS keyness_ppm
+        |  FROM st JOIN tt USING (tok) JOIN ss USING (source) CROSS JOIN tot
+        |  WHERE st.o >= 5),
+        |r AS (
+        |  SELECT source, tok, o, keyness_ppm,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY keyness_ppm DESC, tok) AS BIGINT) AS rnk
+        |  FROM k)
+        |SELECT source, tok, o, keyness_ppm, rnk
+        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     "txt_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens,
