@@ -1167,6 +1167,37 @@ object EventQueries {
           expr("(CAST(mx AS DECIMAL(38,0)) * 1000000) div CAST(n_events AS DECIMAL(38,0))")
             .as("top_user_share_ppm"))
         .orderBy($"event_type")
+    },
+
+    // per-state next-step predictability (the concentration number
+    // behind ev_markov's transition matrix: P[two random next-steps
+    // from this state coincide] — a state whose next step is near-
+    // deterministic is a funnel edge, one near-uniform is a browse
+    // hub): Simpson over each from-state's destination counts, exact
+    // DECIMAL(38,0) collision sums + ppm floor division, plus the top
+    // destination's exact share. Scale shape: the same user-partitioned
+    // lead as ev_markov, one (from, to) partial agg, a |types|-row agg.
+    "ev_next_simpson" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      ev(s, d)
+        .select($"user_id", $"event_type", $"ts_us", $"event_id")
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"from_type")
+        .agg(sum($"n").as("n_trans"), count(lit(1)).as("n_dest"),
+          sum(($"n".cast(dec) * ($"n" - 1))).as("coll"),
+          max($"n").as("mx"))
+        .select($"from_type", $"n_trans", $"n_dest",
+          expr("""CASE WHEN n_trans > 1 THEN
+                 |  (coll * 1000000) div (CAST(n_trans AS DECIMAL(38,0)) * (n_trans - 1))
+                 |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("simpson_ppm"),
+          expr("(CAST(mx AS DECIMAL(38,0)) * 1000000) div CAST(n_trans AS DECIMAL(38,0))")
+            .as("top_next_ppm"))
+        .orderBy($"from_type")
     }
   )
 
@@ -1983,6 +2014,29 @@ object EventQueries {
         |    CAST((coll * 1000000) // (CAST(n_events AS HUGEINT) * (n_events - 1)) AS BIGINT)
         |  ELSE CAST(0 AS BIGINT) END AS simpson_ppm,
         |  CAST((CAST(mx AS HUGEINT) * 1000000) // n_events AS BIGINT) AS top_user_share_ppm
-        |FROM g ORDER BY event_type""".stripMargin
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // the same lead ordering as ev_markov, HUGEINT collision sums
+    "ev_next_simpson" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+        |  FROM e),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |g AS (
+        |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_trans,
+        |    CAST(COUNT(*) AS BIGINT) AS n_dest,
+        |    SUM(CAST(n AS HUGEINT) * (n - 1)) AS coll, MAX(n) AS mx
+        |  FROM c GROUP BY 1)
+        |SELECT from_type, n_trans, n_dest,
+        |  CASE WHEN n_trans > 1 THEN
+        |    CAST((coll * 1000000) // (CAST(n_trans AS HUGEINT) * (n_trans - 1)) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END AS simpson_ppm,
+        |  CAST((CAST(mx AS HUGEINT) * 1000000) // n_trans AS BIGINT) AS top_next_ppm
+        |FROM g ORDER BY from_type""".stripMargin
   )
 }

@@ -318,6 +318,33 @@ object Relational3 {
         .filter($"m_lt" < $"p_size" && !($"m_le" > $"p_size"))
         .select($"p_brand", $"p_partkey", $"price_cents", $"p_size")
         .orderBy($"p_brand", $"price_cents", $"p_partkey")
+    },
+
+    // supply-chain concentration: per brand, the Herfindahl-Hirschman
+    // index of supplier revenue shares (the market-concentration number
+    // an antitrust or supply-risk review starts from) plus the top
+    // supplier's share — EXACT integer end to end: revenue in cents,
+    // Σr² and R² in DECIMAL(38,0)/HUGEINT (r² wraps a long past ~$10⁸
+    // per supplier-brand cell), one ppm floor division. Scale shape:
+    // one (brand, supplier) partial-agg shuffle over the fact table
+    // (part is an AQE-sized dim join), then a |brands|-row agg.
+    "q62_hhi" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      val r = t(s, d, "lineitem")
+        .join(t(s, d, "part").select($"p_partkey", $"p_brand"),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"l_suppkey")
+        .agg(sum(expr("CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)")
+          .cast(dec)).as("r"))
+      r.groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_suppliers"), sum($"r").as("rev"),
+          sum($"r" * $"r").as("sumsq"), max($"r").as("mx"))
+        .select($"p_brand", $"n_suppliers",
+          $"rev".cast("long").as("rev_cents"),
+          expr("(sumsq * 1000000) div (rev * rev)").as("hhi_ppm"),
+          expr("(mx * 1000000) div rev").as("top_supp_ppm"))
+        .orderBy($"p_brand")
     }
   )
 
@@ -474,6 +501,21 @@ object Relational3 {
         |  WHERE q.p_brand = o.p_brand
         |    AND q.price_cents <= o.price_cents AND q.p_size >= o.p_size
         |    AND (q.price_cents < o.price_cents OR q.p_size > o.p_size))
-        |ORDER BY o.p_brand, o.price_cents, o.p_partkey""".stripMargin
+        |ORDER BY o.p_brand, o.price_cents, o.p_partkey""".stripMargin,
+
+    "q62_hhi" ->
+      """WITH r AS (
+        |  SELECT p_brand, l_suppkey,
+        |    SUM(CAST(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS HUGEINT)) AS r
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |g AS (
+        |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |    SUM(r) AS rev, SUM(r * r) AS sumsq, MAX(r) AS mx
+        |  FROM r GROUP BY 1)
+        |SELECT p_brand, n_suppliers, CAST(rev AS BIGINT) AS rev_cents,
+        |  CAST((sumsq * 1000000) // (rev * rev) AS BIGINT) AS hhi_ppm,
+        |  CAST((mx * 1000000) // rev AS BIGINT) AS top_supp_ppm
+        |FROM g ORDER BY p_brand""".stripMargin
   )
 }

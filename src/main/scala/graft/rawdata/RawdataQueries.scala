@@ -298,6 +298,30 @@ object RawdataQueries {
                  |  (CAST(n_pending AS DECIMAL(38,0)) * span_ms * 1000) div (CAST(n_total AS DECIMAL(38,0)) * 3600000)
                  |ELSE CAST(0 AS BIGINT) END""".stripMargin))
         .orderBy(col("ordering_group"))
+    },
+
+    // topic key-skew summary (the partition-planning number behind
+    // rd_ordering_group: is the keyspace balanced enough to parallelize
+    // a consumer per group, or does one group carry the topic?): the
+    // Herfindahl index + top-group share over per-group message counts,
+    // exact DECIMAL(38,0)/HUGEINT squares and ppm floor divisions — a
+    // uniform g-group topic scores 10⁶ div g, a single hot group 10⁶.
+    // Scale shape: one group-keyed partial agg, then a 1-row summary of
+    // the |groups|-row relation.
+    "rd_key_skew" -> { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      Topic.readDF(s, topic(s, d))
+        .groupBy(col("orderingGroup")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("n")).as("n_messages"),
+          min(col("n")).as("min_group"), max(col("n")).as("max_group"),
+          sum(col("n").cast(dec) * col("n")).as("sumsq"))
+        .select(col("n_groups"), col("n_messages"), col("min_group"),
+          col("max_group"),
+          expr("(sumsq * 1000000) div (CAST(n_messages AS DECIMAL(38,0)) * n_messages)")
+            .as("hhi_ppm"),
+          expr("(CAST(max_group AS DECIMAL(38,0)) * 1000000) div CAST(n_messages AS DECIMAL(38,0))")
+            .as("top_group_ppm"))
     }
   )
 
@@ -449,6 +473,20 @@ object RawdataQueries {
         |  CASE WHEN span_ms > 0 THEN
         |    CAST((CAST(n_pending AS HUGEINT) * span_ms * 1000) // (CAST(n_total AS HUGEINT) * 3600000) AS BIGINT)
         |  ELSE CAST(0 AS BIGINT) END AS eta_milli_hours
-        |FROM g ORDER BY ordering_group""".stripMargin)
+        |FROM g ORDER BY ordering_group""".stripMargin),
+
+    "rd_key_skew" -> (M +
+      """, c AS (
+        |  SELECT ordering_group, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(n) AS BIGINT) AS n_messages,
+        |    MIN(n) AS min_group, MAX(n) AS max_group,
+        |    SUM(CAST(n AS HUGEINT) * n) AS sumsq
+        |  FROM c)
+        |SELECT n_groups, n_messages, min_group, max_group,
+        |  CAST((sumsq * 1000000) // (CAST(n_messages AS HUGEINT) * n_messages) AS BIGINT) AS hhi_ppm,
+        |  CAST((CAST(max_group AS HUGEINT) * 1000000) // n_messages AS BIGINT) AS top_group_ppm
+        |FROM g""".stripMargin)
   )
 }
