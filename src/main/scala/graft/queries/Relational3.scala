@@ -345,6 +345,68 @@ object Relational3 {
           expr("(sumsq * 1000000) div (rev * rev)").as("hhi_ppm"),
           expr("(mx * 1000000) div rev").as("top_supp_ppm"))
         .orderBy($"p_brand")
+    },
+
+    // market share over time: per (month, brand), the brand's CUMULATIVE
+    // revenue share of everything sold so far — the trend line behind
+    // q62_hhi's point-in-time concentration. Exact integer: cents,
+    // DECIMAL(38,0)/HUGEINT cumulative sums (cum·10⁶ passes 2⁶³), ppm
+    // floor. Scale shape: one (brand, month) partial-agg shuffle over
+    // the fact table collapses everything to a \|brands\|×\|months\|
+    // rollup; the brand running sums are brand-PARTITIONED windows, and
+    // the only unpartitioned window is the month-total prefix sum over
+    // the \|months\|-row calendar relation (the coverage-curve rule:
+    // single-partition is fine when the relation is calendar-bounded).
+    "q63_running_share" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      val g = t(s, d, "lineitem")
+        .join(t(s, d, "part").select($"p_partkey", $"p_brand"),
+          $"l_partkey" === $"p_partkey")
+        .join(t(s, d, "orders").select($"o_orderkey",
+          (year($"o_orderdate") * 100 + month($"o_orderdate")).cast("long").as("mon")),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"p_brand", $"mon")
+        .agg(sum(expr("CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)")
+          .cast(dec)).as("rev"))
+      val wb = Window.partitionBy($"p_brand").orderBy($"mon")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wm = Window.orderBy($"mon")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val monthTot = g.groupBy($"mon").agg(sum($"rev").as("mrev"))
+        .withColumn("cum_all", sum($"mrev").over(wm))
+        .select($"mon", $"cum_all")
+      g.withColumn("cum_rev", sum($"rev").over(wb))
+        .join(broadcast(monthTot), Seq("mon"))
+        .select($"mon", $"p_brand",
+          $"rev".cast("long").as("rev_cents"),
+          $"cum_rev".cast("long").as("cum_rev_cents"),
+          expr("(cum_rev * 1000000) div cum_all").as("cum_share_ppm"))
+        .orderBy($"mon", $"p_brand")
+    },
+
+    // repeat-purchase latency: week-bucketed histogram of the gaps
+    // between a customer's consecutive orders (the reorder-cycle shape
+    // retention pricing starts from). The lag runs customer-PARTITIONED
+    // with a unique (date, orderkey) tie-break; everything after is a
+    // \|buckets\|-row aggregate with a broadcast 1-row total; ppm
+    // DECIMAL-guarded. Same-day double orders land in bucket 0 exactly.
+    "q64_reorder_gap" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val gaps = t(s, d, "orders")
+        .select($"o_custkey", $"o_orderdate", $"o_orderkey")
+        .withColumn("prev", lag($"o_orderdate", 1).over(w))
+        .filter($"prev".isNotNull)
+        .select(datediff($"o_orderdate", $"prev").cast("long").as("gap_days"))
+        .select(expr("gap_days div 7").as("gap_weeks"))
+      val tot = gaps.agg(count(lit(1)).as("t"))
+      gaps.groupBy($"gap_weeks").agg(count(lit(1)).as("n_gaps"))
+        .crossJoin(broadcast(tot))
+        .select($"gap_weeks", $"n_gaps",
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_gaps) div CAST(t AS DECIMAL(38,0))")
+            .as("share_ppm"))
+        .orderBy($"gap_weeks")
     }
   )
 
@@ -516,6 +578,44 @@ object Relational3 {
         |SELECT p_brand, n_suppliers, CAST(rev AS BIGINT) AS rev_cents,
         |  CAST((sumsq * 1000000) // (rev * rev) AS BIGINT) AS hhi_ppm,
         |  CAST((mx * 1000000) // rev AS BIGINT) AS top_supp_ppm
-        |FROM g ORDER BY p_brand""".stripMargin
+        |FROM g ORDER BY p_brand""".stripMargin,
+
+    "q63_running_share" ->
+      """WITH g AS (
+        |  SELECT p_brand,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS mon,
+        |    SUM(CAST(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS HUGEINT)) AS rev
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |mt AS (
+        |  SELECT mon, SUM(mrev) OVER (ORDER BY mon
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+        |  FROM (SELECT mon, SUM(rev) AS mrev FROM g GROUP BY 1)),
+        |cb AS (
+        |  SELECT p_brand, mon, rev,
+        |    SUM(rev) OVER (PARTITION BY p_brand ORDER BY mon
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM g)
+        |SELECT cb.mon, cb.p_brand, CAST(cb.rev AS BIGINT) AS rev_cents,
+        |  CAST(cb.cum_rev AS BIGINT) AS cum_rev_cents,
+        |  CAST((cb.cum_rev * 1000000) // mt.cum_all AS BIGINT) AS cum_share_ppm
+        |FROM cb JOIN mt ON mt.mon = cb.mon
+        |ORDER BY cb.mon, cb.p_brand""".stripMargin,
+
+    "q64_reorder_gap" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey,
+        |    LAG(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |g AS (
+        |  SELECT CAST(datediff('day', prev, o_orderdate) AS BIGINT) // 7 AS gap_weeks
+        |  FROM o WHERE prev IS NOT NULL),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM g)
+        |SELECT gap_weeks, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  CAST((1000000 * COUNT(*)) // MAX(tot.t) AS BIGINT) AS share_ppm
+        |FROM g, tot GROUP BY gap_weeks ORDER BY gap_weeks""".stripMargin
   )
 }
