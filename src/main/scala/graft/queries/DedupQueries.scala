@@ -1193,6 +1193,32 @@ object DedupQueries {
       connectedComponents(duplicateEdges(s, d))
     },
 
+    // duplicate-cluster SIZE histogram (the dedup report's headline
+    // distribution: is duplication a long tail of pairs or a few huge
+    // boilerplate families? pair-heavy corpora dedup cheaply, one
+    // 10⁵-member cluster means a template leak): per cluster size, the
+    // cluster count, the doc mass it holds, and the REMOVAL mass
+    // (size−1 per cluster — what canonicalization deletes), shares in
+    // exact ppm. Scale shape: the |clustered-docs| component relation
+    // collapses to one row per cluster (a distinct), then a
+    // |sizes|-row agg with a broadcast 1-row corpus total.
+    "dd_cluster_hist" -> { (s, d) =>
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val comp = connectedComponents(duplicateEdges(s, d))
+      val clusters = comp.select($"cluster_id", $"n_members").distinct()
+      val tot = t(s, d, "documents").agg(count(lit(1)).as("t"))
+      clusters.groupBy($"n_members".as("size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", $"size" * $"n_clusters")
+        .withColumn("n_removed", ($"size" - 1) * $"n_clusters")
+        .crossJoin(broadcast(tot))
+        .select($"size", $"n_clusters", $"n_docs", $"n_removed",
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_removed) div CAST(t AS DECIMAL(38,0))")
+            .as("removed_share_ppm"))
+        .orderBy($"size")
+    },
+
     // quality-aware canonicalization: duplicate clusters (dd_cluster's
     // exact+near edge graph) resolved by keeping the BEST-quality member
     // instead of the min id — what a curation pipeline actually ships
@@ -2175,6 +2201,37 @@ object DedupQueries {
           |SELECT c.doc_id, c.cluster_id, z.n_members
           |FROM comp c JOIN csz z ON z.cluster_id = c.cluster_id
           |ORDER BY c.doc_id""".stripMargin),
+
+    // dd_cluster's component chain folded to one row per cluster, then
+    // the size histogram with exact removal-mass shares
+    "dd_cluster_hist" ->
+      (s"""WITH RECURSIVE ${lshCtes("documents")},
+          |$JaccardCtes,
+          |fpx AS (
+          |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          |  FROM documents),
+          |keepx AS (SELECT fp, MIN(doc_id) AS keep FROM fpx GROUP BY fp),
+          |exact_e AS (
+          |  SELECT k.keep AS a, f.doc_id AS b
+          |  FROM fpx f JOIN keepx k ON k.fp = f.fp WHERE f.doc_id <> k.keep),
+          |near_e AS (SELECT doc_a AS a, doc_b AS b FROM jacc WHERE jaccard_ppm >= 400000),
+          |edges AS (SELECT a, b FROM exact_e UNION SELECT a, b FROM near_e),
+          |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+          |reach AS (
+          |  SELECT a AS doc, a AS r FROM sym
+          |  UNION
+          |  SELECT s.b AS doc, reach.r FROM reach JOIN sym s ON s.a = reach.doc),
+          |comp AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc),
+          |csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size FROM comp GROUP BY 1),
+          |h AS (
+          |  SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+          |    CAST(size * COUNT(*) AS BIGINT) AS n_docs,
+          |    CAST((size - 1) * COUNT(*) AS BIGINT) AS n_removed
+          |  FROM csz GROUP BY size),
+          |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents)
+          |SELECT size, n_clusters, n_docs, n_removed,
+          |  CAST((1000000 * n_removed) // tot.t AS BIGINT) AS removed_share_ppm
+          |FROM h, tot ORDER BY size""".stripMargin),
 
     // dd_cluster's component chain, then per-source raw vs 1/|cluster|-
     // weighted doc/token mass in exact floored integer units.

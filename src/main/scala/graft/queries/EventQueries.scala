@@ -1198,6 +1198,29 @@ object EventQueries {
           expr("(CAST(mx AS DECIMAL(38,0)) * 1000000) div CAST(n_trans AS DECIMAL(38,0))")
             .as("top_next_ppm"))
         .orderBy($"from_type")
+    },
+
+    // user-lifetime histogram (the calendar SPAN from first to last
+    // activity, exact day resolution — the third engagement axis beside
+    // ev_active_days' density and ev_session_hist's depth; span long +
+    // density low = a lapsed-and-returned user, span short = a one-burst
+    // visitor): exact integer day spans from the per-user min/max
+    // timestamp — the key space is bounded by the stream's calendar
+    // span, so no bucket scheme is needed at any sf. Scale shape: one
+    // user-keyed min/max partial agg, a |span-days| final agg, a
+    // broadcast 1-row user total.
+    "ev_lifecycle" -> { (s, d) =>
+      import s.implicits._
+      val spans = ev(s, d)
+        .groupBy($"user_id")
+        .agg(expr("(max(ts_us) - min(ts_us)) div 86400000000").as("span_days"))
+      val tot = spans.agg(count(lit(1)).as("t"))
+      spans.groupBy($"span_days").agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(tot))
+        .select($"span_days", $"n_users",
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_users) div CAST(t AS DECIMAL(38,0))")
+            .as("share_ppm"))
+        .orderBy($"span_days")
     }
   )
 
@@ -2037,6 +2060,17 @@ object EventQueries {
         |    CAST((coll * 1000000) // (CAST(n_trans AS HUGEINT) * (n_trans - 1)) AS BIGINT)
         |  ELSE CAST(0 AS BIGINT) END AS simpson_ppm,
         |  CAST((CAST(mx AS HUGEINT) * 1000000) // n_trans AS BIGINT) AS top_next_ppm
-        |FROM g ORDER BY from_type""".stripMargin
+        |FROM g ORDER BY from_type""".stripMargin,
+
+    // the same span arithmetic on epoch microseconds, exact day keys
+    "ev_lifecycle" ->
+      """WITH sp AS (
+        |  SELECT user_id,
+        |    (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000 AS span_days
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM sp)
+        |SELECT span_days, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST((1000000 * COUNT(*)) // MAX(tot.t) AS BIGINT) AS share_ppm
+        |FROM sp, tot GROUP BY span_days ORDER BY span_days""".stripMargin
   )
 }
