@@ -750,22 +750,31 @@ object AnnQueries {
         .orderBy($"vec_id", $"rnk")
     },
 
-    // connected components of the MUTUAL-kNN graph (the cluster
-    // discovery emb_kmeans presupposes k for: mutual top-5 edges — a is
-    // in b's top-5 AND b in a's — are the standard density-robust
-    // skeleton, and their components are the corpus's natural groups):
-    // the shared knnEdges relation (same k/tie-break as emb_knn /
-    // ann_reciprocal), mutuality as one self left-semi join on the
-    // already-aggregated edge list, then the SAME dispatching
-    // connected-components machinery dd_cluster uses (driver union-find
-    // ≤1e6 edges, distributed pointer-jumping above). Oracle replays
-    // the banding + a recursive reach CTE.
+    // connected components of the strongest-MUTUAL-kNN backbone (the
+    // cluster discovery emb_kmeans presupposes k for: mutual top-5
+    // edges — a in b's top-5 AND b in a's — are the density-robust
+    // skeleton, but the FULL mutual graph chains through hubs into one
+    // giant blob at any realistic corpus; keeping the ⌊|V|/2⌋ strongest
+    // mutual edges by exact cosine is the standard backbone cut that
+    // leaves actual structure): the shared knnEdges relation (same
+    // k/tie-break as emb_knn / ann_reciprocal), mutuality as one self
+    // left-semi join on the aggregated edge list, a DISTRIBUTED top-K
+    // (TakeOrderedAndProject with the unique (cos desc, a, b) order —
+    // no global shuffle), then the SAME dispatching components
+    // machinery dd_cluster uses (driver union-find ≤1e6 edges,
+    // distributed pointer-jumping above). The edge budget also bounds
+    // the oracle's recursive reach CTE: components are ≤K+1 nodes, so
+    // the closure is replayable where the unbounded blob OOMed DuckDB
+    // at sf0.1.
     "emb_knn_cc" -> { (s, d) =>
       import s.implicits._
-      val k = knnEdges(s, d).select($"vec_id", $"neighbor")
+      val k = knnEdges(s, d).select($"vec_id", $"neighbor", $"cos_ppm")
       val rev = k.select($"neighbor".as("vec_id"), $"vec_id".as("neighbor"))
+      val budget = math.min(t(s, d, "embeddings").count() / 2, Int.MaxValue.toLong)
       val mutual = k.join(rev, Seq("vec_id", "neighbor"), "left_semi")
         .filter($"vec_id" < $"neighbor")
+        .orderBy($"cos_ppm".desc, $"vec_id", $"neighbor")
+        .limit(budget.toInt)
         .select($"vec_id".as("a"), $"neighbor".as("b"))
       DedupQueries.connectedComponents(mutual)
         .select(col("doc_id").as("vec_id"), col("cluster_id"), col("n_members"))
@@ -1537,16 +1546,22 @@ object AnnQueries {
         """SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, neighbor, cos_ppm
           |FROM knn5 ORDER BY vec_id, rnk""".stripMargin),
 
-    // the same knn5 relation, mutual edges, recursive min-label reach
+    // the same knn5 relation, mutual edges, the identical top-K backbone
+    // cut (subquery LIMIT), recursive min-label reach
     "emb_knn_cc" ->
       (s"WITH RECURSIVE $KnnEdgeCtes,\n" +
-        """ke AS (SELECT vec_id, neighbor FROM knn5),
-          |mut AS (
-          |  SELECT k1.vec_id AS a, k1.neighbor AS b
+        """ke AS (SELECT vec_id, neighbor, cos_ppm FROM knn5),
+          |mutk AS (
+          |  SELECT k1.vec_id AS a, k1.neighbor AS b, k1.cos_ppm
           |  FROM ke k1 JOIN ke k2
           |    ON k2.vec_id = k1.neighbor AND k2.neighbor = k1.vec_id
           |  WHERE k1.vec_id < k1.neighbor),
-          |msym AS (SELECT a, b FROM mut UNION SELECT b AS a, a AS b FROM mut),
+          |mut AS MATERIALIZED (
+          |  SELECT a, b FROM mutk
+          |  ORDER BY cos_ppm DESC, a, b
+          |  LIMIT (SELECT COUNT(*) // 2 FROM embeddings)),
+          |msym AS MATERIALIZED (
+          |  SELECT a, b FROM mut UNION SELECT b AS a, a AS b FROM mut),
           |reach AS (
           |  SELECT a AS v, a AS r FROM msym
           |  UNION

@@ -121,12 +121,29 @@ object DedupQueries {
     * 53 s — 5.7× over linear — from exactly this); log-scaled bands
     * keep it ~n·log n up to the 64-bit cap (Google's production
     * simhash width), past which combinatorial band blocks would be the
-    * next step. Every oracle-checked sf (500 docs) lands on the 8-bit
-    * floor, so the static 32-bit SQL oracles replay unchanged.
+    * next step. The thresholds are INTEGER doubling comparisons, not a
+    * float ceil(log2): Math.log(x)/Math.log(2) lands 1 ulp HIGH at exact
+    * powers of two (log2(512) = 9.000000000000002 → ceil 10), so a float
+    * rule widens one step early at n = 8·2^k while any SQL replay using
+    * a native log2 does not — the integer walk is engine-replayable
+    * exactly, and the SQL oracle mirrors it as a CASE over COUNT(*)
+    * (sf0.1's 5000 docs → 10-bit bands, caught by the sf0.1 replay when
+    * the oracle was still the static 32-bit form).
     */
   private[graft] def simhashBandBits(n: Long): Int = {
-    val target = math.max(1.0, n / 8.0)
-    math.min(16, math.max(8, math.ceil(math.log(target) / math.log(2.0)).toInt))
+    var bits = 8
+    var cap = 2048L // 8 * 2^8: occupancy target 8 at the 8-bit floor
+    while (n > cap && bits < 16) { bits += 1; cap *= 2 }
+    bits
+  }
+
+  /** the SQL twin of [[simhashBandBits]]·4 — the fingerprint WIDTH as a
+    * CASE over the corpus count, shared by the dd_simhash oracles
+    */
+  private def simhashWidthSql: String = {
+    val cases = (9 to 15).map(b =>
+      s"WHEN n <= ${2048L << (b - 8)} THEN ${4 * b}").mkString(" ")
+    s"CASE WHEN n <= 2048 THEN 32 $cases ELSE 64 END"
   }
 
   /** 4·bandBits-wide SimHash per doc: token hash bits weighted ±1 and
@@ -1554,20 +1571,35 @@ object DedupQueries {
        |  GROUP BY 1, 2)""".stripMargin
 
   private val SimhashCtes: String = {
-    val bitSums = (0 until 32).map { b =>
-      s"SUM(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+    // all 64 bit sums unconditionally (bits 0-31 from md5 chars 1-8,
+    // 32-63 from chars 9-16 — simhashes()'s exact sources); the
+    // signature then gates each bit on the corpus-derived width, so ONE
+    // static SQL replays every simhashBandBits regime
+    val bitSums = (0 until 64).map { b =>
+      val src = if (b < 32) "v" else "v2"
+      s"SUM(CASE WHEN ($src >> ${b % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
     }.mkString(",\n    ")
-    val sig = (0 until 32).map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    val sig = (0 until 64).map { b =>
+      // 1L<<63 has no positive BIGINT literal: both engines add the
+      // two's-complement value, and disjoint-bit addition never carries
+      val addend = if (b == 63) "-9223372036854775808" else (1L << b).toString
+      s"CASE WHEN $b < wdt.w AND b$b > 0 THEN CAST($addend AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
     s"""toks AS (
        |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok FROM documents),
        |h AS (
-       |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS v FROM toks),
+       |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS v,
+       |         CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS v2
+       |  FROM toks),
+       |wdt AS (
+       |  SELECT $simhashWidthSql AS w
+       |  FROM (SELECT COUNT(*) AS n FROM documents)),
        |bits AS (
        |  SELECT doc_id,
        |    $bitSums
        |  FROM h GROUP BY doc_id),
        |sims AS (
-       |  SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)""".stripMargin
+       |  SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits, wdt)""".stripMargin
   }
 
   private val JaccardCtes: String =

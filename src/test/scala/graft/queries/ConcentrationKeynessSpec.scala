@@ -125,13 +125,19 @@ class ConcentrationKeynessSpec extends SparkSpec {
       assert(members.forall(_.getAs[Long]("n_members") === ids.length.toLong))
       assert(ids.length >= 2, s"cluster $cid is a singleton")
     }
-    // the clustered vertex set is exactly the vectors with >= 1 mutual
-    // top-5 edge, recomputed from the registered emb_knn relation
-    val knn = AnnQueries.queries("emb_knn")(spark, sf).collect()
-      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor"))).toSet
-    val mutualVecs = knn.collect {
-      case (a, b) if knn.contains((b, a)) => Seq(a, b)
-    }.flatten.toSet
+    // the clustered vertex set is exactly the endpoints of the top-K
+    // strongest mutual edges (K = |V| div 2, the backbone budget),
+    // recomputed from the registered emb_knn relation
+    val knnRows = AnnQueries.queries("emb_knn")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor"),
+        r.getAs[Long]("cos_ppm")))
+    val knnSet = knnRows.map(r => (r._1, r._2)).toSet
+    val mutual = knnRows
+      .filter(r => r._1 < r._2 && knnSet.contains((r._2, r._1)))
+      .map(r => (r._1, r._2, r._3)).distinct
+    val budget = (graft.Tables.t(spark, sf, "embeddings").count() / 2).toInt
+    val top = mutual.sortBy(e => (-e._3, e._1, e._2)).take(budget)
+    val mutualVecs = top.flatMap(e => Seq(e._1, e._2)).toSet
     assert(rows.map(_.getAs[Long]("vec_id")).toSet === mutualVecs)
   }
 }
