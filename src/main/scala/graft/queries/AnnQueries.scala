@@ -43,7 +43,21 @@ object AnnQueries {
     * unchanged; bigger corpora get wider steps deterministically.
     */
   private[graft] def centroidStepFor(n: Long): Long =
-    math.max(CentroidStep.toLong, math.round(math.sqrt(5.0 * n)))
+    // floor(x+0.5), NOT Math.round: written to be the literal twin of
+    // the SQL form in [[CentroidStepSql]] (sqrt is correctly rounded
+    // per IEEE 754 on both engines, floor/+ are exact, so the twin is
+    // constructed parity rather than empirical)
+    math.max(CentroidStep.toLong, math.floor(math.sqrt(5.0 * n) + 0.5).toLong)
+
+  /** SQL twin of [[centroidStepFor]] — a scalar subquery over COUNT(*),
+    * so every IVF oracle tracks the sqrt scale rule at ANY fixture
+    * size instead of silently diverging past the 100-step floor (the
+    * dd_simhash sf0.1 lesson: the fixture's 2000 vectors sat on the
+    * boundary only by round(sqrt(5·2000)) == 100 exactly)
+    */
+  private[queries] val CentroidStepSql: String =
+    s"(SELECT GREATEST($CentroidStep, CAST(FLOOR(sqrt(5.0 * COUNT(*)) + 0.5) AS BIGINT)) " +
+      "FROM embeddings)"
 
   /** the step the corpus at `d` is (or would be) indexed with — a
     * function of the immutable embeddings table, so appends and every
@@ -1488,7 +1502,7 @@ object AnnQueries {
 
     // the ann_ivf_topk assignment CTEs rolled up per cell
     "ann_cell_stats" -> (QuantCte +
-      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStep = 0),
+      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0),
          |cdots AS (
          |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
          |  FROM e a
@@ -1722,7 +1736,7 @@ object AnnQueries {
     // IVF-PQ composition: the IVF cell/probe CTEs restrict the candidate
     // pairs, the PQ code/LUT CTEs rank them by ADC, exact re-rank last
     "ann_ivf_pq" -> (QuantCte +
-      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStep = 0),
+      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0),
          |cdots AS (
          |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
          |  FROM e a
@@ -1818,7 +1832,7 @@ object AnnQueries {
     // cell assignment by max cosine with centroid-id tie-break, queries
     // probe their 2 nearest cells, exact cosine on the probed cells
     "ann_ivf_topk" -> (QuantCte +
-      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStep = 0),
+      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0),
          |cdots AS (
          |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
          |  FROM e a
@@ -1857,7 +1871,7 @@ object AnnQueries {
     // the IVF CTEs ranked to crnk <= 4 once, then each sweep point
     // re-filters the probe set and scores against the brute truth
     "ann_ivf_recall" -> (QuantCte +
-      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStep = 0),
+      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0),
          |cdots AS (
          |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
          |  FROM e a

@@ -1396,8 +1396,16 @@ object DedupQueries {
     * bits) and the 10 tables are the standard compensation.
     */
   private[graft] def embedLshBitsFor(n: Long): Int = {
-    val target = math.max(1.0, n / 8.0)
-    math.max(EmbedLshBits, math.ceil(math.log(target) / math.log(2.0)).toInt)
+    // INTEGER doubling walk, same as simhashBandBits: a float
+    // ceil(log2) lands 1 ulp HIGH at exact powers of two
+    // (log2(256) = 8.000000000000002 → ceil 9), widening one step early
+    // at n = 8·2^k and silently diverging from any SQL log2 replay.
+    // Capped at 30 bits (≈1B band buckets — past ~8B vectors the next
+    // step is more tables, not wider bands).
+    var bits = EmbedLshBits
+    var cap = 8L << bits // occupancy target 8 at the floor width
+    while (n > cap && bits < 30) { bits += 1; cap *= 2 }
+    bits
   }
 
   /** the band width the corpus at `d` was (or would be) indexed with —

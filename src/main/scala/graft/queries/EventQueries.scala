@@ -1082,7 +1082,9 @@ object EventQueries {
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), max($"mc").as("mean_cents"),
           sum($"dv".cast(dec)).as("sd1"),
-          sum(($"dv" * $"dv").cast(dec)).as("sd2"),
+          // widen BEFORE multiplying (the q52/sd3 rule): dv*dv in LONG
+          // wraps silently past |dv| ~ 3.0e9 cents under non-ANSI Spark
+          sum($"dv".cast(dec) * $"dv").as("sd2"),
           sum($"dv".cast(dec) * $"dv" * $"dv").as("sd3"))
         .withColumn("a", expr("n * sd2 - sd1 * sd1"))
         .select($"event_type", $"n", $"mean_cents",

@@ -205,7 +205,13 @@ object AvroCodec {
               } catch { case e: Throwable => quietClose(r); throw e }
               reader = r
             }
-            return body(reader)
+            val out = body(reader)
+            // a successful read proves the channel recovered: replenish
+            // the budget so a long file surviving N transient resets
+            // spread over its lifetime is not permanently failed by a
+            // fixed per-iterator allowance
+            retries = ReadRetries
+            return out
           } catch {
             case e: Throwable if retries > 0 && transientIO(e) =>
               retries -= 1
@@ -223,6 +229,10 @@ object AvroCodec {
       }
 
       def next(): RawdataMessage = {
+        // after the TaskCompletionListener closed the reader, a stray
+        // next() must NOT re-open the file via attempt() — the new
+        // handle would leak for the executor's lifetime
+        if (closed) throw new NoSuchElementException("iterator closed")
         val m = attempt(r => fromRecord(r.next()))
         delivered += 1
         m

@@ -109,4 +109,42 @@ class ScaleTechniquesSpec extends SparkSpec {
       assert(ratio > 0.4 && ratio < 0.5, s"n=$n step=$step nlist/sqrt(n)=$ratio")
     }
   }
+
+  test("centroidStepFor is the literal twin of its SQL scalar-subquery form") {
+    import graft.queries.AnnQueries.centroidStepFor
+    // the IVF oracles now derive the step in SQL as
+    // GREATEST(100, CAST(FLOOR(sqrt(5.0*n)+0.5) AS BIGINT)); prove the
+    // Scala rule evaluates identically across the floor boundary and
+    // well past it (sqrt/floor are IEEE-deterministic on both engines —
+    // a mismatch here means one side drifted from the shared formula)
+    val ns = (Seq(1L, 499L, 500L, 1999L, 2000L, 2001L, 2010L, 2048L, 5000L) ++
+      Seq(20000L, 200000L, 2000000L, 2000000000L)).map(_.toString + "L").mkString(",")
+    val rows = spark.sql(
+      s"""SELECT n, GREATEST(100L, CAST(FLOOR(sqrt(5.0 * n) + 0.5) AS BIGINT)) AS st
+         |FROM (SELECT explode(array($ns)) AS n)""".stripMargin).collect()
+    rows.foreach { r =>
+      val n = r.getLong(0)
+      assert(r.getLong(1) === centroidStepFor(n), s"n=$n")
+    }
+  }
+
+  test("driver fixtures stay on the static-oracle floors (band width + IVF step)") {
+    import graft.queries.AnnQueries.centroidStepFor
+    import graft.queries.DedupQueries.embedLshBitsFor
+    // EmbedPairCtes (the emb_knn / dd_embed_lsh / ann_band_stats oracle
+    // chain) unrolls 8-bit hyperplane constants; the IVF oracles now
+    // track COUNT(*), but the embed-band oracle is static. This guard
+    // fails LOUDLY if any driver fixture grows past the floor — the
+    // signal to widen the oracle CASE, instead of a silent divergence.
+    for (d <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val p = new java.io.File(s"/root/testdata/$d/embeddings.parquet")
+      if (p.exists()) {
+        val n = spark.read.parquet(p.toString).count()
+        assert(embedLshBitsFor(n) === 8,
+          s"$d: $n embeddings crossed the 8-bit band floor — the static " +
+            "EmbedPairCtes oracle constants no longer replay; add a width CASE")
+        assert(centroidStepFor(n) >= 100L)
+      }
+    }
+  }
 }
