@@ -175,11 +175,12 @@ object Bench {
     // (amp=100, ~sf10, ~1.7 GB parquet): index builds and headline
     // queries on an `amp`× key-offset content-perturbed corpus. The
     // amp=10 stage compares each query's min-of-2 time against 10× its
-    // sf0.1 bench time; the amp=100 stage compares a single pass (its
-    // runtimes are long enough that GC noise is relative noise) against
-    // 10× the amp=10 MIN time — decade-over-decade, so base-scale noise
-    // doesn't compound into the second-decade ratio, with a tighter 1.3×
-    // flag threshold. SPARK_GRAFT_AMP=0 / SPARK_GRAFT_AMP2=0 disable;
+    // sf0.1 bench time; the amp=100 stage is ALSO min-of-2 (a single
+    // pass once flagged rd_read_topic 1.53× from what was plain GC/page-
+    // cache noise — min-of-N is the only way to tell noise from drift)
+    // against 10× the amp=10 MIN time — decade-over-decade, so
+    // base-scale noise doesn't compound into the second-decade ratio,
+    // with a tighter 1.3× flag threshold. SPARK_GRAFT_AMP=0 / SPARK_GRAFT_AMP2=0 disable;
     // runs only for the bench-default sf0.1 corpus.
     def scaleJson(r: ScaleProbe.Result): String = {
       val idx = r.indexSec.map { case (n, v) => "\"" + n + "_index_build_sec\":" + fmt(v) }
@@ -207,8 +208,8 @@ object Bench {
       try {
         val dest = ampDir(amp2)
         val r = ScaleProbe.run(spark, sfDir, dest, amp2, headlineNames,
-          r10.queries.toMap, linFactor = amp2.toDouble / amp, passes = 1,
-          flagRatio = 1.3, budgetSec = 1500.0)
+          r10.queries.toMap, linFactor = amp2.toDouble / amp, passes = 2,
+          flagRatio = 1.3, budgetSec = 1800.0)
         // the second-decade corpus (+topic+indexes, several GB) is probe
         // scratch — reclaim it; the amp=10 dir stays for dev iteration
         ScaleProbe.rmTree(new java.io.File(dest))

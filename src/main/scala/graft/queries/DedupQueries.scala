@@ -827,15 +827,18 @@ object DedupQueries {
     "pipe_report" -> { (s, d) =>
       import s.implicits._
       val perDoc = TextQueries.qualityScored(t(s, d, "documents"))
+        .withColumn("text_clean", TextQueries.scrubbed($"text"))
         .select($"doc_id",
           size(split($"text", " +")).cast("long").as("n_tok"),
           (floor($"score" * lit(1000000.0) + lit(0.5)).cast("long") >= 550000).as("q_ok"),
-          md5($"text").as("f"))
+          md5($"text").as("f"),
+          size(expr(s"regexp_extract_all(text_clean, '${TextQueries.MaskAlt}', 0)"))
+            .cast("long").as("n_masks"))
         .persist()
       val qd = perDoc.filter($"q_ok")
       val keepFirst = qd.groupBy($"f").agg(min($"doc_id").as("doc_id"))
       val kept1 = qd.join(keepFirst.select($"doc_id"), Seq("doc_id"), "left_semi")
-        .select($"doc_id", $"n_tok").persist()
+        .select($"doc_id", $"n_tok", $"n_masks").persist()
       val ids = kept1.select($"doc_id")
       val losers = CorpusLshIndex.jaccard(s, d)
         .join(ids.select($"doc_id".as("doc_a")), Seq("doc_a"), "left_semi")
@@ -848,10 +851,18 @@ object DedupQueries {
           coalesce(sum($"n_tok"), lit(0L)).as("n_tokens"),
           count(lit(1)).as("n_docs"))
           .select(lit(n).as("stage"), lit(name).as("stage_name"), $"n_docs", $"n_tokens")
+      // stage 5 is a TRANSFORM, not a filter: its pair reports docs
+      // touched / spans redacted (what a curation run logs for scrub)
+      // rather than survivors / token mass — nothing is dropped
+      val scrubRow = cleaned.agg(
+        coalesce(sum(when($"n_masks" > 0, 1L).otherwise(0L)), lit(0L)).as("n_docs"),
+        coalesce(sum($"n_masks"), lit(0L)).as("n_tokens"))
+        .select(lit(5L).as("stage"), lit("scrub").as("stage_name"), $"n_docs", $"n_tokens")
       stage(1, "raw", perDoc)
         .unionByName(stage(2, "quality", qd))
         .unionByName(stage(3, "exact_dedup", kept1))
         .unionByName(stage(4, "near_dedup", cleaned))
+        .unionByName(scrubRow)
         .orderBy($"stage")
     },
 
@@ -1028,12 +1039,18 @@ object DedupQueries {
     },
 
     // end-to-end corpus cleaning: quality gate → exact dedup (keep-first)
-    // → LSH near-dup removal (drop the later doc of each verified pair).
+    // → LSH near-dup removal (drop the later doc of each verified pair)
+    // → PII scrub of the survivors (txt_scrub's passes — redaction runs
+    // LAST so the regexp work is paid only for text that ships).
     // The flagship composition — each stage is one of the operators above,
     // chained without materializing anything but the shingle set.
     "pipe_clean_corpus" -> { (s, d) =>
       import s.implicits._
-      cleanedCorpus(s, d).select($"doc_id", $"source")
+      cleanedCorpus(s, d)
+        .withColumn("text_clean", TextQueries.scrubbed($"text"))
+        .select($"doc_id", $"source",
+          size(expr(s"regexp_extract_all(text_clean, '${TextQueries.MaskAlt}', 0)"))
+            .cast("long").as("n_masks"))
     },
 
     // ...and the capstone composition: the cleaned corpus packed into
@@ -1753,6 +1770,10 @@ object DedupQueries {
           |  CAST(COALESCE(SUM(len(string_split_regex(text, ' +'))), 0) AS BIGINT) FROM kept1
           |UNION ALL SELECT 4, 'near_dedup', CAST(COUNT(*) AS BIGINT),
           |  CAST(COALESCE(SUM(len(string_split_regex(text, ' +'))), 0) AS BIGINT) FROM cleaned
+          |UNION ALL SELECT 5, 'scrub',
+          |  CAST(COALESCE(SUM(CASE WHEN n_masks > 0 THEN 1 ELSE 0 END), 0) AS BIGINT),
+          |  CAST(COALESCE(SUM(n_masks), 0) AS BIGINT)
+          |FROM (SELECT CAST(len(regexp_extract_all(${TextQueries.scrubSqlExpr("text")}, '${TextQueries.MaskAlt}')) AS BIGINT) AS n_masks FROM cleaned)
           |ORDER BY stage""".stripMargin),
 
     "dd_leakage" ->
@@ -2069,10 +2090,13 @@ object DedupQueries {
           |  JOIN keep_first k ON k.doc_id = q.doc_id),
           |${lshCtes("kept1")},
           |$JaccardCtes,
-          |losers AS (SELECT DISTINCT doc_b FROM jacc WHERE jaccard_ppm >= 400000)
-          |SELECT doc_id, source FROM kept1
-          |WHERE doc_id NOT IN (SELECT doc_b FROM losers)
-          |ORDER BY doc_id""".stripMargin),
+          |losers AS (SELECT DISTINCT doc_b FROM jacc WHERE jaccard_ppm >= 400000),
+          |surv AS (
+          |  SELECT doc_id, source, ${TextQueries.scrubSqlExpr("text")} AS text_clean
+          |  FROM kept1 WHERE doc_id NOT IN (SELECT doc_b FROM losers))
+          |SELECT doc_id, source,
+          |  CAST(len(regexp_extract_all(text_clean, '${TextQueries.MaskAlt}')) AS BIGINT) AS n_masks
+          |FROM surv ORDER BY doc_id""".stripMargin),
 
     // clean chain + samp_waterfill's solve on the cleaned profile +
     // the admission window, ending in the |sources|-row manifest

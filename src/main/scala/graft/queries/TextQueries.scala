@@ -108,6 +108,37 @@ object TextQueries {
        | + 0.3 * (1.0 - len(list_filter(string_split_regex(text, ' +'), x -> x IN (${inList(stopwords)}))) / CAST(len(string_split_regex(text, ' +')) AS DOUBLE))
        | + 0.3 * LEAST(length(replace(text, ' ', '')) / CAST(len(string_split_regex(text, ' +')) AS DOUBLE) / 8.0, 1.0))""".stripMargin
 
+  /** PII scrub passes: (pattern, mask), applied IN ORDER — emails before
+    * long numbers (an address's digit run must disappear with the email,
+    * not survive as a half-masked `<NUM>`), URLs before numbers for the
+    * same reason. The patterns are the txt_pii scan patterns, whose
+    * Java≡RE2 extraction parity the txt_pii oracle already proves on
+    * this corpus; replacement rewrites the same match spans. Shared by
+    * txt_scrub, the pipe_clean_corpus scrub stage and the streaming
+    * scrub gate so every path redacts identically.
+    */
+  private[queries] val ScrubPasses: Seq[(String, String)] = Seq(
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>",
+    "https?://[^ ]+" -> "<URL>",
+    "[0-9]{6,}" -> "<NUM>")
+
+  /** the redaction transform: nested codegen'd regexp_replace passes —
+    * narrow, no shuffle, no UDF
+    */
+  private[graft] def scrubbed(text: Column): Column =
+    ScrubPasses.foldLeft(text) { case (c, (p, m)) => regexp_replace(c, p, m) }
+
+  /** DuckDB twin of [[scrubbed]] over a SQL expression (the 'g' flag is
+    * the replace-all parity rule)
+    */
+  private[queries] def scrubSqlExpr(col: String): String =
+    ScrubPasses.foldLeft(col) { case (c, (p, m)) => s"regexp_replace($c, '$p', '$m', 'g')" }
+
+  /** counts mask tokens in already-scrubbed text (SQL-expr form usable
+    * in both engines' dialects via the shared regexp_extract_all)
+    */
+  private[graft] val MaskAlt = "<EMAIL>|<URL>|<NUM>"
+
   val queries: Map[String, Q] = Map(
     // token counting: whitespace tokens, regex word tokens, distinct words
     "txt_tokens" -> { (s, d) =>
@@ -244,6 +275,21 @@ object TextQueries {
           sum($"longnums").as("n_longnums"),
           sum(when($"emails" + $"urls" + $"longnums" > 0, 1L).otherwise(0L)).as("n_flagged"))
         .orderBy($"source")
+    },
+
+    // the redaction transform txt_pii only scans for: emails → <EMAIL>,
+    // URLs → <URL>, 6+-digit runs → <NUM>, applied in that order so an
+    // address's digits leave with the address. Per doc the scrubbed
+    // text plus the inserted-mask count — the step every training
+    // pipeline actually runs after the scan says "flagged". Scale
+    // shape: three chained codegen'd regexp passes, zero shuffles.
+    "txt_scrub" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", scrubbed($"text").as("text_clean"))
+        .withColumn("n_masks",
+          size(expr(s"regexp_extract_all(text_clean, '$MaskAlt', 0)")).cast("long"))
+        .orderBy($"doc_id")
     },
 
     // top character-trigram profile per language (explode → count →
@@ -1226,6 +1272,13 @@ object TextQueries {
         |  CAST(SUM(longnums) AS BIGINT) AS n_longnums,
         |  CAST(SUM(CASE WHEN emails + urls + longnums > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
+    "txt_scrub" ->
+      (s"""WITH sc AS (
+          |  SELECT doc_id, ${scrubSqlExpr("text")} AS text_clean FROM documents)
+          |SELECT doc_id, text_clean,
+          |  CAST(len(regexp_extract_all(text_clean, '$MaskAlt')) AS BIGINT) AS n_masks
+          |FROM sc ORDER BY doc_id""".stripMargin),
 
     "txt_ngram_profile" ->
       """WITH grams AS (

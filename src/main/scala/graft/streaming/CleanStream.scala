@@ -342,6 +342,25 @@ object CleanStream {
     * `docs`: streaming (doc_id, text, source, ...). Returns
     * (doc_id, source, q_ppm, keep).
     */
+  /** Streaming PII-SCRUB gate — txt_scrub's stream twin: every arriving
+    * document's text is redacted (emails/URLs/long digit runs → typed
+    * masks, in txt_scrub's pass order) BEFORE it is written anywhere
+    * downstream — redact-at-ingest is the only shape that guarantees raw
+    * PII never lands in a durable sink. Entirely STATELESS: three
+    * chained codegen'd regexp passes plus a mask count, no watermark,
+    * no state store; the transform is the SAME column expression the
+    * batch operator uses, so stream and batch scrub byte-identically
+    * (StreamScrubSpec).
+    *
+    * `docs`: streaming (doc_id, text, ...). Passes every other column
+    * through; replaces `text` with the scrubbed form and adds n_masks.
+    */
+  def scrubGate(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text", TextQueries.scrubbed(col("text")))
+      .withColumn("n_masks",
+        size(expr(s"regexp_extract_all(text, '${TextQueries.MaskAlt}', 0)")).cast("long"))
+
   def qualitySampleGate(docs: DataFrame): DataFrame =
     TextQueries.qualityScored(docs)
       .withColumn("q_ppm",
