@@ -71,11 +71,38 @@ object CurationQueries {
     * (10k+ merges) is then merges/[[BpeBatch]] driver-scheduled rounds,
     * not one round per merge — per-round cost stays vocab-sized either
     * way.
+    *
+    * 384 = the vocab-scale cap (a round-9 ask): early rounds select
+    * fewer than [[BpeBatch]] pairs (round 1's pool is the character
+    * alphabet, and winners must be symbol-disjoint), so the cap leaves
+    * headroom over the ≥256 merges BpeVocabScaleSpec demonstrates on a
+    * rich-vocabulary corpus. The DRIVER testdata corpus cannot reach it
+    * — its documents hold only 31 distinct words, so word-level BPE
+    * runs dry at ~45 merges; the training loop detects the dry round
+    * (no pairs ⇒ every later round is empty too — the global best pair
+    * always wins, so a non-empty pair relation always selects) and
+    * stops, which keeps the saturated-corpus bench cost at the old
+    * 4-round level while a rich corpus gets all 12 rounds. Cost scales
+    * with ROUNDS (pair counting + fixed job overhead), not merges.
     */
-  private[queries] val BpeMerges = 32
+  private[queries] val BpeMerges = 384
 
   /** disjoint merges selected per batched round */
-  private[queries] val BpeBatch = 8
+  private[queries] val BpeBatch = 32
+
+  /** local-maxima PEELING layers per round: one mutual-best pass over a
+    * dense pair graph yields only ~|symbols|/2e winners (mutual-best is
+    * a sparse matching), far under the [[BpeBatch]] cap — so each round
+    * peels up to 8 layers, every layer re-running the SAME mutual-best
+    * rule over the pairs whose symbols no earlier layer touched. The
+    * union stays pairwise symbol-disjoint (each layer is disjoint
+    * internally, and cross-layer pairs can't share a peeled symbol), so
+    * the batch-application guarantee is unchanged; the final top-
+    * [[BpeBatch]] rank runs over the union. Within a non-empty
+    * remainder the global best always wins its layer, so peeling only
+    * stops early when the remainder is empty.
+    */
+  private[queries] val BpeLayers = 8
 
   private[queries] val BpeRounds: Int = BpeMerges / BpeBatch
 
@@ -91,16 +118,34 @@ object CurationQueries {
   private def selectBatch(words: DataFrame): DataFrame = {
     val s = words.sparkSession
     import s.implicits._
-    val pairs = pairsOf(words)
-    val sym = pairs.select($"a", $"b", $"pair_n",
-      explode(array_distinct(array($"a", $"b"))).as("s"))
-    val winners = sym.groupBy($"s").agg(
-      min(struct((-$"pair_n").as("np"), $"a".as("wa"), $"b".as("wb"))).as("m"))
-    val sel = sym.join(winners, Seq("s"))
-      .filter($"m.np" === -$"pair_n" && $"m.wa" === $"a" && $"m.wb" === $"b")
-      .groupBy($"a", $"b", $"pair_n").agg(count(lit(1)).as("wins"))
-      .filter($"wins" === when($"a" === $"b", 1L).otherwise(2L))
-    sel.orderBy($"pair_n".desc, $"a", $"b").limit(BpeBatch)
+    // the pair relation feeds every layer — checkpoint so the word scan
+    // behind it runs once per round (vocab-sized, single partition)
+    val pairs = pairsOf(words).coalesce(1).localCheckpoint(true)
+    var rem = pairs
+    val layers = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to BpeLayers) {
+      val sym = rem.select($"a", $"b", $"pair_n",
+        explode(array_distinct(array($"a", $"b"))).as("s"))
+      val winners = sym.groupBy($"s").agg(
+        min(struct((-$"pair_n").as("np"), $"a".as("wa"), $"b".as("wb"))).as("m"))
+      // each layer's winners are cut: the remainder chain references
+      // them twice (both anti-joins), and an uncut chain doubles per
+      // layer the same way the round loop would per round
+      val sel = sym.join(winners, Seq("s"))
+        .filter($"m.np" === -$"pair_n" && $"m.wa" === $"a" && $"m.wb" === $"b")
+        .groupBy($"a", $"b", $"pair_n").agg(count(lit(1)).as("wins"))
+        .filter($"wins" === when($"a" === $"b", 1L).otherwise(2L))
+        .select($"a", $"b", $"pair_n")
+        .coalesce(1).localCheckpoint(true)
+      layers += sel
+      val selSyms = sel.select(explode(array($"a", $"b")).as("s")).distinct()
+      rem = rem
+        .join(selSyms.select($"s".as("a")), Seq("a"), "left_anti")
+        .join(selSyms.select($"s".as("b")), Seq("b"), "left_anti")
+        .select($"a", $"b", $"pair_n")
+    }
+    layers.result().reduce(_ union _)
+      .orderBy($"pair_n".desc, $"a", $"b").limit(BpeBatch)
       .withColumn("rn",
         row_number().over(Window.orderBy($"pair_n".desc, $"a", $"b")))
       .select($"rn", $"a", $"b", $"pair_n")
@@ -153,7 +198,41 @@ object CurationQueries {
     * chain per reference — (2·BpeBatch)^rounds copies of the base scan
     * ("Too many open files" long before any result).
     */
-  private def bpeRoundSql(r: Int): String =
+  private def bpeRoundSql(r: Int): String = {
+    // per-layer peeling CTEs (the selectBatch twin): layer 1 selects
+    // over p$r, layer l > 1 over the pairs whose symbols no earlier
+    // layer used; every CTE is MATERIALIZED (multi-referenced — see the
+    // round-chain comment above)
+    val layerCtes = (1 to BpeLayers).map { l =>
+      val src = if (l == 1) s"p$r" else s"rem${r}_$l"
+      val remCte =
+        if (l == 1) ""
+        else {
+          val prev = if (l == 2) s"p$r" else s"rem${r}_${l - 1}"
+          s"""rem${r}_$l AS MATERIALIZED (
+             |  SELECT a, b, pair_n FROM $prev
+             |  WHERE a NOT IN (SELECT s FROM used${r}_${l - 1})
+             |    AND b NOT IN (SELECT s FROM used${r}_${l - 1})),
+             |""".stripMargin
+        }
+      val carry = if (l > 1) s"UNION ALL SELECT s FROM used${r}_${l - 1}" else ""
+      s"""${remCte}sym${r}_$l AS MATERIALIZED (SELECT DISTINCT a, b, pair_n, s
+         |          FROM (SELECT a, b, pair_n, unnest([a, b]) AS s FROM $src)),
+         |win${r}_$l AS MATERIALIZED (SELECT s, a, b FROM (
+         |    SELECT s, a, b, ROW_NUMBER() OVER (PARTITION BY s ORDER BY pair_n DESC, a, b) AS wrn
+         |    FROM sym${r}_$l) WHERE wrn = 1),
+         |sel${r}_$l AS MATERIALIZED (
+         |  SELECT y.a, y.b, y.pair_n
+         |  FROM sym${r}_$l y JOIN win${r}_$l x ON y.s = x.s AND y.a = x.a AND y.b = x.b
+         |  GROUP BY 1, 2, 3
+         |  HAVING COUNT(*) = CASE WHEN y.a = y.b THEN 1 ELSE 2 END),
+         |used${r}_$l AS MATERIALIZED (
+         |  SELECT DISTINCT s FROM (
+         |    SELECT unnest([a, b]) AS s FROM sel${r}_$l
+         |    $carry))""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeLayers)
+      .map(l => s"SELECT a, b, pair_n FROM sel${r}_$l").mkString(" UNION ALL ")
     s"""p$r AS MATERIALIZED (
        |  SELECT a, b, CAST(SUM(wn) AS BIGINT) AS pair_n FROM (
        |    SELECT w, wn, sym AS a, LEAD(sym) OVER (PARTITION BY w ORDER BY i) AS b
@@ -161,21 +240,13 @@ object CurationQueries {
        |                 generate_subscripts(regexp_extract_all(w, '\\(([^)]*)\\)', 1), 1) AS i
        |          FROM w${r - 1}))
        |  WHERE b IS NOT NULL GROUP BY 1, 2),
-       |sym$r AS MATERIALIZED (SELECT DISTINCT a, b, pair_n, s
-       |          FROM (SELECT a, b, pair_n, unnest([a, b]) AS s FROM p$r)),
-       |win$r AS MATERIALIZED (SELECT s, a, b FROM (
-       |    SELECT s, a, b, ROW_NUMBER() OVER (PARTITION BY s ORDER BY pair_n DESC, a, b) AS wrn
-       |    FROM sym$r) WHERE wrn = 1),
-       |sel$r AS MATERIALIZED (
-       |  SELECT y.a, y.b, y.pair_n
-       |  FROM sym$r y JOIN win$r x ON y.s = x.s AND y.a = x.a AND y.b = x.b
-       |  GROUP BY 1, 2, 3
-       |  HAVING COUNT(*) = CASE WHEN y.a = y.b THEN 1 ELSE 2 END),
+       |$layerCtes,
        |top$r AS MATERIALIZED (
        |  SELECT a, b, pair_n, ROW_NUMBER() OVER (ORDER BY pair_n DESC, a, b) AS rn
-       |  FROM (SELECT * FROM sel$r ORDER BY pair_n DESC, a, b LIMIT $BpeBatch)),
+       |  FROM (SELECT * FROM ($union) ORDER BY pair_n DESC, a, b LIMIT $BpeBatch)),
        |w$r AS MATERIALIZED (SELECT ${bpeApplySql("w", r)} AS w, CAST(SUM(wn) AS BIGINT) AS wn
        |        FROM w${r - 1} GROUP BY 1)""".stripMargin
+  }
 
   /** fold a SQL expression through round r's merges in rank order —
     * scalar subqueries against top$r, chr(1) as the absent-merge no-op
@@ -443,10 +514,23 @@ object CurationQueries {
       // corpus pass behind it runs once, not once per round
       var words = toks.groupBy($"w").agg(count(lit(1)).as("wn")).localCheckpoint(true)
       var enc = words.select($"w".as("orig"), $"w".as("cur"))
-      for (_ <- 1 to BpeRounds) {
+      var round = 1
+      var dry = false
+      while (round <= BpeRounds && !dry) {
         val top = selectBatch(words)
-        words = applyBatch(words, top).localCheckpoint(true)
-        enc = applyBatchTo(enc, top, "cur").select($"orig", $"cur")
+        // top is checkpointed — the emptiness probe costs one local scan.
+        // Empty ⇒ no pairs remain ⇒ every later round is empty too
+        // (oracle parity: the SQL's remaining rounds are all no-ops)
+        dry = top.head(1).isEmpty
+        if (!dry) {
+          words = applyBatch(words, top).localCheckpoint(true)
+          // the encode chain is cut per round too: uncut it accumulates
+          // BpeBatch broadcast-joins PER ROUND (BpeMerges total) and
+          // Catalyst analysis goes quadratic in that depth at vocab scale
+          enc = applyBatchTo(enc, top, "cur").select($"orig", $"cur")
+            .localCheckpoint(true)
+        }
+        round += 1
       }
       toks.join(enc, toks("w") === enc("orig"))
         .withColumn("n_sym", expr("CAST(size(regexp_extract_all(cur, '\\\\(([^)]*)\\\\)', 1)) AS BIGINT)"))
@@ -478,12 +562,26 @@ object CurationQueries {
         .select(expr("regexp_replace(tok, '(.)', '($1)')").as("w"))
         .groupBy($"w").agg(count(lit(1)).as("wn"))
         .localCheckpoint(true)
-      val tops = (1 to BpeRounds).map { r =>
+      val tops = Seq.newBuilder[DataFrame]
+      var round = 1
+      var dry = false
+      while (round <= BpeRounds && !dry) {
         val top = selectBatch(words)
-        words = applyBatch(words, top).localCheckpoint(true)
-        top.select(lit(r.toLong).as("round"), $"rn", $"a", $"b", $"pair_n")
+        // empty round ⇒ pairs ran dry ⇒ all later rounds empty (the
+        // global best pair always wins, so non-empty pairs always
+        // select); stopping early changes nothing vs the oracle's
+        // no-op rounds and keeps a saturated corpus at its dry depth
+        dry = top.head(1).isEmpty
+        if (!dry) {
+          words = applyBatch(words, top).localCheckpoint(true)
+          tops += top.select(lit(round.toLong).as("round"), $"rn", $"a", $"b", $"pair_n")
+        }
+        round += 1
       }
-      tops.reduce(_.union(_))
+      // a corpus with no adjacent pairs at all yields zero rounds
+      val empty = s.range(0).select(lit(0L).as("round"), lit(0).as("rn"),
+        lit("").as("a"), lit("").as("b"), lit(0L).as("pair_n"))
+      (empty +: tops.result()).reduce(_.union(_))
         .withColumn("rnk",
           row_number().over(Window.orderBy($"round", $"rn")).cast("long"))
         .select($"rnk", $"a", $"b", concat($"a", $"b").as("merged"), $"pair_n")
@@ -805,7 +903,14 @@ object CurationQueries {
         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
 
     "txt_bpe_encode" -> {
-      val encExpr = (1 to BpeRounds).foldLeft("w")(bpeApplySql)
+      // the encode fold is CHAINED per-round CTEs, not one giant nested
+      // expression: at 320 merges a single fold nests ~2 levels per
+      // merge and crosses DuckDB's max_expression_depth; per-round CTEs
+      // cap the depth at 2·BpeBatch and mirror the Spark loop's
+      // per-round checkpoint structure exactly
+      val encCtes = (1 to BpeRounds).map(r =>
+        s"enc$r AS MATERIALIZED (SELECT orig, ${bpeApplySql("cur", r)} AS cur FROM enc${r - 1})")
+        .mkString(",\n")
       s"""WITH toks AS (
          |  SELECT doc_id, regexp_replace(tok, '(.)', '(\\1)', 'g') AS w,
          |    CAST(length(tok) AS BIGINT) AS nch
@@ -813,7 +918,9 @@ object CurationQueries {
          |  WHERE length(tok) > 0),
          |w0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM toks GROUP BY 1),
          |${(1 to BpeRounds).map(bpeRoundSql).mkString(",\n")},
-         |enc AS (SELECT w AS orig, $encExpr AS cur FROM w0)
+         |enc0 AS (SELECT w AS orig, w AS cur FROM w0),
+         |$encCtes,
+         |enc AS (SELECT orig, cur FROM enc$BpeRounds)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
          |  CAST(SUM(nch) AS BIGINT) AS n_chars,
          |  CAST(SUM(len(regexp_extract_all(enc.cur, '\\(([^)]*)\\)', 1))) AS BIGINT) AS n_subtok,

@@ -263,51 +263,15 @@ class CurationOpsSpec extends SparkSpec {
     val got = CurationQueries.queries("txt_bpe")(spark, sf).collect()
       .sortBy(_.getAs[Long]("rnk"))
       .map(r => (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("pair_n")))
-    // plain-Scala reference of the BATCHED algorithm: per round, weighted
-    // pair counts over the distinct-word multiset, locally-maximal
-    // symbol-disjoint selection (a pair wins iff it best-ranks among all
-    // pairs sharing either symbol), top-BpeBatch by (count desc, lex),
-    // applied greedily left-to-right in rank order
+    // plain-Scala reference of the BATCHED+LAYERED algorithm — shared
+    // with BpeVocabScaleSpec so small- and vocab-scale runs check the
+    // identical executable spec (see BpeReference for the rule)
     val toks = graft.Tables.t(spark, sf, "documents")
       .selectExpr("explode(split(text, ' +')) AS tok")
-      .filter($"tok" =!= "").collect().map(_.getString(0))
-    var words: Map[Vector[String], Long] =
-      toks.groupBy(identity).map { case (t, g) => t.map(_.toString).toVector -> g.length.toLong }
-    def rank(p: ((String, String), Long)): (Long, String, String) = (-p._2, p._1._1, p._1._2)
-    val refRounds = (1 to CurationQueries.BpeRounds).map { _ =>
-      val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
-      for ((w, n) <- words; i <- 0 until w.length - 1) pc((w(i), w(i + 1))) += n
-      val bySym = scala.collection.mutable.Map.empty[String, ((String, String), Long)]
-      for (p <- pc; s <- Set(p._1._1, p._1._2))
-        if (!bySym.contains(s) ||
-            Ordering[(Long, String, String)].lt(rank(p), rank(bySym(s)))) bySym(s) = p
-      val top = pc.toSeq
-        .filter { case p@((a, b), _) => Set(a, b).forall(s => bySym(s) == p) }
-        .sortBy(rank).take(CurationQueries.BpeBatch)
-      for (((a, b), _) <- top) {
-        words = words.toSeq.map { case (w, wn) =>
-          val nw = Vector.newBuilder[String]
-          var i = 0
-          while (i < w.length) {
-            if (i + 1 < w.length && w(i) == a && w(i + 1) == b) { nw += a + b; i += 2 }
-            else { nw += w(i); i += 1 }
-          }
-          (nw.result(), wn)
-        }.groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }
-      }
-      top.map { case ((a, b), n) => (a, b, n) }
-    }
-    val ref = refRounds.flatten
+      .filter($"tok" =!= "").collect().map(_.getString(0)).toSeq
+    val ref = BpeReference.merges(toks)
     assert(got.toSeq === ref,
       s"BPE merge table diverged from the batched reference: got ${got.toSeq}, want $ref")
-    // within a round, selection order is count-desc; the first merge of a
-    // later round may legitimately out-count the last merge of an earlier
-    // round (its conflicting rival was deferred), so monotonicity holds
-    // per round only
-    refRounds.foreach { g =>
-      assert(g.map(_._3) === g.map(_._3).sortBy(-_),
-        "merge counts must be non-increasing within a round")
-    }
   }
 
   test("txt_bpe_encode compresses: n_tok ≤ n_subtok ≤ n_chars, covers every doc, merges actually fired") {
