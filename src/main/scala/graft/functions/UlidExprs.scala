@@ -64,6 +64,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(s"ulid_ts_ms expects 1 argument, got ${exprs.size}")
         UlidTimestampMs(exprs.head)
       }))
+    // ln_micro(v) — deterministic integer ln(v)·10⁶ (see FixedLnOps)
+    ext.injectFunction((
+      FunctionIdentifier("ln_micro"),
+      new ExpressionInfo(classOf[LnMicro].getName, "ln_micro"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.size != 1)
+          throw new IllegalArgumentException(s"ln_micro expects 1 argument, got ${exprs.size}")
+        LnMicro(exprs.head)
+      }))
     // hyperplane_bands(q, tables, bits[, dims]) — SQL access to the native
     // LSH banding expression (tables/bits/dims must be literal ints)
     ext.injectFunction((

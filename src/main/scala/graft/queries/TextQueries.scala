@@ -726,16 +726,14 @@ object TextQueries {
     // Zipf-fit audit: OLS of ln(freq) on ln(rank) over the top-100
     // vocabulary types — the one-row corpus health check (natural text
     // slopes ≈ −1; template-generated or boilerplate-heavy corpora bend
-    // away). Numeric determinism: the only libm calls (the two ln's) are
-    // rounded to integer micro-units immediately, so every sum/product in
-    // the normal equations is EXACT 64-bit integer math; the final
-    // slope/intercept/r² are single IEEE divisions of exact integers.
-    // Caveat: ln itself is only correct to ~1 ulp on either engine, so an
-    // ln value landing within an ulp of a micro-unit .5 boundary could in
-    // principle floor differently per engine — the replay is exact in
-    // practice on the bounded rank/freq domain here (verified by the hash
-    // gate), but it is not a formal bit-exactness guarantee the way
-    // q52_regr's all-integer pipeline is. Scale shape: vocabulary partial agg,
+    // away). Numeric determinism is now CONSTRUCTED, not empirical: the
+    // ln's are the native ln_micro fixed-point expression (FixedLnOps —
+    // exact 64-bit integer algorithm, zero libm calls), the oracle
+    // replays the identical integer steps (FixedLnSql), so every
+    // sum/product in the normal equations is bit-identical across
+    // engines by construction — the same guarantee class as q52_regr's
+    // all-integer pipeline. The final slope/intercept/r² are single IEEE
+    // divisions of exact integers. Scale shape: vocabulary partial agg,
     // a distributed top-100 (TakeOrdered, no global sort), then a window
     // over the 100-row relation.
     "txt_zipf" -> { (s, d) =>
@@ -747,9 +745,7 @@ object TextQueries {
       val wr = Window.orderBy($"n".desc, $"tok")
       val pts = top
         .withColumn("r", row_number().over(wr).cast("long"))
-        .select(
-          floor(log($"r".cast("double")) * lit(1000000.0) + lit(0.5)).cast("long").as("x"),
-          floor(log($"n".cast("double")) * lit(1000000.0) + lit(0.5)).cast("long").as("y"))
+        .select(expr("ln_micro(r)").as("x"), expr("ln_micro(n)").as("y"))
       pts
         .agg(count(lit(1)).as("k"), sum($"x").as("sx"), sum($"y").as("sy"),
           sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
@@ -1523,17 +1519,18 @@ object TextQueries {
         |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
 
     "txt_zipf" ->
-      """WITH toks AS (
+      ("""WITH toks AS (
         |  SELECT unnest(string_split_regex(text, ' +')) AS tok FROM documents),
         |tf AS (
         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
         |  FROM toks WHERE length(tok) > 0 GROUP BY 1),
         |top AS (SELECT n, tok FROM tf ORDER BY n DESC, tok LIMIT 100),
-        |pts AS (
-        |  SELECT
-        |    CAST(floor(ln(CAST(row_number() OVER (ORDER BY n DESC, tok) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
-        |    CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+        |rk AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS r, n
         |  FROM top),
+        |""".stripMargin + FixedLnSql.chain("rk", "lz", Nil, Seq("r", "n"))._1 +
+      s""",
+        |pts AS (SELECT ln_r AS x, ln_n AS y FROM ${FixedLnSql.chain("rk", "lz", Nil, Seq("r", "n"))._2}),
         |s AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
@@ -1554,7 +1551,7 @@ object TextQueries {
         |  CAST(floor(slope * 1000000 + 0.5) AS BIGINT) AS slope_ppm,
         |  CAST(floor(((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE)) + 0.5) AS BIGINT) AS intercept_micro,
         |  CAST(floor((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS r2_ppm
-        |FROM g""".stripMargin,
+        |FROM g""".stripMargin),
 
     "txt_fano" ->
       """WITH toks AS (
