@@ -322,6 +322,39 @@ object RawdataQueries {
             .as("hhi_ppm"),
           expr("(CAST(max_group AS DECIMAL(38,0)) * 1000000) div CAST(n_messages AS DECIMAL(38,0))")
             .as("top_group_ppm"))
+    },
+
+    // publish-to-visibility latency distribution — the SLO number an
+    // operator quotes for a topic (rd_* had rates, skew, backlog and
+    // replay ETA but no "how long until a published message is readable").
+    // A message becomes visible when its window file closes; with the
+    // producer's time windowing that close is forced by the window's LAST
+    // message, so per-message latency = (window max ts − message ts),
+    // data-derived like every other rd_ horizon. Exact percentiles via
+    // the q49/q50 count-of-counts machinery at second granularity (the
+    // latency domain is window-length-bounded: < 86 400 distinct seconds
+    // per window whatever the corpus size) plus the exact millisecond
+    // max. Scale shape: one narrow decode projection, a |files|-row
+    // visibility aggregate broadcast back (calendar-bounded), one partial
+    // agg onto the bounded latency-second key space, and the one prefix
+    // window over that bounded histogram; output is one row.
+    "rd_latency" -> { (s, d) =>
+      val m = Topic.readDF(s, topic(s, d))
+        .select(col("ts_ms"), expr("ts_ms div 86400000").as("day"))
+      val vis = m.groupBy(col("day")).agg(max(col("ts_ms")).as("vis_ms"))
+      val hist = m.join(broadcast(vis), Seq("day"))
+        .select(expr("(vis_ms - ts_ms) div 1000").as("lat_s"),
+          (col("vis_ms") - col("ts_ms")).as("lat_ms"))
+        .groupBy(col("lat_s")).agg(count(lit(1)).as("c"), max(col("lat_ms")).as("mx_ms"))
+      val wCum = Window.partitionBy(lit(1)).orderBy(col("lat_s"))
+      hist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(lit(1))))
+        .agg(max(col("n")).as("n_messages"),
+          min(when(col("cum") * 100 >= col("n") * 50, col("lat_s"))).as("p50_s"),
+          min(when(col("cum") * 100 >= col("n") * 90, col("lat_s"))).as("p90_s"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("lat_s"))).as("p99_s"),
+          max(col("mx_ms")).as("max_ms"))
     }
   )
 
@@ -487,6 +520,27 @@ object RawdataQueries {
         |SELECT n_groups, n_messages, min_group, max_group,
         |  CAST((sumsq * 1000000) // (CAST(n_messages AS HUGEINT) * n_messages) AS BIGINT) AS hhi_ppm,
         |  CAST((CAST(max_group AS HUGEINT) * 1000000) // n_messages AS BIGINT) AS top_group_ppm
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin),
+
+    "rd_latency" -> (M +
+      """, v AS (
+        |  SELECT ts_ms // 86400000 AS day, MAX(ts_ms) AS vis_ms
+        |  FROM m GROUP BY 1),
+        |l AS (
+        |  SELECT (v.vis_ms - m.ts_ms) // 1000 AS lat_s,
+        |    v.vis_ms - m.ts_ms AS lat_ms
+        |  FROM m JOIN v ON m.ts_ms // 86400000 = v.day),
+        |h AS (
+        |  SELECT lat_s, CAST(COUNT(*) AS BIGINT) AS c, MAX(lat_ms) AS mx_ms
+        |  FROM l GROUP BY 1),
+        |cum AS (
+        |  SELECT lat_s, mx_ms, SUM(c) OVER (ORDER BY lat_s) AS cum, SUM(c) OVER () AS n
+        |  FROM h)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_messages,
+        |  MIN(CASE WHEN cum * 100 >= n * 50 THEN lat_s END) AS p50_s,
+        |  MIN(CASE WHEN cum * 100 >= n * 90 THEN lat_s END) AS p90_s,
+        |  MIN(CASE WHEN cum * 100 >= n * 99 THEN lat_s END) AS p99_s,
+        |  MAX(mx_ms) AS max_ms
+        |FROM cum""".stripMargin)
   )
 }

@@ -65,10 +65,14 @@ class PlanAuditSpec extends SparkSpec {
   // q50_stats_hist / rd_compact_plan: windows over the |distinct
   // values| histogram and the |files| listing — both aggregates of the
   // data, bounded whatever the corpus size
+  // rd_latency: its prefix window runs over the latency-seconds
+  // histogram — bounded by the producer window length (< 86 400 rows)
+  // whatever the corpus size, the same calendar/length-bounded class as
+  // q50_stats_hist's value histogram
   private val globalWindowAllowed =
     Set("rd_ordering_group", "samp_systematic", "txt_coverage",
       "samp_waterfill", "samp_neyman", "q50_stats_hist",
-      "rd_compact_plan", "rd_expire_plan")
+      "rd_compact_plan", "rd_expire_plan", "rd_latency")
 
   // deliberate constant-bounded broadcasts the structural rule can't
   // see: ann_* broadcast the fixed 25-row query slice (vec_id <
