@@ -90,6 +90,37 @@ object Bench {
     // so the field stays comparable across rounds
     val ivfSec = timedStage(graft.queries.EmbIvfIndex.ensure(spark, sfDir))
     val indexSec = lshSec + tokenSec + graphSec
+    // LSH index maintenance stage: each append adds one file per bucket,
+    // so candidate generation over a thrice-appended index reads 4 files
+    // per bucket; compact must restore fresh-build read cost. Measured on
+    // a side corpus (75 % base + 3 appends = the SAME full corpus as the
+    // fresh sfDir index, so cand_gen_fresh/appended/compacted are
+    // directly comparable).
+    import org.apache.spark.sql.functions.{col, pmod}
+    def candSec(d: String): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try { graft.queries.CorpusLshIndex.candidateGen(spark, d).count() }
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val candFresh = candSec(sfDir)
+    val cdir = graft.rawdata.Topic.tempDir("bench-lsh-compact")
+    val docsAll = Tables.t(spark, sfDir, "documents")
+    var compactSec, candAppended, candCompacted = -1.0
+    try {
+      docsAll.filter(pmod(col("doc_id"), org.apache.spark.sql.functions.lit(4)) =!= 0)
+        .write.mode("overwrite").parquet(s"$cdir/documents.parquet")
+      graft.queries.CorpusLshIndex.ensure(spark, cdir)
+      for (r <- 0 to 2)
+        graft.queries.CorpusLshIndex.append(spark, cdir,
+          docsAll.filter(pmod(col("doc_id"), org.apache.spark.sql.functions.lit(4)) === 0 &&
+            pmod(col("doc_id"), org.apache.spark.sql.functions.lit(12)) === r * 4))
+      candAppended = candSec(cdir)
+      compactSec = timedStage(graft.queries.CorpusLshIndex.compact(spark, cdir))
+      candCompacted = candSec(cdir)
+    } catch { case _: Throwable => () }
+    finally ScaleProbe.rmTree(new java.io.File(cdir))
     // ingest throughput — the number directly comparable to the reference
     // producer/consumer (messages through the full Avro topic path).
     // Measured twice (fresh dir each time), best run reported: a single
@@ -160,7 +191,7 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val byName = results.toMap
     val headline = headlineNames.flatMap(n => byName.get(n).map(n -> _))
-    val detailLine = s"""{"detail":"per-pass","setup_sec":${fmt(setupSec)},"lsh_index_build_sec":${fmt(lshSec)},"token_index_build_sec":${fmt(tokenSec)},"graph_index_build_sec":${fmt(graphSec)},"ivf_index_build_sec":${fmt(ivfSec)},"index_build_sec":${fmt(indexSec)},"queries_run1":${json(ordered.map { case (n, _) => n -> pass1(n) })},"queries_run2":${json(ordered.map { case (n, _) => n -> pass2(n) })},"queries_rerun":${json(rerun.toSeq.sortBy(_._1))}}"""
+    val detailLine = s"""{"detail":"per-pass","setup_sec":${fmt(setupSec)},"lsh_index_build_sec":${fmt(lshSec)},"token_index_build_sec":${fmt(tokenSec)},"graph_index_build_sec":${fmt(graphSec)},"ivf_index_build_sec":${fmt(ivfSec)},"index_build_sec":${fmt(indexSec)},"lsh_compact_sec":${fmt(compactSec)},"cand_gen_fresh_sec":${fmt(candFresh)},"cand_gen_appended_sec":${fmt(candAppended)},"cand_gen_compacted_sec":${fmt(candCompacted)},"queries_run1":${json(ordered.map { case (n, _) => n -> pass1(n) })},"queries_run2":${json(ordered.map { case (n, _) => n -> pass2(n) })},"queries_rerun":${json(rerun.toSeq.sortBy(_._1))}}"""
     val allLine = s"""{"detail":"all-queries","n":${results.size},"queries":${json(results)}}"""
     val finalLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"ingest_msgs":$nMsgs,"ingest_write_msgs_per_sec":${fmt(writeRate)},"ingest_read_msgs_per_sec":${fmt(readRate)},"lsh_index_build_sec":${fmt(lshSec)},"index_build_sec":${fmt(indexSec)},"queries":${json(headline)},"sf":"$sfDir"}"""
     // pre-probe artifact first: a killed/timed-out probe must never cost

@@ -60,6 +60,10 @@ object CorpusLshIndex {
 
   private def tableName(part: String, tg: String) = s"graft_lsh_${part}_$tg"
 
+  /** catalog table name for a corpus dir's index part (spec access) */
+  private[queries] def tableNameFor(part: String, d: String): String =
+    tableName(part, tag(d))
+
   /** Build the four index tables if this session hasn't yet. `jac` is
     * written LAST so its catalog entry marks the whole index committed —
     * a failed partial build re-runs from scratch (every write is
@@ -253,6 +257,50 @@ object CorpusLshIndex {
     refresh(s, d)
   }
 
+  /** Rewrite every index table into fresh single-file-per-bucket form —
+    * the maintenance op the append path defers (each append adds one
+    * file per bucket, so after N appends every bucketed read opens N
+    * files per bucket and candidate generation pays N× the listing +
+    * open cost; compaction restores fresh-build read shape without
+    * re-deriving anything — no shingling, no banding, no verify, just a
+    * bucket-preserving rewrite of rows the index already holds). The
+    * bucket COUNT is read back from each table's catalog spec (never the
+    * session conf), and the rewrite repartitions on the exact bucket
+    * keys so every task holds one whole bucket — one file per bucket,
+    * and the exchange-free join guarantees are preserved (LshIndexSpec
+    * proves compact == the pre-compact relations, the file collapse,
+    * and the post-compact shuffle-free self-join). Same
+    * localCheckpoint-pin-then-overwrite pattern as
+    * CorpusTokenIndex.compact: the rows are pinned BEFORE the overwrite
+    * so the write never reads the path it replaces (on a cluster the
+    * same rewrite stages to a new table + metastore swap; the pinned
+    * relations here are all candidate-proportional or per-doc hash
+    * tables, never raw corpus text).
+    */
+  def compact(s: SparkSession, d: String): Unit = synchronized {
+    val tg = tag(d)
+    val dir = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft-lsh-index"), tg)
+    val specs = Seq(
+      "sh" -> Seq("doc_id"), "sig" -> Seq("doc_id"), "band" -> Seq("band", "bkey"),
+      "jac" -> Seq("doc_a"), "eband" -> Seq("tbl", "bits"), "epair" -> Seq("vec_a"))
+    for ((part, cols) <- specs) {
+      val tbl = tableName(part, tg)
+      if (s.catalog.tableExists(tbl)) {
+        val n = bucketsOf(s, tbl)
+        val pinned = s.table(tbl).localCheckpoint(true)
+        pinned
+          .repartition(n, cols.map(col): _*)
+          .write.mode(SaveMode.Overwrite)
+          .option("path", new java.io.File(dir, part).getAbsolutePath)
+          .bucketBy(n, cols.head, cols.tail: _*)
+          .saveAsTable(tbl)
+        pinned.unpersist(): Unit
+      }
+    }
+    refresh(s, d)
+  }
+
   /** per-doc DISTINCT word-3-shingle arrays (doc_id, ss) */
   def shingles(s: SparkSession, d: String): DataFrame = read(s, d, "sh")
 
@@ -271,4 +319,12 @@ object CorpusLshIndex {
     */
   def candidates(s: SparkSession, d: String): DataFrame =
     jaccard(s, d).select(col("doc_a"), col("doc_b"))
+
+  /** run candidate generation against the CURRENT band table (the
+    * skew-aware bucketed self-join — the read path whose cost appends
+    * degrade and compact restores; Bench times this fresh vs appended
+    * vs compacted)
+    */
+  def candidateGen(s: SparkSession, d: String): DataFrame =
+    DedupQueries.pairsOfBandsSkewAware(bands(s, d))
 }

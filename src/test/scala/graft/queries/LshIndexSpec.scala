@@ -129,4 +129,51 @@ class LshIndexSpec extends SparkSpec {
     assertExchangeFreeSelfJoin(CorpusLshIndex.bands(spark, dir))
     spark.catalog.clearCache()
   }
+
+  test("compact after 3 appends: relations unchanged, files collapse to one per bucket, join stays exchange-free") {
+    import spark.implicits._
+    val all = t(spark, sf, "documents").select($"doc_id", $"text")
+    val dir = graft.rawdata.Topic.tempDir("lsh-compact")
+    all.filter($"doc_id" % 4 === 0).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    CorpusLshIndex.ensure(spark, dir)
+    for (r <- 1 to 3) CorpusLshIndex.append(spark, dir, all.filter($"doc_id" % 4 === r))
+    val before = Seq("sh", "sig", "band", "jac")
+      .map(p => p -> rows(s_table(dir, p))).toMap
+    val filesBefore = s_table(dir, "band").inputFiles.length
+    CorpusLshIndex.compact(spark, dir)
+    for ((p, want) <- before)
+      assert(rows(s_table(dir, p)) == want, s"compact changed the $p relation")
+    // truth cross-check: the compacted index still equals a from-scratch
+    // rebuild of the union corpus (compact == rebuild, transitively)
+    val shAll = DedupQueries.shingleArrays(all).persist()
+    assert(rows(CorpusLshIndex.jaccard(spark, dir)) == rows(DedupQueries.jaccardOf(shAll)))
+    val buckets = IndexBuckets.bucketsOf(spark, CorpusLshIndex.tableNameFor("band", dir))
+    val filesAfter = s_table(dir, "band").inputFiles.length
+    assert(filesBefore > buckets, s"appends should have multiplied files (got $filesBefore)")
+    assert(filesAfter == buckets, s"compact must leave one file per bucket, got $filesAfter/$buckets")
+    assertExchangeFreeSelfJoin(CorpusLshIndex.bands(spark, dir))
+    spark.catalog.clearCache()
+  }
+
+  test("compact preserves the embedding-side epair/eband relations") {
+    import spark.implicits._
+    val all = t(spark, sf, "embeddings")
+    val base = all.filter($"vec_id" % 4 =!= 0)
+    val batch = all.filter($"vec_id" % 4 === 0).select($"vec_id", $"embedding")
+    val dir = graft.rawdata.Topic.tempDir("lsh-ecompact")
+    base.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    CorpusLshIndex.embedPairs(spark, dir).count()
+    CorpusLshIndex.appendEmbeddings(spark, dir, batch)
+    val want = rows(CorpusLshIndex.embedPairs(spark, dir))
+    CorpusLshIndex.compact(spark, dir)
+    assert(rows(CorpusLshIndex.embedPairs(spark, dir)) == want,
+      "compact changed the epair relation")
+    val buckets = IndexBuckets.bucketsOf(spark, CorpusLshIndex.tableNameFor("epair", dir))
+    assert(CorpusLshIndex.embedPairs(spark, dir).inputFiles.length == buckets,
+      "compact must leave one epair file per bucket")
+    spark.catalog.clearCache()
+  }
+
+  private def s_table(dir: String, part: String) =
+    spark.table(CorpusLshIndex.tableNameFor(part, dir))
 }
