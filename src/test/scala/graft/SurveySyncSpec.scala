@@ -33,4 +33,41 @@ class SurveySyncSpec extends AnyFunSuite {
     assert(orphans.isEmpty,
       s"oracleSql entries with no query: ${orphans.toSeq.sorted.mkString(", ")}")
   }
+
+  /** the OTHER drift direction: a §2 row may only claim DONE while the
+    * latest driver CORRECTNESS artifact backs it — an artifact entry
+    * that failed any check (and isn't a rows-only-by-design no_oracle
+    * entry with rows > 0) must not sit behind a DONE status. Keys added
+    * since the artifact was written are exempt (the keyset test above
+    * already pins them to the registry); absent artifact = test is
+    * vacuous (fresh clone).
+    */
+  test("SURVEY §2 DONE statuses are backed by the latest CORRECTNESS artifact") {
+    val arts = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("CORRECTNESS_r\\d+\\.json"))
+    if (arts.nonEmpty) {
+      val latest = arts.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(latest)
+      val text = {
+        val src = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+        try src.mkString finally src.close()
+      }
+      val s2 = text.split("\n## ").find(_.startsWith("§2"))
+        .getOrElse(fail("SURVEY.md has no §2 section"))
+      val statusRow = """(?m)^\| ([a-z][a-z0-9_]*) \|.*\| ([A-Za-z]+) \|\s*$""".r
+      val statuses = statusRow.findAllMatchIn(s2)
+        .map(m => m.group(1) -> m.group(2)).toMap - "key"
+      val unbacked = statuses.collect {
+        case (key, status) if status == "DONE" && root.has(key) =>
+          val e = root.get(key)
+          def b(f: String) = e.get(f) != null && e.get(f).asBoolean(false)
+          val rowsOnly = e.get("err") != null && e.get("err").asText("") == "no_oracle" &&
+            e.get("spark_rows") != null && e.get("spark_rows").asLong(0) > 0
+          val ok = (b("rows_match") && b("schema_match")) || rowsOnly
+          if (ok) None else Some(key)
+      }.flatten
+      assert(unbacked.isEmpty,
+        s"§2 rows claim DONE but failed ${latest.getName}: ${unbacked.toSeq.sorted.mkString(", ")}")
+    }
+  }
 }
