@@ -559,6 +559,62 @@ object EventQueries {
         .orderBy($"from_type", $"to_type")
     },
 
+    // conditional next-event entropy per current type — ev_markov's
+    // one-number-per-state summary (H(next | cur): a type whose
+    // follow-up is predictable routes to a narrow handler; a
+    // high-entropy type fans out). Exact integer micro-nats: H(next|a)
+    // = ln c_a − (Σ_b c_ab·ln c_ab)/c_a with the native fixed-point
+    // ln_micro kernel and DECIMAL(38,0) sums — c_a ≥ c_ab termwise, so
+    // every summed gap is non-negative (no negative floor-division
+    // trap) and the oracle replays bit-identically. Scale shape:
+    // ev_markov's per-user LEAD window, one (from, to) partial agg,
+    // then a |types|-row rollup; ln_micro is narrow codegen per
+    // transition-matrix row.
+    "ev_entropy_rate" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      ev(s, d)
+        .select($"user_id", $"event_type", $"ts_us", $"event_id")
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"from_type").agg(
+          sum($"n").as("n_trans"),
+          count(lit(1)).as("n_next_types"),
+          sum($"n".cast(dec) * expr("ln_micro(n)")).as("sln"))
+        .withColumn("h_micro",
+          expr("ln_micro(n_trans) - (sln div CAST(n_trans AS DECIMAL(38,0)))").cast("long"))
+        .select($"from_type", $"n_trans", $"n_next_types", $"h_micro")
+        .orderBy($"from_type")
+    },
+
+    // per-user event-type entropy distribution — the engagement-breadth
+    // histogram (single-type users sit in bucket 0; explorers spread
+    // right; the shape shift is the cohort-health signal next to
+    // ev_rfm). Centinat buckets (10⁻² nat) keep the output bounded —
+    // entropy ≤ ln |event types|, so the bucket space never grows with
+    // users — while staying fine enough that a near-uniform corpus
+    // doesn't collapse to one row (the fixed-coarse-bucket trap). Same
+    // exact-integer H as txt_entropy, per user. Scale shape: two chained
+    // partial aggs ((user, type) then user), ln_micro narrow per row,
+    // one bounded-bucket rollup — no windows at all.
+    "ev_user_entropy" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      ev(s, d)
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+        .groupBy($"user_id").agg(
+          sum($"c").as("n"),
+          sum($"c".cast(dec) * expr("ln_micro(c)")).as("slc"))
+        .withColumn("h_micro",
+          expr("ln_micro(n) - (slc div CAST(n AS DECIMAL(38,0)))").cast("long"))
+        .groupBy(expr("h_micro div 10000").as("bucket"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"bucket")
+    },
+
     // weekly cohort accounting — the growth ledger every event platform
     // keeps: per calendar week, how many users were active, how many are
     // new (no activity the week before), retained (active both weeks),
@@ -1610,6 +1666,46 @@ object EventQueries {
         |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
         |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
         |FROM tr ORDER BY from_type, to_type""".stripMargin,
+
+    "ev_entropy_rate" -> {
+      val (lnT, lastT) = FixedLnSql.chain("tr", "era", Seq("from_type"), Seq("n"))
+      val (lnP, lastP) = FixedLnSql.chain("per", "erb",
+        Seq("from_type", "n_next_types", "sln"), Seq("n_trans"))
+      s"""WITH seq AS (
+        |  SELECT event_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |$lnT,
+        |per AS (
+        |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_trans,
+        |    CAST(COUNT(*) AS BIGINT) AS n_next_types,
+        |    SUM(CAST(n AS HUGEINT) * ln_n) AS sln
+        |  FROM $lastT GROUP BY 1),
+        |$lnP
+        |SELECT from_type, n_trans, n_next_types,
+        |  CAST(ln_n_trans - (sln // n_trans) AS BIGINT) AS h_micro
+        |FROM $lastP ORDER BY from_type""".stripMargin
+    },
+
+    "ev_user_entropy" -> {
+      val (lnC, lastC) = FixedLnSql.chain("ut", "eua", Seq("user_id"), Seq("c"))
+      val (lnP, lastP) = FixedLnSql.chain("per", "eub", Seq("user_id", "slc"), Seq("n"))
+      s"""WITH ut AS (
+        |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |$lnC,
+        |per AS (
+        |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+        |    SUM(CAST(c AS HUGEINT) * ln_c) AS slc
+        |  FROM $lastC GROUP BY 1),
+        |$lnP,
+        |h AS (SELECT CAST(ln_n - (slc // n) AS BIGINT) AS h_micro FROM $lastP)
+        |SELECT h_micro // 10000 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
 
     "ev_churn" ->
       """WITH act AS (

@@ -656,6 +656,65 @@ object TextQueries {
         .orderBy($"source")
     },
 
+    // per-source unigram entropy — the mixture-diversity number next to
+    // txt_hapax's TTR (low-entropy sources are template mills; the
+    // normalized form is comparable across vocabulary sizes). Exact
+    // integer micro-nats end to end: H = ln N − (Σ c·ln c)/N with every
+    // ln the native fixed-point ln_micro kernel (zero libm) and the sum
+    // DECIMAL(38,0), so the oracle replays bit-identically (FixedLnSql).
+    // Scale shape: two chained partial aggs ((source, tok) then source);
+    // ln_micro is a narrow codegen'd expression per vocabulary row;
+    // output is |sources| rows.
+    "txt_entropy" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      CorpusTokenIndex.tokens(s, d)
+        .filter(length($"tok") > 0)
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+        .groupBy($"source").agg(
+          sum($"c").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum($"c".cast(dec) * expr("ln_micro(c)")).as("slc"))
+        .withColumn("entropy_micro",
+          expr("ln_micro(n_tokens) - (slc div CAST(n_tokens AS DECIMAL(38,0)))").cast("long"))
+        .withColumn("norm_ppm",
+          when($"n_types" === 1, 0L)
+            .otherwise(expr("(entropy_micro * 1000000) div ln_micro(n_types)")))
+        .select($"source", $"n_tokens", $"n_types", $"entropy_micro", $"norm_ppm")
+        .orderBy($"source")
+    },
+
+    // per-source KL divergence from the corpus unigram distribution —
+    // the drift audit behind mixture weighting (DSIR's denominator
+    // intuition as a per-source scalar: how far does each source's
+    // token distribution sit from the pool it feeds?). Factored form
+    // keeps it overflow-free at any scale: KL = ln Q − ln N_s +
+    // (Σ c·(ln c − ln q))/N_s, so only per-count ln_micro values are
+    // summed (no c·Q products); c ≤ q termwise makes the summed gap
+    // Σ c·(ln q − ln c) non-negative — no negative floor-division trap.
+    // Scale shape: the (source, tok) partial agg joins the |vocab|-row
+    // corpus-count relation on tok (co-keyed shuffle), one per-source
+    // rollup, and the corpus total as a window over the |sources|-row
+    // aggregate; output is |sources| rows.
+    "txt_kl" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      val tc = CorpusTokenIndex.tokens(s, d)
+        .filter(length($"tok") > 0)
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+      val q = tc.groupBy($"tok").agg(sum($"c").as("qc"))
+      tc.join(q, Seq("tok"))
+        .groupBy($"source").agg(
+          sum($"c").as("n_tokens"),
+          sum($"c".cast(dec) * (expr("ln_micro(qc)") - expr("ln_micro(c)"))).as("s_gap"))
+        .withColumn("q_total", sum($"n_tokens").over(Window.partitionBy(lit(1))))
+        .withColumn("kl_micro",
+          expr("ln_micro(q_total) - ln_micro(n_tokens) - (s_gap div CAST(n_tokens AS DECIMAL(38,0)))")
+            .cast("long"))
+        .select($"source", $"n_tokens", $"kl_micro")
+        .orderBy($"source")
+    },
+
     // vocabulary COVERAGE curve — the tokenizer-budget question: how many
     // of the most frequent types cover 50 / 90 / 99 % of all token
     // occurrences? The cumulative rank over the (freq desc, tok) order is
@@ -1500,6 +1559,51 @@ object TextQueries {
         |  CAST((COUNT(*) * 1000000) // SUM(n) AS BIGINT) AS ttr_ppm,
         |  CAST((SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS hapax_ppm
         |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+
+    "txt_entropy" -> {
+      val (lnC, lastC) = FixedLnSql.chain("tc", "lea", Seq("source"), Seq("c"))
+      val (lnP, lastP) = FixedLnSql.chain("per", "leb", Seq("source", "slc"), Seq("n_tokens", "n_types"))
+      s"""WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(text, ' +')) AS tok FROM documents),
+        |tc AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks WHERE length(tok) > 0 GROUP BY 1, 2),
+        |$lnC,
+        |per AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    SUM(CAST(c AS HUGEINT) * ln_c) AS slc
+        |  FROM $lastC GROUP BY 1),
+        |$lnP
+        |SELECT source, n_tokens, n_types,
+        |  CAST(ln_n_tokens - (slc // n_tokens) AS BIGINT) AS entropy_micro,
+        |  CASE WHEN n_types = 1 THEN 0
+        |    ELSE CAST(((ln_n_tokens - (slc // n_tokens)) * 1000000) // ln_n_types AS BIGINT)
+        |  END AS norm_ppm
+        |FROM $lastP ORDER BY source""".stripMargin
+    },
+
+    "txt_kl" -> {
+      val (lnJ, lastJ) = FixedLnSql.chain("j", "lka", Seq("source"), Seq("c", "qc"))
+      val (lnT, lastT) = FixedLnSql.chain("tot", "lkb", Seq("source", "s_gap"), Seq("n_tokens", "q_total"))
+      s"""WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(text, ' +')) AS tok FROM documents),
+        |tc AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks WHERE length(tok) > 0 GROUP BY 1, 2),
+        |qq AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS qc FROM tc GROUP BY 1),
+        |j AS (SELECT tc.source, tc.c, qq.qc FROM tc JOIN qq USING (tok)),
+        |$lnJ,
+        |per AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    SUM(CAST(c AS HUGEINT) * (ln_qc - ln_c)) AS s_gap
+        |  FROM $lastJ GROUP BY 1),
+        |tot AS (SELECT *, CAST(SUM(n_tokens) OVER () AS BIGINT) AS q_total FROM per),
+        |$lnT
+        |SELECT source, n_tokens,
+        |  CAST(ln_q_total - ln_n_tokens - (s_gap // n_tokens) AS BIGINT) AS kl_micro
+        |FROM $lastT ORDER BY source""".stripMargin
+    },
 
     "txt_fertility" ->
       """WITH per AS (

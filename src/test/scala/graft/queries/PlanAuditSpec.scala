@@ -69,10 +69,13 @@ class PlanAuditSpec extends SparkSpec {
   // histogram — bounded by the producer window length (< 86 400 rows)
   // whatever the corpus size, the same calendar/length-bounded class as
   // q50_stats_hist's value histogram
+  // txt_kl: the corpus-total window runs over the |sources|-row
+  // per-source aggregate — bounded whatever the corpus size (the
+  // samp_waterfill class)
   private val globalWindowAllowed =
     Set("rd_ordering_group", "samp_systematic", "txt_coverage",
       "samp_waterfill", "samp_neyman", "q50_stats_hist",
-      "rd_compact_plan", "rd_expire_plan", "rd_latency")
+      "rd_compact_plan", "rd_expire_plan", "rd_latency", "txt_kl")
 
   // deliberate constant-bounded broadcasts the structural rule can't
   // see: ann_* broadcast the fixed 25-row query slice (vec_id <
