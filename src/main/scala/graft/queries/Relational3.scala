@@ -407,6 +407,56 @@ object Relational3 {
           expr("(CAST(1000000 AS DECIMAL(38,0)) * n_gaps) div CAST(t AS DECIMAL(38,0))")
             .as("share_ppm"))
         .orderBy($"gap_weeks")
+    },
+
+    // gaps-and-islands: longest consecutive-MONTH ordering streak per
+    // customer (the classic islands shape — month_index − row_number is
+    // constant within an island), rolled into a count-of-customers
+    // histogram. Retention teams read the right tail; the q64 gap
+    // histogram reads the spaces between. Scale shape: one distinct on
+    // (cust, month) — a partial-agg shuffle — then customer-partitioned
+    // windows only; the rollup output is bounded by the calendar (max
+    // streak ≤ months in the data), never by |customers|.
+    "q65_streaks" -> { (s, d) =>
+      import s.implicits._
+      val months = t(s, d, "orders")
+        .select($"o_custkey",
+          expr("year(o_orderdate) * 12 + month(o_orderdate)").cast("long").as("mon"))
+        .distinct()
+      val w = Window.partitionBy($"o_custkey").orderBy($"mon")
+      months.withColumn("grp", $"mon" - row_number().over(w))
+        .groupBy($"o_custkey", $"grp").agg(count(lit(1)).as("len"))
+        .groupBy($"o_custkey").agg(max($"len").as("max_streak"))
+        .groupBy($"max_streak").agg(count(lit(1)).as("n_customers"))
+        .orderBy($"max_streak")
+    },
+
+    // month-over-month revenue growth per nation — the trend table a
+    // revenue dashboard draws: exact cents revenue per (nation, month),
+    // growth vs the previous OBSERVED month as integer ppm. The ppm
+    // division runs on positive revenues only ((rev·10⁶) div prev, then
+    // the −10⁶ offset applied after), so the truncate-vs-floor
+    // negative-division divergence can't arise by construction. Scale
+    // shape: fact-side shuffle on custkey into the customer relation,
+    // broadcast nation, one (nation, month) partial agg (calendar ×
+    // |nations| bounded), then nation-partitioned lag windows over that
+    // bounded relation.
+    "q66_growth" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(18, 2)
+      val rev = t(s, d, "orders")
+        .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name",
+          expr("year(o_orderdate) * 12 + month(o_orderdate)").cast("long").as("mon"))
+        .agg((sum($"o_totalprice".cast(dec)) * 100).cast("long").as("rev_cents"))
+      val w = Window.partitionBy($"n_name").orderBy($"mon")
+      rev.withColumn("prev_cents", lag($"rev_cents", 1).over(w))
+        .filter($"prev_cents".isNotNull)
+        .select($"n_name", $"mon", $"rev_cents",
+          (expr("(CAST(rev_cents AS DECIMAL(38,0)) * 1000000) div CAST(prev_cents AS DECIMAL(38,0))")
+            - 1000000L).as("growth_ppm"))
+        .orderBy($"n_name", $"mon")
     }
   )
 
@@ -616,6 +666,38 @@ object Relational3 {
         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM g)
         |SELECT gap_weeks, CAST(COUNT(*) AS BIGINT) AS n_gaps,
         |  CAST((1000000 * COUNT(*)) // MAX(tot.t) AS BIGINT) AS share_ppm
-        |FROM g, tot GROUP BY gap_weeks ORDER BY gap_weeks""".stripMargin
+        |FROM g, tot GROUP BY gap_weeks ORDER BY gap_weeks""".stripMargin,
+
+    "q65_streaks" ->
+      """WITH mm AS (
+        |  SELECT DISTINCT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mon
+        |  FROM orders),
+        |i AS (
+        |  SELECT o_custkey,
+        |    mon - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY mon) AS grp
+        |  FROM mm),
+        |l AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS len FROM i GROUP BY o_custkey, grp),
+        |mx AS (SELECT o_custkey, MAX(len) AS max_streak FROM l GROUP BY 1)
+        |SELECT max_streak, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM mx GROUP BY 1 ORDER BY max_streak""".stripMargin,
+
+    "q66_growth" ->
+      """WITH rev AS (
+        |  SELECT n_name,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mon,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |lg AS (
+        |  SELECT n_name, mon, rev_cents,
+        |    LAG(rev_cents) OVER (PARTITION BY n_name ORDER BY mon) AS prev_cents
+        |  FROM rev)
+        |SELECT n_name, mon, rev_cents,
+        |  CAST((CAST(rev_cents AS HUGEINT) * 1000000) // prev_cents - 1000000 AS BIGINT) AS growth_ppm
+        |FROM lg WHERE prev_cents IS NOT NULL
+        |ORDER BY n_name, mon""".stripMargin
   )
 }
