@@ -1252,6 +1252,32 @@ object AnnQueries {
           expr("(CAST(1000000 AS DECIMAL(38,0)) * n_vecs) div CAST(t AS DECIMAL(38,0))")
             .as("share_ppm"))
         .orderBy($"cent_id")
+    },
+
+    // IVF balance score — ann_cell_stats' one-number summary: the
+    // entropy of the cell-occupancy distribution against its ln(nlist)
+    // ceiling (balance_ppm → 10⁶ means probes prune uniformly;
+    // a skewed index wastes its nprobe budget on megacells and the
+    // serving-path pruning guarantee decays). Exact integer micro-nats
+    // via the native ln_micro kernel + DECIMAL(38,0) sums; the oracle
+    // replays the full IVF recipe AND the integer ln steps, so parity
+    // is constructed. Scale shape: one |cells|-row aggregate of the
+    // partition-pruned index, then a 1-row rollup.
+    "ann_cell_entropy" -> { (s, d) =>
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      EmbIvfIndex.cells(s, d)
+        .groupBy($"cent_id").agg(count(lit(1)).as("n_vecs"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum($"n_vecs").as("n_vectors"),
+          max($"n_vecs").as("max_cell"),
+          sum($"n_vecs".cast(dec) * expr("ln_micro(n_vecs)")).as("sln"))
+        .withColumn("entropy_micro",
+          expr("ln_micro(n_vectors) - (sln div CAST(n_vectors AS DECIMAL(38,0)))").cast("long"))
+        .withColumn("balance_ppm",
+          when($"n_cells" === 1, 0L)
+            .otherwise(expr("(entropy_micro * 1000000) div ln_micro(n_cells)")))
+        .select($"n_cells", $"n_vectors", $"max_cell", $"entropy_micro", $"balance_ppm")
     }
   )
 
@@ -1524,6 +1550,47 @@ object AnnQueries {
          |SELECT g.cent_id, g.n_vecs,
          |  CAST((1000000 * g.n_vecs) // tot.t AS BIGINT) AS share_ppm
          |FROM g, tot ORDER BY g.cent_id""".stripMargin),
+
+    // the cell-stats recipe rolled into the 1-row balance score, with
+    // the integer ln steps replayed by FixedLnSql
+    "ann_cell_entropy" -> {
+      val (lnG, lastG) = FixedLnSql.chain("g", "cea", Seq("cent_id"), Seq("n_vecs"))
+      val (lnP, lastP) = FixedLnSql.chain("per", "ceb",
+        Seq("max_cell", "sln"), Seq("n_cells", "n_vectors"))
+      QuantCte +
+        s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0),
+           |cdots AS (
+           |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
+           |  FROM e a
+           |  JOIN e b ON b.i = a.i
+           |  JOIN cents c ON c.cent_id = b.vec_id
+           |  GROUP BY 1, 2),
+           |asgn AS (
+           |  SELECT d.vec_id, d.cent_id,
+           |    ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+           |      CAST(FLOOR(d.dot / (sqrt(nv.nn) * sqrt(nc.nn)) * 1000000.0 + 0.5) AS BIGINT) DESC,
+           |      d.cent_id) AS crnk
+           |  FROM cdots d
+           |  JOIN n nv ON nv.vec_id = d.vec_id
+           |  JOIN n nc ON nc.vec_id = d.cent_id),
+           |g AS (
+           |  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+           |  FROM asgn WHERE crnk <= 1 GROUP BY 1),
+           |$lnG,
+           |per AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           |    CAST(SUM(n_vecs) AS BIGINT) AS n_vectors,
+           |    CAST(MAX(n_vecs) AS BIGINT) AS max_cell,
+           |    SUM(CAST(n_vecs AS HUGEINT) * ln_n_vecs) AS sln
+           |  FROM $lastG),
+           |$lnP
+           |SELECT n_cells, n_vectors, max_cell,
+           |  CAST(ln_n_vectors - (sln // n_vectors) AS BIGINT) AS entropy_micro,
+           |  CASE WHEN n_cells = 1 THEN 0
+           |    ELSE CAST(((ln_n_vectors - (sln // n_vectors)) * 1000000) // ln_n_cells AS BIGINT)
+           |  END AS balance_ppm
+           |FROM $lastP""".stripMargin
+    },
 
     // band replay (the dd_embed_lsh CTE chain) rolled up per table
     "ann_band_stats" -> (s"WITH ${DedupQueries.EmbedPairCtes},\n" +

@@ -240,6 +240,37 @@ object MultimodalQueries {
         .orderBy($"position")
     },
 
+    // per-asset byte-distribution entropy — the compressibility gauge a
+    // multimodal ingest runs before storing payloads (fill_ppm ≈ 10⁶
+    // against the 8-bit ceiling means already-compressed/encrypted
+    // bytes — don't recompress, dedup by checksum only; low fill means
+    // padding/sparse payloads worth packing). Exact integer micro-nats
+    // via the native ln_micro kernel (H = ln N − Σ c·ln c / N,
+    // DECIMAL(38,0) sums) so the oracle replays bit-identically.
+    // Scale shape: mm_byte_profile's per-(asset, byte) partial agg —
+    // the shuffle carries ≤256 rows per asset, payloads never move —
+    // then a per-asset rollup; ln_micro is narrow codegen per row.
+    "mm_byte_entropy" -> { (s, d) =>
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      payloads(s, d, 500).filter($"key" === "props")
+        .filter(length($"payload") > 0)
+        .select($"position", explode(expr("sequence(1, length(payload))")).as("i"), $"payload")
+        .select($"position",
+          expr("CAST(conv(hex(substring(payload, i, 1)), 16, 10) AS BIGINT)").as("byte"))
+        .groupBy($"position", $"byte").agg(count(lit(1)).as("cnt"))
+        .groupBy($"position").agg(
+          sum($"cnt").as("n_bytes"),
+          count(lit(1)).as("n_distinct"),
+          sum($"cnt".cast(dec) * expr("ln_micro(cnt)")).as("sln"))
+        .withColumn("entropy_micro",
+          expr("ln_micro(n_bytes) - (sln div CAST(n_bytes AS DECIMAL(38,0)))").cast("long"))
+        .withColumn("fill_ppm",
+          expr(s"(entropy_micro * 1000000) div ${graft.functions.FixedLnOps.lnMicro(256L)}"))
+        .select($"position", $"n_bytes", $"n_distinct", $"entropy_micro", $"fill_ppm")
+        .orderBy($"position")
+    },
+
     // byte-budget shard packing (the WebDataset/tar-shard layout step of
     // a multimodal training pipeline: assets streamed into fixed-size
     // shards in arrival order so a training loader can fetch shard files
@@ -361,6 +392,29 @@ object MultimodalQueries {
         |  CAST((p.top_n * 1000000) // p.n_bytes AS BIGINT) AS top_ppm
         |FROM prof p JOIN top t ON t.position = p.position
         |ORDER BY p.position""".stripMargin,
+
+    "mm_byte_entropy" -> {
+      val (lnG, lastG) = FixedLnSql.chain("g", "mba", Seq("position"), Seq("cnt"))
+      val (lnP, lastP) = FixedLnSql.chain("per", "mbb",
+        Seq("position", "n_distinct", "sln"), Seq("n_bytes"))
+      s"""WITH b AS (
+        |  SELECT 'evt-' || CAST(event_id AS VARCHAR) AS position,
+        |    ord(substr(props, CAST(i AS INT), 1)) AS byte
+        |  FROM events, UNNEST(range(1, length(props) + 1)) AS t(i)
+        |  WHERE event_id < 500 AND length(props) > 0),
+        |g AS (SELECT position, byte, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+        |$lnG,
+        |per AS (
+        |  SELECT position, CAST(SUM(cnt) AS BIGINT) AS n_bytes,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    SUM(CAST(cnt AS HUGEINT) * ln_cnt) AS sln
+        |  FROM $lastG GROUP BY 1),
+        |$lnP
+        |SELECT position, n_bytes, n_distinct,
+        |  CAST(ln_n_bytes - (sln // n_bytes) AS BIGINT) AS entropy_micro,
+        |  CAST(((ln_n_bytes - (sln // n_bytes)) * 1000000) // ${graft.functions.FixedLnOps.lnMicro(256L)} AS BIGINT) AS fill_ppm
+        |FROM $lastP ORDER BY position""".stripMargin
+    },
 
     "mm_shard_pack" ->
       """WITH m AS (
