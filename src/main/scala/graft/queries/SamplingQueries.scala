@@ -528,10 +528,61 @@ object SamplingQueries {
           floor($"q").cast("long").as("pri_int"),
           floor(greatest($"w".cast("double"), $"tau")).cast("long").as("est_w"))
         .orderBy($"doc_id")
+    },
+
+    // mixture-diversity scorecard — the 1-row number a mixture review
+    // opens with: entropy of the per-source token-mass distribution
+    // against its ln(n_sources) ceiling (norm → 10⁶ means the mix is
+    // balanced; a collapsing norm says one source is eating the budget —
+    // the before/after metric for samp_temperature/samp_waterfill runs).
+    // Exact integer micro-nats via the native ln_micro kernel +
+    // DECIMAL(38,0) sums. Scale shape: one per-source token count off
+    // the bucketed index (|sources| rows), then a 1-row rollup.
+    "samp_src_entropy" -> { (s, d) =>
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      CorpusTokenIndex.tokens(s, d)
+        .filter(length($"tok") > 0)
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum($"n").as("n_tokens"),
+          max($"n").as("max_source"),
+          sum($"n".cast(dec) * expr("ln_micro(n)")).as("sln"))
+        .withColumn("entropy_micro",
+          expr("ln_micro(n_tokens) - (sln div CAST(n_tokens AS DECIMAL(38,0)))").cast("long"))
+        .withColumn("norm_ppm",
+          when($"n_sources" === 1, 0L)
+            .otherwise(expr("(entropy_micro * 1000000) div ln_micro(n_sources)")))
+        .select($"n_sources", $"n_tokens", $"max_source", $"entropy_micro", $"norm_ppm")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "samp_src_entropy" -> {
+      val (lnC, lastC) = FixedLnSql.chain("sc", "ssa", Nil, Seq("n"))
+      val (lnP, lastP) = FixedLnSql.chain("per", "ssb",
+        Seq("max_source", "sln"), Seq("n_sources", "n_tokens"))
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split_regex(text, ' +')) AS tok FROM documents),
+         |sc AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM toks WHERE length(tok) > 0 GROUP BY source),
+         |$lnC,
+         |per AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+         |    CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |    CAST(MAX(n) AS BIGINT) AS max_source,
+         |    SUM(CAST(n AS HUGEINT) * ln_n) AS sln
+         |  FROM $lastC),
+         |$lnP
+         |SELECT n_sources, n_tokens, max_source,
+         |  CAST(ln_n_tokens - (sln // n_tokens) AS BIGINT) AS entropy_micro,
+         |  CASE WHEN n_sources = 1 THEN 0
+         |    ELSE CAST(((ln_n_tokens - (sln // n_tokens)) * 1000000) // ln_n_sources AS BIGINT)
+         |  END AS norm_ppm
+         |FROM $lastP""".stripMargin
+    },
+
     "samp_stratified" ->
       s"""WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
          |h AS (

@@ -684,6 +684,68 @@ object TextQueries {
         .orderBy($"source")
     },
 
+    // per-source readability (integer Flesch reading-ease): 206.835 −
+    // 1.015·(words/sentences) − 84.6·(syllables/words), in exact
+    // milli-units over per-source TOTALS (never an average of per-doc
+    // scores, so no negative-value division anywhere — the two ratio
+    // terms divide positive sums and the subtraction happens after).
+    // Syllables are the deterministic vowel-group proxy
+    // ([aeiouy]+ runs), sentences the [.!?]+ splits — both pure regexp
+    // counts any engine reproduces exactly. Scale shape: one narrow
+    // corpus pass computing three per-doc counts, then a |sources|-row
+    // partial agg.
+    "txt_readability" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      t(s, d, "documents")
+        .select($"source",
+          expr("greatest(CAST(size(filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0)) AS BIGINT), 1L)").as("s_cnt"),
+          expr("greatest(CAST(size(filter(split(text, ' +'), x -> length(x) > 0)) AS BIGINT), 1L)").as("w_cnt"),
+          expr("CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)").as("y_cnt"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"s_cnt").as("n_sentences"),
+          sum($"w_cnt").as("n_words"),
+          sum($"y_cnt").as("n_syllables"))
+        .withColumn("flesch_milli",
+          (lit(206835L)
+            - expr("(1015 * CAST(n_words AS DECIMAL(38,0))) div CAST(n_sentences AS DECIMAL(38,0))")
+            - expr("(84600 * CAST(n_syllables AS DECIMAL(38,0))) div CAST(n_words AS DECIMAL(38,0))"))
+            .cast("long"))
+        .select($"source", $"n_docs", $"n_sentences", $"n_words", $"n_syllables", $"flesch_milli")
+        .orderBy($"source")
+    },
+
+    // per-source conditional next-token entropy H(next | token) — the
+    // sequence-predictability twin of txt_entropy (a source whose
+    // unigram entropy is healthy can still be templated: its bigrams
+    // give the game away when H(next|token) collapses). Exact integer
+    // micro-nats: Σ c_ab·(ln c_a − ln c_ab) / N with the native
+    // ln_micro kernel; c_a ≥ c_ab termwise so the gap sum is
+    // non-negative. Scale shape: the tokenize-once index's per-doc lead
+    // window (doc-partitioned, exchange-free on the bucketed index),
+    // one (source, a, b) partial agg, a (source, a) prefix rollup joined
+    // back on its own grouping key, then a |sources|-row rollup.
+    "txt_cond_entropy" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      val w = Window.partitionBy($"doc_id").orderBy($"i")
+      val bi = CorpusTokenIndex.tokens(s, d)
+        .select($"source", $"doc_id", $"pos".as("i"), $"tok".as("a"))
+        .withColumn("b", lead($"a", 1).over(w))
+        .filter($"b".isNotNull)
+        .groupBy($"source", $"a", $"b").agg(count(lit(1)).as("cab"))
+      val prefix = bi.groupBy($"source", $"a").agg(sum($"cab").as("ca"))
+      bi.join(prefix, Seq("source", "a"))
+        .groupBy($"source")
+        .agg(sum($"cab").as("n_bigrams"),
+          sum($"cab".cast(dec) * (expr("ln_micro(ca)") - expr("ln_micro(cab)"))).as("s_gap"))
+        .withColumn("cond_entropy_micro",
+          expr("(s_gap div CAST(n_bigrams AS DECIMAL(38,0)))").cast("long"))
+        .select($"source", $"n_bigrams", $"cond_entropy_micro")
+        .orderBy($"source")
+    },
+
     // per-source KL divergence from the corpus unigram distribution —
     // the drift audit behind mixture weighting (DSIR's denominator
     // intuition as a per-source scalar: how far does each source's
@@ -1559,6 +1621,44 @@ object TextQueries {
         |  CAST((COUNT(*) * 1000000) // SUM(n) AS BIGINT) AS ttr_ppm,
         |  CAST((SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS hapax_ppm
         |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+
+    "txt_readability" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    GREATEST(CAST(len(list_filter(string_split_regex(text, '[.!?]+'), x -> length(trim(x)) > 0)) AS BIGINT), 1) AS s_cnt,
+        |    GREATEST(CAST(len(list_filter(string_split_regex(text, ' +'), x -> length(x) > 0)) AS BIGINT), 1) AS w_cnt,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y_cnt
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(s_cnt) AS BIGINT) AS n_sentences,
+        |  CAST(SUM(w_cnt) AS BIGINT) AS n_words,
+        |  CAST(SUM(y_cnt) AS BIGINT) AS n_syllables,
+        |  CAST(206835 - (1015 * CAST(SUM(w_cnt) AS HUGEINT)) // SUM(s_cnt)
+        |              - (84600 * CAST(SUM(y_cnt) AS HUGEINT)) // SUM(w_cnt) AS BIGINT) AS flesch_milli
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
+
+    "txt_cond_entropy" -> {
+      val (lnJ, lastJ) = FixedLnSql.chain("j", "tca", Seq("source"), Seq("cab", "ca"))
+      s"""WITH toks AS (
+        |  SELECT source, doc_id, i, tok AS a
+        |  FROM (SELECT source, doc_id, unnest(string_split_regex(text, ' +')) AS tok,
+        |          generate_subscripts(string_split_regex(text, ' +'), 1) AS i
+        |        FROM documents)),
+        |bi AS (
+        |  SELECT source, doc_id, a,
+        |    LEAD(a) OVER (PARTITION BY doc_id ORDER BY i) AS b
+        |  FROM toks),
+        |bi2 AS (SELECT source, a, b FROM bi WHERE b IS NOT NULL),
+        |pair AS (SELECT source, a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM bi2 GROUP BY 1, 2, 3),
+        |pfx AS (SELECT source, a, CAST(SUM(cab) AS BIGINT) AS ca FROM pair GROUP BY 1, 2),
+        |j AS (
+        |  SELECT pair.source, pair.cab, pfx.ca
+        |  FROM pair JOIN pfx ON pfx.source = pair.source AND pfx.a = pair.a),
+        |$lnJ
+        |SELECT source, CAST(SUM(cab) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CAST(cab AS HUGEINT) * (ln_ca - ln_cab)) // SUM(cab) AS BIGINT) AS cond_entropy_micro
+        |FROM $lastJ GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "txt_entropy" -> {
       val (lnC, lastC) = FixedLnSql.chain("tc", "lea", Seq("source"), Seq("c"))
