@@ -22,7 +22,11 @@ object Bench {
     // round-9 tail: the two-level bucket-window skyline (the probe proves
     // no single-partition window hides inside) and the mutual-kNN
     // component resolution over the banded edge relation
-    "q61_skyline", "emb_knn_cc")
+    "q61_skyline", "emb_knn_cc",
+    // round-10: the ln_micro entropy family's two largest relations
+    // (per-source bigram matrix, per-user rollup) and the topic latency
+    // histogram — the probe watches the new kernel's shapes two decades up
+    "txt_cond_entropy", "ev_user_entropy", "rd_latency")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
