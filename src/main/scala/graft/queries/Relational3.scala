@@ -457,6 +457,29 @@ object Relational3 {
           (expr("(CAST(rev_cents AS DECIMAL(38,0)) * 1000000) div CAST(prev_cents AS DECIMAL(38,0))")
             - 1000000L).as("growth_ppm"))
         .orderBy($"n_name", $"mon")
+    },
+
+    // year-over-year spend-band migration matrix — the cohort-value
+    // transition table (who climbs, who churns down) aggregated over
+    // every consecutive-year pair. Bands are EXACT log₂ of annual cents
+    // via the binary-string length (length(bin(x)) − 1 — no libm, so no
+    // 1-ulp boundary divergence at exact powers of two, the same trap
+    // class the integer-doubling scale rules avoid). Scale shape: one
+    // (cust, year) partial agg, a self-join co-partitioned on the same
+    // keys (shifted by one year), and a ≤bands²-row rollup — the matrix
+    // is ~64² whatever the corpus size.
+    "q67_migration" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(18, 2)
+      val yearly = t(s, d, "orders")
+        .groupBy($"o_custkey", expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"))
+        .agg((sum($"o_totalprice".cast(dec)) * 100).cast("long").as("cents"))
+        .withColumn("band", expr("CAST(length(bin(cents)) - 1 AS BIGINT)"))
+      val from = yearly.select($"o_custkey", $"yr", $"band".as("band_from"))
+      val to = yearly.select($"o_custkey", ($"yr" - 1).as("yr"), $"band".as("band_to"))
+      from.join(to, Seq("o_custkey", "yr"))
+        .groupBy($"band_from", $"band_to").agg(count(lit(1)).as("n_customers"))
+        .orderBy($"band_from", $"band_to")
     }
   )
 
@@ -698,6 +721,17 @@ object Relational3 {
         |SELECT n_name, mon, rev_cents,
         |  CAST((CAST(rev_cents AS HUGEINT) * 1000000) // prev_cents - 1000000 AS BIGINT) AS growth_ppm
         |FROM lg WHERE prev_cents IS NOT NULL
-        |ORDER BY n_name, mon""".stripMargin
+        |ORDER BY n_name, mon""".stripMargin,
+
+    "q67_migration" ->
+      """WITH y AS (
+        |  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (SELECT o_custkey, yr, CAST(length(bin(cents)) - 1 AS BIGINT) AS band FROM y)
+        |SELECT f.band AS band_from, t.band AS band_to,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM b f JOIN b t ON t.o_custkey = f.o_custkey AND t.yr = f.yr + 1
+        |GROUP BY 1, 2 ORDER BY band_from, band_to""".stripMargin
   )
 }
