@@ -124,7 +124,13 @@ object Bench {
       compactSec = timedStage(graft.queries.CorpusLshIndex.compact(spark, cdir))
       candCompacted = candSec(cdir)
     } catch { case _: Throwable => () }
-    finally ScaleProbe.rmTree(new java.io.File(cdir))
+    finally {
+      // the side corpus AND its tmp index (a per-run tempdir tag — it
+      // would leak one index per bench run otherwise)
+      try graft.queries.CorpusLshIndex.dropFor(spark, cdir)
+      catch { case _: Throwable => () }
+      ScaleProbe.rmTree(new java.io.File(cdir))
+    }
     // ingest throughput — the number directly comparable to the reference
     // producer/consumer (messages through the full Avro topic path).
     // Measured twice (fresh dir each time), best run reported: a single

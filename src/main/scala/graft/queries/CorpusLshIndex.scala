@@ -301,6 +301,22 @@ object CorpusLshIndex {
     refresh(s, d)
   }
 
+  /** Drop this corpus dir's index: catalog tables AND the on-disk
+    * files — the repair path for a crash mid-append (ensure rebuilds
+    * from scratch) and the cleanup for throwaway corpora (Bench's
+    * compact-stage side corpus would otherwise leak one index per run
+    * under java.io.tmpdir).
+    */
+  def dropFor(s: SparkSession, d: String): Unit = synchronized {
+    val tg = tag(d)
+    Seq("sh", "sig", "band", "jac", "eband", "epair").foreach { part =>
+      val tbl = tableName(part, tg)
+      if (s.catalog.tableExists(tbl)) s.sql(s"DROP TABLE $tbl"): Unit
+    }
+    graft.ScaleProbe.rmTree(new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft-lsh-index"), tg))
+  }
+
   /** per-doc DISTINCT word-3-shingle arrays (doc_id, ss) */
   def shingles(s: SparkSession, d: String): DataFrame = read(s, d, "sh")
 

@@ -251,7 +251,7 @@ class EdgeCaseSpec extends SparkSpec {
     val rep = DedupQueries.queries("pipe_report")(spark, edgeDir).collect()
       .sortBy(_.getAs[Long]("stage"))
     assert(rep.map(_.getAs[String]("stage_name")).toSeq ===
-      Seq("raw", "quality", "exact_dedup", "near_dedup"))
+      Seq("raw", "quality", "exact_dedup", "near_dedup", "scrub"))
     val docsPerStage = rep.map(_.getAs[Long]("n_docs")).toSeq
     assert(docsPerStage.head === 9L)
     assert(docsPerStage.zip(docsPerStage.tail).forall { case (a, b) => b <= a })
