@@ -165,7 +165,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_ONLY=a,b,c: time just those queries (iteration loop for
+    // per-query performance work); skips the scale probes
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val pass1 = ordered.map { case (name, fn) => name -> timed(fn) }.toMap
     val pass2 = ordered.map { case (name, fn) => name -> timed(fn) }.toMap
     // Adaptive third sample: when the two passes disagree by >2x on a
@@ -232,13 +236,13 @@ object Bench {
       new java.io.File(sys.props("java.io.tmpdir"), s"graft_amp$amp").getAbsolutePath)
     val amp = sys.env.getOrElse("SPARK_GRAFT_AMP", "10").toInt
     val probe10 =
-      if (amp <= 1 || !sfDir.contains("sf0.1")) None
+      if (amp <= 1 || only.isDefined || !sfDir.contains("sf0.1")) None
       else try {
         Some(ScaleProbe.run(spark, sfDir, ampDir(amp), amp, headlineNames, byName,
           linFactor = amp.toDouble, passes = 2, flagRatio = 1.5, budgetSec = 420.0))
       } catch { case _: Throwable => None }
     val scaleLine10 = probe10.map(scaleJson).orElse {
-      if (amp <= 1 || !sfDir.contains("sf0.1")) None
+      if (amp <= 1 || only.isDefined || !sfDir.contains("sf0.1")) None
       else Some(s"""{"detail":"scale-probe","amp":$amp,"error":"probe failed"}""")
     }
     // artifact checkpoint: a killed/timed-out amp=100 stage must never

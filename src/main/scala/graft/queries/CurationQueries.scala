@@ -118,66 +118,61 @@ object CurationQueries {
   private def selectBatch(words: DataFrame): DataFrame = {
     val s = words.sparkSession
     import s.implicits._
-    // the pair relation feeds every layer — checkpoint so the word scan
-    // behind it runs once per round (vocab-sized, single partition)
-    val pairs = pairsOf(words).coalesce(1).localCheckpoint(true)
-    var rem = pairs
-    val layers = Seq.newBuilder[DataFrame]
-    for (_ <- 1 to BpeLayers) {
-      val sym = rem.select($"a", $"b", $"pair_n",
-        explode(array_distinct(array($"a", $"b"))).as("s"))
-      val winners = sym.groupBy($"s").agg(
-        min(struct((-$"pair_n").as("np"), $"a".as("wa"), $"b".as("wb"))).as("m"))
-      // each layer's winners are cut: the remainder chain references
-      // them twice (both anti-joins), and an uncut chain doubles per
-      // layer the same way the round loop would per round
-      val sel = sym.join(winners, Seq("s"))
-        .filter($"m.np" === -$"pair_n" && $"m.wa" === $"a" && $"m.wb" === $"b")
-        .groupBy($"a", $"b", $"pair_n").agg(count(lit(1)).as("wins"))
-        .filter($"wins" === when($"a" === $"b", 1L).otherwise(2L))
-        .select($"a", $"b", $"pair_n")
-        .coalesce(1).localCheckpoint(true)
-      layers += sel
-      val selSyms = sel.select(explode(array($"a", $"b")).as("s")).distinct()
-      rem = rem
-        .join(selSyms.select($"s".as("a")), Seq("a"), "left_anti")
-        .join(selSyms.select($"s".as("b")), Seq("b"), "left_anti")
-        .select($"a", $"b", $"pair_n")
+    // ONE distributed pass builds the weighted pair relation; the
+    // layered mutual-best peeling then runs DRIVER-side over the
+    // collected rows. The pair relation is vocab-sized by construction
+    // -- the same bound the previous form already conceded by funnelling
+    // it through coalesce(1) -- and 8 layers of eager tiny-plan Spark
+    // jobs cost more in fixed job/codegen overhead than the whole
+    // selection does in memory (the distributed-peeling form benched
+    // txt_bpe at 33 s vs ~3 s; selection is not where distribution buys
+    // anything). Cross-engine parity does NOT rest on this code: the
+    // DuckDB oracle replays the identical peeling rule in SQL, and
+    // CurationOpsSpec/BpeVocabScaleSpec hold it to the independent
+    // plain-Scala reference.
+    val pairs = pairsOf(words).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("pair_n")))
+    def rank(p: (String, String, Long)): (Long, String, String) = (-p._3, p._1, p._2)
+    var rem: Seq[(String, String, Long)] = pairs.toSeq
+    val selected = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 1 to BpeLayers if rem.nonEmpty) {
+      val bySym = scala.collection.mutable.Map.empty[String, (String, String, Long)]
+      for (p <- rem; sym <- Set(p._1, p._2))
+        if (!bySym.contains(sym) ||
+            Ordering[(Long, String, String)].lt(rank(p), rank(bySym(sym)))) bySym(sym) = p
+      val layer = rem.filter(p => Set(p._1, p._2).forall(sym => bySym(sym) == p))
+      selected ++= layer
+      val used = layer.flatMap(p => Seq(p._1, p._2)).toSet
+      rem = rem.filter(p => !used(p._1) && !used(p._2))
     }
-    layers.result().reduce(_ union _)
-      .orderBy($"pair_n".desc, $"a", $"b").limit(BpeBatch)
-      .withColumn("rn",
-        row_number().over(Window.orderBy($"pair_n".desc, $"a", $"b")))
-      .select($"rn", $"a", $"b", $"pair_n")
-      .localCheckpoint(true)
+    val top = selected.result().sortBy(rank).take(BpeBatch)
+    top.zipWithIndex.map { case ((a, b, n), i) => (i + 1, a, b, n) }
+      .toDF("rn", "a", "b", "pair_n")
   }
 
-  /** the k-th selected merge of a round as a 1-row relation: (pat, rep)
-    * replace arguments, NULL (→ sentinel no-op) when the round selected
-    * fewer than k pairs — so the apply fold never needs a data-dependent
-    * plan shape
-    */
-  private def mergeArgs(top: DataFrame, k: Int): DataFrame = {
-    val s = top.sparkSession
-    import s.implicits._
-    top.filter($"rn" === k).agg(
-      max(concat(lit("("), $"a", lit(")("), $"b", lit(")"))).as("pat"),
-      max(concat(lit("("), $"a", $"b", lit(")"))).as("rep"))
-  }
-
-  /** fold a column through the round's ≤BpeBatch merges in rank order
-    * (char(1) is the can't-be-a-pattern sentinel: a pattern is always
-    * paren-wrapped, and both engines apply the identical no-op)
+  /** fold a column through the round's ≤BpeBatch merges in rank order,
+    * as ONE narrow projection of nested literal replaces. The batch
+    * relation is checkpointed and ≤BpeBatch rows by construction — the
+    * same driver-sized bound as the k-row codebooks — so the merges ride
+    * as literals (values, not spliced SQL text — no quoting hazard)
+    * instead of per-merge broadcast joins: at BpeBatch=32 the join form
+    * cost 64 broadcast-materialization jobs per round and benched
+    * txt_bpe 15× over its 8-merge cost; this form is one job per round.
+    * Sequential rank-order application is what the oracle replays;
+    * pattern "(a)(b)" → "(ab)" over the paren-unit encoding can neither
+    * create nor destroy occurrences of a DIFFERENT symbol-disjoint
+    * merge, so the fold order only matters within one merge (replace-all
+    * left-to-right, identical on both engines).
     */
   private def applyBatchTo(df: DataFrame, top: DataFrame, colName: String): DataFrame = {
-    val s = df.sparkSession
-    import s.implicits._
-    (1 to BpeBatch).foldLeft(df) { (cur, k) =>
-      cur.crossJoin(broadcast(mergeArgs(top, k)))
-        .withColumn(colName,
-          expr(s"replace($colName, coalesce(pat, char(1)), coalesce(rep, ''))"))
-        .drop("pat", "rep")
+    val merges = top.orderBy(col("rn")).collect().map { r =>
+      val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
+      (s"($a)($b)", s"($a$b)")
     }
+    val applied = merges.foldLeft(col(colName)) { case (c, (pat, rep)) =>
+      org.apache.spark.sql.functions.replace(c, lit(pat), lit(rep))
+    }
+    df.withColumn(colName, applied)
   }
 
   /** apply a round's merges to the weighted word relation (two distinct
