@@ -421,6 +421,35 @@ object EventQueries {
         .orderBy($"event_type", $"hour")
     },
 
+    // hour-of-day regularity per event type — ev_hourly's 1-row-per-type
+    // summary and the classic bot/automation signal: organic activity
+    // spreads entropy near the ln 24 ceiling, cron-driven types collapse
+    // toward one peak hour (low entropy, high peak share). Exact integer
+    // micro-nats via the native ln_micro kernel over the
+    // (type, hour-of-day) relation — ≤ 24·|types| rows whatever the
+    // corpus size. Scale shape: one calendar-bounded partial agg, then a
+    // |types|-row rollup; no windows.
+    "ev_hourly_entropy" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      ev(s, d)
+        .groupBy($"event_type", (($"ts_us" % DayUs) / HourUs).cast("long").as("hour"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"event_type")
+        .agg(sum($"c").as("n_events"),
+          count(lit(1)).as("n_hours"),
+          max($"c").as("peak_n"),
+          sum($"c".cast(dec) * expr("ln_micro(c)")).as("slc"))
+        .withColumn("entropy_micro",
+          expr("ln_micro(n_events) - (slc div CAST(n_events AS DECIMAL(38,0)))").cast("long"))
+        .withColumn("regularity_ppm",
+          expr(s"(entropy_micro * 1000000) div ${graft.functions.FixedLnOps.lnMicro(24L)}"))
+        .withColumn("peak_ppm", expr("(peak_n * 1000000) div n_events"))
+        .select($"event_type", $"n_events", $"n_hours", $"entropy_micro",
+          $"regularity_ppm", $"peak_ppm")
+        .orderBy($"event_type")
+    },
+
     // funnel drop-off report: per step the surviving-user count and the
     // integer-ppm conversion from the previous step — ev_funnel's rollup
     // re-shaped into the table a dashboard actually shows. Same three
@@ -1566,6 +1595,30 @@ object EventQueries {
         |  CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS type_total,
         |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS share_ppm
         |FROM h ORDER BY event_type, hour""".stripMargin,
+
+    "ev_hourly_entropy" -> {
+      val (lnH, lastH) = FixedLnSql.chain("h", "eha", Seq("event_type"), Seq("c"))
+      val (lnP, lastP) = FixedLnSql.chain("per", "ehb",
+        Seq("event_type", "n_hours", "peak_n", "slc"), Seq("n_events"))
+      s"""WITH h AS (
+        |  SELECT event_type,
+        |    CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |$lnH,
+        |per AS (
+        |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |    CAST(MAX(c) AS BIGINT) AS peak_n,
+        |    SUM(CAST(c AS HUGEINT) * ln_c) AS slc
+        |  FROM $lastH GROUP BY 1),
+        |$lnP
+        |SELECT event_type, n_events, n_hours,
+        |  CAST(ln_n_events - (slc // n_events) AS BIGINT) AS entropy_micro,
+        |  CAST(((ln_n_events - (slc // n_events)) * 1000000) // ${graft.functions.FixedLnOps.lnMicro(24L)} AS BIGINT) AS regularity_ppm,
+        |  CAST((peak_n * 1000000) // n_events AS BIGINT) AS peak_ppm
+        |FROM $lastP ORDER BY event_type""".stripMargin
+    },
 
     "ev_funnel_steps" ->
       """WITH v AS (
