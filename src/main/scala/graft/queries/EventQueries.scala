@@ -588,6 +588,42 @@ object EventQueries {
         .orderBy($"from_type", $"to_type")
     },
 
+    // 8-step forward distribution of the ev_markov chain from uniform —
+    // the long-run traffic-share forecast (≈ the stationary distribution
+    // once the chain mixes; an operator reads where sessions CONVERGE,
+    // not where they start). Exact integer ppm end to end: the
+    // transition matrix is ev_markov's floor-ppm rows, each step is
+    // x'(b) = ⌊Σ_a x(a)·p(a,b) / 10⁶⌋ — floors compound identically on
+    // both engines, so the 8-step unroll is oracle-exact. Mass below
+    // 10⁶ after 8 steps is the floor loss plus flow into dead-end
+    // states, reported implicitly by the shares. Scale shape: the
+    // matrix is |types|²-bounded whatever the corpus size; 8 unrolled
+    // tiny join+agg rounds, the only corpus-scale stage being
+    // ev_markov's per-user lead window.
+    "ev_stationary" -> { (s, d) =>
+      import s.implicits._
+      val uw = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val tw = Window.partitionBy($"from_type")
+      val m = ev(s, d)
+        .select($"user_id", $"event_type", $"ts_us", $"event_id")
+        .withColumn("to_type", lead($"event_type", 1).over(uw))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_ppm", expr("(n * 1000000) div sum(n) over (partition by from_type)"))
+        .select($"from_type", $"to_type", $"p_ppm")
+        .localCheckpoint(true) // |types|²-bounded; feeds all 8 rounds
+      val nStates = m.select($"from_type").distinct().count()
+      var x = m.select($"from_type".as("t")).distinct()
+        .withColumn("x_ppm", lit(1000000L / nStates))
+      for (_ <- 1 to 8)
+        x = m.join(x, m("from_type") === x("t"))
+          .groupBy($"to_type")
+          .agg(expr("sum(x_ppm * p_ppm) div 1000000").as("x_ppm"))
+          .select($"to_type".as("t"), $"x_ppm")
+      x.select($"t".as("event_type"), $"x_ppm").orderBy($"event_type")
+    },
+
     // conditional next-event entropy per current type — ev_markov's
     // one-number-per-state summary (H(next | cur): a type whose
     // follow-up is predictable routes to a narrow handler; a
@@ -1719,6 +1755,29 @@ object EventQueries {
         |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
         |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
         |FROM tr ORDER BY from_type, to_type""".stripMargin,
+
+    "ev_stationary" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""x$k AS (
+           |  SELECT m.to_type AS t, CAST(SUM(x_ppm * p_ppm) // 1000000 AS BIGINT) AS x_ppm
+           |  FROM m JOIN x${k - 1} ON x${k - 1}.t = m.from_type GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (
+        |  SELECT from_type, to_type,
+        |    CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+        |  FROM tr),
+        |st AS (SELECT DISTINCT from_type AS t FROM m),
+        |x0 AS (SELECT t, CAST(1000000 // (SELECT COUNT(*) FROM st) AS BIGINT) AS x_ppm FROM st),
+        |$rounds
+        |SELECT t AS event_type, x_ppm FROM x8 ORDER BY event_type""".stripMargin
+    },
 
     "ev_entropy_rate" -> {
       val (lnT, lastT) = FixedLnSql.chain("tr", "era", Seq("from_type"), Seq("n"))
