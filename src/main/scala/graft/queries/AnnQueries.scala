@@ -1254,6 +1254,34 @@ object AnnQueries {
         .orderBy($"cent_id")
     },
 
+    // per-cell label purity of the IVF index — the clustering-quality
+    // audit with GROUND-TRUTH labels (emb_silhouette scores geometry;
+    // this scores agreement with the labels the corpus actually
+    // carries): per posting-list cell, its label entropy + majority
+    // share. Exact integer micro-nats via ln_micro. Scale shape: the
+    // partition-pruned cells directory joins the (vec_id, label)
+    // projection co-keyed on vec_id, one (cell, label) partial agg
+    // (≤ cells·|labels| rows), then a |cells|-row rollup.
+    "emb_cell_purity" -> { (s, d) =>
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      EmbIvfIndex.cells(s, d)
+        .select($"cent_id", $"vec_id")
+        .join(t(s, d, "embeddings").select($"vec_id", $"label".cast("long").as("label")),
+          Seq("vec_id"))
+        .groupBy($"cent_id", $"label").agg(count(lit(1)).as("c"))
+        .groupBy($"cent_id").agg(
+          sum($"c").as("n_vecs"),
+          count(lit(1)).as("n_labels"),
+          max($"c").as("top_n"),
+          sum($"c".cast(dec) * expr("ln_micro(c)")).as("slc"))
+        .withColumn("entropy_micro",
+          expr("ln_micro(n_vecs) - (slc div CAST(n_vecs AS DECIMAL(38,0)))").cast("long"))
+        .withColumn("purity_ppm", expr("(top_n * 1000000) div n_vecs"))
+        .select($"cent_id", $"n_vecs", $"n_labels", $"entropy_micro", $"purity_ppm")
+        .orderBy($"cent_id")
+    },
+
     // IVF balance score — ann_cell_stats' one-number summary: the
     // entropy of the cell-occupancy distribution against its ln(nlist)
     // ceiling (balance_ppm → 10⁶ means probes prune uniformly;
@@ -1550,6 +1578,47 @@ object AnnQueries {
          |SELECT g.cent_id, g.n_vecs,
          |  CAST((1000000 * g.n_vecs) // tot.t AS BIGINT) AS share_ppm
          |FROM g, tot ORDER BY g.cent_id""".stripMargin),
+
+    // the cell-stats assignment recipe joined to the label column, per-
+    // cell label entropy via the FixedLnSql integer steps
+    "emb_cell_purity" -> {
+      val (lnG, lastG) = FixedLnSql.chain("cl", "cpa", Seq("cent_id"), Seq("c"))
+      val (lnP, lastP) = FixedLnSql.chain("per", "cpb",
+        Seq("cent_id", "n_labels", "top_n", "slc"), Seq("n_vecs"))
+      QuantCte +
+        s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0),
+           |cdots AS (
+           |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
+           |  FROM e a
+           |  JOIN e b ON b.i = a.i
+           |  JOIN cents c ON c.cent_id = b.vec_id
+           |  GROUP BY 1, 2),
+           |asgn AS (
+           |  SELECT d.vec_id, d.cent_id,
+           |    ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+           |      CAST(FLOOR(d.dot / (sqrt(nv.nn) * sqrt(nc.nn)) * 1000000.0 + 0.5) AS BIGINT) DESC,
+           |      d.cent_id) AS crnk
+           |  FROM cdots d
+           |  JOIN n nv ON nv.vec_id = d.vec_id
+           |  JOIN n nc ON nc.vec_id = d.cent_id),
+           |cl AS (
+           |  SELECT g.cent_id, CAST(emb.label AS BIGINT) AS label,
+           |    CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM asgn g JOIN embeddings emb ON emb.vec_id = g.vec_id
+           |  WHERE g.crnk <= 1 GROUP BY 1, 2),
+           |$lnG,
+           |per AS (
+           |  SELECT cent_id, CAST(SUM(c) AS BIGINT) AS n_vecs,
+           |    CAST(COUNT(*) AS BIGINT) AS n_labels,
+           |    CAST(MAX(c) AS BIGINT) AS top_n,
+           |    SUM(CAST(c AS HUGEINT) * ln_c) AS slc
+           |  FROM $lastG GROUP BY 1),
+           |$lnP
+           |SELECT cent_id, n_vecs, n_labels,
+           |  CAST(ln_n_vecs - (slc // n_vecs) AS BIGINT) AS entropy_micro,
+           |  CAST((top_n * 1000000) // n_vecs AS BIGINT) AS purity_ppm
+           |FROM $lastP ORDER BY cent_id""".stripMargin
+    },
 
     // the cell-stats recipe rolled into the 1-row balance score, with
     // the integer ln steps replayed by FixedLnSql
