@@ -112,6 +112,34 @@ object RawdataQueries {
         .orderBy(col("merge_group"))
     },
 
+    // rd_compact_plan's 1-row cost/benefit summary — the go/no-go number
+    // a maintenance scheduler reads before running Topic.compact: how
+    // much the listing shrinks (files before → merge groups after) and
+    // what fraction of the topic's message mass a compaction pass would
+    // REWRITE (single-file groups are no-ops — their mass never moves).
+    // Same listing-only derivation as rd_compact_plan (no message data
+    // touched), rolled to one row; ppm DECIMAL-guarded.
+    "rd_compact_gain" -> { (s, d) =>
+      val files = Topic.fileListingDF(s, topic(s, d))
+        .select(col("fromTsMs").as("from_ts_ms"), col("count").as("n_messages"))
+      val wOrd = Window.partitionBy(lit(1)).orderBy(col("from_ts_ms"))
+      files
+        .withColumn("budget", expr(
+          "greatest(1L, (sum(n_messages) over (partition by 1) div count(1) over (partition by 1)) * 3)"))
+        .withColumn("cum", sum(col("n_messages")).over(wOrd))
+        .withColumn("merge_group",
+          floor((col("cum") - col("n_messages")) / col("budget")).cast("long"))
+        .groupBy(col("merge_group"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n_messages")).as("grp_messages"))
+        .agg(sum(col("n_files")).as("files_before"),
+          count(lit(1)).as("files_after"),
+          sum(col("grp_messages")).as("n_messages"),
+          sum(when(col("n_files") > 1, col("grp_messages")).otherwise(0L)).as("rewritten"))
+        .select(col("files_before"), col("files_after"), col("n_messages"), col("rewritten"),
+          expr("(CAST(rewritten AS DECIMAL(38,0)) * 1000000) div CAST(n_messages AS DECIMAL(38,0))")
+            .as("rewrite_ppm"))
+    },
+
     // retention planning (Topic.expire's decision query): which window
     // files fall wholly before the retention horizon, and what message
     // mass goes with them — decided from the listing alone, like
@@ -413,6 +441,26 @@ object RawdataQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(n_messages) AS BIGINT) AS n_messages,
         |  MIN(from_ts_ms) AS first_from_ts_ms, MAX(from_ts_ms) AS last_from_ts_ms
         |FROM b GROUP BY 1 ORDER BY merge_group""".stripMargin),
+
+    "rd_compact_gain" -> (M +
+      """, f AS (
+        |  SELECT MIN(ts_ms) AS from_ts_ms, CAST(COUNT(*) AS BIGINT) AS n_messages
+        |  FROM m GROUP BY ts_ms // 86400000),
+        |b AS (
+        |  SELECT *, GREATEST(1, (SUM(n_messages) OVER () // COUNT(*) OVER ()) * 3) AS budget,
+        |    SUM(n_messages) OVER (ORDER BY from_ts_ms) AS cum
+        |  FROM f),
+        |g AS (
+        |  SELECT CAST((cum - n_messages) // budget AS BIGINT) AS merge_group,
+        |    CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(n_messages) AS BIGINT) AS grp_messages
+        |  FROM b GROUP BY 1)
+        |SELECT CAST(SUM(n_files) AS BIGINT) AS files_before,
+        |  CAST(COUNT(*) AS BIGINT) AS files_after,
+        |  CAST(SUM(grp_messages) AS BIGINT) AS n_messages,
+        |  CAST(SUM(CASE WHEN n_files > 1 THEN grp_messages ELSE 0 END) AS BIGINT) AS rewritten,
+        |  CAST((SUM(CASE WHEN n_files > 1 THEN grp_messages ELSE 0 END) * CAST(1000000 AS HUGEINT))
+        |    // SUM(grp_messages) AS BIGINT) AS rewrite_ppm
+        |FROM g""".stripMargin),
 
     "rd_expire_plan" -> (M +
       """, f AS (
