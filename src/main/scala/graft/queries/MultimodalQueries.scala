@@ -240,6 +240,26 @@ object MultimodalQueries {
         .orderBy($"position")
     },
 
+    // exact-dedup reclaim estimate — mm_dedup's 1-row operational
+    // summary (the storage number that decides whether content-addressed
+    // dedup is worth deploying): unique payloads by checksum, duplicate
+    // byte mass ((copies−1)·size per group), and the ppm of total bytes
+    // a dedup pass reclaims. Payloads never shuffle — only (checksum,
+    // size) pairs move; ppm DECIMAL-guarded.
+    "mm_reclaim" -> { (s, d) =>
+      import s.implicits._
+      payloads(s, d, 500)
+        .select(md5($"payload").as("h"), length($"payload").cast("long").as("nb"))
+        .groupBy($"h", $"nb").agg(count(lit(1)).as("copies"))
+        .agg(sum($"copies").as("n_assets"),
+          count(lit(1)).as("n_unique"),
+          sum($"copies" * $"nb").as("total_bytes"),
+          sum(($"copies" - 1) * $"nb").as("dup_bytes"))
+        .select($"n_assets", $"n_unique", $"total_bytes", $"dup_bytes",
+          expr("(CAST(dup_bytes AS DECIMAL(38,0)) * 1000000) div CAST(total_bytes AS DECIMAL(38,0))")
+            .as("reclaim_ppm"))
+    },
+
     // per-asset byte-distribution entropy — the compressibility gauge a
     // multimodal ingest runs before storing payloads (fill_ppm ≈ 10⁶
     // against the 8-bit ceiling means already-compressed/encrypted
@@ -392,6 +412,21 @@ object MultimodalQueries {
         |  CAST((p.top_n * 1000000) // p.n_bytes AS BIGINT) AS top_ppm
         |FROM prof p JOIN top t ON t.position = p.position
         |ORDER BY p.position""".stripMargin,
+
+    "mm_reclaim" ->
+      """WITH p AS (
+        |  SELECT md5(props) AS h, CAST(length(props) AS BIGINT) AS nb
+        |  FROM events WHERE event_id < 500
+        |  UNION ALL
+        |  SELECT md5(CAST(user_id AS VARCHAR)), CAST(length(CAST(user_id AS VARCHAR)) AS BIGINT)
+        |  FROM events WHERE event_id < 500),
+        |g AS (SELECT h, nb, CAST(COUNT(*) AS BIGINT) AS copies FROM p GROUP BY 1, 2)
+        |SELECT CAST(SUM(copies) AS BIGINT) AS n_assets,
+        |  CAST(COUNT(*) AS BIGINT) AS n_unique,
+        |  CAST(SUM(copies * nb) AS BIGINT) AS total_bytes,
+        |  CAST(SUM((copies - 1) * nb) AS BIGINT) AS dup_bytes,
+        |  CAST((SUM((copies - 1) * nb) * CAST(1000000 AS HUGEINT)) // SUM(copies * nb) AS BIGINT) AS reclaim_ppm
+        |FROM g""".stripMargin,
 
     "mm_byte_entropy" -> {
       val (lnG, lastG) = FixedLnSql.chain("g", "mba", Seq("position"), Seq("cnt"))
