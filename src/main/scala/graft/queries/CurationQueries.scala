@@ -90,6 +90,22 @@ object CurationQueries {
   /** disjoint merges selected per batched round */
   private[queries] val BpeBatch = 32
 
+  /** min-support floor on the pair relation (the standard trainer prune):
+    * a pair must occur at least this often to be COUNTED as a merge
+    * candidate. The driver-side peel collects the distinct-pair-TYPES
+    * relation; without a floor that relation carries the web-scale noise
+    * tail (hapax typo pairs) that can never win a merge worth shipping —
+    * the floor hardens the driver bound to pruned-pair-types for zero
+    * merge-quality cost above it. Applied identically in the Spark pair
+    * count, the DuckDB oracle (HAVING in p$r) and the plain-Scala
+    * reference, so parity is constructed; BpeVocabScaleSpec proves the
+    * selected merges are unchanged on the rich fixture while the
+    * collected relation shrinks. A sub-floor round (pairs exist, none
+    * reach the floor) selects nothing and therefore stays sub-floor
+    * forever — the dry-round early exit remains sound.
+    */
+  private[queries] val BpeMinPair = 2L
+
   /** local-maxima PEELING layers per round: one mutual-best pass over a
     * dense pair graph yields only ~|symbols|/2e winners (mutual-best is
     * a sparse matching), far under the [[BpeBatch]] cap — so each round
@@ -234,7 +250,8 @@ object CurationQueries {
        |    FROM (SELECT w, wn, unnest(regexp_extract_all(w, '\\(([^)]*)\\)', 1)) AS sym,
        |                 generate_subscripts(regexp_extract_all(w, '\\(([^)]*)\\)', 1), 1) AS i
        |          FROM w${r - 1}))
-       |  WHERE b IS NOT NULL GROUP BY 1, 2),
+       |  WHERE b IS NOT NULL GROUP BY 1, 2
+       |  HAVING SUM(wn) >= $BpeMinPair),
        |$layerCtes,
        |top$r AS MATERIALIZED (
        |  SELECT a, b, pair_n, ROW_NUMBER() OVER (ORDER BY pair_n DESC, a, b) AS rn
@@ -271,6 +288,8 @@ object CurationQueries {
       .filter($"b".isNotNull)
       .groupBy($"a", $"b")
       .agg(sum($"wn").as("pair_n"))
+      // min-support prune BEFORE the driver collect — see BpeMinPair
+      .filter($"pair_n" >= BpeMinPair)
   }
 
   /** upper-triangle (i ≤ j, 1-based) exact integer Gram cells — shared by

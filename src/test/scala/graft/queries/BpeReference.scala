@@ -12,8 +12,12 @@ package graft.queries
   */
 object BpeReference {
 
-  /** (a, b, pair_n) per learned merge, in global rank order */
-  def merges(toks: Seq[String]): Seq[(String, String, Long)] = {
+  /** (a, b, pair_n) per learned merge, in global rank order. `minPair`
+    * defaults to the operator's min-support floor; BpeVocabScaleSpec
+    * passes 1 to prove the floor changes nothing on the fixtures.
+    */
+  def merges(toks: Seq[String],
+             minPair: Long = CurationQueries.BpeMinPair): Seq[(String, String, Long)] = {
     var words: Map[Vector[String], Long] =
       toks.groupBy(identity).map { case (t, g) => t.map(_.toString).toVector -> g.length.toLong }
     def rank(p: ((String, String), Long)): (Long, String, String) = (-p._2, p._1._1, p._1._2)
@@ -23,7 +27,7 @@ object BpeReference {
     while (round <= CurationQueries.BpeRounds && !dry) {
       val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
       for ((w, n) <- words; i <- 0 until w.length - 1) pc((w(i), w(i + 1))) += n
-      var rem = pc.toMap
+      var rem = pc.toMap.filter(_._2 >= minPair)
       val sel = Seq.newBuilder[((String, String), Long)]
       for (_ <- 1 to CurationQueries.BpeLayers) {
         val bySym = scala.collection.mutable.Map.empty[String, ((String, String), Long)]

@@ -52,6 +52,43 @@ class BpeVocabScaleSpec extends SparkSpec {
       "vocab-scale BPE merge table diverged from the batched reference")
   }
 
+  test("min-support floor: selected merges unchanged, collected pair relation shrinks") {
+    // the floor (BpeMinPair) prunes the driver-side collect; the claim it
+    // must uphold is that no merge the UNFLOORED trainer would select sits
+    // below it on the fixtures — proven by running the shared reference
+    // at floor 1 vs the operator floor and requiring identical tables
+    val toks = spark.read.parquet(s"$richDir/documents.parquet")
+      .selectExpr("explode(split(text, ' +')) AS tok")
+      .filter($"tok" =!= "").collect().map(_.getString(0)).toSeq
+    assert(BpeReference.merges(toks, minPair = 1L) === BpeReference.merges(toks),
+      "the floor changed a selected merge on the rich fixture")
+
+    // ...and the prune is not vacuous: on a hapax-bearing corpus the raw
+    // pair relation holds sub-floor pair types the floored collect never
+    // ships, and the registered operator provably selects none of them
+    val dir = graft.rawdata.Topic.tempDir("bpe-floor")
+    Seq((0L, "zfzf zfzf qk"), (1L, "zfzf zfzf"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synth"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val hapaxToks = Seq("zfzf", "zfzf", "qk", "zfzf", "zfzf")
+    val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    for ((w, n) <- hapaxToks.groupBy(identity).map { case (t, g) => t.toVector -> g.length.toLong };
+         i <- 0 until w.length - 1) pc((w(i).toString, w(i + 1).toString)) += n
+    assert(pc.valuesIterator.count(_ < CurationQueries.BpeMinPair) > 0,
+      "hapax fixture lost its sub-floor pair type — fixture bug")
+    val learned = CurationQueries.queries("txt_bpe")(spark, dir).collect()
+    spark.catalog.clearCache()
+    assert(learned.nonEmpty)
+    assert(learned.forall(_.getAs[Long]("pair_n") >= CurationQueries.BpeMinPair),
+      "operator selected a sub-floor merge — the prune is not applied")
+    assert(learned.toSeq.map(r =>
+        (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("pair_n")))
+      === BpeReference.merges(hapaxToks),
+      "hapax-fixture merges diverged from the floored reference")
+  }
+
   test("the saturated driver corpus stops at its dry round, not at BpeRounds") {
     // 31 distinct words run dry long before the 384-merge cap: the
     // early-exit keeps the learned table short AND proves rounds past
