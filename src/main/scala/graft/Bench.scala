@@ -131,6 +131,44 @@ object Bench {
       catch { case _: Throwable => () }
       ScaleProbe.rmTree(new java.io.File(cdir))
     }
+    // IVF index maintenance stage (EmbIvfIndex.compact's bench proof):
+    // frozen-codebook appends add one file set per touched cell, so a
+    // probe of an N-times-appended index opens ~N+1 files per probed
+    // cell; compact must restore ~fresh probe cost. Side corpus: 75 %
+    // base + 3 appends of the remaining quarter (probe times at fresh /
+    // appended / compacted layouts; the fresh number is the 75 %-base
+    // index, so compare appended vs compacted for the layout effect).
+    val idir = graft.rawdata.Topic.tempDir("bench-ivf-compact")
+    val embAll = Tables.t(spark, sfDir, "embeddings")
+    var ivfCompactSec, ivfProbeFresh, ivfProbeAppended, ivfProbeCompacted = -1.0
+    def ivfProbeSec(d: String): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries("ann_ivf_index")(spark, d).count() }
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    try {
+      embAll.filter(pmod(col("vec_id"), org.apache.spark.sql.functions.lit(4)) =!= 3)
+        .write.mode("overwrite").parquet(s"$idir/embeddings.parquet")
+      graft.queries.EmbIvfIndex.ensure(spark, idir)
+      ivfProbeFresh = ivfProbeSec(idir)
+      val step = graft.queries.AnnQueries.centroidStep(spark, idir)
+      val q = graft.operators.VectorOps.quantized(spark, sfDir)
+      for (r <- 0 to 2)
+        graft.queries.EmbIvfIndex.append(spark, idir,
+          q.filter(pmod(col("vec_id"), org.apache.spark.sql.functions.lit(4)) === 3 &&
+            pmod(col("vec_id"), org.apache.spark.sql.functions.lit(12)) === r * 4 + 3 &&
+            col("vec_id") % step =!= 0))
+      ivfProbeAppended = ivfProbeSec(idir)
+      ivfCompactSec = timedStage(graft.queries.EmbIvfIndex.compact(spark, idir))
+      ivfProbeCompacted = ivfProbeSec(idir)
+    } catch { case _: Throwable => () }
+    finally {
+      try graft.queries.EmbIvfIndex.dropFor(spark, idir)
+      catch { case _: Throwable => () }
+      ScaleProbe.rmTree(new java.io.File(idir))
+    }
     // ingest throughput — the number directly comparable to the reference
     // producer/consumer (messages through the full Avro topic path).
     // Measured twice (fresh dir each time), best run reported: a single
@@ -205,7 +243,7 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val byName = results.toMap
     val headline = headlineNames.flatMap(n => byName.get(n).map(n -> _))
-    val detailLine = s"""{"detail":"per-pass","setup_sec":${fmt(setupSec)},"lsh_index_build_sec":${fmt(lshSec)},"token_index_build_sec":${fmt(tokenSec)},"graph_index_build_sec":${fmt(graphSec)},"ivf_index_build_sec":${fmt(ivfSec)},"index_build_sec":${fmt(indexSec)},"lsh_compact_sec":${fmt(compactSec)},"cand_gen_fresh_sec":${fmt(candFresh)},"cand_gen_appended_sec":${fmt(candAppended)},"cand_gen_compacted_sec":${fmt(candCompacted)},"queries_run1":${json(ordered.map { case (n, _) => n -> pass1(n) })},"queries_run2":${json(ordered.map { case (n, _) => n -> pass2(n) })},"queries_rerun":${json(rerun.toSeq.sortBy(_._1))}}"""
+    val detailLine = s"""{"detail":"per-pass","setup_sec":${fmt(setupSec)},"lsh_index_build_sec":${fmt(lshSec)},"token_index_build_sec":${fmt(tokenSec)},"graph_index_build_sec":${fmt(graphSec)},"ivf_index_build_sec":${fmt(ivfSec)},"index_build_sec":${fmt(indexSec)},"lsh_compact_sec":${fmt(compactSec)},"cand_gen_fresh_sec":${fmt(candFresh)},"cand_gen_appended_sec":${fmt(candAppended)},"cand_gen_compacted_sec":${fmt(candCompacted)},"ivf_probe_fresh_sec":${fmt(ivfProbeFresh)},"ivf_probe_appended_sec":${fmt(ivfProbeAppended)},"ivf_compact_sec":${fmt(ivfCompactSec)},"ivf_probe_compacted_sec":${fmt(ivfProbeCompacted)},"queries_run1":${json(ordered.map { case (n, _) => n -> pass1(n) })},"queries_run2":${json(ordered.map { case (n, _) => n -> pass2(n) })},"queries_rerun":${json(rerun.toSeq.sortBy(_._1))}}"""
     val allLine = s"""{"detail":"all-queries","n":${results.size},"queries":${json(results)}}"""
     val finalLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"ingest_msgs":$nMsgs,"ingest_write_msgs_per_sec":${fmt(writeRate)},"ingest_read_msgs_per_sec":${fmt(readRate)},"lsh_index_build_sec":${fmt(lshSec)},"index_build_sec":${fmt(indexSec)},"queries":${json(headline)},"sf":"$sfDir"}"""
     // pre-probe artifact first: a killed/timed-out probe must never cost

@@ -131,4 +131,52 @@ object EmbIvfIndex {
       .insertInto(tableName("cells", tg))
     s.catalog.refreshTable(tableName("cells", tg))
   }
+
+  /** Rewrite the posting lists into fresh one-file-per-cell form — the
+    * maintenance op the append path defers (each append adds one file
+    * set to every touched cent_id partition directory, so after N
+    * appends a probe of k cells opens up to k·(N+1) files; compaction
+    * restores the fresh-build read shape without re-deriving anything —
+    * no re-assignment, no codebook touch, just a partition-preserving
+    * rewrite of rows the index already holds). Mirrors
+    * [[CorpusLshIndex.compact]]: rows are localCheckpoint-PINNED before
+    * the Overwrite so the write never reads the directories it replaces,
+    * and the rewrite repartitions ON cent_id so each task holds whole
+    * cells — one file per partition directory. The codebook (cent) is
+    * written once at build and never appended, so only cells compacts.
+    * Serving is unchanged: the table keeps its cent_id partitioning, so
+    * the probe path's partition pruning survives (IvfIndexSpec proves
+    * compact == pre-compact cells, the per-cell file collapse, and that
+    * the pruned probe still serves row-identically).
+    */
+  def compact(s: SparkSession, d: String): Unit = synchronized {
+    val tg = CorpusLshIndex.tag(d)
+    ensure(s, d)
+    val dir = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft-ivf-index"), tg)
+    val tbl = tableName("cells", tg)
+    val pinned = s.table(tbl).localCheckpoint(true)
+    pinned
+      .repartition(col("cent_id"))
+      .write.mode(SaveMode.Overwrite)
+      .option("path", new java.io.File(dir, "cells").getAbsolutePath)
+      .partitionBy("cent_id")
+      .saveAsTable(tbl)
+    pinned.unpersist(): Unit
+    s.catalog.refreshTable(tbl)
+  }
+
+  /** Drop this corpus dir's IVF index (catalog tables + files) — the
+    * cleanup for throwaway corpora (the bench's maintenance-stage side
+    * corpus) and the crash-mid-append repair path (ensure rebuilds).
+    */
+  def dropFor(s: SparkSession, d: String): Unit = synchronized {
+    val tg = CorpusLshIndex.tag(d)
+    Seq("cells", "cent").foreach { part =>
+      val tbl = tableName(part, tg)
+      if (s.catalog.tableExists(tbl)) s.sql(s"DROP TABLE $tbl"): Unit
+    }
+    graft.ScaleProbe.rmTree(new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft-ivf-index"), tg))
+  }
 }

@@ -80,6 +80,59 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.exists(_._2 >= Split), "appended vectors missing from cells")
   }
 
+  test("compact == pre-compact cells, collapses to one file per cell, serving still prunes") {
+    val base = graft.rawdata.Topic.tempDir("ivf-compact")
+    val all = graft.Tables.t(spark, sf, "embeddings")
+    // 75 % base + 3 appends = the deferred-maintenance lifecycle the
+    // compact op exists for (each append adds a file set per touched cell)
+    all.filter(pmod($"vec_id", lit(4)) =!= 3).write.mode("overwrite")
+      .parquet(s"$base/embeddings.parquet")
+    EmbIvfIndex.ensure(spark, base)
+    val step = AnnQueries.centroidStep(spark, base)
+    val q = graft.operators.VectorOps.quantized(spark, sf)
+    for (r <- 0 to 2)
+      EmbIvfIndex.append(spark, base,
+        q.filter(pmod($"vec_id", lit(4)) === 3 && pmod($"vec_id", lit(12)) === r * 4 + 3 &&
+          $"vec_id" % step =!= 0))
+
+    def cellFiles(): Map[String, Int] = {
+      val cellsDir = new java.io.File(new java.io.File(new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-ivf-index"), CorpusLshIndex.tag(base)), "cells")
+      Option(cellsDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
+        .map(d => d.getName ->
+          Option(d.listFiles()).getOrElse(Array.empty)
+            .count(f => f.getName.endsWith(".parquet"))).toMap
+    }
+    val before = EmbIvfIndex.cells(spark, base)
+      .select($"cent_id", $"vec_id", $"q", $"nn").collect().toSet
+    val filesBefore = cellFiles()
+    assert(filesBefore.values.exists(_ > 1),
+      "appends left no multi-file cell — the compact fixture is vacuous")
+
+    EmbIvfIndex.compact(spark, base)
+
+    // rows identical, every cell back to a single file
+    val after = EmbIvfIndex.cells(spark, base)
+      .select($"cent_id", $"vec_id", $"q", $"nn").collect().toSet
+    assert(after === before, "compact changed the posting-list relation")
+    val filesAfter = cellFiles()
+    assert(filesAfter.keySet === filesBefore.keySet, "compact changed the cell set")
+    assert(filesAfter.values.forall(_ == 1),
+      s"compact left multi-file cells: ${filesAfter.filter(_._2 > 1)}")
+
+    // the serving path still partition-prunes post-compact
+    val someCells = after.iterator.map(_.getLong(0)).toSeq.distinct.take(2)
+    val pruned = EmbIvfIndex.cells(spark, base)
+      .filter($"cent_id".isin(someCells: _*))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "post-compact cells scan lost partition pruning")
+    assert(pruned.count() < after.size)
+  }
+
   test("append rejects batches that violate its contract") {
     val base = graft.rawdata.Topic.tempDir("ivf-append-guard")
     val all = graft.Tables.t(spark, sf, "embeddings")
