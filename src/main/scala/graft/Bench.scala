@@ -28,6 +28,41 @@ object Bench {
     // histogram — the probe watches the new kernel's shapes two decades up
     "txt_cond_entropy", "ev_user_entropy", "rd_latency")
 
+  /** (per-query min map from the all-queries line, sf of the final line)
+    * parsed from a BENCH_DETAIL.json a prior run wrote — the inputs of
+    * the regression gate, factored out so BenchDiffSpec can prove the
+    * round-close path parses the real committed artifact (the gate's
+    * catch-all would otherwise turn a parse bug into a silently-empty
+    * regressions field forever).
+    */
+  private[graft] def parseDetail(f: java.io.File): (Map[String, Double], String) = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    var prevQ = Map.empty[String, Double]
+    var prevSf = ""
+    root.elements().forEachRemaining { n =>
+      if (n.path("detail").asText("") == "all-queries") {
+        val q = n.path("queries")
+        val b = Map.newBuilder[String, Double]
+        q.fieldNames().forEachRemaining(k => b += k -> q.path(k).asDouble())
+        prevQ = b.result()
+      }
+      if (n.path("metric").asText("") == "total") prevSf = n.path("sf").asText("")
+    }
+    (prevQ, prevSf)
+  }
+
+  /** regression rule: BOTH >1.5x the prior min AND >0.4 s absolute —
+    * multiplicative alone flags sub-second noise, absolute alone
+    * forgives a 10 s query doubling
+    */
+  private[graft] def regressionsVs(prev: Map[String, Double],
+      results: Seq[(String, Double)]): Seq[(String, Double, Double)] =
+    results.flatMap { case (name, cur) =>
+      prev.get(name).collect {
+        case p if cur > 1.5 * p && cur - p > 0.4 => (name, p, cur)
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -225,6 +260,25 @@ object Bench {
     val results = ordered.map { case (name, _) =>
       (name, Seq(pass1(name), pass2(name), rerun.getOrElse(name, Double.MaxValue)).min)
     }
+    // Round-over-round regression gate (the diff previously done by hand
+    // after the artifact was already committed): the PREVIOUS round's
+    // committed BENCH_DETAIL.json is read BEFORE this run overwrites it,
+    // each query's new min compared against the prior min, and every
+    // regression BOTH >1.5x AND >0.4s absolute lands in a `regressions`
+    // field of the artifact itself — a txt_bpe-33s-class surprise now
+    // fails loudly at bench time instead of surviving to the next round's
+    // judge pass. Only same-scale comparisons count (both runs sf0.1);
+    // queries added this round have no prior and are skipped. Empty on a
+    // clean round.
+    val regressions: Seq[(String, Double, Double)] = try {
+      val f = new java.io.File("BENCH_DETAIL.json")
+      if (!f.exists() || !sfDir.contains("sf0.1") || only.isDefined) Seq.empty
+      else {
+        val (prevQ, prevSf) = parseDetail(f)
+        if (!prevSf.contains("sf0.1")) Seq.empty
+        else regressionsVs(prevQ, results)
+      }
+    } catch { case _: Throwable => Seq.empty }
     // The driver keeps only the last ~2000 chars of stdout, and a line
     // with all ~90 queries at 2-dp is ~2050 chars by itself — it gets
     // clipped mid-line and the driver's JSON parse fails (BENCH_r01–r04
@@ -243,9 +297,12 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val byName = results.toMap
     val headline = headlineNames.flatMap(n => byName.get(n).map(n -> _))
+    val regJson = regressions.map { case (n, p, c) =>
+      s"""{"q":"$n","prev":${fmt(p)},"cur":${fmt(c)}}"""
+    }.mkString("[", ",", "]")
     val detailLine = s"""{"detail":"per-pass","setup_sec":${fmt(setupSec)},"lsh_index_build_sec":${fmt(lshSec)},"token_index_build_sec":${fmt(tokenSec)},"graph_index_build_sec":${fmt(graphSec)},"ivf_index_build_sec":${fmt(ivfSec)},"index_build_sec":${fmt(indexSec)},"lsh_compact_sec":${fmt(compactSec)},"cand_gen_fresh_sec":${fmt(candFresh)},"cand_gen_appended_sec":${fmt(candAppended)},"cand_gen_compacted_sec":${fmt(candCompacted)},"ivf_probe_fresh_sec":${fmt(ivfProbeFresh)},"ivf_probe_appended_sec":${fmt(ivfProbeAppended)},"ivf_compact_sec":${fmt(ivfCompactSec)},"ivf_probe_compacted_sec":${fmt(ivfProbeCompacted)},"queries_run1":${json(ordered.map { case (n, _) => n -> pass1(n) })},"queries_run2":${json(ordered.map { case (n, _) => n -> pass2(n) })},"queries_rerun":${json(rerun.toSeq.sortBy(_._1))}}"""
     val allLine = s"""{"detail":"all-queries","n":${results.size},"queries":${json(results)}}"""
-    val finalLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"ingest_msgs":$nMsgs,"ingest_write_msgs_per_sec":${fmt(writeRate)},"ingest_read_msgs_per_sec":${fmt(readRate)},"lsh_index_build_sec":${fmt(lshSec)},"index_build_sec":${fmt(indexSec)},"queries":${json(headline)},"sf":"$sfDir"}"""
+    val finalLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"regressions":$regJson,"ingest_msgs":$nMsgs,"ingest_write_msgs_per_sec":${fmt(writeRate)},"ingest_read_msgs_per_sec":${fmt(readRate)},"lsh_index_build_sec":${fmt(lshSec)},"index_build_sec":${fmt(indexSec)},"queries":${json(headline)},"sf":"$sfDir"}"""
     // pre-probe artifact first: a killed/timed-out probe must never cost
     // the round its bench detail
     def writeDetail(lines: Seq[String]): Unit = {

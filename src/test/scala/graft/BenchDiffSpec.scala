@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's round-over-round regression gate must actually read the
+  * committed artifact and flag real drifts — its runtime wrapper
+  * swallows every Throwable (an artifact must never be lost to a diff
+  * bug), so a parse regression would otherwise degrade to a
+  * silently-empty `regressions` field.
+  */
+class BenchDiffSpec extends AnyFunSuite {
+
+  test("parseDetail reads the committed BENCH_DETAIL.json (mins + sf)") {
+    val f = new java.io.File("BENCH_DETAIL.json")
+    assume(f.exists(), "no committed bench detail artifact (fresh clone)")
+    val (mins, sf) = Bench.parseDetail(f)
+    assert(mins.size > 100, s"all-queries map too small: ${mins.size}")
+    assert(mins.contains("q1_agg"))
+    assert(mins.valuesIterator.forall(v => v >= 0 && v < 3600))
+    assert(sf.contains("sf0.1"),
+      s"committed artifact is not a round-close sf0.1 run: '$sf'")
+  }
+
+  test("regression rule: both thresholds required, missing prior skipped") {
+    val prev = Map("a" -> 1.0, "b" -> 0.1, "c" -> 10.0)
+    val got = Bench.regressionsVs(prev, Seq(
+      "a" -> 1.9, // >1.5x and >0.4s → flagged
+      "b" -> 0.4, // >1.5x but only +0.3s → noise, not flagged
+      "c" -> 12.0, // +2s but only 1.2x → not flagged
+      "d" -> 99.0)) // no prior (new query) → skipped
+    assert(got === Seq(("a", 1.0, 1.9)))
+  }
+}
