@@ -128,6 +128,9 @@ object Bench {
     // reported separately; index_build_sec keeps its 3-index composition
     // so the field stays comparable across rounds
     val ivfSec = timedStage(graft.queries.EmbIvfIndex.ensure(spark, sfDir))
+    // the BPE merge artifact trains once per corpus (txt_bpe/
+    // txt_bpe_encode/txt_bpe_vocab all read it) — setup, like the indexes
+    val bpeSec = timedStage(graft.queries.CurationQueries.merges(spark, sfDir).count(): Unit)
     val indexSec = lshSec + tokenSec + graphSec
     // LSH index maintenance stage: each append adds one file per bucket,
     // so candidate generation over a thrice-appended index reads 4 files
@@ -300,7 +303,7 @@ object Bench {
     val regJson = regressions.map { case (n, p, c) =>
       s"""{"q":"$n","prev":${fmt(p)},"cur":${fmt(c)}}"""
     }.mkString("[", ",", "]")
-    val detailLine = s"""{"detail":"per-pass","setup_sec":${fmt(setupSec)},"lsh_index_build_sec":${fmt(lshSec)},"token_index_build_sec":${fmt(tokenSec)},"graph_index_build_sec":${fmt(graphSec)},"ivf_index_build_sec":${fmt(ivfSec)},"index_build_sec":${fmt(indexSec)},"lsh_compact_sec":${fmt(compactSec)},"cand_gen_fresh_sec":${fmt(candFresh)},"cand_gen_appended_sec":${fmt(candAppended)},"cand_gen_compacted_sec":${fmt(candCompacted)},"ivf_probe_fresh_sec":${fmt(ivfProbeFresh)},"ivf_probe_appended_sec":${fmt(ivfProbeAppended)},"ivf_compact_sec":${fmt(ivfCompactSec)},"ivf_probe_compacted_sec":${fmt(ivfProbeCompacted)},"queries_run1":${json(ordered.map { case (n, _) => n -> pass1(n) })},"queries_run2":${json(ordered.map { case (n, _) => n -> pass2(n) })},"queries_rerun":${json(rerun.toSeq.sortBy(_._1))}}"""
+    val detailLine = s"""{"detail":"per-pass","setup_sec":${fmt(setupSec)},"lsh_index_build_sec":${fmt(lshSec)},"token_index_build_sec":${fmt(tokenSec)},"graph_index_build_sec":${fmt(graphSec)},"ivf_index_build_sec":${fmt(ivfSec)},"bpe_artifact_sec":${fmt(bpeSec)},"index_build_sec":${fmt(indexSec)},"lsh_compact_sec":${fmt(compactSec)},"cand_gen_fresh_sec":${fmt(candFresh)},"cand_gen_appended_sec":${fmt(candAppended)},"cand_gen_compacted_sec":${fmt(candCompacted)},"ivf_probe_fresh_sec":${fmt(ivfProbeFresh)},"ivf_probe_appended_sec":${fmt(ivfProbeAppended)},"ivf_compact_sec":${fmt(ivfCompactSec)},"ivf_probe_compacted_sec":${fmt(ivfProbeCompacted)},"queries_run1":${json(ordered.map { case (n, _) => n -> pass1(n) })},"queries_run2":${json(ordered.map { case (n, _) => n -> pass2(n) })},"queries_rerun":${json(rerun.toSeq.sortBy(_._1))}}"""
     val allLine = s"""{"detail":"all-queries","n":${results.size},"queries":${json(results)}}"""
     val finalLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"regressions":$regJson,"ingest_msgs":$nMsgs,"ingest_write_msgs_per_sec":${fmt(writeRate)},"ingest_read_msgs_per_sec":${fmt(readRate)},"lsh_index_build_sec":${fmt(lshSec)},"index_build_sec":${fmt(indexSec)},"queries":${json(headline)},"sf":"$sfDir"}"""
     // pre-probe artifact first: a killed/timed-out probe must never cost

@@ -292,6 +292,71 @@ object CurationQueries {
       .filter($"pair_n" >= BpeMinPair)
   }
 
+  /** Materialized BPE merge artifact — the trained tokenizer as a
+    * reusable table, built ONCE per (session, corpus) and read by
+    * txt_bpe (renumber), txt_bpe_encode (fold) and txt_bpe_vocab
+    * (export): the round-11 artifact ask — training is an expensive
+    * corpus-level pass whose product every consumer needs VERBATIM, so
+    * it lives in the catalog like the LSH/token/IVF indexes instead of
+    * re-deriving per query. Schema (round, rn, a, b, pair_n): round =
+    * batched training round, rn = in-round rank, applied sequentially in
+    * (round, rn) order. The table is merge-table-sized (≤BpeMerges rows)
+    * — the broadcastable tokenizer artifact a 100 TB encode job ships to
+    * every executor. Cross-engine parity is unchanged: the DuckDB
+    * oracles replay the full training chain in SQL; CurationOpsSpec /
+    * BpeVocabScaleSpec hold the artifact to the plain-Scala reference.
+    */
+  private def mergesTableName(tg: String) = s"graft_bpe_merges_$tg"
+
+  private def ensureMerges(s: SparkSession, d: String): Unit = synchronized {
+    import s.implicits._
+    val tg = CorpusLshIndex.tag(d)
+    if (!s.catalog.tableExists(mergesTableName(tg))) {
+      val dir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir"), "graft-bpe-artifact"), tg)
+      dir.mkdirs()
+      var words = CorpusTokenIndex.tokens(s, d)
+        .select($"tok")
+        .filter(length($"tok") > 0)
+        .select(expr("regexp_replace(tok, '(.)', '($1)')").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("wn"))
+        .localCheckpoint(true)
+      val tops = Seq.newBuilder[DataFrame]
+      var round = 1
+      var dry = false
+      while (round <= BpeRounds && !dry) {
+        val top = selectBatch(words)
+        // empty round ⇒ pairs ran dry ⇒ all later rounds empty (the
+        // global best pair always wins, so non-empty pairs always
+        // select); stopping early changes nothing vs the oracle's
+        // no-op rounds and keeps a saturated corpus at its dry depth
+        dry = top.head(1).isEmpty
+        if (!dry) {
+          words = applyBatch(words, top).localCheckpoint(true)
+          tops += top.select(lit(round.toLong).as("round"), $"rn", $"a", $"b", $"pair_n")
+        }
+        round += 1
+      }
+      // a corpus with no adjacent pairs at all yields zero merges — the
+      // written empty table still marks the artifact built
+      val empty = s.range(0).select(lit(0L).as("round"), lit(0).as("rn"),
+        lit("").as("a"), lit("").as("b"), lit(0L).as("pair_n"))
+      (empty +: tops.result()).reduce(_.union(_))
+        .coalesce(1) // ≤BpeMerges rows — one artifact file, like a shipped tokenizer.json
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("path", new java.io.File(dir, "merges").getAbsolutePath)
+        .saveAsTable(mergesTableName(tg))
+    }
+  }
+
+  /** the learned merge table (round, rn, a, b, pair_n) — private[graft]
+    * so Bench can time the artifact build as setup, not query time
+    */
+  private[graft] def merges(s: SparkSession, d: String): DataFrame = {
+    ensureMerges(s, d)
+    s.table(mergesTableName(CorpusLshIndex.tag(d)))
+  }
+
   /** upper-triangle (i ≤ j, 1-based) exact integer Gram cells — shared by
     * emb_gram and the emb_pca1 power iteration. Narrow suffix-slice pair
     * build: d(d+1)/2 rows per vector, no self-join, one (i, j) partial-agg
@@ -504,18 +569,19 @@ object CurationQueries {
         .orderBy($"bin")
     },
 
-    // BPE encode (the apply side of txt_bpe): run the BpeMerges learned
-    // merges over every corpus token and report per doc the post-merge
-    // subword count vs the character count — the compression-ratio signal
-    // that decides whether a learned vocab is worth shipping. The encode
-    // map is vocab-sized (broadcast-able at any corpus scale); the doc
-    // join is on the wrapped word form. Each round's top/words are
-    // localCheckpoint-CUT, which is load-bearing for the PLAN, not just
-    // the cache: words_r references words_{r-1} twice (pair counting +
-    // merge), so an uncut lineage tree doubles per round — 2^rounds
-    // copies of the corpus subtree blows the driver before any task
-    // runs. The cut also leaves no cache-manager residue
-    // (CacheScopeSpec).
+    // BPE encode (the apply side of txt_bpe): fold the MATERIALIZED
+    // merge artifact over every corpus token and report per doc the
+    // post-merge subword count vs the character count — the
+    // compression-ratio signal that decides whether a learned vocab is
+    // worth shipping. Reads the artifact instead of re-training (the
+    // round-11 ask): the encode map is the distinct-word relation folded
+    // through the ≤BpeMerges collected merges in (round, rn) order —
+    // sequential application of the concatenated per-round batches is
+    // EXACTLY what the per-round training loop applied, so the fold
+    // factors out of training verbatim (and the oracle's per-round
+    // encode CTEs replay the same order). The fold is cut per
+    // BpeBatch-sized chunk: uncut, ~BpeMerges nested replaces per
+    // column blow Catalyst analysis depth at vocab scale.
     "txt_bpe_encode" -> { (s, d) =>
       import s.implicits._
       val toks = CorpusTokenIndex.tokens(s, d)
@@ -523,28 +589,16 @@ object CurationQueries {
         .filter(length($"tok") > 0)
         .select($"doc_id", expr("regexp_replace(tok, '(.)', '($1)')").as("w"),
           length($"tok").cast("long").as("nch"))
-      // the weighted distinct-word relation is vocab-sized and feeds
-      // every merge round AND the encode map — checkpoint it so the
-      // corpus pass behind it runs once, not once per round
-      var words = toks.groupBy($"w").agg(count(lit(1)).as("wn")).localCheckpoint(true)
-      var enc = words.select($"w".as("orig"), $"w".as("cur"))
-      var round = 1
-      var dry = false
-      while (round <= BpeRounds && !dry) {
-        val top = selectBatch(words)
-        // top is checkpointed — the emptiness probe costs one local scan.
-        // Empty ⇒ no pairs remain ⇒ every later round is empty too
-        // (oracle parity: the SQL's remaining rounds are all no-ops)
-        dry = top.head(1).isEmpty
-        if (!dry) {
-          words = applyBatch(words, top).localCheckpoint(true)
-          // the encode chain is cut per round too: uncut it accumulates
-          // BpeBatch broadcast-joins PER ROUND (BpeMerges total) and
-          // Catalyst analysis goes quadratic in that depth at vocab scale
-          enc = applyBatchTo(enc, top, "cur").select($"orig", $"cur")
-            .localCheckpoint(true)
+      val ms = merges(s, d).orderBy($"round", $"rn").collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+      var enc = toks.select($"w").distinct()
+        .select($"w".as("orig"), $"w".as("cur")).localCheckpoint(true)
+      for (chunk <- ms.grouped(BpeBatch)) {
+        val folded = chunk.foldLeft(col("cur")) { case (c, (a, b)) =>
+          org.apache.spark.sql.functions.replace(c, lit(s"($a)($b)"), lit(s"($a$b)"))
         }
-        round += 1
+        enc = enc.withColumn("cur", folded).select($"orig", $"cur")
+          .localCheckpoint(true)
       }
       toks.join(enc, toks("w") === enc("orig"))
         .withColumn("n_sym", expr("CAST(size(regexp_extract_all(cur, '\\\\(([^)]*)\\\\)', 1)) AS BIGINT)"))
@@ -570,36 +624,42 @@ object CurationQueries {
     // selections).
     "txt_bpe" -> { (s, d) =>
       import s.implicits._
-      var words = CorpusTokenIndex.tokens(s, d)
-        .select($"tok")
-        .filter(length($"tok") > 0)
-        .select(expr("regexp_replace(tok, '(.)', '($1)')").as("w"))
-        .groupBy($"w").agg(count(lit(1)).as("wn"))
-        .localCheckpoint(true)
-      val tops = Seq.newBuilder[DataFrame]
-      var round = 1
-      var dry = false
-      while (round <= BpeRounds && !dry) {
-        val top = selectBatch(words)
-        // empty round ⇒ pairs ran dry ⇒ all later rounds empty (the
-        // global best pair always wins, so non-empty pairs always
-        // select); stopping early changes nothing vs the oracle's
-        // no-op rounds and keeps a saturated corpus at its dry depth
-        dry = top.head(1).isEmpty
-        if (!dry) {
-          words = applyBatch(words, top).localCheckpoint(true)
-          tops += top.select(lit(round.toLong).as("round"), $"rn", $"a", $"b", $"pair_n")
-        }
-        round += 1
-      }
-      // a corpus with no adjacent pairs at all yields zero rounds
-      val empty = s.range(0).select(lit(0L).as("round"), lit(0).as("rn"),
-        lit("").as("a"), lit("").as("b"), lit(0L).as("pair_n"))
-      (empty +: tops.result()).reduce(_.union(_))
+      // read the materialized artifact (training runs once per corpus —
+      // see ensureMerges); the renumbering window is un-partitioned but
+      // runs over ≤BpeMerges rows by construction
+      merges(s, d)
         .withColumn("rnk",
           row_number().over(Window.orderBy($"round", $"rn")).cast("long"))
         .select($"rnk", $"a", $"b", concat($"a", $"b").as("merged"), $"pair_n")
         .orderBy($"rnk")
+    },
+
+    // tokenizer artifact EXPORT — the reusable vocab a downstream
+    // tokenizer actually loads (the tokenizer.json shape): base-alphabet
+    // characters get ids 0..|chars|-1 in lexical order, the learned
+    // merges follow in global rank order — both assignments
+    // deterministic pure functions of the corpus, so the export is
+    // byte-reproducible on any engine. rnk carries the merge rank (0 for
+    // base chars). Scale shape: the alphabet agg is |chars|-bounded off
+    // the token index, the merge side reads the ≤BpeMerges artifact, and
+    // the two windows run over those bounded relations only.
+    "txt_bpe_vocab" -> { (s, d) =>
+      import s.implicits._
+      val chars = CorpusTokenIndex.tokens(s, d)
+        .filter(length($"tok") > 0)
+        .select(explode(expr("regexp_extract_all(tok, '(.)', 1)")).as("token"))
+        .distinct()
+        .withColumn("id", row_number().over(Window.orderBy($"token")).cast("long") - 1L)
+        .select($"id", $"token", lit("char").as("kind"), lit(0L).as("rnk"))
+      val nChars = chars.agg(count(lit(1)).as("nc")).withColumn("k", lit(1))
+      val m = merges(s, d)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy($"round", $"rn")).cast("long"))
+        .withColumn("k", lit(1))
+        .join(broadcast(nChars), Seq("k"))
+        .select(($"nc" + $"rnk" - 1L).as("id"), concat($"a", $"b").as("token"),
+          lit("merge").as("kind"), $"rnk")
+      chars.unionByName(m).orderBy($"id")
     },
 
     // exact integer Gram matrix over the quantized corpus (the PCA /
@@ -956,6 +1016,34 @@ object CurationQueries {
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY round, rn) AS BIGINT) AS rnk,
          |  a, b, a || b AS merged, pair_n
          |FROM u ORDER BY rnk""".stripMargin
+    },
+
+    "txt_bpe_vocab" -> {
+      // the txt_bpe training chain replayed verbatim, then the vocab
+      // assembly: lexical char ids, then merges offset by |chars|
+      val picks = (1 to BpeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, rn, a, b, pair_n FROM top$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT regexp_replace(tok, '(.)', '(\\1)', 'g') AS w, CAST(COUNT(*) AS BIGINT) AS wn
+         |  FROM (SELECT unnest(string_split_regex(text, ' +')) AS tok FROM documents)
+         |  WHERE length(tok) > 0 GROUP BY 1),
+         |${(1 to BpeRounds).map(bpeRoundSql).mkString(",\n")},
+         |u AS ($picks),
+         |m AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY round, rn) AS BIGINT) AS rnk,
+         |             a || b AS merged FROM u),
+         |chars AS (
+         |  SELECT DISTINCT token FROM (
+         |    SELECT unnest(regexp_extract_all(tok, '(.)', 1)) AS token
+         |    FROM (SELECT unnest(string_split_regex(text, ' +')) AS tok FROM documents)
+         |    WHERE length(tok) > 0)),
+         |cid AS (SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) - 1 AS id
+         |        FROM chars),
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM chars)
+         |SELECT id, token, 'char' AS kind, CAST(0 AS BIGINT) AS rnk FROM cid
+         |UNION ALL
+         |SELECT nc.n + m.rnk - 1 AS id, m.merged AS token, 'merge' AS kind, m.rnk FROM m, nc
+         |ORDER BY id""".stripMargin
     },
 
     "emb_gram" ->
