@@ -352,6 +352,49 @@ object RawdataQueries {
             .as("top_group_ppm"))
     },
 
+    // the SURVEY §1 thesis as ONE keyed query — the topic store FEEDS the
+    // training pipeline: read the Avro topic, map message payloads onto
+    // the documents shape (payload text = the data map's props bytes,
+    // source = ordering group, id = ULID), then run the pipeline stages
+    // end to end — exact dedup keep-first (topic payloads repeat heavily:
+    // producers re-send the same props), C4-style minimum-length quality
+    // gate, and per-source token-budget admission in ULID (= publish)
+    // order until the allocation is spent (samp_token_budget's straddle
+    // rule) — emitting the per-source mixture manifest a training run
+    // logs. Near-dup stages are a no-op at payload sizes (exact dedup
+    // subsumes them); pipe_clean_corpus/pipe_train_mix own that depth on
+    // the documents table. Scale shape: one decoded projection off the
+    // pruned topic scan, two chained partial aggs on (source, text) —
+    // payload text shuffles once, hash-keyed — and the admission window
+    // partitions by source over the deduplicated survivors only.
+    "pipe_from_topic" -> { (s, d) =>
+      val B = 24L // per-source token budget (fixed, like pipe_train_mix's)
+      val msgs = Topic.readDF(s, topic(s, d))
+        .select(col("ulid_hex"), col("orderingGroup").as("source"),
+          decode(col("data").getItem("props"), "UTF-8").as("text"))
+      val kept = msgs.groupBy(col("source"), col("text"))
+        .agg(min(col("ulid_hex")).as("ulid"))
+      val adm = kept.filter(length(col("text")) >= 9)
+        .withColumn("n_tok", size(split(col("text"), " +")).cast("long"))
+        .withColumn("cum_before",
+          sum(col("n_tok")).over(
+            Window.partitionBy(col("source")).orderBy(col("ulid"))) - col("n_tok"))
+      val raw = msgs.groupBy(col("source")).agg(count(lit(1)).as("n_msgs"))
+      val dd = kept.groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
+      val st = adm.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_quality"),
+          sum(when(col("cum_before") < B, 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("cum_before") < B, col("n_tok")).otherwise(0L)).as("n_tokens_admitted"))
+      raw.join(dd, Seq("source"), "left").join(st, Seq("source"), "left")
+        .select(col("source"), col("n_msgs"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          lit(B).as("alloc_tokens"),
+          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+          coalesce(col("n_tokens_admitted"), lit(0L)).as("n_tokens_admitted"))
+        .orderBy(col("source"))
+    },
+
     // publish-to-visibility latency distribution — the SLO number an
     // operator quotes for a topic (rd_* had rates, skew, backlog and
     // replay ETA but no "how long until a published message is readable").
@@ -569,6 +612,36 @@ object RawdataQueries {
         |  CAST((sumsq * 1000000) // (CAST(n_messages AS HUGEINT) * n_messages) AS BIGINT) AS hhi_ppm,
         |  CAST((CAST(max_group AS HUGEINT) * 1000000) // n_messages AS BIGINT) AS top_group_ppm
         |FROM g""".stripMargin),
+
+    "pipe_from_topic" ->
+      """WITH m AS (
+        |  SELECT printf('%012x', epoch_us(ts) // 1000) || substr(md5(CAST(event_id AS VARCHAR)), 1, 20) AS ulid_hex,
+        |         event_type AS source, props AS text
+        |  FROM events),
+        |kept AS (
+        |  SELECT source, text, MIN(ulid_hex) AS ulid FROM m GROUP BY 1, 2),
+        |adm AS (
+        |  SELECT source,
+        |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tok,
+        |    SUM(CAST(len(string_split_regex(text, ' +')) AS BIGINT))
+        |      OVER (PARTITION BY source ORDER BY ulid)
+        |      - CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS cum_before
+        |  FROM kept WHERE length(text) >= 9),
+        |raw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_msgs FROM m GROUP BY 1),
+        |dd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct FROM kept GROUP BY 1),
+        |st AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_quality,
+        |    CAST(SUM(CASE WHEN cum_before < 24 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+        |    CAST(SUM(CASE WHEN cum_before < 24 THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_admitted
+        |  FROM adm GROUP BY 1)
+        |SELECT raw.source, raw.n_msgs,
+        |  COALESCE(dd.n_distinct, 0) AS n_distinct,
+        |  COALESCE(st.n_quality, 0) AS n_quality,
+        |  CAST(24 AS BIGINT) AS alloc_tokens,
+        |  COALESCE(st.n_admitted, 0) AS n_admitted,
+        |  COALESCE(st.n_tokens_admitted, 0) AS n_tokens_admitted
+        |FROM raw LEFT JOIN dd USING (source) LEFT JOIN st USING (source)
+        |ORDER BY source""".stripMargin,
 
     "rd_latency" -> (M +
       """, v AS (
