@@ -662,6 +662,36 @@ object CurationQueries {
       chars.unionByName(m).orderBy($"id")
     },
 
+    // exact corpus dispersion — the mean squared pairwise L2 distance
+    // over ALL ordered vector pairs WITHOUT any pair relation: the
+    // moment identity Σ_{i≠j}‖x_i−x_j‖² = 2n·Σ‖x_i‖² − 2‖Σx_i‖² turns
+    // the O(n²) pair sum into two corpus aggregates (per-dim component
+    // sums + per-vector norms) — the collapse-detection number an
+    // embedding pipeline watches (dispersion → 0 means the encoder
+    // degenerated) at any corpus size for one narrow pass. Exact
+    // integer micro²-units end to end (DECIMAL(38,0)/HUGEINT sums, one
+    // floor division); mean_sq_norm and msd_q stay under 2⁵³ so the
+    // driver's float compare is exact. Scale shape: two partial aggs
+    // (dim-keyed and vec-keyed), two 1-row joins on a constant key.
+    "emb_dispersion" -> { (s, d) =>
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val e = t(s, d, "embeddings")
+        .select($"vec_id", posexplode($"embedding"))
+        .toDF("vec_id", "i", "x")
+        .withColumn("qv", expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"))
+      val vecsq = e.groupBy($"i").agg(sum($"qv".cast(dec)).as("sv"))
+        .agg(sum($"sv" * $"sv").as("s_vecsq")).withColumn("k", lit(1))
+      val tot = e.groupBy($"vec_id").agg(sum($"qv" * $"qv").as("nn"))
+        .agg(count(lit(1)).as("n_vecs"), sum($"nn".cast(dec)).as("s_norm"))
+        .withColumn("k", lit(1))
+      tot.join(broadcast(vecsq), Seq("k"))
+        .select($"n_vecs",
+          expr("CAST(s_norm div n_vecs AS BIGINT)").as("mean_sq_norm"),
+          expr("CAST((2 * (CAST(n_vecs AS DECIMAL(38,0)) * s_norm - s_vecsq)) div (CAST(n_vecs AS DECIMAL(38,0)) * (n_vecs - 1)) AS BIGINT)")
+            .as("msd_q"))
+    },
+
     // exact integer Gram matrix over the quantized corpus (the PCA /
     // whitening prep): upper-triangle (i ≤ j) sums of cross products plus
     // per-dimension sums and the vector count, so covariance is
@@ -1045,6 +1075,22 @@ object CurationQueries {
          |SELECT nc.n + m.rnk - 1 AS id, m.merged AS token, 'merge' AS kind, m.rnk FROM m, nc
          |ORDER BY id""".stripMargin
     },
+
+    "emb_dispersion" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
+        |  FROM embeddings),
+        |vs AS (
+        |  SELECT SUM(sv * sv) AS s_vecsq FROM (
+        |    SELECT CAST(SUM(qv) AS HUGEINT) AS sv FROM e GROUP BY i)),
+        |nt AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, SUM(nn) AS s_norm FROM (
+        |    SELECT vec_id, CAST(SUM(qv * qv) AS HUGEINT) AS nn FROM e GROUP BY vec_id))
+        |SELECT n_vecs,
+        |  CAST(s_norm // n_vecs AS BIGINT) AS mean_sq_norm,
+        |  CAST((2 * (n_vecs * s_norm - s_vecsq)) // (CAST(n_vecs AS HUGEINT) * (n_vecs - 1)) AS BIGINT) AS msd_q
+        |FROM nt, vs""".stripMargin,
 
     "emb_gram" ->
       """WITH e AS (

@@ -624,6 +624,70 @@ object EventQueries {
       x.select($"t".as("event_type"), $"x_ppm").orderBy($"event_type")
     },
 
+    // same-day event-type co-occurrence lift (the association signal
+    // behind "users who error also retry"): over distinct (user, day,
+    // type) activity slots, for each unordered type pair the observed
+    // co-active user-day count vs independence — lift = c_ab·T / (c_a·c_b)
+    // in exact ppm (DECIMAL cross-multiplied; a log-odds score would
+    // carry libm rounding). Scale shape: ONE (user, day) shuffle groups
+    // activity into sorted per-slot type arrays (the CoPurchaseGraph
+    // pair-explode trick — no self-join of the activity relation), the
+    // pair counts land on the |types|²-bounded key space, and the
+    // marginals/total join back on that tiny relation.
+    "ev_type_cooccur" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      val act = ev(s, d)
+        .select($"user_id", expr(s"ts_us div $DayUs").as("day"), $"event_type")
+        .distinct()
+      val byDay = act.groupBy($"user_id", $"day")
+        .agg(array_sort(collect_set($"event_type")).as("ts"))
+        .persist() // feeds the pair explode AND the slot total
+      val pairs = byDay
+        .select(explode($"ts").as("ta"), $"ts")
+        .select($"ta", explode(expr("filter(ts, x -> x > ta)")).as("tb"))
+        .groupBy($"ta".as("type_a"), $"tb".as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val marg = act.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      val tot = byDay.agg(count(lit(1)).as("t")).withColumn("k", lit(1))
+      pairs
+        .join(marg.select($"event_type".as("type_a"), $"n".as("n_a")), Seq("type_a"))
+        .join(marg.select($"event_type".as("type_b"), $"n".as("n_b")), Seq("type_b"))
+        .withColumn("k", lit(1)).join(broadcast(tot), Seq("k"))
+        .select($"type_a", $"type_b", $"n_ab", $"n_a", $"n_b",
+          expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * t * 1000000) div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+            .as("lift_ppm"))
+        .orderBy($"type_a", $"type_b")
+    },
+
+    // per-day traffic-mix drift: KL(day's event-type mix ‖ overall mix)
+    // in exact integer micro-nats — the composition-change alarm next to
+    // ev_anomaly's volume alarm (a day can keep its volume while its mix
+    // rotates toward errors). txt_kl's overflow-free factored form with
+    // day as the stratum: KL = ln Q − ln n_d − Σ c·(ln qc − ln c)/n_d,
+    // termwise non-negative gap (qc ≥ c since the corpus contains the
+    // day), every ln the native ln_micro kernel, so the oracle replays
+    // bit-identically. Scale shape: one (day, type) partial agg, the
+    // marginal join on the |types|-row relation, a |days|-row rollup.
+    "ev_mix_drift" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      val tc = ev(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"), $"event_type")
+        .agg(count(lit(1)).as("c"))
+      val q = tc.groupBy($"event_type").agg(sum($"c").as("qc"))
+      tc.join(q, Seq("event_type"))
+        .groupBy($"day").agg(
+          sum($"c").as("n_events"),
+          sum($"c".cast(dec) * (expr("ln_micro(qc)") - expr("ln_micro(c)"))).as("s_gap"))
+        .withColumn("q_total", sum($"n_events").over(Window.partitionBy(lit(1))))
+        .withColumn("kl_micro",
+          expr("ln_micro(q_total) - ln_micro(n_events) - (s_gap div CAST(n_events AS DECIMAL(38,0)))")
+            .cast("long"))
+        .select($"day", $"n_events", $"kl_micro")
+        .orderBy($"day")
+    },
+
     // conditional next-event entropy per current type — ev_markov's
     // one-number-per-state summary (H(next | cur): a type whose
     // follow-up is predictable routes to a narrow handler; a
@@ -1777,6 +1841,49 @@ object EventQueries {
         |x0 AS (SELECT t, CAST(1000000 // (SELECT COUNT(*) FROM st) AS BIGINT) AS x_ppm FROM st),
         |$rounds
         |SELECT t AS event_type, x_ppm FROM x8 ORDER BY event_type""".stripMargin
+    },
+
+    "ev_type_cooccur" ->
+      s"""WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // ${86400L * 1000000L} AS day, event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM act a JOIN act b
+        |    ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |marg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM act GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+        |        FROM (SELECT DISTINCT user_id, day FROM act))
+        |SELECT p.type_a, p.type_b, p.n_ab, ma.n AS n_a, mb.n AS n_b,
+        |  CAST((CAST(p.n_ab AS HUGEINT) * tot.t * 1000000)
+        |    // (CAST(ma.n AS HUGEINT) * mb.n) AS BIGINT) AS lift_ppm
+        |FROM p JOIN marg ma ON ma.event_type = p.type_a
+        |       JOIN marg mb ON mb.event_type = p.type_b
+        |       CROSS JOIN tot
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "ev_mix_drift" -> {
+      val (lnJ, lastJ) = FixedLnSql.chain("j", "mda", Seq("day"), Seq("c", "qc"))
+      val (lnT2, lastT2) = FixedLnSql.chain("tot", "mdb",
+        Seq("day", "s_gap"), Seq("n_events", "q_total"))
+      s"""WITH tc AS (
+        |  SELECT epoch_us(ts) // ${86400L * 1000000L} AS day, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |qq AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS qc FROM tc GROUP BY 1),
+        |j AS (SELECT tc.day, tc.c, qq.qc FROM tc JOIN qq USING (event_type)),
+        |$lnJ,
+        |per AS (
+        |  SELECT day, CAST(SUM(c) AS BIGINT) AS n_events,
+        |    SUM(CAST(c AS HUGEINT) * (ln_qc - ln_c)) AS s_gap
+        |  FROM $lastJ GROUP BY 1),
+        |tot AS (SELECT *, CAST(SUM(n_events) OVER () AS BIGINT) AS q_total FROM per),
+        |$lnT2
+        |SELECT day, n_events,
+        |  CAST(ln_q_total - ln_n_events - (s_gap // n_events) AS BIGINT) AS kl_micro
+        |FROM $lastT2 ORDER BY day""".stripMargin
     },
 
     "ev_entropy_rate" -> {

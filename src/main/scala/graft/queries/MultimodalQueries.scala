@@ -61,6 +61,26 @@ object MultimodalQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // power-of-2 byte-size band histogram per payload key — the storage
+    // shape audit behind shard packing and resize budgets (a media
+    // corpus whose mass sits two bands above the plan's assumption blows
+    // every batch-size estimate): band = exact floor(log₂ bytes) via
+    // length(bin(x)) − 1 (zero libm — no 1-ulp boundary divergence at
+    // exact powers of two, the q67 trick). Scale shape: one narrow
+    // length projection (payload bytes never shuffle), one partial agg
+    // onto the ≤64-band-per-key space.
+    "mm_size_bands" -> { (s, d) =>
+      import s.implicits._
+      payloads(s, d, 500)
+        .select($"key", length($"payload").cast("long").as("n_bytes"))
+        .filter($"n_bytes" > 0)
+        .withColumn("band", expr("CAST(length(bin(n_bytes)) - 1 AS BIGINT)"))
+        .groupBy($"key", $"band")
+        .agg(count(lit(1)).as("n_payloads"), sum($"n_bytes").as("total_bytes"),
+          min($"n_bytes").as("min_bytes"), max($"n_bytes").as("max_bytes"))
+        .orderBy($"key", $"band")
+    },
+
     // typed metadata extraction over opaque binary payloads: size, magic
     // bytes, checksum — a narrow codegen'd pass, no shuffle at all
     "mm_meta" -> { (s, d) =>
@@ -324,6 +344,21 @@ object MultimodalQueries {
     * ASCII, so VARCHAR length/ord equal byte length/value).
     */
   val oracles: Map[String, String] = Map(
+    "mm_size_bands" ->
+      """WITH m AS (
+        |  SELECT 'props' AS key, props AS payload
+        |  FROM events WHERE event_id < 500
+        |  UNION ALL
+        |  SELECT 'user', CAST(user_id AS VARCHAR)
+        |  FROM events WHERE event_id < 500)
+        |SELECT key, CAST(length(bin(length(payload))) - 1 AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_payloads,
+        |  CAST(SUM(length(payload)) AS BIGINT) AS total_bytes,
+        |  CAST(MIN(length(payload)) AS BIGINT) AS min_bytes,
+        |  CAST(MAX(length(payload)) AS BIGINT) AS max_bytes
+        |FROM m WHERE length(payload) > 0
+        |GROUP BY 1, 2 ORDER BY key, band""".stripMargin,
+
     "mm_meta" ->
       """WITH m AS (
         |  SELECT 'evt-' || CAST(event_id AS VARCHAR) AS position, 'props' AS key, props AS payload

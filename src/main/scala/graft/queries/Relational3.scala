@@ -480,6 +480,35 @@ object Relational3 {
       from.join(to, Seq("o_custkey", "yr"))
         .groupBy($"band_from", $"band_to").agg(count(lit(1)).as("n_customers"))
         .orderBy($"band_from", $"band_to")
+    },
+
+    // per-nation customer revenue concentration (the whale audit behind
+    // account planning — samp_pareto's shape on the sales ledger): the
+    // top revenue DECILE of each nation's customers and its exact ppm
+    // share of the nation's revenue, integer cents end to end. Scale
+    // shape: one custkey partial agg over orders, the customer→nation
+    // join co-partitioned on custkey with broadcast nation, and the
+    // decile window PARTITIONED BY NATION (per-stratum ranking — no
+    // global sort, parallelism = |nations|), then a |nations|-row agg.
+    "q68_nation_pareto" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(18, 2)
+      val rev = t(s, d, "orders")
+        .groupBy($"o_custkey")
+        .agg((sum($"o_totalprice".cast(dec)) * 100).cast("long").as("rev_cents"))
+      val cn = t(s, d, "customer").select($"c_custkey", $"c_nationkey")
+        .join(broadcast(t(s, d, "nation").select($"n_nationkey".as("c_nationkey"), $"n_name")),
+          Seq("c_nationkey"))
+      val w = Window.partitionBy($"n_name").orderBy($"rev_cents".desc, $"o_custkey")
+      rev.join(cn, rev("o_custkey") === cn("c_custkey"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum($"rev_cents").as("rev_cents"),
+          sum(when($"decile" === 1L, $"rev_cents").otherwise(0L)).as("top_decile_cents"))
+        .withColumn("share_ppm", expr("(top_decile_cents * 1000000) div rev_cents"))
+        .select($"n_name", $"n_cust", $"rev_cents", $"top_decile_cents", $"share_ppm")
+        .orderBy($"n_name")
     }
   )
 
@@ -732,6 +761,24 @@ object Relational3 {
         |SELECT f.band AS band_from, t.band AS band_to,
         |  CAST(COUNT(*) AS BIGINT) AS n_customers
         |FROM b f JOIN b t ON t.o_custkey = f.o_custkey AND t.yr = f.yr + 1
-        |GROUP BY 1, 2 ORDER BY band_from, band_to""".stripMargin
+        |GROUP BY 1, 2 ORDER BY band_from, band_to""".stripMargin,
+
+    "q68_nation_pareto" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT n_name, rev.o_custkey, rev_cents,
+        |    NTILE(10) OVER (PARTITION BY n_name ORDER BY rev_cents DESC, rev.o_custkey) AS decile
+        |  FROM rev
+        |  JOIN customer ON c_custkey = rev.o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(rev_cents) AS BIGINT) AS rev_cents,
+        |  CAST(SUM(CASE WHEN decile = 1 THEN rev_cents ELSE 0 END) AS BIGINT) AS top_decile_cents,
+        |  CAST((SUM(CASE WHEN decile = 1 THEN rev_cents ELSE 0 END) * 1000000)
+        |    // SUM(rev_cents) AS BIGINT) AS share_ppm
+        |FROM j GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 }

@@ -352,6 +352,31 @@ object RawdataQueries {
             .as("top_group_ppm"))
     },
 
+    // longest-silence audit per ordering group (the dead-producer /
+    // stuck-pipeline question rd_rate_hist's hourly curve smooths over:
+    // WHAT was the single longest quiet stretch, and when did it end?):
+    // per group, inter-arrival gaps via one lag over the (ts_ms, ulid)
+    // order, then the max gap with a deterministic tie-break (earliest
+    // end). Scale shape: one per-group lag window (rd_gap_detect's
+    // documented shape), one per-group rank window over the SAME
+    // partitioning (no second shuffle), |groups|-row output.
+    "rd_quiet" -> { (s, d) =>
+      val wo = Window.partitionBy(col("orderingGroup")).orderBy(col("ts_ms"), col("ulid_hex"))
+      val g = Topic.readDF(s, topic(s, d))
+        .withColumn("prev_ts", lag(col("ts_ms"), 1).over(wo))
+        .filter(col("prev_ts").isNotNull)
+        .select(col("orderingGroup"), (col("ts_ms") - col("prev_ts")).as("gap_ms"), col("ts_ms"))
+      val wr = Window.partitionBy(col("orderingGroup")).orderBy(col("gap_ms").desc, col("ts_ms"))
+      val top = g.withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+        .select(col("orderingGroup"), col("gap_ms").as("max_gap_ms"),
+          col("ts_ms").as("gap_end_ts_ms"))
+      g.groupBy(col("orderingGroup")).agg(count(lit(1)).as("n_gaps"))
+        .join(top, Seq("orderingGroup"))
+        .select(col("orderingGroup").as("ordering_group"), col("n_gaps"),
+          col("max_gap_ms"), col("gap_end_ts_ms"))
+        .orderBy(col("ordering_group"))
+    },
+
     // the SURVEY §1 thesis as ONE keyed query — the topic store FEEDS the
     // training pipeline: read the Avro topic, map message payloads onto
     // the documents shape (payload text = the data map's props bytes,
@@ -612,6 +637,22 @@ object RawdataQueries {
         |  CAST((sumsq * 1000000) // (CAST(n_messages AS HUGEINT) * n_messages) AS BIGINT) AS hhi_ppm,
         |  CAST((CAST(max_group AS HUGEINT) * 1000000) // n_messages AS BIGINT) AS top_group_ppm
         |FROM g""".stripMargin),
+
+    "rd_quiet" -> (M +
+      """, g AS (
+        |  SELECT ordering_group,
+        |    ts_ms - LAG(ts_ms) OVER (PARTITION BY ordering_group ORDER BY ts_ms, ulid_hex) AS gap_ms,
+        |    ts_ms
+        |  FROM m),
+        |gg AS (SELECT * FROM g WHERE gap_ms IS NOT NULL),
+        |r AS (
+        |  SELECT ordering_group, gap_ms, ts_ms,
+        |    ROW_NUMBER() OVER (PARTITION BY ordering_group ORDER BY gap_ms DESC, ts_ms) AS rn
+        |  FROM gg),
+        |c AS (SELECT ordering_group, CAST(COUNT(*) AS BIGINT) AS n_gaps FROM gg GROUP BY 1)
+        |SELECT c.ordering_group, c.n_gaps, r.gap_ms AS max_gap_ms, r.ts_ms AS gap_end_ts_ms
+        |FROM c JOIN r ON r.ordering_group = c.ordering_group AND r.rn = 1
+        |ORDER BY c.ordering_group""".stripMargin),
 
     "pipe_from_topic" ->
       """WITH m AS (
