@@ -1254,6 +1254,33 @@ object AnnQueries {
         .orderBy($"cent_id")
     },
 
+    // per-cell geometric tightness of the IVF index — the quantization-
+    // error monitor beside ann_cell_stats' occupancy view: each member's
+    // exact cosine to its OWN centroid (the c_ppm the assignment
+    // maximized), rolled to per-cell worst member + floor mean. A cell
+    // whose min_cos_ppm sags is where IVF pruning starts lying (members
+    // far from the centroid are the ones a probe misses) — the signal
+    // that triggers a re-train or a cell split. Scale shape: the
+    // partition-pruned cells directory joins the broadcast √n-sized
+    // codebook on cent_id, one narrow codegen dot per member, a
+    // |cells|-row rollup; the mean uses the subtract-pmod floor (cosines
+    // can be negative).
+    "emb_cell_radius" -> { (s, d) =>
+      import s.implicits._
+      EmbIvfIndex.cells(s, d)
+        .join(broadcast(EmbIvfIndex.cents(s, d)), Seq("cent_id"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(q, qc, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .withColumn("c_ppm",
+          floor($"dot" / (sqrt($"nn") * sqrt($"nc")) * lit(1000000.0) + lit(0.5)).cast("long"))
+        .groupBy($"cent_id")
+        .agg(count(lit(1)).as("n_vecs"), min($"c_ppm").as("min_cos_ppm"),
+          sum($"c_ppm").as("sc"))
+        .withColumn("mean_cos_ppm", expr("(sc - pmod(sc, n_vecs)) div n_vecs"))
+        .select($"cent_id", $"n_vecs", $"min_cos_ppm", $"mean_cos_ppm")
+        .orderBy($"cent_id")
+    },
+
     // per-cell label purity of the IVF index — the clustering-quality
     // audit with GROUND-TRUTH labels (emb_silhouette scores geometry;
     // this scores agreement with the labels the corpus actually
@@ -1581,6 +1608,31 @@ object AnnQueries {
 
     // the cell-stats assignment recipe joined to the label column, per-
     // cell label entropy via the FixedLnSql integer steps
+    "emb_cell_radius" -> (QuantCte +
+      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0),
+         |cdots AS (
+         |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
+         |  FROM e a
+         |  JOIN e b ON b.i = a.i
+         |  JOIN cents c ON c.cent_id = b.vec_id
+         |  GROUP BY 1, 2),
+         |asgn AS (
+         |  SELECT d.vec_id, d.cent_id,
+         |    CAST(FLOOR(d.dot / (sqrt(nv.nn) * sqrt(nc.nn)) * 1000000.0 + 0.5) AS BIGINT) AS c_ppm,
+         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+         |      CAST(FLOOR(d.dot / (sqrt(nv.nn) * sqrt(nc.nn)) * 1000000.0 + 0.5) AS BIGINT) DESC,
+         |      d.cent_id) AS crnk
+         |  FROM cdots d
+         |  JOIN n nv ON nv.vec_id = d.vec_id
+         |  JOIN n nc ON nc.vec_id = d.cent_id),
+         |g AS (
+         |  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |    MIN(c_ppm) AS min_cos_ppm, SUM(c_ppm) AS sc
+         |  FROM asgn WHERE crnk <= 1 GROUP BY 1)
+         |SELECT cent_id, n_vecs, min_cos_ppm,
+         |  CAST((sc - ((sc % n_vecs + n_vecs) % n_vecs)) // n_vecs AS BIGINT) AS mean_cos_ppm
+         |FROM g ORDER BY cent_id""".stripMargin),
+
     "emb_cell_purity" -> {
       val (lnG, lastG) = FixedLnSql.chain("cl", "cpa", Seq("cent_id"), Seq("c"))
       val (lnP, lastP) = FixedLnSql.chain("per", "cpb",

@@ -814,6 +814,31 @@ object DedupQueries {
         .orderBy($"source")
     },
 
+    // per-source NEAR-duplication rate — dd_dup_rate's verified-pair
+    // counterpart (a source can be exact-dup clean while mirroring
+    // paraphrased/near-identical pages): docs touching ≥1 verified
+    // near-dup pair at the pipe's removal threshold (jaccard ≥ 0.4 —
+    // the same cutoff cleanedCorpus drops at, so this IS the rate that
+    // stage will act on), exact ppm per source. Scale shape: reads the
+    // materialized candidate-proportional jac relation, explodes its
+    // endpoints (2 rows per pair), one distinct + one LEFT join onto
+    // the narrow (doc_id, source) projection — corpus text untouched.
+    "dd_near_rate" -> { (s, d) =>
+      import s.implicits._
+      val involved = CorpusLshIndex.jaccard(s, d)
+        .filter($"jaccard_ppm" >= 400000)
+        .select(explode(array($"doc_a", $"doc_b")).as("doc_id"))
+        .distinct()
+        .withColumn("hit", lit(1L))
+      t(s, d, "documents").select($"doc_id", $"source")
+        .join(involved, Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_near_dup"))
+        .withColumn("near_ppm", expr("(n_near_dup * 1000000) div n_docs"))
+        .orderBy($"source")
+    },
+
     // pipeline observability: the cleaning funnel's stage-by-stage doc
     // and token mass (raw → quality gate → exact dedup → near dedup) in
     // ONE report — what a curation run logs so a silent stage collapse
@@ -1744,6 +1769,20 @@ object DedupQueries {
         |  CAST(SUM(n - 1) AS BIGINT) AS n_dups,
         |  CAST((SUM(n - 1) * 1000000) // SUM(n) AS BIGINT) AS dup_ppm
         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "dd_near_rate" ->
+      (s"WITH ${lshCtes("documents")},\n$JaccardCtes,\n" +
+        """inv AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT doc_a AS doc_id FROM jacc WHERE jaccard_ppm >= 400000
+          |    UNION ALL
+          |    SELECT doc_b FROM jacc WHERE jaccard_ppm >= 400000))
+          |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(CASE WHEN inv.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+          |  CAST((SUM(CASE WHEN inv.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+          |    // COUNT(*) AS BIGINT) AS near_ppm
+          |FROM documents d LEFT JOIN inv ON inv.doc_id = d.doc_id
+          |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
     "pipe_report" ->
       (s"""WITH quality AS (

@@ -660,6 +660,25 @@ object EventQueries {
         .orderBy($"type_a", $"type_b")
     },
 
+    // per-type day-of-week traffic profile (the staffing/batch-window
+    // calendar every ops team keeps): counts + exact ppm share per
+    // (type, dow). Day-of-week computed ARITHMETICALLY from the epoch
+    // day ((days + 3) mod 7, 0 = Monday; 1970-01-01 was a Thursday) —
+    // engine date functions disagree on week origin (Spark dayofweek is
+    // 1=Sunday, DuckDB's 0=Sunday), integer arithmetic can't. Scale
+    // shape: one partial agg onto the |types|×7 key space, share window
+    // over that bounded relation.
+    "ev_weekday" -> { (s, d) =>
+      import s.implicits._
+      ev(s, d)
+        .groupBy($"event_type", expr(s"((ts_us div $DayUs) + 3) % 7").as("dow"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_type", sum($"n").over(Window.partitionBy($"event_type")))
+        .select($"event_type", $"dow", $"n",
+          expr("(n * 1000000) div n_type").as("share_ppm"))
+        .orderBy($"event_type", $"dow")
+    },
+
     // per-day traffic-mix drift: KL(day's event-type mix ‖ overall mix)
     // in exact integer micro-nats — the composition-change alarm next to
     // ev_anomaly's volume alarm (a day can keep its volume while its mix
@@ -1863,6 +1882,15 @@ object EventQueries {
         |       JOIN marg mb ON mb.event_type = p.type_b
         |       CROSS JOIN tot
         |ORDER BY type_a, type_b""".stripMargin,
+
+    "ev_weekday" ->
+      s"""WITH c AS (
+        |  SELECT event_type, ((epoch_us(ts) // ${86400L * 1000000L}) + 3) % 7 AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow, n,
+        |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS share_ppm
+        |FROM c ORDER BY event_type, dow""".stripMargin,
 
     "ev_mix_drift" -> {
       val (lnJ, lastJ) = FixedLnSql.chain("j", "mda", Seq("day"), Seq("c", "qc"))

@@ -509,6 +509,22 @@ object Relational3 {
         .withColumn("share_ppm", expr("(top_decile_cents * 1000000) div rev_cents"))
         .select($"n_name", $"n_cust", $"rev_cents", $"top_decile_cents", $"share_ppm")
         .orderBy($"n_name")
+    },
+
+    // order-size distribution (the basket-shape audit behind batch-size
+    // and join-strategy planning): exact count-of-counts of lineitems
+    // per order + ppm share — two chained partial aggs (order-keyed,
+    // then the ≤7-value TPC-H size space); the share window runs over
+    // that bounded histogram, never the fact table.
+    "q69_order_sizes" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("n_lines"))
+        .groupBy($"n_lines").agg(count(lit(1)).as("n_orders"))
+        .withColumn("t", sum($"n_orders").over(Window.partitionBy(lit(1))))
+        .select($"n_lines", $"n_orders",
+          expr("(n_orders * 1000000) div t").as("share_ppm"))
+        .orderBy($"n_lines")
     }
   )
 
@@ -779,6 +795,15 @@ object Relational3 {
         |  CAST(SUM(CASE WHEN decile = 1 THEN rev_cents ELSE 0 END) AS BIGINT) AS top_decile_cents,
         |  CAST((SUM(CASE WHEN decile = 1 THEN rev_cents ELSE 0 END) * 1000000)
         |    // SUM(rev_cents) AS BIGINT) AS share_ppm
-        |FROM j GROUP BY n_name ORDER BY n_name""".stripMargin
+        |FROM j GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q69_order_sizes" ->
+      """WITH per AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+        |  FROM lineitem GROUP BY 1),
+        |h AS (SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders FROM per GROUP BY 1)
+        |SELECT n_lines, n_orders,
+        |  CAST((n_orders * 1000000) // SUM(n_orders) OVER () AS BIGINT) AS share_ppm
+        |FROM h ORDER BY n_lines""".stripMargin
   )
 }

@@ -1138,10 +1138,60 @@ object TextQueries {
         .filter($"rnk" <= 5)
         .select($"source", $"tok", $"o", $"keyness_ppm", $"rnk")
         .orderBy($"source", $"rnk")
+    },
+
+    // per-source document-START concentration — the template detector
+    // the body-level audits miss (a crawler that prepends the same
+    // header to every page shows up as one first-token dominating a
+    // source long before the body dupes enough to trip dedup): top-5
+    // first tokens per source by doc count with exact ppm share of the
+    // source's docs. First token = the min-pos non-empty token per doc
+    // (one min_by over the unique pos axis — deterministic). Scale
+    // shape: the per-doc argmin is a doc-keyed partial agg off the
+    // bucketed token index (no window over the corpus), the counts land
+    // on a ≤\|sources\|·\|vocab-heads\| space, and the top-5 window
+    // partitions by source over that bounded relation.
+    "txt_doc_starts" -> { (s, d) =>
+      import s.implicits._
+      val firsts = CorpusTokenIndex.tokens(s, d)
+        .filter(length($"tok") > 0)
+        .groupBy($"doc_id")
+        .agg(min_by(struct($"tok", $"source"), $"pos").as("f"))
+        .select($"f.tok".as("tok"), $"f.source".as("source"))
+      val cnt = firsts.groupBy($"source", $"tok").agg(count(lit(1)).as("n_docs"))
+        .withColumn("src_docs", sum($"n_docs").over(Window.partitionBy($"source")))
+      val w = Window.partitionBy($"source").orderBy($"n_docs".desc, $"tok")
+      cnt.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 5)
+        .select($"source", $"rnk", $"tok", $"n_docs", $"src_docs",
+          expr("(n_docs * 1000000) div src_docs").as("share_ppm"))
+        .orderBy($"source", $"rnk")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "txt_doc_starts" ->
+      """WITH f0 AS (
+        |  SELECT doc_id, source, tok, pos,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      unnest(string_split_regex(text, ' +')) AS tok,
+        |      generate_subscripts(string_split_regex(text, ' +'), 1) AS pos
+        |    FROM documents)
+        |  WHERE length(tok) > 0),
+        |firsts AS (SELECT source, tok FROM f0 WHERE rn = 1),
+        |cnt AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(COUNT(*)) OVER (PARTITION BY source) AS BIGINT) AS src_docs
+        |  FROM firsts GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_docs DESC, tok) AS BIGINT) AS rnk
+        |  FROM cnt)
+        |SELECT source, rnk, tok, n_docs, src_docs,
+        |  CAST((n_docs * 1000000) // src_docs AS BIGINT) AS share_ppm
+        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+
     // same id-range slicing, same first-occurrence rule over the inline
     // tokenization the token index is definitionally identical to
     "txt_heaps" ->
