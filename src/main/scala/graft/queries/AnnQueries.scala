@@ -1254,6 +1254,42 @@ object AnnQueries {
         .orderBy($"cent_id")
     },
 
+    // IVF probe COST curve — the spend side of ann_ivf_recall's quality
+    // curve (the (nprobe, recall, cost) operating table is what actually
+    // picks a serving config): per query and nprobe ∈ 1..4, how many
+    // posting-list rows the pruned scan touches and the exact ppm of the
+    // corpus that is. Scale shape: the probe ranking is the serving
+    // path's broadcast-codebook argsort (√n relation), cell sizes are a
+    // |cells|-row aggregate of the partition-pruned index, and the sweep
+    // explodes 4 rows per (query, probe) — |queries|·nprobe² bounded.
+    "ann_probe_cost" -> { (s, d) =>
+      import s.implicits._
+      val cents = EmbIvfIndex.cents(s, d)
+      val w0 = Window.partitionBy($"vec_id").orderBy($"c_ppm".desc, $"cent_id")
+      val probes = quantized(s, d).filter($"vec_id" < NumQueries)
+        .join(broadcast(cents), lit(true))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(q, qc, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .withColumn("c_ppm",
+          floor($"dot" / (sqrt($"nn") * sqrt($"nc")) * lit(1000000.0) + lit(0.5)).cast("long"))
+        .withColumn("crnk", row_number().over(w0))
+        .filter($"crnk" <= 4)
+        .select($"vec_id".as("qid"), $"cent_id", $"crnk")
+      val sizes = EmbIvfIndex.cells(s, d)
+        .groupBy($"cent_id").agg(count(lit(1)).as("cell_n"))
+      val tot = sizes.agg(sum($"cell_n").as("n_vectors")).withColumn("k", lit(1))
+      probes
+        .withColumn("nprobe", explode(expr("sequence(1L, 4L)")))
+        .filter($"crnk" <= $"nprobe")
+        .join(broadcast(sizes), Seq("cent_id"))
+        .groupBy($"nprobe", $"qid")
+        .agg(count(lit(1)).as("n_cells"), sum($"cell_n").as("n_scanned"))
+        .withColumn("k", lit(1)).join(broadcast(tot), Seq("k"))
+        .select($"nprobe", $"qid", $"n_cells", $"n_scanned",
+          expr("(n_scanned * 1000000) div n_vectors").as("scan_ppm"))
+        .orderBy($"nprobe", $"qid")
+    },
+
     // per-cell geometric tightness of the IVF index — the quantization-
     // error monitor beside ann_cell_stats' occupancy view: each member's
     // exact cosine to its OWN centroid (the c_ppm the assignment
@@ -1608,6 +1644,40 @@ object AnnQueries {
 
     // the cell-stats assignment recipe joined to the label column, per-
     // cell label entropy via the FixedLnSql integer steps
+    "ann_probe_cost" -> (QuantCte +
+      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0),
+         |cdots AS (
+         |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
+         |  FROM e a
+         |  JOIN e b ON b.i = a.i
+         |  JOIN cents c ON c.cent_id = b.vec_id
+         |  GROUP BY 1, 2),
+         |asgn AS (
+         |  SELECT d.vec_id, d.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+         |      CAST(FLOOR(d.dot / (sqrt(nv.nn) * sqrt(nc.nn)) * 1000000.0 + 0.5) AS BIGINT) DESC,
+         |      d.cent_id) AS crnk
+         |  FROM cdots d
+         |  JOIN n nv ON nv.vec_id = d.vec_id
+         |  JOIN n nc ON nc.vec_id = d.cent_id),
+         |sizes AS (
+         |  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS cell_n
+         |  FROM asgn WHERE crnk <= 1 GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cell_n) AS BIGINT) AS n_vectors FROM sizes),
+         |probes AS (
+         |  SELECT vec_id AS qid, cent_id, crnk FROM asgn
+         |  WHERE crnk <= 4 AND vec_id < $NumQueries),
+         |sweep AS (
+         |  SELECT v.np AS nprobe, p.qid, p.cent_id
+         |  FROM probes p JOIN (VALUES (1), (2), (3), (4)) v(np) ON p.crnk <= v.np)
+         |SELECT CAST(nprobe AS BIGINT) AS nprobe, qid,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  CAST(SUM(z.cell_n) AS BIGINT) AS n_scanned,
+         |  CAST((SUM(z.cell_n) * 1000000) // tot.n_vectors AS BIGINT) AS scan_ppm
+         |FROM sweep JOIN sizes z USING (cent_id) CROSS JOIN tot
+         |GROUP BY nprobe, qid, tot.n_vectors
+         |ORDER BY nprobe, qid""".stripMargin),
+
     "emb_cell_radius" -> (QuantCte +
       s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0),
          |cdots AS (

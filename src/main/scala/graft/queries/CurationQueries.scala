@@ -357,6 +357,30 @@ object CurationQueries {
     s.table(mergesTableName(CorpusLshIndex.tag(d)))
   }
 
+  /** the encode map (orig → cur): the corpus's distinct wrapped-word
+    * relation folded through the materialized merges in (round, rn)
+    * order — shared by txt_bpe_encode and txt_bpe_saturation. The fold
+    * is cut per BpeBatch-sized chunk (uncut, ~BpeMerges nested replaces
+    * per column blow Catalyst analysis depth at vocab scale); sequential
+    * application of the concatenated batches is exactly what the
+    * training loop applied, so reading the artifact loses nothing.
+    */
+  private def encodeMap(s: SparkSession, d: String, wrappedWords: DataFrame): DataFrame = {
+    import s.implicits._
+    val ms = merges(s, d).orderBy($"round", $"rn").collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+    var enc = wrappedWords.select($"w").distinct()
+      .select($"w".as("orig"), $"w".as("cur")).localCheckpoint(true)
+    for (chunk <- ms.grouped(BpeBatch)) {
+      val folded = chunk.foldLeft(col("cur")) { case (c, (a, b)) =>
+        org.apache.spark.sql.functions.replace(c, lit(s"($a)($b)"), lit(s"($a$b)"))
+      }
+      enc = enc.withColumn("cur", folded).select($"orig", $"cur")
+        .localCheckpoint(true)
+    }
+    enc
+  }
+
   /** upper-triangle (i ≤ j, 1-based) exact integer Gram cells — shared by
     * emb_gram and the emb_pca1 power iteration. Narrow suffix-slice pair
     * build: d(d+1)/2 rows per vector, no self-join, one (i, j) partial-agg
@@ -589,17 +613,7 @@ object CurationQueries {
         .filter(length($"tok") > 0)
         .select($"doc_id", expr("regexp_replace(tok, '(.)', '($1)')").as("w"),
           length($"tok").cast("long").as("nch"))
-      val ms = merges(s, d).orderBy($"round", $"rn").collect()
-        .map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
-      var enc = toks.select($"w").distinct()
-        .select($"w".as("orig"), $"w".as("cur")).localCheckpoint(true)
-      for (chunk <- ms.grouped(BpeBatch)) {
-        val folded = chunk.foldLeft(col("cur")) { case (c, (a, b)) =>
-          org.apache.spark.sql.functions.replace(c, lit(s"($a)($b)"), lit(s"($a$b)"))
-        }
-        enc = enc.withColumn("cur", folded).select($"orig", $"cur")
-          .localCheckpoint(true)
-      }
+      val enc = encodeMap(s, d, toks)
       toks.join(enc, toks("w") === enc("orig"))
         .withColumn("n_sym", expr("CAST(size(regexp_extract_all(cur, '\\\\(([^)]*)\\\\)', 1)) AS BIGINT)"))
         .groupBy($"doc_id")
@@ -632,6 +646,32 @@ object CurationQueries {
           row_number().over(Window.orderBy($"round", $"rn")).cast("long"))
         .select($"rnk", $"a", $"b", concat($"a", $"b").as("merged"), $"pair_n")
         .orderBy($"rnk")
+    },
+
+    // BPE merge-saturation profile per source — the vocab-fit audit the
+    // compression ratio alone hides: the share of token OCCURRENCES the
+    // learned merges collapse to a SINGLE symbol (fully-merged tokens
+    // cost one id at training time; a source whose saturation lags the
+    // corpus is the one paying the fragmentation). Reads the
+    // materialized artifact through the shared encode map; per-source
+    // exact ppm. Scale shape: the encode map is vocab-sized, the join
+    // is on the wrapped word form, one |sources|-row rollup.
+    "txt_bpe_saturation" -> { (s, d) =>
+      import s.implicits._
+      val toks = CorpusTokenIndex.tokens(s, d)
+        .select($"source", $"tok")
+        .filter(length($"tok") > 0)
+        .select($"source", expr("regexp_replace(tok, '(.)', '($1)')").as("w"))
+      val enc = encodeMap(s, d, toks)
+        .withColumn("n_sym",
+          expr("CAST(size(regexp_extract_all(cur, '\\\\(([^)]*)\\\\)', 1)) AS BIGINT)"))
+      toks.join(enc, toks("w") === enc("orig"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when($"n_sym" === 1L, 1L).otherwise(0L)).as("n_saturated"))
+        .withColumn("sat_ppm", expr("(n_saturated * 1000000) div n_tok"))
+        .select($"source", $"n_tok", $"n_saturated", $"sat_ppm")
+        .orderBy($"source")
     },
 
     // tokenizer artifact EXPORT — the reusable vocab a downstream
@@ -1046,6 +1086,31 @@ object CurationQueries {
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY round, rn) AS BIGINT) AS rnk,
          |  a, b, a || b AS merged, pair_n
          |FROM u ORDER BY rnk""".stripMargin
+    },
+
+    "txt_bpe_saturation" -> {
+      // the txt_bpe_encode chain with source carried through, rolled to
+      // the per-source single-symbol share
+      val encCtes = (1 to BpeRounds).map(r =>
+        s"enc$r AS MATERIALIZED (SELECT orig, ${bpeApplySql("cur", r)} AS cur FROM enc${r - 1})")
+        .mkString(",\n")
+      s"""WITH toks AS (
+         |  SELECT source, regexp_replace(tok, '(.)', '(\\1)', 'g') AS w
+         |  FROM (SELECT source, unnest(string_split_regex(text, ' +')) AS tok FROM documents)
+         |  WHERE length(tok) > 0),
+         |w0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM toks GROUP BY 1),
+         |${(1 to BpeRounds).map(bpeRoundSql).mkString(",\n")},
+         |enc0 AS (SELECT w AS orig, w AS cur FROM w0),
+         |$encCtes,
+         |enc AS (
+         |  SELECT orig,
+         |    CAST(len(regexp_extract_all(cur, '\\(([^)]*)\\)', 1)) AS BIGINT) AS n_sym
+         |  FROM enc$BpeRounds)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |  CAST(SUM(CASE WHEN enc.n_sym = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated,
+         |  CAST((SUM(CASE WHEN enc.n_sym = 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS sat_ppm
+         |FROM toks JOIN enc ON enc.orig = toks.w
+         |GROUP BY source ORDER BY source""".stripMargin
     },
 
     "txt_bpe_vocab" -> {

@@ -525,6 +525,26 @@ object Relational3 {
         .select($"n_lines", $"n_orders",
           expr("(n_orders * 1000000) div t").as("share_ppm"))
         .orderBy($"n_lines")
+    },
+
+    // customer lifespan distribution (the engagement-duration ledger
+    // behind churn-model features): calendar months between first and
+    // last order per customer, rolled to an exact count-of-counts
+    // histogram with ppm share. Calendar-bounded span space (a one-year
+    // ledger has ≤ 12 values at any corpus size), so the share window
+    // never touches the fact table — one custkey partial agg, one
+    // span-keyed rollup.
+    "q70_cust_lifespan" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "orders")
+        .groupBy($"o_custkey")
+        .agg((max(expr("year(o_orderdate) * 12 + month(o_orderdate)"))
+          - min(expr("year(o_orderdate) * 12 + month(o_orderdate)"))).cast("long").as("span_months"))
+        .groupBy($"span_months").agg(count(lit(1)).as("n_customers"))
+        .withColumn("t", sum($"n_customers").over(Window.partitionBy(lit(1))))
+        .select($"span_months", $"n_customers",
+          expr("(n_customers * 1000000) div t").as("share_ppm"))
+        .orderBy($"span_months")
     }
   )
 
@@ -804,6 +824,17 @@ object Relational3 {
         |h AS (SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders FROM per GROUP BY 1)
         |SELECT n_lines, n_orders,
         |  CAST((n_orders * 1000000) // SUM(n_orders) OVER () AS BIGINT) AS share_ppm
-        |FROM h ORDER BY n_lines""".stripMargin
+        |FROM h ORDER BY n_lines""".stripMargin,
+
+    "q70_cust_lifespan" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(MAX(year(o_orderdate) * 12 + month(o_orderdate))
+        |      - MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT) AS span_months
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT span_months, CAST(COUNT(*) AS BIGINT) AS n_customers FROM per GROUP BY 1)
+        |SELECT span_months, n_customers,
+        |  CAST((n_customers * 1000000) // SUM(n_customers) OVER () AS BIGINT) AS share_ppm
+        |FROM h ORDER BY span_months""".stripMargin
   )
 }

@@ -352,6 +352,29 @@ object RawdataQueries {
             .as("top_group_ppm"))
     },
 
+    // per-window-file key-skew profile — rd_key_skew's per-day form (the
+    // file-level partitioning question: is ANY window file dominated by
+    // one ordering group, even when the topic is globally balanced?):
+    // per day, message count, active groups, Herfindahl index and top
+    // share, all exact HUGEINT/DECIMAL squares and ppm floors. Scale
+    // shape: one (day, group) partial agg, then a |days|-row rollup.
+    "rd_window_skew" -> { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      Topic.readDF(s, topic(s, d))
+        .groupBy(expr("ts_ms div 86400000").as("day"), col("orderingGroup"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_messages"),
+          max(col("n")).as("max_group"),
+          sum(col("n").cast(dec) * col("n")).as("sumsq"))
+        .select(col("day"), col("n_groups"), col("n_messages"),
+          expr("(sumsq * 1000000) div (CAST(n_messages AS DECIMAL(38,0)) * n_messages)")
+            .as("hhi_ppm"),
+          expr("(CAST(max_group AS DECIMAL(38,0)) * 1000000) div CAST(n_messages AS DECIMAL(38,0))")
+            .as("top_group_ppm"))
+        .orderBy(col("day"))
+    },
+
     // longest-silence audit per ordering group (the dead-producer /
     // stuck-pipeline question rd_rate_hist's hourly curve smooths over:
     // WHAT was the single longest quiet stretch, and when did it end?):
@@ -637,6 +660,20 @@ object RawdataQueries {
         |  CAST((sumsq * 1000000) // (CAST(n_messages AS HUGEINT) * n_messages) AS BIGINT) AS hhi_ppm,
         |  CAST((CAST(max_group AS HUGEINT) * 1000000) // n_messages AS BIGINT) AS top_group_ppm
         |FROM g""".stripMargin),
+
+    "rd_window_skew" -> (M +
+      """, c AS (
+        |  SELECT ts_ms // 86400000 AS day, ordering_group, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM m GROUP BY 1, 2),
+        |g AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(n) AS BIGINT) AS n_messages, MAX(n) AS max_group,
+        |    SUM(CAST(n AS HUGEINT) * n) AS sumsq
+        |  FROM c GROUP BY 1)
+        |SELECT day, n_groups, n_messages,
+        |  CAST((sumsq * 1000000) // (CAST(n_messages AS HUGEINT) * n_messages) AS BIGINT) AS hhi_ppm,
+        |  CAST((CAST(max_group AS HUGEINT) * 1000000) // n_messages AS BIGINT) AS top_group_ppm
+        |FROM g ORDER BY day""".stripMargin),
 
     "rd_quiet" -> (M +
       """, g AS (

@@ -119,6 +119,13 @@ class PlanAuditSpec extends SparkSpec {
       // served-index probe: fixed query slice + its ≤|queries|·nprobe
       // probe relation
       "ann_ivf_index",
+      // cell-tightness audit: the broadcast is the frozen √n-sized
+      // codebook — the ann_ivf_index serving precedent (sub-linear by
+      // the sqrt nlist scale rule, exactly what IVF serving broadcasts)
+      "emb_cell_radius",
+      // probe-cost sweep: the √n codebook + the |cells|-row size
+      // relation + the 1-row corpus total — all sub-linear broadcasts
+      "ann_probe_cost",
       // the 10-row decile relation crossed into the value histogram
       "q50_stats_hist",
       // same 10-row decile cross, per-lang form
