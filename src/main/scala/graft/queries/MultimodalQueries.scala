@@ -81,6 +81,23 @@ object MultimodalQueries {
         .orderBy($"key", $"band")
     },
 
+    // container-format mix per payload key — the "what codecs am I
+    // actually holding" audit a multimodal ingest runs before picking
+    // decode workers: magic-prefix (first 2 bytes, hex) histogram with
+    // exact ppm share per key. Scale shape: a 2-byte prefix projection
+    // (payload bodies never shuffle), partial agg onto the bounded
+    // (key, magic) space, share window over that relation.
+    "mm_magic_mix" -> { (s, d) =>
+      import s.implicits._
+      payloads(s, d, 500)
+        .select($"key", upper(hex(expr("substring(payload, 1, 2)"))).as("magic"))
+        .groupBy($"key", $"magic").agg(count(lit(1)).as("n"))
+        .withColumn("key_n", sum($"n").over(Window.partitionBy($"key")))
+        .select($"key", $"magic", $"n",
+          expr("(n * 1000000) div key_n").as("share_ppm"))
+        .orderBy($"key", $"magic")
+    },
+
     // typed metadata extraction over opaque binary payloads: size, magic
     // bytes, checksum — a narrow codegen'd pass, no shuffle at all
     "mm_meta" -> { (s, d) =>
@@ -344,6 +361,21 @@ object MultimodalQueries {
     * ASCII, so VARCHAR length/ord equal byte length/value).
     */
   val oracles: Map[String, String] = Map(
+    "mm_magic_mix" ->
+      """WITH m AS (
+        |  SELECT 'props' AS key, props AS payload
+        |  FROM events WHERE event_id < 500
+        |  UNION ALL
+        |  SELECT 'user', CAST(user_id AS VARCHAR)
+        |  FROM events WHERE event_id < 500),
+        |c AS (
+        |  SELECT key, upper(hex(substr(payload, 1, 2))) AS magic,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM m GROUP BY 1, 2)
+        |SELECT key, magic, n,
+        |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY key) AS BIGINT) AS share_ppm
+        |FROM c ORDER BY key, magic""".stripMargin,
+
     "mm_size_bands" ->
       """WITH m AS (
         |  SELECT 'props' AS key, props AS payload

@@ -110,6 +110,29 @@ object SamplingQueries {
         .orderBy($"source", $"doc_id")
     },
 
+    // uniform-rebalance plan (the ACTION samp_mixture's data card asks
+    // for): per source, the exact milli up/down-sampling factor that
+    // would bring every source to the uniform token allocation
+    // total div |sources| — factor > 1000 means upsample (repeat
+    // epochs), < 1000 means downsample; the floor keeps Σ alloc ≤
+    // total so the plan never overcommits the budget. |sources|-row
+    // relation after one narrow token-count partial agg; both windows
+    // run over that tiny profile.
+    "samp_rebalance" -> { (s, d) =>
+      import s.implicits._
+      val prof = t(s, d, "documents")
+        .select($"source", size(split($"text", " +")).cast("long").as("n_tok"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      val wAll = Window.partitionBy(lit(1))
+      prof
+        .withColumn("alloc_tokens", expr(
+          "sum(n_tokens) over (partition by 1) div count(1) over (partition by 1)"))
+        .withColumn("factor_milli", expr("(alloc_tokens * 1000) div n_tokens"))
+        .select($"source", $"n_docs", $"n_tokens", $"alloc_tokens", $"factor_milli")
+        .orderBy($"source")
+    },
+
     // per-source token-budget selection (domain mixing): docs enter the
     // mix in deterministic hash order until the source's token budget is
     // spent; the first doc of a stream is always taken so no stream
@@ -592,6 +615,18 @@ object SamplingQueries {
          |SELECT h.lang, h.doc_id FROM h JOIN n ON n.lang = h.lang
          |WHERE h.h < ${StratumTarget * HashSpace} // n.n
          |ORDER BY h.lang, h.doc_id""".stripMargin,
+
+    "samp_rebalance" ->
+      """WITH prof AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split_regex(text, ' +'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |a AS (
+        |  SELECT *, SUM(n_tokens) OVER () // COUNT(*) OVER () AS alloc_tokens
+        |  FROM prof)
+        |SELECT source, n_docs, n_tokens, CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+        |  CAST((alloc_tokens * 1000) // n_tokens AS BIGINT) AS factor_milli
+        |FROM a ORDER BY source""".stripMargin,
 
     "samp_temperature" ->
       s"""WITH n AS (

@@ -352,6 +352,23 @@ object RawdataQueries {
             .as("top_group_ppm"))
     },
 
+    // scan-partition planning from the listing alone (the maxPartition-
+    // Bytes decision in message units: HOW MANY read tasks should each
+    // window file get so no task exceeds the topic's own mean-file
+    // budget?): per file, splits = ceil(count / budget) with budget =
+    // max(1, mean messages per file) — a data-derived rule, so dense
+    // files fan out and small files stay single-task. |files|-row
+    // relation end to end, like rd_compact_plan.
+    "rd_partition_plan" -> { (s, d) =>
+      Topic.fileListingDF(s, topic(s, d))
+        .select(col("fromTsMs").as("from_ts_ms"), col("count").as("n_messages"))
+        .withColumn("budget", expr(
+          "greatest(1L, sum(n_messages) over (partition by 1) div count(1) over (partition by 1))"))
+        .withColumn("n_splits", expr("(n_messages + budget - 1) div budget"))
+        .select(col("from_ts_ms"), col("n_messages"), col("budget"), col("n_splits"))
+        .orderBy(col("from_ts_ms"))
+    },
+
     // per-window-file key-skew profile — rd_key_skew's per-day form (the
     // file-level partitioning question: is ANY window file dominated by
     // one ordering group, even when the topic is globally balanced?):
@@ -660,6 +677,17 @@ object RawdataQueries {
         |  CAST((sumsq * 1000000) // (CAST(n_messages AS HUGEINT) * n_messages) AS BIGINT) AS hhi_ppm,
         |  CAST((CAST(max_group AS HUGEINT) * 1000000) // n_messages AS BIGINT) AS top_group_ppm
         |FROM g""".stripMargin),
+
+    "rd_partition_plan" -> (M +
+      """, f AS (
+        |  SELECT MIN(ts_ms) AS from_ts_ms, CAST(COUNT(*) AS BIGINT) AS n_messages
+        |  FROM m GROUP BY ts_ms // 86400000),
+        |b AS (
+        |  SELECT *, GREATEST(1, SUM(n_messages) OVER () // COUNT(*) OVER ()) AS budget
+        |  FROM f)
+        |SELECT from_ts_ms, n_messages, CAST(budget AS BIGINT) AS budget,
+        |  CAST((n_messages + budget - 1) // budget AS BIGINT) AS n_splits
+        |FROM b ORDER BY from_ts_ms""".stripMargin),
 
     "rd_window_skew" -> (M +
       """, c AS (
