@@ -814,6 +814,28 @@ object DedupQueries {
         .orderBy($"source")
     },
 
+    // shingle-set size distribution in power-of-2 bands — the dedup
+    // cost model's input (candidate generation and verify both scale
+    // with per-doc shingle counts; a band profile says whether the
+    // corpus is short-doc-heavy, where minhash estimates degrade, or
+    // carries megadocs that dominate verify time). Reads the
+    // materialized sh relation, one doc-keyed partial agg, ≤64-band
+    // rollup; docs too short to shingle land in band −1 so the profile
+    // always accounts for every document.
+    "dd_shingle_stats" -> { (s, d) =>
+      import s.implicits._
+      val cnt = CorpusLshIndex.shingles(s, d)
+        .select($"doc_id", size($"ss").cast("long").as("n_sh"))
+      t(s, d, "documents").select($"doc_id")
+        .join(cnt, Seq("doc_id"), "left")
+        .withColumn("n_sh", coalesce($"n_sh", lit(0L)))
+        .withColumn("band", expr(
+          "CASE WHEN n_sh = 0 THEN CAST(-1 AS BIGINT) ELSE CAST(length(bin(n_sh)) - 1 AS BIGINT) END"))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_docs"), min($"n_sh").as("min_sh"), max($"n_sh").as("max_sh"))
+        .orderBy($"band")
+    },
+
     // per-source NEAR-duplication rate — dd_dup_rate's verified-pair
     // counterpart (a source can be exact-dup clean while mirroring
     // paraphrased/near-identical pages): docs touching ≥1 verified
@@ -1769,6 +1791,20 @@ object DedupQueries {
         |  CAST(SUM(n - 1) AS BIGINT) AS n_dups,
         |  CAST((SUM(n - 1) * 1000000) // SUM(n) AS BIGINT) AS dup_ppm
         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "dd_shingle_stats" ->
+      (s"WITH ${lshCtes("documents")},\n" +
+        """cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+          |j AS (
+          |  SELECT d.doc_id, COALESCE(cnt.n_sh, 0) AS n_sh
+          |  FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id),
+          |b AS (
+          |  SELECT CASE WHEN n_sh = 0 THEN CAST(-1 AS BIGINT)
+          |              ELSE CAST(length(bin(n_sh)) - 1 AS BIGINT) END AS band, n_sh
+          |  FROM j)
+          |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  MIN(n_sh) AS min_sh, MAX(n_sh) AS max_sh
+          |FROM b GROUP BY band ORDER BY band""".stripMargin),
 
     "dd_near_rate" ->
       (s"WITH ${lshCtes("documents")},\n$JaccardCtes,\n" +

@@ -660,6 +660,26 @@ object EventQueries {
         .orderBy($"type_a", $"type_b")
     },
 
+    // per-type transaction-value band profile: power-of-2 cent bands
+    // (exact floor(log₂) via length(bin(x))−1, zero libm) with counts,
+    // extremes and ppm share — the value-distribution shape behind
+    // fraud/price-tier monitoring, where a mean (ev_moments) hides a
+    // bimodal split. Scale shape: one narrow cents projection, partial
+    // agg onto the ≤64-band-per-type space, share window over that
+    // bounded relation.
+    "ev_value_bands" -> { (s, d) =>
+      import s.implicits._
+      ev(s, d)
+        .withColumn("cents", expr("CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)"))
+        .withColumn("band", expr("CAST(length(bin(cents)) - 1 AS BIGINT)"))
+        .groupBy($"event_type", $"band")
+        .agg(count(lit(1)).as("n"), min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+        .withColumn("n_type", sum($"n").over(Window.partitionBy($"event_type")))
+        .select($"event_type", $"band", $"n", $"min_cents", $"max_cents",
+          expr("(n * 1000000) div n_type").as("share_ppm"))
+        .orderBy($"event_type", $"band")
+    },
+
     // per-type day-of-week traffic profile (the staffing/batch-window
     // calendar every ops team keeps): counts + exact ppm share per
     // (type, dow). Day-of-week computed ARITHMETICALLY from the epoch
@@ -1882,6 +1902,19 @@ object EventQueries {
         |       JOIN marg mb ON mb.event_type = p.type_b
         |       CROSS JOIN tot
         |ORDER BY type_a, type_b""".stripMargin,
+
+    "ev_value_bands" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, CAST(length(bin(cents)) - 1 AS BIGINT) AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n, MIN(cents) AS min_cents, MAX(cents) AS max_cents
+        |  FROM c GROUP BY 1, 2)
+        |SELECT event_type, band, n, min_cents, max_cents,
+        |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS share_ppm
+        |FROM g ORDER BY event_type, band""".stripMargin,
 
     "ev_weekday" ->
       s"""WITH c AS (

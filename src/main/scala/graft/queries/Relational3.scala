@@ -545,6 +545,31 @@ object Relational3 {
         .select($"span_months", $"n_customers",
           expr("(n_customers * 1000000) div t").as("share_ppm"))
         .orderBy($"span_months")
+    },
+
+    // discount-tier effect report (the pricing-lever audit): per
+    // discount percent, line count, gross revenue and the discount
+    // given — all EXACT integers (gross in cents, discount in
+    // cent-percent units: p_cents·pct, no decimal-product rounding to
+    // reconcile across engines), DECIMAL(38,0) sums so the cent totals
+    // survive any corpus size. One partial agg onto the ≤11-tier space;
+    // the share window runs over that bounded relation.
+    "q71_discount_effect" -> { (s, d) =>
+      import s.implicits._
+      val dec38 = DecimalType(38, 0)
+      t(s, d, "lineitem")
+        .withColumn("pct", expr("CAST(FLOOR(CAST(l_discount AS DOUBLE) * 100.0 + 0.5) AS BIGINT)"))
+        .withColumn("p_cents", (d2($"l_extendedprice") * 100).cast("long"))
+        .groupBy($"pct")
+        .agg(count(lit(1)).as("n_lines"),
+          sum($"p_cents".cast(dec38)).as("gross_d"),
+          sum(($"p_cents" * $"pct").cast(dec38)).as("disc_d"))
+        .withColumn("t", sum($"gross_d").over(Window.partitionBy(lit(1))))
+        .select($"pct", $"n_lines",
+          $"gross_d".cast("long").as("gross_cents"),
+          $"disc_d".cast("long").as("disc_cp"),
+          expr("CAST((gross_d * 1000000) div t AS BIGINT)").as("gross_share_ppm"))
+        .orderBy($"pct")
     }
   )
 
@@ -835,6 +860,22 @@ object Relational3 {
         |h AS (SELECT span_months, CAST(COUNT(*) AS BIGINT) AS n_customers FROM per GROUP BY 1)
         |SELECT span_months, n_customers,
         |  CAST((n_customers * 1000000) // SUM(n_customers) OVER () AS BIGINT) AS share_ppm
-        |FROM h ORDER BY span_months""".stripMargin
+        |FROM h ORDER BY span_months""".stripMargin,
+
+    "q71_discount_effect" ->
+      """WITH l AS (
+        |  SELECT CAST(FLOOR(CAST(l_discount AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS pct,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p_cents
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT pct, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    SUM(CAST(p_cents AS HUGEINT)) AS gross_d,
+        |    SUM(CAST(p_cents AS HUGEINT) * pct) AS disc_d
+        |  FROM l GROUP BY 1)
+        |SELECT pct, n_lines,
+        |  CAST(gross_d AS BIGINT) AS gross_cents,
+        |  CAST(disc_d AS BIGINT) AS disc_cp,
+        |  CAST((gross_d * 1000000) // SUM(gross_d) OVER () AS BIGINT) AS gross_share_ppm
+        |FROM g ORDER BY pct""".stripMargin
   )
 }

@@ -126,6 +126,44 @@ class Round11LawsSpec extends SparkSpec {
     assert(rows.keySet === want, "pair set differs from the independent recompute")
   }
 
+  test("band histograms partition their domains with in-band extremes") {
+    // ev_value_bands: every event lands in exactly one band, and the
+    // band's extremes sit inside [2^band, 2^(band+1))
+    val vb = SparkEntry.queries("ev_value_bands")(spark, sf).collect()
+    spark.catalog.clearCache()
+    val nEvents = Tables.events(spark, sf).count()
+    assert(vb.map(_.getAs[Long]("n")).sum === nEvents)
+    vb.foreach { r =>
+      val (b, lo, hi) = (r.getAs[Long]("band"), r.getAs[Long]("min_cents"), r.getAs[Long]("max_cents"))
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)) && lo <= hi,
+        s"band $b extremes [$lo, $hi] out of range")
+    }
+    // dd_shingle_stats: every document is accounted for
+    val sh = SparkEntry.queries("dd_shingle_stats")(spark, sf).collect()
+    spark.catalog.clearCache()
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(sh.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    sh.filter(_.getAs[Long]("band") >= 0).foreach { r =>
+      val (b, lo, hi) = (r.getAs[Long]("band"), r.getAs[Long]("min_sh"), r.getAs[Long]("max_sh"))
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+        s"shingle band $b extremes [$lo, $hi] out of range")
+    }
+  }
+
+  test("q71_discount_effect: discount bounded by gross, shares sum to ~1e6") {
+    val rows = SparkEntry.queries("q71_discount_effect")(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("disc_cp") <= 100L * r.getAs[Long]("gross_cents"))
+      assert(r.getAs[Long]("disc_cp") === r.getAs[Long]("pct") * r.getAs[Long]("gross_cents"),
+        "within a tier, discount must be exactly pct x gross")
+    }
+    val shares = rows.map(_.getAs[Long]("gross_share_ppm")).sum
+    assert(shares > 1000000L - rows.length && shares <= 1000000L,
+      s"floor shares sum $shares out of range")
+  }
+
   test("rd_quiet gap counts reconcile with per-group message counts") {
     val quiet = SparkEntry.queries("rd_quiet")(spark, sf).collect()
       .map(r => r.getAs[String]("ordering_group") -> r.getAs[Long]("n_gaps")).toMap
