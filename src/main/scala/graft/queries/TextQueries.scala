@@ -1140,6 +1140,30 @@ object TextQueries {
         .orderBy($"source", $"rnk")
     },
 
+    // per-language CHARACTER-level entropy — the encoding/OCR-noise
+    // audit that complements txt_char_classes' class masses with one
+    // number (garbled bytes inflate it toward ln|alphabet|; a
+    // single-glyph dump collapses it): exact integer micro-nats via the
+    // ln_micro kernel (H = ln N − Σ c·ln c / N, every term non-negative,
+    // DECIMAL(38,0) sums — oracle replays bit-identically). Scale shape:
+    // one narrow char explode, a (lang, char) partial agg onto the
+    // alphabet-bounded key space, a |langs|-row rollup.
+    "txt_char_entropy" -> { (s, d) =>
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      t(s, d, "documents")
+        .select($"lang", explode(expr("regexp_extract_all(text, '(.)', 1)")).as("ch"))
+        .groupBy($"lang", $"ch").agg(count(lit(1)).as("c"))
+        .groupBy($"lang").agg(
+          sum($"c").as("n_chars"),
+          count(lit(1)).as("n_distinct"),
+          sum($"c".cast(dec) * expr("ln_micro(c)")).as("slc"))
+        .withColumn("h_micro",
+          expr("ln_micro(n_chars) - (slc div CAST(n_chars AS DECIMAL(38,0)))").cast("long"))
+        .select($"lang", $"n_chars", $"n_distinct", $"h_micro")
+        .orderBy($"lang")
+    },
+
     // per-source document-START concentration — the template detector
     // the body-level audits miss (a crawler that prepends the same
     // header to every page shows up as one first-token dominating a
@@ -1170,6 +1194,25 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "txt_char_entropy" -> {
+      val (lnC, lastC) = FixedLnSql.chain("tc", "cea", Seq("lang"), Seq("c"))
+      val (lnP, lastP) = FixedLnSql.chain("per", "ceb",
+        Seq("lang", "n_distinct", "slc"), Seq("n_chars"))
+      s"""WITH ch AS (
+         |  SELECT lang, unnest(regexp_extract_all(text, '(.)', 1)) AS ch FROM documents),
+         |tc AS (SELECT lang, ch, CAST(COUNT(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2),
+         |$lnC,
+         |per AS (
+         |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_chars,
+         |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |    SUM(CAST(c AS HUGEINT) * ln_c) AS slc
+         |  FROM $lastC GROUP BY 1),
+         |$lnP
+         |SELECT lang, n_chars, n_distinct,
+         |  CAST(ln_n_chars - (slc // n_chars) AS BIGINT) AS h_micro
+         |FROM $lastP ORDER BY lang""".stripMargin
+    },
+
     "txt_doc_starts" ->
       """WITH f0 AS (
         |  SELECT doc_id, source, tok, pos,

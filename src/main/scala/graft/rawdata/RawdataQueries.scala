@@ -352,6 +352,27 @@ object RawdataQueries {
             .as("top_group_ppm"))
     },
 
+    // ordering-guarantee audit per group — the reference's core delivery
+    // promise (per ordering group, consumers see sequence order)
+    // verified against the ULID read order: adjacent read-order pairs
+    // whose sequenceNumber DECREASES are inversions (0 on a healthy
+    // topic; nonzero means producers published out of order within a
+    // group and consumers relying on the guarantee will misorder).
+    // One per-group lag window (rd_gap_detect's shape), |groups| output.
+    "rd_order_check" -> { (s, d) =>
+      val w = Window.partitionBy(col("orderingGroup")).orderBy(col("ulid_hex"))
+      Topic.readDF(s, topic(s, d))
+        .withColumn("prev_seq", lag(col("sequenceNumber"), 1).over(w))
+        .groupBy(col("orderingGroup"))
+        .agg(count(lit(1)).as("n_messages"),
+          sum(when(col("prev_seq") > col("sequenceNumber"), 1L).otherwise(0L)).as("n_inversions"),
+          min(col("sequenceNumber")).as("min_seq"),
+          max(col("sequenceNumber")).as("max_seq"))
+        .select(col("orderingGroup").as("ordering_group"), col("n_messages"),
+          col("n_inversions"), col("min_seq"), col("max_seq"))
+        .orderBy(col("ordering_group"))
+    },
+
     // scan-partition planning from the listing alone (the maxPartition-
     // Bytes decision in message units: HOW MANY read tasks should each
     // window file get so no task exceeds the topic's own mean-file
@@ -677,6 +698,16 @@ object RawdataQueries {
         |  CAST((sumsq * 1000000) // (CAST(n_messages AS HUGEINT) * n_messages) AS BIGINT) AS hhi_ppm,
         |  CAST((CAST(max_group AS HUGEINT) * 1000000) // n_messages AS BIGINT) AS top_group_ppm
         |FROM g""".stripMargin),
+
+    "rd_order_check" -> (M +
+      """, g AS (
+        |  SELECT ordering_group, seq,
+        |    LAG(seq) OVER (PARTITION BY ordering_group ORDER BY ulid_hex) AS prev_seq
+        |  FROM m)
+        |SELECT ordering_group, CAST(COUNT(*) AS BIGINT) AS n_messages,
+        |  CAST(SUM(CASE WHEN prev_seq > seq THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+        |  MIN(seq) AS min_seq, MAX(seq) AS max_seq
+        |FROM g GROUP BY ordering_group ORDER BY ordering_group""".stripMargin),
 
     "rd_partition_plan" -> (M +
       """, f AS (
