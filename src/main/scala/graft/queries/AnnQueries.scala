@@ -1254,6 +1254,50 @@ object AnnQueries {
         .orderBy($"cent_id")
     },
 
+    // per-label classification MARGIN audit — the "are these labels
+    // linearly recoverable from the embeddings" readiness check before
+    // training a probe head: each vector's cosine to its OWN label
+    // centroid minus its best OTHER-label centroid (positive = the label
+    // is geometrically honest; a label whose min margin is deeply
+    // negative contains mislabeled or boundary vectors). Centroids are
+    // per-dim SUMS, not means — cosine is scale-invariant, so the sum
+    // vector gives the identical angle with zero division rounding.
+    // Scale shape: the (label, dim) centroid relation is
+    // |labels|·dims-bounded and broadcasts; the per-(vec, label) dot is
+    // one partial agg off the dim-keyed join; nn joins co-keyed on
+    // vec_id; the rollup is |labels| rows. DECIMAL-guarded sums; the
+    // mean uses the subtract-pmod floor (margins can be negative).
+    "emb_label_margin" -> { (s, d) =>
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val e = t(s, d, "embeddings")
+        .select($"vec_id", $"label".cast("long").as("label"), posexplode($"embedding"))
+        .toDF("vec_id", "label", "i", "x")
+        .withColumn("qv", expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"))
+      val cdim = e.groupBy($"label".as("clabel"), $"i").agg(sum($"qv").as("sv"))
+      val cnorm = cdim.groupBy($"clabel").agg(sum($"sv".cast(dec) * $"sv").as("nc"))
+      val nn = e.groupBy($"vec_id").agg(sum($"qv" * $"qv").as("nn"))
+      val dots = e
+        .join(broadcast(cdim), Seq("i"))
+        .groupBy($"vec_id", $"label", $"clabel")
+        .agg(sum($"qv".cast(dec) * $"sv").as("dot"))
+      val cos = dots
+        .join(nn, Seq("vec_id"))
+        .join(broadcast(cnorm), Seq("clabel"))
+        .withColumn("c_ppm", expr(
+          "CAST(FLOOR(CAST(dot AS DOUBLE) / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)"))
+      cos.groupBy($"vec_id", $"label")
+        .agg(max(when($"clabel" === $"label", $"c_ppm")).as("own"),
+          max(when($"clabel" =!= $"label", $"c_ppm")).as("best_other"))
+        .select($"label", ($"own" - $"best_other").as("margin"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"), min($"margin").as("min_margin_ppm"),
+          sum($"margin").as("sm"))
+        .withColumn("mean_margin_ppm", expr("(sm - pmod(sm, n_vecs)) div n_vecs"))
+        .select($"label", $"n_vecs", $"min_margin_ppm", $"mean_margin_ppm")
+        .orderBy($"label")
+    },
+
     // IVF probe COST curve — the spend side of ann_ivf_recall's quality
     // curve (the (nprobe, recall, cost) operating table is what actually
     // picks a serving config): per query and nprobe ∈ 1..4, how many
@@ -1644,6 +1688,35 @@ object AnnQueries {
 
     // the cell-stats assignment recipe joined to the label column, per-
     // cell label entropy via the FixedLnSql integer steps
+    "emb_label_margin" -> (QuantCte +
+      """, lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |cdim AS (
+        |  SELECT l.label AS clabel, e.i, CAST(SUM(e.q) AS BIGINT) AS sv
+        |  FROM e JOIN lab l ON l.vec_id = e.vec_id GROUP BY 1, 2),
+        |cnorm AS (SELECT clabel, SUM(CAST(sv AS HUGEINT) * sv) AS nc FROM cdim GROUP BY 1),
+        |dots AS (
+        |  SELECT e.vec_id, c.clabel, SUM(CAST(e.q AS HUGEINT) * c.sv) AS dot
+        |  FROM e JOIN cdim c ON c.i = e.i GROUP BY 1, 2),
+        |cosr AS (
+        |  SELECT d.vec_id, d.clabel, l.label,
+        |    CAST(FLOOR(CAST(d.dot AS DOUBLE) / (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(cn.nc AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS c_ppm
+        |  FROM dots d
+        |  JOIN n ON n.vec_id = d.vec_id
+        |  JOIN cnorm cn ON cn.clabel = d.clabel
+        |  JOIN lab l ON l.vec_id = d.vec_id),
+        |per AS (
+        |  SELECT vec_id, label,
+        |    MAX(CASE WHEN clabel = label THEN c_ppm END)
+        |      - MAX(CASE WHEN clabel <> label THEN c_ppm END) AS margin
+        |  FROM cosr GROUP BY 1, 2),
+        |g AS (
+        |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |    MIN(margin) AS min_margin_ppm, SUM(margin) AS sm
+        |  FROM per GROUP BY 1)
+        |SELECT label, n_vecs, min_margin_ppm,
+        |  CAST((sm - ((sm % n_vecs + n_vecs) % n_vecs)) // n_vecs AS BIGINT) AS mean_margin_ppm
+        |FROM g ORDER BY label""".stripMargin),
+
     "ann_probe_cost" -> (QuantCte +
       s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0),
          |cdots AS (

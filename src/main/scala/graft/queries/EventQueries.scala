@@ -660,6 +660,32 @@ object EventQueries {
         .orderBy($"type_a", $"type_b")
     },
 
+    // view→purchase conversion-lag distribution — the funnel-LATENCY
+    // number ev_funnel_time's step stats don't give as a shape: per
+    // converting user, seconds from the FIRST view to the first purchase
+    // at-or-after it, rolled into power-of-2 second bands (band of
+    // lag_s + 1 so instant conversions land in band 0 instead of a log
+    // of zero). Scale shape: one conditional per-user partial agg for
+    // the first view, a purchases-only join co-keyed on user_id, a
+    // second per-user partial agg, then a ≤64-band rollup.
+    "ev_conversion_lag" -> { (s, d) =>
+      import s.implicits._
+      val firstView = ev(s, d)
+        .filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts_us").as("view_us"))
+      val conv = ev(s, d)
+        .filter($"event_type" === "purchase")
+        .join(firstView, Seq("user_id"))
+        .filter($"ts_us" >= $"view_us")
+        .groupBy($"user_id").agg(min($"ts_us" - $"view_us").as("lag_us"))
+        .withColumn("lag_s", expr("lag_us div 1000000"))
+      conv
+        .withColumn("band", expr("CAST(length(bin(lag_s + 1)) - 1 AS BIGINT)"))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_users"), min($"lag_s").as("min_s"), max($"lag_s").as("max_s"))
+        .orderBy($"band")
+    },
+
     // per-type transaction-value band profile: power-of-2 cent bands
     // (exact floor(log₂) via length(bin(x))−1, zero libm) with counts,
     // extremes and ppm share — the value-distribution shape behind
@@ -1902,6 +1928,20 @@ object EventQueries {
         |       JOIN marg mb ON mb.event_type = p.type_b
         |       CROSS JOIN tot
         |ORDER BY type_a, type_b""".stripMargin,
+
+    "ev_conversion_lag" ->
+      """WITH fv AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS view_us
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |conv AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts) - fv.view_us) // 1000000 AS lag_s
+        |  FROM events e JOIN fv ON fv.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.view_us
+        |  GROUP BY 1)
+        |SELECT CAST(length(bin(lag_s + 1)) - 1 AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  MIN(lag_s) AS min_s, MAX(lag_s) AS max_s
+        |FROM conv GROUP BY 1 ORDER BY band""".stripMargin,
 
     "ev_value_bands" ->
       """WITH c AS (

@@ -570,6 +570,27 @@ object Relational3 {
           $"disc_d".cast("long").as("disc_cp"),
           expr("CAST((gross_d * 1000000) div t AS BIGINT)").as("gross_share_ppm"))
         .orderBy($"pct")
+    },
+
+    // monthly active/new/returning customer ledger — the growth
+    // accounting every subscription business keeps (ev_churn's weekly
+    // user form, on the orders ledger at calendar-month grain): per
+    // month, active customers, first-ever-month customers, returning.
+    // Scale shape: one distinct on (cust, month), a custkey-keyed min
+    // agg, a co-keyed join, then a calendar-bounded rollup.
+    "q72_monthly_active" -> { (s, d) =>
+      import s.implicits._
+      val act = t(s, d, "orders")
+        .select($"o_custkey",
+          expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)").as("mon"))
+        .distinct()
+      val first = act.groupBy($"o_custkey").agg(min($"mon").as("fmon"))
+      act.join(first, Seq("o_custkey"))
+        .groupBy($"mon")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when($"mon" === $"fmon", 1L).otherwise(0L)).as("n_new"))
+        .withColumn("n_returning", $"n_active" - $"n_new")
+        .orderBy($"mon")
     }
   )
 
@@ -876,6 +897,18 @@ object Relational3 {
         |  CAST(gross_d AS BIGINT) AS gross_cents,
         |  CAST(disc_d AS BIGINT) AS disc_cp,
         |  CAST((gross_d * 1000000) // SUM(gross_d) OVER () AS BIGINT) AS gross_share_ppm
-        |FROM g ORDER BY pct""".stripMargin
+        |FROM g ORDER BY pct""".stripMargin,
+
+    "q72_monthly_active" ->
+      """WITH act AS (
+        |  SELECT DISTINCT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mon
+        |  FROM orders),
+        |f AS (SELECT o_custkey, MIN(mon) AS fmon FROM act GROUP BY 1)
+        |SELECT mon, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |  CAST(SUM(CASE WHEN mon = fmon THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(COUNT(*) - SUM(CASE WHEN mon = fmon THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+        |FROM act JOIN f USING (o_custkey)
+        |GROUP BY mon ORDER BY mon""".stripMargin
   )
 }
