@@ -814,6 +814,29 @@ object DedupQueries {
         .orderBy($"source")
     },
 
+    // cross-source duplicate-cluster audit (the SYNDICATION detector on
+    // top of dd_cluster's components: a cluster confined to one source
+    // is a template to trim; one spanning sources is a mirror network
+    // to dedup corpus-wide — opposite remediations dd_cluster_hist's
+    // size axis can't separate): one summary row — clusters, cross-
+    // source clusters + exact ppm, the widest span, and the doc mass
+    // sitting in cross-source clusters. Scale shape: the component
+    // relation is duplicate-proportional; one co-keyed source join, a
+    // per-cluster agg, a 1-row rollup.
+    "dd_cluster_sources" -> { (s, d) =>
+      import s.implicits._
+      val comp = connectedComponents(duplicateEdges(s, d))
+      val per = comp
+        .join(t(s, d, "documents").select($"doc_id", $"source"), Seq("doc_id"))
+        .groupBy($"cluster_id")
+        .agg(count(lit(1)).as("size"), countDistinct($"source").as("n_sources"))
+      per.agg(count(lit(1)).as("n_clusters"),
+          sum(when($"n_sources" >= 2, 1L).otherwise(0L)).as("n_cross_source"),
+          max($"n_sources").as("max_sources"),
+          sum(when($"n_sources" >= 2, $"size").otherwise(0L)).as("docs_in_cross"))
+        .withColumn("cross_ppm", expr("(n_cross_source * 1000000) div n_clusters"))
+    },
+
     // shingle-set size distribution in power-of-2 bands — the dedup
     // cost model's input (candidate generation and verify both scale
     // with per-doc shingle counts; a band profile says whether the
@@ -1791,6 +1814,36 @@ object DedupQueries {
         |  CAST(SUM(n - 1) AS BIGINT) AS n_dups,
         |  CAST((SUM(n - 1) * 1000000) // SUM(n) AS BIGINT) AS dup_ppm
         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "dd_cluster_sources" ->
+      (s"""WITH RECURSIVE ${lshCtes("documents")},
+          |$JaccardCtes,
+          |fpx AS (
+          |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          |  FROM documents),
+          |keepx AS (SELECT fp, MIN(doc_id) AS keep FROM fpx GROUP BY fp),
+          |exact_e AS (
+          |  SELECT k.keep AS a, f.doc_id AS b
+          |  FROM fpx f JOIN keepx k ON k.fp = f.fp WHERE f.doc_id <> k.keep),
+          |near_e AS (SELECT doc_a AS a, doc_b AS b FROM jacc WHERE jaccard_ppm >= 400000),
+          |edges AS (SELECT a, b FROM exact_e UNION SELECT a, b FROM near_e),
+          |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+          |reach AS (
+          |  SELECT a AS doc, a AS r FROM sym
+          |  UNION
+          |  SELECT s.b AS doc, reach.r FROM reach JOIN sym s ON s.a = reach.doc),
+          |comp AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc),
+          |per AS (
+          |  SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS size,
+          |    CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources
+          |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+          |  GROUP BY 1)
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+          |  CAST(SUM(CASE WHEN n_sources >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_source,
+          |  MAX(n_sources) AS max_sources,
+          |  CAST(SUM(CASE WHEN n_sources >= 2 THEN size ELSE 0 END) AS BIGINT) AS docs_in_cross,
+          |  CAST((SUM(CASE WHEN n_sources >= 2 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS cross_ppm
+          |FROM per""".stripMargin),
 
     "dd_shingle_stats" ->
       (s"WITH ${lshCtes("documents")},\n" +

@@ -660,6 +660,28 @@ object EventQueries {
         .orderBy($"type_a", $"type_b")
     },
 
+    // peak traffic slot per type — the single (day-of-week, hour) cell
+    // each event type concentrates in, with its exact ppm share of the
+    // type's traffic (the one-line answer behind ev_weekday × ev_hourly:
+    // WHERE to schedule the batch window / staff the pager). Arithmetic
+    // dow (the ev_weekday rule), deterministic earliest-slot tie-break.
+    // Scale shape: one partial agg onto the |types|×168 grid, share +
+    // rank windows over that bounded relation.
+    "ev_peak_slot" -> { (s, d) =>
+      import s.implicits._
+      val c = ev(s, d)
+        .groupBy($"event_type",
+          expr(s"((ts_us div $DayUs) + 3) % 7").as("dow"),
+          expr(s"(ts_us % $DayUs) div ${3600L * 1000000L}").as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_type", sum($"n").over(Window.partitionBy($"event_type")))
+      val w = Window.partitionBy($"event_type").orderBy($"n".desc, $"dow", $"hour")
+      c.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"event_type", $"dow", $"hour", $"n",
+          expr("(n * 1000000) div n_type").as("share_ppm"))
+        .orderBy($"event_type")
+    },
+
     // view→purchase conversion-lag distribution — the funnel-LATENCY
     // number ev_funnel_time's step stats don't give as a shape: per
     // converting user, seconds from the FIRST view to the first purchase
@@ -1928,6 +1950,22 @@ object EventQueries {
         |       JOIN marg mb ON mb.event_type = p.type_b
         |       CROSS JOIN tot
         |ORDER BY type_a, type_b""".stripMargin,
+
+    "ev_peak_slot" ->
+      s"""WITH c AS (
+        |  SELECT event_type,
+        |    ((epoch_us(ts) // ${86400L * 1000000L}) + 3) % 7 AS dow,
+        |    (epoch_us(ts) % ${86400L * 1000000L}) // ${3600L * 1000000L} AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour, n,
+        |    SUM(n) OVER (PARTITION BY event_type) AS n_type,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, dow, hour) AS rn
+        |  FROM c)
+        |SELECT event_type, dow, hour, n,
+        |  CAST((n * 1000000) // n_type AS BIGINT) AS share_ppm
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     "ev_conversion_lag" ->
       """WITH fv AS (
