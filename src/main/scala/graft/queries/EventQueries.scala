@@ -660,6 +660,22 @@ object EventQueries {
         .orderBy($"type_a", $"type_b")
     },
 
+    // repeat-engagement rate per type — the loyalty/stickiness number
+    // (a type whose users mostly fire it once is an acquisition event;
+    // one they return to is a habit): users touching the type, users
+    // touching it 2+ times, exact ppm. Two chained partial aggs
+    // ((user, type) then type); no windows.
+    "ev_repeaters" -> { (s, d) =>
+      import s.implicits._
+      ev(s, d)
+        .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when($"k" >= 2L, 1L).otherwise(0L)).as("n_repeaters"))
+        .withColumn("repeat_ppm", expr("(n_repeaters * 1000000) div n_users"))
+        .orderBy($"event_type")
+    },
+
     // peak traffic slot per type — the single (day-of-week, hour) cell
     // each event type concentrates in, with its exact ppm share of the
     // type's traffic (the one-line answer behind ev_weekday × ev_hourly:
@@ -1950,6 +1966,15 @@ object EventQueries {
         |       JOIN marg mb ON mb.event_type = p.type_b
         |       CROSS JOIN tot
         |ORDER BY type_a, type_b""".stripMargin,
+
+    "ev_repeaters" ->
+      """WITH k AS (
+        |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeaters,
+        |  CAST((SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS repeat_ppm
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ev_peak_slot" ->
       s"""WITH c AS (

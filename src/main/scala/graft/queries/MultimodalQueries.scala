@@ -81,6 +81,23 @@ object MultimodalQueries {
         .orderBy($"key", $"band")
     },
 
+    // per-day payload storage growth by key — the capacity curve a
+    // multimodal store is provisioned from (bytes landing per day per
+    // modality; the derivative of mm_shard_pack's static total): day
+    // from the message ULID timestamp, one narrow length projection
+    // (payload bodies never shuffle), partial agg onto the calendar ×
+    // |keys| grid.
+    "mm_bytes_by_day" -> { (s, d) =>
+      import s.implicits._
+      Topic.readDF(s, topic(s, d))
+        .filter($"sequenceNumber" < 500)
+        .select(expr("ts_ms div 86400000").as("day"), explode($"data").as(Seq("key", "payload")))
+        .groupBy($"day", $"key")
+        .agg(count(lit(1)).as("n_payloads"),
+          sum(length($"payload")).cast("long").as("total_bytes"))
+        .orderBy($"day", $"key")
+    },
+
     // container-format mix per payload key — the "what codecs am I
     // actually holding" audit a multimodal ingest runs before picking
     // decode workers: magic-prefix (first 2 bytes, hex) histogram with
@@ -361,6 +378,18 @@ object MultimodalQueries {
     * ASCII, so VARCHAR length/ord equal byte length/value).
     */
   val oracles: Map[String, String] = Map(
+    "mm_bytes_by_day" ->
+      """WITH m AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, 'props' AS key, props AS payload
+        |  FROM events WHERE event_id < 500
+        |  UNION ALL
+        |  SELECT epoch_us(ts) // 86400000000, 'user', CAST(user_id AS VARCHAR)
+        |  FROM events WHERE event_id < 500)
+        |SELECT CAST(day AS BIGINT) AS day, key,
+        |  CAST(COUNT(*) AS BIGINT) AS n_payloads,
+        |  CAST(SUM(length(payload)) AS BIGINT) AS total_bytes
+        |FROM m GROUP BY 1, 2 ORDER BY day, key""".stripMargin,
+
     "mm_magic_mix" ->
       """WITH m AS (
         |  SELECT 'props' AS key, props AS payload

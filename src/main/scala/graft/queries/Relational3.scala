@@ -591,6 +591,23 @@ object Relational3 {
           sum(when($"mon" === $"fmon", 1L).otherwise(0L)).as("n_new"))
         .withColumn("n_returning", $"n_active" - $"n_new")
         .orderBy($"mon")
+    },
+
+    // order-priority mix by month — the SLA-load composition curve (a
+    // rising URGENT share changes fulfillment staffing before volume
+    // does): per (month, priority), orders + exact ppm share of the
+    // month. One partial agg onto the calendar×5-priority grid; the
+    // share window runs over that bounded relation.
+    "q73_priority_mix" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "orders")
+        .groupBy(expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)").as("mon"),
+          $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("mon_n", sum($"n").over(Window.partitionBy($"mon")))
+        .select($"mon", $"o_orderpriority", $"n",
+          expr("(n * 1000000) div mon_n").as("share_ppm"))
+        .orderBy($"mon", $"o_orderpriority")
     }
   )
 
@@ -909,6 +926,15 @@ object Relational3 {
         |  CAST(SUM(CASE WHEN mon = fmon THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
         |  CAST(COUNT(*) - SUM(CASE WHEN mon = fmon THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
         |FROM act JOIN f USING (o_custkey)
-        |GROUP BY mon ORDER BY mon""".stripMargin
+        |GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q73_priority_mix" ->
+      """WITH c AS (
+        |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mon,
+        |    o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT mon, o_orderpriority, n,
+        |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY mon) AS BIGINT) AS share_ppm
+        |FROM c ORDER BY mon, o_orderpriority""".stripMargin
   )
 }

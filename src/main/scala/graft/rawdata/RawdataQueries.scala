@@ -352,6 +352,28 @@ object RawdataQueries {
             .as("top_group_ppm"))
     },
 
+    // topic traffic trend — ev_trend's integer OLS on the topic's own
+    // daily counts (is publish volume growing or draining — the
+    // capacity-planning number beside rd_rate_hist's static curve):
+    // slope of messages/day over the day axis in exact milli units
+    // (cross-multiplied normal equations, subtract-pmod floor division —
+    // no float regression to reconcile). Scale shape: one partial agg
+    // onto the calendar-bounded day space, a 1-row rollup.
+    "rd_traffic_trend" -> { (s, d) =>
+      Topic.readDF(s, topic(s, d))
+        .groupBy(expr("ts_ms div 86400000").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_messages"),
+          sum(col("day")).as("sx"), sum(col("n")).as("sy"),
+          sum(col("day") * col("n")).as("sxy"), sum(col("day") * col("day")).as("sxx"))
+        .withColumn("num", (col("n_days") * col("sxy") - col("sx") * col("sy")) * lit(1000L))
+        .withColumn("den", col("n_days") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("slope_milli",
+          when(col("den") === 0L, lit(0L))
+            .otherwise(expr("(num - pmod(num, den)) div den")))
+        .select(col("n_days"), col("n_messages"), col("slope_milli"))
+    },
+
     // ordering-guarantee audit per group — the reference's core delivery
     // promise (per ordering group, consumers see sequence order)
     // verified against the ULID read order: adjacent read-order pairs
@@ -698,6 +720,24 @@ object RawdataQueries {
         |  CAST((sumsq * 1000000) // (CAST(n_messages AS HUGEINT) * n_messages) AS BIGINT) AS hhi_ppm,
         |  CAST((CAST(max_group AS HUGEINT) * 1000000) // n_messages AS BIGINT) AS top_group_ppm
         |FROM g""".stripMargin),
+
+    "rd_traffic_trend" -> (M +
+      """, c AS (
+        |  SELECT ts_ms // 86400000 AS day, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM m GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(n) AS BIGINT) AS n_messages,
+        |    CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(n) AS BIGINT) AS sy,
+        |    CAST(SUM(day * n) AS BIGINT) AS sxy, CAST(SUM(day * day) AS BIGINT) AS sxx
+        |  FROM c),
+        |e AS (
+        |  SELECT *, (n_days * sxy - sx * sy) * 1000 AS num,
+        |    n_days * sxx - sx * sx AS den
+        |  FROM g)
+        |SELECT n_days, n_messages,
+        |  CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((num - ((num % den + den) % den)) // den AS BIGINT) END AS slope_milli
+        |FROM e""".stripMargin),
 
     "rd_order_check" -> (M +
       """, g AS (
