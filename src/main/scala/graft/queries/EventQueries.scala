@@ -676,6 +676,27 @@ object EventQueries {
         .orderBy($"event_type")
     },
 
+    // weekend-vs-weekday rate lift per type — the one-number seasonality
+    // summary behind ev_weekday's 7-bucket profile (is this type a
+    // work-hours tool or a leisure product?): per-day weekend rate over
+    // per-day weekday rate as exact ppm via cross-multiplication
+    // (n_weekend·5·10⁶) div (n_weekday·2) — 1 000 000 means flat, no
+    // float division anywhere. Arithmetic dow (the ev_weekday rule,
+    // 0=Monday so weekend is dow≥5); a type never seen on a weekday
+    // reports NULL rather than throwing under ANSI. Scale shape: one
+    // partial agg onto |types| rows, no windows, no joins.
+    "ev_weekend_lift" -> { (s, d) =>
+      import s.implicits._
+      ev(s, d)
+        .select($"event_type", expr(s"((ts_us div $DayUs) + 3) % 7").as("dow"))
+        .groupBy($"event_type")
+        .agg(sum(when($"dow" >= 5, 1L).otherwise(0L)).as("n_weekend"),
+          sum(when($"dow" < 5, 1L).otherwise(0L)).as("n_weekday"))
+        .withColumn("lift_ppm", expr(
+          "CASE WHEN n_weekday = 0 THEN NULL ELSE (n_weekend * 5000000) div (n_weekday * 2) END"))
+        .orderBy($"event_type")
+    },
+
     // peak traffic slot per type — the single (day-of-week, hour) cell
     // each event type concentrates in, with its exact ppm share of the
     // type's traffic (the one-line answer behind ev_weekday × ev_hourly:
@@ -1975,6 +1996,21 @@ object EventQueries {
         |  CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeaters,
         |  CAST((SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS repeat_ppm
         |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ev_weekend_lift" ->
+      s"""WITH c AS (
+        |  SELECT event_type,
+        |    ((epoch_us(ts) // ${86400L * 1000000L}) + 3) % 7 AS dow
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN dow >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+        |    CAST(SUM(CASE WHEN dow < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_weekday
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n_weekend, n_weekday,
+        |  CASE WHEN n_weekday = 0 THEN NULL
+        |       ELSE CAST((n_weekend * 5000000) // (n_weekday * 2) AS BIGINT) END AS lift_ppm
+        |FROM g ORDER BY event_type""".stripMargin,
 
     "ev_peak_slot" ->
       s"""WITH c AS (

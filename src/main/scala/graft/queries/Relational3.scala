@@ -608,6 +608,54 @@ object Relational3 {
         .select($"mon", $"o_orderpriority", $"n",
           expr("(n * 1000000) div mon_n").as("share_ppm"))
         .orderBy($"mon", $"o_orderpriority")
+    },
+
+    // returns rate by ship month — the product-quality/SLA trend curve
+    // (a rising R-flag share is the earliest signal a supplier batch went
+    // bad; q1_agg's global flag rollup hides WHEN): per calendar month,
+    // lines, returned lines, exact ppm rate and the returned value in
+    // exact cents (DECIMAL(38,0) sum — a long overflows at cluster
+    // scale). One partial agg onto the calendar-bounded month grid.
+    "q74_returns_by_month" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "lineitem")
+        .select(expr("CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)").as("mon"),
+          $"l_returnflag", (d2($"l_extendedprice") * 100).cast("long").as("p_cents"))
+        .groupBy($"mon")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("n_returned"),
+          sum(when($"l_returnflag" === "R", $"p_cents").otherwise(0L)
+            .cast(DecimalType(38, 0))).as("ret_d"))
+        .select($"mon", $"n_lines", $"n_returned",
+          expr("(n_returned * 1000000) div n_lines").as("ret_ppm"),
+          $"ret_d".cast("long").as("ret_cents"))
+        .orderBy($"mon")
+    },
+
+    // revenue share by part brand — the assortment-concentration report
+    // (which brands carry the book; pairs with q68's nation pareto): per
+    // brand, lines and discounted revenue in exact cent-percent integer
+    // units (price_cents × (100 − discount_pct), the q71 rule — no
+    // decimal-product rounding to reconcile cross-engine), share in ppm.
+    // Scale shape: one fact-side narrow projection joined to part on
+    // partkey (sf-scaling dim, left to AQE per the q3/q5 rule), partial
+    // agg onto the ~25-brand space, share window over that bounded
+    // relation only.
+    "q75_brand_share" -> { (s, d) =>
+      import s.implicits._
+      val dec38 = DecimalType(38, 0)
+      val li = t(s, d, "lineitem")
+        .select($"l_partkey", (d2($"l_extendedprice") * 100).cast("long").as("p_cents"),
+          expr("CAST(FLOOR(CAST(l_discount AS DOUBLE) * 100.0 + 0.5) AS BIGINT)").as("pct"))
+      li.join(t(s, d, "part").select($"p_partkey", $"p_brand"),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(($"p_cents" * (lit(100L) - $"pct")).cast(dec38)).as("rev_d"))
+        .withColumn("t", sum($"rev_d").over(Window.partitionBy(lit(1))))
+        .select($"p_brand", $"n_lines", $"rev_d".cast("long").as("rev_cp"),
+          expr("CAST((rev_d * 1000000) div t AS BIGINT)").as("share_ppm"))
+        .orderBy($"p_brand")
     }
   )
 
@@ -935,6 +983,32 @@ object Relational3 {
         |  FROM orders GROUP BY 1, 2)
         |SELECT mon, o_orderpriority, n,
         |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY mon) AS BIGINT) AS share_ppm
-        |FROM c ORDER BY mon, o_orderpriority""".stripMargin
+        |FROM c ORDER BY mon, o_orderpriority""".stripMargin,
+
+    "q74_returns_by_month" ->
+      """WITH l AS (
+        |  SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS mon,
+        |    l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p_cents
+        |  FROM lineitem)
+        |SELECT mon, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        |  CAST((SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS ret_ppm,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(p_cents AS HUGEINT) ELSE 0 END) AS BIGINT) AS ret_cents
+        |FROM l GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q75_brand_share" ->
+      """WITH l AS (
+        |  SELECT l_partkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p_cents,
+        |    CAST(FLOOR(CAST(l_discount AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS pct
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    SUM(CAST(p_cents AS HUGEINT) * (100 - pct)) AS rev_d
+        |  FROM l JOIN part ON l_partkey = p_partkey GROUP BY 1)
+        |SELECT p_brand, n_lines, CAST(rev_d AS BIGINT) AS rev_cp,
+        |  CAST((rev_d * 1000000) // SUM(rev_d) OVER () AS BIGINT) AS share_ppm
+        |FROM g ORDER BY p_brand""".stripMargin
   )
 }

@@ -374,6 +374,34 @@ object RawdataQueries {
         .select(col("n_days"), col("n_messages"), col("slope_milli"))
     },
 
+    // retention-curve simulation from the listing alone — rd_expire_plan
+    // answers "what expires at TODAY's horizon"; this sweeps the horizon
+    // across the topic's own span (quarter points) so an operator can
+    // PICK a retention age by reclaim: per candidate cutoff, files and
+    // messages freed under the same whole-file-only rule (a file expires
+    // iff even its last possible message predates the cutoff — the rule
+    // RetentionSpec proves safe under out-of-order overlap). Scale
+    // shape: 1-row bounds aggregate broadcast onto the |files| listing
+    // crossed with a 3-row quarter relation — the topic data is never
+    // read, only the LIST.
+    "rd_retention_curve" -> { (s, d) =>
+      val files = Topic.fileListingDF(s, topic(s, d))
+        .select(col("fromTsMs").as("from_ts_ms"), col("count").as("n_messages"))
+      val bounds = files.agg(min(col("from_ts_ms")).as("lo"), max(col("from_ts_ms")).as("hi"))
+      val quarters = s.range(1, 4).select(col("id").as("q"))
+      files.crossJoin(broadcast(bounds)).crossJoin(broadcast(quarters))
+        .withColumn("cutoff_ms", expr("lo + ((hi - lo) * q) div 4"))
+        .withColumn("expired",
+          (col("from_ts_ms") + lit(EventsAsTopic.DayMs)) < col("cutoff_ms"))
+        .groupBy(col("q"))
+        .agg(max(col("cutoff_ms")).as("cutoff_ms"),
+          sum(when(col("expired"), 1L).otherwise(0L)).as("n_files_expired"),
+          sum(when(col("expired"), col("n_messages")).otherwise(0L)).as("n_msgs_expired"),
+          sum(col("n_messages")).as("n_messages"))
+        .withColumn("expired_ppm", expr("(n_msgs_expired * 1000000) div n_messages"))
+        .orderBy(col("q"))
+    },
+
     // ordering-guarantee audit per group — the reference's core delivery
     // promise (per ordering group, consumers see sequence order)
     // verified against the ULID read order: adjacent read-order pairs
@@ -738,6 +766,22 @@ object RawdataQueries {
         |  CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
         |       ELSE CAST((num - ((num % den + den) % den)) // den AS BIGINT) END AS slope_milli
         |FROM e""".stripMargin),
+
+    "rd_retention_curve" -> (M +
+      """, f AS (
+        |  SELECT MIN(ts_ms) AS from_ts_ms, CAST(COUNT(*) AS BIGINT) AS n_messages
+        |  FROM m GROUP BY ts_ms // 86400000),
+        |b AS (SELECT MIN(from_ts_ms) AS lo, MAX(from_ts_ms) AS hi FROM f),
+        |e AS (
+        |  SELECT q, from_ts_ms, n_messages,
+        |    lo + ((hi - lo) * q) // 4 AS cutoff_ms
+        |  FROM f CROSS JOIN b CROSS JOIN (VALUES (1), (2), (3)) AS qs(q))
+        |SELECT CAST(q AS BIGINT) AS q, CAST(MAX(cutoff_ms) AS BIGINT) AS cutoff_ms,
+        |  CAST(SUM(CASE WHEN from_ts_ms + 86400000 < cutoff_ms THEN 1 ELSE 0 END) AS BIGINT) AS n_files_expired,
+        |  CAST(SUM(CASE WHEN from_ts_ms + 86400000 < cutoff_ms THEN n_messages ELSE 0 END) AS BIGINT) AS n_msgs_expired,
+        |  CAST(SUM(n_messages) AS BIGINT) AS n_messages,
+        |  CAST((SUM(CASE WHEN from_ts_ms + 86400000 < cutoff_ms THEN n_messages ELSE 0 END) * 1000000) // SUM(n_messages) AS BIGINT) AS expired_ppm
+        |FROM e GROUP BY q ORDER BY q""".stripMargin),
 
     "rd_order_check" -> (M +
       """, g AS (
