@@ -475,6 +475,49 @@ object AnnQueries {
         .orderBy($"sub")
     },
 
+    // PQ code-USAGE balance per subspace — the codebook-health audit
+    // beside emb_pq_distortion's error view: distortion says how far
+    // vectors sit from their codeword, this says whether the 16 codes
+    // are actually SHARED (dead codes waste index bits; a dominant code
+    // collapses ADC resolution — the k-means-retrain trigger FAISS
+    // monitors as imbalance). Per subspace: codes used, top-code share
+    // ppm, usage entropy in exact integer micro-nats (ln_micro) and its
+    // ppm of the ln 16 ceiling. Same deterministic codebook as
+    // ann_pq_topk, same argmin tie-break (dist, code), so the oracle
+    // replays the encode bit-for-bit. Scale shape: broadcast 128-row
+    // codebook, per-(vector, subspace) argmin partial agg, ≤8×16-row
+    // usage relation, 8-row report.
+    "emb_pq_code_balance" -> { (s, d) =>
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val (m, subDim, nCodes) = (8, 8, 16)
+      val e = quantized(s, d)
+      val subs = e.select($"vec_id", explode(expr(
+        s"transform(sequence(0, ${m - 1}), m -> struct(m AS sub, slice(q, m * $subDim + 1, $subDim) AS sv))")).as("x"))
+        .select($"vec_id", $"x.sub".as("sub"), $"x.sv".as("sv"))
+      val codebook = subs.filter($"vec_id" < nCodes)
+        .select($"vec_id".as("code"), $"sub", $"sv".as("cv"))
+      val usage = subs.join(broadcast(codebook), Seq("sub"))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+        .groupBy($"vec_id", $"sub")
+        .agg(min(struct($"dist", $"code")).as("mn"))
+        .groupBy($"sub".cast("long").as("sub"), $"mn.code".as("code"))
+        .agg(count(lit(1)).as("n"))
+      usage
+        .groupBy($"sub")
+        .agg(count(lit(1)).as("n_used"), sum($"n").as("n_vecs"), max($"n").as("max_n"),
+          sum($"n".cast(dec) * expr("ln_micro(n)")).as("sln"))
+        .withColumn("entropy_micro",
+          expr("ln_micro(n_vecs) - (sln div CAST(n_vecs AS DECIMAL(38,0)))").cast("long"))
+        .withColumn("top_share_ppm", expr("(max_n * 1000000) div n_vecs"))
+        .withColumn("balance_ppm",
+          expr(s"(entropy_micro * 1000000) div ${graft.functions.FixedLnOps.lnMicro(nCodes)}"))
+        .select($"sub", $"n_used", $"n_vecs", $"max_n", $"top_share_ppm",
+          $"entropy_micro", $"balance_ppm")
+        .orderBy($"sub")
+    },
+
     // label-centroid tagging audit (the classifier-free domain tagger a
     // curation pipeline runs when real labels exist only for a slice:
     // assign every vector to its nearest LABEL centroid and confront
@@ -2280,6 +2323,39 @@ object AnnQueries {
         |  CAST(MAX(err) AS BIGINT) AS max_err,
         |  CAST(SUM(CASE WHEN err = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
         |FROM enc GROUP BY sub ORDER BY sub""".stripMargin),
+
+    // the ann_pq_topk codes CTE (same argmin tie-break), a (sub, code)
+    // usage agg, then the ln_micro chains replay the entropy exactly
+    "emb_pq_code_balance" -> {
+      val (lnU, lastU) = FixedLnSql.chain("u", "pba", Seq("sub", "code"), Seq("n"))
+      val (lnG, lastG) = FixedLnSql.chain("g", "pbb",
+        Seq("sub", "n_used", "max_n", "sln"), Seq("n_vecs"))
+      QuantCte +
+        s""", sub AS (
+           |  SELECT vec_id, CAST((i - 1) // 8 AS INT) AS sub, CAST((i - 1) % 8 AS INT) AS pos, q
+           |  FROM e),
+           |cdist AS (
+           |  SELECT a.vec_id, a.sub, c.vec_id AS code, CAST(SUM((a.q - c.q) * (a.q - c.q)) AS BIGINT) AS dist
+           |  FROM sub a JOIN sub c ON c.sub = a.sub AND c.pos = a.pos AND c.vec_id < 16
+           |  GROUP BY 1, 2, 3),
+           |codes AS (
+           |  SELECT vec_id, sub, code FROM (
+           |    SELECT vec_id, sub, code,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+           |    FROM cdist) WHERE rn = 1),
+           |u AS (SELECT sub, code, CAST(COUNT(*) AS BIGINT) AS n FROM codes GROUP BY 1, 2),
+           |$lnU,
+           |g AS (
+           |  SELECT sub, CAST(COUNT(*) AS BIGINT) AS n_used, CAST(SUM(n) AS BIGINT) AS n_vecs,
+           |    CAST(MAX(n) AS BIGINT) AS max_n, SUM(CAST(n AS HUGEINT) * ln_n) AS sln
+           |  FROM $lastU GROUP BY sub),
+           |$lnG
+           |SELECT CAST(sub AS BIGINT) AS sub, n_used, n_vecs, max_n,
+           |  CAST((max_n * 1000000) // n_vecs AS BIGINT) AS top_share_ppm,
+           |  CAST(ln_n_vecs - (sln // CAST(n_vecs AS HUGEINT)) AS BIGINT) AS entropy_micro,
+           |  CAST(((ln_n_vecs - (sln // CAST(n_vecs AS HUGEINT))) * 1000000) // ${graft.functions.FixedLnOps.lnMicro(16)} AS BIGINT) AS balance_ppm
+           |FROM $lastG ORDER BY sub""".stripMargin
+    },
 
     // the same integer floor-mean centroid formula as the emb_kmeans
     // oracle, one argmin per vector, then the matrix agg

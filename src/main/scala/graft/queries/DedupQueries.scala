@@ -884,6 +884,31 @@ object DedupQueries {
         .orderBy($"source")
     },
 
+    // near-dup pairs crossed with LANGUAGE labels — the langid-noise /
+    // translation-contamination detector (emb_cross_label's shingle-side
+    // form): a near-identical pair claiming two different languages is
+    // either a mislabeled doc the langid stage should have caught or
+    // boilerplate that survives translation — both things a per-language
+    // training mix must not double-count. Canonicalized (lo, hi) label
+    // pairs over the verified jac relation at the pipe's removal
+    // threshold. Scale shape: candidate-bounded pair relation joined
+    // twice to the narrow (doc_id, lang) projection on the doc_id key,
+    // ≤|langs|² output.
+    "dd_cross_lang" -> { (s, d) =>
+      import s.implicits._
+      val langs = t(s, d, "documents").select($"doc_id", $"lang")
+      CorpusLshIndex.jaccard(s, d)
+        .filter($"jaccard_ppm" >= 400000)
+        .join(langs.select($"doc_id".as("doc_a"), $"lang".as("lang_a")), Seq("doc_a"))
+        .join(langs.select($"doc_id".as("doc_b"), $"lang".as("lang_b")), Seq("doc_b"))
+        .select(least($"lang_a", $"lang_b").as("lang_lo"),
+          greatest($"lang_a", $"lang_b").as("lang_hi"))
+        .groupBy($"lang_lo", $"lang_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("is_cross", ($"lang_lo" =!= $"lang_hi").cast("long"))
+        .orderBy($"lang_lo", $"lang_hi")
+    },
+
     // pipeline observability: the cleaning funnel's stage-by-stage doc
     // and token mass (raw → quality gate → exact dedup → near dedup) in
     // ONE report — what a curation run logs so a silent stage collapse
@@ -1872,6 +1897,18 @@ object DedupQueries {
           |    // COUNT(*) AS BIGINT) AS near_ppm
           |FROM documents d LEFT JOIN inv ON inv.doc_id = d.doc_id
           |GROUP BY d.source ORDER BY d.source""".stripMargin),
+
+    "dd_cross_lang" ->
+      (s"WITH ${lshCtes("documents")},\n$JaccardCtes,\n" +
+        """p AS (
+          |  SELECT LEAST(da.lang, db.lang) AS lang_lo, GREATEST(da.lang, db.lang) AS lang_hi
+          |  FROM jacc j
+          |  JOIN documents da ON da.doc_id = j.doc_a
+          |  JOIN documents db ON db.doc_id = j.doc_b
+          |  WHERE j.jaccard_ppm >= 400000)
+          |SELECT lang_lo, lang_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          |  CAST(CASE WHEN lang_lo <> lang_hi THEN 1 ELSE 0 END AS BIGINT) AS is_cross
+          |FROM p GROUP BY 1, 2 ORDER BY lang_lo, lang_hi""".stripMargin),
 
     "pipe_report" ->
       (s"""WITH quality AS (

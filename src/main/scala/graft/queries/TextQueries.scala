@@ -656,6 +656,27 @@ object TextQueries {
         .orderBy($"source")
     },
 
+    // Katz burstiness of the head vocabulary — tf/df per word in exact
+    // milli units (Katz 1996: content words CLUMP — high occurrences-
+    // per-document-touched; function words spread near 1.0). The
+    // corpus-level signal behind stopword-list induction and keyword
+    // scoring that raw frequency (txt_heavy) can't give: two words with
+    // equal tf but different df are different kinds of words. Scale
+    // shape: one (tok) partial agg with an exact distinct on the
+    // doc-bounded df, then a TakeOrderedAndProject top-50 (never a
+    // global window); unique (tf desc, tok) ordering keeps the LIMIT
+    // deterministic.
+    "txt_burstiness" -> { (s, d) =>
+      import s.implicits._
+      CorpusTokenIndex.tokens(s, d)
+        .filter(length($"tok") > 0)
+        .groupBy($"tok")
+        .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+        .withColumn("burst_milli", expr("(tf * 1000) div df"))
+        .orderBy($"tf".desc, $"tok")
+        .limit(50)
+    },
+
     // per-source unigram entropy — the mixture-diversity number next to
     // txt_hapax's TTR (low-entropy sources are template mills; the
     // normalized form is comparable across vocabulary sizes). Exact
@@ -1714,6 +1735,16 @@ object TextQueries {
         |  CAST((COUNT(*) * 1000000) // SUM(n) AS BIGINT) AS ttr_ppm,
         |  CAST((SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS hapax_ppm
         |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+
+    "txt_burstiness" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok FROM documents),
+        |g AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM toks WHERE LENGTH(tok) > 0 GROUP BY tok)
+        |SELECT tok, tf, df, CAST((tf * 1000) // df AS BIGINT) AS burst_milli
+        |FROM g ORDER BY tf DESC, tok LIMIT 50""".stripMargin,
 
     "txt_readability" ->
       """WITH per AS (
