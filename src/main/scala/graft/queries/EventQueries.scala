@@ -697,6 +697,33 @@ object EventQueries {
         .orderBy($"event_type")
     },
 
+    // DAU/WAU stickiness per epoch week — the product-engagement ratio
+    // every growth dashboard leads with (what share of a week's users
+    // show up on an average day; ev_wau counts, this NORMALIZES): exact
+    // ppm via (Σ daily-distinct · 10⁶) div (days · weekly-distinct),
+    // mean DAU in milli. Epoch weeks (ts_us div WeekUs — the ev_wau
+    // grain), so no calendar-origin disagreement can skew parity. Scale
+    // shape: one distinct on (week, day, user) — the only corpus-width
+    // shuffle — then two bounded rollups and a |weeks|-row join; no
+    // windows.
+    "ev_stickiness" -> { (s, d) =>
+      import s.implicits._
+      val du = ev(s, d)
+        .select(expr(s"ts_us div $WeekUs").as("week"),
+          expr(s"ts_us div $DayUs").as("day"), $"user_id")
+        .distinct()
+      val dau = du.groupBy($"week", $"day").agg(count(lit(1)).as("dau"))
+      val days = dau.groupBy($"week")
+        .agg(count(lit(1)).as("n_days"), sum($"dau").as("sum_dau"), max($"dau").as("max_dau"))
+      val wau = du.select($"week", $"user_id").distinct()
+        .groupBy($"week").agg(count(lit(1)).as("wau"))
+      days.join(wau, Seq("week"))
+        .select($"week", $"n_days", $"wau", $"max_dau",
+          expr("(sum_dau * 1000) div n_days").as("mean_dau_milli"),
+          expr("(sum_dau * 1000000) div (n_days * wau)").as("stickiness_ppm"))
+        .orderBy($"week")
+    },
+
     // peak traffic slot per type — the single (day-of-week, hour) cell
     // each event type concentrates in, with its exact ppm share of the
     // type's traffic (the one-line answer behind ev_weekday × ev_hourly:
@@ -2011,6 +2038,22 @@ object EventQueries {
         |  CASE WHEN n_weekday = 0 THEN NULL
         |       ELSE CAST((n_weekend * 5000000) // (n_weekday * 2) AS BIGINT) END AS lift_ppm
         |FROM g ORDER BY event_type""".stripMargin,
+
+    "ev_stickiness" ->
+      s"""WITH du AS (
+        |  SELECT DISTINCT epoch_us(ts) // ${7L * 86400L * 1000000L} AS week,
+        |    epoch_us(ts) // ${86400L * 1000000L} AS day, user_id
+        |  FROM events),
+        |dau AS (SELECT week, day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY 1, 2),
+        |g AS (
+        |  SELECT week, CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(dau) AS BIGINT) AS sum_dau,
+        |    CAST(MAX(dau) AS BIGINT) AS max_dau
+        |  FROM dau GROUP BY 1),
+        |wau AS (SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau FROM du GROUP BY 1)
+        |SELECT CAST(g.week AS BIGINT) AS week, n_days, wau, max_dau,
+        |  CAST((sum_dau * 1000) // n_days AS BIGINT) AS mean_dau_milli,
+        |  CAST((sum_dau * 1000000) // (n_days * wau) AS BIGINT) AS stickiness_ppm
+        |FROM g JOIN wau ON wau.week = g.week ORDER BY week""".stripMargin,
 
     "ev_peak_slot" ->
       s"""WITH c AS (

@@ -198,6 +198,38 @@ object MultimodalQueries {
         .orderBy($"position")
     },
 
+    // aspect-ratio bucket histogram — the batch-grouping decision of a
+    // vision pipeline (trainers bucket same-aspect assets so a batch
+    // shares one crop geometry; a corpus that is 90 % landscape needs a
+    // different bucketing than a balanced one): width/height in exact
+    // milli units from a clearly-marked STUB decode (dims = two 16-bit
+    // words of the asset id's md5 — the header-prefix decode
+    // mm_resize_plan stubs is constant across this synthetic corpus, so
+    // the histogram exercise needs the digest-seeded fake), three-way
+    // portrait/square/landscape split + ppm share and the pixel mass
+    // per bucket. Scale shape: one narrow codegen pass over asset ids
+    // (payload bodies never shuffle), 3-row agg, share window over that
+    // bounded relation.
+    "mm_aspect_buckets" -> { (s, d) =>
+      import s.implicits._
+      payloads(s, d, 500)
+        .filter($"key" === "props" && length($"payload") >= 4)
+        .select(
+          (lit(160L) + expr("CAST(conv(substring(md5(position), 1, 4), 16, 10) AS BIGINT)") % 1200).as("src_w"),
+          (lit(120L) + expr("CAST(conv(substring(md5(position), 5, 4), 16, 10) AS BIGINT)") % 900).as("src_h"))
+        .withColumn("ar_milli", expr("(src_w * 1000) div src_h"))
+        .withColumn("bucket", expr(
+          "CASE WHEN ar_milli < 800 THEN 'b0_portrait' WHEN ar_milli <= 1250 THEN 'b1_square' ELSE 'b2_landscape' END"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_assets"), min($"ar_milli").as("min_ar_milli"),
+          max($"ar_milli").as("max_ar_milli"),
+          sum($"src_w" * $"src_h").as("total_px"))
+        .withColumn("t", sum($"n_assets").over(Window.partitionBy(lit(1))))
+        .select($"bucket", $"n_assets", expr("(n_assets * 1000000) div t").as("share_ppm"),
+          $"min_ar_milli", $"max_ar_milli", $"total_px")
+        .orderBy($"bucket")
+    },
+
     // perceptual-hash near-dup for the binary modality: a 32-bit simhash
     // over the payload's byte 4-grams (the codec-free stand-in for an
     // image phash — same banding machinery as dd_simhash_pairs), pairs
@@ -474,6 +506,31 @@ object MultimodalQueries {
         |  CAST((224 - (src_w * 224) // greatest(src_w, src_h)) // 2 AS BIGINT) AS pad_x,
         |  CAST((224 - (src_h * 224) // greatest(src_w, src_h)) // 2 AS BIGINT) AS pad_y
         |FROM dims ORDER BY position""".stripMargin,
+
+    "mm_aspect_buckets" ->
+      """WITH m AS (
+        |  SELECT 'evt-' || CAST(event_id AS VARCHAR) AS position
+        |  FROM events WHERE event_id < 500 AND length(props) >= 4),
+        |dims AS (
+        |  SELECT
+        |    160 + CAST(('0x' || substr(md5(position), 1, 4))::BIGINT AS BIGINT) % 1200 AS src_w,
+        |    120 + CAST(('0x' || substr(md5(position), 5, 4))::BIGINT AS BIGINT) % 900 AS src_h
+        |  FROM m),
+        |a AS (
+        |  SELECT src_w, src_h, (src_w * 1000) // src_h AS ar_milli FROM dims),
+        |g AS (
+        |  SELECT CASE WHEN ar_milli < 800 THEN 'b0_portrait'
+        |              WHEN ar_milli <= 1250 THEN 'b1_square'
+        |              ELSE 'b2_landscape' END AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_assets,
+        |    CAST(MIN(ar_milli) AS BIGINT) AS min_ar_milli,
+        |    CAST(MAX(ar_milli) AS BIGINT) AS max_ar_milli,
+        |    CAST(SUM(src_w * src_h) AS BIGINT) AS total_px
+        |  FROM a GROUP BY 1)
+        |SELECT bucket, n_assets,
+        |  CAST((n_assets * 1000000) // SUM(n_assets) OVER () AS BIGINT) AS share_ppm,
+        |  min_ar_milli, max_ar_milli, total_px
+        |FROM g ORDER BY bucket""".stripMargin,
 
     "mm_dedup" ->
       """WITH m AS (

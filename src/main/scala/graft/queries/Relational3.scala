@@ -656,6 +656,27 @@ object Relational3 {
         .select($"p_brand", $"n_lines", $"rev_d".cast("long").as("rev_cp"),
           expr("CAST((rev_d * 1000000) div t AS BIGINT)").as("share_ppm"))
         .orderBy($"p_brand")
+    },
+
+    // late-shipment rate by order month — the fulfillment-SLA trend
+    // behind q54's supplier blame report (q54 answers WHO is late; this
+    // answers WHEN lateness drifted): per order month, lines, lines
+    // shipped past the 60-day promise (the file-header late rule), exact
+    // ppm. Scale shape: the canonical co-keyed fact-fact join — lineitem
+    // and orders both shuffle once on orderkey (or read co-bucketed on a
+    // warehouse) with only (key, date) columns in flight, then one
+    // partial agg onto the calendar grid.
+    "q76_late_ratio" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "lineitem").select($"l_orderkey", $"l_shipdate")
+        .join(t(s, d, "orders").select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy(expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)").as("mon"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), 1L)
+            .otherwise(0L)).as("n_late"))
+        .withColumn("late_ppm", expr("(n_late * 1000000) div n_lines"))
+        .orderBy($"mon")
     }
   )
 
@@ -1009,6 +1030,16 @@ object Relational3 {
         |  FROM l JOIN part ON l_partkey = p_partkey GROUP BY 1)
         |SELECT p_brand, n_lines, CAST(rev_d AS BIGINT) AS rev_cp,
         |  CAST((rev_d * 1000000) // SUM(rev_d) OVER () AS BIGINT) AS share_ppm
-        |FROM g ORDER BY p_brand""".stripMargin
+        |FROM g ORDER BY p_brand""".stripMargin,
+
+    "q76_late_ratio" ->
+      """WITH j AS (
+        |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mon,
+        |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END AS late
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+        |SELECT mon, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(late) AS BIGINT) AS n_late,
+        |  CAST((SUM(late) * 1000000) // COUNT(*) AS BIGINT) AS late_ppm
+        |FROM j GROUP BY mon ORDER BY mon""".stripMargin
   )
 }
