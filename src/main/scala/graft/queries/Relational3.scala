@@ -677,6 +677,26 @@ object Relational3 {
             .otherwise(0L)).as("n_late"))
         .withColumn("late_ppm", expr("(n_late * 1000000) div n_lines"))
         .orderBy($"mon")
+    },
+
+    // one-time-customer share per market segment — the acquisition-
+    // quality ledger (a segment acquiring buyers who never return is
+    // paying for churn; q72 tracks WHEN cohorts land, this scores how
+    // STICKY each segment's buyers are, never-ordered customers
+    // included). Scale shape: one per-custkey partial agg over orders,
+    // a co-keyed left join onto the narrow customer projection, rollup
+    // onto the 5-segment space.
+    "q77_one_timers" -> { (s, d) =>
+      import s.implicits._
+      val oc = t(s, d, "orders").groupBy($"o_custkey").agg(count(lit(1)).as("k"))
+      t(s, d, "customer").select($"c_custkey", $"c_mktsegment")
+        .join(oc, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when($"k" === 1L, 1L).otherwise(0L)).as("n_one_time"),
+          sum(when($"k".isNull, 1L).otherwise(0L)).as("n_never"))
+        .withColumn("one_time_ppm", expr("(n_one_time * 1000000) div n_customers"))
+        .orderBy($"c_mktsegment")
     }
   )
 
@@ -1040,6 +1060,16 @@ object Relational3 {
         |SELECT mon, CAST(COUNT(*) AS BIGINT) AS n_lines,
         |  CAST(SUM(late) AS BIGINT) AS n_late,
         |  CAST((SUM(late) * 1000000) // COUNT(*) AS BIGINT) AS late_ppm
-        |FROM j GROUP BY mon ORDER BY mon""".stripMargin
+        |FROM j GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q77_one_timers" ->
+      """WITH oc AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS k FROM orders GROUP BY 1)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_one_time,
+        |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_never,
+        |  CAST((SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS one_time_ppm
+        |FROM customer LEFT JOIN oc ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -389,6 +389,31 @@ object SamplingQueries {
         .orderBy($"source")
     },
 
+    // source × quality-band composition grid — the data-card table
+    // behind samp_quality's one-number lift (WHICH sources carry the
+    // high-quality mass decides where a mixture budget should move;
+    // a mean hides a bimodal source). Fixed 0.1-wide score bands
+    // (q_ppm div 100000 — no global quantile pass, so no single-
+    // partition ntile window at corpus scale), per-source ppm share.
+    // Scale shape: one narrow scoring pass, partial agg onto the
+    // |sources|×11 grid, share window over that bounded relation.
+    "samp_quality_grid" -> { (s, d) =>
+      import s.implicits._
+      def ppm(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+      graft.queries.TextQueries.qualityScored(t(s, d, "documents"))
+        .select($"source", ppm($"score").as("q_ppm"))
+        .withColumn("band", expr("q_ppm div 100000"))
+        .groupBy($"source", $"band")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"q_ppm").as("min_q_ppm"), max($"q_ppm").as("max_q_ppm"))
+        .withColumn("src_n", sum($"n_docs").over(Window.partitionBy($"source")))
+        .select($"source", $"band", $"n_docs",
+          expr("(n_docs * 1000000) div src_n").as("share_ppm"),
+          $"min_q_ppm", $"max_q_ppm")
+        .orderBy($"source", $"band")
+    },
+
     // Neyman optimal stratified allocation (survey-sampling's n_h ∝
     // N_h·S_h rule, applied to corpus strata: variable strata earn more
     // of the annotation/eval budget than uniform ones): per-language
@@ -809,6 +834,20 @@ object SamplingQueries {
          |  CAST(COALESCE(SUM(q_ppm) FILTER (keep), 0)
          |    // GREATEST(1, COUNT(*) FILTER (keep)) AS BIGINT) AS mean_q_kept_ppm
          |FROM v GROUP BY source ORDER BY source""".stripMargin,
+
+    "samp_quality_grid" ->
+      s"""WITH q AS (
+         |  SELECT source,
+         |    CAST(FLOOR((${graft.queries.TextQueries.qualityScoreSql}) * 1000000.0 + 0.5) AS BIGINT) AS q_ppm
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, q_ppm // 100000 AS band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    MIN(q_ppm) AS min_q_ppm, MAX(q_ppm) AS max_q_ppm
+         |  FROM q GROUP BY 1, 2)
+         |SELECT source, CAST(band AS BIGINT) AS band, n_docs,
+         |  CAST((n_docs * 1000000) // SUM(n_docs) OVER (PARTITION BY source) AS BIGINT) AS share_ppm,
+         |  min_q_ppm, max_q_ppm
+         |FROM g ORDER BY source, band""".stripMargin,
 
     "samp_neyman" ->
       """WITH st AS (

@@ -402,6 +402,34 @@ object RawdataQueries {
         .orderBy(col("q"))
     },
 
+    // seek-pruning efficiency sweep from the listing alone — the cost
+    // model behind rd_seek_timestamp's filename pruning (the reference's
+    // cursorOf contract takes (approxTimestamp, tolerance); this
+    // quantifies what each tolerance COSTS): per tolerance ∈ {1 h, 6 h,
+    // 24 h} around the mid-month probe point, window files whose
+    // [from, from+1 d) range intersects the probe interval and the
+    // message mass behind them, as exact ppm of the topic — the number
+    // that says whether a sloppy caller tolerance quietly degrades a
+    // pruned seek into a full scan. |files| listing × 3-row tolerance
+    // relation; the data is never read.
+    "rd_seek_cost" -> { (s, d) =>
+      import s.implicits._
+      val files = Topic.fileListingDF(s, topic(s, d))
+        .select(col("fromTsMs").as("from_ts_ms"), col("count").as("n_messages"))
+      val tols = Seq(3600000L, 6L * 3600000L, 24L * 3600000L).toDF("tol_ms")
+      files.crossJoin(broadcast(tols))
+        .withColumn("touched",
+          (col("from_ts_ms") + lit(EventsAsTopic.DayMs) > lit(MidMonthMs) - col("tol_ms")) &&
+            (col("from_ts_ms") <= lit(MidMonthMs) + col("tol_ms")))
+        .groupBy(col("tol_ms"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("touched"), 1L).otherwise(0L)).as("n_files_touched"),
+          sum(col("n_messages")).as("n_messages"),
+          sum(when(col("touched"), col("n_messages")).otherwise(0L)).as("n_msgs_touched"))
+        .withColumn("touched_ppm", expr("(n_msgs_touched * 1000000) div n_messages"))
+        .orderBy(col("tol_ms"))
+    },
+
     // ordering-guarantee audit per group — the reference's core delivery
     // promise (per ordering group, consumers see sequence order)
     // verified against the ULID read order: adjacent read-order pairs
@@ -782,6 +810,22 @@ object RawdataQueries {
         |  CAST(SUM(n_messages) AS BIGINT) AS n_messages,
         |  CAST((SUM(CASE WHEN from_ts_ms + 86400000 < cutoff_ms THEN n_messages ELSE 0 END) * 1000000) // SUM(n_messages) AS BIGINT) AS expired_ppm
         |FROM e GROUP BY q ORDER BY q""".stripMargin),
+
+    "rd_seek_cost" -> (M +
+      s""", f AS (
+        |  SELECT MIN(ts_ms) AS from_ts_ms, CAST(COUNT(*) AS BIGINT) AS n_messages
+        |  FROM m GROUP BY ts_ms // 86400000),
+        |e AS (
+        |  SELECT tol_ms, from_ts_ms, n_messages,
+        |    CASE WHEN from_ts_ms + 86400000 > $MidMonthMs - tol_ms
+        |          AND from_ts_ms <= $MidMonthMs + tol_ms THEN 1 ELSE 0 END AS touched
+        |  FROM f CROSS JOIN (VALUES (3600000), (${6L * 3600000L}), (${24L * 3600000L})) AS ts(tol_ms))
+        |SELECT CAST(tol_ms AS BIGINT) AS tol_ms, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(touched) AS BIGINT) AS n_files_touched,
+        |  CAST(SUM(n_messages) AS BIGINT) AS n_messages,
+        |  CAST(SUM(touched * n_messages) AS BIGINT) AS n_msgs_touched,
+        |  CAST((SUM(touched * n_messages) * 1000000) // SUM(n_messages) AS BIGINT) AS touched_ppm
+        |FROM e GROUP BY tol_ms ORDER BY tol_ms""".stripMargin),
 
     "rd_order_check" -> (M +
       """, g AS (
