@@ -1376,6 +1376,39 @@ object DedupQueries {
       clusteredOut.unionByName(singles).orderBy($"doc_id")
     },
 
+    // keep-policy audit: keep-FIRST (min doc_id — what the cleaning
+    // pipe and every streaming dedup gate do, because it needs no
+    // second pass) vs keep-BEST-quality (dd_canonical's pick) — per
+    // dedup cluster, do the two policies agree, and how much quality
+    // does keep-first sacrifice when they don't? The number that
+    // decides whether a pipeline should pay for the canonical pass.
+    // Scale shape: the shared component dispatch, one per-cluster
+    // window + one min-agg + a cluster-keyed join — all bounded by the
+    // cluster relation, never the corpus.
+    "dd_keep_quality" -> { (s, d) =>
+      import s.implicits._
+      val comp = connectedComponents(duplicateEdges(s, d))
+        .select($"doc_id", $"cluster_id")
+      val q = TextQueries.qualityScored(t(s, d, "documents"))
+        .select($"doc_id",
+          floor($"score" * lit(1000000.0) + lit(0.5)).cast("long").as("quality_ppm"))
+      val cl = q.join(comp, Seq("doc_id"))
+      val w = Window.partitionBy($"cluster_id").orderBy($"quality_ppm".desc, $"doc_id")
+      val best = cl.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"cluster_id", $"doc_id".as("best_doc"), $"quality_ppm".as("best_q"))
+      val first = cl.groupBy($"cluster_id").agg(min($"doc_id").as("first_doc"))
+      val fq = first.join(
+        cl.select($"cluster_id", $"doc_id".as("first_doc"), $"quality_ppm".as("first_q")),
+        Seq("cluster_id", "first_doc"))
+      best.join(fq, Seq("cluster_id"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(when($"best_doc" === $"first_doc", 1L).otherwise(0L)).as("n_agree"),
+          sum($"best_q" - $"first_q").as("sl"))
+        .select($"n_clusters", $"n_agree",
+          expr("(n_agree * 1000000) div n_clusters").as("agree_ppm"),
+          expr("sl div n_clusters").as("mean_loss_ppm"))
+    },
+
     // SOFT dedup — duplication-aware mixture reweighting (the D4/SemDeDup
     // alternative to dropping duplicates): instead of keeping one doc per
     // duplicate cluster, every member stays but carries weight 1/|cluster|,
@@ -2536,6 +2569,49 @@ object DedupQueries {
           |SELECT q.doc_id, q.doc_id, q.quality_ppm, q.doc_id, CAST(1 AS BIGINT)
           |FROM q WHERE q.doc_id NOT IN (SELECT doc_id FROM comp)
           |ORDER BY doc_id""".stripMargin),
+
+    // dd_canonical's component + quality CTEs, then the two keep
+    // policies compared per cluster
+    "dd_keep_quality" ->
+      (s"""WITH RECURSIVE ${lshCtes("documents")},
+          |$JaccardCtes,
+          |fpx AS (
+          |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          |  FROM documents),
+          |keepx AS (SELECT fp, MIN(doc_id) AS keep FROM fpx GROUP BY fp),
+          |exact_e AS (
+          |  SELECT k.keep AS a, f.doc_id AS b
+          |  FROM fpx f JOIN keepx k ON k.fp = f.fp WHERE f.doc_id <> k.keep),
+          |near_e AS (SELECT doc_a AS a, doc_b AS b FROM jacc WHERE jaccard_ppm >= 400000),
+          |edges AS (SELECT a, b FROM exact_e UNION SELECT a, b FROM near_e),
+          |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+          |reach AS (
+          |  SELECT a AS doc, a AS r FROM sym
+          |  UNION
+          |  SELECT s.b AS doc, reach.r FROM reach JOIN sym s ON s.a = reach.doc),
+          |comp AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc),
+          |q AS (
+          |  SELECT doc_id,
+          |    CAST(FLOOR(${TextQueries.qualityScoreSql} * 1000000.0 + 0.5) AS BIGINT) AS quality_ppm
+          |  FROM documents),
+          |cl AS (
+          |  SELECT q.doc_id, c.cluster_id, q.quality_ppm
+          |  FROM q JOIN comp c ON c.doc_id = q.doc_id),
+          |best AS (
+          |  SELECT cluster_id, doc_id AS best_doc, quality_ppm AS best_q FROM (
+          |    SELECT cluster_id, doc_id, quality_ppm,
+          |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+          |        ORDER BY quality_ppm DESC, doc_id) AS rn
+          |    FROM cl) WHERE rn = 1),
+          |fst AS (SELECT cluster_id, MIN(doc_id) AS first_doc FROM cl GROUP BY 1),
+          |fq AS (
+          |  SELECT f.cluster_id, f.first_doc, cl.quality_ppm AS first_q
+          |  FROM fst f JOIN cl ON cl.cluster_id = f.cluster_id AND cl.doc_id = f.first_doc)
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+          |  CAST(SUM(CASE WHEN best_doc = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+          |  CAST((SUM(CASE WHEN best_doc = first_doc THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS agree_ppm,
+          |  CAST(SUM(best_q - first_q) // COUNT(*) AS BIGINT) AS mean_loss_ppm
+          |FROM best b JOIN fq ON fq.cluster_id = b.cluster_id""".stripMargin),
 
     "dd_embed" ->
       """WITH e AS (

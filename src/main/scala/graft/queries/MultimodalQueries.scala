@@ -244,6 +244,35 @@ object MultimodalQueries {
         .orderBy($"pos_a", $"pos_b")
     },
 
+    // phash band-occupancy profile — the join-cost model for the asset
+    // near-dup pass (dd_band_stats' shape at the binary-payload level):
+    // per 8-bit band, buckets, worst occupancy and the candidate-pair
+    // mass Σ c·(c−1)/2 the band join will generate — the number that
+    // says whether a hot bucket needs salting BEFORE the self-join
+    // runs. Same native phash32 signature as mm_phash_pairs; scale
+    // shape: signature partial agg, (band, bits) agg onto the ≤4·256
+    // bucket space, 4-row rollup.
+    "mm_band_stats" -> { (s, d) =>
+      import s.implicits._
+      val sig = payloads(s, d, 300).filter($"key" === "props")
+        .select($"position", decode($"payload", "UTF-8").as("txt"))
+        .filter(length($"txt") >= 4)
+        .select($"position",
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            graft.functions.Phash32(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("txt")))).as("phash"))
+      sig.select(explode(expr(
+          "transform(sequence(0, 3), b -> named_struct('band', b, 'bits', (phash >> (b * 8)) & 255))")).as("bb"))
+        .select($"bb.band".as("band"), $"bb.bits".as("bits"))
+        .groupBy($"band", $"bits").agg(count(lit(1)).as("c"))
+        .groupBy($"band".cast("long").as("band"))
+        .agg(sum($"c").as("n_assets"), count(lit(1)).as("n_buckets"),
+          max($"c").as("max_bucket"),
+          expr("CAST(SUM((c * (c - 1)) div 2) AS BIGINT)").as("cand_pairs"))
+        .withColumn("occupancy_ppm", expr("(n_assets * 1000000) div n_buckets"))
+        .orderBy($"band")
+    },
+
     // hamming-distance histogram of the banded phash candidates (the
     // threshold-tuning curve behind mm_phash_pairs' fixed ≤3 cut — the
     // asset-side twin of dd_jaccard_hist/dd_lsh_curve: how many
@@ -531,6 +560,18 @@ object MultimodalQueries {
         |  CAST((n_assets * 1000000) // SUM(n_assets) OVER () AS BIGINT) AS share_ppm,
         |  min_ar_milli, max_ar_milli, total_px
         |FROM g ORDER BY bucket""".stripMargin,
+
+    "mm_band_stats" ->
+      s"""WITH $PhashSimsCtes,
+         |band AS (
+         |  SELECT position, t.b AS band, (phash >> (t.b * 8)) & 255 AS bits
+         |  FROM sims, UNNEST([0, 1, 2, 3]) AS t(b)),
+         |occ AS (SELECT band, bits, CAST(COUNT(*) AS BIGINT) AS c FROM band GROUP BY 1, 2)
+         |SELECT CAST(band AS BIGINT) AS band, CAST(SUM(c) AS BIGINT) AS n_assets,
+         |  CAST(COUNT(*) AS BIGINT) AS n_buckets, CAST(MAX(c) AS BIGINT) AS max_bucket,
+         |  CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS cand_pairs,
+         |  CAST((SUM(c) * 1000000) // COUNT(*) AS BIGINT) AS occupancy_ppm
+         |FROM occ GROUP BY band ORDER BY band""".stripMargin,
 
     "mm_dedup" ->
       """WITH m AS (

@@ -430,6 +430,24 @@ object RawdataQueries {
         .orderBy(col("tol_ms"))
     },
 
+    // duplicate-position audit — the republish detector (the facade
+    // rejects an identical re-publish INSIDE one producer session;
+    // producer retries across sessions or before a crash can still land
+    // the same logical position twice, and a consumer keying state on
+    // position double-counts): positions carrying >1 message, worst
+    // copy count, exact ppm. One per-position partial agg (map-side
+    // combine does the heavy lifting — healthy topics have copies=1
+    // everywhere), 1-row report.
+    "rd_dup_check" -> { (s, d) =>
+      Topic.readDF(s, topic(s, d))
+        .groupBy(col("position")).agg(count(lit(1)).as("copies"))
+        .agg(count(lit(1)).as("n_positions"),
+          sum(when(col("copies") > 1L, 1L).otherwise(0L)).as("n_dup_positions"),
+          max(col("copies")).as("max_copies"),
+          sum(col("copies")).as("n_messages"))
+        .withColumn("dup_ppm", expr("(n_dup_positions * 1000000) div n_positions"))
+    },
+
     // ordering-guarantee audit per group — the reference's core delivery
     // promise (per ordering group, consumers see sequence order)
     // verified against the ULID read order: adjacent read-order pairs
@@ -826,6 +844,16 @@ object RawdataQueries {
         |  CAST(SUM(touched * n_messages) AS BIGINT) AS n_msgs_touched,
         |  CAST((SUM(touched * n_messages) * 1000000) // SUM(n_messages) AS BIGINT) AS touched_ppm
         |FROM e GROUP BY tol_ms ORDER BY tol_ms""".stripMargin),
+
+    "rd_dup_check" -> (M +
+      """, p AS (
+        |  SELECT position, CAST(COUNT(*) AS BIGINT) AS copies FROM m GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_positions,
+        |  CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_positions,
+        |  CAST(MAX(copies) AS BIGINT) AS max_copies,
+        |  CAST(SUM(copies) AS BIGINT) AS n_messages,
+        |  CAST((SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm
+        |FROM p""".stripMargin),
 
     "rd_order_check" -> (M +
       """, g AS (
