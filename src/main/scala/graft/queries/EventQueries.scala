@@ -724,6 +724,29 @@ object EventQueries {
         .orderBy($"week")
     },
 
+    // per-user activity distribution in power-of-2 bands — the raw
+    // SHAPE behind ev_gini/ev_lorenz's concentration numbers (a
+    // power-law user base and a bimodal bot+casual base can share one
+    // gini; the band histogram tells them apart, and it is what sizes
+    // per-user state stores): band = exact ⌊log₂ events⌋ via
+    // length(bin(k))−1, user and event mass per band + ppm share.
+    // Scale shape: one per-user partial agg, ≤64-band rollup, share
+    // window over the bounded band relation.
+    "ev_activity_bands" -> { (s, d) =>
+      import s.implicits._
+      ev(s, d)
+        .groupBy($"user_id").agg(count(lit(1)).as("k"))
+        .withColumn("band", expr("CAST(length(bin(k)) - 1 AS BIGINT)"))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_users"), sum($"k").as("n_events"),
+          min($"k").as("min_events"), max($"k").as("max_events"))
+        .withColumn("t", sum($"n_users").over(Window.partitionBy(lit(1))))
+        .select($"band", $"n_users",
+          expr("(n_users * 1000000) div t").as("user_share_ppm"),
+          $"n_events", $"min_events", $"max_events")
+        .orderBy($"band")
+    },
+
     // peak traffic slot per type — the single (day-of-week, hour) cell
     // each event type concentrates in, with its exact ppm share of the
     // type's traffic (the one-line answer behind ev_weekday × ev_hourly:
@@ -2054,6 +2077,19 @@ object EventQueries {
         |  CAST((sum_dau * 1000) // n_days AS BIGINT) AS mean_dau_milli,
         |  CAST((sum_dau * 1000000) // (n_days * wau) AS BIGINT) AS stickiness_ppm
         |FROM g JOIN wau ON wau.week = g.week ORDER BY week""".stripMargin,
+
+    "ev_activity_bands" ->
+      """WITH k AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(length(bin(k)) - 1 AS BIGINT) AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(k) AS BIGINT) AS n_events,
+        |    CAST(MIN(k) AS BIGINT) AS min_events, CAST(MAX(k) AS BIGINT) AS max_events
+        |  FROM k GROUP BY 1)
+        |SELECT band, n_users,
+        |  CAST((n_users * 1000000) // SUM(n_users) OVER () AS BIGINT) AS user_share_ppm,
+        |  n_events, min_events, max_events
+        |FROM g ORDER BY band""".stripMargin,
 
     "ev_peak_slot" ->
       s"""WITH c AS (

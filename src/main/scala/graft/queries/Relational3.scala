@@ -697,6 +697,33 @@ object Relational3 {
           sum(when($"k".isNull, 1L).otherwise(0L)).as("n_never"))
         .withColumn("one_time_ppm", expr("(n_one_time * 1000000) div n_customers"))
         .orderBy($"c_mktsegment")
+    },
+
+    // month-of-year seasonal revenue index — the demand-planning
+    // normalizer (is December actually bigger, or did one year skew
+    // it?): per calendar month-of-year, order revenue summed over every
+    // year, the per-year mean, and the exact ppm index vs the global
+    // monthly mean via cross-multiplication (s·M·10⁶) div (n·G) — no
+    // float division, DECIMAL(38,0) throughout (a cent total at cluster
+    // scale overflows int64 mid-product). Scale shape: one partial agg
+    // onto the (year × 12) grid, a 12-row rollup, windows only over
+    // that bounded relation.
+    "q78_seasonal_index" -> { (s, d) =>
+      import s.implicits._
+      val dec38 = DecimalType(38, 0)
+      t(s, d, "orders")
+        .groupBy(expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"),
+          expr("CAST(month(o_orderdate) AS BIGINT)").as("moy"))
+        .agg(sum((d2($"o_totalprice") * 100).cast("long").cast(dec38)).as("rev_d"))
+        .groupBy($"moy")
+        .agg(count(lit(1)).as("n_months"), sum($"rev_d").as("s_d"))
+        .withColumn("g", sum($"s_d").over(Window.partitionBy(lit(1))))
+        .withColumn("m", sum($"n_months").over(Window.partitionBy(lit(1))))
+        .select($"moy", $"n_months",
+          $"s_d".cast("long").as("rev_cents"),
+          expr("CAST(s_d div n_months AS BIGINT)").as("mean_rev_cents"),
+          expr("CAST((s_d * m * 1000000) div (n_months * g) AS BIGINT)").as("index_ppm"))
+        .orderBy($"moy")
     }
   )
 
@@ -1070,6 +1097,21 @@ object Relational3 {
         |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_never,
         |  CAST((SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS one_time_ppm
         |FROM customer LEFT JOIN oc ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q78_seasonal_index" ->
+      """WITH ym AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(month(o_orderdate) AS BIGINT) AS moy,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS rev_d
+        |  FROM orders GROUP BY 1, 2),
+        |g AS (
+        |  SELECT moy, CAST(COUNT(*) AS BIGINT) AS n_months, SUM(rev_d) AS s_d
+        |  FROM ym GROUP BY 1)
+        |SELECT moy, n_months, CAST(s_d AS BIGINT) AS rev_cents,
+        |  CAST(s_d // n_months AS BIGINT) AS mean_rev_cents,
+        |  CAST((s_d * SUM(n_months) OVER () * 1000000)
+        |    // (n_months * SUM(s_d) OVER ()) AS BIGINT) AS index_ppm
+        |FROM g ORDER BY moy""".stripMargin
   )
 }

@@ -677,6 +677,27 @@ object TextQueries {
         .limit(50)
     },
 
+    // quality-by-length calibration table — the evidence behind a
+    // Gopher-style length floor (length FEEDS the quality score, so the
+    // filter threshold should be read off this table, not guessed: if
+    // the short bands still score high the floor is wrong for this
+    // corpus): per power-of-2 token-count band, docs and floored
+    // mean / min / max quality ppm. Scale shape: one narrow scoring
+    // pass, partial agg onto the ≤64-band space, no windows.
+    "txt_quality_by_len" -> { (s, d) =>
+      import s.implicits._
+      qualityScored(t(s, d, "documents"))
+        .select($"n_tok", floor($"score" * lit(1000000.0) + lit(0.5)).cast("long").as("q_ppm"))
+        .withColumn("band", expr(
+          "CASE WHEN n_tok = 0 THEN CAST(-1 AS BIGINT) ELSE CAST(length(bin(n_tok)) - 1 AS BIGINT) END"))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_docs"), sum($"q_ppm").as("sq"),
+          min($"q_ppm").as("min_q_ppm"), max($"q_ppm").as("max_q_ppm"))
+        .select($"band", $"n_docs", expr("sq div n_docs").as("mean_q_ppm"),
+          $"min_q_ppm", $"max_q_ppm")
+        .orderBy($"band")
+    },
+
     // per-source unigram entropy — the mixture-diversity number next to
     // txt_hapax's TTR (low-entropy sources are template mills; the
     // normalized form is comparable across vocabulary sizes). Exact
@@ -1745,6 +1766,21 @@ object TextQueries {
         |  FROM toks WHERE LENGTH(tok) > 0 GROUP BY tok)
         |SELECT tok, tf, df, CAST((tf * 1000) // df AS BIGINT) AS burst_milli
         |FROM g ORDER BY tf DESC, tok LIMIT 50""".stripMargin,
+
+    "txt_quality_by_len" ->
+      s"""WITH q AS (
+        |  SELECT len(string_split_regex(text, ' +')) AS n_tok,
+        |    CAST(FLOOR(($qualityScoreSql) * 1000000.0 + 0.5) AS BIGINT) AS q_ppm
+        |  FROM documents),
+        |g AS (
+        |  SELECT CASE WHEN n_tok = 0 THEN CAST(-1 AS BIGINT)
+        |              ELSE CAST(length(bin(n_tok)) - 1 AS BIGINT) END AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs, SUM(q_ppm) AS sq,
+        |    MIN(q_ppm) AS min_q_ppm, MAX(q_ppm) AS max_q_ppm
+        |  FROM q GROUP BY 1)
+        |SELECT band, n_docs, CAST(sq // n_docs AS BIGINT) AS mean_q_ppm,
+        |  min_q_ppm, max_q_ppm
+        |FROM g ORDER BY band""".stripMargin,
 
     "txt_readability" ->
       """WITH per AS (
