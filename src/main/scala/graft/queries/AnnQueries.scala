@@ -518,6 +518,41 @@ object AnnQueries {
         .orderBy($"sub")
     },
 
+    // label-centroid STABILITY across corpus halves — the drift monitor
+    // a centroid-tagging deployment watches (emb_centroid_confusion
+    // asks "do centroids separate labels"; this asks "is the centroid
+    // itself an artifact of the sample?" — a label whose even-half and
+    // odd-half centroids diverge is too sparse or too mixed to tag
+    // with): per label, member counts of each half and the exact
+    // integer cosine between the two half-centroids (emb_kmeans'
+    // floor-mean update per (label, half, dim), so the whole audit
+    // replays in SQL). Scale shape: one partial agg onto the
+    // (labels × 2 × 64) key space, a label-keyed 64-row join, |labels|
+    // output.
+    "emb_centroid_drift" -> { (s, d) =>
+      import s.implicits._
+      val lab = t(s, d, "embeddings").select($"vec_id", $"label".cast("long").as("label"))
+      val cent = quantized(s, d).join(lab, Seq("vec_id"))
+        .withColumn("half", pmod($"vec_id", lit(2L)))
+        .select($"label", $"half", $"vec_id", posexplode($"q").as(Seq("i", "v")))
+        .groupBy($"label", $"half", $"i")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        .withColumn("c", expr("(sv - pmod(sv, n)) div n"))
+      val a = cent.filter($"half" === 0)
+        .select($"label", $"i", $"c".as("ca"), $"n".as("n_even"))
+      val b = cent.filter($"half" === 1)
+        .select($"label", $"i", $"c".as("cb"), $"n".as("n_odd"))
+      a.join(b, Seq("label", "i"))
+        .groupBy($"label")
+        .agg(max($"n_even").as("n_even"), max($"n_odd").as("n_odd"),
+          sum($"ca" * $"cb").as("dot"),
+          sum($"ca" * $"ca").as("na"), sum($"cb" * $"cb").as("nb"))
+        .select($"label", $"n_even", $"n_odd",
+          floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("cos_ppm"))
+        .orderBy($"label")
+    },
+
     // label-centroid tagging audit (the classifier-free domain tagger a
     // curation pipeline runs when real labels exist only for a slice:
     // assign every vector to its nearest LABEL centroid and confront
@@ -2356,6 +2391,22 @@ object AnnQueries {
            |  CAST(((ln_n_vecs - (sln // CAST(n_vecs AS HUGEINT))) * 1000000) // ${graft.functions.FixedLnOps.lnMicro(16)} AS BIGINT) AS balance_ppm
            |FROM $lastG ORDER BY sub""".stripMargin
     },
+
+    // the emb_kmeans floor-mean centroid per (label, half, dim), then
+    // the exact cosine between each label's half-centroids
+    "emb_centroid_drift" -> (QuantCte +
+      """, l AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |cd AS (
+        |  SELECT l.label, ((e.vec_id % 2) + 2) % 2 AS half, e.i,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    (CAST(SUM(e.q) AS BIGINT) - (((CAST(SUM(e.q) AS BIGINT) % COUNT(*)) + COUNT(*)) % COUNT(*))) // COUNT(*) AS c
+        |  FROM e JOIN l ON l.vec_id = e.vec_id GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT a.label, a.n AS n_even, b.n AS n_odd, a.c AS ca, b.c AS cb
+        |  FROM cd a JOIN cd b ON b.label = a.label AND b.i = a.i AND a.half = 0 AND b.half = 1)
+        |SELECT label, CAST(MAX(n_even) AS BIGINT) AS n_even, CAST(MAX(n_odd) AS BIGINT) AS n_odd,
+        |  CAST(FLOOR(SUM(ca * cb) / (sqrt(SUM(ca * ca)) * sqrt(SUM(cb * cb))) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+        |FROM j GROUP BY label ORDER BY label""".stripMargin),
 
     // the same integer floor-mean centroid formula as the emb_kmeans
     // oracle, one argmin per vector, then the matrix agg

@@ -747,6 +747,59 @@ object EventQueries {
         .orderBy($"band")
     },
 
+    // activation-velocity distribution — time from a user's FIRST event
+    // to their FIFTH (the "aha-moment" latency growth teams instrument;
+    // ev_conversion_lag times one funnel edge, this times depth-of-use):
+    // per activated user, seconds from event 1 to event 5 in read order
+    // (deterministic (ts, event_id) tie-break), power-of-2 second bands
+    // (band of lag+1 so instant activation lands in band 0). Scale
+    // shape: one per-user row_number window pruned to rows 1 and 5, a
+    // per-user 2-row agg, ≤64-band rollup.
+    "ev_activation_lag" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      ev(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1 || $"rn" === 5)
+        .groupBy($"user_id")
+        .agg(min(when($"rn" === 1, $"ts_us")).as("t1"),
+          min(when($"rn" === 5, $"ts_us")).as("t5"))
+        .filter($"t5".isNotNull)
+        .withColumn("lag_s", expr("(t5 - t1) div 1000000"))
+        .withColumn("band", expr("CAST(length(bin(lag_s + 1)) - 1 AS BIGINT)"))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_users"),
+          min($"lag_s").as("min_lag_s"), max($"lag_s").as("max_lag_s"))
+        .orderBy($"band")
+    },
+
+    // first-touch acquisition mix — which event type each user STARTS
+    // with (deterministic (ts, event_id) read order), how big each
+    // entry channel is, and what share of its users ever purchase (the
+    // acquisition-to-conversion table behind ev_attribution's credit
+    // split — attribution divides credit for converters; this scores
+    // the entry points themselves). Scale shape: one per-user
+    // row_number window pruned to row 1, a distinct on purchasing
+    // users, a user-keyed left join, |types| rollup.
+    "ev_first_touch" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val first = ev(s, d)
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", $"event_type".as("first_type"))
+      val buyers = ev(s, d).filter($"event_type" === "purchase")
+        .select($"user_id").distinct().withColumn("b", lit(1L))
+      first.join(buyers, Seq("user_id"), "left")
+        .groupBy($"first_type")
+        .agg(count(lit(1)).as("n_users"), sum(coalesce($"b", lit(0L))).as("n_purchasers"))
+        .withColumn("t", sum($"n_users").over(Window.partitionBy(lit(1))))
+        .select($"first_type", $"n_users",
+          expr("(n_users * 1000000) div t").as("share_ppm"),
+          $"n_purchasers",
+          expr("(n_purchasers * 1000000) div n_users").as("purchase_ppm"))
+        .orderBy($"first_type")
+    },
+
     // peak traffic slot per type — the single (day-of-week, hour) cell
     // each event type concentrates in, with its exact ppm share of the
     // type's traffic (the one-line answer behind ev_weekday × ev_hourly:
@@ -2090,6 +2143,39 @@ object EventQueries {
         |  CAST((n_users * 1000000) // SUM(n_users) OVER () AS BIGINT) AS user_share_ppm,
         |  n_events, min_events, max_events
         |FROM g ORDER BY band""".stripMargin,
+
+    "ev_activation_lag" ->
+      """WITH r AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN rn = 1 THEN ts_us END) AS t1,
+        |    MIN(CASE WHEN rn = 5 THEN ts_us END) AS t5
+        |  FROM r WHERE rn = 1 OR rn = 5 GROUP BY 1),
+        |l AS (SELECT (t5 - t1) // 1000000 AS lag_s FROM p WHERE t5 IS NOT NULL)
+        |SELECT CAST(length(bin(lag_s + 1)) - 1 AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(MIN(lag_s) AS BIGINT) AS min_lag_s, CAST(MAX(lag_s) AS BIGINT) AS max_lag_s
+        |FROM l GROUP BY 1 ORDER BY band""".stripMargin,
+
+    "ev_first_touch" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |f AS (SELECT user_id, event_type AS first_type FROM r WHERE rn = 1),
+        |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT first_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchasers
+        |  FROM f LEFT JOIN b ON b.user_id = f.user_id GROUP BY 1)
+        |SELECT first_type, n_users,
+        |  CAST((n_users * 1000000) // SUM(n_users) OVER () AS BIGINT) AS share_ppm,
+        |  n_purchasers,
+        |  CAST((n_purchasers * 1000000) // n_users AS BIGINT) AS purchase_ppm
+        |FROM g ORDER BY first_type""".stripMargin,
 
     "ev_peak_slot" ->
       s"""WITH c AS (

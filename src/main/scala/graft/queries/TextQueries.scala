@@ -698,6 +698,25 @@ object TextQueries {
         .orderBy($"band")
     },
 
+    // source × language composition grid — the first table on every
+    // data card (what each crawl source actually contains, doc AND
+    // character mass; txt_langid scores the label's trustworthiness,
+    // this LEDGERS it): counts, char mass, exact ppm share within the
+    // source. Scale shape: one narrow 3-column projection, partial agg
+    // onto the |sources|×|langs| grid, share window over that bounded
+    // relation.
+    "txt_lang_grid" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"source", $"lang", $"n_chars")
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars".cast("long")).as("n_chars"))
+        .withColumn("src_n", sum($"n_docs").over(Window.partitionBy($"source")))
+        .select($"source", $"lang", $"n_docs",
+          expr("(n_docs * 1000000) div src_n").as("share_ppm"), $"n_chars")
+        .orderBy($"source", $"lang")
+    },
+
     // per-source unigram entropy — the mixture-diversity number next to
     // txt_hapax's TTR (low-entropy sources are template mills; the
     // normalized form is comparable across vocabulary sizes). Exact
@@ -1781,6 +1800,16 @@ object TextQueries {
         |SELECT band, n_docs, CAST(sq // n_docs AS BIGINT) AS mean_q_ppm,
         |  min_q_ppm, max_q_ppm
         |FROM g ORDER BY band""".stripMargin,
+
+    "txt_lang_grid" ->
+      """WITH g AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, lang, n_docs,
+        |  CAST((n_docs * 1000000) // SUM(n_docs) OVER (PARTITION BY source) AS BIGINT) AS share_ppm,
+        |  n_chars
+        |FROM g ORDER BY source, lang""".stripMargin,
 
     "txt_readability" ->
       """WITH per AS (

@@ -448,6 +448,29 @@ object RawdataQueries {
         .withColumn("dup_ppm", expr("(n_dup_positions * 1000000) div n_positions"))
     },
 
+    // ordering-group balance entropy — the one-number partition-balance
+    // score beside rd_key_skew's HHI (entropy reads "how many EFFECTIVE
+    // groups share the load": e^H groups' worth; a topic scoring 0.3 of
+    // its ln|groups| ceiling funnels consumers through a hot group no
+    // matter how many groups exist). Exact integer micro-nats via the
+    // native ln_micro kernel, DECIMAL(38,0) sums, oracle replayed
+    // step-for-step by FixedLnSql. One per-group partial agg, 1-row
+    // report.
+    "rd_group_entropy" -> { (s, d) =>
+      Topic.readDF(s, topic(s, d))
+        .groupBy(col("orderingGroup")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_messages"),
+          max(col("n")).as("max_group"),
+          sum(expr("CAST(n AS DECIMAL(38,0)) * ln_micro(n)")).as("sln"))
+        .withColumn("entropy_micro",
+          expr("ln_micro(n_messages) - (sln div CAST(n_messages AS DECIMAL(38,0)))").cast("long"))
+        .withColumn("balance_ppm",
+          when(col("n_groups") === 1, 0L)
+            .otherwise(expr("(entropy_micro * 1000000) div ln_micro(n_groups)")))
+        .select(col("n_groups"), col("n_messages"), col("max_group"),
+          col("entropy_micro"), col("balance_ppm"))
+    },
+
     // ordering-guarantee audit per group — the reference's core delivery
     // promise (per ordering group, consumers see sequence order)
     // verified against the ULID read order: adjacent read-order pairs
@@ -854,6 +877,28 @@ object RawdataQueries {
         |  CAST(SUM(copies) AS BIGINT) AS n_messages,
         |  CAST((SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm
         |FROM p""".stripMargin),
+
+    // the ln_micro chains replay the entropy exactly (the ann_cell_entropy
+    // oracle pattern over the per-group counts)
+    "rd_group_entropy" -> {
+      val (lnG, lastG) = graft.queries.FixedLnSql.chain(
+        "g", "rga", Seq("ordering_group"), Seq("n"))
+      val (lnP, lastP) = graft.queries.FixedLnSql.chain(
+        "per", "rgb", Seq("max_group", "sln"), Seq("n_messages", "n_groups"))
+      M + s""", g AS (
+        |  SELECT ordering_group, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1),
+        |$lnG,
+        |per AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, CAST(SUM(n) AS BIGINT) AS n_messages,
+        |    CAST(MAX(n) AS BIGINT) AS max_group, SUM(CAST(n AS HUGEINT) * ln_n) AS sln
+        |  FROM $lastG),
+        |$lnP
+        |SELECT n_groups, n_messages, max_group,
+        |  CAST(ln_n_messages - (sln // CAST(n_messages AS HUGEINT)) AS BIGINT) AS entropy_micro,
+        |  CASE WHEN n_groups = 1 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(((ln_n_messages - (sln // CAST(n_messages AS HUGEINT))) * 1000000) // ln_n_groups AS BIGINT) END AS balance_ppm
+        |FROM $lastP""".stripMargin
+    },
 
     "rd_order_check" -> (M +
       """, g AS (

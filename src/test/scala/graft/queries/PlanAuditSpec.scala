@@ -112,6 +112,8 @@ class PlanAuditSpec extends SparkSpec {
       "ann_ivf_recall",
       // the 16-row codebook slice, same constant bound as ann_pq_topk
       "emb_pq_distortion",
+      // the same 16-row codebook slice, feeding the usage-balance agg
+      "emb_pq_code_balance",
       // IVF-PQ composition: fixed query slice, % step centroid seeds,
       // 16-row codebook, 640-row LUT, and the shortlist (window-bounded
       // ≤ 25·|queries| rows) — every broadcast constant-bounded
