@@ -800,6 +800,28 @@ object EventQueries {
         .orderBy($"first_type")
     },
 
+    // peak sustained ingest rate per type — the provisioning number a
+    // rate limiter / autoscaler is sized from (ev_peak_slot finds the
+    // busiest calendar cell; this finds the worst 5-MINUTE burst
+    // anywhere in the stream): max 5-minute rolling event count via a
+    // RANGE frame over per-minute counts (range, not rows — missing
+    // minutes must widen the window, not shrink it), earliest-minute
+    // tie-break. Scale shape: one partial agg onto the calendar-bounded
+    // (type, minute) relation; both windows run over that bounded
+    // relation, never the stream.
+    "ev_peak_rate" -> { (s, d) =>
+      import s.implicits._
+      val perMin = ev(s, d)
+        .groupBy($"event_type", expr("ts_us div 60000000").as("minute"))
+        .agg(count(lit(1)).as("n"))
+      val wr = Window.partitionBy($"event_type").orderBy($"minute").rangeBetween(-4, 0)
+      val wp = Window.partitionBy($"event_type").orderBy($"r5".desc, $"minute")
+      perMin.withColumn("r5", sum($"n").over(wr))
+        .withColumn("rn", row_number().over(wp)).filter($"rn" === 1)
+        .select($"event_type", $"minute".as("peak_minute"), $"r5".as("peak_5m"))
+        .orderBy($"event_type")
+    },
+
     // peak traffic slot per type — the single (day-of-week, hour) cell
     // each event type concentrates in, with its exact ppm share of the
     // type's traffic (the one-line answer behind ev_weekday × ev_hourly:
@@ -2176,6 +2198,23 @@ object EventQueries {
         |  n_purchasers,
         |  CAST((n_purchasers * 1000000) // n_users AS BIGINT) AS purchase_ppm
         |FROM g ORDER BY first_type""".stripMargin,
+
+    "ev_peak_rate" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, minute,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY minute
+        |      RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS r5
+        |  FROM c),
+        |p AS (
+        |  SELECT event_type, minute, r5,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r5 DESC, minute) AS rn
+        |  FROM r)
+        |SELECT event_type, CAST(minute AS BIGINT) AS peak_minute, CAST(r5 AS BIGINT) AS peak_5m
+        |FROM p WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     "ev_peak_slot" ->
       s"""WITH c AS (

@@ -724,6 +724,45 @@ object Relational3 {
           expr("CAST(s_d div n_months AS BIGINT)").as("mean_rev_cents"),
           expr("CAST((s_d * m * 1000000) div (n_months * g) AS BIGINT)").as("index_ppm"))
         .orderBy($"moy")
+    },
+
+    // cross-nation trade-flow matrix — TPC-H Q7's shape generalized to
+    // the full matrix (revenue flowing from each supplier nation to
+    // each customer nation; the diagonal is q5's local-supplier view,
+    // the off-diagonal is the import dependency a tariff scenario
+    // reprices): discounted revenue in exact cent-percent units (q71
+    // rule) + ppm share of world trade. Scale shape: lineitem shuffles
+    // once on orderkey against orders (co-keyed fact-fact), once on
+    // partkey-free supplier/customer keys; nation is broadcast (fixed
+    // 25 rows); the matrix agg lands on the ≤625-cell space and the
+    // share window runs over that bounded relation only.
+    "q79_trade_matrix" -> { (s, d) =>
+      import s.implicits._
+      val dec38 = DecimalType(38, 0)
+      val li = t(s, d, "lineitem")
+        .select($"l_orderkey", $"l_suppkey",
+          (d2($"l_extendedprice") * 100).cast("long").as("p_cents"),
+          expr("CAST(FLOOR(CAST(l_discount AS DOUBLE) * 100.0 + 0.5) AS BIGINT)").as("pct"))
+      val co = t(s, d, "orders").select($"o_orderkey", $"o_custkey")
+        .join(t(s, d, "customer").select($"c_custkey", $"c_nationkey"),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, d, "nation").select($"n_nationkey", $"n_name")),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"o_orderkey", $"n_name".as("cust_nation"))
+      val sup = t(s, d, "supplier").select($"s_suppkey", $"s_nationkey")
+        .join(broadcast(t(s, d, "nation").select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation"))
+      li.join(co, $"l_orderkey" === $"o_orderkey")
+        .join(sup, $"l_suppkey" === $"s_suppkey")
+        .groupBy($"supp_nation", $"cust_nation")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(($"p_cents" * (lit(100L) - $"pct")).cast(dec38)).as("rev_d"))
+        .withColumn("t", sum($"rev_d").over(Window.partitionBy(lit(1))))
+        .select($"supp_nation", $"cust_nation", $"n_lines",
+          $"rev_d".cast("long").as("rev_cp"),
+          expr("CAST((rev_d * 1000000) div t AS BIGINT)").as("share_ppm"))
+        .orderBy($"supp_nation", $"cust_nation")
     }
   )
 
@@ -1112,6 +1151,27 @@ object Relational3 {
         |  CAST(s_d // n_months AS BIGINT) AS mean_rev_cents,
         |  CAST((s_d * SUM(n_months) OVER () * 1000000)
         |    // (n_months * SUM(s_d) OVER ()) AS BIGINT) AS index_ppm
-        |FROM g ORDER BY moy""".stripMargin
+        |FROM g ORDER BY moy""".stripMargin,
+
+    "q79_trade_matrix" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p_cents,
+        |    CAST(FLOOR(CAST(l_discount AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS pct
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    SUM(CAST(p_cents AS HUGEINT) * (100 - pct)) AS rev_d
+        |  FROM l
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT supp_nation, cust_nation, n_lines, CAST(rev_d AS BIGINT) AS rev_cp,
+        |  CAST((rev_d * 1000000) // SUM(rev_d) OVER () AS BIGINT) AS share_ppm
+        |FROM g ORDER BY supp_nation, cust_nation""".stripMargin
   )
 }
