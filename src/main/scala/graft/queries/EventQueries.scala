@@ -822,6 +822,21 @@ object EventQueries {
         .orderBy($"event_type")
     },
 
+    // daily error-rate curve — the SLO burn-down every on-call
+    // dashboard leads with (ev_anomaly flags volume outliers; this
+    // tracks the error SHARE, which moves even when volume doesn't):
+    // per epoch day, events, error events, exact ppm. One partial agg
+    // onto the calendar grid, no windows, no joins.
+    "ev_error_rate" -> { (s, d) =>
+      import s.implicits._
+      ev(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"event_type" === "error", 1L).otherwise(0L)).as("n_errors"))
+        .withColumn("error_ppm", expr("(n_errors * 1000000) div n_events"))
+        .orderBy($"day")
+    },
+
     // peak traffic slot per type — the single (day-of-week, hour) cell
     // each event type concentrates in, with its exact ppm share of the
     // type's traffic (the one-line answer behind ev_weekday × ev_hourly:
@@ -2215,6 +2230,13 @@ object EventQueries {
         |  FROM r)
         |SELECT event_type, CAST(minute AS BIGINT) AS peak_minute, CAST(r5 AS BIGINT) AS peak_5m
         |FROM p WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "ev_error_rate" ->
+      s"""SELECT epoch_us(ts) // ${86400L * 1000000L} AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        |  CAST((SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS error_ppm
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
 
     "ev_peak_slot" ->
       s"""WITH c AS (

@@ -763,6 +763,32 @@ object Relational3 {
           $"rev_d".cast("long").as("rev_cp"),
           expr("CAST((rev_d * 1000000) div t AS BIGINT)").as("share_ppm"))
         .orderBy($"supp_nation", $"cust_nation")
+    },
+
+    // customer lifetime-spend distribution in power-of-2 bands — the
+    // CLV histogram behind q70's duration view and ev_ltv's event-side
+    // totals (a marketing budget is allocated off this curve, and the
+    // band shape is what says whether "average customer value" is a
+    // lie): band = exact ⌊log₂ cents⌋, customers + spend mass + ppm
+    // share per band. Scale shape: one per-custkey partial agg,
+    // ≤64-band rollup, share window over the bounded band relation.
+    "q80_spend_bands" -> { (s, d) =>
+      import s.implicits._
+      val dec38 = DecimalType(38, 0)
+      t(s, d, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum((d2($"o_totalprice") * 100).cast("long").cast(dec38)).as("sp"))
+        .select($"sp".cast("long").as("spend_cents"))
+        .withColumn("band", expr("CAST(length(bin(spend_cents)) - 1 AS BIGINT)"))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_customers"),
+          sum($"spend_cents".cast(dec38)).as("sd"),
+          min($"spend_cents").as("min_cents"), max($"spend_cents").as("max_cents"))
+        .withColumn("t", sum($"n_customers").over(Window.partitionBy(lit(1))))
+        .select($"band", $"n_customers",
+          expr("(n_customers * 1000000) div t").as("cust_share_ppm"),
+          $"sd".cast("long").as("total_cents"), $"min_cents", $"max_cents")
+        .orderBy($"band")
     }
   )
 
@@ -1172,6 +1198,23 @@ object Relational3 {
         |  GROUP BY 1, 2)
         |SELECT supp_nation, cust_nation, n_lines, CAST(rev_d AS BIGINT) AS rev_cp,
         |  CAST((rev_d * 1000000) // SUM(rev_d) OVER () AS BIGINT) AS share_ppm
-        |FROM g ORDER BY supp_nation, cust_nation""".stripMargin
+        |FROM g ORDER BY supp_nation, cust_nation""".stripMargin,
+
+    "q80_spend_bands" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS BIGINT) AS spend_cents
+        |  FROM orders GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(length(bin(spend_cents)) - 1 AS BIGINT) AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |    CAST(SUM(CAST(spend_cents AS HUGEINT)) AS BIGINT) AS total_cents,
+        |    CAST(MIN(spend_cents) AS BIGINT) AS min_cents,
+        |    CAST(MAX(spend_cents) AS BIGINT) AS max_cents
+        |  FROM per GROUP BY 1)
+        |SELECT band, n_customers,
+        |  CAST((n_customers * 1000000) // SUM(n_customers) OVER () AS BIGINT) AS cust_share_ppm,
+        |  total_cents, min_cents, max_cents
+        |FROM g ORDER BY band""".stripMargin
   )
 }
