@@ -1066,6 +1066,36 @@ object DedupQueries {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // signature-width accuracy curve — dd_minhash_est audits the 12-perm
+    // estimate; this sweeps prefix widths 4/8/12 so the width is CHOSEN
+    // from measurement, not folklore (signature bytes scale index cost
+    // linearly at 100 TB; the 1/√w error law says where the spend stops
+    // paying). One signature-agreement join computes all three widths;
+    // the per-width mean error is a floored exact division. Candidate-
+    // proportional work end to end, 3-row output.
+    "dd_minhash_width" -> { (s, d) =>
+      import s.implicits._
+      val sigs = CorpusLshIndex.sigs(s, d)
+      def agreeN(n: Int) = (0 until n).map { j =>
+        when(col(s"sa.h$j") === col(s"sb.h$j"), 1L).otherwise(0L)
+      }.reduce(_ + _)
+      CorpusLshIndex.jaccard(s, d)
+        .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .withColumn("a4", agreeN(4)).withColumn("a8", agreeN(8))
+        .withColumn("a12", agreeN(12))
+        .select($"jaccard_ppm", explode(expr(
+          """array(named_struct('width', 4L, 'est', (a4 * 1000000) div 4),
+            |      named_struct('width', 8L, 'est', (a8 * 1000000) div 8),
+            |      named_struct('width', 12L, 'est', (a12 * 1000000) div 12))""".stripMargin)).as("x"))
+        .select($"x.width".as("width"), abs($"x.est" - $"jaccard_ppm").as("err"))
+        .groupBy($"width")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(err) div count(1)").as("mean_err_ppm"),
+          max($"err").as("max_err_ppm"))
+        .orderBy($"width")
+    },
+
     // one-permutation minhash (Li/Owen/Zhang's OPH): ONE hash
     // evaluation per shingle routed to bucket h mod 16, each bucket
     // keeping its min — at 100 TB the signature pass costs one hash
@@ -2234,6 +2264,31 @@ object DedupQueries {
            |  j.jaccard_ppm, CAST(ABS(e.est_ppm - j.jaccard_ppm) AS BIGINT) AS err_ppm
            |FROM est e JOIN jacc j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
            |ORDER BY e.doc_a, e.doc_b""".stripMargin)
+    },
+
+    // the same agreement join as dd_minhash_est, swept over prefix
+    // widths 4/8/12
+    "dd_minhash_width" -> {
+      def agreeSum(n: Int) = (0 until n)
+        .map(j => s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      (s"WITH ${lshCtes("documents")},\n$JaccardCtes,\n" +
+        s"""ag AS (
+           |  SELECT j.jaccard_ppm,
+           |    (${agreeSum(4)}) AS a4, (${agreeSum(8)}) AS a8, (${agreeSum(12)}) AS a12
+           |  FROM jacc j
+           |  JOIN sigs a ON a.doc_id = j.doc_a
+           |  JOIN sigs b ON b.doc_id = j.doc_b),
+           |e AS (
+           |  SELECT 4 AS width, ABS((a4 * 1000000) // 4 - jaccard_ppm) AS err FROM ag
+           |  UNION ALL
+           |  SELECT 8, ABS((a8 * 1000000) // 8 - jaccard_ppm) FROM ag
+           |  UNION ALL
+           |  SELECT 12, ABS((a12 * 1000000) // 12 - jaccard_ppm) FROM ag)
+           |SELECT CAST(width AS BIGINT) AS width, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  CAST(SUM(err) // COUNT(*) AS BIGINT) AS mean_err_ppm,
+           |  CAST(MAX(err) AS BIGINT) AS max_err_ppm
+           |FROM e GROUP BY width ORDER BY width""".stripMargin)
     },
 
     // the same hashed-shingle CTE bucketed mod 16 with the cyclic

@@ -419,20 +419,55 @@ object MultimodalQueries {
     // window carries only the length column).
     "mm_shard_pack" -> { (s, d) =>
       import s.implicits._
+      shardPlan(s, d).orderBy($"key", $"shard")
+    },
+
+    // shard fill-ratio audit — the packing-efficiency report OVER
+    // mm_shard_pack's plan (a mean fill sagging toward 50 % means the
+    // byte budget fights the asset size distribution and the shard
+    // count — every downstream open/seek — is paying for it): per
+    // payload key, shards, exact mean fill ppm of the budget, the worst
+    // non-final shard (the final shard is legitimately underfull), and
+    // shards the straddle rule overflowed. Scale shape: the plan's own
+    // (key, shard) relation rolled onto |keys| rows; one bounded window
+    // for the final-shard exclusion.
+    "mm_shard_fill" -> { (s, d) =>
+      import s.implicits._
       val budget = 2048L
-      val w = Window.partitionBy($"key").orderBy($"eid")
-      payloads(s, d, 500)
-        .select($"key", $"position",
-          expr("CAST(substring(position, 5) AS BIGINT)").as("eid"),
-          length($"payload").cast("long").as("n_bytes"))
-        .withColumn("shard",
-          floor((sum($"n_bytes").over(w) - $"n_bytes") / lit(budget)).cast("long"))
-        .groupBy($"key", $"shard")
-        .agg(count(lit(1)).as("n_items"), sum($"n_bytes").as("n_bytes"),
-          min($"eid").as("first_eid"), max($"eid").as("last_eid"))
-        .orderBy($"key", $"shard")
+      val wk = Window.partitionBy($"key")
+      shardPlan(s, d)
+        .withColumn("max_shard", max($"shard").over(wk))
+        .groupBy($"key")
+        .agg(count(lit(1)).as("n_shards"), sum($"n_bytes").as("total_bytes"),
+          sum(when($"n_bytes" > budget, 1L).otherwise(0L)).as("n_overflow"),
+          min(when($"shard" < $"max_shard",
+            expr(s"(n_bytes * 1000000) div $budget"))).as("mf"))
+        .select($"key", $"n_shards", $"total_bytes",
+          expr(s"(total_bytes * 1000000) div (n_shards * $budget)").as("mean_fill_ppm"),
+          coalesce($"mf", lit(0L)).as("min_fill_ppm"), $"n_overflow")
+        .orderBy($"key")
     }
   )
+
+  /** mm_shard_pack's greedy byte-budget packing plan (key, shard,
+    * n_items, n_bytes, first_eid, last_eid) — shared with the
+    * mm_shard_fill audit so the two can never drift on the straddle
+    * rule or the budget.
+    */
+  private def shardPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = 2048L
+    val w = Window.partitionBy($"key").orderBy($"eid")
+    payloads(s, d, 500)
+      .select($"key", $"position",
+        expr("CAST(substring(position, 5) AS BIGINT)").as("eid"),
+        length($"payload").cast("long").as("n_bytes"))
+      .withColumn("shard",
+        floor((sum($"n_bytes").over(w) - $"n_bytes") / lit(budget)).cast("long"))
+      .groupBy($"key", $"shard")
+      .agg(count(lit(1)).as("n_items"), sum($"n_bytes").as("n_bytes"),
+        min($"eid").as("first_eid"), max($"eid").as("last_eid"))
+  }
 
   /** Oracles reconstruct the same payload bytes from `events` (positions
     * are 'evt-<id>'; payloads are the UTF-8 props JSON and user id — all
@@ -661,6 +696,29 @@ object MultimodalQueries {
         |  CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
         |  CAST(MIN(eid) AS BIGINT) AS first_eid, CAST(MAX(eid) AS BIGINT) AS last_eid
         |FROM x GROUP BY 1, 2 ORDER BY key, shard""".stripMargin,
+
+    "mm_shard_fill" ->
+      """WITH m AS (
+        |  SELECT 'props' AS key, event_id AS eid, CAST(length(props) AS BIGINT) AS n_bytes
+        |  FROM events WHERE event_id < 500
+        |  UNION ALL
+        |  SELECT 'user', event_id, CAST(length(CAST(user_id AS VARCHAR)) AS BIGINT)
+        |  FROM events WHERE event_id < 500),
+        |x AS (
+        |  SELECT key, eid, n_bytes,
+        |    CAST((SUM(n_bytes) OVER (PARTITION BY key ORDER BY eid) - n_bytes) // 2048
+        |      AS BIGINT) AS shard
+        |  FROM m),
+        |p AS (
+        |  SELECT key, shard, CAST(SUM(n_bytes) AS BIGINT) AS n_bytes
+        |  FROM x GROUP BY 1, 2),
+        |q AS (SELECT *, MAX(shard) OVER (PARTITION BY key) AS max_shard FROM p)
+        |SELECT key, CAST(COUNT(*) AS BIGINT) AS n_shards,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST((SUM(n_bytes) * 1000000) // (COUNT(*) * 2048) AS BIGINT) AS mean_fill_ppm,
+        |  CAST(COALESCE(MIN(CASE WHEN shard < max_shard THEN (n_bytes * 1000000) // 2048 END), 0) AS BIGINT) AS min_fill_ppm,
+        |  CAST(SUM(CASE WHEN n_bytes > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow
+        |FROM q GROUP BY key ORDER BY key""".stripMargin,
 
     "mm_phash_pairs" ->
       s"""WITH $PhashSimsCtes

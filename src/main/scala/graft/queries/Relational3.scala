@@ -789,6 +789,31 @@ object Relational3 {
           expr("(n_customers * 1000000) div t").as("cust_share_ppm"),
           $"sd".cast("long").as("total_cents"), $"min_cents", $"max_cents")
         .orderBy($"band")
+    },
+
+    // does a deeper discount actually move volume? — integer-OLS slope
+    // of line quantity on discount percent in exact milli units (the
+    // rd_traffic_trend normal-equation form: cross-multiplied sums, a
+    // subtract-pmod floor, zero float division), with the per-tier
+    // detail left to q71. Moments accumulate in DECIMAL(38,0) — the
+    // n·Σxy cross-product overflows int64 at cluster row counts. One
+    // 1-row aggregate over a narrow two-column projection.
+    "q81_qty_discount" -> { (s, d) =>
+      import s.implicits._
+      val dec38 = DecimalType(38, 0)
+      t(s, d, "lineitem")
+        .select(expr("CAST(FLOOR(CAST(l_discount AS DOUBLE) * 100.0 + 0.5) AS BIGINT)").as("x"),
+          expr("CAST(l_quantity AS BIGINT)").as("y"))
+        .agg(count(lit(1)).cast(dec38).as("n"),
+          sum($"x".cast(dec38)).as("sx"), sum($"y".cast(dec38)).as("sy"),
+          sum(($"x" * $"y").cast(dec38)).as("sxy"),
+          sum(($"x" * $"x").cast(dec38)).as("sxx"))
+        .withColumn("num", ($"n" * $"sxy" - $"sx" * $"sy") * lit(1000L))
+        .withColumn("den", $"n" * $"sxx" - $"sx" * $"sx")
+        .select($"n".cast("long").as("n_lines"),
+          when($"den" === 0, 0L)
+            .otherwise(expr("CAST((num - pmod(num, den)) div den AS BIGINT)"))
+            .as("slope_milli"))
     }
   )
 
@@ -1215,6 +1240,22 @@ object Relational3 {
         |SELECT band, n_customers,
         |  CAST((n_customers * 1000000) // SUM(n_customers) OVER () AS BIGINT) AS cust_share_ppm,
         |  total_cents, min_cents, max_cents
-        |FROM g ORDER BY band""".stripMargin
+        |FROM g ORDER BY band""".stripMargin,
+
+    "q81_qty_discount" ->
+      """WITH l AS (
+        |  SELECT CAST(FLOOR(CAST(l_discount AS DOUBLE) * 100.0 + 0.5) AS HUGEINT) AS x,
+        |    CAST(l_quantity AS HUGEINT) AS y
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM l),
+        |e AS (
+        |  SELECT n, (n * sxy - sx * sy) * 1000 AS num, n * sxx - sx * sx AS den FROM g)
+        |SELECT CAST(n AS BIGINT) AS n_lines,
+        |  CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((num - ((num % den + den) % den)) // den AS BIGINT) END AS slope_milli
+        |FROM e""".stripMargin
   )
 }
