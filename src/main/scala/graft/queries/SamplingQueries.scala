@@ -110,6 +110,33 @@ object SamplingQueries {
         .orderBy($"source", $"doc_id")
     },
 
+    // temperature-sweep mixture design table — samp_temperature samples
+    // at ONE τ; this lays out the (τ, source) weight matrix for
+    // τ ∈ {½, ¾, 1} so the flattening-vs-fidelity trade is read off a
+    // table before committing a mixture. τ is restricted to dyadic
+    // exponents computable from IEEE sqrt alone (n^¾ = √(n·√n) — sqrt
+    // and multiply are correctly rounded on both engines, pow(x, 0.7)
+    // is not), so the floor milli weights replay exactly. Scale shape:
+    // one |sources| profile agg, a 3-way explode, share windows over
+    // the 3·|sources| relation.
+    "samp_temp_sweep" -> { (s, d) =>
+      import s.implicits._
+      val n = t(s, d, "documents").groupBy($"source").agg(count(lit(1)).as("n"))
+      n.select($"source", $"n", explode(expr(
+          """array(
+            |  named_struct('tau_milli', 500L,
+            |    'w', CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000.0) AS BIGINT)),
+            |  named_struct('tau_milli', 750L,
+            |    'w', CAST(floor(sqrt(CAST(n AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) * 1000.0) AS BIGINT)),
+            |  named_struct('tau_milli', 1000L, 'w', n * 1000))""".stripMargin)).as("x"))
+        .select($"x.tau_milli".as("tau_milli"), $"source",
+          $"n".as("n_docs"), $"x.w".as("w"))
+        .withColumn("t", sum($"w").over(Window.partitionBy($"tau_milli")))
+        .select($"tau_milli", $"source", $"n_docs", $"w",
+          expr("(w * 1000000) div t").as("share_ppm"))
+        .orderBy($"tau_milli", $"source")
+    },
+
     // uniform-rebalance plan (the ACTION samp_mixture's data card asks
     // for): per source, the exact milli up/down-sampling factor that
     // would bring every source to the uniform token allocation
@@ -667,6 +694,21 @@ object SamplingQueries {
          |FROM h JOIN n ON n.source = h.source, tot
          |WHERE h.h < ($TempTarget * $HashSpace * n.w) // (tot.sw * n.n)
          |ORDER BY h.source, h.doc_id""".stripMargin,
+
+    "samp_temp_sweep" ->
+      """WITH n AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source),
+        |sw AS (
+        |  SELECT 500 AS tau_milli, source, n AS n_docs,
+        |    CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000.0) AS BIGINT) AS w FROM n
+        |  UNION ALL
+        |  SELECT 750, source, n,
+        |    CAST(FLOOR(SQRT(CAST(n AS DOUBLE) * SQRT(CAST(n AS DOUBLE))) * 1000.0) AS BIGINT) FROM n
+        |  UNION ALL
+        |  SELECT 1000, source, n, n * 1000 FROM n)
+        |SELECT CAST(tau_milli AS BIGINT) AS tau_milli, source, n_docs, w,
+        |  CAST((w * 1000000) // SUM(w) OVER (PARTITION BY tau_milli) AS BIGINT) AS share_ppm
+        |FROM sw ORDER BY tau_milli, source""".stripMargin,
 
     "samp_token_budget" ->
       s"""WITH tk AS (

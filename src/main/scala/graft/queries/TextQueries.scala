@@ -717,6 +717,30 @@ object TextQueries {
         .orderBy($"source", $"lang")
     },
 
+    // megadoc-concentration audit — what share of each source's TOKEN
+    // mass sits in its top-decile longest docs (a source whose mass is
+    // three megadocs needs chunking/doc-length caps before its "token
+    // count" means anything in a mixture; txt_len_deciles shows the
+    // quantiles, this shows the MASS): per source, docs, tokens, the
+    // top ⌈10 %⌉ docs' token mass + exact ppm share. Scale shape: one
+    // narrow token-count projection, a per-source rank window with a
+    // unique (len desc, doc_id) ordering, |sources|-row rollup.
+    "txt_len_topshare" -> { (s, d) =>
+      import s.implicits._
+      val tok = t(s, d, "documents")
+        .select($"source", $"doc_id", size(split($"text", " +")).cast("long").as("n_tok"))
+      val wk = Window.partitionBy($"source")
+      val wr = Window.partitionBy($"source").orderBy($"n_tok".desc, $"doc_id")
+      tok.withColumn("rnk", row_number().over(wr).cast("long"))
+        .withColumn("nd", count(lit(1)).over(wk))
+        .groupBy($"source")
+        .agg(max($"nd").as("n_docs"), sum($"n_tok").as("n_tokens"),
+          sum(when($"rnk" <= greatest(lit(1L), expr("nd div 10")), $"n_tok")
+            .otherwise(0L)).as("top_tokens"))
+        .withColumn("top_share_ppm", expr("(top_tokens * 1000000) div n_tokens"))
+        .orderBy($"source")
+    },
+
     // per-source unigram entropy — the mixture-diversity number next to
     // txt_hapax's TTR (low-entropy sources are template mills; the
     // normalized form is comparable across vocabulary sizes). Exact
@@ -1810,6 +1834,23 @@ object TextQueries {
         |  CAST((n_docs * 1000000) // SUM(n_docs) OVER (PARTITION BY source) AS BIGINT) AS share_ppm,
         |  n_chars
         |FROM g ORDER BY source, lang""".stripMargin,
+
+    "txt_len_topshare" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, n_tok,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id) AS rnk,
+        |    COUNT(*) OVER (PARTITION BY source) AS nd
+        |  FROM tok)
+        |SELECT source, CAST(MAX(nd) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN rnk <= GREATEST(1, nd // 10) THEN n_tok ELSE 0 END) AS BIGINT) AS top_tokens,
+        |  CAST((SUM(CASE WHEN rnk <= GREATEST(1, nd // 10) THEN n_tok ELSE 0 END) * 1000000)
+        |    // SUM(n_tok) AS BIGINT) AS top_share_ppm
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "txt_readability" ->
       """WITH per AS (
