@@ -471,6 +471,33 @@ object RawdataQueries {
           col("entropy_micro"), col("balance_ppm"))
     },
 
+    // ULID-vs-window containment audit — the invariant EVERY filename
+    // pruning in this engine depends on (seek, retention, seek-cost all
+    // reason from [from, from+1d) alone): each message's ULID timestamp,
+    // decoded by the native ulid_ts_ms kernel from the raw 6 bytes, must
+    // sit inside its own window file's day range. A violation means a
+    // producer wrote with a skewed clock mid-window and pruned reads
+    // will silently MISS that message. Scale shape: the per-file
+    // parallel scan with task-path attribution (the rd_integrity trick,
+    // costs nothing extra) joined to the |files| listing, 1-row report;
+    // worst_skew_ms quantifies how far out the worst offender sits.
+    "rd_ulid_sanity" -> { (s, d) =>
+      val dir = topic(s, d)
+      val files = Topic.fileListingDF(s, dir)
+        .select(col("path"), col("fromTsMs").as("from_ts_ms"))
+      Topic.readWithOrigin(s, dir)
+        .select(col("file_path"), expr("ulid_ts_ms(msg.id)").as("u_ts"))
+        .join(files, col("file_path") === col("path"))
+        .withColumn("skew_ms", greatest(
+          col("from_ts_ms") - col("u_ts"),
+          col("u_ts") - col("from_ts_ms") - lit(EventsAsTopic.DayMs - 1L),
+          lit(0L)))
+        .agg(count(lit(1)).as("n_messages"),
+          countDistinct(col("path")).as("n_files"),
+          sum(when(col("skew_ms") > 0L, 1L).otherwise(0L)).as("n_out_of_window"),
+          max(col("skew_ms")).as("worst_skew_ms"))
+    },
+
     // ordering-guarantee audit per group — the reference's core delivery
     // promise (per ordering group, consumers see sequence order)
     // verified against the ULID read order: adjacent read-order pairs
@@ -899,6 +926,22 @@ object RawdataQueries {
         |       ELSE CAST(((ln_n_messages - (sln // CAST(n_messages AS HUGEINT))) * 1000000) // ln_n_groups AS BIGINT) END AS balance_ppm
         |FROM $lastP""".stripMargin
     },
+
+    "rd_ulid_sanity" -> (M +
+      """, w AS (
+        |  SELECT ts_ms // 86400000 AS dy, MIN(ts_ms) AS from_ts_ms
+        |  FROM m GROUP BY 1),
+        |j AS (
+        |  SELECT m.ts_ms, w.from_ts_ms,
+        |    GREATEST(w.from_ts_ms - m.ts_ms,
+        |             m.ts_ms - w.from_ts_ms - 86399999,
+        |             0) AS skew_ms
+        |  FROM m JOIN w ON w.dy = m.ts_ms // 86400000)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_messages,
+        |  CAST(COUNT(DISTINCT from_ts_ms) AS BIGINT) AS n_files,
+        |  CAST(SUM(CASE WHEN skew_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_window,
+        |  CAST(MAX(skew_ms) AS BIGINT) AS worst_skew_ms
+        |FROM j""".stripMargin),
 
     "rd_order_check" -> (M +
       """, g AS (
