@@ -622,6 +622,30 @@ object CurationQueries {
         .orderBy($"doc_id")
     },
 
+    // tokenizer fit BY SOURCE — the compression each corpus slice gets
+    // from the trained merge table (txt_bpe_encode reports per doc;
+    // mixtures are negotiated per SOURCE: a slice whose gain sags is
+    // out-of-domain for the tokenizer and will pay more tokens per char
+    // at training time; txt_fertility is the per-language view): per
+    // source, tokens, chars, BPE symbols, and the exact ppm of chars
+    // SAVED. Same encode map (built once per corpus), one source-keyed
+    // rollup.
+    "txt_bpe_gain" -> { (s, d) =>
+      import s.implicits._
+      val toks = CorpusTokenIndex.tokens(s, d)
+        .select($"source", $"tok")
+        .filter(length($"tok") > 0)
+        .select($"source", expr("regexp_replace(tok, '(.)', '($1)')").as("w"),
+          length($"tok").cast("long").as("nch"))
+      val enc = encodeMap(s, d, toks)
+      toks.join(enc, toks("w") === enc("orig"))
+        .withColumn("n_sym", expr("CAST(size(regexp_extract_all(cur, '\\\\(([^)]*)\\\\)', 1)) AS BIGINT)"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_tok"), sum($"nch").as("n_chars"), sum($"n_sym").as("n_subtok"))
+        .withColumn("gain_ppm", expr("((n_chars - n_subtok) * 1000000) div n_chars"))
+        .orderBy($"source")
+    },
+
     // BPE merge training in BpeRounds BATCHED rounds (the tokenizer-
     // training core at vocab scale): each round counts adjacent symbol
     // pairs ONCE over the weighted distinct-word relation, selects up to
@@ -1071,6 +1095,30 @@ object CurationQueries {
          |  CAST((SUM(len(regexp_extract_all(enc.cur, '\\(([^)]*)\\)', 1))) * 1000000) // SUM(nch) AS BIGINT) AS subtok_ppm
          |FROM toks JOIN enc ON enc.orig = toks.w
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // the txt_bpe_encode replay with source carried through and a
+    // per-source rollup
+    "txt_bpe_gain" -> {
+      val encCtes = (1 to BpeRounds).map(r =>
+        s"enc$r AS MATERIALIZED (SELECT orig, ${bpeApplySql("cur", r)} AS cur FROM enc${r - 1})")
+        .mkString(",\n")
+      s"""WITH toks AS (
+         |  SELECT source, regexp_replace(tok, '(.)', '(\\1)', 'g') AS w,
+         |    CAST(length(tok) AS BIGINT) AS nch
+         |  FROM (SELECT source, unnest(string_split_regex(text, ' +')) AS tok FROM documents)
+         |  WHERE length(tok) > 0),
+         |w0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM toks GROUP BY 1),
+         |${(1 to BpeRounds).map(bpeRoundSql).mkString(",\n")},
+         |enc0 AS (SELECT w AS orig, w AS cur FROM w0),
+         |$encCtes,
+         |enc AS (SELECT orig, cur FROM enc$BpeRounds)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |  CAST(SUM(nch) AS BIGINT) AS n_chars,
+         |  CAST(SUM(len(regexp_extract_all(enc.cur, '\\(([^)]*)\\)', 1))) AS BIGINT) AS n_subtok,
+         |  CAST(((SUM(nch) - SUM(len(regexp_extract_all(enc.cur, '\\(([^)]*)\\)', 1)))) * 1000000) // SUM(nch) AS BIGINT) AS gain_ppm
+         |FROM toks JOIN enc ON enc.orig = toks.w
+         |GROUP BY source ORDER BY source""".stripMargin
     },
 
     "txt_bpe" -> {

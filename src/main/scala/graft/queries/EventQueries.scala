@@ -837,6 +837,30 @@ object EventQueries {
         .orderBy($"day")
     },
 
+    // week-1 retention by acquisition channel — the table that prices
+    // each entry channel (ev_first_touch scores conversion, this scores
+    // STAYING: a channel whose users vanish inside 7 days is buying
+    // traffic, not users; ev_retention tracks cohorts over time, this
+    // attributes the D7 bar to the channel): per first-touch type,
+    // users and users still active ≥ 7 days after their first event,
+    // exact ppm. Scale shape: one per-user span agg + the row-1 window,
+    // a user-keyed join, |types| rollup.
+    "ev_channel_retention" -> { (s, d) =>
+      import s.implicits._
+      val base = ev(s, d)
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val first = base.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", $"event_type".as("first_type"))
+      val spans = base.groupBy($"user_id")
+        .agg(min($"ts_us").as("t0"), max($"ts_us").as("t_last"))
+      first.join(spans, Seq("user_id"))
+        .groupBy($"first_type")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when($"t_last" >= $"t0" + lit(7L * DayUs), 1L).otherwise(0L)).as("n_retained"))
+        .withColumn("retained_ppm", expr("(n_retained * 1000000) div n_users"))
+        .orderBy($"first_type")
+    },
+
     // peak traffic slot per type — the single (day-of-week, hour) cell
     // each event type concentrates in, with its exact ppm share of the
     // type's traffic (the one-line answer behind ev_weekday × ev_hourly:
@@ -2237,6 +2261,21 @@ object EventQueries {
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
         |  CAST((SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS error_ppm
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "ev_channel_retention" ->
+      s"""WITH r AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |f AS (SELECT user_id, event_type AS first_type FROM r WHERE rn = 1),
+        |sp AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t_last
+        |  FROM events GROUP BY 1)
+        |SELECT first_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN t_last >= t0 + ${7L * 86400L * 1000000L} THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST((SUM(CASE WHEN t_last >= t0 + ${7L * 86400L * 1000000L} THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS retained_ppm
+        |FROM f JOIN sp USING (user_id)
+        |GROUP BY first_type ORDER BY first_type""".stripMargin,
 
     "ev_peak_slot" ->
       s"""WITH c AS (

@@ -814,6 +814,34 @@ object Relational3 {
           when($"den" === 0, 0L)
             .otherwise(expr("CAST((num - pmod(num, den)) div den AS BIGINT)"))
             .as("slope_milli"))
+    },
+
+    // nation-level ARPU ledger — revenue per registered customer by
+    // nation (the market-prioritization table: q79 shows where revenue
+    // FLOWS, this normalizes it by the customer base, never-ordered
+    // customers included so a market's penetration gap shows): per
+    // nation, customers, buyers, exact cents and floored ARPU cents.
+    // Scale shape: per-custkey revenue partial agg, co-keyed left join
+    // onto the narrow customer projection, broadcast nation, 25-row
+    // rollup.
+    "q83_nation_arpu" -> { (s, d) =>
+      import s.implicits._
+      val dec38 = DecimalType(38, 0)
+      val rev = t(s, d, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum((d2($"o_totalprice") * 100).cast("long").cast(dec38)).as("rd"))
+      t(s, d, "customer").select($"c_custkey", $"c_nationkey")
+        .join(rev, $"c_custkey" === $"o_custkey", "left")
+        .join(broadcast(t(s, d, "nation").select($"n_nationkey", $"n_name")),
+          $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when($"rd".isNotNull, 1L).otherwise(0L)).as("n_buyers"),
+          sum(coalesce($"rd", lit(0L).cast(dec38))).as("srd"))
+        .select($"n_name", $"n_customers", $"n_buyers",
+          $"srd".cast("long").as("rev_cents"),
+          expr("CAST(srd div n_customers AS BIGINT)").as("arpu_cents"))
+        .orderBy($"n_name")
     }
   )
 
@@ -1256,6 +1284,20 @@ object Relational3 {
         |SELECT CAST(n AS BIGINT) AS n_lines,
         |  CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
         |       ELSE CAST((num - ((num % den + den) % den)) // den AS BIGINT) END AS slope_milli
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    "q83_nation_arpu" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS rd
+        |  FROM orders GROUP BY 1)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CASE WHEN rd IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_buyers,
+        |  CAST(SUM(COALESCE(rd, 0)) AS BIGINT) AS rev_cents,
+        |  CAST(SUM(COALESCE(rd, 0)) // COUNT(*) AS BIGINT) AS arpu_cents
+        |FROM customer
+        |LEFT JOIN rev ON o_custkey = c_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 }
