@@ -861,6 +861,35 @@ object EventQueries {
         .orderBy($"first_type")
     },
 
+    // monetization by acquisition channel — purchase value attributed
+    // to the user's first-touch type (the third leg of the channel
+    // table: ev_first_touch = conversion, ev_channel_retention =
+    // staying, this = value; together they price a channel): per
+    // channel, users, purchases, exact micro-value and floored
+    // micro-value per acquired user (non-purchasers included — channel
+    // economics divide by ACQUIRED users, not buyers). Scale shape:
+    // row-1 window + per-user purchase agg, user-keyed left join,
+    // |types| rollup; value sums in DECIMAL(28,6) (the ev_ltv rule).
+    "ev_channel_value" -> { (s, d) =>
+      import s.implicits._
+      val base = ev(s, d)
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val first = base.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", $"event_type".as("first_type"))
+      val pv = base.filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("np"), sum(d6($"value")).as("sv"))
+      first.join(pv, Seq("user_id"), "left")
+        .groupBy($"first_type")
+        .agg(count(lit(1)).as("n_users"),
+          sum(coalesce($"np", lit(0L))).as("n_purchases"),
+          sum(coalesce($"sv", lit(0).cast(DecimalType(28, 6)))).as("tv"))
+        .select($"first_type", $"n_users", $"n_purchases",
+          expr("CAST(tv * 1000000 AS BIGINT)").as("value_micro"),
+          expr("CAST(tv * 1000000 AS BIGINT) div n_users").as("value_micro_per_user"))
+        .orderBy($"first_type")
+    },
+
     // peak traffic slot per type — the single (day-of-week, hour) cell
     // each event type concentrates in, with its exact ppm share of the
     // type's traffic (the one-line answer behind ev_weekday × ev_hourly:
@@ -2276,6 +2305,26 @@ object EventQueries {
         |  CAST((SUM(CASE WHEN t_last >= t0 + ${7L * 86400L * 1000000L} THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS retained_ppm
         |FROM f JOIN sp USING (user_id)
         |GROUP BY first_type ORDER BY first_type""".stripMargin,
+
+    "ev_channel_value" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |f AS (SELECT user_id, event_type AS first_type FROM r WHERE rn = 1),
+        |pv AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS np,
+        |    SUM(CAST(value AS DECIMAL(28,6))) AS sv
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |g AS (
+        |  SELECT first_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(COALESCE(np, 0)) AS BIGINT) AS n_purchases,
+        |    SUM(COALESCE(sv, CAST(0 AS DECIMAL(28,6)))) AS tv
+        |  FROM f LEFT JOIN pv USING (user_id) GROUP BY 1)
+        |SELECT first_type, n_users, n_purchases,
+        |  CAST(tv * 1000000 AS BIGINT) AS value_micro,
+        |  CAST(tv * 1000000 AS BIGINT) // n_users AS value_micro_per_user
+        |FROM g ORDER BY first_type""".stripMargin,
 
     "ev_peak_slot" ->
       s"""WITH c AS (

@@ -137,6 +137,29 @@ object SamplingQueries {
         .orderBy($"tau_milli", $"source")
     },
 
+    // doc-share vs token-share skew per source — the unit-mismatch
+    // audit behind every doc-sampled mixture (a source with many SHORT
+    // docs is over-represented by doc-level sampling and under-
+    // represented in tokens; the signed gap says which way each source
+    // distorts and by how much): exact ppm shares on both axes + the
+    // signed difference. Scale shape: one narrow token-count partial
+    // agg, |sources|-row profile, bounded share windows.
+    "samp_share_skew" -> { (s, d) =>
+      import s.implicits._
+      val wAll = Window.partitionBy(lit(1))
+      t(s, d, "documents")
+        .select($"source", size(split($"text", " +")).cast("long").as("n_tok"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+        .withColumn("td", sum($"n_docs").over(wAll))
+        .withColumn("tt", sum($"n_tokens").over(wAll))
+        .select($"source", $"n_docs", $"n_tokens",
+          expr("(n_docs * 1000000) div td").as("doc_share_ppm"),
+          expr("(n_tokens * 1000000) div tt").as("tok_share_ppm"))
+        .withColumn("skew_ppm", $"tok_share_ppm" - $"doc_share_ppm")
+        .orderBy($"source")
+    },
+
     // uniform-rebalance plan (the ACTION samp_mixture's data card asks
     // for): per source, the exact milli up/down-sampling factor that
     // would bring every source to the uniform token allocation
@@ -709,6 +732,18 @@ object SamplingQueries {
         |SELECT CAST(tau_milli AS BIGINT) AS tau_milli, source, n_docs, w,
         |  CAST((w * 1000000) // SUM(w) OVER (PARTITION BY tau_milli) AS BIGINT) AS share_ppm
         |FROM sw ORDER BY tau_milli, source""".stripMargin,
+
+    "samp_share_skew" ->
+      """WITH p AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split_regex(text, ' +'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST((n_docs * 1000000) // SUM(n_docs) OVER () AS BIGINT) AS doc_share_ppm,
+        |  CAST((n_tokens * 1000000) // SUM(n_tokens) OVER () AS BIGINT) AS tok_share_ppm,
+        |  CAST((n_tokens * 1000000) // SUM(n_tokens) OVER ()
+        |    - (n_docs * 1000000) // SUM(n_docs) OVER () AS BIGINT) AS skew_ppm
+        |FROM p ORDER BY source""".stripMargin,
 
     "samp_token_budget" ->
       s"""WITH tk AS (
