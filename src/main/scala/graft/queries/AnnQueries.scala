@@ -553,6 +553,29 @@ object AnnQueries {
         .orderBy($"label")
     },
 
+    // label-balance audit — the class-imbalance one-number every
+    // supervised/eval split should report (emb_label_stats lists the
+    // per-label rows; this scores the DISTRIBUTION: entropy vs the
+    // ln|labels| ceiling, e^H effective classes — the rd_group_entropy
+    // pattern on the label axis): exact integer micro-nats via
+    // ln_micro, DECIMAL(38,0) sums, FixedLnSql replay. One |labels|
+    // partial agg, 1-row report.
+    "emb_label_balance" -> { (s, d) =>
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      t(s, d, "embeddings")
+        .groupBy($"label".cast("long").as("label")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_labels"), sum($"n").as("n_vecs"),
+          max($"n").as("max_label"),
+          sum($"n".cast(dec) * expr("ln_micro(n)")).as("sln"))
+        .withColumn("entropy_micro",
+          expr("ln_micro(n_vecs) - (sln div CAST(n_vecs AS DECIMAL(38,0)))").cast("long"))
+        .withColumn("balance_ppm",
+          when($"n_labels" === 1, 0L)
+            .otherwise(expr("(entropy_micro * 1000000) div ln_micro(n_labels)")))
+        .select($"n_labels", $"n_vecs", $"max_label", $"entropy_micro", $"balance_ppm")
+    },
+
     // label-centroid tagging audit (the classifier-free domain tagger a
     // curation pipeline runs when real labels exist only for a slice:
     // assign every vector to its nearest LABEL centroid and confront
@@ -2407,6 +2430,28 @@ object AnnQueries {
         |SELECT label, CAST(MAX(n_even) AS BIGINT) AS n_even, CAST(MAX(n_odd) AS BIGINT) AS n_odd,
         |  CAST(FLOOR(SUM(ca * cb) / (sqrt(SUM(ca * ca)) * sqrt(SUM(cb * cb))) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
         |FROM j GROUP BY label ORDER BY label""".stripMargin),
+
+    // per-label counts through the ln_micro chains (the rd_group_entropy
+    // oracle pattern on the label axis)
+    "emb_label_balance" -> {
+      val (lnG, lastG) = FixedLnSql.chain("g", "lba", Seq("label"), Seq("n"))
+      val (lnP, lastP) = FixedLnSql.chain("per", "lbb",
+        Seq("max_label", "sln"), Seq("n_vecs", "n_labels"))
+      s"""WITH g AS (
+         |  SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM embeddings GROUP BY 1),
+         |$lnG,
+         |per AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_labels, CAST(SUM(n) AS BIGINT) AS n_vecs,
+         |    CAST(MAX(n) AS BIGINT) AS max_label, SUM(CAST(n AS HUGEINT) * ln_n) AS sln
+         |  FROM $lastG),
+         |$lnP
+         |SELECT n_labels, n_vecs, max_label,
+         |  CAST(ln_n_vecs - (sln // CAST(n_vecs AS HUGEINT)) AS BIGINT) AS entropy_micro,
+         |  CASE WHEN n_labels = 1 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(((ln_n_vecs - (sln // CAST(n_vecs AS HUGEINT))) * 1000000) // ln_n_labels AS BIGINT) END AS balance_ppm
+         |FROM $lastP""".stripMargin
+    },
 
     // the same integer floor-mean centroid formula as the emb_kmeans
     // oracle, one argmin per vector, then the matrix agg

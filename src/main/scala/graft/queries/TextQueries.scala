@@ -741,6 +741,32 @@ object TextQueries {
         .orderBy($"source")
     },
 
+    // head-vocabulary mass curve — token mass covered by the top-k word
+    // types at k ∈ {1, 5, 10, 25} (the one table that sizes stopword
+    // cuts, CMS widths and cache tiers: a 90 %-at-k=10 corpus is a
+    // different engineering problem than a flat one; txt_zipf fits the
+    // exponent, this reads the mass off directly): exact ppm per k,
+    // deterministic (count desc, tok) ranking. Scale shape: one token
+    // partial agg onto the vocabulary, rank + share windows over that
+    // vocabulary-bounded relation (never the corpus), 4-row output.
+    "txt_head_mass" -> { (s, d) =>
+      import s.implicits._
+      val tf = CorpusTokenIndex.tokens(s, d)
+        .filter(length($"tok") > 0)
+        .groupBy($"tok").agg(count(lit(1)).as("n"))
+      val wr = Window.partitionBy(lit(1)).orderBy($"n".desc, $"tok")
+      val wAll = Window.partitionBy(lit(1))
+      tf.withColumn("rnk", row_number().over(wr).cast("long"))
+        .withColumn("tt", sum($"n").over(wAll))
+        .select($"rnk", $"n", $"tt", explode(expr("array(1L, 5L, 10L, 25L)")).as("k"))
+        .filter($"rnk" <= $"k")
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n_types"), max($"tt").as("n_tokens"),
+          sum($"n").as("head_tokens"))
+        .withColumn("head_share_ppm", expr("(head_tokens * 1000000) div n_tokens"))
+        .orderBy($"k")
+    },
+
     // per-source unigram entropy — the mixture-diversity number next to
     // txt_hapax's TTR (low-entropy sources are template mills; the
     // normalized form is comparable across vocabulary sizes). Exact
@@ -1851,6 +1877,26 @@ object TextQueries {
         |  CAST((SUM(CASE WHEN rnk <= GREATEST(1, nd // 10) THEN n_tok ELSE 0 END) * 1000000)
         |    // SUM(n_tok) AS BIGINT) AS top_share_ppm
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "txt_head_mass" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(text, ' +')) AS tok FROM documents),
+        |tf AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM toks WHERE LENGTH(tok) > 0 GROUP BY tok),
+        |r AS (
+        |  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk,
+        |    SUM(n) OVER () AS tt
+        |  FROM tf),
+        |e AS (
+        |  SELECT k, rnk, n, tt
+        |  FROM r CROSS JOIN (VALUES (1), (5), (10), (25)) AS ks(k)
+        |  WHERE rnk <= k)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(MAX(tt) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n) AS BIGINT) AS head_tokens,
+        |  CAST((SUM(n) * 1000000) // MAX(tt) AS BIGINT) AS head_share_ppm
+        |FROM e GROUP BY k ORDER BY k""".stripMargin,
 
     "txt_readability" ->
       """WITH per AS (
