@@ -446,6 +446,36 @@ object MultimodalQueries {
           expr(s"(total_bytes * 1000000) div (n_shards * $budget)").as("mean_fill_ppm"),
           coalesce($"mf", lit(0L)).as("min_fill_ppm"), $"n_overflow")
         .orderBy($"key")
+    },
+
+    // decode-worker apportionment by container format — the deploy step
+    // AFTER mm_magic_mix's what-am-I-holding audit (each format needs
+    // its own decoder pool; allocating 16 workers ∝ byte mass with the
+    // EXACT largest-remainder method — samp_neyman's apportionment on
+    // the modality axis — guarantees Σ workers == 16 with no float
+    // rounding dispute): per magic prefix, payloads, bytes, and the
+    // worker allocation. Scale shape: one 2-byte-prefix projection
+    // (payload bodies never shuffle), a ≤|formats| agg, apportionment
+    // windows over that bounded relation.
+    "mm_decode_plan" -> { (s, d) =>
+      import s.implicits._
+      val workers = 16L
+      val st = payloads(s, d, 500)
+        .select($"key", upper(hex(substring($"payload", 1, 2))).as("magic"),
+          length($"payload").cast("long").as("n_bytes"))
+        .groupBy($"magic")
+        .agg(count(lit(1)).as("n_payloads"), sum($"n_bytes").as("total_bytes"))
+      val tot = st.agg(greatest(lit(1L), sum($"total_bytes")).as("tw"))
+      val wr = Window.orderBy($"rem".desc, $"magic")
+      val wAll = Window.partitionBy(lit(1))
+      st.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($workers * total_bytes) div tw"))
+        .withColumn("rem", expr(s"($workers * total_bytes) % tw"))
+        .withColumn("rk", row_number().over(wr).cast("long"))
+        .withColumn("deficit", lit(workers) - sum($"base").over(wAll))
+        .withColumn("n_workers", $"base" + when($"rk" <= $"deficit", 1L).otherwise(0L))
+        .select($"magic", $"n_payloads", $"total_bytes", $"n_workers")
+        .orderBy($"magic")
     }
   )
 
@@ -500,6 +530,31 @@ object MultimodalQueries {
         |SELECT key, magic, n,
         |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY key) AS BIGINT) AS share_ppm
         |FROM c ORDER BY key, magic""".stripMargin,
+
+    "mm_decode_plan" ->
+      """WITH m AS (
+        |  SELECT 'props' AS key, props AS payload
+        |  FROM events WHERE event_id < 500
+        |  UNION ALL
+        |  SELECT 'user', CAST(user_id AS VARCHAR)
+        |  FROM events WHERE event_id < 500),
+        |st AS (
+        |  SELECT upper(hex(substr(payload, 1, 2))) AS magic,
+        |    CAST(COUNT(*) AS BIGINT) AS n_payloads,
+        |    CAST(SUM(length(payload)) AS BIGINT) AS total_bytes
+        |  FROM m GROUP BY 1),
+        |tot AS (SELECT GREATEST(1, SUM(total_bytes)) AS tw FROM st),
+        |a AS (
+        |  SELECT magic, n_payloads, total_bytes,
+        |    (16 * total_bytes) // tw AS base, (16 * total_bytes) % tw AS rem
+        |  FROM st, tot),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, magic) AS rk,
+        |    16 - SUM(base) OVER () AS deficit
+        |  FROM a)
+        |SELECT magic, n_payloads, total_bytes,
+        |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS n_workers
+        |FROM r ORDER BY magic""".stripMargin,
 
     "mm_size_bands" ->
       """WITH m AS (
