@@ -1066,6 +1066,30 @@ object DedupQueries {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // cross-source EXACT-duplicate pairs — the syndication map
+    // (dd_cluster_sources counts clusters that straddle sources;
+    // this names WHICH source pairs share byte-identical documents and
+    // how many — the mirror-site/re-crawl ledger that decides which
+    // source of a pair gets dropped wholesale): canonical (lo, hi)
+    // source pairs over md5-fingerprint groups. Scale shape: one
+    // fingerprint partial agg, a fingerprint-keyed self-join bounded by
+    // duplicate-group sizes (never all-pairs over the corpus),
+    // ≤|sources|² output.
+    "dd_exact_cross" -> { (s, d) =>
+      import s.implicits._
+      val fp = t(s, d, "documents")
+        .select(md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"),
+          $"source", $"doc_id")
+      fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(least(col("a.source"), col("b.source")).as("src_lo"),
+          greatest(col("a.source"), col("b.source")).as("src_hi"))
+        .groupBy($"src_lo", $"src_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("is_cross", ($"src_lo" =!= $"src_hi").cast("long"))
+        .orderBy($"src_lo", $"src_hi")
+    },
+
     // signature-width accuracy curve — dd_minhash_est audits the 12-perm
     // estimate; this sweeps prefix widths 4/8/12 so the width is CHOSEN
     // from measurement, not folklore (signature bytes scale index cost
@@ -2265,6 +2289,18 @@ object DedupQueries {
            |FROM est e JOIN jacc j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
            |ORDER BY e.doc_a, e.doc_b""".stripMargin)
     },
+
+    "dd_exact_cross" ->
+      """WITH fp AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    source, doc_id FROM documents),
+        |p AS (
+        |  SELECT LEAST(a.source, b.source) AS src_lo,
+        |    GREATEST(a.source, b.source) AS src_hi
+        |  FROM fp a JOIN fp b ON b.fp = a.fp AND a.doc_id < b.doc_id)
+        |SELECT src_lo, src_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(CASE WHEN src_lo <> src_hi THEN 1 ELSE 0 END AS BIGINT) AS is_cross
+        |FROM p GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
 
     // the same agreement join as dd_minhash_est, swept over prefix
     // widths 4/8/12

@@ -1301,6 +1301,31 @@ object TextQueries {
         .select($"source", $"rnk", $"tok", $"n_docs", $"src_docs",
           expr("(n_docs * 1000000) div src_docs").as("share_ppm"))
         .orderBy($"source", $"rnk")
+    },
+
+    // boilerplate FOOTER detector — txt_doc_starts' tail-end twin (a
+    // crawl source stamping every page with the same closing token —
+    // signatures, nav footers, "click here" — shows up as one LAST
+    // token dominating; headers and footers are different boilerplate
+    // with different scrub rules, so both ends get their own audit):
+    // per source, the top-5 most-common document-final tokens + ppm
+    // share. Same max_by-on-pos partial agg shape over the token index,
+    // bounded rank window.
+    "txt_doc_ends" -> { (s, d) =>
+      import s.implicits._
+      val lasts = CorpusTokenIndex.tokens(s, d)
+        .filter(length($"tok") > 0)
+        .groupBy($"doc_id")
+        .agg(max_by(struct($"tok", $"source"), $"pos").as("f"))
+        .select($"f.tok".as("tok"), $"f.source".as("source"))
+      val cnt = lasts.groupBy($"source", $"tok").agg(count(lit(1)).as("n_docs"))
+        .withColumn("src_docs", sum($"n_docs").over(Window.partitionBy($"source")))
+      val w = Window.partitionBy($"source").orderBy($"n_docs".desc, $"tok")
+      cnt.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 5)
+        .select($"source", $"rnk", $"tok", $"n_docs", $"src_docs",
+          expr("(n_docs * 1000000) div src_docs").as("share_ppm"))
+        .orderBy($"source", $"rnk")
     }
   )
 
@@ -1339,6 +1364,28 @@ object TextQueries {
         |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |    CAST(SUM(COUNT(*)) OVER (PARTITION BY source) AS BIGINT) AS src_docs
         |  FROM firsts GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_docs DESC, tok) AS BIGINT) AS rnk
+        |  FROM cnt)
+        |SELECT source, rnk, tok, n_docs, src_docs,
+        |  CAST((n_docs * 1000000) // src_docs AS BIGINT) AS share_ppm
+        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+
+    "txt_doc_ends" ->
+      """WITH f0 AS (
+        |  SELECT doc_id, source, tok, pos,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos DESC) AS rn
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      unnest(string_split_regex(text, ' +')) AS tok,
+        |      generate_subscripts(string_split_regex(text, ' +'), 1) AS pos
+        |    FROM documents)
+        |  WHERE length(tok) > 0),
+        |lasts AS (SELECT source, tok FROM f0 WHERE rn = 1),
+        |cnt AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(COUNT(*)) OVER (PARTITION BY source) AS BIGINT) AS src_docs
+        |  FROM lasts GROUP BY 1, 2),
         |r AS (
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_docs DESC, tok) AS BIGINT) AS rnk
         |  FROM cnt)
