@@ -593,7 +593,10 @@ object DedupQueries {
         .join(ssh.select($"source".as("source_b"), $"sg"), Seq("sg"))
         .filter($"source_a" < $"source_b")
         .groupBy($"source_a", $"source_b").agg(count(lit(1)).as("ni"))
-      a.join(b, $"source_a" < $"source_b")
+      // inequality-only pairing of two |sources|-row aggregates: broadcast
+      // one side so the planner emits a bounded-build nested-loop join,
+      // never a CartesianProduct (the audit's absolute no)
+      a.join(broadcast(b), $"source_a" < $"source_b")
         .withColumn("n_agree", agree)
         .join(inter, Seq("source_a", "source_b"), "left")
         .join(sizes.select($"source".as("source_a"), $"nsh".as("na")), Seq("source_a"))
@@ -1071,21 +1074,35 @@ object DedupQueries {
     // this names WHICH source pairs share byte-identical documents and
     // how many — the mirror-site/re-crawl ledger that decides which
     // source of a pair gets dropped wholesale): canonical (lo, hi)
-    // source pairs over md5-fingerprint groups. Scale shape: one
-    // fingerprint partial agg, a fingerprint-keyed self-join bounded by
-    // duplicate-group sizes (never all-pairs over the corpus),
-    // ≤|sources|² output.
+    // source pairs over md5-fingerprint groups. Pair counts are pure
+    // arithmetic over per-(fp, source) COUNTS — cross-source pairs =
+    // c₁·c₂, within-source = C(c,2) — so there is NO row-level
+    // self-join anywhere: a hot normalized fingerprint (the
+    // all-whitespace/template group, millions deep at web scale) costs
+    // one aggregate row, never m² pairs. Scale shape: two chained
+    // partial aggs ((fp, source) then fp), a per-fp ordered
+    // source-combination explode bounded by |sources|² whatever the
+    // group size, ≤|sources|² output.
     "dd_exact_cross" -> { (s, d) =>
       import s.implicits._
-      val fp = t(s, d, "documents")
+      val cnt = t(s, d, "documents")
         .select(md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"),
-          $"source", $"doc_id")
-      fp.as("a").join(fp.as("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .select(least(col("a.source"), col("b.source")).as("src_lo"),
-          greatest(col("a.source"), col("b.source")).as("src_hi"))
+          $"source")
+        .groupBy($"fp", $"source").agg(count(lit(1)).as("c"))
+      cnt.groupBy($"fp")
+        .agg(sort_array(collect_list(struct($"source", $"c"))).as("sc"))
+        .select(explode(expr(
+          """flatten(transform(sc, (a, i) ->
+            |  transform(slice(sc, i + 1, size(sc) - i), b ->
+            |    named_struct('src_lo', a.source, 'src_hi', b.source,
+            |      'n_pairs', CASE WHEN b.source = a.source
+            |        THEN (a.c * (a.c - 1)) div 2 ELSE a.c * b.c END))))"""
+            .stripMargin)).as("p"))
+        .select($"p.src_lo".as("src_lo"), $"p.src_hi".as("src_hi"),
+          $"p.n_pairs".as("n_pairs"))
+        .filter($"n_pairs" > 0)
         .groupBy($"src_lo", $"src_hi")
-        .agg(count(lit(1)).as("n_pairs"))
+        .agg(sum($"n_pairs").as("n_pairs"))
         .withColumn("is_cross", ($"src_lo" =!= $"src_hi").cast("long"))
         .orderBy($"src_lo", $"src_hi")
     },
@@ -2290,17 +2307,24 @@ object DedupQueries {
            |ORDER BY e.doc_a, e.doc_b""".stripMargin)
     },
 
+    // the same closed form as the Spark side: per-(fp, source) counts,
+    // then combinatorial pair arithmetic (cross = c1*c2, within = C(c,2))
     "dd_exact_cross" ->
       """WITH fp AS (
         |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-        |    source, doc_id FROM documents),
+        |    source FROM documents),
+        |cnt AS (
+        |  SELECT fp, source, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM fp GROUP BY 1, 2),
         |p AS (
-        |  SELECT LEAST(a.source, b.source) AS src_lo,
-        |    GREATEST(a.source, b.source) AS src_hi
-        |  FROM fp a JOIN fp b ON b.fp = a.fp AND a.doc_id < b.doc_id)
-        |SELECT src_lo, src_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  SELECT a.source AS src_lo, b.source AS src_hi,
+        |    CASE WHEN a.source = b.source THEN (a.c * (a.c - 1)) // 2
+        |      ELSE a.c * b.c END AS n_pairs
+        |  FROM cnt a JOIN cnt b ON b.fp = a.fp AND b.source >= a.source)
+        |SELECT src_lo, src_hi, CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
         |  CAST(CASE WHEN src_lo <> src_hi THEN 1 ELSE 0 END AS BIGINT) AS is_cross
-        |FROM p GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
+        |FROM p WHERE n_pairs > 0
+        |GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
 
     // the same agreement join as dd_minhash_est, swept over prefix
     // widths 4/8/12

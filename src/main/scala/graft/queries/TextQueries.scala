@@ -747,22 +747,29 @@ object TextQueries {
     // different engineering problem than a flat one; txt_zipf fits the
     // exponent, this reads the mass off directly): exact ppm per k,
     // deterministic (count desc, tok) ranking. Scale shape: one token
-    // partial agg onto the vocabulary, rank + share windows over that
-    // vocabulary-bounded relation (never the corpus), 4-row output.
+    // partial agg onto the vocabulary, then a DISTRIBUTED top-25
+    // (TakeOrderedAndProject under the unique (n desc, tok) order —
+    // never a rank window: the vocabulary grows with the corpus, so a
+    // constant-partition window here would funnel billions of rows
+    // through one task at 100 TB). The 25 head types pack into ONE
+    // bounded array row; each k's mass is a slice-fold over it and the
+    // corpus total rides in on a 1-row aggregate crossJoin.
     "txt_head_mass" -> { (s, d) =>
       import s.implicits._
       val tf = CorpusTokenIndex.tokens(s, d)
         .filter(length($"tok") > 0)
         .groupBy($"tok").agg(count(lit(1)).as("n"))
-      val wr = Window.partitionBy(lit(1)).orderBy($"n".desc, $"tok")
-      val wAll = Window.partitionBy(lit(1))
-      tf.withColumn("rnk", row_number().over(wr).cast("long"))
-        .withColumn("tt", sum($"n").over(wAll))
-        .select($"rnk", $"n", $"tt", explode(expr("array(1L, 5L, 10L, 25L)")).as("k"))
-        .filter($"rnk" <= $"k")
-        .groupBy($"k")
-        .agg(count(lit(1)).as("n_types"), max($"tt").as("n_tokens"),
-          sum($"n").as("head_tokens"))
+      val top = tf.orderBy($"n".desc, $"tok").limit(25)
+        .agg(sort_array(collect_list(struct((-$"n").as("neg_n"), $"tok"))).as("head"))
+      val tot = tf.agg(sum($"n").as("tt"))
+      top.crossJoin(tot)
+        .filter(size($"head") > 0)
+        .select(explode(expr("array(1, 5, 10, 25)")).as("ki"), $"head", $"tt")
+        .select($"ki".cast("long").as("k"),
+          least($"ki", size($"head")).cast("long").as("n_types"),
+          $"tt".as("n_tokens"),
+          expr("aggregate(slice(head, 1, ki), 0L, (acc, x) -> acc - x.neg_n)")
+            .as("head_tokens"))
         .withColumn("head_share_ppm", expr("(head_tokens * 1000000) div n_tokens"))
         .orderBy($"k")
     },

@@ -70,4 +70,39 @@ class SurveySyncSpec extends AnyFunSuite {
         s"§2 rows claim DONE but failed ${latest.getName}: ${unbacked.toSeq.sorted.mkString(", ")}")
     }
   }
+
+  /** a hash-checked oracle pass on ZERO rows is vacuous — it only proves
+    * both engines agree the fixture is empty, never the arithmetic. Any
+    * such entry must be a named exemption whose non-empty behavior a
+    * planted-fixture law spec proves (PlantedFixtureSpec), so a new
+    * operator cannot ship with empty-output "evidence" silently.
+    */
+  test("zero-row hash-checked CORRECTNESS passes carry a planted-fixture exemption") {
+    val zeroRowExempt = Set(
+      // every generated customer has an order, so NOT EXISTS is empty at
+      // every driver scale; PlantedFixtureSpec plants orderless customers
+      // and pins the per-segment counts
+      "q7_antijoin",
+      // the sf fixtures contain no normalized-exact duplicate at all;
+      // PlantedFixtureSpec plants 3-source dup groups and pins the
+      // combinatorial pair counts against the pair-join form
+      "dd_exact_cross")
+    val arts = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("CORRECTNESS_r\\d+\\.json"))
+    if (arts.nonEmpty) {
+      val latest = arts.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(latest)
+      val vacuous = Seq.newBuilder[String]
+      root.fieldNames().forEachRemaining { key =>
+        val e = root.get(key)
+        val hashChecked = e.get("hash_match") != null && e.get("hash_match").asBoolean(false)
+        val zeroRows = e.get("spark_rows") != null && !e.get("spark_rows").isNull &&
+          e.get("spark_rows").asLong(-1) == 0
+        if (hashChecked && zeroRows && !zeroRowExempt(key)) vacuous += key
+      }
+      assert(vacuous.result().isEmpty,
+        s"zero-row oracle passes without a planted-fixture exemption: " +
+          s"${vacuous.result().sorted.mkString(", ")} (${latest.getName})")
+    }
+  }
 }
