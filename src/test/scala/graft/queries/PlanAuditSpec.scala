@@ -72,10 +72,97 @@ class PlanAuditSpec extends SparkSpec {
   // txt_kl: the corpus-total window runs over the |sources|-row
   // per-source aggregate — bounded whatever the corpus size (the
   // samp_waterfill class)
+  // round-12 additions (the AQE unwrap below made the rule see EVERY
+  // plan for the first time — these sites were always there, each over
+  // a relation PROVABLY bounded whatever the corpus size):
+  //  - |sources|-row profiles: samp_share_skew, samp_rebalance
+  //  - |event_type| / ≤64-band / calendar aggregates: ev_first_touch,
+  //    ev_activity_bands, ev_mix_drift (|days|)
+  //  - TPC-H dimension-bounded rollups: q63_running_share (|months|),
+  //    q69_order_sizes / q70_cust_lifespan / q80_spend_bands (≤64
+  //    log₂ bands), q71_discount_effect (11 discount levels),
+  //    q75_brand_share (25 brands), q78_seasonal_index (12 months),
+  //    q79_trade_matrix (≤625 nation cells)
+  //  - |files| listings: rd_compact_gain, rd_partition_plan
+  //  - construction-capped relations: txt_bpe (≤BpeMerges merge rows),
+  //    txt_zipf (post-limit(100) rank window), mm_aspect_buckets
+  //    (|aspect buckets|), mm_decode_plan (|container formats|)
   private val globalWindowAllowed =
     Set("rd_ordering_group", "samp_systematic", "txt_coverage",
       "samp_waterfill", "samp_neyman", "q50_stats_hist",
-      "rd_compact_plan", "rd_expire_plan", "rd_latency", "txt_kl")
+      "rd_compact_plan", "rd_expire_plan", "rd_latency", "txt_kl",
+      "samp_share_skew", "samp_rebalance",
+      "ev_first_touch", "ev_activity_bands", "ev_mix_drift",
+      "q63_running_share", "q69_order_sizes", "q70_cust_lifespan",
+      "q71_discount_effect", "q75_brand_share", "q78_seasonal_index",
+      "q79_trade_matrix", "q80_spend_bands",
+      "rd_compact_gain", "rd_partition_plan",
+      "txt_bpe", "txt_zipf", "mm_aspect_buckets", "mm_decode_plan",
+      // ordered prefix windows over value HISTOGRAMS of the data — d
+      // distinct positive counts sum to ≥ d(d+1)/2, so the relation is
+      // O(√total) rows whatever the corpus size (the txt_coverage
+      // argument): ev_gini / ev_lorenz run on the per-user activity
+      // histogram, ev_survival on the |distinct survival days| ≤
+      // calendar K-M spine, rd_retention_curve on the horizon-step
+      // spine of the |files| listing
+      "ev_gini", "ev_lorenz", "ev_survival", "rd_retention_curve",
+      // |sources|-row mixture profile (the samp_waterfill class)
+      "pipe_train_mix",
+      // post-limit(k+1) rank window — GlobalLimit bounds it outright
+      // (the txt_zipf class)
+      "samp_priority",
+      // ≤BpeMerges+|byte alphabet| artifact rows by construction
+      "txt_bpe_vocab",
+      // the 10-row decile slice spine
+      "txt_heaps")
+
+  /** every physical node, INCLUDING inside AQE: executedPlan is an
+    * opaque AdaptiveSparkPlanExec LEAF whenever the query has an
+    * exchange (i.e. for nearly every registered query), so a naive
+    * plan.collect sees nothing — the audit must recurse through
+    * initialPlan and through subquery expression plans or it is
+    * vacuous exactly where it matters
+    */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val expanded = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.initialPlan)
+      case s: org.apache.spark.sql.execution.SubqueryExec => allNodes(s.child)
+      case b: org.apache.spark.sql.execution.SubqueryBroadcastExec => allNodes(b.child)
+      case other =>
+        other.expressions.flatMap(_.collect {
+          case pl: org.apache.spark.sql.execution.ScalarSubquery => allNodes(pl.plan)
+        }).flatten :+ other
+    }
+    expanded.flatten
+  }
+
+  /** physical mirror of the logical bounded(): a subtree whose row count
+    * cannot grow unboundedly with the fact tables — an aggregation
+    * bounds it to its group count (the same judgment the logical rule
+    * makes for broadcast hints), a limit/TakeOrdered to a constant, a
+    * local relation to its literal rows. A BroadcastNestedLoopJoin whose
+    * BUILD side satisfies this is the deliberate tiny-side pattern
+    * (1-row totals, |sources| profiles crossed into the corpus), not a
+    * scale hazard.
+    */
+  private def boundedPhys(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+    case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+    case _: org.apache.spark.sql.execution.RangeExec => true // mirror of logical Range
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => boundedPhys(r.child)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => boundedPhys(a.initialPlan)
+    case l if l.children.isEmpty => false
+    case other => other.children.forall(boundedPhys)
+  }
+
+  private def buildSideOf(j: BroadcastNestedLoopJoinExec): org.apache.spark.sql.execution.SparkPlan =
+    j.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+    }
 
   // deliberate constant-bounded broadcasts the structural rule can't
   // see: ann_* broadcast the fixed 25-row query slice (vec_id <
@@ -164,13 +251,27 @@ class PlanAuditSpec extends SparkSpec {
     }
 
     test(s"$name plan has no scale-hostile operators") {
-      val plan = fn(spark, sf).queryExecution.executedPlan
-      val cartesian = plan.collect { case c: CartesianProductExec => c }
+      val nodes = allNodes(fn(spark, sf).queryExecution.executedPlan)
+      val cartesian = nodes.collect { case c: CartesianProductExec => c }
       assert(cartesian.isEmpty, s"CartesianProduct in $name")
-      val nested = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
-      assert(nested.isEmpty || nestedLoopAllowed(name),
-        s"BroadcastNestedLoopJoin in $name:\n${nested.headOption.getOrElse("")}")
-      val globalWin = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      // a BNLJ is fine when its build side is structurally bounded (the
+      // 1-row-total / grouped-profile crossJoin pattern); only builds
+      // the structural rule can't see (constant-id filtered scans) need
+      // the documented name exemptions
+      val nested = nodes.collect {
+        case j: BroadcastNestedLoopJoinExec if !boundedPhys(buildSideOf(j)) => j
+      }
+      assert(nested.isEmpty || nestedLoopAllowed(name) || constantSliceBroadcastAllowed(name),
+        s"BroadcastNestedLoopJoin with unbounded build in $name:\n${nested.headOption.getOrElse("")}")
+      // NOTE a constant partition spec (partitionBy(lit(1))) is the same
+      // single-task funnel: Spark 4's EliminateWindowPartitions folds it
+      // to an EMPTY spec, so this one predicate covers both spellings —
+      // and the foldable guard below keeps covering them if that
+      // optimizer rule is ever disabled
+      val globalWin = nodes.collect {
+        case w: WindowExec
+          if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) => w
+      }
       assert(globalWin.isEmpty || globalWindowAllowed(name),
         s"un-partitioned Window in $name (single-partition bottleneck)")
     }
