@@ -26,7 +26,11 @@ object Bench {
     // round-10: the ln_micro entropy family's two largest relations
     // (per-source bigram matrix, per-user rollup) and the topic latency
     // histogram — the probe watches the new kernel's shapes two decades up
-    "txt_cond_entropy", "ev_user_entropy", "rd_latency")
+    "txt_cond_entropy", "ev_user_entropy", "rd_latency",
+    // round-12: the two rewritten scale-killers (counts-arithmetic
+    // cross-source dedup, distributed-top-25 head mass) — measured so
+    // the fixes stay fixed
+    "dd_exact_cross", "txt_head_mass")
 
   /** (per-query min map from the all-queries line, sf of the final line)
     * parsed from a BENCH_DETAIL.json a prior run wrote — the inputs of
@@ -207,6 +211,104 @@ object Bench {
       catch { case _: Throwable => () }
       ScaleProbe.rmTree(new java.io.File(idir))
     }
+    // Graph index maintenance stage (CoPurchaseGraph.compact's bench
+    // proof, the last append-only family member to gain one): 3 appends
+    // scatter every bucket across ~|tasks| files; compact must restore
+    // ~fresh read cost for the u-keyed consumers. Side corpus split by
+    // order-key QUARTILES (the append contract needs monotone keys).
+    val gdir = graft.rawdata.Topic.tempDir("bench-cpg-compact")
+    var graphCompactSec, graphProbeAppended, graphProbeCompacted = -1.0
+    def graphProbeSec(d: String): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries("q39_triangles")(spark, d).count() }
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    try {
+      val liAll = Tables.t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val cuts = Seq(0.25, 0.5, 0.75).map { q =>
+        liAll.agg(org.apache.spark.sql.functions.expr(
+          s"percentile_approx(l_orderkey, $q)")).head().getLong(0)
+      }
+      liAll.filter(col("l_orderkey") <= cuts(0))
+        .write.mode("overwrite").parquet(s"$gdir/lineitem.parquet")
+      graft.queries.CoPurchaseGraph.ensure(spark, gdir)
+      graft.queries.CoPurchaseGraph.append(spark, gdir,
+        liAll.filter(col("l_orderkey") > cuts(0) && col("l_orderkey") <= cuts(1)))
+      graft.queries.CoPurchaseGraph.append(spark, gdir,
+        liAll.filter(col("l_orderkey") > cuts(1) && col("l_orderkey") <= cuts(2)))
+      graft.queries.CoPurchaseGraph.append(spark, gdir,
+        liAll.filter(col("l_orderkey") > cuts(2)))
+      graphProbeAppended = graphProbeSec(gdir)
+      graphCompactSec = timedStage(graft.queries.CoPurchaseGraph.compact(spark, gdir))
+      graphProbeCompacted = graphProbeSec(gdir)
+    } catch { case _: Throwable => () }
+    finally {
+      try graft.queries.CoPurchaseGraph.dropFor(spark, gdir)
+      catch { case _: Throwable => () }
+      ScaleProbe.rmTree(new java.io.File(gdir))
+    }
+    // Listing-scale probe: SURVEY §4 argues O(100k) driver-side topic
+    // listings are fine — measure it instead of arguing. Synthesizes N
+    // metadata-only topic files (valid names, zero bytes: listFiles
+    // parses names and, with distinct fromTsMs, never opens a file),
+    // then times listFiles, pruneFrom and the rd_compact_plan-shaped
+    // planning query at N = 10k and 100k. Super-linear decade growth
+    // (>15x a 10x file count, above clock-noise floor) is flagged.
+    def listingProbe(n: Int): (Double, Double, Double) = {
+      val dir = graft.rawdata.Topic.tempDir(s"bench-listing-$n")
+      try {
+        val base = 1700000000000L
+        var i = 0
+        while (i < n) {
+          new java.io.File(dir,
+            s"${graft.rawdata.Topic.formatTs(base + i.toLong * 60000L)}_100_4096_p.avro")
+            .createNewFile()
+          i += 1
+        }
+        val t0 = System.nanoTime()
+        val files = graft.rawdata.Topic.listFiles(dir)
+        val listSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val pruned = graft.rawdata.Topic.pruneFrom(files, base + (n.toLong / 2) * 60000L)
+        val pruneSec = (System.nanoTime() - t1) / 1e9
+        require(files.length == n && pruned.nonEmpty, "listing probe fixture broken")
+        val t2 = System.nanoTime()
+        val fdf = graft.rawdata.Topic.fileListingDF(spark, dir)
+          .select(col("fromTsMs").as("from_ts_ms"), col("count").as("n_messages"))
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(org.apache.spark.sql.functions.lit(1))
+          .orderBy(col("from_ts_ms"))
+        fdf
+          .withColumn("budget", org.apache.spark.sql.functions.expr(
+            "greatest(1L, (sum(n_messages) over (partition by 1) div count(1) over (partition by 1)) * 3)"))
+          .withColumn("cum", org.apache.spark.sql.functions.sum(col("n_messages")).over(wOrd))
+          .withColumn("merge_group", org.apache.spark.sql.functions
+            .floor((col("cum") - col("n_messages")) / col("budget")).cast("long"))
+          .groupBy(col("merge_group"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_files"))
+          .count()
+        val planSec = (System.nanoTime() - t2) / 1e9
+        (listSec, pruneSec, planSec)
+      } finally ScaleProbe.rmTree(new java.io.File(dir))
+    }
+    var listing10: (Double, Double, Double) = (-1.0, -1.0, -1.0)
+    var listing100: (Double, Double, Double) = (-1.0, -1.0, -1.0)
+    var listingFlagged: Seq[String] = Seq("probe_error")
+    try {
+      listing10 = listingProbe(10000)
+      listing100 = listingProbe(100000)
+      val floor = 0.05 // clock/JIT noise floor per stage
+      listingFlagged = Seq(
+        ("list", listing10._1, listing100._1),
+        ("prune", listing10._2, listing100._2),
+        ("plan", listing10._3, listing100._3)).collect {
+        case (nm, t10, t100) if t100 > 15 * math.max(t10, floor) => nm
+      }
+    } catch { case _: Throwable => () }
     // ingest throughput — the number directly comparable to the reference
     // producer/consumer (messages through the full Avro topic path).
     // Measured twice (fresh dir each time), best run reported: a single
@@ -303,7 +405,8 @@ object Bench {
     val regJson = regressions.map { case (n, p, c) =>
       s"""{"q":"$n","prev":${fmt(p)},"cur":${fmt(c)}}"""
     }.mkString("[", ",", "]")
-    val detailLine = s"""{"detail":"per-pass","setup_sec":${fmt(setupSec)},"lsh_index_build_sec":${fmt(lshSec)},"token_index_build_sec":${fmt(tokenSec)},"graph_index_build_sec":${fmt(graphSec)},"ivf_index_build_sec":${fmt(ivfSec)},"bpe_artifact_sec":${fmt(bpeSec)},"index_build_sec":${fmt(indexSec)},"lsh_compact_sec":${fmt(compactSec)},"cand_gen_fresh_sec":${fmt(candFresh)},"cand_gen_appended_sec":${fmt(candAppended)},"cand_gen_compacted_sec":${fmt(candCompacted)},"ivf_probe_fresh_sec":${fmt(ivfProbeFresh)},"ivf_probe_appended_sec":${fmt(ivfProbeAppended)},"ivf_compact_sec":${fmt(ivfCompactSec)},"ivf_probe_compacted_sec":${fmt(ivfProbeCompacted)},"queries_run1":${json(ordered.map { case (n, _) => n -> pass1(n) })},"queries_run2":${json(ordered.map { case (n, _) => n -> pass2(n) })},"queries_rerun":${json(rerun.toSeq.sortBy(_._1))}}"""
+    val detailLine = s"""{"detail":"per-pass","setup_sec":${fmt(setupSec)},"lsh_index_build_sec":${fmt(lshSec)},"token_index_build_sec":${fmt(tokenSec)},"graph_index_build_sec":${fmt(graphSec)},"ivf_index_build_sec":${fmt(ivfSec)},"bpe_artifact_sec":${fmt(bpeSec)},"index_build_sec":${fmt(indexSec)},"lsh_compact_sec":${fmt(compactSec)},"cand_gen_fresh_sec":${fmt(candFresh)},"cand_gen_appended_sec":${fmt(candAppended)},"cand_gen_compacted_sec":${fmt(candCompacted)},"ivf_probe_fresh_sec":${fmt(ivfProbeFresh)},"ivf_probe_appended_sec":${fmt(ivfProbeAppended)},"ivf_compact_sec":${fmt(ivfCompactSec)},"ivf_probe_compacted_sec":${fmt(ivfProbeCompacted)},"graph_compact_sec":${fmt(graphCompactSec)},"graph_probe_appended_sec":${fmt(graphProbeAppended)},"graph_probe_compacted_sec":${fmt(graphProbeCompacted)},"queries_run1":${json(ordered.map { case (n, _) => n -> pass1(n) })},"queries_run2":${json(ordered.map { case (n, _) => n -> pass2(n) })},"queries_rerun":${json(rerun.toSeq.sortBy(_._1))}}"""
+    val listingLine = s"""{"detail":"listing-probe","files":[10000,100000],"list_sec":[${fmt(listing10._1)},${fmt(listing100._1)}],"prune_sec":[${fmt(listing10._2)},${fmt(listing100._2)}],"plan_sec":[${fmt(listing10._3)},${fmt(listing100._3)}],"flagged":[${listingFlagged.map("\"" + _ + "\"").mkString(",")}]}"""
     val allLine = s"""{"detail":"all-queries","n":${results.size},"queries":${json(results)}}"""
     val finalLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"regressions":$regJson,"ingest_msgs":$nMsgs,"ingest_write_msgs_per_sec":${fmt(writeRate)},"ingest_read_msgs_per_sec":${fmt(readRate)},"lsh_index_build_sec":${fmt(lshSec)},"index_build_sec":${fmt(indexSec)},"queries":${json(headline)},"sf":"$sfDir"}"""
     // pre-probe artifact first: a killed/timed-out probe must never cost
@@ -312,7 +415,7 @@ object Bench {
       val out = new java.io.PrintWriter("BENCH_DETAIL.json")
       try out.println(lines.mkString("[", ",\n", "]")) finally out.close()
     }
-    writeDetail(Seq(detailLine, allLine, finalLine))
+    writeDetail(Seq(detailLine, listingLine, allLine, finalLine))
     // Amplified-scale probes: measure scaling curvature one decade up
     // (amp=10, ~sf1) and — chained off its results — a SECOND decade
     // (amp=100, ~sf10, ~1.7 GB parquet): index builds and headline
@@ -365,6 +468,7 @@ object Bench {
     }
     writeDetail(Seq(detailLine, allLine) ++ scaleLine10 ++ scaleLine100 ++ Seq(finalLine))
     println(detailLine)
+    println(listingLine)
     println(allLine)
     scaleLine10.foreach(println)
     scaleLine100.foreach(println)

@@ -174,6 +174,74 @@ object CoPurchaseGraph {
     Seq(li, mergedEdge, mergedItem).foreach(_.unpersist(): Unit)
   }
 
+  /** Bucket-preserving file-collapse rewrite — the graph twin of
+    * [[CorpusLshIndex.compact]] (the last append-only family member to
+    * gain one). Unlike the LSH index (SaveMode.Append → one NEW file
+    * per bucket per append), [[append]] here merges and Overwrites, and
+    * Spark's planned bucketed write shuffles onto the bucket columns —
+    * so on THIS write path every table already sits at one file per
+    * bucket and compact is a cheap idempotent rewrite
+    * (CoPurchaseGraphSpec pins both properties). It exists for layouts
+    * this engine did not write: a cluster writer with planned writes
+    * disabled, or an external tool, leaves each bucket scattered across
+    * ~|tasks| files, and this repartition-onto-bucket-columns rewrite
+    * restores one file per bucket with bucket counts (and therefore the
+    * exchange-free consumer joins) preserved. Content is untouched — a
+    * crash mid-way leaves every already-rewritten table byte-
+    * equivalent, so no drop/recreate commit dance is needed (unlike
+    * [[append]]). Rows are localCheckpoint-pinned BEFORE the in-place
+    * Overwrite (the [[CorpusTokenIndex.compact]] pattern — lineage to
+    * the files being replaced is cut first); pinned relations are
+    * id/count rows only, never payloads.
+    */
+  def compact(s: SparkSession, d: String): Unit = synchronized {
+    ensure(s, d)
+    val tg = CorpusLshIndex.tag(d)
+    val dir = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft-cpg-index"), tg)
+    val specs = Seq("edge" -> Seq("u"), "item" -> Seq("x"), "sym" -> Seq("u"),
+      "wm" -> Seq("max_o"), "deg" -> Seq("x"))
+    for ((part, cols) <- specs) {
+      val tbl = tableName(part, tg)
+      val n = bucketsOf(s, tbl)
+      val pinned = s.table(tbl).localCheckpoint(true)
+      pinned
+        .repartition(n, cols.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("path", new java.io.File(dir, part).getAbsolutePath)
+        .bucketBy(n, cols.head, cols.tail: _*)
+        .saveAsTable(tbl)
+      pinned.unpersist()
+      s.catalog.refreshTable(tbl)
+    }
+  }
+
+  /** Drop this corpus dir's graph index: catalog tables AND the on-disk
+    * files — the cleanup for throwaway corpora (Bench's graph-compact
+    * side corpus would otherwise leak one index per run), mirroring
+    * [[CorpusLshIndex.dropFor]].
+    */
+  def dropFor(s: SparkSession, d: String): Unit = synchronized {
+    val tg = CorpusLshIndex.tag(d)
+    Seq("edge", "item", "sym", "wm", "deg").foreach { part =>
+      val tbl = tableName(part, tg)
+      if (s.catalog.tableExists(tbl)) s.sql(s"DROP TABLE $tbl"): Unit
+    }
+    graft.ScaleProbe.rmTree(new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft-cpg-index"), tg))
+  }
+
+  /** on-disk data-file count for one index table — the compaction
+    * observable (CoPurchaseGraphSpec + Bench's graph_compact stage)
+    */
+  def fileCount(s: SparkSession, d: String, part: String): Int = {
+    val tg = CorpusLshIndex.tag(d)
+    val f = new java.io.File(new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft-cpg-index"), tg), part)
+    Option(f.listFiles()).getOrElse(Array.empty)
+      .count(x => x.isFile && !x.getName.startsWith("_") && !x.getName.startsWith("."))
+  }
+
   private def read(s: SparkSession, d: String, part: String): DataFrame = {
     ensure(s, d)
     s.table(tableName(part, CorpusLshIndex.tag(d)))

@@ -130,6 +130,79 @@ class CoPurchaseGraphSpec extends SparkSpec {
     assert(deg === expectedDeg, "repaired degree relation inconsistent with edges")
   }
 
+  test("compact after 3 appends: relations unchanged, files collapse to one per bucket, u-join stays exchange-free") {
+    val all = graft.Tables.t(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    // append contract: complete, never-seen orders above the indexed
+    // high-watermark — split by key QUARTILES, not modulo
+    val Seq(c1, c2, c3) = Seq(0.25, 0.5, 0.75).map(q =>
+      all.agg(expr(s"percentile_approx(l_orderkey, $q)")).as[Long].head())
+    val dir = graft.rawdata.Topic.tempDir("cpg-compact")
+    all.filter($"l_orderkey" <= c1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    CoPurchaseGraph.ensure(spark, dir)
+    CoPurchaseGraph.append(spark, dir, all.filter($"l_orderkey" > c1 && $"l_orderkey" <= c2))
+    CoPurchaseGraph.append(spark, dir, all.filter($"l_orderkey" > c2 && $"l_orderkey" <= c3))
+    CoPurchaseGraph.append(spark, dir, all.filter($"l_orderkey" > c3))
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).toSeq.sorted
+    val want = Map(
+      "edge" -> snap(CoPurchaseGraph.edges(spark, dir)),
+      "item" -> snap(CoPurchaseGraph.items(spark, dir)),
+      "sym" -> snap(CoPurchaseGraph.symEdges(spark, dir)),
+      "deg" -> snap(CoPurchaseGraph.degrees(spark, dir)))
+    val filesBefore = CoPurchaseGraph.fileCount(spark, dir, "edge")
+    CoPurchaseGraph.compact(spark, dir)
+    assert(snap(CoPurchaseGraph.edges(spark, dir)) === want("edge"),
+      "compact changed the edge/support relation")
+    assert(snap(CoPurchaseGraph.items(spark, dir)) === want("item"),
+      "compact changed the item-support relation")
+    assert(snap(CoPurchaseGraph.symEdges(spark, dir)) === want("sym"),
+      "compact changed the symmetrized adjacency")
+    assert(snap(CoPurchaseGraph.degrees(spark, dir)) === want("deg"),
+      "compact changed the degree relation")
+    val tg = CorpusLshIndex.tag(dir)
+    val buckets = IndexBuckets.bucketsOf(spark, s"graft_cpg_edge_$tg")
+    val filesAfter = CoPurchaseGraph.fileCount(spark, dir, "edge")
+    // unlike the LSH index (SaveMode.Append → one new file per bucket
+    // per append), the graph append MERGES and Overwrites, and Spark's
+    // planned bucketed write shuffles onto the bucket columns — so the
+    // append path itself already lands the compact one-file-per-bucket
+    // layout. Pin that property (it is what makes compact cheap and
+    // idempotent here), then prove compact preserves it.
+    assert(filesBefore == buckets,
+      s"merge-overwrite append should land one edge file per bucket, got $filesBefore/$buckets")
+    assert(filesAfter == buckets,
+      s"compact must leave one edge file per bucket, got $filesAfter/$buckets")
+    // the exchange-free consumer property survives: a u-keyed self-join
+    // of the compacted bucketed tables plans no shuffle under the join
+    // (broadcast disabled so the bucketing has to carry the distribution)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = CoPurchaseGraph.edges(spark, dir)
+      val j = e.select($"u", $"v").join(
+        CoPurchaseGraph.symEdges(spark, dir).select($"u", $"v".as("w")), Seq("u"))
+      j.count() // finalize AQE
+      def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            leaves(a.executedPlan)
+          case other => other +: other.children.flatMap(leaves)
+        }
+      val joins = leaves(j.queryExecution.executedPlan).collect {
+        case x: org.apache.spark.sql.execution.joins.SortMergeJoinExec => x
+        case x: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => x
+      }
+      assert(joins.nonEmpty, "expected a shuffled join over the bucketed tables")
+      val shuffles = joins.flatMap(_.children.flatMap(leaves)).collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        "compact broke the exchange-free u-join (bucketing lost)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    spark.catalog.clearCache()
+  }
+
   test("q42_reach levels agree with an independent neighbor expansion") {
     val prof = graft.SparkEntry.queries("q42_reach")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
