@@ -542,14 +542,22 @@ object AnnQueries {
         .select($"label", $"i", $"c".as("ca"), $"n".as("n_even"))
       val b = cent.filter($"half" === 1)
         .select($"label", $"i", $"c".as("cb"), $"n".as("n_odd"))
-      a.join(b, Seq("label", "i"))
+      // full-outer half-join: a label whose members all land in ONE
+      // vec_id parity half must surface as a row with NULL cos_ppm
+      // (maximally unstable), never vanish via an inner join; and an
+      // all-zero half-centroid (na/nb = 0) gets an explicit NULL
+      // instead of engine-dependent 0/0 behavior
+      a.join(b, Seq("label", "i"), "full_outer")
         .groupBy($"label")
-        .agg(max($"n_even").as("n_even"), max($"n_odd").as("n_odd"),
+        .agg(coalesce(max($"n_even"), lit(0L)).as("n_even"),
+          coalesce(max($"n_odd"), lit(0L)).as("n_odd"),
           sum($"ca" * $"cb").as("dot"),
           sum($"ca" * $"ca").as("na"), sum($"cb" * $"cb").as("nb"))
         .select($"label", $"n_even", $"n_odd",
-          floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5))
-            .cast("long").as("cos_ppm"))
+          when($"na".isNull || $"nb".isNull || $"na" === 0 || $"nb" === 0,
+            lit(null).cast("long"))
+            .otherwise(floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5))
+              .cast("long")).as("cos_ppm"))
         .orderBy($"label")
     },
 
@@ -2425,10 +2433,17 @@ object AnnQueries {
         |    (CAST(SUM(e.q) AS BIGINT) - (((CAST(SUM(e.q) AS BIGINT) % COUNT(*)) + COUNT(*)) % COUNT(*))) // COUNT(*) AS c
         |  FROM e JOIN l ON l.vec_id = e.vec_id GROUP BY 1, 2, 3),
         |j AS (
-        |  SELECT a.label, a.n AS n_even, b.n AS n_odd, a.c AS ca, b.c AS cb
-        |  FROM cd a JOIN cd b ON b.label = a.label AND b.i = a.i AND a.half = 0 AND b.half = 1)
-        |SELECT label, CAST(MAX(n_even) AS BIGINT) AS n_even, CAST(MAX(n_odd) AS BIGINT) AS n_odd,
-        |  CAST(FLOOR(SUM(ca * cb) / (sqrt(SUM(ca * ca)) * sqrt(SUM(cb * cb))) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+        |  SELECT COALESCE(a.label, b.label) AS label,
+        |    a.n AS n_even, b.n AS n_odd, a.c AS ca, b.c AS cb
+        |  FROM (SELECT * FROM cd WHERE half = 0) a
+        |  FULL OUTER JOIN (SELECT * FROM cd WHERE half = 1) b
+        |    ON b.label = a.label AND b.i = a.i)
+        |SELECT label, CAST(COALESCE(MAX(n_even), 0) AS BIGINT) AS n_even,
+        |  CAST(COALESCE(MAX(n_odd), 0) AS BIGINT) AS n_odd,
+        |  CASE WHEN SUM(ca * ca) IS NULL OR SUM(cb * cb) IS NULL
+        |      OR SUM(ca * ca) = 0 OR SUM(cb * cb) = 0 THEN NULL
+        |    ELSE CAST(FLOOR(SUM(ca * cb) / (sqrt(SUM(ca * ca)) * sqrt(SUM(cb * cb))) * 1000000.0 + 0.5) AS BIGINT)
+        |  END AS cos_ppm
         |FROM j GROUP BY label ORDER BY label""".stripMargin),
 
     // per-label counts through the ln_micro chains (the rd_group_entropy

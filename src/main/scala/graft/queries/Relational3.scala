@@ -705,9 +705,15 @@ object Relational3 {
     // year, the per-year mean, and the exact ppm index vs the global
     // monthly mean via cross-multiplication (s·M·10⁶) div (n·G) — no
     // float division, DECIMAL(38,0) throughout (a cent total at cluster
-    // scale overflows int64 mid-product). Scale shape: one partial agg
-    // onto the (year × 12) grid, a 12-row rollup, windows only over
-    // that bounded relation.
+    // scale overflows int64 mid-product). Headroom: the widest
+    // intermediate is s·M·10⁶ ≤ rev_cents · |months| · 10⁶; hitting the
+    // 10³⁸ cap with |months| ≤ 1200 (a century) needs ≥ 10²⁹ cents of
+    // revenue — fifteen orders of magnitude beyond world GDP — and
+    // under this session's ANSI mode an overflow THROWS, it can never
+    // silently diverge from the oracle's HUGEINT (Round12LawsSpec pins
+    // the bound on the fixture). Scale shape: one partial agg onto the
+    // (year × 12) grid, a 12-row rollup, windows only over that bounded
+    // relation.
     "q78_seasonal_index" -> { (s, d) =>
       import s.implicits._
       val dec38 = DecimalType(38, 0)

@@ -722,7 +722,9 @@ object TextQueries {
     // three megadocs needs chunking/doc-length caps before its "token
     // count" means anything in a mixture; txt_len_deciles shows the
     // quantiles, this shows the MASS): per source, docs, tokens, the
-    // top ⌈10 %⌉ docs' token mass + exact ppm share. Scale shape: one
+    // top max(1, ⌊10 %⌋) docs' token mass + exact ppm share (floored
+    // decile with a 1-doc floor — code and oracle agree on
+    // GREATEST(1, nd div 10)). Scale shape: one
     // narrow token-count projection, a per-source rank window with a
     // unique (len desc, doc_id) ordering, |sources|-row rollup.
     "txt_len_topshare" -> { (s, d) =>
