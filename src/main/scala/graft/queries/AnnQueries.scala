@@ -76,6 +76,14 @@ object AnnQueries {
   private def quantized(s: SparkSession, d: String): DataFrame =
     graft.operators.VectorOps.quantized(s, d)
 
+  /** cosine-rankable corpus: quantized minus zero-norm rows — a zero
+    * vector has no direction, so no cosine relation (brute, LSH probe,
+    * IVF assignment) can rank it; excluded at the source under the same
+    * `nn > 0` rule emb_mahal / dd_embed already apply, and every
+    * affected oracle mirrors the filter. */
+  private def unit(s: SparkSession, d: String): DataFrame =
+    quantized(s, d).filter(col("nn") > 0)
+
   /** emb_knn's exact edge definition — each vector's top-5
     * LSH-discovered neighbors by (cos_ppm desc, neighbor) — shared by
     * emb_knn, emb_lof and ann_reciprocal so the three can never drift
@@ -115,7 +123,7 @@ object AnnQueries {
     */
   private def bruteTopk(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = quantized(s, d)
+    val e = unit(s, d)
     val qs = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("qid"), $"q".as("qa"), $"nn".as("na"))
     val corpus = e.select($"vec_id".as("cid"), $"q".as("qb"), $"nn".as("nb"))
@@ -138,7 +146,7 @@ object AnnQueries {
     */
   private def lshTopk(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = graft.operators.VectorOps.withHyperplaneSig(quantized(s, d), Hyperplanes, Dims)
+    val e = graft.operators.VectorOps.withHyperplaneSig(unit(s, d), Hyperplanes, Dims)
     val qs = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("qid"), $"q".as("qa"), $"nn".as("na"), $"sig")
       .withColumn("probe", explode(expr(
@@ -199,7 +207,7 @@ object AnnQueries {
     // the tiny query side only, never the corpus.
     "ann_ivf_recall" -> { (s, d) =>
       import s.implicits._
-      val e = quantized(s, d)
+      val e = unit(s, d)
       val cents = e.filter($"vec_id" % centroidStep(s, d) === 0)
         .select($"vec_id".as("cent_id"), $"q".as("qc"), $"nn".as("nc"))
       val w0 = Window.partitionBy($"vec_id").orderBy($"c_ppm".desc, $"cent_id")
@@ -241,7 +249,7 @@ object AnnQueries {
     // full assignment replay (deterministic seeds + tie-breaks).
     "ann_ivf_topk" -> { (s, d) =>
       import s.implicits._
-      val e = quantized(s, d)
+      val e = unit(s, d)
       val cents = e.filter($"vec_id" % centroidStep(s, d) === 0)
         .select($"vec_id".as("cent_id"), $"q".as("qc"), $"nn".as("nc"))
       // nearest-centroid assignment: max cosine, centroid id tie-break
@@ -284,7 +292,7 @@ object AnnQueries {
     "ann_ivf_index" -> { (s, d) =>
       import s.implicits._
       val cents = EmbIvfIndex.cents(s, d)
-      val qs = quantized(s, d).filter($"vec_id" < NumQueries)
+      val qs = unit(s, d).filter($"vec_id" < NumQueries)
       val w0 = Window.partitionBy($"vec_id").orderBy($"c_ppm".desc, $"cent_id")
       val probes = qs.join(broadcast(cents), lit(true))
         .withColumn("dot", expr(
@@ -720,7 +728,8 @@ object AnnQueries {
       import s.implicits._
       val (mSub, subDim, nCodes, shortlist) = (8, 8, 16, 5 * TopK)
       val e = quantized(s, d)
-      val cents = e.filter($"vec_id" % centroidStep(s, d) === 0)
+      val eu = unit(s, d)
+      val cents = eu.filter($"vec_id" % centroidStep(s, d) === 0)
         .select($"vec_id".as("cent_id"), $"q".as("qc"), $"nn".as("nc"))
       def assign(df: DataFrame, keep: Int): DataFrame = {
         val w = Window.partitionBy(col("vec_id")).orderBy(col("c_ppm").desc, col("cent_id"))
@@ -732,8 +741,8 @@ object AnnQueries {
           .filter(col("crnk") <= keep)
           .select(col("vec_id"), col("cent_id"))
       }
-      val cells = assign(e, 1).select($"vec_id".as("cid"), $"cent_id")
-      val probes = assign(e.filter($"vec_id" < NumQueries), 2)
+      val cells = assign(eu, 1).select($"vec_id".as("cid"), $"cent_id")
+      val probes = assign(eu.filter($"vec_id" < NumQueries), 2)
         .select($"vec_id".as("qid"), $"cent_id")
       val cand = cells.join(broadcast(probes), Seq("cent_id"))
         .filter($"cid" =!= $"qid")
@@ -1074,7 +1083,7 @@ object AnnQueries {
 
     "ann_range" -> { (s, d) =>
       import s.implicits._
-      val e = quantized(s, d)
+      val e = unit(s, d)
       val qs = e.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("qid"), $"q".as("qa"), $"nn".as("na"))
       val corpus = e.select($"vec_id".as("cid"), $"q".as("qb"), $"nn".as("nb"))
@@ -1105,7 +1114,7 @@ object AnnQueries {
                  n1: org.apache.spark.sql.Column,
                  n2: org.apache.spark.sql.Column) =
         floor(dotC / (sqrt(n1) * sqrt(n2)) * lit(1000000.0) + lit(0.5)).cast("long")
-      val e = quantized(s, d)
+      val e = unit(s, d)
       val qs = e.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("qid"), $"q".as("qa"), $"nn".as("na"))
       val corpus = e.select($"vec_id".as("cid"), $"q".as("qb"), $"nn".as("nb"))
@@ -1419,7 +1428,7 @@ object AnnQueries {
       import s.implicits._
       val cents = EmbIvfIndex.cents(s, d)
       val w0 = Window.partitionBy($"vec_id").orderBy($"c_ppm".desc, $"cent_id")
-      val probes = quantized(s, d).filter($"vec_id" < NumQueries)
+      val probes = unit(s, d).filter($"vec_id" < NumQueries)
         .join(broadcast(cents), lit(true))
         .withColumn("dot", expr(
           "aggregate(zip_with(q, qc, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
@@ -1607,7 +1616,8 @@ object AnnQueries {
          |rel AS (
          |  SELECT qid, cid,
          |    CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) AS BIGINT) AS rel_ppm
-         |  FROM dots JOIN n na ON na.vec_id = dots.qid JOIN n nb ON nb.vec_id = dots.cid),
+         |  FROM dots JOIN n na ON na.vec_id = dots.qid AND na.nn > 0
+         |    JOIN n nb ON nb.vec_id = dots.cid AND nb.nn > 0),
          |pool AS (
          |  SELECT qid, cid, rel_ppm FROM (
          |    SELECT *, row_number() OVER
@@ -1772,7 +1782,7 @@ object AnnQueries {
 
     // the ann_ivf_topk assignment CTEs rolled up per cell
     "ann_cell_stats" -> (QuantCte +
-      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0),
+      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0 AND nn > 0),
          |cdots AS (
          |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
          |  FROM e a
@@ -1785,7 +1795,7 @@ object AnnQueries {
          |      CAST(FLOOR(d.dot / (sqrt(nv.nn) * sqrt(nc.nn)) * 1000000.0 + 0.5) AS BIGINT) DESC,
          |      d.cent_id) AS crnk
          |  FROM cdots d
-         |  JOIN n nv ON nv.vec_id = d.vec_id
+         |  JOIN n nv ON nv.vec_id = d.vec_id AND nv.nn > 0
          |  JOIN n nc ON nc.vec_id = d.cent_id),
          |g AS (
          |  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
@@ -1827,7 +1837,7 @@ object AnnQueries {
         |FROM g ORDER BY label""".stripMargin),
 
     "ann_probe_cost" -> (QuantCte +
-      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0),
+      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0 AND nn > 0),
          |cdots AS (
          |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
          |  FROM e a
@@ -1840,7 +1850,7 @@ object AnnQueries {
          |      CAST(FLOOR(d.dot / (sqrt(nv.nn) * sqrt(nc.nn)) * 1000000.0 + 0.5) AS BIGINT) DESC,
          |      d.cent_id) AS crnk
          |  FROM cdots d
-         |  JOIN n nv ON nv.vec_id = d.vec_id
+         |  JOIN n nv ON nv.vec_id = d.vec_id AND nv.nn > 0
          |  JOIN n nc ON nc.vec_id = d.cent_id),
          |sizes AS (
          |  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS cell_n
@@ -1861,7 +1871,7 @@ object AnnQueries {
          |ORDER BY nprobe, qid""".stripMargin),
 
     "emb_cell_radius" -> (QuantCte +
-      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0),
+      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0 AND nn > 0),
          |cdots AS (
          |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
          |  FROM e a
@@ -1875,7 +1885,7 @@ object AnnQueries {
          |      CAST(FLOOR(d.dot / (sqrt(nv.nn) * sqrt(nc.nn)) * 1000000.0 + 0.5) AS BIGINT) DESC,
          |      d.cent_id) AS crnk
          |  FROM cdots d
-         |  JOIN n nv ON nv.vec_id = d.vec_id
+         |  JOIN n nv ON nv.vec_id = d.vec_id AND nv.nn > 0
          |  JOIN n nc ON nc.vec_id = d.cent_id),
          |g AS (
          |  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -1890,7 +1900,7 @@ object AnnQueries {
       val (lnP, lastP) = FixedLnSql.chain("per", "cpb",
         Seq("cent_id", "n_labels", "top_n", "slc"), Seq("n_vecs"))
       QuantCte +
-        s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0),
+        s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0 AND nn > 0),
            |cdots AS (
            |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
            |  FROM e a
@@ -1903,7 +1913,7 @@ object AnnQueries {
            |      CAST(FLOOR(d.dot / (sqrt(nv.nn) * sqrt(nc.nn)) * 1000000.0 + 0.5) AS BIGINT) DESC,
            |      d.cent_id) AS crnk
            |  FROM cdots d
-           |  JOIN n nv ON nv.vec_id = d.vec_id
+           |  JOIN n nv ON nv.vec_id = d.vec_id AND nv.nn > 0
            |  JOIN n nc ON nc.vec_id = d.cent_id),
            |cl AS (
            |  SELECT g.cent_id, CAST(emb.label AS BIGINT) AS label,
@@ -1931,7 +1941,7 @@ object AnnQueries {
       val (lnP, lastP) = FixedLnSql.chain("per", "ceb",
         Seq("max_cell", "sln"), Seq("n_cells", "n_vectors"))
       QuantCte +
-        s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0),
+        s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0 AND nn > 0),
            |cdots AS (
            |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
            |  FROM e a
@@ -1944,7 +1954,7 @@ object AnnQueries {
            |      CAST(FLOOR(d.dot / (sqrt(nv.nn) * sqrt(nc.nn)) * 1000000.0 + 0.5) AS BIGINT) DESC,
            |      d.cent_id) AS crnk
            |  FROM cdots d
-           |  JOIN n nv ON nv.vec_id = d.vec_id
+           |  JOIN n nv ON nv.vec_id = d.vec_id AND nv.nn > 0
            |  JOIN n nc ON nc.vec_id = d.cent_id),
            |g AS (
            |  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
@@ -1983,7 +1993,8 @@ object AnnQueries {
          |sims AS (
          |  SELECT qid, cid,
          |    CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
-         |  FROM dots JOIN n na ON na.vec_id = dots.qid JOIN n nb ON nb.vec_id = dots.cid)
+         |  FROM dots JOIN n na ON na.vec_id = dots.qid AND na.nn > 0
+         |    JOIN n nb ON nb.vec_id = dots.cid AND nb.nn > 0)
          |SELECT qid, cid, cos_ppm FROM sims WHERE cos_ppm >= $RangeTau
          |ORDER BY qid, cos_ppm DESC, cid""".stripMargin),
 
@@ -2087,8 +2098,8 @@ object AnnQueries {
            |  FROM cand2 c
            |  JOIN eq ea ON ea.vec_id = c.qid
            |  JOIN eq eb ON eb.vec_id = c.cid AND eb.i = ea.i
-           |  JOIN nrm na ON na.vec_id = c.qid
-           |  JOIN nrm nb ON nb.vec_id = c.cid
+           |  JOIN nrm na ON na.vec_id = c.qid AND na.nn > 0
+           |  JOIN nrm nb ON nb.vec_id = c.cid AND nb.nn > 0
            |  GROUP BY 1, 2),
            |rk2 AS (
            |  SELECT qid, cid, cos_ppm,
@@ -2122,8 +2133,8 @@ object AnnQueries {
            |  FROM cand2 c
            |  JOIN eq ea ON ea.vec_id = c.qid
            |  JOIN eq eb ON eb.vec_id = c.cid AND eb.i = ea.i
-           |  JOIN nrm na ON na.vec_id = c.qid
-           |  JOIN nrm nb ON nb.vec_id = c.cid
+           |  JOIN nrm na ON na.vec_id = c.qid AND na.nn > 0
+           |  JOIN nrm nb ON nb.vec_id = c.cid AND nb.nn > 0
            |  GROUP BY 1, 2),
            |ltop AS (
            |  SELECT qid, cid FROM (
@@ -2137,7 +2148,8 @@ object AnnQueries {
            |bsims AS (
            |  SELECT qid, cid,
            |    CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
-           |  FROM bdots JOIN nrm na ON na.vec_id = bdots.qid JOIN nrm nb ON nb.vec_id = bdots.cid),
+           |  FROM bdots JOIN nrm na ON na.vec_id = bdots.qid AND na.nn > 0
+           |    JOIN nrm nb ON nb.vec_id = bdots.cid AND nb.nn > 0),
            |btop AS (
            |  SELECT qid, cid FROM (
            |    SELECT qid, cid,
@@ -2176,7 +2188,7 @@ object AnnQueries {
     // IVF-PQ composition: the IVF cell/probe CTEs restrict the candidate
     // pairs, the PQ code/LUT CTEs rank them by ADC, exact re-rank last
     "ann_ivf_pq" -> (QuantCte +
-      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0),
+      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0 AND nn > 0),
          |cdots AS (
          |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
          |  FROM e a
@@ -2189,7 +2201,7 @@ object AnnQueries {
          |      CAST(FLOOR(d.dot / (sqrt(nv.nn) * sqrt(nc.nn)) * 1000000.0 + 0.5) AS BIGINT) DESC,
          |      d.cent_id) AS crnk
          |  FROM cdots d
-         |  JOIN n nv ON nv.vec_id = d.vec_id
+         |  JOIN n nv ON nv.vec_id = d.vec_id AND nv.nn > 0
          |  JOIN n nc ON nc.vec_id = d.cent_id),
          |cells AS (SELECT vec_id AS cid, cent_id FROM asgn WHERE crnk <= 1),
          |qprobes AS (SELECT vec_id AS qid, cent_id FROM asgn WHERE crnk <= 2 AND vec_id < $NumQueries),
@@ -2272,7 +2284,7 @@ object AnnQueries {
     // cell assignment by max cosine with centroid-id tie-break, queries
     // probe their 2 nearest cells, exact cosine on the probed cells
     "ann_ivf_topk" -> (QuantCte +
-      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0),
+      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0 AND nn > 0),
          |cdots AS (
          |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
          |  FROM e a
@@ -2285,7 +2297,7 @@ object AnnQueries {
          |      CAST(FLOOR(d.dot / (sqrt(nv.nn) * sqrt(nc.nn)) * 1000000.0 + 0.5) AS BIGINT) DESC,
          |      d.cent_id) AS crnk
          |  FROM cdots d
-         |  JOIN n nv ON nv.vec_id = d.vec_id
+         |  JOIN n nv ON nv.vec_id = d.vec_id AND nv.nn > 0
          |  JOIN n nc ON nc.vec_id = d.cent_id),
          |cells AS (SELECT vec_id AS cid, cent_id FROM asgn WHERE crnk <= 1),
          |qprobes AS (SELECT vec_id AS qid, cent_id FROM asgn WHERE crnk <= 2 AND vec_id < $NumQueries),
@@ -2311,7 +2323,7 @@ object AnnQueries {
     // the IVF CTEs ranked to crnk <= 4 once, then each sweep point
     // re-filters the probe set and scores against the brute truth
     "ann_ivf_recall" -> (QuantCte +
-      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0),
+      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0 AND nn > 0),
          |cdots AS (
          |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
          |  FROM e a
@@ -2324,7 +2336,7 @@ object AnnQueries {
          |      CAST(FLOOR(d.dot / (sqrt(nv.nn) * sqrt(nc.nn)) * 1000000.0 + 0.5) AS BIGINT) DESC,
          |      d.cent_id) AS crnk
          |  FROM cdots d
-         |  JOIN n nv ON nv.vec_id = d.vec_id
+         |  JOIN n nv ON nv.vec_id = d.vec_id AND nv.nn > 0
          |  JOIN n nc ON nc.vec_id = d.cent_id),
          |cells AS (SELECT vec_id AS cid, cent_id FROM asgn WHERE crnk <= 1),
          |bdots AS (
@@ -2334,7 +2346,8 @@ object AnnQueries {
          |bsims AS (
          |  SELECT qid, cid,
          |    CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
-         |  FROM bdots JOIN n na ON na.vec_id = bdots.qid JOIN n nb ON nb.vec_id = bdots.cid),
+         |  FROM bdots JOIN n na ON na.vec_id = bdots.qid AND na.nn > 0
+         |    JOIN n nb ON nb.vec_id = bdots.cid AND nb.nn > 0),
          |btop AS (
          |  SELECT qid, cid FROM (
          |    SELECT qid, cid,
@@ -2514,7 +2527,8 @@ object AnnQueries {
          |sims AS (
          |  SELECT qid, cid,
          |    CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
-         |  FROM dots JOIN n na ON na.vec_id = dots.qid JOIN n nb ON nb.vec_id = dots.cid),
+         |  FROM dots JOIN n na ON na.vec_id = dots.qid AND na.nn > 0
+         |    JOIN n nb ON nb.vec_id = dots.cid AND nb.nn > 0),
          |ranked AS (
          |  SELECT qid, cid, cos_ppm,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_ppm DESC, cid) AS BIGINT) AS rnk

@@ -60,7 +60,11 @@ object EmbIvfIndex {
       val dir = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir"), "graft-ivf-index"), tg)
       dir.mkdirs()
-      val e = graft.operators.VectorOps.quantized(s, d)
+      // zero-norm vectors are un-indexable under cosine (no direction to
+      // assign) — excluded here exactly like the AnnQueries `unit` rule,
+      // so neither a seed nor a posting row can put a 0 denominator in
+      // the assignment; the IVF oracles mirror the filter
+      val e = graft.operators.VectorOps.quantized(s, d).filter($"nn" > 0)
       // corpus-scaled seed step (sqrt-scaled nlist — AnnQueries.centroidStep)
       val cents = e.filter($"vec_id" % AnnQueries.centroidStep(s, d) === 0)
         .select($"vec_id".as("cent_id"), $"q".as("qc"), $"nn".as("nc"))
@@ -123,8 +127,10 @@ object EmbIvfIndex {
       s"EmbIvfIndex.append: batch repeats vec_ids internally ($total rows, " +
         s"$distinct distinct vec_ids) — appends must carry unique ids")
     // insertInto is position-based; a partitioned saveAsTable catalogs
-    // the partition column LAST (vec_id, q, nn, cent_id)
-    assignOnce(newVecs, s.table(tableName("cent", tg)))
+    // the partition column LAST (vec_id, q, nn, cent_id). Zero-norm rows
+    // are dropped exactly as ensure's rebuild drops them — append ==
+    // rebuild must hold for degenerate batches too.
+    assignOnce(newVecs.filter(col("nn") > 0), s.table(tableName("cent", tg)))
       .select(col("vec_id"), col("q"), col("nn"), col("cent_id"))
       .write.mode(SaveMode.Append)
       .format("parquet")

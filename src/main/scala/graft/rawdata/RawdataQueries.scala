@@ -26,6 +26,18 @@ object RawdataQueries {
     * so the query exercises the REAL filename pruning: ±1 h touches 1-2 of
     * the topic's daily files instead of scanning all of them.
     */
+  /** caller-known anchor position for the cursor/lookup queries: the
+    * 500th event, or the LAST event on corpora smaller than 500 —
+    * data-derived (one 1-row max aggregate) so the lookup exercises the
+    * same filename pruning at any fixture scale instead of erroring on
+    * a corpus without an event 500; the oracles replay LEAST(500, MAX).
+    */
+  private def anchorId(s: SparkSession, d: String): Long = {
+    val maxId = graft.Tables.events(s, d)
+      .agg(max(col("event_id"))).collect().head.getLong(0)
+    math.min(500L, maxId)
+  }
+
   private def callerApprox(s: SparkSession, d: String, eventId: Long): (Long, Long) = {
     val ts = graft.Tables.events(s, d)
       .filter(col("event_id") === eventId)
@@ -53,9 +65,10 @@ object RawdataQueries {
 
     "rd_cursor_after" -> { (s, d) =>
       val dir = topic(s, d)
-      val (approx, tol) = callerApprox(s, d, 500)
-      val cursor = Topic.positionToUlidHex(s, dir, "evt-500", approx, tol)
-        .getOrElse(sys.error("position evt-500 not found"))
+      val anchor = anchorId(s, d)
+      val (approx, tol) = callerApprox(s, d, anchor)
+      val cursor = Topic.positionToUlidHex(s, dir, s"evt-$anchor", approx, tol)
+        .getOrElse(sys.error(s"position evt-$anchor not found"))
       Topic.afterCursor(s, dir, cursor, inclusive = false)
         .select(col("ulid_hex"), col("ts_ms"), col("position"), col("sequenceNumber").as("seq"))
         .orderBy(col("ulid_hex"))
@@ -64,9 +77,10 @@ object RawdataQueries {
 
     "rd_position_lookup" -> { (s, d) =>
       val dir = topic(s, d)
-      val (approx, tol) = callerApprox(s, d, 500)
-      val cursor = Topic.positionToUlidHex(s, dir, "evt-500", approx, tol)
-        .getOrElse(sys.error("position evt-500 not found"))
+      val anchor = anchorId(s, d)
+      val (approx, tol) = callerApprox(s, d, anchor)
+      val cursor = Topic.positionToUlidHex(s, dir, s"evt-$anchor", approx, tol)
+        .getOrElse(sys.error(s"position evt-$anchor not found"))
       Topic.afterCursor(s, dir, cursor, inclusive = true)
         .orderBy(col("ulid_hex"))
         .limit(1)
@@ -687,12 +701,13 @@ object RawdataQueries {
 
     "rd_cursor_after" -> (M +
       """SELECT ulid_hex, ts_ms, position, seq FROM m
-        |WHERE ulid_hex > (SELECT ulid_hex FROM m WHERE position = 'evt-500')
+        |WHERE ulid_hex > (SELECT ulid_hex FROM m
+        |  WHERE position = 'evt-' || CAST((SELECT LEAST(500, MAX(event_id)) FROM events) AS VARCHAR))
         |ORDER BY ulid_hex LIMIT 50""".stripMargin),
 
     "rd_position_lookup" -> (M +
       """SELECT ulid_hex, ts_ms, position, seq FROM m
-        |WHERE position = 'evt-500'""".stripMargin),
+        |WHERE position = 'evt-' || CAST((SELECT LEAST(500, MAX(event_id)) FROM events) AS VARCHAR)""".stripMargin),
 
     "rd_last_message" -> (M +
       """SELECT ulid_hex, ts_ms, position, seq FROM m
