@@ -71,6 +71,37 @@ class SurveySyncSpec extends AnyFunSuite {
     }
   }
 
+  /** the builder-side artifact (tools/check.py → CORRECTNESS_LOCAL.json)
+    * must never REGRESS a query the driver's latest round proved: every
+    * key the driver passed has to exist locally and still pass all three
+    * checks. New keys (added since the driver ran) are allowed — the
+    * guard is one-directional by design.
+    */
+  test("CORRECTNESS_LOCAL.json does not regress the driver's latest round") {
+    val local = new java.io.File("CORRECTNESS_LOCAL.json")
+    val arts = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("CORRECTNESS_r\\d+\\.json"))
+    if (local.exists() && arts.nonEmpty) {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val loc = om.readTree(local)
+      val drv = om.readTree(arts.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt))
+      def passes(e: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+        def b(f: String) = e.get(f) != null && e.get(f).asBoolean(false)
+        val rowsOnly = e.get("err") != null && e.get("err").asText("") == "no_oracle" &&
+          e.get("spark_rows") != null && e.get("spark_rows").asLong(0) >= 0
+        (b("rows_match") && b("schema_match") && b("hash_match")) || rowsOnly
+      }
+      val regressed = Seq.newBuilder[String]
+      drv.fieldNames().forEachRemaining { key =>
+        if (passes(drv.get(key)) && (loc.get(key) == null || !passes(loc.get(key))))
+          regressed += key
+      }
+      assert(regressed.result().isEmpty,
+        s"driver-passed queries failing or missing in CORRECTNESS_LOCAL.json: " +
+          s"${regressed.result().sorted.mkString(", ")}")
+    }
+  }
+
   /** a hash-checked oracle pass on ZERO rows is vacuous — it only proves
     * both engines agree the fixture is empty, never the arithmetic. Any
     * such entry must be a named exemption whose non-empty behavior a

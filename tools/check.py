@@ -64,37 +64,59 @@ def skey(row):
     return tuple((v is None, 0 if v is None else v) for v in row)
 
 fails, passes, skips = [], [], []
+entries = {}  # driver-shaped CORRECTNESS rows -> CORRECTNESS_LOCAL.json
+def record(name, rows_match=None, schema_match=None, hash_match=None,
+           spark_rows=None, oracle_rows=None, err=None):
+    entries[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                     "hash_match": hash_match, "spark_rows": spark_rows,
+                     "oracle_rows": oracle_rows, "err": err}
 for name in sorted(json.loads(Path(OUT, "oracle_sql.json").read_text()) | {
         k: None for k in [p.name for p in Path(OUT).iterdir() if p.is_dir()]}):
     res_dir = Path(OUT) / name
     if not res_dir.is_dir():
-        fails.append((name, "no spark output")); continue
+        fails.append((name, "no spark output"))
+        record(name, err="no_spark_output"); continue
     got = con.execute(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetchall()
     cols = [d[0] for d in con.description]
     if oracle.get(name) is None:
-        skips.append((name, len(got))); continue
+        skips.append((name, len(got)))
+        record(name, spark_rows=len(got), err="no_oracle"); continue
     try:
         exp = con.execute(oracle[name]).fetchall()
         ecols = [d[0] for d in con.description]
     except Exception as e:
-        fails.append((name, f"oracle sql error: {e}")); continue
+        fails.append((name, f"oracle sql error: {e}"))
+        record(name, spark_rows=len(got), err=f"oracle sql error: {e}"); continue
     gi = sorted(range(len(cols)), key=lambda i: cols[i])
     ei = sorted(range(len(ecols)), key=lambda i: ecols[i])
     if sorted(cols) != sorted(ecols):
-        fails.append((name, f"columns differ: spark={sorted(cols)} duck={sorted(ecols)}")); continue
+        fails.append((name, f"columns differ: spark={sorted(cols)} duck={sorted(ecols)}"))
+        record(name, schema_match=False, spark_rows=len(got), oracle_rows=len(exp)); continue
     g = sorted([tuple(norm(r[i]) for i in gi) for r in got], key=skey)
     e = sorted([tuple(norm(r[i]) for i in ei) for r in exp], key=skey)
     if len(g) != len(e):
-        fails.append((name, f"row count: spark={len(g)} duck={len(e)}")); continue
+        fails.append((name, f"row count: spark={len(g)} duck={len(e)}"))
+        record(name, rows_match=False, schema_match=True,
+               spark_rows=len(g), oracle_rows=len(e)); continue
     bad = None
     for rg, re_ in zip(g, e):
         if not all(approx_eq(a, b) for a, b in zip(rg, re_)):
             bad = (rg, re_); break
     if bad:
         fails.append((name, f"value diff:\n  spark={bad[0]}\n  duck ={bad[1]}"))
+        record(name, rows_match=True, schema_match=True, hash_match=False,
+               spark_rows=len(g), oracle_rows=len(e))
     else:
         passes.append(name)
+        record(name, rows_match=True, schema_match=True, hash_match=True,
+               spark_rows=len(g), oracle_rows=len(e))
 
+# the driver-shaped per-query artifact: lets a round close with PROOF the
+# builder-side oracle state matches what the driver will compute, so an
+# oracle regression is caught before the driver runs (committed at round
+# close next to BENCH_DETAIL.json)
+Path("CORRECTNESS_LOCAL.json").write_text(
+    json.dumps(dict(sorted(entries.items())), indent=1) + "\n")
 print(f"\nPASS ({len(passes)}): {' '.join(passes)}")
 for n, rows in skips: print(f"SKIP (rows-only, {rows} rows): {n}")
 for n, why in fails: print(f"FAIL: {n}: {why}")
