@@ -249,6 +249,26 @@ object DedupQueries {
     */
   private[graft] val SmallGraphEdges = 1000000L
 
+  /** the normalized-exact content fingerprint (case/whitespace folded)
+    * dd_exact_norm / dd_exact_cross group on — exposed so the streaming
+    * ExactCrossStream gate fingerprints arrivals IDENTICALLY to the
+    * batch operator (the cdcChunked sharing rule)
+    */
+  private[graft] def normFpCol(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** dd_exact_cross's base relation — per-(fingerprint, source) document
+    * counts, the ONLY corpus-sized state the cross-source pair
+    * arithmetic needs (pairs are c₁·c₂ / C(c,2) over these counts, never
+    * a row-level self-join); doubles as the streaming gate's static
+    * store
+    */
+  private[graft] def exactCrossCounts(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(normFpCol($"text").as("fp"), $"source")
+      .groupBy($"fp", $"source").agg(count(lit(1)).as("c"))
+  }
+
   /** the duplicate-pair graph dd_cluster / dd_canonical resolve: exact
     * dups (normalized-fingerprint groups, star edges to the min id) plus
     * verified near-dups (LSH candidates at jaccard ≥ 0.4)
@@ -1085,10 +1105,7 @@ object DedupQueries {
     // group size, ≤|sources|² output.
     "dd_exact_cross" -> { (s, d) =>
       import s.implicits._
-      val cnt = t(s, d, "documents")
-        .select(md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"),
-          $"source")
-        .groupBy($"fp", $"source").agg(count(lit(1)).as("c"))
+      val cnt = exactCrossCounts(t(s, d, "documents"))
       cnt.groupBy($"fp")
         .agg(sort_array(collect_list(struct($"source", $"c"))).as("sc"))
         .select(explode(expr(
