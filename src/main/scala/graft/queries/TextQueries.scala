@@ -1335,6 +1335,162 @@ object TextQueries {
         .select($"source", $"rnk", $"tok", $"n_docs", $"src_docs",
           expr("(n_docs * 1000000) div src_docs").as("share_ppm"))
         .orderBy($"source", $"rnk")
+    },
+
+    // lexical-diversity curve by document length — the TTR-vs-length
+    // confound made explicit (raw type-token ratio ALWAYS falls with
+    // length, so a single corpus-wide TTR — txt_hapax's ttr_ppm —
+    // conflates short docs with diverse ones; banding by ⌊log₂ tokens⌋
+    // shows diversity at equal length, which is where template spam
+    // separates from prose): per band, docs, token mass, the floor-mean
+    // and min per-DOC distinct-type ppm. Scale shape: one row-local
+    // projection (split + array_distinct per doc, no token explode),
+    // partial agg onto ≤64 bands.
+    "txt_ttr_curve" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents")
+        .select(size(split($"text", " +")).cast("long").as("nt"),
+          size(array_distinct(split($"text", " +"))).cast("long").as("ndt"))
+        .withColumn("band", (length(bin($"nt")) - 1).cast("long"))
+        .withColumn("ttr_ppm", expr("(ndt * 1000000) div nt"))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"),
+          min($"ttr_ppm").as("min_ttr_ppm"), sum($"ttr_ppm").as("st"))
+        .select($"band", $"n_docs", $"n_tokens", $"min_ttr_ppm",
+          expr("st div n_docs").as("mean_ttr_ppm"))
+        .orderBy($"band")
+    },
+
+    // per-source head-vocabulary (data-derived stopword) mass — the
+    // per-source PROFILE of txt_head_mass's corpus-wide curve (the 25
+    // head types play the stopword role without a language-specific
+    // list; a source whose head share sits far from the corpus norm is
+    // a different register — code, tables, logs — before any quality
+    // model runs): per source, token mass on the corpus top-25 types +
+    // exact ppm. Scale shape: the head set is the distributed top-25
+    // (TakeOrderedAndProject, the txt_head_mass rule — never a rank
+    // window over the growing vocabulary), broadcast into a left join
+    // against the (source × vocabulary) partial agg.
+    "txt_stopword_mass" -> { (s, d) =>
+      import s.implicits._
+      val tok = CorpusTokenIndex.tokens(s, d).filter(length($"tok") > 0)
+      val head = tok.groupBy($"tok").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"tok").limit(25)
+        .select($"tok", lit(1L).as("is_stop"))
+      tok.groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+        .join(broadcast(head), Seq("tok"), "left")
+        .groupBy($"source")
+        .agg(sum($"c").as("n_tokens"),
+          sum(when($"is_stop" === 1L, $"c").otherwise(0L)).as("stop_tokens"))
+        .select($"source", $"n_tokens", $"stop_tokens",
+          // DECIMAL-guarded: a per-source token mass past ~9·10¹² would
+          // wrap the 10⁶ product in a long
+          expr("((CAST(1000000 AS DECIMAL(38,0)) * stop_tokens) div CAST(n_tokens AS DECIMAL(38,0)))")
+            .cast("long").as("stop_ppm"))
+        .orderBy($"source")
+    },
+
+    // per-source punctuation-class profile — the register/boilerplate
+    // smell beside txt_char_classes' per-LANG encoding audit (prose,
+    // code, tables and listicles have sharply different terminal /
+    // pause / quote / bracket densities; a "web prose" source whose
+    // bracket ppm rivals its period ppm is shipping markup): four
+    // punctuation classes as exact counts + ppm of character mass.
+    // Counts are length deltas of class-stripped text (row-local
+    // codegen), one partial agg onto |sources| rows.
+    "txt_punct_profile" -> { (s, d) =>
+      import s.implicits._
+      def cnt(pat: String) =
+        (length($"text") - length(regexp_replace($"text", pat, ""))).cast("long")
+      t(s, d, "documents")
+        .select($"source", length($"text").cast("long").as("nc"),
+          cnt("[.!?]").as("term"), cnt("[,;:]").as("pause"),
+          cnt("[\"']").as("quo"), cnt("[(){}\\[\\]]").as("brk"))
+        .groupBy($"source")
+        .agg(sum($"nc").as("n_chars"), sum($"term").as("n_term"),
+          sum($"pause").as("n_pause"), sum($"quo").as("n_quote"),
+          sum($"brk").as("n_bracket"))
+        .filter($"n_chars" > 0)
+        .select($"source", $"n_chars", $"n_term", $"n_pause", $"n_quote", $"n_bracket",
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_term) div CAST(n_chars AS DECIMAL(38,0))")
+            .cast("long").as("term_ppm"),
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_pause) div CAST(n_chars AS DECIMAL(38,0))")
+            .cast("long").as("pause_ppm"),
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_bracket) div CAST(n_chars AS DECIMAL(38,0))")
+            .cast("long").as("bracket_ppm"))
+        .orderBy($"source")
+    },
+
+    // per-language sentence-length profile — the context-packing prior
+    // txt_pack_bins' chunker needs (mean words per sentence decides
+    // where sentence-boundary chunking lands vs hard cuts; a "language"
+    // averaging 3 words per terminator is lists, not prose): sentences
+    // counted as terminal-punctuation runs, words as alnum runs, exact
+    // milli words-per-sentence; a language with zero terminators
+    // reports NULL rather than throwing under ANSI. Row-local
+    // regexp_extract_all projections, one |langs|-row partial agg.
+    "txt_sent_len" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"lang",
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long").as("ns"),
+          size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").as("nw"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"ns").as("n_sents"),
+          sum($"nw").as("n_words"))
+        .select($"lang", $"n_docs", $"n_sents", $"n_words",
+          expr("CASE WHEN n_sents = 0 THEN NULL ELSE (n_words * 1000) div n_sents END")
+            .as("words_per_sent_milli"))
+        .orderBy($"lang")
+    },
+
+    // code-likeness gate stats — the "is this prose or a code dump"
+    // pre-filter every LLM text corpus runs before language ID even
+    // makes sense (txt_quality scores prose quality; code fails those
+    // heuristics for the WRONG reason and should be routed, not
+    // penalized): per doc the exact milli density of code-signal chars
+    // ({};()=<>[]), flagged at >= 20 milli; per source, flag rate +
+    // floor-mean density. Length-delta counts (row-local), zero-char
+    // docs report density 0 by the guarded CASE, |sources|-row rollup.
+    "txt_code_signals" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"source", length($"text").cast("long").as("nc"),
+          (length($"text") - length(regexp_replace($"text", "[{}();=<>\\[\\]]", "")))
+            .cast("long").as("cs"))
+        .withColumn("code_milli",
+          expr("CASE WHEN nc = 0 THEN CAST(0 AS BIGINT) ELSE (cs * 1000) div nc END"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"code_milli" >= 20L, 1L).otherwise(0L)).as("n_flagged"),
+          sum($"code_milli").as("sm"))
+        .select($"source", $"n_docs", $"n_flagged",
+          expr("(n_flagged * 1000000) div n_docs").as("flag_ppm"),
+          expr("sm div n_docs").as("mean_code_milli"))
+        .orderBy($"source")
+    },
+
+    // printable-ASCII mass per language — the encoding-sanity audit
+    // beside txt_char_classes (a lang label whose ASCII share is wrong
+    // for the script — "en" at 60 % or "zh" at 99 % — is mislabeled or
+    // mojibake; pure-ASCII doc counts separate transliteration from
+    // mixed content): chars in [space..tilde] via one class-strip
+    // length delta, per-lang mass ppm + fully-ASCII doc count.
+    // Row-local projection, |langs|-row partial agg.
+    "txt_ascii_ratio" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"lang", length($"text").cast("long").as("nc"),
+          length(regexp_replace($"text", "[^ -~]", "")).cast("long").as("asc"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"nc").as("n_chars"),
+          sum($"asc").as("n_ascii"),
+          sum(when($"asc" === $"nc", 1L).otherwise(0L)).as("n_pure_ascii"))
+        .filter($"n_chars" > 0)
+        .select($"lang", $"n_docs", $"n_chars", $"n_ascii", $"n_pure_ascii",
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_ascii) div CAST(n_chars AS DECIMAL(38,0))")
+            .cast("long").as("ascii_ppm"))
+        .orderBy($"lang")
     }
   )
 
@@ -2139,6 +2295,97 @@ object TextQueries {
         |  CAST(CASE WHEN n_tokens > 1
         |    THEN (1000000 * coll) // (n_tokens * (n_tokens - 1))
         |    ELSE 0 END AS BIGINT) AS simpson_ppm
-        |FROM agg ORDER BY lang""".stripMargin
+        |FROM agg ORDER BY lang""".stripMargin,
+
+    "txt_ttr_curve" ->
+      """WITH per AS (
+        |  SELECT CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS nt,
+        |    CAST(len(list_distinct(string_split_regex(text, ' +'))) AS BIGINT) AS ndt
+        |  FROM documents),
+        |b AS (
+        |  SELECT CAST(length(bin(nt)) - 1 AS BIGINT) AS band, nt,
+        |    CAST((ndt * 1000000) // nt AS BIGINT) AS ttr_ppm
+        |  FROM per)
+        |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  MIN(ttr_ppm) AS min_ttr_ppm,
+        |  CAST(SUM(ttr_ppm) // COUNT(*) AS BIGINT) AS mean_ttr_ppm
+        |FROM b GROUP BY band ORDER BY band""".stripMargin,
+
+    "txt_stopword_mass" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(text, ' +')) AS tok FROM documents),
+        |tf AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM toks WHERE length(tok) > 0 GROUP BY 1),
+        |head AS (SELECT tok FROM tf ORDER BY n DESC, tok LIMIT 25),
+        |st AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks WHERE length(tok) > 0 GROUP BY 1, 2)
+        |SELECT st.source, CAST(SUM(st.c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN h.tok IS NOT NULL THEN st.c ELSE 0 END) AS BIGINT) AS stop_tokens,
+        |  CAST((CAST(1000000 AS HUGEINT) * SUM(CASE WHEN h.tok IS NOT NULL THEN st.c ELSE 0 END))
+        |    // SUM(st.c) AS BIGINT) AS stop_ppm
+        |FROM st LEFT JOIN head h ON h.tok = st.tok
+        |GROUP BY st.source ORDER BY st.source""".stripMargin,
+
+    // length deltas of class-stripped text, the txt_char_classes rule
+    "txt_punct_profile" ->
+      """WITH per AS (
+        |  SELECT source, CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT) AS term,
+        |    CAST(length(text) - length(regexp_replace(text, '[,;:]', '', 'g')) AS BIGINT) AS pause,
+        |    CAST(length(text) - length(regexp_replace(text, '["'']', '', 'g')) AS BIGINT) AS quo,
+        |    CAST(length(text) - length(regexp_replace(text, '[(){}\[\]]', '', 'g')) AS BIGINT) AS brk
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, SUM(nc) AS nc, SUM(term) AS t, SUM(pause) AS p,
+        |    SUM(quo) AS q, SUM(brk) AS b
+        |  FROM per GROUP BY 1 HAVING SUM(nc) > 0)
+        |SELECT source, CAST(nc AS BIGINT) AS n_chars, CAST(t AS BIGINT) AS n_term,
+        |  CAST(p AS BIGINT) AS n_pause, CAST(q AS BIGINT) AS n_quote,
+        |  CAST(b AS BIGINT) AS n_bracket,
+        |  CAST((CAST(1000000 AS HUGEINT) * t) // nc AS BIGINT) AS term_ppm,
+        |  CAST((CAST(1000000 AS HUGEINT) * p) // nc AS BIGINT) AS pause_ppm,
+        |  CAST((CAST(1000000 AS HUGEINT) * b) // nc AS BIGINT) AS bracket_ppm
+        |FROM g ORDER BY source""".stripMargin,
+
+    "txt_sent_len" ->
+      """WITH per AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS ns,
+        |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS nw
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(ns) AS BIGINT) AS n_sents, CAST(SUM(nw) AS BIGINT) AS n_words,
+        |  CASE WHEN SUM(ns) = 0 THEN NULL
+        |    ELSE CAST((SUM(nw) * 1000) // SUM(ns) AS BIGINT) END AS words_per_sent_milli
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "txt_code_signals" ->
+      """WITH per AS (
+        |  SELECT source, CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(length(text) - length(regexp_replace(text, '[{}();=<>\[\]]', '', 'g')) AS BIGINT) AS cs
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    CASE WHEN nc = 0 THEN 0 ELSE (cs * 1000) // nc END AS code_milli
+        |  FROM per)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN code_milli >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST((SUM(CASE WHEN code_milli >= 20 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS flag_ppm,
+        |  CAST(SUM(code_milli) // COUNT(*) AS BIGINT) AS mean_code_milli
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    "txt_ascii_ratio" ->
+      """WITH per AS (
+        |  SELECT lang, CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(length(regexp_replace(text, '[^ -~]', '', 'g')) AS BIGINT) AS asc_n
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nc) AS BIGINT) AS n_chars, CAST(SUM(asc_n) AS BIGINT) AS n_ascii,
+        |  CAST(SUM(CASE WHEN asc_n = nc THEN 1 ELSE 0 END) AS BIGINT) AS n_pure_ascii,
+        |  CAST((CAST(1000000 AS HUGEINT) * SUM(asc_n)) // SUM(nc) AS BIGINT) AS ascii_ppm
+        |FROM per GROUP BY lang HAVING SUM(nc) > 0 ORDER BY lang""".stripMargin
   )
 }
