@@ -1564,7 +1564,33 @@ object DedupQueries {
     // bit-for-bit; at real scale m tracks corpus cardinality (~10 bits
     // per key for 1% FPR) and the same broadcast bound holds because the
     // position relation never exceeds m rows.
-    "dd_bloom" -> { (s, d) => bloomScreen(t(s, d, "documents")) }
+    "dd_bloom" -> { (s, d) => bloomScreen(t(s, d, "documents")) },
+
+    // exact-dup group-size spectrum — "how bad is it" in one curve
+    // BEFORE any dedup runs (dd_dup_rate gives the scalar, dd_cluster_hist
+    // sizes the exact+near CLUSTERS; this bands the raw normalized-
+    // fingerprint groups by ⌊log₂ size⌋, which is where the
+    // boilerplate/template mass shows up as fat high bands and decides
+    // whether plain exact dedup already reclaims the corpus): per band,
+    // groups, docs, implied C(k,2) pair mass, doc ppm share. Scale
+    // shape: one fingerprint partial agg (the exactCrossCounts base
+    // without the source axis), ≤64-band rollup, broadcast 1-row total.
+    "dd_fp_sizes" -> { (s, d) =>
+      import s.implicits._
+      val sizes = t(s, d, "documents")
+        .select(normFpCol($"text").as("fp"))
+        .groupBy($"fp").agg(count(lit(1)).as("k"))
+      val dec = "CAST(1000000 AS DECIMAL(38,0))"
+      sizes.withColumn("band", (length(bin($"k")) - 1).cast("long"))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_groups"), sum($"k").as("n_docs"),
+          sum(expr("(k * (k - 1)) div 2")).as("n_pairs"))
+        .crossJoin(broadcast(sizes.agg(sum($"k").as("t"))))
+        .select($"band", $"n_groups", $"n_docs", $"n_pairs",
+          expr(s"($dec * n_docs) div CAST(t AS DECIMAL(38,0))")
+            .cast("long").as("doc_share_ppm"))
+        .orderBy($"band")
+    }
   )
 
   /** dd_bloom body over any (doc_id, text) relation — probe batch is
@@ -2797,6 +2823,20 @@ object DedupQueries {
         |  CASE WHEN e.exact_dup THEN 'true_dup'
         |       WHEN h.bloom_hit THEN 'false_pos'
         |       ELSE 'clean' END AS verdict
-        |FROM hits h JOIN ex e ON e.doc_id = h.doc_id ORDER BY h.doc_id""".stripMargin
+        |FROM hits h JOIN ex e ON e.doc_id = h.doc_id ORDER BY h.doc_id""".stripMargin,
+
+    "dd_fp_sizes" ->
+      """WITH fp AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM documents GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(length(bin(k)) - 1 AS BIGINT) AS band, k FROM fp),
+        |tot AS (SELECT CAST(SUM(k) AS BIGINT) AS t FROM fp)
+        |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(k) AS BIGINT) AS n_docs,
+        |  CAST(SUM((k * (k - 1)) // 2) AS BIGINT) AS n_pairs,
+        |  CAST((CAST(1000000 AS HUGEINT) * SUM(k)) // MAX(tot.t) AS BIGINT) AS doc_share_ppm
+        |FROM b, tot GROUP BY band ORDER BY band""".stripMargin
   )
 }

@@ -1725,6 +1725,71 @@ object EventQueries {
           expr("(CAST(1000000 AS DECIMAL(38,0)) * n_users) div CAST(t AS DECIMAL(38,0))")
             .as("share_ppm"))
         .orderBy($"span_days")
+    },
+
+    // daily new-vs-returning split — the growth-vs-retention
+    // decomposition every DAU chart hides (a flat DAU can be 90 % churn
+    // backfilled by acquisition; ev_cohort shows the decay matrix, this
+    // shows the daily composition headline): per epoch day, active
+    // users, first-ever-seen users, returning = rest, exact new-share
+    // ppm. Scale shape: one (user, day) distinct (the corpus-width
+    // shuffle), a per-user min-day partial agg, a user-co-keyed join,
+    // |days|-row rollup.
+    "ev_new_vs_returning" -> { (s, d) =>
+      import s.implicits._
+      val e = ev(s, d).select($"user_id", expr(s"ts_us div $DayUs").as("day"))
+      val first = e.groupBy($"user_id").agg(min($"day").as("first_day"))
+      e.distinct().join(first, Seq("user_id"))
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when($"day" === $"first_day", 1L).otherwise(0L)).as("n_new"))
+        .select($"day", $"n_users", $"n_new",
+          ($"n_users" - $"n_new").as("n_returning"),
+          expr("(n_new * 1000000) div n_users").as("new_ppm"))
+        .orderBy($"day")
+    },
+
+    // day-of-week × hour-of-day traffic heat grid — the staffing/
+    // maintenance-window table (ev_weekday profiles days, ev_hourly
+    // hours; capacity planning needs the JOINT cell — a Monday-9am
+    // peak and a Sunday-3am trough are invisible in either marginal):
+    // 168 calendar-bounded cells, exact ppm share each. One partial agg
+    // onto the fixed grid, broadcast 1-row total — no windows.
+    "ev_dow_hour_heat" -> { (s, d) =>
+      import s.implicits._
+      val cells = ev(s, d)
+        .groupBy(expr(s"((ts_us div $DayUs) + 3) % 7").as("dow"),
+          expr(s"(ts_us div $HourUs) % 24").as("hod"))
+        .agg(count(lit(1)).as("n"))
+      cells.crossJoin(broadcast(cells.agg(sum($"n").as("t"))))
+        .select($"dow", $"hod", $"n",
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n) div CAST(t AS DECIMAL(38,0))")
+            .cast("long").as("share_ppm"))
+        .orderBy($"dow", $"hod")
+    },
+
+    // active-day return-gap histogram — retention at the granularity
+    // users actually return on (ev_interarrival measures event gaps,
+    // which conflate within-session bursts with comebacks; this
+    // measures gaps between consecutive ACTIVE DAYS — the habit curve
+    // a "day-N retention" target is secretly about): per gap length in
+    // days, occurrences + ppm share. Scale shape: one (user, day)
+    // distinct, a user-partitioned lag window over per-user day lists,
+    // calendar-bounded histogram rollup.
+    "ev_day_gaps" -> { (s, d) =>
+      import s.implicits._
+      val du = ev(s, d)
+        .select($"user_id", expr(s"ts_us div $DayUs").as("day")).distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+      val gaps = du.withColumn("prev", lag($"day", 1).over(w))
+        .filter($"prev".isNotNull)
+        .select(($"day" - $"prev").as("gap_days"))
+      gaps.groupBy($"gap_days").agg(count(lit(1)).as("n_gaps"))
+        .crossJoin(broadcast(gaps.agg(count(lit(1)).as("t"))))
+        .select($"gap_days", $"n_gaps",
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_gaps) div CAST(t AS DECIMAL(38,0))")
+            .cast("long").as("share_ppm"))
+        .orderBy($"gap_days")
     }
   )
 
@@ -2902,6 +2967,41 @@ object EventQueries {
         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM sp)
         |SELECT span_days, CAST(COUNT(*) AS BIGINT) AS n_users,
         |  CAST((1000000 * COUNT(*)) // MAX(tot.t) AS BIGINT) AS share_ppm
-        |FROM sp, tot GROUP BY span_days ORDER BY span_days""".stripMargin
+        |FROM sp, tot GROUP BY span_days ORDER BY span_days""".stripMargin,
+
+    "ev_new_vs_returning" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |fd AS (SELECT user_id, MIN(day) AS first_day FROM du GROUP BY 1)
+        |SELECT du.day AS day, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN du.day = fd.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(COUNT(*) - SUM(CASE WHEN du.day = fd.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+        |  CAST((SUM(CASE WHEN du.day = fd.first_day THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS new_ppm
+        |FROM du JOIN fd ON fd.user_id = du.user_id
+        |GROUP BY du.day ORDER BY day""".stripMargin,
+
+    "ev_dow_hour_heat" ->
+      """WITH c AS (
+        |  SELECT ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hod,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod, n,
+        |  CAST((CAST(1000000 AS HUGEINT) * n) // MAX(tot.t) AS BIGINT) AS share_ppm
+        |FROM c, tot GROUP BY dow, hod, n ORDER BY dow, hod""".stripMargin,
+
+    "ev_day_gaps" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |g AS (
+        |  SELECT day - LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS gap_days
+        |  FROM du),
+        |gg AS (SELECT gap_days FROM g WHERE gap_days IS NOT NULL),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM gg)
+        |SELECT CAST(gap_days AS BIGINT) AS gap_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  CAST((CAST(1000000 AS HUGEINT) * COUNT(*)) // MAX(tot.t) AS BIGINT) AS share_ppm
+        |FROM gg, tot GROUP BY gap_days ORDER BY gap_days""".stripMargin
   )
 }
