@@ -898,6 +898,31 @@ object AnnQueries {
     // the oracle's recursive reach CTE: components are ≤K+1 nodes, so
     // the closure is replayable where the unbounded blob OOMed DuckDB
     // at sf0.1.
+    // k-NN in-degree (hubness) spectrum — the high-dimensional
+    // pathology audit every embedding space needs before its k-NN graph
+    // is trusted (in high dims a few hub vectors appear in EVERYONE's
+    // top-k while antihubs appear in nobody's; recall evals, semdedup
+    // and graph clustering all silently degrade on a hubby space): per
+    // in-degree value, vectors at that in-degree + ppm share, zero-
+    // in-degree antihubs included via the left join against the corpus
+    // id column. Scale shape: one partial agg over the materialized knn5
+    // edges, a vec_id-co-keyed left join, bounded histogram rollup.
+    "emb_hubness" -> { (s, d) =>
+      import s.implicits._
+      val deg = knnEdges(s, d)
+        .groupBy($"neighbor").agg(count(lit(1)).as("indeg"))
+        .select($"neighbor".as("vec_id"), $"indeg")
+      val j = quantized(s, d).select($"vec_id")
+        .join(deg, Seq("vec_id"), "left")
+        .select(coalesce($"indeg", lit(0L)).as("indeg"))
+      j.groupBy($"indeg").agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(broadcast(j.agg(count(lit(1)).as("t"))))
+        .select($"indeg", $"n_vecs",
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_vecs) div CAST(t AS DECIMAL(38,0))")
+            .cast("long").as("share_ppm"))
+        .orderBy($"indeg")
+    },
+
     "emb_knn_cc" -> { (s, d) =>
       import s.implicits._
       val k = knnEdges(s, d).select($"vec_id", $"neighbor", $"cos_ppm")
@@ -2006,6 +2031,20 @@ object AnnQueries {
     // full multi-probe banding replay (shared CTEs with dd_embed_lsh —
     // DedupQueries.EmbedPairCtes regenerates the planes in SQL): the
     // UNTHRESHOLDED pair set symmetrized into the per-vector top-5
+    // knn5 in-degree + the zero-degree antihubs from the embeddings ids
+    "emb_hubness" ->
+      (s"WITH $KnnEdgeCtes,\n" +
+        """deg AS (
+          |  SELECT neighbor AS vec_id, CAST(COUNT(*) AS BIGINT) AS indeg
+          |  FROM knn5 GROUP BY 1),
+          |j AS (
+          |  SELECT COALESCE(deg.indeg, 0) AS indeg
+          |  FROM embeddings e LEFT JOIN deg ON deg.vec_id = e.vec_id),
+          |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM j)
+          |SELECT CAST(indeg AS BIGINT) AS indeg, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+          |  CAST((CAST(1000000 AS HUGEINT) * COUNT(*)) // MAX(tot.t) AS BIGINT) AS share_ppm
+          |FROM j, tot GROUP BY indeg ORDER BY indeg""".stripMargin),
+
     "emb_knn" ->
       (s"WITH $KnnEdgeCtes\n" +
         """SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, neighbor, cos_ppm

@@ -652,6 +652,42 @@ object SamplingQueries {
           when($"n_sources" === 1, 0L)
             .otherwise(expr("(entropy_micro * 1000000) div ln_micro(n_sources)")))
         .select($"n_sources", $"n_tokens", $"max_source", $"entropy_micro", $"norm_ppm")
+    },
+
+    // cross-split EXACT-dup leakage audit — the decontamination check
+    // run on the split ITSELF (dd_leakage finds near-dup eval→train
+    // leaks via LSH; this counts byte-identical (normalized) content
+    // straddling samp_hash_split's train/val/test boundary — the
+    // cheapest leak to have and the most embarrassing to ship): per
+    // ordered split pair, leaking fingerprint groups + exact
+    // cross-pair count c₁·c₂ (the dd_exact_cross counts arithmetic on
+    // the split axis — no row-level self-join, a hot template group
+    // costs one aggregate row). Scale shape: two chained partial aggs,
+    // per-fp ≤3-split combination explode, ≤3-row output.
+    "samp_split_leak" -> { (s, d) =>
+      import s.implicits._
+      // EXACTLY samp_hash_split's assignment rule — the audit must see
+      // the split the sampler actually deals
+      val b = expr(
+        "CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000")
+      val cnt = t(s, d, "documents")
+        .withColumn("split",
+          when(b < 900, "train").when(b < 950, "val").otherwise("test"))
+        .select(graft.queries.DedupQueries.normFpCol($"text").as("fp"), $"split")
+        .groupBy($"fp", $"split").agg(count(lit(1)).as("c"))
+      cnt.groupBy($"fp")
+        .agg(sort_array(collect_list(struct($"split", $"c"))).as("sc"))
+        .select(explode(expr(
+          """flatten(transform(sc, (a, i) ->
+            |  transform(slice(sc, i + 1, size(sc) - i), b ->
+            |    named_struct('split_lo', a.split, 'split_hi', b.split,
+            |      'n_pairs', CASE WHEN b.split = a.split
+            |        THEN CAST(0 AS BIGINT) ELSE a.c * b.c END))))"""
+            .stripMargin)).as("p"))
+        .filter($"p.n_pairs" > 0)
+        .groupBy($"p.split_lo".as("split_lo"), $"p.split_hi".as("split_hi"))
+        .agg(count(lit(1)).as("n_groups"), sum($"p.n_pairs").as("n_pairs"))
+        .orderBy($"split_lo", $"split_hi")
     }
   )
 
@@ -1014,6 +1050,24 @@ object SamplingQueries {
          |SELECT doc_id, source, w,
          |  CAST(FLOOR(q) AS BIGINT) AS pri_int,
          |  CAST(FLOOR(GREATEST(CAST(w AS DOUBLE), tau)) AS BIGINT) AS est_w
-         |FROM r CROSS JOIN tau WHERE rn <= $PriorityK ORDER BY doc_id""".stripMargin
+         |FROM r CROSS JOIN tau WHERE rn <= $PriorityK ORDER BY doc_id""".stripMargin,
+
+    "samp_split_leak" ->
+      """WITH sp AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < 900 THEN 'train'
+        |      WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < 950 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT fp, split, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM sp GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.fp, a.split AS split_lo, b.split AS split_hi, a.c * b.c AS n_pairs
+        |  FROM cnt a JOIN cnt b ON b.fp = a.fp AND b.split > a.split)
+        |SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(n_pairs) AS BIGINT) AS n_pairs
+        |FROM p WHERE n_pairs > 0
+        |GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin
   )
 }

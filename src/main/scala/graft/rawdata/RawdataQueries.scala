@@ -672,6 +672,31 @@ object RawdataQueries {
           min(when(col("cum") * 100 >= col("n") * 90, col("lat_s"))).as("p90_s"),
           min(when(col("cum") * 100 >= col("n") * 99, col("lat_s"))).as("p99_s"),
           max(col("mx_ms")).as("max_ms"))
+    },
+
+    // per-group file-locality audit — the consumer-affinity number
+    // behind rd_partition_plan (a consumer pinned to one ordering group
+    // opens every daily file the group's messages landed in; a group
+    // smeared thinly across its whole span touches max files per
+    // message read, a bursty group reads dense files — this is the
+    // open/seek budget per group the compaction planner weighs): per
+    // group, messages, distinct daily files touched, first/last day
+    // span, and fill ppm = days-touched over span (10⁶ = every day of
+    // its life has a file to open, low = sparse tail-seeking). Scale
+    // shape: one per-(group, day) partial agg then a |groups|-row
+    // rollup — never a file listing join.
+    "rd_group_spread" -> { (s, d) =>
+      Topic.readDF(s, topic(s, d))
+        .groupBy(col("orderingGroup").as("ordering_group"),
+          expr("ts_ms div 86400000").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("ordering_group"))
+        .agg(sum(col("c")).as("n_msgs"),
+          count(lit(1)).as("n_files"),
+          min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+        .withColumn("span_days", col("last_day") - col("first_day") + 1)
+        .withColumn("fill_ppm", expr("(n_files * 1000000) div span_days"))
+        .orderBy(col("ordering_group"))
     }
   )
 
@@ -1058,6 +1083,22 @@ object RawdataQueries {
         |  MIN(CASE WHEN cum * 100 >= n * 90 THEN lat_s END) AS p90_s,
         |  MIN(CASE WHEN cum * 100 >= n * 99 THEN lat_s END) AS p99_s,
         |  MAX(mx_ms) AS max_ms
-        |FROM cum""".stripMargin)
+        |FROM cum""".stripMargin),
+
+    "rd_group_spread" -> (M +
+      """, gd AS (
+        |  SELECT ordering_group, ts_ms // 86400000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM m GROUP BY 1, 2),
+        |g AS (
+        |  SELECT ordering_group, CAST(SUM(c) AS BIGINT) AS n_msgs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_files,
+        |    CAST(MIN(day) AS BIGINT) AS first_day,
+        |    CAST(MAX(day) AS BIGINT) AS last_day
+        |  FROM gd GROUP BY 1)
+        |SELECT ordering_group, n_msgs, n_files, first_day, last_day,
+        |  CAST(last_day - first_day + 1 AS BIGINT) AS span_days,
+        |  CAST((n_files * 1000000) // (last_day - first_day + 1) AS BIGINT) AS fill_ppm
+        |FROM g ORDER BY ordering_group""".stripMargin)
   )
 }

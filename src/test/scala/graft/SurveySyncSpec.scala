@@ -117,7 +117,11 @@ class SurveySyncSpec extends AnyFunSuite {
       // the sf fixtures contain no normalized-exact duplicate at all;
       // PlantedFixtureSpec plants 3-source dup groups and pins the
       // combinatorial pair counts against the pair-join form
-      "dd_exact_cross")
+      "dd_exact_cross",
+      // same fixture property on the split axis — no normalized dups
+      // means no cross-split leak anywhere; Round12Laws3Spec plants
+      // dup groups straddling train/val/test and pins the leak counts
+      "samp_split_leak")
     val arts = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("CORRECTNESS_r\\d+\\.json"))
     if (arts.nonEmpty) {

@@ -85,4 +85,28 @@ class Round12Laws3Spec extends SparkSpec {
       1L -> ((1L, 2L, 1L, 222222L)),
       2L -> ((1L, 6L, 15L, 666666L))))
   }
+
+  test("samp_split_leak: planted cross-split dups count the exact leak pairs") {
+    val d = graft.rawdata.Topic.tempDir("r12-split-leak")
+    // split assignment is md5('split:<id>') — ids chosen so group G
+    // ("quick fox" norms) lands train×2 (1, 4), val×1 (6), test×1 (2)
+    // and group H ("hello world" norms) lands train (5) + test (3);
+    // doc 7 is unique
+    (Seq(
+      (1L, "The  Quick fox"), (4L, "the quick fox"), (6L, "THE QUICK FOX"),
+      (2L, "the quick FOX"),
+      (5L, "Hello World"), (3L, "hello  world"),
+      (7L, "nothing like me"))
+      .map { case (id, tx) => (id, tx, "en", "src") })
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SamplingQueries.queries("samp_split_leak")(spark, d).collect()
+      .map(r => (r.getAs[String]("split_lo"), r.getAs[String]("split_hi")) ->
+        ((r.getAs[Long]("n_groups"), r.getAs[Long]("n_pairs")))).toMap
+    assert(rows === Map(
+      ("test", "train") -> ((2L, 3L)),  // G: 1·2 + H: 1·1
+      ("test", "val") -> ((1L, 1L)),
+      ("train", "val") -> ((1L, 2L))))
+  }
 }
