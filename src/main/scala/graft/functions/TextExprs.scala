@@ -10,6 +10,54 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Static text kernels referenced from generated code. */
 object TextOps {
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexDigits = "0123456789abcdef".getBytes
+
+  /** Normalized-exact content fingerprint — value-equal with the SQL
+    * idiom `md5(trim(regexp_replace(lower(s), '\\s+', ' ')))` (the
+    * dd_exact_norm / dd_exact_cross grouping key), but ONE pass over
+    * the UTF-8 bytes instead of four full-string passes with a regex
+    * engine in the middle. Java's `\\s` is the six ASCII whitespace
+    * chars (never multi-byte, never a UTF-8 continuation byte), so the
+    * collapse-and-trim runs safely at the byte level after the same
+    * Unicode lowercasing Spark's `lower` performs; the digest streams
+    * through a thread-local MD5 with no intermediate string.
+    */
+  def normFp(s: UTF8String): UTF8String = {
+    val bytes = s.toLowerCase.getBytes
+    val out = new Array[Byte](bytes.length)
+    var o = 0
+    var pendingSep = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val isWs = b == 32 || b == 9 || b == 10 || b == 11 || b == 12 || b == 13
+      if (isWs) {
+        if (o > 0) pendingSep = true // leading runs vanish (trim), inner runs pend
+      } else {
+        if (pendingSep) { out(o) = 32; o += 1; pendingSep = false }
+        out(o) = b
+        o += 1
+      }
+      i += 1
+    } // a trailing run is never flushed — trim's other half
+    val md = md5Local.get()
+    md.reset()
+    md.update(out, 0, o)
+    val dig = md.digest()
+    val hex = new Array[Byte](32)
+    var j = 0
+    while (j < 16) {
+      hex(2 * j) = HexDigits((dig(j) >> 4) & 0xF)
+      hex(2 * j + 1) = HexDigits(dig(j) & 0xF)
+      j += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+
   /** All overlapping character n-grams of `s`, in order — the exact
     * value set of the SQL idiom
     * `transform(sequence(1, char_length(s) - (n-1)), i -> substring(s, i, n))`
@@ -285,5 +333,33 @@ case class CdcChunks(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.cdcChunks($c)")
 
   override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression: string → 32-hex normalized-exact content
+  * fingerprint (TextOps.normFp — one generated call into the
+  * single-pass kernel). Replaces the lower → regexp_replace → trim →
+  * md5 chain (four full-string passes, one through a regex engine) at
+  * the base of every exact-dedup relation; value-equal with the chain
+  * on the full corpus and the whitespace/Unicode edges (TextExprSpec).
+  */
+case class NormFp(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"norm_fp requires a STRING input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "norm_fp"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextOps.normFp(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.normFp($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormFp =
     copy(child = newChild)
 }

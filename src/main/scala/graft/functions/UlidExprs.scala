@@ -140,6 +140,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(s"winnow_fps expects 1 argument, got ${exprs.size}")
         WinnowFps(exprs.head)
       }))
+    // norm_fp(text) — SQL access to the native single-pass normalized
+    // content fingerprint (lower + \s-collapse + trim + md5 in one scan)
+    ext.injectFunction((
+      FunctionIdentifier("norm_fp"),
+      new ExpressionInfo(classOf[NormFp].getName, "norm_fp"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.size != 1)
+          throw new IllegalArgumentException(s"norm_fp expects 1 argument, got ${exprs.size}")
+        NormFp(exprs.head)
+      }))
     // cdc_chunks(text) — SQL access to the native content-defined
     // chunking kernel (rolling Karp-Rabin, h % 64 == 0 boundary rule)
     ext.injectFunction((

@@ -255,7 +255,9 @@ object DedupQueries {
     * batch operator (the cdcChunked sharing rule)
     */
   private[graft] def normFpCol(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.NormFp(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
   /** dd_exact_cross's base relation — per-(fingerprint, source) document
     * counts, the ONLY corpus-sized state the cross-source pair
@@ -277,7 +279,7 @@ object DedupQueries {
     import s.implicits._
     val docs = t(s, d, "documents")
     val fp = docs.select($"doc_id",
-      md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+      normFpCol($"text").as("fp"))
     val keep = fp.groupBy($"fp").agg(min($"doc_id").as("keep"))
     val exactE = fp.join(keep, Seq("fp")).filter($"doc_id" =!= $"keep")
       .select($"keep".as("a"), $"doc_id".as("b"))
@@ -541,7 +543,7 @@ object DedupQueries {
     "dd_exact_norm" -> { (s, d) =>
       import s.implicits._
       t(s, d, "documents")
-        .groupBy($"source", md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("f"))
+        .groupBy($"source", normFpCol($"text").as("f"))
         .agg(count(lit(1)).as("n"), min($"doc_id").as("keep"))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_groups"), sum($"n").as("n_docs"),
@@ -828,7 +830,7 @@ object DedupQueries {
       import s.implicits._
       t(s, d, "documents")
         .select($"source",
-          md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+          normFpCol($"text").as("fp"))
         .groupBy($"source", $"fp").agg(count(lit(1)).as("n"))
         .groupBy($"source")
         .agg(sum($"n").as("n_docs"), count(lit(1)).as("n_distinct"),
@@ -1324,7 +1326,7 @@ object DedupQueries {
       import s.implicits._
       val docs = t(s, d, "documents")
       val newPred = col("doc_id") % 10 === 0
-      val fp = docs.select($"doc_id", md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+      val fp = docs.select($"doc_id", normFpCol($"text").as("fp"))
       val exact = fp.filter(newPred).as("n")
         .join(fp.filter(!newPred).as("c"), col("n.fp") === col("c.fp"))
         .groupBy(col("n.doc_id").as("doc_id"))
@@ -1603,7 +1605,7 @@ object DedupQueries {
     import s.implicits._
     val newPred = col("doc_id") % 10 === 0
     val fp = docs.select($"doc_id",
-      md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+      normFpCol($"text").as("fp"))
     val posd = (1 to 3).map(j => expr(
       s"CAST(conv(substring(md5(concat(fp, '#$j')), 1, 8), 16, 10) AS BIGINT) % 65536")
       .as(s"p$j"))

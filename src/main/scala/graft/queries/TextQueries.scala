@@ -193,7 +193,7 @@ object TextQueries {
     "txt_fingerprint" -> { (s, d) =>
       import s.implicits._
       t(s, d, "documents")
-        .select($"doc_id", md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fingerprint"))
+        .select($"doc_id", DedupQueries.normFpCol($"text").as("fingerprint"))
         .groupBy($"fingerprint")
         .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
         .orderBy($"fingerprint")

@@ -199,7 +199,7 @@ object CleanStream {
 
   def bloomFlagsScoped(docs: DataFrame, corpus: DataFrame): (DataFrame, GateCaches) = {
     import corpus.sparkSession.implicits._
-    val normFp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val normFp = DedupQueries.normFpCol(col("text"))
     def pos(j: Int) = expr(
       s"CAST(conv(substring(md5(concat(fp, '#$j')), 1, 8), 16, 10) AS BIGINT) % 65536")
     val corpusFp = corpus.select(normFp.as("fp")).distinct().persist()

@@ -19,7 +19,7 @@ object ClusterProbe {
     }
     val docs = graft.Tables.t(s, d, "documents")
     val fp = docs.select($"doc_id",
-      md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+      graft.queries.DedupQueries.normFpCol($"text").as("fp"))
     val keep = fp.groupBy($"fp").agg(min($"doc_id").as("keep"))
     val exactE = fp.join(keep, Seq("fp")).filter($"doc_id" =!= $"keep")
       .select($"keep".as("a"), $"doc_id".as("b"))

@@ -55,4 +55,32 @@ class TextExprSpec extends SparkSpec {
       assert(docs.filter(expr("native <> hof")).count() === 0, s"n=$n")
     }
   }
+
+  private val chain = """md5(trim(regexp_replace(lower(s), '\\s+', ' ')))"""
+
+  test("norm_fp equals the lower/regexp_replace/trim/md5 chain on the whole corpus") {
+    val docs = graft.Tables.t(spark, sf, "documents").select($"text".as("s"))
+    val both = docs
+      .withColumn("native", expr("norm_fp(s)"))
+      .withColumn("sqlchain", expr(chain))
+    assert(both.filter(expr("native <> sqlchain")).count() === 0)
+    assert(both.count() > 0)
+  }
+
+  test("norm_fp edges: whitespace runs, trim halves, Unicode case, NBSP, null") {
+    val rows = Seq(
+      "", " ", " \t\n\u000B\u000C\r ", "a", "  a  ", "a  b", "\ta\tb\r\n",
+      "The  Quick fox", "HÉLLO  WÖRLD", "ÆØÅ æøå", "日本語 の  テキスト",
+      "a\u00A0b", // NBSP is NOT \s — must survive, not collapse
+      "x \t y \n z").toDF("s")
+      .withColumn("native", expr("norm_fp(s)"))
+      .withColumn("sqlchain", expr(chain))
+    assert(rows.filter(expr("native <> sqlchain")).count() === 0)
+    // null in, null out (both sides)
+    val nulls = Seq[Option[String]](None).toDF("s")
+      .withColumn("native", expr("norm_fp(s)"))
+      .withColumn("sqlchain", expr(chain))
+      .collect()
+    assert(nulls.head.isNullAt(1) && nulls.head.isNullAt(2))
+  }
 }
