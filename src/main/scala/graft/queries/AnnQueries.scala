@@ -898,6 +898,39 @@ object AnnQueries {
     // the oracle's recursive reach CTE: components are ≤K+1 nodes, so
     // the closure is replayable where the unbounded blob OOMed DuckDB
     // at sf0.1.
+    // IVF operating-point table — the tuning decision ann_ivf_recall's
+    // quality curve and ann_probe_cost's spend curve exist FOR, made in
+    // one relation (a serving config is a (nprobe, recall, cost) row
+    // somebody picked; this picks it deterministically: the smallest
+    // nprobe whose mean recall clears 800000 ppm, falling back to the
+    // largest swept): per nprobe, query count, exact floor-mean
+    // recall@k ppm and floor-mean corpus-scanned ppm, chosen flag.
+    // Scale shape: pure composition of the two parent queries' bounded
+    // outputs (|nprobe|·|queries| rows) + a 1-row cells total — the
+    // corpus-side work is exactly the parents', nothing new shuffles.
+    "ann_operating_point" -> { (s, d) =>
+      import s.implicits._
+      val rec = queries("ann_ivf_recall")(s, d)
+        .groupBy($"nprobe")
+        .agg(count(lit(1)).as("n_queries"), sum($"n_hits").as("hits"))
+      val cost = queries("ann_probe_cost")(s, d)
+        .filter($"nprobe".isin(1L, 2L, 4L))
+        .groupBy($"nprobe").agg(sum($"n_scanned").as("scanned"))
+      val nvec = EmbIvfIndex.cells(s, d).agg(count(lit(1)).as("n_vectors"))
+      val u = rec.join(cost, Seq("nprobe"))
+        .crossJoin(broadcast(nvec))
+        .select($"nprobe", $"n_queries",
+          expr(s"(hits * 1000000) div ($TopK * n_queries)").as("mean_recall_ppm"),
+          expr("(scanned * 1000000) div (n_queries * n_vectors)").as("mean_scan_ppm"))
+      val pick = u.agg(coalesce(
+        min(when($"mean_recall_ppm" >= 800000L, $"nprobe")),
+        max($"nprobe")).as("pick"))
+      u.crossJoin(broadcast(pick))
+        .select($"nprobe", $"n_queries", $"mean_recall_ppm", $"mean_scan_ppm",
+          ($"nprobe" === $"pick").cast("long").as("chosen"))
+        .orderBy($"nprobe")
+    },
+
     // k-NN in-degree (hubness) spectrum — the high-dimensional
     // pathology audit every embedding space needs before its k-NN graph
     // is trusted (in high dims a few hub vectors appear in EVERYONE's
@@ -2031,6 +2064,84 @@ object AnnQueries {
     // full multi-probe banding replay (shared CTEs with dd_embed_lsh —
     // DedupQueries.EmbedPairCtes regenerates the planes in SQL): the
     // UNTHRESHOLDED pair set symmetrized into the per-vector top-5
+    // the ivf_recall + probe_cost CTE chains joined to per-nprobe means
+    "ann_operating_point" -> (QuantCte +
+      s""", cents AS (SELECT vec_id AS cent_id FROM n WHERE vec_id % $CentroidStepSql = 0 AND nn > 0),
+         |cdots AS (
+         |  SELECT a.vec_id, c.cent_id, SUM(a.q * b.q) AS dot
+         |  FROM e a
+         |  JOIN e b ON b.i = a.i
+         |  JOIN cents c ON c.cent_id = b.vec_id
+         |  GROUP BY 1, 2),
+         |asgn AS (
+         |  SELECT d.vec_id, d.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+         |      CAST(FLOOR(d.dot / (sqrt(nv.nn) * sqrt(nc.nn)) * 1000000.0 + 0.5) AS BIGINT) DESC,
+         |      d.cent_id) AS crnk
+         |  FROM cdots d
+         |  JOIN n nv ON nv.vec_id = d.vec_id AND nv.nn > 0
+         |  JOIN n nc ON nc.vec_id = d.cent_id),
+         |cells AS (SELECT vec_id AS cid, cent_id FROM asgn WHERE crnk <= 1),
+         |sizes AS (
+         |  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS cell_n
+         |  FROM asgn WHERE crnk <= 1 GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cell_n) AS BIGINT) AS n_vectors FROM sizes),
+         |bdots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+         |  FROM e a JOIN e b ON b.i = a.i AND a.vec_id < $NumQueries AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2),
+         |bsims AS (
+         |  SELECT qid, cid,
+         |    CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+         |  FROM bdots JOIN n na ON na.vec_id = bdots.qid AND na.nn > 0
+         |    JOIN n nb ON nb.vec_id = bdots.cid AND nb.nn > 0),
+         |btop AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_ppm DESC, cid) AS rnk
+         |    FROM bsims) WHERE rnk <= $TopK),
+         |""".stripMargin +
+      Seq(1, 2, 4).map { np =>
+        s"""qp$np AS (SELECT vec_id AS qid, cent_id FROM asgn
+           |  WHERE crnk <= $np AND vec_id < $NumQueries),
+           |ic$np AS (
+           |  SELECT q.qid, cl.cid FROM qp$np q JOIN cells cl ON cl.cent_id = q.cent_id
+           |  WHERE cl.cid <> q.qid),
+           |ip$np AS (
+           |  SELECT c.qid, c.cid,
+           |    CAST(FLOOR(CAST(SUM(ea.q * eb.q) AS BIGINT) / (sqrt(MAX(na.nn)) * sqrt(MAX(nb.nn))) * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+           |  FROM ic$np c
+           |  JOIN e ea ON ea.vec_id = c.qid
+           |  JOIN e eb ON eb.vec_id = c.cid AND eb.i = ea.i
+           |  JOIN n na ON na.vec_id = c.qid
+           |  JOIN n nb ON nb.vec_id = c.cid
+           |  GROUP BY 1, 2),
+           |it$np AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT qid, cid,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_ppm DESC, cid) AS rnk
+           |    FROM ip$np) WHERE rnk <= $TopK),
+           |u$np AS (
+           |  SELECT CAST($np AS BIGINT) AS nprobe,
+           |    CAST(COUNT(DISTINCT b.qid) AS BIGINT) AS n_queries,
+           |    CAST(SUM(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           |    (SELECT CAST(SUM(z.cell_n) AS BIGINT) FROM qp$np p JOIN sizes z ON z.cent_id = p.cent_id) AS scanned
+           |  FROM btop b LEFT JOIN it$np t ON t.qid = b.qid AND t.cid = b.cid)""".stripMargin
+      }.mkString(",\n") +
+      s"""
+         |, uni AS (
+         |  SELECT nprobe, n_queries,
+         |    (hits * 1000000) // ($TopK * n_queries) AS mean_recall_ppm,
+         |    (scanned * 1000000) // (n_queries * tot.n_vectors) AS mean_scan_ppm
+         |  FROM (SELECT * FROM u1 UNION ALL SELECT * FROM u2 UNION ALL SELECT * FROM u4), tot),
+         |pick AS (
+         |  SELECT COALESCE(MIN(CASE WHEN mean_recall_ppm >= 800000 THEN nprobe END),
+         |    MAX(nprobe)) AS pick FROM uni)
+         |SELECT nprobe, n_queries, CAST(mean_recall_ppm AS BIGINT) AS mean_recall_ppm,
+         |  CAST(mean_scan_ppm AS BIGINT) AS mean_scan_ppm,
+         |  CAST(CASE WHEN nprobe = pick.pick THEN 1 ELSE 0 END AS BIGINT) AS chosen
+         |FROM uni, pick ORDER BY nprobe""".stripMargin),
+
     // knn5 in-degree + the zero-degree antihubs from the embeddings ids
     "emb_hubness" ->
       (s"WITH $KnnEdgeCtes,\n" +
