@@ -30,7 +30,12 @@ object Bench {
     // round-12: the two rewritten scale-killers (counts-arithmetic
     // cross-source dedup, distributed-top-25 head mass) — measured so
     // the fixes stay fixed
-    "dd_exact_cross", "txt_head_mass")
+    "dd_exact_cross", "txt_head_mass",
+    // round-12 additions: the native norm_fp fingerprint spectrum, the
+    // head-set broadcast profile (token-index top-25 under growth), the
+    // knn in-degree rollup, and the (user, day)-distinct split — four
+    // new shapes whose scale terms the sf0.1 bench alone can't expose
+    "dd_fp_sizes", "txt_stopword_mass", "emb_hubness", "ev_new_vs_returning")
 
   /** (per-query min map from the all-queries line, sf of the final line)
     * parsed from a BENCH_DETAIL.json a prior run wrote — the inputs of

@@ -830,6 +830,29 @@ object Relational3 {
     // Scale shape: per-custkey revenue partial agg, co-keyed left join
     // onto the narrow customer projection, broadcast nation, 25-row
     // rollup.
+    // per-nation top-2 customers by balance, DECLARED as a correlated
+    // LATERAL subquery (the "top-k per group" ask in the shape a SQL
+    // user writes it, q82 — q24_window_rank is the same semantics
+    // declared as a window; keeping both pins that Catalyst's
+    // decorrelation meets the hand-written plan): Spark rewrites the
+    // lateral LIMIT into WindowGroupLimit — a map-side partial top-2
+    // per nation BEFORE the exchange, then the rank filter — and
+    // broadcasts the 25-row nation side; at 100 TB the shuffle carries
+    // at most 2·|nations| candidate rows per task, never the customer
+    // table. DuckDB runs the identical LATERAL text.
+    "q82_lateral_topk" -> { (s, d) =>
+      s.sql(
+        s"""SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+           |FROM parquet.`$d/nation.parquet` n,
+           |LATERAL (
+           |  SELECT c_custkey, c_name, c_acctbal
+           |  FROM parquet.`$d/customer.parquet` c
+           |  WHERE c.c_nationkey = n.n_nationkey
+           |  ORDER BY c_acctbal DESC, c_custkey
+           |  LIMIT 2) t
+           |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+    },
+
     "q83_nation_arpu" -> { (s, d) =>
       import s.implicits._
       val dec38 = DecimalType(38, 0)
@@ -1291,6 +1314,17 @@ object Relational3 {
         |  CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
         |       ELSE CAST((num - ((num % den + den) % den)) // den AS BIGINT) END AS slope_milli
         |FROM e""".stripMargin,
+
+    "q82_lateral_topk" ->
+      """SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_custkey, c_name, c_acctbal
+        |  FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey
+        |  LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin,
 
     "q83_nation_arpu" ->
       """WITH rev AS (

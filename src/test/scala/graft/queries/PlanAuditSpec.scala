@@ -40,6 +40,10 @@ class PlanAuditSpec extends SparkSpec {
       "emb_ood_auc",
       // the nprobe sweep composes ann_ivf_topk's centroid-seed BNLJ
       "ann_ivf_recall",
+      // the operating-point table composes ann_ivf_recall +
+      // ann_probe_cost verbatim — it inherits exactly their exempted
+      // constructs, nothing new broadcasts
+      "ann_operating_point",
       // the IVF-PQ composition reuses ann_ivf_topk's centroid-seed BNLJ
       // for its coarse assignment
       "ann_ivf_pq",
@@ -197,6 +201,8 @@ class PlanAuditSpec extends SparkSpec {
       // the nprobe sweep broadcasts ann_ivf_topk's two constant slices
       // (fixed 5-row query set, % step centroid seeds)
       "ann_ivf_recall",
+      // composes ann_ivf_recall + ann_probe_cost verbatim (see above)
+      "ann_operating_point",
       // the 16-row codebook slice, same constant bound as ann_pq_topk
       "emb_pq_distortion",
       // the same 16-row codebook slice, feeding the usage-balance agg
