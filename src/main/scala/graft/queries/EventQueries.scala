@@ -1790,6 +1790,35 @@ object EventQueries {
           expr("(CAST(1000000 AS DECIMAL(38,0)) * n_gaps) div CAST(t AS DECIMAL(38,0))")
             .cast("long").as("share_ppm"))
         .orderBy($"gap_days")
+    },
+
+    // per-type weekly volume trend — the growth/decay direction of each
+    // event type as an exact integer OLS slope (ev_trend fits the
+    // global series; mix shifts hide there — a product where "error"
+    // grows while "purchase" decays can show a flat total): weekly
+    // epoch counts per type, slope = (n·Σwc − Σw·Σc)·10³ div
+    // (n·Σw² − (Σw)²) in DECIMAL(38,0) cross-multiplication (q52's
+    // closed form, zero float math); a single-week type reports NULL
+    // rather than dividing by zero. Scale shape: one (type, week)
+    // partial agg, then a |types|-row rollup.
+    "ev_type_trend" -> { (s, d) =>
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      ev(s, d)
+        .groupBy($"event_type", expr(s"ts_us div $WeekUs").as("w"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum($"w").cast(dec).as("sw"),
+          sum($"c").cast(dec).as("sc"),
+          sum($"w".cast(dec) * $"c").as("swc"),
+          sum($"w".cast(dec) * $"w").as("sww"))
+        .select($"event_type",
+          $"n".cast("long").as("n_weeks"), $"sc".cast("long").as("n_events"),
+          expr("""CASE WHEN n * sww - sw * sw = 0 THEN NULL
+                 |  ELSE CAST(((n * swc - sw * sc) * 1000) div (n * sww - sw * sw) AS BIGINT)
+                 |END""".stripMargin).as("slope_milli"))
+        .orderBy($"event_type")
     }
   )
 
@@ -3002,6 +3031,23 @@ object EventQueries {
         |SELECT CAST(gap_days AS BIGINT) AS gap_days,
         |  CAST(COUNT(*) AS BIGINT) AS n_gaps,
         |  CAST((CAST(1000000 AS HUGEINT) * COUNT(*)) // MAX(tot.t) AS BIGINT) AS share_ppm
-        |FROM gg, tot GROUP BY gap_days ORDER BY gap_days""".stripMargin
+        |FROM gg, tot GROUP BY gap_days ORDER BY gap_days""".stripMargin,
+
+    "ev_type_trend" ->
+      """WITH wc AS (
+        |  SELECT event_type, epoch_us(ts) // 604800000000 AS w,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(w) AS HUGEINT) AS sw, CAST(SUM(c) AS HUGEINT) AS sc,
+        |    CAST(SUM(CAST(w AS HUGEINT) * c) AS HUGEINT) AS swc,
+        |    CAST(SUM(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sww
+        |  FROM wc GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_weeks, CAST(sc AS BIGINT) AS n_events,
+        |  CASE WHEN n * sww - sw * sw = 0 THEN NULL
+        |    ELSE CAST(((n * swc - sw * sc) * 1000) // (n * sww - sw * sw) AS BIGINT)
+        |  END AS slope_milli
+        |FROM g ORDER BY event_type""".stripMargin
   )
 }

@@ -98,6 +98,35 @@ object MultimodalQueries {
         .orderBy($"day", $"key")
     },
 
+    // per-day payload-size drift per key — the "camera firmware /
+    // encoder config changed upstream" alarm (mm_bytes_by_day shows the
+    // mass; this normalizes each day's MEAN payload size against the
+    // key's corpus-wide mean, so a provisioning assumption silently
+    // going stale shows as drift before the shards overflow): exact
+    // milli ratio by cross-multiplication — (day_bytes·key_n·10³) div
+    // (day_n·key_bytes), no float division. Scale shape: one narrow
+    // length projection (payload bodies never shuffle), a calendar ×
+    // |keys| partial agg, a |keys|-row broadcast join.
+    "mm_size_drift" -> { (s, d) =>
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val per = Topic.readDF(s, topic(s, d))
+        .filter($"sequenceNumber" < 500)
+        .select(expr("ts_ms div 86400000").as("day"),
+          explode($"data").as(Seq("key", "payload")))
+        .select($"day", $"key", length($"payload").cast("long").as("nb"))
+        .groupBy($"day", $"key")
+        .agg(count(lit(1)).as("day_n"), sum($"nb").as("day_bytes"))
+      val tot = per.groupBy($"key")
+        .agg(sum($"day_n").as("key_n"), sum($"day_bytes").as("key_bytes"))
+      per.join(broadcast(tot), Seq("key"))
+        .select($"day", $"key", $"day_n", $"day_bytes",
+          expr(s"""CAST((CAST(day_bytes AS DECIMAL(38,0)) * key_n * 1000)
+                  |  div (CAST(day_n AS DECIMAL(38,0)) * key_bytes) AS BIGINT)""".stripMargin)
+            .as("drift_milli"))
+        .orderBy($"day", $"key")
+    },
+
     // container-format mix per payload key — the "what codecs am I
     // actually holding" audit a multimodal ingest runs before picking
     // decode workers: magic-prefix (first 2 bytes, hex) histogram with
@@ -515,6 +544,27 @@ object MultimodalQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_payloads,
         |  CAST(SUM(length(payload)) AS BIGINT) AS total_bytes
         |FROM m GROUP BY 1, 2 ORDER BY day, key""".stripMargin,
+
+    "mm_size_drift" ->
+      """WITH m AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, 'props' AS key, props AS payload
+        |  FROM events WHERE event_id < 500
+        |  UNION ALL
+        |  SELECT epoch_us(ts) // 86400000000, 'user', CAST(user_id AS VARCHAR)
+        |  FROM events WHERE event_id < 500),
+        |per AS (
+        |  SELECT day, key, CAST(COUNT(*) AS BIGINT) AS day_n,
+        |    CAST(SUM(length(payload)) AS BIGINT) AS day_bytes
+        |  FROM m GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT key, CAST(SUM(day_n) AS BIGINT) AS key_n,
+        |    CAST(SUM(day_bytes) AS BIGINT) AS key_bytes
+        |  FROM per GROUP BY 1)
+        |SELECT CAST(per.day AS BIGINT) AS day, per.key AS key, per.day_n, per.day_bytes,
+        |  CAST((CAST(per.day_bytes AS HUGEINT) * tot.key_n * 1000)
+        |    // (CAST(per.day_n AS HUGEINT) * tot.key_bytes) AS BIGINT) AS drift_milli
+        |FROM per JOIN tot ON tot.key = per.key
+        |ORDER BY day, key""".stripMargin,
 
     "mm_magic_mix" ->
       """WITH m AS (

@@ -688,6 +688,30 @@ object SamplingQueries {
         .groupBy($"p.split_lo".as("split_lo"), $"p.split_hi".as("split_hi"))
         .agg(count(lit(1)).as("n_groups"), sum($"p.n_pairs").as("n_pairs"))
         .orderBy($"split_lo", $"split_hi")
+    },
+
+    // per-source epoch schedule — HOW the upsampling actually executes
+    // (samp_rebalance says "factor 2300 milli"; a training loop runs
+    // FULL passes plus a sampled remainder — this emits that plan:
+    // full_epochs = target div tokens, remainder as an exact ppm hash
+    // threshold, so the schedule is reproducible row-locally on any
+    // engine): uniform token target (total div |sources|, the
+    // samp_rebalance allocation). Scale shape: one narrow token-count
+    // partial agg, |sources|-row profile, broadcast 1-row total.
+    "samp_epoch_plan" -> { (s, d) =>
+      import s.implicits._
+      val prof = t(s, d, "documents")
+        .select($"source", size(split($"text", " +")).cast("long").as("n_tok"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      val tot = prof.agg(sum($"n_tokens").as("tt"),
+        count(lit(1)).as("ns"))
+      prof.crossJoin(broadcast(tot))
+        .withColumn("target_tokens", expr("tt div ns"))
+        .select($"source", $"n_docs", $"n_tokens", $"target_tokens",
+          expr("target_tokens div n_tokens").as("full_epochs"),
+          expr("((target_tokens % n_tokens) * 1000000) div n_tokens").as("rem_ppm"))
+        .orderBy($"source")
     }
   )
 
@@ -1068,6 +1092,20 @@ object SamplingQueries {
         |SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_groups,
         |  CAST(SUM(n_pairs) AS BIGINT) AS n_pairs
         |FROM p WHERE n_pairs > 0
-        |GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin
+        |GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin,
+
+    "samp_epoch_plan" ->
+      """WITH p AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split_regex(text, ' +'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt,
+        |    CAST(COUNT(*) AS BIGINT) AS ns FROM p)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(tot.tt // tot.ns AS BIGINT) AS target_tokens,
+        |  CAST((tot.tt // tot.ns) // n_tokens AS BIGINT) AS full_epochs,
+        |  CAST((((tot.tt // tot.ns) % n_tokens) * 1000000) // n_tokens AS BIGINT) AS rem_ppm
+        |FROM p, tot ORDER BY source""".stripMargin
   )
 }

@@ -109,4 +109,46 @@ class Round12Laws3Spec extends SparkSpec {
       ("test", "val") -> ((1L, 1L)),
       ("train", "val") -> ((1L, 2L))))
   }
+
+  test("ev_type_trend: planted weekly counts fit their exact integer slopes") {
+    val d = graft.rawdata.Topic.tempDir("r12-trend")
+    // 2024-01-04 / 11 / 18 are consecutive Thursdays — three distinct
+    // epoch weeks with no boundary risk at noon
+    val wk = Seq("2024-01-04 12:00:00", "2024-01-11 12:00:00", "2024-01-18 12:00:00")
+    val evs = Seq.newBuilder[(Long, Timestamp, Long, String, Double, String)]
+    var id = 0L
+    def add(week: Int, tp: String, n: Int): Unit =
+      (1 to n).foreach { _ => id += 1; evs += ((id, ts(wk(week)), 10L, tp, 1.0, "{}")) }
+    add(0, "up", 1); add(1, "up", 2); add(2, "up", 3)     // +1/week -> 1000 milli
+    add(0, "flat", 2); add(1, "flat", 2)                  // 0 milli
+    add(1, "solo", 3)                                     // one week -> NULL
+    evs.result().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = EventQueries.queries("ev_type_trend")(spark, d).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_weeks"), r.getAs[Long]("n_events"),
+          Option(r.getAs[java.lang.Long]("slope_milli")).map(_.longValue())))).toMap
+    assert(rows === Map(
+      "up" -> ((3L, 6L, Some(1000L))),
+      "flat" -> ((2L, 4L, Some(0L))),
+      "solo" -> ((1L, 3L, None))))
+  }
+
+  test("samp_epoch_plan: full epochs + ppm remainder hit the uniform target exactly") {
+    val d = graft.rawdata.Topic.tempDir("r12-epoch")
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    (Seq((1L, ten, "en", "A")) ++ (2 to 4).map(i => (i.toLong, ten, "en", "B")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SamplingQueries.queries("samp_epoch_plan")(spark, d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("target_tokens"),
+          r.getAs[Long]("full_epochs"), r.getAs[Long]("rem_ppm")))).toMap
+    // tt = 40, 2 sources -> target 20: A (10 tok) = 2 full epochs;
+    // B (30 tok) = 0 full + 20/30 = 666666 ppm remainder
+    assert(rows === Map(
+      "A" -> ((10L, 20L, 2L, 0L)),
+      "B" -> ((30L, 20L, 0L, 666666L))))
+  }
 }
