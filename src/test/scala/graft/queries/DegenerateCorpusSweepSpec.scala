@@ -104,18 +104,29 @@ class DegenerateCorpusSweepSpec extends SparkSpec {
       (9L, ts("2024-01-06 12:00:00"), 20L, "error", 0.0, """{"k": 9}"""),
       (10L, ts("2024-01-06 12:00:00"), 30L, "error", 0.0, """{"k": 10}"""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // a NULL value (the one nullable metric column; ts/type/props stay
+      // non-null — the topic payload contract is non-null bytes, exactly
+      // like the reference's Avro map<string,bytes>)
+      .withColumn("value",
+        when($"event_id" === 7L, lit(null).cast("double")).otherwise($"value"))
       .write.mode("overwrite").parquet(s"$d/events.parquet")
 
     // empty text, whitespace-only text (the hot normalized fingerprint),
-    // a single-doc source, a repeated-token doc, disjoint vocabularies
+    // a single-doc source, a repeated-token doc, disjoint vocabularies —
+    // plus NULLs in every nullable documents column (the driver schema
+    // allows them and a web corpus ships them; functions must propagate,
+    // never throw)
     Seq(
-      (1L, "", "en", "web"),
-      (2L, "   ", "en", "web"),
-      (3L, "same same same same same", "en", "uni"),
-      (4L, "alpha beta gamma delta epsilon", "en", "dis1"),
-      (5L, "uno dos tres cuatro cinco", "es", "dis2"),
-      (6L, "lone wolf document here", "de", "solo"),
-      (7L, "alpha beta gamma delta epsilon", "en", "dis1"))
+      (1L, Some(""), Some("en"), Some("web")),
+      (2L, Some("   "), Some("en"), Some("web")),
+      (3L, Some("same same same same same"), Some("en"), Some("uni")),
+      (4L, Some("alpha beta gamma delta epsilon"), Some("en"), Some("dis1")),
+      (5L, Some("uno dos tres cuatro cinco"), Some("es"), Some("dis2")),
+      (6L, Some("lone wolf document here"), Some("de"), Some("solo")),
+      (7L, Some("alpha beta gamma delta epsilon"), Some("en"), Some("dis1")),
+      (8L, None, Some("en"), Some("web")),
+      (9L, Some("null lang doc text here"), None, Some("web")),
+      (10L, Some("null source doc text here"), Some("en"), None))
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length($"text").cast("long"))
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
