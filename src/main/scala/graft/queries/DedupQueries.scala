@@ -1577,6 +1577,57 @@ object DedupQueries {
     // groups, docs, implied C(k,2) pair mass, doc ppm share. Scale
     // shape: one fingerprint partial agg (the exactCrossCounts base
     // without the source axis), ≤64-band rollup, broadcast 1-row total.
+    // normalization GAIN audit — "was case/whitespace folding worth
+    // it": raw byte-identity (md5 of the text as-is) vs the normalized
+    // fingerprint, as group/doc/pair counts side by side plus the exact
+    // ppm of normalized pairs that only normalization found. One row;
+    // both sides are single fingerprint partial aggs (the counts
+    // arithmetic, never a pair join). The sf fixtures are dup-free so
+    // every count is 0 — Round12Laws4Spec plants the interesting case.
+    "dd_norm_gain" -> { (s, d) =>
+      import s.implicits._
+      def side(fp: org.apache.spark.sql.Column, pfx: String) =
+        t(s, d, "documents").select(fp.as("fp"))
+          .groupBy($"fp").agg(count(lit(1)).as("k"))
+          .agg(sum(when($"k" > 1, 1L).otherwise(0L)).as(s"${pfx}_groups"),
+            sum(when($"k" > 1, $"k").otherwise(0L)).as(s"${pfx}_dup_docs"),
+            sum(expr("(k * (k - 1)) div 2")).as(s"${pfx}_pairs"))
+      side(md5($"text"), "raw").crossJoin(side(normFpCol($"text"), "norm"))
+        .withColumn("gain_ppm", expr(
+          "((norm_pairs - raw_pairs) * 1000000) div GREATEST(1, norm_pairs)"))
+    },
+
+    // per-source data card — the release-notes table every corpus ship
+    // has to publish (docs, token mass, exact-dup redundancy, language
+    // composition in one row per source; the individual audits exist
+    // piecemeal — this is the one a consumer actually reads): exact
+    // fingerprint-distinct redundancy ppm, majority language + its ppm
+    // with the (count desc, lang) tie-break, distinct languages. Scale
+    // shape: two partial aggs onto |sources| and |sources|·|langs| key
+    // spaces, a bounded per-source rank window, one co-keyed join.
+    "pipe_datacard" -> { (s, d) =>
+      import s.implicits._
+      val base = t(s, d, "documents").select($"source",
+        coalesce($"lang", lit("")).as("lang"),
+        size(split($"text", " +")).cast("long").as("n_tok"),
+        normFpCol($"text").as("fp"))
+      val g = base.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+          countDistinct($"fp").as("n_unique"))
+      val w = Window.partitionBy($"source").orderBy($"c".desc, $"lang")
+      val langs = base.groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+        .withColumn("n_langs", count(lit(1)).over(Window.partitionBy($"source")))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"source", $"n_langs", $"lang".as("top_lang"), $"c".as("top_c"))
+      g.join(langs, Seq("source"))
+        .select($"source", $"n_docs", $"n_tokens", $"n_unique",
+          expr("((n_docs - n_unique) * 1000000) div n_docs").as("exact_dup_ppm"),
+          $"n_langs", $"top_lang",
+          expr("(top_c * 1000000) div n_docs").as("top_lang_ppm"))
+        .orderBy($"source")
+    },
+
     "dd_fp_sizes" -> { (s, d) =>
       import s.implicits._
       val sizes = t(s, d, "documents")
@@ -2826,6 +2877,53 @@ object DedupQueries {
         |       WHEN h.bloom_hit THEN 'false_pos'
         |       ELSE 'clean' END AS verdict
         |FROM hits h JOIN ex e ON e.doc_id = h.doc_id ORDER BY h.doc_id""".stripMargin,
+
+    "dd_norm_gain" ->
+      """WITH r AS (
+        |  SELECT md5(text) AS fp FROM documents),
+        |rg AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS k FROM r GROUP BY 1),
+        |ra AS (
+        |  SELECT CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS raw_groups,
+        |    CAST(SUM(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT) AS raw_dup_docs,
+        |    CAST(SUM((k * (k - 1)) // 2) AS BIGINT) AS raw_pairs
+        |  FROM rg),
+        |m AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |mg AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS k FROM m GROUP BY 1),
+        |ma AS (
+        |  SELECT CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS norm_groups,
+        |    CAST(SUM(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT) AS norm_dup_docs,
+        |    CAST(SUM((k * (k - 1)) // 2) AS BIGINT) AS norm_pairs
+        |  FROM mg)
+        |SELECT raw_groups, raw_dup_docs, raw_pairs, norm_groups, norm_dup_docs, norm_pairs,
+        |  CAST(((norm_pairs - raw_pairs) * 1000000) // GREATEST(1, norm_pairs) AS BIGINT) AS gain_ppm
+        |FROM ra, ma""".stripMargin,
+
+    "pipe_datacard" ->
+      """WITH base AS (
+        |  SELECT source, COALESCE(lang, '') AS lang,
+        |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tok,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique
+        |  FROM base GROUP BY 1),
+        |lc AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+        |lr AS (
+        |  SELECT source, lang AS top_lang, c AS top_c,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_langs,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+        |  FROM lc)
+        |SELECT g.source, g.n_docs, g.n_tokens, g.n_unique,
+        |  CAST(((g.n_docs - g.n_unique) * 1000000) // g.n_docs AS BIGINT) AS exact_dup_ppm,
+        |  lr.n_langs, lr.top_lang,
+        |  CAST((lr.top_c * 1000000) // g.n_docs AS BIGINT) AS top_lang_ppm
+        |FROM g JOIN lr ON lr.source = g.source AND lr.rn = 1
+        |ORDER BY g.source""".stripMargin,
 
     "dd_fp_sizes" ->
       """WITH fp AS (

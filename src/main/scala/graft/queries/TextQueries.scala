@@ -1337,6 +1337,29 @@ object TextQueries {
         .orderBy($"source", $"rnk")
     },
 
+    // duplicate-LINE mass per source — the boilerplate-line audit a web
+    // corpus runs before line-level scrubbing (nav bars, footers and
+    // cookie banners repeat as LINES across pages long before whole
+    // documents repeat; dd_exact sees none of it): per source, lines,
+    // distinct lines, mass sitting in repeated lines + exact ppm.
+    // Scale shape: lines are grouped by their md5 (16-byte keys shuffle,
+    // never the line text), one (source, hash) partial agg, |sources|
+    // rollup.
+    "txt_dup_lines" -> { (s, d) =>
+      import s.implicits._
+      val lc = t(s, d, "documents")
+        .select($"source", explode(split($"text", "\n")).as("line"))
+        .select($"source", md5(trim($"line")).as("h"), length(trim($"line")).as("len"))
+        .filter($"len" > 0)
+        .groupBy($"source", $"h").agg(count(lit(1)).as("c"))
+      lc.groupBy($"source")
+        .agg(sum($"c").as("n_lines"), count(lit(1)).as("n_distinct"),
+          sum(when($"c" > 1, $"c").otherwise(0L)).as("n_dup_lines"))
+        .select($"source", $"n_lines", $"n_distinct", $"n_dup_lines",
+          expr("(n_dup_lines * 1000000) div n_lines").as("dup_ppm"))
+        .orderBy($"source")
+    },
+
     // lexical-diversity curve by document length — the TTR-vs-length
     // confound made explicit (raw type-token ratio ALWAYS falls with
     // length, so a single corpus-wide TTR — txt_hapax's ttr_ppm —
@@ -2296,6 +2319,18 @@ object TextQueries {
         |    THEN (1000000 * coll) // (n_tokens * (n_tokens - 1))
         |    ELSE 0 END AS BIGINT) AS simpson_ppm
         |FROM agg ORDER BY lang""".stripMargin,
+
+    "txt_dup_lines" ->
+      """WITH l AS (
+        |  SELECT source, md5(trim(line)) AS h
+        |  FROM documents, UNNEST(string_split(text, chr(10))) AS u(line)
+        |  WHERE length(trim(line)) > 0),
+        |lc AS (SELECT source, h, CAST(COUNT(*) AS BIGINT) AS c FROM l GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_lines,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_lines,
+        |  CAST((SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000000) // SUM(c) AS BIGINT) AS dup_ppm
+        |FROM lc GROUP BY source ORDER BY source""".stripMargin,
 
     "txt_ttr_curve" ->
       """WITH per AS (
