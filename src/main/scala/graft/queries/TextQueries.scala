@@ -1082,6 +1082,39 @@ object TextQueries {
         .orderBy($"lang_a", $"lang_b")
     },
 
+    // source-pair vocabulary Jaccard — txt_lang_overlap's machinery on
+    // the SOURCE axis (two "different" sources sharing most of their
+    // vocabulary are the same crawl in disguise — the mirror-site smell
+    // at the vocabulary level, upstream of dd_source_overlap's exact-dup
+    // view): exact |A∩B|/|A∪B| ppm per source pair, pair counts from
+    // ONE token-keyed partial agg (each token explodes its C(k,2)
+    // source pairs, k ≤ |sources| constant) — never a vocabulary
+    // self-join; all-pairs completeness from the |sources|²-row frame.
+    "txt_src_overlap" -> { (s, d) =>
+      import s.implicits._
+      val vocab = CorpusTokenIndex.tokens(s, d)
+        .filter(length($"tok") > 0)
+        .select($"source", $"tok".as("w"))
+        .distinct()
+      val sizes = vocab.groupBy($"source").agg(count(lit(1)).as("n"))
+      val common = vocab.groupBy($"w")
+        .agg(sort_array(collect_set($"source")).as("ss"))
+        .select(explode(expr(
+          """flatten(transform(ss, (a, i) ->
+             |  transform(slice(ss, i + 2, size(ss)), b -> struct(a AS src_a, b AS src_b))))"""
+            .stripMargin)).as("p"))
+        .groupBy($"p.src_a".as("src_a"), $"p.src_b".as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val frame = sizes.select($"source".as("src_a"), $"n".as("n_a"))
+        .crossJoin(sizes.select($"source".as("src_b"), $"n".as("n_b")))
+        .filter($"src_a" < $"src_b")
+      frame.join(common, Seq("src_a", "src_b"), "left")
+        .withColumn("n_common", coalesce($"n_common", lit(0L)))
+        .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_common",
+          expr("(1000000 * n_common) div (n_a + n_b - n_common)").as("jaccard_ppm"))
+        .orderBy($"src_a", $"src_b")
+    },
+
     "txt_simpson" -> { (s, d) =>
       import s.implicits._
       val dec = DecimalType(38, 0)
@@ -2302,6 +2335,24 @@ object TextQueries {
         |JOIN sizes sb ON sa.lang < sb.lang
         |LEFT JOIN common c ON c.lang_a = sa.lang AND c.lang_b = sb.lang
         |ORDER BY lang_a, lang_b""".stripMargin,
+
+    "txt_src_overlap" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT source, w
+        |  FROM documents, UNNEST(string_split_regex(text, ' +')) AS u(w)
+        |  WHERE length(w) > 0),
+        |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM vocab GROUP BY 1),
+        |common AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa.source AS src_a, sb.source AS src_b, sa.n AS n_a, sb.n AS n_b,
+        |  COALESCE(c.n_common, 0) AS n_common,
+        |  CAST((1000000 * COALESCE(c.n_common, 0)) // (sa.n + sb.n - COALESCE(c.n_common, 0)) AS BIGINT) AS jaccard_ppm
+        |FROM sizes sa
+        |JOIN sizes sb ON sa.source < sb.source
+        |LEFT JOIN common c ON c.src_a = sa.source AND c.src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "txt_simpson" ->
       """WITH tok AS (
