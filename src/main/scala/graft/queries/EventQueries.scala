@@ -1792,6 +1792,29 @@ object EventQueries {
         .orderBy($"gap_days")
     },
 
+    // peak-to-mean hourly capacity factor per type — the one number a
+    // capacity plan is sized by (ev_peak/ev_peak_rate FIND the peak;
+    // this NORMALIZES it: provisioned-for-peak over provisioned-for-
+    // mean, with idle hours counted because capacity is paid for the
+    // whole span): exact milli peak factor via cross-multiplication
+    // plus the active-hours duty-cycle ppm. One (type, hour) partial
+    // agg then a |types|-row rollup.
+    "ev_peak_factor" -> { (s, d) =>
+      import s.implicits._
+      ev(s, d)
+        .groupBy($"event_type", expr(s"ts_us div $HourUs").as("h"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_active_hours"), sum($"n").as("n_events"),
+          max($"n").as("peak_hour_n"),
+          (max($"h") - min($"h") + 1).as("span_hours"))
+        .select($"event_type", $"span_hours", $"n_active_hours", $"n_events",
+          $"peak_hour_n",
+          expr("(peak_hour_n * 1000 * span_hours) div n_events").as("peak_factor_milli"),
+          expr("(n_active_hours * 1000000) div span_hours").as("duty_ppm"))
+        .orderBy($"event_type")
+    },
+
     // per-type weekly volume trend — the growth/decay direction of each
     // event type as an exact integer OLS slope (ev_trend fits the
     // global series; mix shifts hide there — a product where "error"
@@ -3032,6 +3055,22 @@ object EventQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_gaps,
         |  CAST((CAST(1000000 AS HUGEINT) * COUNT(*)) // MAX(tot.t) AS BIGINT) AS share_ppm
         |FROM gg, tot GROUP BY gap_days ORDER BY gap_days""".stripMargin,
+
+    "ev_peak_factor" ->
+      """WITH ph AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_active_hours,
+        |    CAST(SUM(n) AS BIGINT) AS n_events,
+        |    CAST(MAX(n) AS BIGINT) AS peak_hour_n,
+        |    CAST(MAX(h) - MIN(h) + 1 AS BIGINT) AS span_hours
+        |  FROM ph GROUP BY 1)
+        |SELECT event_type, span_hours, n_active_hours, n_events, peak_hour_n,
+        |  CAST((peak_hour_n * 1000 * span_hours) // n_events AS BIGINT) AS peak_factor_milli,
+        |  CAST((n_active_hours * 1000000) // span_hours AS BIGINT) AS duty_ppm
+        |FROM g ORDER BY event_type""".stripMargin,
 
     "ev_type_trend" ->
       """WITH wc AS (
