@@ -60,6 +60,17 @@ object Bench {
     (prevQ, prevSf)
   }
 
+  /** The ONE place BENCH_DETAIL.json's section list is assembled — the
+    * fixed sections (per-pass detail, listing probe, all-queries, final)
+    * are positional parameters, so no later checkpoint write can rebuild
+    * the list by hand and drop one (round 12 shipped without its
+    * listing-probe section exactly that way). BenchDiffSpec pins that
+    * every assembly carries all four fixed sections.
+    */
+  private[graft] def assembleDetail(detailLine: String, listingLine: String,
+      allLine: String, scaleLines: Seq[String], finalLine: String): Seq[String] =
+    Seq(detailLine, listingLine, allLine) ++ scaleLines ++ Seq(finalLine)
+
   /** regression rule: BOTH >1.5x the prior min AND >0.4 s absolute —
     * multiplicative alone flags sub-second noise, absolute alone
     * forgives a 10 s query doubling
@@ -123,10 +134,13 @@ object Bench {
     // Timed PER INDEX: lsh_index_build_sec covers exactly the text+embed
     // LSH build (comparable across rounds); the token and co-purchase
     // graph builds get their own fields.
+    // a probed body that THROWS reports the -1.0 sentinel, never the
+    // partial elapsed time — an instantly-crashing stage was previously
+    // indistinguishable from a fast pass in BENCH_DETAIL.json
     def timedStage(body: => Unit): Double = {
       val s = System.nanoTime()
-      try body catch { case _: Throwable => () }
-      (System.nanoTime() - s) / 1e9
+      try { body; (System.nanoTime() - s) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
     val lshSec = timedStage {
       graft.queries.CorpusLshIndex.ensure(spark, sfDir)
@@ -150,10 +164,7 @@ object Bench {
     import org.apache.spark.sql.functions.{col, pmod}
     def candSec(d: String): Double = {
       spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try { graft.queries.CorpusLshIndex.candidateGen(spark, d).count() }
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      timedStage(graft.queries.CorpusLshIndex.candidateGen(spark, d).count(): Unit)
     }
     val candFresh = candSec(sfDir)
     val cdir = graft.rawdata.Topic.tempDir("bench-lsh-compact")
@@ -190,10 +201,7 @@ object Bench {
     var ivfCompactSec, ivfProbeFresh, ivfProbeAppended, ivfProbeCompacted = -1.0
     def ivfProbeSec(d: String): Double = {
       spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries("ann_ivf_index")(spark, d).count() }
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      timedStage(SparkEntry.queries("ann_ivf_index")(spark, d).count(): Unit)
     }
     try {
       embAll.filter(pmod(col("vec_id"), org.apache.spark.sql.functions.lit(4)) =!= 3)
@@ -225,10 +233,7 @@ object Bench {
     var graphCompactSec, graphProbeAppended, graphProbeCompacted = -1.0
     def graphProbeSec(d: String): Double = {
       spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries("q39_triangles")(spark, d).count() }
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      timedStage(SparkEntry.queries("q39_triangles")(spark, d).count(): Unit)
     }
     try {
       val liAll = Tables.t(spark, sfDir, "lineitem")
@@ -380,7 +385,7 @@ object Bench {
     // judge pass. Only same-scale comparisons count (both runs sf0.1);
     // queries added this round have no prior and are skipped. Empty on a
     // clean round.
-    val regressions: Seq[(String, Double, Double)] = try {
+    val queryRegressions: Seq[(String, Double, Double)] = try {
       val f = new java.io.File("BENCH_DETAIL.json")
       if (!f.exists() || !sfDir.contains("sf0.1") || only.isDefined) Seq.empty
       else {
@@ -389,6 +394,18 @@ object Bench {
         else regressionsVs(prevQ, results)
       }
     } catch { case _: Throwable => Seq.empty }
+    // a super-linear listing decade (or a crashed listing probe) fails
+    // the bench LOUDLY through the same `regressions` field the
+    // round-close gate reads — previously listingFlagged fed no gate, so
+    // a listing regression would have shipped silently. prev/cur here are
+    // the 10k/100k-file stage times (the decade pair that flagged).
+    val listingRegressions: Seq[(String, Double, Double)] = listingFlagged.map {
+      case "list"  => ("listing:list", listing10._1, listing100._1)
+      case "prune" => ("listing:prune", listing10._2, listing100._2)
+      case "plan"  => ("listing:plan", listing10._3, listing100._3)
+      case other   => (s"listing:$other", -1.0, -1.0)
+    }
+    val regressions = queryRegressions ++ listingRegressions
     // The driver keeps only the last ~2000 chars of stdout, and a line
     // with all ~90 queries at 2-dp is ~2050 chars by itself — it gets
     // clipped mid-line and the driver's JSON parse fails (BENCH_r01–r04
@@ -415,12 +432,16 @@ object Bench {
     val allLine = s"""{"detail":"all-queries","n":${results.size},"queries":${json(results)}}"""
     val finalLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"regressions":$regJson,"ingest_msgs":$nMsgs,"ingest_write_msgs_per_sec":${fmt(writeRate)},"ingest_read_msgs_per_sec":${fmt(readRate)},"lsh_index_build_sec":${fmt(lshSec)},"index_build_sec":${fmt(indexSec)},"queries":${json(headline)},"sf":"$sfDir"}"""
     // pre-probe artifact first: a killed/timed-out probe must never cost
-    // the round its bench detail
-    def writeDetail(lines: Seq[String]): Unit = {
+    // the round its bench detail. Every write goes through ONE assembly
+    // (assembleDetail) holding the fixed sections — round 12 lost the
+    // listing-probe section because two later call sites rebuilt the
+    // line list by hand and dropped it.
+    def writeDetail(scaleLines: Seq[String]): Unit = {
       val out = new java.io.PrintWriter("BENCH_DETAIL.json")
-      try out.println(lines.mkString("[", ",\n", "]")) finally out.close()
+      try out.println(assembleDetail(detailLine, listingLine, allLine, scaleLines, finalLine)
+        .mkString("[", ",\n", "]")) finally out.close()
     }
-    writeDetail(Seq(detailLine, listingLine, allLine, finalLine))
+    writeDetail(Seq.empty)
     // Amplified-scale probes: measure scaling curvature one decade up
     // (amp=10, ~sf1) and — chained off its results — a SECOND decade
     // (amp=100, ~sf10, ~1.7 GB parquet): index builds and headline
@@ -436,7 +457,7 @@ object Bench {
     def scaleJson(r: ScaleProbe.Result): String = {
       val idx = r.indexSec.map { case (n, v) => "\"" + n + "_index_build_sec\":" + fmt(v) }
       val errs = r.errors.map { case (n, e) => "\"" + n + ":" + e + "\"" }
-      s"""{"detail":"scale-probe","amp":${r.amp},"amplify_sec":${fmt(r.amplifySec)},"topic_ingest_sec":${fmt(r.topicIngestSec)},${(idx :+ s""""queries":${json(r.queries)}""").mkString(",")},"linear_ratio":${json(r.ratios)},"flagged":[${r.flagged.map("\"" + _ + "\"").mkString(",")}],"stage_errors":[${errs.mkString(",")}],"truncated":${r.truncated}}"""
+      s"""{"detail":"scale-probe","amp":${r.amp},"amplify_sec":${fmt(r.amplifySec)},"topic_ingest_sec":${fmt(r.topicIngestSec)},${(idx :+ s""""queries":${json(r.queries)}""").mkString(",")},"stages":${json(r.stages)},"linear_ratio":${json(r.ratios)},"flagged":[${r.flagged.map("\"" + _ + "\"").mkString(",")}],"stage_errors":[${errs.mkString(",")}],"truncated":${r.truncated}}"""
     }
     def ampDir(amp: Int) = sys.env.getOrElse(s"SPARK_GRAFT_AMP_DIR_$amp",
       new java.io.File(sys.props("java.io.tmpdir"), s"graft_amp$amp").getAbsolutePath)
@@ -453,7 +474,7 @@ object Bench {
     }
     // artifact checkpoint: a killed/timed-out amp=100 stage must never
     // cost the round its amp=10 probe
-    writeDetail(Seq(detailLine, allLine) ++ scaleLine10 ++ Seq(finalLine))
+    writeDetail(scaleLine10.toSeq)
     val amp2 = sys.env.getOrElse("SPARK_GRAFT_AMP2", "100").toInt
     val scaleLine100 = probe10.filter(r => amp2 > amp && !r.truncated).flatMap { r10 =>
       try {
@@ -471,7 +492,7 @@ object Bench {
           Some(s"""{"detail":"scale-probe","amp":$amp2,"error":"${e.getClass.getSimpleName}"}""")
       }
     }
-    writeDetail(Seq(detailLine, allLine) ++ scaleLine10 ++ scaleLine100 ++ Seq(finalLine))
+    writeDetail(scaleLine10.toSeq ++ scaleLine100.toSeq)
     println(detailLine)
     println(listingLine)
     println(allLine)

@@ -110,7 +110,11 @@ object ScaleProbe {
       ratios: Seq[(String, Double)],
       flagged: Seq[String],
       truncated: Boolean,
-      errors: Seq[(String, String)] = Nil)
+      errors: Seq[(String, String)] = Nil,
+      // sub-stage timings of the two heavyweight builds (graph_edge …,
+      // embed_sig/band/cand/verify) — which SUB-stage is going
+      // super-linear is visible a decade before it flips the total
+      stages: Seq[(String, Double)] = Nil)
 
   /** Run the probe: amplify into `dest`, rebuild the topic + the corpus
     * indexes against the amplified corpus (timed per index), then `passes`
@@ -159,11 +163,17 @@ object ScaleProbe {
     System.gc()
     val amplifySec = timed(amplify(spark, src, dest, amp))
     val topicSec = timed(graft.rawdata.EventsAsTopic.topicDir(spark, dest): Unit)
+    // sub-stage collector for the two heavyweight builds (90 % of probe
+    // wall-time at amp=100): per-table graph timings and the embed
+    // sig/band/cand/verify split land in the probe JSON at both decades
+    val stageDetail = Seq.newBuilder[(String, Double)]
     val indexStages: Seq[(String, () => Unit)] = Seq(
       "lsh" -> (() => graft.queries.CorpusLshIndex.ensure(spark, dest)),
-      "embed" -> (() => graft.queries.CorpusLshIndex.embedPairs(spark, dest).count(): Unit),
+      "embed" -> (() => graft.queries.CorpusLshIndex.embedPairsStaged(spark, dest,
+        (n, t) => stageDetail += s"embed_$n" -> t).count(): Unit),
       "token" -> (() => graft.queries.CorpusTokenIndex.ensure(spark, dest)),
-      "graph" -> (() => graft.queries.CoPurchaseGraph.ensure(spark, dest)),
+      "graph" -> (() => graft.queries.CoPurchaseGraph.ensure(spark, dest,
+        (n, t) => stageDetail += s"graph_$n" -> t)),
       "ivf" -> (() => graft.queries.EmbIvfIndex.ensure(spark, dest)))
     var truncated = false
     val errors = Seq.newBuilder[(String, String)]
@@ -217,7 +227,7 @@ object ScaleProbe {
       case (name, r) if r > flagRatio && queries.toMap.apply(name) > flagMinSec => name
     }
     Result(amp, amplifySec, topicSec, indexSec, queries, ratios, flagged,
-      truncated, errors.result())
+      truncated, errors.result(), stageDetail.result())
   }
 
   def rmTree(f: java.io.File): Unit = {

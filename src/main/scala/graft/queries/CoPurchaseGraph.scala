@@ -51,8 +51,17 @@ object CoPurchaseGraph {
 
   private def tableName(part: String, tg: String) = s"graft_cpg_${part}_$tg"
 
-  /** Build the two graph tables if this session hasn't yet. */
-  def ensure(s: SparkSession, d: String): Unit = synchronized {
+  /** Build the two graph tables if this session hasn't yet.
+    *
+    * `onStage` receives (table, seconds) per index table as it commits —
+    * the scale probe's sub-stage observability (the edge stage carries
+    * the pair derivation, so a super-linear explode is visible a decade
+    * before it flips the total build time). Timings are of real work,
+    * never a re-compute: each save is the table's one materializing
+    * action.
+    */
+  def ensure(s: SparkSession, d: String,
+      onStage: (String, Double) => Unit = (_, _) => ()): Unit = synchronized {
     val tg = CorpusLshIndex.tag(d)
     if (!s.catalog.tableExists(tableName("deg", tg))) {
       import s.implicits._
@@ -61,10 +70,12 @@ object CoPurchaseGraph {
       dir.mkdirs()
       def save(df: DataFrame, part: String, bucketCols: Seq[String]): DataFrame = {
         val tbl = tableName(part, tg)
+        val t0 = System.nanoTime()
         df.write.mode(SaveMode.Overwrite)
           .option("path", new java.io.File(dir, part).getAbsolutePath)
           .bucketBy(buckets(s), bucketCols.head, bucketCols.tail: _*)
           .saveAsTable(tbl)
+        onStage(part, (System.nanoTime() - t0) / 1e9)
         s.table(tbl)
       }
       val li = t(s, d, "lineitem")

@@ -184,26 +184,69 @@ object CorpusLshIndex {
     * re-ran per query). Candidate-proportional size, bucketed on vec_a
     * for the downstream joins.
     */
-  def embedPairs(s: SparkSession, d: String): DataFrame = synchronized {
+  def embedPairs(s: SparkSession, d: String): DataFrame =
+    embedPairsStaged(s, d, (_, _) => ())
+
+  /** [[embedPairs]] with per-stage timing: `onStage` receives
+    * (sig | band | cand | verify, seconds) — the scale probe's sub-stage
+    * observability for the heaviest amp=100 build (so the NEXT decade's
+    * super-linear sub-stage is visible before it flips the total).
+    * Relations are identical to embedLshPairsRaw's from-scratch chain
+    * (LshIndexSpec proves the table against it); the banded relation is
+    * persisted ONCE and shared by both table writes — the eband write
+    * used to recompute the whole quantize+signature pass.
+    */
+  private[graft] def embedPairsStaged(s: SparkSession, d: String,
+      onStage: (String, Double) => Unit): DataFrame = synchronized {
     val tbl = tableName("epair", tag(d))
     if (!s.catalog.tableExists(tbl)) {
       val dir = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir"), "graft-lsh-index"), tag(d))
       dir.mkdirs()
+      def timed[T](name: String)(body: => T): T = {
+        val t0 = System.nanoTime()
+        val r = body
+        onStage(name, (System.nanoTime() - t0) / 1e9)
+        r
+      }
+      val bits = DedupQueries.embedLshBits(s, d)
+      // sig: quantize + hyperplane signatures, forced once and shared
+      val e = timed("sig") {
+        val e0 = DedupQueries.embedBanded(t(s, d, "embeddings"), bits).persist()
+        e0.count(): Unit
+        e0
+      }
       // the exact per-table band relation is materialized beside the
       // pairs: appendEmbeddings joins a new batch's probes against it,
       // so extending the index never re-bands the existing corpus
-      DedupQueries.embedExactBands(DedupQueries.embedBanded(
-        t(s, d, "embeddings"), DedupQueries.embedLshBits(s, d)))
-        .write.mode(SaveMode.Overwrite)
-        .option("path", new java.io.File(dir, "eband").getAbsolutePath)
-        .bucketBy(buckets(s), "tbl", "bits")
-        .saveAsTable(tableName("eband", tag(d)))
-      DedupQueries.embedLshPairsRaw(s, d)
-        .write.mode(SaveMode.Overwrite)
-        .option("path", new java.io.File(dir, "epair").getAbsolutePath)
-        .bucketBy(buckets(s), "vec_a")
-        .saveAsTable(tbl)
+      timed("band") {
+        DedupQueries.embedExactBands(e)
+          .write.mode(SaveMode.Overwrite)
+          .option("path", new java.io.File(dir, "eband").getAbsolutePath)
+          .bucketBy(buckets(s), "tbl", "bits")
+          .saveAsTable(tableName("eband", tag(d)))
+      }
+      // cand: hamming-1 multi-probe × exact bands — the candidate mass
+      // whose curvature the amp probes exist to rule out
+      val cand = timed("cand") {
+        val c = DedupQueries.embedProbes(e, bits).withColumnRenamed("vec_id", "va")
+          .join(DedupQueries.embedExactBands(e).withColumnRenamed("vec_id", "vb"),
+            Seq("tbl", "bits"))
+          .filter(col("va") < col("vb"))
+          .select(col("va"), col("vb"))
+          .distinct()
+          .persist()
+        c.count(): Unit
+        c
+      }
+      timed("verify") {
+        DedupQueries.embedVerify(cand, e, e)
+          .write.mode(SaveMode.Overwrite)
+          .option("path", new java.io.File(dir, "epair").getAbsolutePath)
+          .bucketBy(buckets(s), "vec_a")
+          .saveAsTable(tbl)
+      }
+      Seq(e, cand).foreach(_.unpersist(): Unit)
     }
     s.table(tbl)
   }

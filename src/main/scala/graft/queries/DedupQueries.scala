@@ -271,6 +271,42 @@ object DedupQueries {
       .groupBy($"fp", $"source").agg(count(lit(1)).as("c"))
   }
 
+  /** pipe_datacard's mixture base — per-(source, lang) document and
+    * token-mass counts. Shared VERBATIM by the batch data card and the
+    * streaming source-mix monitor (graft.streaming.DatacardStream): on a
+    * streaming relation the same groupBy is a bounded streaming
+    * aggregation (state = the |sources|·|langs| key space, never
+    * documents), which is what makes the datacard aggregation provable
+    * in both modes.
+    */
+  private[graft] def datacardMixCounts(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"source", coalesce($"lang", lit("")).as("lang"),
+        size(split($"text", " +")).cast("long").as("n_tok"))
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("c"), sum($"n_tok").as("tok"))
+  }
+
+  /** compose the data card's mixture columns from a
+    * [[datacardMixCounts]] snapshot — per source: doc/token mass,
+    * distinct languages, majority language + exact ppm with the
+    * (count desc, lang) tie-break. Bounded input (|sources|·|langs|
+    * rows), so the rank window is bounded too.
+    */
+  private[graft] def datacardMixture(mc: DataFrame): DataFrame = {
+    import mc.sparkSession.implicits._
+    val w = Window.partitionBy($"source").orderBy($"c".desc, $"lang")
+    val g = mc.groupBy($"source")
+      .agg(sum($"c").as("n_docs"), sum($"tok").as("n_tokens"))
+    mc.withColumn("n_langs", count(lit(1)).over(Window.partitionBy($"source")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"source", $"n_langs", $"lang".as("top_lang"), $"c".as("top_c"))
+      .join(g, Seq("source"))
+      .select($"source", $"n_docs", $"n_tokens", $"n_langs", $"top_lang",
+        expr("(top_c * 1000000) div n_docs").as("top_lang_ppm"))
+  }
+
   /** the duplicate-pair graph dd_cluster / dd_canonical resolve: exact
     * dups (normalized-fingerprint groups, star edges to the min id) plus
     * verified near-dups (LSH candidates at jaccard ≥ 0.4)
@@ -1607,24 +1643,14 @@ object DedupQueries {
     // spaces, a bounded per-source rank window, one co-keyed join.
     "pipe_datacard" -> { (s, d) =>
       import s.implicits._
-      val base = t(s, d, "documents").select($"source",
-        coalesce($"lang", lit("")).as("lang"),
-        size(split($"text", " +")).cast("long").as("n_tok"),
-        normFpCol($"text").as("fp"))
-      val g = base.groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
-          countDistinct($"fp").as("n_unique"))
-      val w = Window.partitionBy($"source").orderBy($"c".desc, $"lang")
-      val langs = base.groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
-        .withColumn("n_langs", count(lit(1)).over(Window.partitionBy($"source")))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"source", $"n_langs", $"lang".as("top_lang"), $"c".as("top_c"))
-      g.join(langs, Seq("source"))
+      val docs = t(s, d, "documents")
+      val uniq = docs.select($"source", normFpCol($"text").as("fp"))
+        .groupBy($"source").agg(countDistinct($"fp").as("n_unique"))
+      datacardMixture(datacardMixCounts(docs))
+        .join(uniq, Seq("source"))
         .select($"source", $"n_docs", $"n_tokens", $"n_unique",
           expr("((n_docs - n_unique) * 1000000) div n_docs").as("exact_dup_ppm"),
-          $"n_langs", $"top_lang",
-          expr("(top_c * 1000000) div n_docs").as("top_lang_ppm"))
+          $"n_langs", $"top_lang", $"top_lang_ppm")
         .orderBy($"source")
     },
 

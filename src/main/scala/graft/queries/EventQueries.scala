@@ -1810,7 +1810,13 @@ object EventQueries {
           (max($"h") - min($"h") + 1).as("span_hours"))
         .select($"event_type", $"span_hours", $"n_active_hours", $"n_events",
           $"peak_hour_n",
-          expr("(peak_hour_n * 1000 * span_hours) div n_events").as("peak_factor_milli"),
+          // peak_hour_n·10³·span_hours can pass 2⁶³ on a ~1e11-peak corpus
+          // over a multi-year span — DECIMAL(38,0) like the sibling
+          // cross-multiplied ratios; duty_ppm's n_active_hours ≤ span_hours
+          // (calendar hours, ~1e5 for decades) keeps 10⁶× inside BIGINT
+          expr("""CAST((CAST(peak_hour_n AS DECIMAL(38,0)) * 1000 * span_hours)
+                 |  div CAST(n_events AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+            .as("peak_factor_milli"),
           expr("(n_active_hours * 1000000) div span_hours").as("duty_ppm"))
         .orderBy($"event_type")
     },
@@ -3068,7 +3074,7 @@ object EventQueries {
         |    CAST(MAX(h) - MIN(h) + 1 AS BIGINT) AS span_hours
         |  FROM ph GROUP BY 1)
         |SELECT event_type, span_hours, n_active_hours, n_events, peak_hour_n,
-        |  CAST((peak_hour_n * 1000 * span_hours) // n_events AS BIGINT) AS peak_factor_milli,
+        |  CAST((CAST(peak_hour_n AS HUGEINT) * 1000 * span_hours) // n_events AS BIGINT) AS peak_factor_milli,
         |  CAST((n_active_hours * 1000000) // span_hours AS BIGINT) AS duty_ppm
         |FROM g ORDER BY event_type""".stripMargin,
 

@@ -121,8 +121,12 @@ object MultimodalQueries {
         .agg(sum($"day_n").as("key_n"), sum($"day_bytes").as("key_bytes"))
       per.join(broadcast(tot), Seq("key"))
         .select($"day", $"key", $"day_n", $"day_bytes",
-          expr(s"""CAST((CAST(day_bytes AS DECIMAL(38,0)) * key_n * 1000)
-                  |  div (CAST(day_n AS DECIMAL(38,0)) * key_bytes) AS BIGINT)""".stripMargin)
+          // a key whose payloads are ALL zero-length has key_bytes = 0:
+          // drift against a zero mean is undefined — NULL, never a
+          // divide-by-zero throw under ANSI mode
+          expr(s"""CASE WHEN key_bytes = 0 THEN NULL ELSE
+                  |  CAST((CAST(day_bytes AS DECIMAL(38,0)) * key_n * 1000)
+                  |    div (CAST(day_n AS DECIMAL(38,0)) * key_bytes) AS BIGINT) END""".stripMargin)
             .as("drift_milli"))
         .orderBy($"day", $"key")
     },
@@ -561,8 +565,9 @@ object MultimodalQueries {
         |    CAST(SUM(day_bytes) AS BIGINT) AS key_bytes
         |  FROM per GROUP BY 1)
         |SELECT CAST(per.day AS BIGINT) AS day, per.key AS key, per.day_n, per.day_bytes,
-        |  CAST((CAST(per.day_bytes AS HUGEINT) * tot.key_n * 1000)
-        |    // (CAST(per.day_n AS HUGEINT) * tot.key_bytes) AS BIGINT) AS drift_milli
+        |  CASE WHEN tot.key_bytes = 0 THEN NULL ELSE
+        |    CAST((CAST(per.day_bytes AS HUGEINT) * tot.key_n * 1000)
+        |      // (CAST(per.day_n AS HUGEINT) * tot.key_bytes) AS BIGINT) END AS drift_milli
         |FROM per JOIN tot ON tot.key = per.key
         |ORDER BY day, key""".stripMargin,
 

@@ -21,6 +21,31 @@ class BenchDiffSpec extends AnyFunSuite {
       s"committed artifact is not a round-close sf0.1 run: '$sf'")
   }
 
+  test("assembleDetail carries all four fixed sections at every checkpoint shape") {
+    val fixed = Seq("D", "L", "A", "F")
+    for (scale <- Seq(Seq.empty[String], Seq("S10"), Seq("S10", "S100"))) {
+      val got = Bench.assembleDetail("D", "L", "A", scale, "F")
+      assert(fixed.forall(got.contains),
+        s"a checkpoint write dropped a fixed section: $got")
+      assert(got.last === "F" && got.head === "D")
+      assert(scale.forall(got.contains))
+    }
+  }
+
+  test("committed BENCH_DETAIL.json keeps the listing-probe section beside the scale probes") {
+    val f = new java.io.File("BENCH_DETAIL.json")
+    assume(f.exists(), "no committed bench detail artifact (fresh clone)")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    var hasScale, hasListing = false
+    root.elements().forEachRemaining { n =>
+      if (n.path("detail").asText("") == "scale-probe") hasScale = true
+      if (n.path("detail").asText("") == "listing-probe") hasListing = true
+    }
+    assert(!hasScale || hasListing,
+      "a full (scale-probed) bench artifact is missing its listing-probe section — " +
+        "the round-12 silently-dropped-section bug")
+  }
+
   test("regression rule: both thresholds required, missing prior skipped") {
     val prev = Map("a" -> 1.0, "b" -> 0.1, "c" -> 10.0)
     val got = Bench.regressionsVs(prev, Seq(

@@ -108,6 +108,24 @@ class SurveySyncSpec extends AnyFunSuite {
     * planted-fixture law spec proves (PlantedFixtureSpec), so a new
     * operator cannot ship with empty-output "evidence" silently.
     */
+  /** the guard body, factored over an explicit artifact so the spec can
+    * prove a deliberately-vacuous entry FAILS (not just that today's
+    * artifacts happen to be clean)
+    */
+  private def vacuousEntries(artifact: java.io.File,
+      exempt: Set[String]): Seq[String] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(artifact)
+    val vacuous = Seq.newBuilder[String]
+    root.fieldNames().forEachRemaining { key =>
+      val e = root.get(key)
+      val hashChecked = e.get("hash_match") != null && e.get("hash_match").asBoolean(false)
+      val zeroRows = e.get("spark_rows") != null && !e.get("spark_rows").isNull &&
+        e.get("spark_rows").asLong(-1) == 0
+      if (hashChecked && zeroRows && !exempt(key)) vacuous += key
+    }
+    vacuous.result()
+  }
+
   test("zero-row hash-checked CORRECTNESS passes carry a planted-fixture exemption") {
     val zeroRowExempt = Set(
       // every generated customer has an order, so NOT EXISTS is empty at
@@ -122,22 +140,32 @@ class SurveySyncSpec extends AnyFunSuite {
       // means no cross-split leak anywhere; Round12Laws3Spec plants
       // dup groups straddling train/val/test and pins the leak counts
       "samp_split_leak")
+    // LIVE guard: the builder-side CORRECTNESS_LOCAL.json (tools/check.py,
+    // regenerated every round-close) is preferred over the last-committed
+    // driver artifact — against driver files only, a new vacuous operator
+    // surfaced one full round late, after the driver wrote the NEXT
+    // CORRECTNESS_r*.json. Both are checked when both exist.
     val arts = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.matches("CORRECTNESS_r\\d+\\.json"))
-    if (arts.nonEmpty) {
-      val latest = arts.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
-      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(latest)
-      val vacuous = Seq.newBuilder[String]
-      root.fieldNames().forEachRemaining { key =>
-        val e = root.get(key)
-        val hashChecked = e.get("hash_match") != null && e.get("hash_match").asBoolean(false)
-        val zeroRows = e.get("spark_rows") != null && !e.get("spark_rows").isNull &&
-          e.get("spark_rows").asLong(-1) == 0
-        if (hashChecked && zeroRows && !zeroRowExempt(key)) vacuous += key
-      }
-      assert(vacuous.result().isEmpty,
+      .filter(_.getName.matches("CORRECTNESS_r\\d+\\.json")).toSeq
+      .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt).lastOption
+    val local = Some(new java.io.File("CORRECTNESS_LOCAL.json")).filter(_.exists())
+    for (artifact <- local.toSeq ++ arts.toSeq) {
+      val vacuous = vacuousEntries(artifact, zeroRowExempt)
+      assert(vacuous.isEmpty,
         s"zero-row oracle passes without a planted-fixture exemption: " +
-          s"${vacuous.result().sorted.mkString(", ")} (${latest.getName})")
+          s"${vacuous.sorted.mkString(", ")} (${artifact.getName})")
     }
+  }
+
+  test("zero-row guard actually fails on a deliberately-vacuous entry") {
+    val f = java.io.File.createTempFile("correctness-vacuous", ".json")
+    f.deleteOnExit()
+    val out = new java.io.PrintWriter(f)
+    try out.println(
+      """{"scratch_vacuous":{"rows_match":true,"schema_match":true,"hash_match":true,"spark_rows":0},
+        | "healthy":{"rows_match":true,"schema_match":true,"hash_match":true,"spark_rows":7}}""".stripMargin)
+    finally out.close()
+    assert(vacuousEntries(f, Set.empty) === Seq("scratch_vacuous"))
+    assert(vacuousEntries(f, Set("scratch_vacuous")).isEmpty)
   }
 }

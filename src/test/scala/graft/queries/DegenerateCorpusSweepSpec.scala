@@ -102,7 +102,12 @@ class DegenerateCorpusSweepSpec extends SparkSpec {
       (7L, ts("2024-01-14 12:00:00"), 20L, "view", 1.0, """{"k": 7}"""),
       (8L, ts("2024-01-06 12:00:00"), 10L, "error", 0.0, """{"k": 8}"""),
       (9L, ts("2024-01-06 12:00:00"), 20L, "error", 0.0, """{"k": 9}"""),
-      (10L, ts("2024-01-06 12:00:00"), 30L, "error", 0.0, """{"k": 10}"""))
+      (10L, ts("2024-01-06 12:00:00"), 30L, "error", 0.0, """{"k": 10}"""),
+      // an EMPTY props payload: the topic carries a zero-length byte
+      // payload (non-null — the contract holds) so every payload-length
+      // consumer (mm_size_drift's byte means, mm_magic_mix's prefix)
+      // meets a 0-byte row
+      (11L, ts("2024-01-13 13:00:00"), 20L, "view", 1.0, ""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       // a NULL value (the one nullable metric column; ts/type/props stay
       // non-null — the topic payload contract is non-null bytes, exactly

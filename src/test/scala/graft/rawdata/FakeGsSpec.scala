@@ -98,6 +98,38 @@ class FakeGsSpec extends SparkSpec with BeforeAndAfterAll {
       "the DSv2 planner never listed through the scheme")
   }
 
+  test("listing consumers are page-count-insensitive (reference pages at 1000 objects)") {
+    val dir = bucketDir("fakegs-paged")
+    // 60 s message spacing with a 120 s window → ~24 topic files
+    Topic.write(msgs(0 until 48), dir, TopicConfig(maxWindowMs = 120000L))
+    val hc = spark.sparkContext.hadoopConfiguration
+    def listAt(pageSize: Int): (Seq[TopicFile], Long) = {
+      hc.setInt("fs.fakegs.list.page.size", pageSize)
+      HadoopIO.invalidateConfCache()
+      val p0 = FakeGsFileSystem.nListPages.get()
+      (Topic.listFiles(dir), FakeGsFileSystem.nListPages.get() - p0)
+    }
+    try {
+      val (single, pages1) = listAt(1000000)
+      assert(single.size >= 20, s"fixture built only ${single.size} files")
+      assert(pages1 === 1L, s"a fits-in-one-page listing paid $pages1 LIST RPCs")
+      val (paged, pagesN) = listAt(3)
+      assert(paged === single, "pagination changed the topic file sequence")
+      assert(pagesN >= ((single.size + 2) / 3).toLong,
+        s"a ${single.size}-file listing at page size 3 paid only $pagesN page RPCs")
+      // seek pruning over the paged listing picks the same suffix
+      val mid = single(single.size / 2).fromTsMs
+      assert(Topic.pruneFrom(paged, mid) === Topic.pruneFrom(single, mid))
+      // the DSv2 planner under 3-object pages still plans every row
+      val got = spark.read.format("graft-topic").load(dir)
+        .select($"position").as[String].collect().sorted
+      assert(got.toSeq === (0 until 48).map(i => s"pos-$i").sorted)
+    } finally {
+      hc.unset("fs.fakegs.list.page.size")
+      HadoopIO.invalidateConfCache()
+    }
+  }
+
   test("a missing/wrong credential fails loudly, not as an empty result") {
     val dir = bucketDir("fakegs-denied")
     Topic.write(msgs(0 until 5), dir, TopicConfig(maxWindowMs = 600000L))
