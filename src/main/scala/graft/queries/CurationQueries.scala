@@ -910,6 +910,11 @@ object CurationQueries {
       val tri = gramTriangle(s, d).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val dims = tri.collect { case (i, j, _) if i == j => i }.sorted
+      // EMPTY corpus: no gram matrix, no dimensions — a well-formed
+      // empty answer instead of empty.max on the first power round
+      if (dims.isEmpty)
+        Seq.empty[(Long, Long, Long, Long)].toDF("i", "v1", "v2", "v3")
+      else {
       val g = tri
         .flatMap { case (i, j, x) =>
           if (i == j) Seq((i, j, x)) else Seq((i, j, x), (j, i, x)) }
@@ -929,6 +934,7 @@ object CurationQueries {
       dims.map(i => (i, rounds(0)(i), rounds(1)(i), rounds(2)(i))).toSeq
         .toDF("i", "v1", "v2", "v3")
         .orderBy($"i")
+      }
     }
   )
 

@@ -296,15 +296,19 @@ object DedupQueries {
   private[graft] def datacardMixture(mc: DataFrame): DataFrame = {
     import mc.sparkSession.implicits._
     val w = Window.partitionBy($"source").orderBy($"c".desc, $"lang")
+    // both legs derive from the same mc relation — alias-qualify the
+    // self-join (a bare Seq("source") join fails attribute dedup when mc
+    // is a table snapshot, e.g. the streaming monitor's memory sink)
     val g = mc.groupBy($"source")
-      .agg(sum($"c").as("n_docs"), sum($"tok").as("n_tokens"))
+      .agg(sum($"c").as("n_docs"), sum($"tok").as("n_tokens")).alias("g")
     mc.withColumn("n_langs", count(lit(1)).over(Window.partitionBy($"source")))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
-      .select($"source", $"n_langs", $"lang".as("top_lang"), $"c".as("top_c"))
-      .join(g, Seq("source"))
-      .select($"source", $"n_docs", $"n_tokens", $"n_langs", $"top_lang",
-        expr("(top_c * 1000000) div n_docs").as("top_lang_ppm"))
+      .select($"source".as("src"), $"n_langs", $"lang".as("top_lang"), $"c".as("top_c"))
+      .alias("rk")
+      .join(g, col("rk.src") === col("g.source"))
+      .select(col("g.source").as("source"), $"n_docs", $"n_tokens", $"n_langs",
+        $"top_lang", expr("(top_c * 1000000) div n_docs").as("top_lang_ppm"))
   }
 
   /** the duplicate-pair graph dd_cluster / dd_canonical resolve: exact

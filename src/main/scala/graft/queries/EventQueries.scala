@@ -614,8 +614,11 @@ object EventQueries {
         .select($"from_type", $"to_type", $"p_ppm")
         .localCheckpoint(true) // |types|²-bounded; feeds all 8 rounds
       val nStates = m.select($"from_type").distinct().count()
+      // EMPTY corpus (or no user with two events): no transition matrix,
+      // no states — the uniform prior over zero states is the empty
+      // relation, not a divide-by-zero
       var x = m.select($"from_type".as("t")).distinct()
-        .withColumn("x_ppm", lit(1000000L / nStates))
+        .withColumn("x_ppm", lit(if (nStates == 0) 0L else 1000000L / nStates))
       for (_ <- 1 to 8)
         x = m.join(x, m("from_type") === x("t"))
           .groupBy($"to_type")

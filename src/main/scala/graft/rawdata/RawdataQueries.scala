@@ -32,11 +32,23 @@ object RawdataQueries {
     * same filename pruning at any fixture scale instead of erroring on
     * a corpus without an event 500; the oracles replay LEAST(500, MAX).
     */
-  private def anchorId(s: SparkSession, d: String): Long = {
-    val maxId = graft.Tables.events(s, d)
-      .agg(max(col("event_id"))).collect().head.getLong(0)
-    math.min(500L, maxId)
+  private def anchorId(s: SparkSession, d: String): Option[Long] = {
+    // None on an EMPTY topic (max over zero rows is NULL) — the
+    // cursor/lookup queries answer with a well-formed empty relation,
+    // the "consumer subscribed before the first publish" cold start
+    val row = graft.Tables.events(s, d)
+      .agg(max(col("event_id"))).collect().head
+    if (row.isNullAt(0)) None else Some(math.min(500L, row.getLong(0)))
   }
+
+  /** the cursor queries' empty cold-start shape: same columns as an
+    * afterCursor read, zero rows
+    */
+  private def emptyCursorRead(s: SparkSession, dir: String) =
+    Topic.seek(s, dir, 0L)
+      .select(col("ulid_hex"), col("ts_ms"), col("position"),
+        col("sequenceNumber").as("seq"))
+      .limit(0)
 
   private def callerApprox(s: SparkSession, d: String, eventId: Long): (Long, Long) = {
     val ts = graft.Tables.events(s, d)
@@ -65,26 +77,32 @@ object RawdataQueries {
 
     "rd_cursor_after" -> { (s, d) =>
       val dir = topic(s, d)
-      val anchor = anchorId(s, d)
-      val (approx, tol) = callerApprox(s, d, anchor)
-      val cursor = Topic.positionToUlidHex(s, dir, s"evt-$anchor", approx, tol)
-        .getOrElse(sys.error(s"position evt-$anchor not found"))
-      Topic.afterCursor(s, dir, cursor, inclusive = false)
-        .select(col("ulid_hex"), col("ts_ms"), col("position"), col("sequenceNumber").as("seq"))
-        .orderBy(col("ulid_hex"))
-        .limit(50)
+      anchorId(s, d) match {
+        case None => emptyCursorRead(s, dir)
+        case Some(anchor) =>
+          val (approx, tol) = callerApprox(s, d, anchor)
+          val cursor = Topic.positionToUlidHex(s, dir, s"evt-$anchor", approx, tol)
+            .getOrElse(sys.error(s"position evt-$anchor not found"))
+          Topic.afterCursor(s, dir, cursor, inclusive = false)
+            .select(col("ulid_hex"), col("ts_ms"), col("position"), col("sequenceNumber").as("seq"))
+            .orderBy(col("ulid_hex"))
+            .limit(50)
+      }
     },
 
     "rd_position_lookup" -> { (s, d) =>
       val dir = topic(s, d)
-      val anchor = anchorId(s, d)
-      val (approx, tol) = callerApprox(s, d, anchor)
-      val cursor = Topic.positionToUlidHex(s, dir, s"evt-$anchor", approx, tol)
-        .getOrElse(sys.error(s"position evt-$anchor not found"))
-      Topic.afterCursor(s, dir, cursor, inclusive = true)
-        .orderBy(col("ulid_hex"))
-        .limit(1)
-        .select(col("ulid_hex"), col("ts_ms"), col("position"), col("sequenceNumber").as("seq"))
+      anchorId(s, d) match {
+        case None => emptyCursorRead(s, dir)
+        case Some(anchor) =>
+          val (approx, tol) = callerApprox(s, d, anchor)
+          val cursor = Topic.positionToUlidHex(s, dir, s"evt-$anchor", approx, tol)
+            .getOrElse(sys.error(s"position evt-$anchor not found"))
+          Topic.afterCursor(s, dir, cursor, inclusive = true)
+            .orderBy(col("ulid_hex"))
+            .limit(1)
+            .select(col("ulid_hex"), col("ts_ms"), col("position"), col("sequenceNumber").as("seq"))
+      }
     },
 
     "rd_last_message" -> { (s, d) =>
