@@ -71,6 +71,20 @@ object Bench {
       allLine: String, scaleLines: Seq[String], finalLine: String): Seq[String] =
     Seq(detailLine, listingLine, allLine) ++ scaleLines ++ Seq(finalLine)
 
+  /** map the listing probe's flagged stages onto regression-gate rows —
+    * (listing:<stage>, 10k-file time, 100k-file time); a crashed probe
+    * ("probe_error") carries the -1 sentinels. Factored so BenchDiffSpec
+    * can pin that a flagged listing decade actually reaches the gate.
+    */
+  private[graft] def listingRegressionsOf(flagged: Seq[String],
+      l10: (Double, Double, Double), l100: (Double, Double, Double)): Seq[(String, Double, Double)] =
+    flagged.map {
+      case "list"  => ("listing:list", l10._1, l100._1)
+      case "prune" => ("listing:prune", l10._2, l100._2)
+      case "plan"  => ("listing:plan", l10._3, l100._3)
+      case other   => (s"listing:$other", -1.0, -1.0)
+    }
+
   /** regression rule: BOTH >1.5x the prior min AND >0.4 s absolute —
     * multiplicative alone flags sub-second noise, absolute alone
     * forgives a 10 s query doubling
@@ -399,13 +413,8 @@ object Bench {
     // round-close gate reads — previously listingFlagged fed no gate, so
     // a listing regression would have shipped silently. prev/cur here are
     // the 10k/100k-file stage times (the decade pair that flagged).
-    val listingRegressions: Seq[(String, Double, Double)] = listingFlagged.map {
-      case "list"  => ("listing:list", listing10._1, listing100._1)
-      case "prune" => ("listing:prune", listing10._2, listing100._2)
-      case "plan"  => ("listing:plan", listing10._3, listing100._3)
-      case other   => (s"listing:$other", -1.0, -1.0)
-    }
-    val regressions = queryRegressions ++ listingRegressions
+    val regressions = queryRegressions ++
+      listingRegressionsOf(listingFlagged, listing10, listing100)
     // The driver keeps only the last ~2000 chars of stdout, and a line
     // with all ~90 queries at 2-dp is ~2050 chars by itself — it gets
     // clipped mid-line and the driver's JSON parse fails (BENCH_r01–r04

@@ -188,7 +188,7 @@ object CorpusLshIndex {
     embedPairsStaged(s, d, (_, _) => ())
 
   /** [[embedPairs]] with per-stage timing: `onStage` receives
-    * (sig | band | cand | verify, seconds) — the scale probe's sub-stage
+    * (sig | band | verify, seconds) — the scale probe's sub-stage
     * observability for the heaviest amp=100 build (so the NEXT decade's
     * super-linear sub-stage is visible before it flips the total).
     * Relations are identical to embedLshPairsRaw's from-scratch chain
@@ -226,27 +226,25 @@ object CorpusLshIndex {
           .bucketBy(buckets(s), "tbl", "bits")
           .saveAsTable(tableName("eband", tag(d)))
       }
-      // cand: hamming-1 multi-probe × exact bands — the candidate mass
-      // whose curvature the amp probes exist to rule out
-      val cand = timed("cand") {
-        val c = DedupQueries.embedProbes(e, bits).withColumnRenamed("vec_id", "va")
+      // verify: hamming-1 multi-probe × exact bands → distinct candidate
+      // pairs → exact integer cosine, streamed straight into the bucketed
+      // write. The candidate relation is NOT materialized separately —
+      // caching it at amp=100 held the whole ×100 pair mass in memory
+      // under the verify join (the one consumer) and OOM'd the probe.
+      timed("verify") {
+        val cand = DedupQueries.embedProbes(e, bits).withColumnRenamed("vec_id", "va")
           .join(DedupQueries.embedExactBands(e).withColumnRenamed("vec_id", "vb"),
             Seq("tbl", "bits"))
           .filter(col("va") < col("vb"))
           .select(col("va"), col("vb"))
           .distinct()
-          .persist()
-        c.count(): Unit
-        c
-      }
-      timed("verify") {
         DedupQueries.embedVerify(cand, e, e)
           .write.mode(SaveMode.Overwrite)
           .option("path", new java.io.File(dir, "epair").getAbsolutePath)
           .bucketBy(buckets(s), "vec_a")
           .saveAsTable(tbl)
       }
-      Seq(e, cand).foreach(_.unpersist(): Unit)
+      e.unpersist(): Unit
     }
     s.table(tbl)
   }

@@ -46,6 +46,16 @@ class BenchDiffSpec extends AnyFunSuite {
         "the round-12 silently-dropped-section bug")
   }
 
+  test("a flagged listing decade reaches the regression gate; a crashed probe carries sentinels") {
+    val l10 = (0.1, 0.2, 0.3)
+    val l100 = (9.9, 0.4, 0.5)
+    assert(Bench.listingRegressionsOf(Seq.empty, l10, l100) === Seq.empty)
+    assert(Bench.listingRegressionsOf(Seq("list"), l10, l100) ===
+      Seq(("listing:list", 0.1, 9.9)))
+    assert(Bench.listingRegressionsOf(Seq("probe_error"), l10, l100) ===
+      Seq(("listing:probe_error", -1.0, -1.0)))
+  }
+
   test("regression rule: both thresholds required, missing prior skipped") {
     val prev = Map("a" -> 1.0, "b" -> 0.1, "c" -> 10.0)
     val got = Bench.regressionsVs(prev, Seq(

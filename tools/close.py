@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Round-close driver: make the closing evidence chain mechanical.
+
+Usage: python3 tools/close.py <round_number> [--skip-suite] [--skip-bench]
+
+Sequence (each step loud, nothing swallowed):
+  1. purge target/test-reports so every report XML provably postdates
+     the last source commit (no deleted-spec leftovers),
+  2. full ScalaTest suite (must be green),
+  3. full bench at sf0.1/local[32] (writes BENCH_DETAIL.json itself,
+     including the listing-probe and scale-probe sections),
+  4. assemble BENCH_r{N}.json in the driver's artifact shape:
+     {"n", "rc", "cpus", "sf", "tail": last 2000 chars of the bench's
+      JSON stdout, "parsed": the final {"metric":"total"...} line}.
+
+Committing stays manual — the closing commit must carry
+BENCH_r{N}.json + BENCH_DETAIL.json + CORRECTNESS_LOCAL.json together
+and be the round's LAST commit.
+"""
+import json
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+ROUND = int(sys.argv[1])
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run(cmd, **kw):
+    print(f"[close] $ {' '.join(cmd)}", flush=True)
+    return subprocess.run(cmd, cwd=REPO, **kw)
+
+
+if "--skip-suite" not in sys.argv:
+    reports = REPO / "target" / "test-reports"
+    if reports.exists():
+        shutil.rmtree(reports)
+        print(f"[close] purged {reports}")
+    r = run(["sbt", "-batch", "test"])
+    if r.returncode != 0:
+        sys.exit(f"[close] suite FAILED (rc={r.returncode}) — fix before closing")
+
+if "--skip-bench" not in sys.argv:
+    import os
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+               SPARK_GRAFT_CPUS="32")
+    r = run(["sbt", "-batch", "runMain graft.Bench"],
+            env=env, capture_output=True, text=True)
+    out = r.stdout
+    Path("/tmp/graft_close_bench.log").write_text(out)
+    if r.returncode != 0:
+        print(out[-4000:])
+        sys.exit(f"[close] bench FAILED (rc={r.returncode})")
+    # the bench's own stdout JSON lines (sbt may prefix program output
+    # with "[info] " depending on version/settings — strip it)
+    cleaned = [ln.strip().removeprefix("[info]").strip() for ln in out.splitlines()]
+    lines = [ln for ln in cleaned
+             if ln.startswith("{") and ('"detail"' in ln or '"metric"' in ln)]
+    if not lines:
+        sys.exit("[close] bench stdout carried no JSON lines — see /tmp/graft_close_bench.log")
+    final = next((ln for ln in reversed(lines) if '"metric":"total"' in ln), None)
+    if final is None:
+        sys.exit("[close] no final total line in bench stdout")
+    parsed = json.loads(final)
+    if parsed.get("regressions"):
+        print(f"[close] WARNING: regressions gate is NON-EMPTY: {parsed['regressions']}")
+    tail = "\n".join(lines)[-2000:]
+    art = {"n": ROUND, "rc": 0, "cpus": 32, "sf": 0.1, "tail": tail, "parsed": parsed}
+    out_path = REPO / f"BENCH_r{ROUND:02d}.json"
+    out_path.write_text(json.dumps(art) + "\n")
+    print(f"[close] wrote {out_path}")
+    print(f"[close] total={parsed['value']}s over {parsed['n_queries']} queries; "
+          f"regressions={parsed.get('regressions', [])}")
+
+print("[close] done — review, then commit BENCH artifacts as the round's LAST commit")
