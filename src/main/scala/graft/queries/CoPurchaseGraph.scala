@@ -146,8 +146,21 @@ object CoPurchaseGraph {
     val li = newLineitems
       .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
       .localCheckpoint(true)
-    // high-watermark guard (two 1-row scalar reads, bounded by construction)
-    val wm = s.table(tableName("wm", tg)).as[Long].head()
+    // an empty batch is a no-op, not a NULL-unboxing error on its min
+    if (li.isEmpty) { li.unpersist(): Unit }
+    else appendNonEmpty(s, tg, dir, li, save)
+  }
+
+  private def appendNonEmpty(s: SparkSession, tg: String, dir: java.io.File,
+      li: DataFrame, save: (DataFrame, String, Seq[String]) => Unit): Unit = {
+    import s.implicits._
+    // high-watermark guard (two 1-row scalar reads, bounded by
+    // construction). An index built over an EMPTY corpus has a NULL
+    // watermark (max over zero orders) — the first real crawl batch is
+    // then new by definition (the new-tenant-then-first-crawl shape),
+    // so NULL reads as the minimum key, never an unboxing throw.
+    val wmRow = s.table(tableName("wm", tg)).select($"max_o").head()
+    val wm = if (wmRow.isNullAt(0)) Long.MinValue else wmRow.getLong(0)
     val batchMin = li.agg(min($"o")).as[Long].head()
     require(batchMin > wm,
       s"co-purchase append: batch order keys must be complete and new — " +

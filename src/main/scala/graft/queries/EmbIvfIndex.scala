@@ -103,6 +103,16 @@ object EmbIvfIndex {
     // rebuild while consumers keep trusting append == rebuild. Both
     // checks are one counting aggregate over the (small) batch; the
     // duplicate check semi-joins the batch against the posting lists.
+    // An index built over an EMPTY corpus has ZERO centroids; assigning a
+    // batch against an empty codebook would emit no posting rows — the
+    // batch silently vanishes while consumers keep trusting append ==
+    // rebuild. Fail loudly with the repair path instead (the frozen-
+    // codebook contract genuinely needs base vectors to freeze against).
+    require(!s.table(tableName("cent", tg)).isEmpty,
+      "EmbIvfIndex.append: the index was built over an EMPTY corpus " +
+        "(zero centroids) — a frozen-codebook append has no cells to " +
+        "assign to and would silently drop the batch; dropFor + ensure " +
+        "once base vectors exist")
     val step = AnnQueries.centroidStep(s, d)
     val seeds = newVecs
       .filter(col("vec_id") % step === 0).limit(1).count()
