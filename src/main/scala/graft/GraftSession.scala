@@ -17,6 +17,16 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // NOTE on shuffle parallelism at scale: AQE can only coalesce DOWN
+    // from the initial shuffle partition count, never split a too-coarse
+    // exchange — on a cluster set
+    // spark.sql.adaptive.coalescePartitions.initialPartitionNum to
+    // ~2-4x total cores (the knob that grows with the fleet). It is NOT
+    // set here: round 13 measured a blanket 1024 taxing every
+    // small-corpus iterative query (q42_reach 2.3->11.3 s — 8 rounds of
+    // 1024-task overhead), and the one super-linear probe sub-stage
+    // (embed verify) turned out volume-bound, not partition-bound (see
+    // ScaleProbe.run's finding note).
     // driver testdata stores event timestamps as parquet TIMESTAMP(NANOS),
     // which Spark only reads as raw long (SPARK-40819); Tables.events
     // converts back to TimestampType.

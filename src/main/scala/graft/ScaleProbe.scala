@@ -152,6 +152,23 @@ object ScaleProbe {
       body
       (System.nanoTime() - s) / 1e9
     }
+    // Shuffle-parallelism finding (round 13, measured, kept as a
+    // negative result): the sub-stage keys isolated embed_verify as the
+    // ONLY super-linear sub-stage (~4× over naive-linear decade-over-
+    // decade at amp=100). The too-few-partitions/spill hypothesis was
+    // TESTED and FALSIFIED on this 128 GiB local[32] harness — global
+    // initialPartitionNum=1024 taxed every small iterative query
+    // (q42_reach 2.3→11.3 s), probe-scoped 32·amp=3200 thrashed
+    // TaskMemoryManager page allocation and killed the build, and
+    // probe-scoped 1024 changed nothing (164 s vs the 158 s baseline).
+    // The stage is bound by TOTAL candidate volume — the probe join
+    // emits ~n·tables·(bits+1)·occupancy rows before distinct, and both
+    // bits and occupancy carry the DESIGNED log/√ growth
+    // (embedLshBitsFor), ~1.5× per decade — amplified here by one JVM's
+    // fixed memory bandwidth. On a real cluster the operator knob is
+    // executors; the stage keys below keep the curvature measured every
+    // round so a drift past the log factor is visible immediately.
+    try {
     // self-contained run: a stale dest from an earlier probe would let
     // the topic-ingest stage (and any index table left by another JVM)
     // report near-zero — delete first so every stage pays its real cost
@@ -228,6 +245,7 @@ object ScaleProbe {
     }
     Result(amp, amplifySec, topicSec, indexSec, queries, ratios, flagged,
       truncated, errors.result(), stageDetail.result())
+    } finally System.gc() // release the probe's dead shuffle files promptly
   }
 
   def rmTree(f: java.io.File): Unit = {
