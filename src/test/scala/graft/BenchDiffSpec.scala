@@ -46,6 +46,21 @@ class BenchDiffSpec extends AnyFunSuite {
         "the round-12 silently-dropped-section bug")
   }
 
+  test("committed scale-probe sections carry the heavyweight builds' sub-stage keys") {
+    val f = new java.io.File("BENCH_DETAIL.json")
+    assume(f.exists(), "no committed bench detail artifact (fresh clone)")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    root.elements().forEachRemaining { n =>
+      if (n.path("detail").asText("") == "scale-probe" && !n.has("error")) {
+        val st = n.path("stages")
+        for (k <- Seq("graph_edge", "embed_verify"))
+          assert(st.has(k),
+            s"amp=${n.path("amp").asInt()} probe lost its '$k' sub-stage key — " +
+              "the next decade's super-linear sub-stage would be invisible again")
+      }
+    }
+  }
+
   test("a flagged listing decade reaches the regression gate; a crashed probe carries sentinels") {
     val l10 = (0.1, 0.2, 0.3)
     val l100 = (9.9, 0.4, 0.5)

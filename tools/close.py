@@ -1,9 +1,11 @@
 #!/usr/bin/env python3
 """Round-close driver: make the closing evidence chain mechanical.
 
-Usage: python3 tools/close.py <round_number> [--skip-suite] [--skip-bench]
+Usage: python3 tools/close.py <round_number> [--skip-check] [--skip-suite] [--skip-bench]
 
 Sequence (each step loud, nothing swallowed):
+  0. tools/check.py at sf0.01 (the DuckDB oracle harness; regenerates
+     CORRECTNESS_LOCAL.json for the live zero-row guard),
   1. purge target/test-reports so every report XML provably postdates
      the last source commit (no deleted-spec leftovers),
   2. full ScalaTest suite (must be green),
@@ -31,6 +33,11 @@ def run(cmd, **kw):
     print(f"[close] $ {' '.join(cmd)}", flush=True)
     return subprocess.run(cmd, cwd=REPO, **kw)
 
+
+if "--skip-check" not in sys.argv:
+    r = run([sys.executable, "tools/check.py"])
+    if r.returncode != 0:
+        sys.exit(f"[close] check.py FAILED (rc={r.returncode}) — fix before closing")
 
 if "--skip-suite" not in sys.argv:
     reports = REPO / "target" / "test-reports"
