@@ -168,7 +168,13 @@ object Bench {
     // the BPE merge artifact trains once per corpus (txt_bpe/
     // txt_bpe_encode/txt_bpe_vocab all read it) — setup, like the indexes
     val bpeSec = timedStage(graft.queries.CurationQueries.merges(spark, sfDir).count(): Unit)
-    val indexSec = lshSec + tokenSec + graphSec
+    // the composite keeps its 3-index composition for round-over-round
+    // comparability, but a crashed stage (-1.0 sentinel) must poison the
+    // sum — adding sentinels arithmetically would fabricate a healthy-
+    // looking fast composite out of a crash
+    val indexSec =
+      if (Seq(lshSec, tokenSec, graphSec).exists(_ < 0)) -1.0
+      else lshSec + tokenSec + graphSec
     // LSH index maintenance stage: each append adds one file per bucket,
     // so candidate generation over a thrice-appended index reads 4 files
     // per bucket; compact must restore fresh-build read cost. Measured on

@@ -216,6 +216,7 @@ object CorpusLshIndex {
         e0.count(): Unit
         e0
       }
+      try {
       // the exact per-table band relation is materialized beside the
       // pairs: appendEmbeddings joins a new batch's probes against it,
       // so extending the index never re-bands the existing corpus
@@ -244,7 +245,10 @@ object CorpusLshIndex {
           .bucketBy(buckets(s), "vec_a")
           .saveAsTable(tbl)
       }
-      e.unpersist(): Unit
+      // finally: a failed band/verify stage (the case ScaleProbe's
+      // fault isolation continues past) must not leave the full banded
+      // corpus pinned in the cache manager for the rest of the JVM
+      } finally e.unpersist(): Unit
     }
     s.table(tbl)
   }

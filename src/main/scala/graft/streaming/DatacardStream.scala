@@ -20,8 +20,13 @@ import graft.queries.DedupQueries
   * |sources|·|langs| key space — counts only, never documents, never
   * fingerprints (the unbounded-distinct n_unique axis stays batch-side
   * by design; the dedup gates own arrival-time duplicate verdicts).
-  * Run with outputMode update/complete; no watermark needed because the
-  * key space, not time, bounds the state.
+  * No watermark needed because the key space, not time, bounds the
+  * state. Output-mode contract: [[composeCard]] assumes ONE ROW PER
+  * (source, lang) KEY — use outputMode("complete") (each trigger
+  * replaces the snapshot, e.g. the memory sink) or an upsert sink keyed
+  * on (source, lang); a plain append-style sink in update mode
+  * accumulates every stale row version and the composed card would
+  * double-count them.
   */
 object DatacardStream {
 

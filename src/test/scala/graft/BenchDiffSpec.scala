@@ -51,7 +51,12 @@ class BenchDiffSpec extends AnyFunSuite {
     assume(f.exists(), "no committed bench detail artifact (fresh clone)")
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
     root.elements().forEachRemaining { n =>
-      if (n.path("detail").asText("") == "scale-probe" && !n.has("error")) {
+      // a truncated or stage-errored probe legitimately lacks the keys
+      // (the probe design permits both and still reports what it took) —
+      // only a CLEAN probe that dropped them is a regression
+      val clean = n.path("detail").asText("") == "scale-probe" && !n.has("error") &&
+        !n.path("truncated").asBoolean(false) && n.path("stage_errors").size() == 0
+      if (clean) {
         val st = n.path("stages")
         for (k <- Seq("graph_edge", "embed_verify"))
           assert(st.has(k),

@@ -25,7 +25,13 @@ import subprocess
 import sys
 from pathlib import Path
 
-ROUND = int(sys.argv[1])
+KNOWN_FLAGS = {"--skip-check", "--skip-suite", "--skip-bench", "--allow-regressions"}
+USAGE = "usage: python3 tools/close.py <round_number> " + " ".join(f"[{f}]" for f in sorted(KNOWN_FLAGS))
+args = sys.argv[1:]
+bad = [a for a in args[1:] if a not in KNOWN_FLAGS]
+if not args or not args[0].isdigit() or bad:
+    sys.exit(f"{USAGE}\n" + (f"unknown flags: {bad}" if bad else ""))
+ROUND = int(args[0])
 REPO = Path(__file__).resolve().parent.parent
 
 
@@ -71,8 +77,6 @@ if "--skip-bench" not in sys.argv:
     if final is None:
         sys.exit("[close] no final total line in bench stdout")
     parsed = json.loads(final)
-    if parsed.get("regressions"):
-        print(f"[close] WARNING: regressions gate is NON-EMPTY: {parsed['regressions']}")
     tail = "\n".join(lines)[-2000:]
     art = {"n": ROUND, "rc": 0, "cpus": 32, "sf": 0.1, "tail": tail, "parsed": parsed}
     out_path = REPO / f"BENCH_r{ROUND:02d}.json"
@@ -80,5 +84,12 @@ if "--skip-bench" not in sys.argv:
     print(f"[close] wrote {out_path}")
     print(f"[close] total={parsed['value']}s over {parsed['n_queries']} queries; "
           f"regressions={parsed.get('regressions', [])}")
+    # the regression gate FAILS the close (after persisting the evidence)
+    # so a scripted/unattended run can never ship a regressed round; a
+    # human who has diagnosed the flags as noise reruns or passes
+    # --allow-regressions explicitly
+    if parsed.get("regressions") and "--allow-regressions" not in sys.argv:
+        sys.exit(f"[close] regression gate NON-EMPTY: {parsed['regressions']} — "
+                 "rerun the bench (noise) or fix; --allow-regressions overrides")
 
 print("[close] done — review, then commit BENCH artifacts as the round's LAST commit")
