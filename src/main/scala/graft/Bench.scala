@@ -97,6 +97,35 @@ object Bench {
       }
     }
 
+  /** map a scale probe's flagged build stages onto regression-gate rows —
+    * (scale<amp>:<stage>, prior-decade min sec, this-decade min sec), the
+    * same raw-pair shape as the listing rows. Factored so BenchDiffSpec
+    * can pin that a flagged stage actually reaches the gate — the exact
+    * hole the round-13 verdict called: `stages` fed no gate, so a real
+    * stage regression would have shipped silently.
+    */
+  private[graft] def stageRegressionsOf(amp: Int, flagged: Seq[String],
+      base: Map[String, Double], cur: Map[String, Double]): Seq[(String, Double, Double)] =
+    flagged.map(n => (s"scale$amp:$n", base.getOrElse(n, -1.0), cur.getOrElse(n, -1.0)))
+
+  private[graft] def fmt(v: Double): String = {
+    val s = f"$v%.2f"
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+  }
+  private[graft] def jsonObj(kvs: Seq[(String, Double)]): String =
+    kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+
+  /** serialize gate rows. A crashed probe's sentinel (-1) rows carry an
+    * explicit error marker instead of prev/cur numbers a consumer could
+    * arithmetically confuse with real timings (round-13 ADVICE): the
+    * close gate (non-empty `regressions`) fires either way.
+    */
+  private[graft] def regressionJson(rows: Seq[(String, Double, Double)]): String =
+    rows.map {
+      case (n, p, c) if p < 0 || c < 0 => s"""{"q":"$n","error":"probe_error"}"""
+      case (n, p, c) => s"""{"q":"$n","prev":${fmt(p)},"cur":${fmt(c)}}"""
+    }.mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -156,12 +185,18 @@ object Bench {
       try { body; (System.nanoTime() - s) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
+    // sub-stage collector for the sf0.1 builds: these times are the
+    // amp=10 probe's stage BASELINE (decade chain: sf0.1 stages → amp=10
+    // stage flags; amp=10 min stages → amp=100 stage flags)
+    val benchStages = Seq.newBuilder[(String, Double)]
     val lshSec = timedStage {
       graft.queries.CorpusLshIndex.ensure(spark, sfDir)
-      graft.queries.CorpusLshIndex.embedPairs(spark, sfDir).count(): Unit
+      graft.queries.CorpusLshIndex.embedPairsStaged(spark, sfDir,
+        (n, t) => benchStages += s"embed_$n" -> t).count(): Unit
     }
     val tokenSec = timedStage(graft.queries.CorpusTokenIndex.ensure(spark, sfDir))
-    val graphSec = timedStage(graft.queries.CoPurchaseGraph.ensure(spark, sfDir))
+    val graphSec = timedStage(graft.queries.CoPurchaseGraph.ensure(spark, sfDir,
+      (n, t) => benchStages += s"graph_$n" -> t))
     // reported separately; index_build_sec keeps its 3-index composition
     // so the field stays comparable across rounds
     val ivfSec = timedStage(graft.queries.EmbIvfIndex.ensure(spark, sfDir))
@@ -419,7 +454,10 @@ object Bench {
     // round-close gate reads — previously listingFlagged fed no gate, so
     // a listing regression would have shipped silently. prev/cur here are
     // the 10k/100k-file stage times (the decade pair that flagged).
-    val regressions = queryRegressions ++
+    // Scale-probe STAGE flags append after each probe completes (the
+    // final line is re-rendered per checkpoint), closing the round-13
+    // hole: `stages` fed no gate.
+    val baseRegressions = queryRegressions ++
       listingRegressionsOf(listingFlagged, listing10, listing100)
     // The driver keeps only the last ~2000 chars of stdout, and a line
     // with all ~90 queries at 2-dp is ~2050 chars by itself — it gets
@@ -429,34 +467,31 @@ object Bench {
     // every operator family. Full per-query and per-pass detail goes on
     // earlier lines AND into BENCH_DETAIL.json next to this repo's other
     // artifacts, where nothing can truncate it.
-    def fmt(v: Double): String = {
-      val s = f"$v%.2f"
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
-    }
-    def json(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    def json(kvs: Seq[(String, Double)]): String = jsonObj(kvs)
     spark.catalog.clearCache() // no pinned blocks outlive the run
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val byName = results.toMap
     val headline = headlineNames.flatMap(n => byName.get(n).map(n -> _))
-    val regJson = regressions.map { case (n, p, c) =>
-      s"""{"q":"$n","prev":${fmt(p)},"cur":${fmt(c)}}"""
-    }.mkString("[", ",", "]")
-    val detailLine = s"""{"detail":"per-pass","setup_sec":${fmt(setupSec)},"lsh_index_build_sec":${fmt(lshSec)},"token_index_build_sec":${fmt(tokenSec)},"graph_index_build_sec":${fmt(graphSec)},"ivf_index_build_sec":${fmt(ivfSec)},"bpe_artifact_sec":${fmt(bpeSec)},"index_build_sec":${fmt(indexSec)},"lsh_compact_sec":${fmt(compactSec)},"cand_gen_fresh_sec":${fmt(candFresh)},"cand_gen_appended_sec":${fmt(candAppended)},"cand_gen_compacted_sec":${fmt(candCompacted)},"ivf_probe_fresh_sec":${fmt(ivfProbeFresh)},"ivf_probe_appended_sec":${fmt(ivfProbeAppended)},"ivf_compact_sec":${fmt(ivfCompactSec)},"ivf_probe_compacted_sec":${fmt(ivfProbeCompacted)},"graph_compact_sec":${fmt(graphCompactSec)},"graph_probe_appended_sec":${fmt(graphProbeAppended)},"graph_probe_compacted_sec":${fmt(graphProbeCompacted)},"queries_run1":${json(ordered.map { case (n, _) => n -> pass1(n) })},"queries_run2":${json(ordered.map { case (n, _) => n -> pass2(n) })},"queries_rerun":${json(rerun.toSeq.sortBy(_._1))}}"""
+    val benchStagesMap = benchStages.result().toMap
+    val detailLine = s"""{"detail":"per-pass","setup_sec":${fmt(setupSec)},"lsh_index_build_sec":${fmt(lshSec)},"token_index_build_sec":${fmt(tokenSec)},"graph_index_build_sec":${fmt(graphSec)},"ivf_index_build_sec":${fmt(ivfSec)},"bpe_artifact_sec":${fmt(bpeSec)},"index_build_sec":${fmt(indexSec)},"stages":${json(benchStagesMap.toSeq.sortBy(_._1))},"lsh_compact_sec":${fmt(compactSec)},"cand_gen_fresh_sec":${fmt(candFresh)},"cand_gen_appended_sec":${fmt(candAppended)},"cand_gen_compacted_sec":${fmt(candCompacted)},"ivf_probe_fresh_sec":${fmt(ivfProbeFresh)},"ivf_probe_appended_sec":${fmt(ivfProbeAppended)},"ivf_compact_sec":${fmt(ivfCompactSec)},"ivf_probe_compacted_sec":${fmt(ivfProbeCompacted)},"graph_compact_sec":${fmt(graphCompactSec)},"graph_probe_appended_sec":${fmt(graphProbeAppended)},"graph_probe_compacted_sec":${fmt(graphProbeCompacted)},"queries_run1":${json(ordered.map { case (n, _) => n -> pass1(n) })},"queries_run2":${json(ordered.map { case (n, _) => n -> pass2(n) })},"queries_rerun":${json(rerun.toSeq.sortBy(_._1))}}"""
     val listingLine = s"""{"detail":"listing-probe","files":[10000,100000],"list_sec":[${fmt(listing10._1)},${fmt(listing100._1)}],"prune_sec":[${fmt(listing10._2)},${fmt(listing100._2)}],"plan_sec":[${fmt(listing10._3)},${fmt(listing100._3)}],"flagged":[${listingFlagged.map("\"" + _ + "\"").mkString(",")}]}"""
     val allLine = s"""{"detail":"all-queries","n":${results.size},"queries":${json(results)}}"""
-    val finalLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"regressions":$regJson,"ingest_msgs":$nMsgs,"ingest_write_msgs_per_sec":${fmt(writeRate)},"ingest_read_msgs_per_sec":${fmt(readRate)},"lsh_index_build_sec":${fmt(lshSec)},"index_build_sec":${fmt(indexSec)},"queries":${json(headline)},"sf":"$sfDir"}"""
+    // the final line is a FUNCTION of the regression rows: scale-probe
+    // stage flags land after the probes run, so every artifact
+    // checkpoint re-renders it with the rows known so far
+    def finalLineOf(regs: Seq[(String, Double, Double)]): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"regressions":${regressionJson(regs)},"ingest_msgs":$nMsgs,"ingest_write_msgs_per_sec":${fmt(writeRate)},"ingest_read_msgs_per_sec":${fmt(readRate)},"lsh_index_build_sec":${fmt(lshSec)},"index_build_sec":${fmt(indexSec)},"queries":${json(headline)},"sf":"$sfDir"}"""
     // pre-probe artifact first: a killed/timed-out probe must never cost
     // the round its bench detail. Every write goes through ONE assembly
     // (assembleDetail) holding the fixed sections — round 12 lost the
     // listing-probe section because two later call sites rebuilt the
     // line list by hand and dropped it.
-    def writeDetail(scaleLines: Seq[String]): Unit = {
+    def writeDetail(scaleLines: Seq[String], regs: Seq[(String, Double, Double)]): Unit = {
       val out = new java.io.PrintWriter("BENCH_DETAIL.json")
-      try out.println(assembleDetail(detailLine, listingLine, allLine, scaleLines, finalLine)
+      try out.println(assembleDetail(detailLine, listingLine, allLine, scaleLines, finalLineOf(regs))
         .mkString("[", ",\n", "]")) finally out.close()
     }
-    writeDetail(Seq.empty)
+    writeDetail(Seq.empty, baseRegressions)
     // Amplified-scale probes: measure scaling curvature one decade up
     // (amp=10, ~sf1) and — chained off its results — a SECOND decade
     // (amp=100, ~sf10, ~1.7 GB parquet): index builds and headline
@@ -472,7 +507,7 @@ object Bench {
     def scaleJson(r: ScaleProbe.Result): String = {
       val idx = r.indexSec.map { case (n, v) => "\"" + n + "_index_build_sec\":" + fmt(v) }
       val errs = r.errors.map { case (n, e) => "\"" + n + ":" + e + "\"" }
-      s"""{"detail":"scale-probe","amp":${r.amp},"amplify_sec":${fmt(r.amplifySec)},"topic_ingest_sec":${fmt(r.topicIngestSec)},${(idx :+ s""""queries":${json(r.queries)}""").mkString(",")},"stages":${json(r.stages)},"linear_ratio":${json(r.ratios)},"flagged":[${r.flagged.map("\"" + _ + "\"").mkString(",")}],"stage_errors":[${errs.mkString(",")}],"truncated":${r.truncated}}"""
+      s"""{"detail":"scale-probe","amp":${r.amp},"amplify_sec":${fmt(r.amplifySec)},"topic_ingest_sec":${fmt(r.topicIngestSec)},${(idx :+ s""""queries":${json(r.queries)}""").mkString(",")},"stages":${json(r.stages)},"stage_ratio":${json(r.stageRatios)},"stage_flagged":[${r.stageFlagged.map("\"" + _ + "\"").mkString(",")}],"linear_ratio":${json(r.ratios)},"flagged":[${r.flagged.map("\"" + _ + "\"").mkString(",")}],"stage_errors":[${errs.mkString(",")}],"truncated":${r.truncated}}"""
     }
     def ampDir(amp: Int) = sys.env.getOrElse(s"SPARK_GRAFT_AMP_DIR_$amp",
       new java.io.File(sys.props("java.io.tmpdir"), s"graft_amp$amp").getAbsolutePath)
@@ -481,39 +516,48 @@ object Bench {
       if (amp <= 1 || only.isDefined || !sfDir.contains("sf0.1")) None
       else try {
         Some(ScaleProbe.run(spark, sfDir, ampDir(amp), amp, headlineNames, byName,
-          linFactor = amp.toDouble, passes = 2, flagRatio = 1.5, budgetSec = 420.0))
+          linFactor = amp.toDouble, passes = 2, flagRatio = 1.5, budgetSec = 480.0,
+          stagePasses = 2, stageBaseline = benchStagesMap))
       } catch { case _: Throwable => None }
     val scaleLine10 = probe10.map(scaleJson).orElse {
       if (amp <= 1 || only.isDefined || !sfDir.contains("sf0.1")) None
       else Some(s"""{"detail":"scale-probe","amp":$amp,"error":"probe failed"}""")
     }
+    val regs10 = baseRegressions ++ probe10.toSeq.flatMap(r =>
+      stageRegressionsOf(amp, r.stageFlagged, benchStagesMap, r.stages.toMap))
     // artifact checkpoint: a killed/timed-out amp=100 stage must never
     // cost the round its amp=10 probe
-    writeDetail(scaleLine10.toSeq)
+    writeDetail(scaleLine10.toSeq, regs10)
     val amp2 = sys.env.getOrElse("SPARK_GRAFT_AMP2", "100").toInt
-    val scaleLine100 = probe10.filter(r => amp2 > amp && !r.truncated).flatMap { r10 =>
+    val probe100 = probe10.filter(r => amp2 > amp && !r.truncated).flatMap { r10 =>
       try {
         val dest = ampDir(amp2)
         val r = ScaleProbe.run(spark, sfDir, dest, amp2, headlineNames,
           r10.queries.toMap, linFactor = amp2.toDouble / amp, passes = 2,
-          flagRatio = 1.3, budgetSec = 1800.0)
+          flagRatio = 1.3, budgetSec = 2100.0,
+          stagePasses = 2, stageBaseline = r10.stages.toMap)
         // the second-decade corpus (+topic+indexes, several GB) is probe
         // scratch — reclaim it; the amp=10 dir stays for dev iteration
         ScaleProbe.rmTree(new java.io.File(dest))
-        Some(scaleJson(r))
+        Some(Right(r): Either[String, ScaleProbe.Result])
       } catch {
         case e: Throwable =>
           try ScaleProbe.rmTree(new java.io.File(ampDir(amp2))) catch { case _: Throwable => () }
-          Some(s"""{"detail":"scale-probe","amp":$amp2,"error":"${e.getClass.getSimpleName}"}""")
+          Some(Left(s"""{"detail":"scale-probe","amp":$amp2,"error":"${e.getClass.getSimpleName}"}"""))
       }
     }
-    writeDetail(scaleLine10.toSeq ++ scaleLine100.toSeq)
+    val scaleLine100 = probe100.map(_.fold(identity, scaleJson))
+    val regressions = regs10 ++ probe10.zip(probe100.flatMap(_.toOption)).toSeq.flatMap {
+      case (r10, r100) =>
+        stageRegressionsOf(amp2, r100.stageFlagged, r10.stages.toMap, r100.stages.toMap)
+    }
+    writeDetail(scaleLine10.toSeq ++ scaleLine100.toSeq, regressions)
     println(detailLine)
     println(listingLine)
     println(allLine)
     scaleLine10.foreach(println)
     scaleLine100.foreach(println)
-    println(finalLine)
+    println(finalLineOf(regressions))
     spark.stop()
   }
 }

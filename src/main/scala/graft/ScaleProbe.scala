@@ -113,8 +113,56 @@ object ScaleProbe {
       errors: Seq[(String, String)] = Nil,
       // sub-stage timings of the two heavyweight builds (graph_edge …,
       // embed_sig/band/cand/verify) — which SUB-stage is going
-      // super-linear is visible a decade before it flips the total
-      stages: Seq[(String, Double)] = Nil)
+      // super-linear is visible a decade before it flips the total.
+      // Min over `stagePasses` rebuild passes (round 13's two committed
+      // single-pass closing runs disagreed 1.8× on graph_edge — noise
+      // and drift were indistinguishable until the stages were
+      // de-noised like the queries already were).
+      stages: Seq[(String, Double)] = Nil,
+      // per-stage decade ratios t / (linFactor · stageBaseline) and the
+      // stages that broke their linear budget — these feed the SAME
+      // regressions gate the queries and the listing probe feed, so a
+      // real stage regression fails the round close instead of shipping
+      // as a quietly different number in the artifact
+      stageRatios: Seq[(String, Double)] = Nil,
+      stageFlagged: Seq[String] = Nil)
+
+  /** Per-stage decade allowance — the budget on t / (linFactor · base).
+    *
+    * embed_verify is volume-bound BY DESIGN: its banded candidate mass
+    * carries embedLshBitsFor's log growth (~1.5×/decade occupancy ×
+    * bits), measured 3.0–3.7× over naive-linear across round 13's runs
+    * and falsified three ways as a partition/spill problem (SURVEY §4).
+    * 4.5 = the measured band + host headroom — still far below the ~10×
+    * a genuinely quadratic stage shows one decade up. Every other stage
+    * must stay ~linear (≤1.5×, the same band as the query flags): a
+    * stage that exceeds it while costing > flagMinSec is a real
+    * curvature regression, not noise — min-of-N already removed the
+    * transient-stall explanation.
+    */
+  private[graft] def stageAllowance(stage: String): Double =
+    if (stage == "embed_verify") 4.5 else 1.5
+
+  /** (ratios, flagged) for a set of min-of-N stage timings against the
+    * prior decade's mins: ratio = t / (linFactor · base); a stage flags
+    * when it breaks its [[stageAllowance]] budget AND costs more than
+    * `flagMinSec` at the probed decade (sub-2 s stages are clock noise).
+    * Factored out of [[run]] so BenchDiffSpec can prove a deliberately
+    * slowed stage reaches the close gate without paying a probe.
+    */
+  private[graft] def stageFlagsOf(stages: Seq[(String, Double)],
+      stageBaseline: Map[String, Double], linFactor: Double,
+      flagMinSec: Double): (Seq[(String, Double)], Seq[String]) = {
+    val stagesMap = stages.toMap
+    val ratios = stages.flatMap { case (name, sec) =>
+      stageBaseline.get(name).filter(_ > 0.05).map(base =>
+        name -> sec / (linFactor * base))
+    }
+    val flagged = ratios.collect {
+      case (name, r) if r > stageAllowance(name) && stagesMap(name) > flagMinSec => name
+    }
+    (ratios, flagged)
+  }
 
   /** Run the probe: amplify into `dest`, rebuild the topic + the corpus
     * indexes against the amplified corpus (timed per index), then `passes`
@@ -132,6 +180,13 @@ object ScaleProbe {
     * linFactor 10 (decade-over-decade, so base noise doesn't compound).
     * `flagRatio`: flag threshold on that ratio (for queries above
     * `flagMinSec`, so fixed per-query overhead can't flag).
+    *
+    * `stagePasses`/`stageBaseline`: the two heavyweight builds' sub-stage
+    * timings get the same de-noising as the queries — `stagePasses` > 1
+    * drops and rebuilds exactly those two indexes after the first full
+    * build, reporting each sub-stage's MIN; `stageBaseline` (the prior
+    * decade's min stage times) rates each stage against its
+    * [[stageAllowance]] budget into `stageFlagged`.
     */
   def run(
       spark: SparkSession,
@@ -144,7 +199,9 @@ object ScaleProbe {
       passes: Int = 2,
       flagRatio: Double = 1.5,
       flagMinSec: Double = 2.0,
-      budgetSec: Double = 900.0): Result = {
+      budgetSec: Double = 900.0,
+      stagePasses: Int = 1,
+      stageBaseline: Map[String, Double] = Map.empty): Result = {
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     def timed(body: => Unit): Double = {
@@ -215,6 +272,30 @@ object ScaleProbe {
       if (elapsed > budgetSec) { truncated = true; None }
       else stageSafe(name, gcAfter = true)(body()).map(name -> _)
     }
+    // De-noised stage passes: drop + rebuild ONLY the two heavyweight
+    // builds (embed pairs, co-purchase graph — ~85 % of amp=100 probe
+    // wall-time), collecting a second sample per sub-stage; each stage
+    // reports its MIN. A crashed rebuild records a stage error and
+    // self-heals — the dropped tables rebuild lazily on first read.
+    // The drop runs OUTSIDE the sub-stage timers (collector timings are
+    // pure build work on both passes).
+    val stageDetail2 = Seq.newBuilder[(String, Double)]
+    if (stagePasses > 1) {
+      if (elapsed > budgetSec) truncated = true
+      else {
+        stageSafe("embed#2", gcAfter = true) {
+          graft.queries.CorpusLshIndex.dropEmbedPairs(spark, dest)
+          graft.queries.CorpusLshIndex.embedPairsStaged(spark, dest,
+            (n, t) => stageDetail2 += s"embed_$n" -> t).count(): Unit
+        }: Unit
+        if (elapsed > budgetSec) truncated = true
+        else stageSafe("graph#2", gcAfter = true) {
+          graft.queries.CoPurchaseGraph.dropFor(spark, dest)
+          graft.queries.CoPurchaseGraph.ensure(spark, dest,
+            (n, t) => stageDetail2 += s"graph_$n" -> t)
+        }: Unit
+      }
+    }
     // full passes over the list (not back-to-back reruns), Bench's rule:
     // a transient stall lands on at most one sample of any query
     val passTimes: Seq[Map[String, Double]] = (1 to math.max(1, passes)).map { p =>
@@ -243,8 +324,18 @@ object ScaleProbe {
     val flagged = ratios.collect {
       case (name, r) if r > flagRatio && queries.toMap.apply(name) > flagMinSec => name
     }
+    // per-stage min over the rebuild passes, then the same flag shape as
+    // the queries: ratio over its per-stage budget AND above the
+    // fixed-overhead floor (sub-2 s stages can't flag — graph_wm-class
+    // timings are clock noise at any decade)
+    val pass2 = stageDetail2.result().toMap
+    val stages = stageDetail.result().map { case (k, t) =>
+      k -> math.min(t, pass2.getOrElse(k, Double.MaxValue))
+    }
+    val (stageRatios, stageFlagged) =
+      stageFlagsOf(stages, stageBaseline, linFactor, flagMinSec)
     Result(amp, amplifySec, topicSec, indexSec, queries, ratios, flagged,
-      truncated, errors.result(), stageDetail.result())
+      truncated, errors.result(), stages, stageRatios, stageFlagged)
     } finally System.gc() // release the probe's dead shuffle files promptly
   }
 

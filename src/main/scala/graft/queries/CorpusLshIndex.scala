@@ -362,6 +362,22 @@ object CorpusLshIndex {
       new java.io.File(sys.props("java.io.tmpdir"), "graft-lsh-index"), tg))
   }
 
+  /** Drop ONLY the embedding-side tables (epair + eband) so the staged
+    * embed build can re-run for min-of-N stage timing (ScaleProbe's
+    * de-noised passes) without rebuilding the text-side tables. Data
+    * files stay in place — both staged writes are Overwrite, and epair
+    * (the commit marker) is dropped first so a crash between the two
+    * drops still leaves the pair uncommitted, never a fresh epair
+    * beside a stale eband.
+    */
+  private[graft] def dropEmbedPairs(s: SparkSession, d: String): Unit = synchronized {
+    val tg = tag(d)
+    Seq("epair", "eband").foreach { part =>
+      val tbl = tableName(part, tg)
+      if (s.catalog.tableExists(tbl)) s.sql(s"DROP TABLE $tbl"): Unit
+    }
+  }
+
   /** per-doc DISTINCT word-3-shingle arrays (doc_id, ss) */
   def shingles(s: SparkSession, d: String): DataFrame = read(s, d, "sh")
 

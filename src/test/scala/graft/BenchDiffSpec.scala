@@ -76,6 +76,54 @@ class BenchDiffSpec extends AnyFunSuite {
       Seq(("listing:probe_error", -1.0, -1.0)))
   }
 
+  test("a deliberately slowed build stage reaches the regression gate end-to-end") {
+    // link 1 — the flag rule: embed_verify carries its volume-bound 4.5x
+    // allowance; every sibling flags past 1.5x; sub-flagMinSec stages and
+    // stages without a baseline never flag
+    val base = Map("graph_edge" -> 6.0, "embed_verify" -> 3.0, "graph_wm" -> 0.2)
+    val (ratios, flagged) = ScaleProbe.stageFlagsOf(
+      Seq(
+        "graph_edge" -> 126.0, // 2.1x over naive-linear (the r13 drift shape) → flags
+        "embed_verify" -> 111.0, // 3.7x — inside its designed volume-bound budget
+        "graph_wm" -> 3.1, // 1.55x but the baseline decade is noise-floor... still >2s: flags
+        "graph_new" -> 50.0), // no prior-decade baseline → skipped
+      base, linFactor = 10.0, flagMinSec = 2.0)
+    assert(ratios.toMap.get("graph_edge").exists(r => math.abs(r - 2.1) < 0.01))
+    assert(flagged === Seq("graph_edge", "graph_wm"))
+    // link 2 — flagged stages map onto gate rows carrying the decade pair
+    val rows = Bench.stageRegressionsOf(100, flagged,
+      base, Map("graph_edge" -> 126.0, "graph_wm" -> 3.1))
+    assert(rows === Seq(("scale100:graph_edge", 6.0, 126.0), ("scale100:graph_wm", 0.2, 3.1)))
+    // link 3 — the rows serialize into the `regressions` field close.py's
+    // non-empty gate reads; a missing timing becomes an explicit error
+    // marker, never a ratio-able number (round-13 ADVICE)
+    assert(Bench.regressionJson(rows.take(1)) ===
+      """[{"q":"scale100:graph_edge","prev":6,"cur":126}]""")
+    assert(Bench.regressionJson(Seq(("scale100:gone", -1.0, 3.0))) ===
+      """[{"q":"scale100:gone","error":"probe_error"}]""")
+  }
+
+  test("new-format scale-probe sections carry the stage gate keys") {
+    val f = new java.io.File("BENCH_DETAIL.json")
+    assume(f.exists(), "no committed bench detail artifact (fresh clone)")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    // only enforce on artifacts written by the stage-gated bench (their
+    // per-pass section carries the sf0.1 "stages" baseline) — the gate
+    // must not fail the suite against the last round's committed artifact
+    var newFormat = false
+    root.elements().forEachRemaining { n =>
+      if (n.path("detail").asText("") == "per-pass" && n.has("stages")) newFormat = true
+    }
+    if (newFormat) root.elements().forEachRemaining { n =>
+      if (n.path("detail").asText("") == "scale-probe" && !n.has("error")) {
+        for (k <- Seq("stage_ratio", "stage_flagged"))
+          assert(n.has(k),
+            s"amp=${n.path("amp").asInt()} probe lost its '$k' key — " +
+              "stage regressions would stop reaching the close gate")
+      }
+    }
+  }
+
   test("regression rule: both thresholds required, missing prior skipped") {
     val prev = Map("a" -> 1.0, "b" -> 0.1, "c" -> 10.0)
     val got = Bench.regressionsVs(prev, Seq(
