@@ -73,16 +73,16 @@ object Bench {
 
   /** map the listing probe's flagged stages onto regression-gate rows —
     * (listing:<stage>, 10k-file time, 100k-file time); a crashed probe
-    * ("probe_error") carries the -1 sentinels. Factored so BenchDiffSpec
-    * can pin that a flagged listing decade actually reaches the gate.
+    * ("probe_error") or an unknown stage carries the -1 sentinels, which
+    * regressionJson renders as explicit error markers. Factored so
+    * BenchDiffSpec can pin that a flagged listing decade actually
+    * reaches the gate.
     */
   private[graft] def listingRegressionsOf(flagged: Seq[String],
-      l10: (Double, Double, Double), l100: (Double, Double, Double)): Seq[(String, Double, Double)] =
-    flagged.map {
-      case "list"  => ("listing:list", l10._1, l100._1)
-      case "prune" => ("listing:prune", l10._2, l100._2)
-      case "plan"  => ("listing:plan", l10._3, l100._3)
-      case other   => (s"listing:$other", -1.0, -1.0)
+      pairs: Map[String, (Double, Double)]): Seq[(String, Double, Double)] =
+    flagged.map { nm =>
+      val (p, c) = pairs.getOrElse(nm, (-1.0, -1.0))
+      (s"listing:$nm", p, c)
     }
 
   /** regression rule: BOTH >1.5x the prior min AND >0.4 s absolute —
@@ -138,14 +138,26 @@ object Bench {
       // spark.local.dir and the amp=100 probe then dies on a full disk.
       // Cut the periodic-GC interval (default 30min) so the cleaner
       // reclaims them while the bench runs.
-      .config("spark.cleaner.periodicGC.interval", "2min"))
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      // the listing probe's paged+latent variant drives Topic.listFiles
+      // through the fake bucket scheme: reference-shaped 1000-object
+      // pages, 10 ms per LIST RPC (a realistic GCS page round-trip) —
+      // 100k files = 100 paged RPCs ≈ 1 s of injected driver stall,
+      // which the probe bounds and the listing cache must amortize
+      .config("spark.hadoop.fs.fakegs.impl",
+        classOf[graft.rawdata.FakeGsFileSystem].getName)
+      .config("spark.hadoop.fs.fakegs.impl.disable.cache", "true")
+      .config("spark.hadoop.fs.fakegs.auth.token",
+        graft.rawdata.FakeGsFileSystem.ExpectedToken)
+      .config("spark.hadoop.fs.fakegs.list.page.size", "1000")
+      .config("spark.hadoop.fs.fakegs.list.page.latency.ms", "10"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_INGEST_ONLY=1: measure just the topic write/read rates
     // (the profiling loop for producer-path changes — full bench noise
     // makes an isolated ingest number impossible to read otherwise)
     if (sys.env.get("SPARK_GRAFT_INGEST_ONLY").contains("1")) {
-      val msgs = graft.rawdata.EventsAsTopic.messagesFromEvents(spark, sfDir)
+      val msgs = graft.rawdata.EventsAsTopic.messagesAmplified(spark, sfDir, 3)
       var n = 0L
       val (w, r) = (1 to 3).map { _ =>
         val dir = graft.rawdata.Topic.tempDir("bench-ingest")
@@ -322,7 +334,7 @@ object Bench {
     // then times listFiles, pruneFrom and the rd_compact_plan-shaped
     // planning query at N = 10k and 100k. Super-linear decade growth
     // (>15x a 10x file count, above clock-noise floor) is flagged.
-    def listingProbe(n: Int): (Double, Double, Double) = {
+    def listingProbe(n: Int): (Double, Double, Double, Double, Double, Boolean) = {
       val dir = graft.rawdata.Topic.tempDir(s"bench-listing-$n")
       try {
         val base = 1700000000000L
@@ -340,6 +352,25 @@ object Bench {
         val pruned = graft.rawdata.Topic.pruneFrom(files, base + (n.toLong / 2) * 60000L)
         val pruneSec = (System.nanoTime() - t1) / 1e9
         require(files.length == n && pruned.nonEmpty, "listing probe fixture broken")
+        // paged + latent variant: the SAME files listed the way a real
+        // bucket serves them — through the fakegs scheme's 1000-object
+        // pages, each page RPC paying the injected 10 ms stall — then a
+        // REPEAT consumer inside the min-interval window, which the
+        // listing cache (Topic.listFilesCached) must serve with ZERO
+        // further LIST RPCs (the reference TopicAvroFileCache contract)
+        val gsDir = "fakegs://bench" + dir
+        graft.rawdata.Topic.invalidateListing(gsDir)
+        val t3 = System.nanoTime()
+        val paged = graft.rawdata.Topic.listFilesCached(gsDir, ttlMs = 300000L)
+        val pagedSec = (System.nanoTime() - t3) / 1e9
+        val rpcsBefore = graft.rawdata.FakeGsFileSystem.nLists.get()
+        val t4 = System.nanoTime()
+        val repeat = graft.rawdata.Topic.listFilesCached(gsDir, ttlMs = 300000L)
+        val cachedSec = (System.nanoTime() - t4) / 1e9
+        val cachedPaidRpc = graft.rawdata.FakeGsFileSystem.nLists.get() != rpcsBefore
+        require(paged.length == n && repeat.length == n,
+          "paged listing probe fixture broken")
+        graft.rawdata.Topic.invalidateListing(gsDir)
         val t2 = System.nanoTime()
         val fdf = graft.rawdata.Topic.fileListingDF(spark, dir)
           .select(col("fromTsMs").as("from_ts_ms"), col("count").as("n_messages"))
@@ -357,30 +388,44 @@ object Bench {
             org.apache.spark.sql.functions.lit(1)).as("n_files"))
           .count()
         val planSec = (System.nanoTime() - t2) / 1e9
-        (listSec, pruneSec, planSec)
+        (listSec, pruneSec, planSec, pagedSec, cachedSec, cachedPaidRpc)
       } finally ScaleProbe.rmTree(new java.io.File(dir))
     }
-    var listing10: (Double, Double, Double) = (-1.0, -1.0, -1.0)
-    var listing100: (Double, Double, Double) = (-1.0, -1.0, -1.0)
+    val lFail = (-1.0, -1.0, -1.0, -1.0, -1.0, true)
+    var listing10 = lFail
+    var listing100 = lFail
     var listingFlagged: Seq[String] = Seq("probe_error")
+    var listingPairs = Map.empty[String, (Double, Double)]
     try {
       listing10 = listingProbe(10000)
       listing100 = listingProbe(100000)
       val floor = 0.05 // clock/JIT noise floor per stage
-      listingFlagged = Seq(
-        ("list", listing10._1, listing100._1),
-        ("prune", listing10._2, listing100._2),
-        ("plan", listing10._3, listing100._3)).collect {
-        case (nm, t10, t100) if t100 > 15 * math.max(t10, floor) => nm
-      }
+      listingPairs = Map(
+        "list" -> (listing10._1, listing100._1),
+        "prune" -> (listing10._2, listing100._2),
+        "plan" -> (listing10._3, listing100._3),
+        "paged_list" -> (listing10._4, listing100._4),
+        "cache" -> (listing10._5, listing100._5))
+      // decade rule on the timed stages (paged_list absorbs ~1 s of
+      // injected page latency at 100k — still well inside 15x), plus the
+      // cache contract: a repeat consumer inside the interval must pay
+      // ZERO LIST RPCs and ~zero time at either decade
+      listingFlagged = Seq("list", "prune", "plan", "paged_list").collect {
+        case nm if listingPairs(nm)._2 > 15 * math.max(listingPairs(nm)._1, floor) => nm
+      } ++ (if (listing10._6 || listing100._6 ||
+          listing100._5 > math.max(0.05, 0.1 * listing100._4)) Seq("cache") else Nil)
     } catch { case _: Throwable => () }
     // ingest throughput — the number directly comparable to the reference
     // producer/consumer (messages through the full Avro topic path).
-    // Measured twice (fresh dir each time), best run reported: a single
-    // run swung 2x between rounds on GC/JIT noise alone.
-    val msgs = graft.rawdata.EventsAsTopic.messagesFromEvents(spark, sfDir)
+    // 3× the message volume (key-offset copies) and best-of-THREE fresh
+    // passes: at 100k messages / best-of-2 the read pass was ~0.14 s and
+    // the reported rate swung 17 % round-over-round on JIT/page-cache
+    // noise alone — the artifact's noisiest headline number (r13
+    // verdict). More volume shrinks the fixed-overhead share; the third
+    // sample gives every pass a chance at a quiet slot.
+    val msgs = graft.rawdata.EventsAsTopic.messagesAmplified(spark, sfDir, 3)
     var nMsgs = 0L
-    val (writeSec, readSec) = (1 to 2).map { _ =>
+    val (writeSec, readSec) = (1 to 3).map { _ =>
       val freshDir = graft.rawdata.Topic.tempDir("bench-ingest")
       val i0 = System.nanoTime()
       graft.rawdata.Topic.write(msgs, freshDir, graft.rawdata.EventsAsTopic.cfg)
@@ -458,7 +503,7 @@ object Bench {
     // final line is re-rendered per checkpoint), closing the round-13
     // hole: `stages` fed no gate.
     val baseRegressions = queryRegressions ++
-      listingRegressionsOf(listingFlagged, listing10, listing100)
+      listingRegressionsOf(listingFlagged, listingPairs)
     // The driver keeps only the last ~2000 chars of stdout, and a line
     // with all ~90 queries at 2-dp is ~2050 chars by itself — it gets
     // clipped mid-line and the driver's JSON parse fails (BENCH_r01–r04
@@ -474,7 +519,7 @@ object Bench {
     val headline = headlineNames.flatMap(n => byName.get(n).map(n -> _))
     val benchStagesMap = benchStages.result().toMap
     val detailLine = s"""{"detail":"per-pass","setup_sec":${fmt(setupSec)},"lsh_index_build_sec":${fmt(lshSec)},"token_index_build_sec":${fmt(tokenSec)},"graph_index_build_sec":${fmt(graphSec)},"ivf_index_build_sec":${fmt(ivfSec)},"bpe_artifact_sec":${fmt(bpeSec)},"index_build_sec":${fmt(indexSec)},"stages":${json(benchStagesMap.toSeq.sortBy(_._1))},"lsh_compact_sec":${fmt(compactSec)},"cand_gen_fresh_sec":${fmt(candFresh)},"cand_gen_appended_sec":${fmt(candAppended)},"cand_gen_compacted_sec":${fmt(candCompacted)},"ivf_probe_fresh_sec":${fmt(ivfProbeFresh)},"ivf_probe_appended_sec":${fmt(ivfProbeAppended)},"ivf_compact_sec":${fmt(ivfCompactSec)},"ivf_probe_compacted_sec":${fmt(ivfProbeCompacted)},"graph_compact_sec":${fmt(graphCompactSec)},"graph_probe_appended_sec":${fmt(graphProbeAppended)},"graph_probe_compacted_sec":${fmt(graphProbeCompacted)},"queries_run1":${json(ordered.map { case (n, _) => n -> pass1(n) })},"queries_run2":${json(ordered.map { case (n, _) => n -> pass2(n) })},"queries_rerun":${json(rerun.toSeq.sortBy(_._1))}}"""
-    val listingLine = s"""{"detail":"listing-probe","files":[10000,100000],"list_sec":[${fmt(listing10._1)},${fmt(listing100._1)}],"prune_sec":[${fmt(listing10._2)},${fmt(listing100._2)}],"plan_sec":[${fmt(listing10._3)},${fmt(listing100._3)}],"flagged":[${listingFlagged.map("\"" + _ + "\"").mkString(",")}]}"""
+    val listingLine = s"""{"detail":"listing-probe","files":[10000,100000],"list_sec":[${fmt(listing10._1)},${fmt(listing100._1)}],"prune_sec":[${fmt(listing10._2)},${fmt(listing100._2)}],"plan_sec":[${fmt(listing10._3)},${fmt(listing100._3)}],"paged_list_sec":[${fmt(listing10._4)},${fmt(listing100._4)}],"cached_repeat_sec":[${fmt(listing10._5)},${fmt(listing100._5)}],"flagged":[${listingFlagged.map("\"" + _ + "\"").mkString(",")}]}"""
     val allLine = s"""{"detail":"all-queries","n":${results.size},"queries":${json(results)}}"""
     // the final line is a FUNCTION of the regression rows: scale-probe
     // stage flags land after the probes run, so every artifact

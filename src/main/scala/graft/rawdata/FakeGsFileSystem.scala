@@ -6,13 +6,16 @@ import org.apache.hadoop.fs.{FileStatus, FSDataInputStream, FSDataOutputStream, 
 import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.hadoop.util.Progressable
 
-/** Test-only `fakegs://bucket/...` FileSystem — the config-plumb-through
-  * stand-in for the real GCS Hadoop connector (the sanctioned SURVEY §6
-  * story: the engine reaches object stores through whatever
-  * `fs.<scheme>.impl` the session's Hadoop conf registers, exactly as
-  * the reference reaches GCS through its provider wiring,
-  * GCSRawdataClientInitializer.java:31-55). Local files behind a
-  * bucket-authority URI, with the connector-shaped properties enforced:
+/** Test/bench-only `fakegs://bucket/...` FileSystem — the
+  * config-plumb-through stand-in for the real GCS Hadoop connector (the
+  * sanctioned SURVEY §6 story: the engine reaches object stores through
+  * whatever `fs.<scheme>.impl` the session's Hadoop conf registers,
+  * exactly as the reference reaches GCS through its provider wiring,
+  * GCSRawdataClientInitializer.java:31-55). Lives in src/main ONLY so
+  * Bench's listing probe can drive the paginated+latent listing path
+  * from the main classpath — it is a fixture, never a production
+  * backend. Local files behind a bucket-authority URI, with the
+  * connector-shaped properties enforced:
   *
   *  - **URI resolution**: paths carry a bucket authority
   *    (`fakegs://bucket/abs/path`) that is no local path — anything
@@ -67,17 +70,30 @@ class FakeGsFileSystem extends RawLocalFileSystem {
     * counted per simulated LIST RPC — so a spec can prove every topic
     * listing consumer is PAGE-COUNT-INSENSITIVE (identical results at
     * page size 3 and 10⁶) and pays the expected ceil(n/page) RPCs.
+    * `fs.fakegs.list.page.latency.ms` injects a per-page stall (a real
+    * GCS LIST round-trip is ~10-100 ms) so the bench can BOUND the
+    * driver-side listing cost a live bucket pays at 100k files.
+    *
+    * Scope: pages are assembled inside ONE listStatus call, so this
+    * proves RPC-count insensitivity and prices the page round-trips; it
+    * does NOT simulate objects appearing/disappearing BETWEEN page
+    * fetches (GCS listings are weakly consistent across pages) — a
+    * consumer that can't tolerate inter-page mutation would pass here
+    * and still misbehave live.
     */
   override def listStatus(f: Path): Array[FileStatus] = {
     requireAuth("list")
     FakeGsFileSystem.nLists.incrementAndGet()
     val all = super.listStatus(f).sortBy(_.getPath.getName)
+    val conf = Option(getConf)
     val pageSize = math.max(1,
-      Option(getConf).map(_.getInt("fs.fakegs.list.page.size", 1000)).getOrElse(1000))
+      conf.map(_.getInt("fs.fakegs.list.page.size", 1000)).getOrElse(1000))
+    val latencyMs = conf.map(_.getLong("fs.fakegs.list.page.latency.ms", 0L)).getOrElse(0L)
     val out = Array.newBuilder[FileStatus]
     var i = 0
     do { // an empty prefix still costs one LIST RPC
       FakeGsFileSystem.nListPages.incrementAndGet()
+      if (latencyMs > 0) Thread.sleep(latencyMs)
       out ++= all.slice(i, i + pageSize)
       i += pageSize
     } while (i < all.length)

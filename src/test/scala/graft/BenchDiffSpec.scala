@@ -67,13 +67,35 @@ class BenchDiffSpec extends AnyFunSuite {
   }
 
   test("a flagged listing decade reaches the regression gate; a crashed probe carries sentinels") {
-    val l10 = (0.1, 0.2, 0.3)
-    val l100 = (9.9, 0.4, 0.5)
-    assert(Bench.listingRegressionsOf(Seq.empty, l10, l100) === Seq.empty)
-    assert(Bench.listingRegressionsOf(Seq("list"), l10, l100) ===
+    val pairs = Map("list" -> (0.1, 9.9), "paged_list" -> (0.3, 8.8), "cache" -> (0.0, 0.4))
+    assert(Bench.listingRegressionsOf(Seq.empty, pairs) === Seq.empty)
+    assert(Bench.listingRegressionsOf(Seq("list"), pairs) ===
       Seq(("listing:list", 0.1, 9.9)))
-    assert(Bench.listingRegressionsOf(Seq("probe_error"), l10, l100) ===
+    // the paged/latent variant and the cache contract feed the same gate
+    assert(Bench.listingRegressionsOf(Seq("paged_list", "cache"), pairs) ===
+      Seq(("listing:paged_list", 0.3, 8.8), ("listing:cache", 0.0, 0.4)))
+    // a crashed probe (or unknown stage) carries sentinels, which
+    // regressionJson renders as an explicit error marker, never numbers
+    assert(Bench.listingRegressionsOf(Seq("probe_error"), pairs) ===
       Seq(("listing:probe_error", -1.0, -1.0)))
+    assert(Bench.regressionJson(Bench.listingRegressionsOf(Seq("probe_error"), pairs)) ===
+      """[{"q":"listing:probe_error","error":"probe_error"}]""")
+  }
+
+  test("new-format listing-probe sections carry the paged/latent variant keys") {
+    val f = new java.io.File("BENCH_DETAIL.json")
+    assume(f.exists(), "no committed bench detail artifact (fresh clone)")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    var newFormat = false
+    root.elements().forEachRemaining { n =>
+      if (n.path("detail").asText("") == "per-pass" && n.has("stages")) newFormat = true
+    }
+    if (newFormat) root.elements().forEachRemaining { n =>
+      if (n.path("detail").asText("") == "listing-probe")
+        for (k <- Seq("paged_list_sec", "cached_repeat_sec"))
+          assert(n.has(k), s"listing-probe section lost its '$k' key — " +
+            "the paged/latent LIST-cost bound would ship unmeasured")
+    }
   }
 
   test("a deliberately slowed build stage reaches the regression gate end-to-end") {
