@@ -38,8 +38,23 @@ object DatacardStream {
 
   /** compose the data card's mixture columns (source, n_docs, n_tokens,
     * n_langs, top_lang, top_lang_ppm) from a counts snapshot — the
-    * bounded batch tail shared with pipe_datacard
+    * bounded batch tail shared with pipe_datacard.
+    *
+    * The one-row-per-(source, lang) contract is ENFORCED, not just
+    * documented: an append-style sink in update mode retains every
+    * stale row version per key and the composed card would silently
+    * double-count them — fail loudly instead. The check is one
+    * aggregation over the bounded |sources|·|langs| snapshot, so the
+    * eager action costs nothing that matters.
     */
-  def composeCard(countsSnapshot: DataFrame): DataFrame =
+  def composeCard(countsSnapshot: DataFrame): DataFrame = {
+    import countsSnapshot.sparkSession.implicits._
+    val dup = countsSnapshot.groupBy($"source", $"lang")
+      .count().filter($"count" > 1).limit(1).count()
+    require(dup == 0L,
+      "composeCard: duplicate (source, lang) rows in the counts snapshot — " +
+        "the sink is not complete-mode or keyed-upsert, so stale row versions " +
+        "would double-count (see the output-mode contract above)")
     DedupQueries.datacardMixture(countsSnapshot)
+  }
 }

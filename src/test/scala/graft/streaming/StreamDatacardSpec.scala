@@ -93,4 +93,76 @@ class StreamDatacardSpec extends SparkSpec {
       assert(card.exists(r => r._1 == "alpha" && r._5 == "es"))
     } finally q.stop()
   }
+
+  test("a foreachBatch keyed-upsert sink in update mode composes the same card") {
+    val dir = graft.rawdata.Topic.tempDir("stream-datacard-upsert")
+    batch1.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "64").parquet(dir)
+    // the documented upsert contract: each update-mode micro-batch emits
+    // the CHANGED (source, lang) rows; the sink keeps only the latest
+    // version per key (what a Delta MERGE / kv-store upsert would do)
+    val store = new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]()
+    val q = DatacardStream.mixCounts(stream)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select($"source", $"lang", $"c", $"tok")
+          .as[(String, String, Long, Long)].collect()
+          .foreach { case (s, l, c, t) => store.put((s, l), (c, t)): Unit }
+      }.start()
+    try {
+      q.processAllAvailable()
+      batch2.write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val snapshot = store.asScala.toSeq
+        .map { case ((s, l), (c, t)) => (s, l, c, t) }
+        .toDF("source", "lang", "c", "tok")
+      // upserted snapshot == the batch counts relation of the full union,
+      // and it composes into the identical card
+      assert(snapshot.as[(String, String, Long, Long)].collect().toSet ===
+        batchCounts(batch1.unionByName(batch2)))
+      val card = DatacardStream.composeCard(snapshot)
+        .select($"source", $"top_lang").as[(String, String)].collect().toSet
+      assert(card.contains(("alpha", "es")))
+    } finally q.stop()
+  }
+
+  test("a naive append of update-mode batches double-counts — composeCard refuses it") {
+    val dir = graft.rawdata.Topic.tempDir("stream-datacard-append")
+    batch1.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "64").parquet(dir)
+    // the hazard the contract names: appending every update-mode batch
+    // verbatim retains the STALE row version of any key updated across
+    // micro-batches
+    val appended = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long, Long)]()
+    val q = DatacardStream.mixCounts(stream)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select($"source", $"lang", $"c", $"tok")
+          .as[(String, String, Long, Long)].collect().foreach(appended.add(_): Unit)
+      }.start()
+    try {
+      q.processAllAvailable()
+      batch2.write.mode("append").parquet(dir) // updates (alpha, es), (beta, en)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = appended.asScala.toSeq
+      val naive = rows.toDF("source", "lang", "c", "tok")
+      // the fixture genuinely produced a stale+fresh pair (not a vacuous
+      // pass), and summing it WOULD double-count alpha's docs
+      assert(rows.groupBy(r => (r._1, r._2)).exists(_._2.size > 1),
+        "fixture failed to update a key across micro-batches")
+      val naiveDocs = rows.filter(_._1 == "alpha").map(_._3).sum
+      val trueDocs = batchCounts(batch1.unionByName(batch2))
+        .filter(_._1 == "alpha").map(_._3).sum
+      assert(naiveDocs > trueDocs, "expected the naive append to overcount")
+      // the composeCard guard refuses the malformed snapshot loudly
+      val e = intercept[IllegalArgumentException](DatacardStream.composeCard(naive))
+      assert(e.getMessage.contains("duplicate (source, lang)"))
+    } finally q.stop()
+  }
 }
