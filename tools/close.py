@@ -17,7 +17,14 @@ Sequence (each step loud, nothing swallowed):
 
 Committing stays manual — the closing commit must carry
 BENCH_r{N}.json + BENCH_DETAIL.json + CORRECTNESS_LOCAL.json together
-and be the round's LAST commit.
+and be the round's LAST commit. After committing, run
+
+  python3 tools/close.py <N> --verify-commit
+
+to mechanically check that commit: HEAD must touch EXACTLY the three
+artifacts, the working tree must be clean (no source edited after the
+evidence was produced), and HEAD must postdate the last source-touching
+commit.
 """
 import json
 import shutil
@@ -25,7 +32,8 @@ import subprocess
 import sys
 from pathlib import Path
 
-KNOWN_FLAGS = {"--skip-check", "--skip-suite", "--skip-bench", "--allow-regressions"}
+KNOWN_FLAGS = {"--skip-check", "--skip-suite", "--skip-bench", "--allow-regressions",
+               "--verify-commit"}
 USAGE = "usage: python3 tools/close.py <round_number> " + " ".join(f"[{f}]" for f in sorted(KNOWN_FLAGS))
 args = sys.argv[1:]
 bad = [a for a in args[1:] if a not in KNOWN_FLAGS]
@@ -38,6 +46,35 @@ REPO = Path(__file__).resolve().parent.parent
 def run(cmd, **kw):
     print(f"[close] $ {' '.join(cmd)}", flush=True)
     return subprocess.run(cmd, cwd=REPO, **kw)
+
+
+def git(*a):
+    return subprocess.run(["git", *a], cwd=REPO, capture_output=True,
+                          text=True, check=True).stdout
+
+
+if "--verify-commit" in sys.argv:
+    expected = {f"BENCH_r{ROUND:02d}.json", "BENCH_DETAIL.json", "CORRECTNESS_LOCAL.json"}
+    problems = []
+    dirty = git("status", "--porcelain").strip()
+    if dirty:
+        problems.append(f"working tree not clean (source edited after the evidence?):\n{dirty}")
+    head_files = set(git("show", "--name-only", "--format=", "HEAD").split())
+    if head_files != expected:
+        problems.append(f"HEAD must touch exactly {sorted(expected)}, touches {sorted(head_files)}")
+    head_t = int(git("log", "-1", "--format=%ct", "HEAD").strip())
+    src_t_raw = git("log", "-1", "--format=%ct", "HEAD", "--",
+                    "src", "build.sbt", "tools", "project").strip()
+    if src_t_raw and int(src_t_raw) > head_t:
+        problems.append("the last source-touching commit postdates HEAD")
+    for f in expected:
+        if not (REPO / f).exists():
+            problems.append(f"{f} missing from the working tree")
+    if problems:
+        sys.exit("[close] --verify-commit FAILED:\n" + "\n".join(f"  - {p}" for p in problems))
+    print(f"[close] --verify-commit OK: HEAD is the round-{ROUND} closing commit "
+          f"({sorted(expected)}), tree clean, postdates the last source change")
+    sys.exit(0)
 
 
 if "--skip-check" not in sys.argv:
@@ -59,8 +96,11 @@ if "--skip-bench" not in sys.argv:
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
                SPARK_GRAFT_CPUS="32")
+    # stderr folds into stdout: sbt/JVM diagnostics (OOM stacks, GC
+    # crashes) land on stderr and were previously discarded, making a
+    # failed close undiagnosable from its log (round-13 ADVICE)
     r = run(["sbt", "-batch", "runMain graft.Bench"],
-            env=env, capture_output=True, text=True)
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     out = r.stdout
     Path("/tmp/graft_close_bench.log").write_text(out)
     if r.returncode != 0:
