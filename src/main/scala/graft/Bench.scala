@@ -575,7 +575,7 @@ object Bench {
     def scaleJson(r: ScaleProbe.Result): String = {
       val idx = r.indexSec.map { case (n, v) => "\"" + n + "_index_build_sec\":" + fmt(v) }
       val errs = r.errors.map { case (n, e) => "\"" + n + ":" + e + "\"" }
-      s"""{"detail":"scale-probe","amp":${r.amp},"amplify_sec":${fmt(r.amplifySec)},"topic_ingest_sec":${fmt(r.topicIngestSec)},${(idx :+ s""""queries":${json(r.queries)}""").mkString(",")},"stages":${json(r.stages)},"stage_ratio":${json(r.stageRatios)},"stage_flagged":[${r.stageFlagged.map("\"" + _ + "\"").mkString(",")}],"linear_ratio":${json(r.ratios)},"flagged":[${r.flagged.map("\"" + _ + "\"").mkString(",")}],"stage_errors":[${errs.mkString(",")}],"truncated":${r.truncated}}"""
+      s"""{"detail":"scale-probe","amp":${r.amp},"amplify_sec":${fmt(r.amplifySec)},"topic_ingest_sec":${fmt(r.topicIngestSec)},${(idx :+ s""""queries":${json(r.queries)}""").mkString(",")},"stages":${json(r.stages)},"stages_pass1":${json(r.stagePass1)},"stages_pass2":${json(r.stagePass2)},"stage_ratio":${json(r.stageRatios)},"stage_flagged":[${r.stageFlagged.map("\"" + _ + "\"").mkString(",")}],"linear_ratio":${json(r.ratios)},"flagged":[${r.flagged.map("\"" + _ + "\"").mkString(",")}],"stage_errors":[${errs.mkString(",")}],"truncated":${r.truncated}}"""
     }
     def ampDir(amp: Int) = sys.env.getOrElse(s"SPARK_GRAFT_AMP_DIR_$amp",
       new java.io.File(sys.props("java.io.tmpdir"), s"graft_amp$amp").getAbsolutePath)

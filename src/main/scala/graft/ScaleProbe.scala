@@ -125,23 +125,44 @@ object ScaleProbe {
       // real stage regression fails the round close instead of shipping
       // as a quietly different number in the artifact
       stageRatios: Seq[(String, Double)] = Nil,
-      stageFlagged: Seq[String] = Nil)
+      stageFlagged: Seq[String] = Nil,
+      // the raw per-pass samples behind the min (round 13's dispute —
+      // "drift or stall?" — was unanswerable because only one number
+      // per stage survived into the artifact)
+      stagePass1: Seq[(String, Double)] = Nil,
+      stagePass2: Seq[(String, Double)] = Nil)
 
   /** Per-stage decade allowance — the budget on t / (linFactor · base).
+    * Each non-default budget is a MEASURED band + headroom, with the
+    * cause established by experiment (round 14, SURVEY §4), not a knob
+    * tuned until the gate stopped firing:
     *
-    * embed_verify is volume-bound BY DESIGN: its banded candidate mass
-    * carries embedLshBitsFor's log growth (~1.5×/decade occupancy ×
-    * bits), measured 3.0–3.7× over naive-linear across round 13's runs
-    * and falsified three ways as a partition/spill problem (SURVEY §4).
-    * 4.5 = the measured band + host headroom — still far below the ~10×
-    * a genuinely quadratic stage shows one decade up. Every other stage
-    * must stay ~linear (≤1.5×, the same band as the query flags): a
-    * stage that exceeds it while costing > flagMinSec is a real
-    * curvature regression, not noise — min-of-N already removed the
-    * transient-stall explanation.
+    *  - embed_verify is volume-bound BY DESIGN: its banded candidate
+    *    mass carries embedLshBitsFor's log growth (~1.5×/decade
+    *    occupancy × bits), measured 3.0–4.9× over naive-linear across
+    *    the r13/r14 runs (min-of-2: 139.7 s in-bench, 121.5 s in a
+    *    standalone JVM — the growth is real, not harness state) and
+    *    falsified three ways as a partition/spill problem. 5.5 = the
+    *    measured band + headroom, still far below the ~10× a
+    *    quadratic stage shows one decade up.
+    *  - graph_edge has NO data curvature — a standalone clean-JVM
+    *    amp=100 run measures 22.5 s (ratio ≈ 0.44, deeply sublinear);
+    *    inside the full bench the same stage measures 70–126 s (r13
+    *    single-pass band) / 81.9 s (r14 min-of-2), i.e. the in-bench
+    *    ratio band 1.2–2.1 is bench-JVM aging (heap + page-cache state
+    *    after ~770 query runs), which min-of-2 back-to-back passes
+    *    cannot remove. 2.5 = that measured environmental band +
+    *    headroom; a genuine curvature regression still blows past it.
+    *  - every other stage must stay ~linear (≤1.5×, the same band as
+    *    the query flags; all measured ≤0.5 at amp=100): exceeding it
+    *    while costing > flagMinSec is a real curvature regression —
+    *    min-of-N already removed the transient-stall explanation.
     */
-  private[graft] def stageAllowance(stage: String): Double =
-    if (stage == "embed_verify") 4.5 else 1.5
+  private[graft] def stageAllowance(stage: String): Double = stage match {
+    case "embed_verify" => 5.5
+    case "graph_edge"   => 2.5
+    case _              => 1.5
+  }
 
   /** (ratios, flagged) for a set of min-of-N stage timings against the
     * prior decade's mins: ratio = t / (linFactor · base); a stage flags
@@ -328,14 +349,16 @@ object ScaleProbe {
     // the queries: ratio over its per-stage budget AND above the
     // fixed-overhead floor (sub-2 s stages can't flag — graph_wm-class
     // timings are clock noise at any decade)
-    val pass2 = stageDetail2.result().toMap
-    val stages = stageDetail.result().map { case (k, t) =>
-      k -> math.min(t, pass2.getOrElse(k, Double.MaxValue))
+    val pass1 = stageDetail.result()
+    val pass2 = stageDetail2.result()
+    val pass2Map = pass2.toMap
+    val stages = pass1.map { case (k, t) =>
+      k -> math.min(t, pass2Map.getOrElse(k, Double.MaxValue))
     }
     val (stageRatios, stageFlagged) =
       stageFlagsOf(stages, stageBaseline, linFactor, flagMinSec)
     Result(amp, amplifySec, topicSec, indexSec, queries, ratios, flagged,
-      truncated, errors.result(), stages, stageRatios, stageFlagged)
+      truncated, errors.result(), stages, stageRatios, stageFlagged, pass1, pass2)
     } finally System.gc() // release the probe's dead shuffle files promptly
   }
 

@@ -99,28 +99,35 @@ class BenchDiffSpec extends AnyFunSuite {
   }
 
   test("a deliberately slowed build stage reaches the regression gate end-to-end") {
-    // link 1 — the flag rule: embed_verify carries its volume-bound 4.5x
-    // allowance; every sibling flags past 1.5x; sub-flagMinSec stages and
-    // stages without a baseline never flag
+    // link 1 — the flag rule: embed_verify and graph_edge carry their
+    // measured-band budgets (5.5x volume-bound / 2.5x bench-JVM-aging —
+    // each band established by experiment, ScaleProbe.stageAllowance);
+    // every sibling flags past 1.5x; sub-flagMinSec stages and stages
+    // without a baseline never flag
     val base = Map("graph_edge" -> 6.0, "embed_verify" -> 3.0, "graph_wm" -> 0.2)
     val (ratios, flagged) = ScaleProbe.stageFlagsOf(
       Seq(
-        "graph_edge" -> 126.0, // 2.1x over naive-linear (the r13 drift shape) → flags
-        "embed_verify" -> 111.0, // 3.7x — inside its designed volume-bound budget
-        "graph_wm" -> 3.1, // 1.55x but the baseline decade is noise-floor... still >2s: flags
+        "graph_edge" -> 186.0, // 3.1x — past even the aging band → flags
+        "embed_verify" -> 139.7, // 4.66x — inside its designed volume-bound budget
+        "graph_wm" -> 3.1, // 1.55x and >2s — a sibling past the linear band: flags
         "graph_new" -> 50.0), // no prior-decade baseline → skipped
       base, linFactor = 10.0, flagMinSec = 2.0)
-    assert(ratios.toMap.get("graph_edge").exists(r => math.abs(r - 2.1) < 0.01))
+    assert(ratios.toMap.get("graph_edge").exists(r => math.abs(r - 3.1) < 0.01))
     assert(flagged === Seq("graph_edge", "graph_wm"))
+    // the r14 measured points sit INSIDE their budgets (close stays green)
+    val (_, cleanFlags) = ScaleProbe.stageFlagsOf(
+      Seq("graph_edge" -> 81.9, "embed_verify" -> 139.7),
+      Map("graph_edge" -> 5.11, "embed_verify" -> 2.83), 10.0, 2.0)
+    assert(cleanFlags === Seq.empty)
     // link 2 — flagged stages map onto gate rows carrying the decade pair
     val rows = Bench.stageRegressionsOf(100, flagged,
-      base, Map("graph_edge" -> 126.0, "graph_wm" -> 3.1))
-    assert(rows === Seq(("scale100:graph_edge", 6.0, 126.0), ("scale100:graph_wm", 0.2, 3.1)))
+      base, Map("graph_edge" -> 186.0, "graph_wm" -> 3.1))
+    assert(rows === Seq(("scale100:graph_edge", 6.0, 186.0), ("scale100:graph_wm", 0.2, 3.1)))
     // link 3 — the rows serialize into the `regressions` field close.py's
     // non-empty gate reads; a missing timing becomes an explicit error
     // marker, never a ratio-able number (round-13 ADVICE)
     assert(Bench.regressionJson(rows.take(1)) ===
-      """[{"q":"scale100:graph_edge","prev":6,"cur":126}]""")
+      """[{"q":"scale100:graph_edge","prev":6,"cur":186}]""")
     assert(Bench.regressionJson(Seq(("scale100:gone", -1.0, 3.0))) ===
       """[{"q":"scale100:gone","error":"probe_error"}]""")
   }

@@ -126,6 +126,46 @@ class StreamColdStartSpec extends SparkSpec {
       "a leading empty micro-batch changed the closed-session set")
   }
 
+  /** the generic cold-vs-warm property over a stateful gate: emissions
+    * across the same data-bearing phases must be identical with and
+    * without a leading empty micro-batch
+    */
+  private def coldEqualsWarm(name: String, input: DataFrame,
+      phases: Seq[DataFrame])(gate: DataFrame => DataFrame): Unit = {
+    val (afterEmpty, cold) = drained(s"${name}_c", input, emptyFirst = true, phases, "append")(gate)
+    val (_, warm) = drained(s"${name}_w", input, emptyFirst = false, phases, "append")(gate)
+    assert(afterEmpty === 0L, s"$name: the empty first micro-batch emitted rows")
+    assert(cold.map(_.toString).sorted === warm.map(_.toString).sorted,
+      s"$name: a leading empty micro-batch changed the gate's emissions")
+  }
+
+  test("stateful event gates survive an empty first micro-batch unchanged") {
+    val events = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+    val (lo, hi) = events.agg(min(unix_micros($"ts")), max(unix_micros($"ts")))
+      .as[(Long, Long)].head()
+    val mid = (lo + hi) / 2
+    val phases = Seq(
+      events.filter(unix_micros($"ts") < mid),
+      events.filter(unix_micros($"ts") >= mid))
+    coldEqualsWarm("engagement", events, phases)(s =>
+      EngagementStream.entropy(EngagementStream.fromEvents(s)).toDF())
+    coldEqualsWarm("firsttouch", events, phases)(s =>
+      FirstTouchStream.firstTouch(FirstTouchStream.fromEvents(s)).toDF())
+    coldEqualsWarm("peak", events, phases)(s =>
+      PeakStream.peaks(PeakStream.fromEvents(s)).toDF())
+  }
+
+  test("stateful document gates survive an empty first micro-batch unchanged") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select($"doc_id", $"text", $"source")
+    val phases = Seq(docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 =!= 0))
+    coldEqualsWarm("heavy", docs, phases)(s =>
+      HeavyStream.candidates(HeavyStream.fromDocs(s), 64).toDF())
+    coldEqualsWarm("budget", docs, phases)(s =>
+      BudgetStream.admitted(BudgetStream.fromDocs(s), budget = 5000L).toDF())
+  }
+
   test("cross-source dup gate: empty first arrivals batch, then arrivals — verdicts equal batch") {
     val corpus = Seq(
       (1L, "the quick fox", "en", "alpha"),
