@@ -108,6 +108,59 @@ object Bench {
       base: Map[String, Double], cur: Map[String, Double]): Seq[(String, Double, Double)] =
     flagged.map(n => (s"scale$amp:$n", base.getOrElse(n, -1.0), cur.getOrElse(n, -1.0)))
 
+  /** ingest-measurement amplification (key-offset event-id copies of the
+    * sf0.1 events). 30× ≈ 3M messages: at 10× (1M) the read pass still
+    * finished in ~0.5 s on this host (read decodes ~2M msg/s after
+    * warmup) and two consecutive runs swung 22 % on scheduler/page-cache
+    * noise — the exact floor the de-noising exists to escape. At 3M the
+    * read pass is >1 s and both rates hold consecutive fresh-JVM runs
+    * within single-digit percent.
+    */
+  private[graft] val IngestCopies = 30
+
+  private[graft] def median5(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  /** The ingest measurement (shared by the full bench and the
+    * SPARK_GRAFT_INGEST_ONLY profiling loop): [[IngestCopies]]×-amplified
+    * messages materialized via persist (NOT localCheckpoint —
+    * Dataset.unpersist can actually free cache-manager blocks, while
+    * localCheckpoint blocks would stay pinned for the rest of the JVM),
+    * one untimed warmup write+read, then 5 timed fresh write+read passes.
+    * Returns (message count, per-pass (writeSec, readSec) samples); the
+    * persisted relation is freed before returning.
+    */
+  private[graft] def measureIngest(spark: SparkSession, sfDir: String): (Long, Seq[(Double, Double)]) = {
+    val msgs = graft.rawdata.EventsAsTopic
+      .messagesAmplified(spark, sfDir, IngestCopies)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    msgs.count(): Unit // materialize before timing
+    var n = 0L
+    // TWO untimed warmup passes: with one, the first two TIMED passes
+    // still ran 5-7x over steady state in consecutive sampled runs
+    // (write 12.7, 12.6 then 2.3, 1.8, 1.7 s — the inflation aligns
+    // with pass index, i.e. late C2/page-cache settling, not neighbor
+    // noise), dragging the median off the steady-state band
+    (1 to 2).foreach { _ =>
+      val warmDir = graft.rawdata.Topic.tempDir("bench-ingest-warm")
+      graft.rawdata.Topic.write(msgs, warmDir, graft.rawdata.EventsAsTopic.cfg)
+      graft.rawdata.Topic.read(spark, warmDir).count(): Unit
+      ScaleProbe.rmTree(new java.io.File(warmDir))
+    }
+    val samples = (1 to 5).map { _ =>
+      val dir = graft.rawdata.Topic.tempDir("bench-ingest")
+      val i0 = System.nanoTime()
+      graft.rawdata.Topic.write(msgs, dir, graft.rawdata.EventsAsTopic.cfg)
+      val w = (System.nanoTime() - i0) / 1e9
+      val r0 = System.nanoTime()
+      n = graft.rawdata.Topic.read(spark, dir).count()
+      val r = (System.nanoTime() - r0) / 1e9
+      ScaleProbe.rmTree(new java.io.File(dir)) // measurement scratch
+      (w, r)
+    }
+    msgs.unpersist(blocking = true)
+    (n, samples)
+  }
+
   private[graft] def fmt(v: Double): String = {
     val s = f"$v%.2f"
     if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
@@ -157,27 +210,10 @@ object Bench {
     // (the profiling loop for producer-path changes — full bench noise
     // makes an isolated ingest number impossible to read otherwise)
     if (sys.env.get("SPARK_GRAFT_INGEST_ONLY").contains("1")) {
-      val msgs = graft.rawdata.EventsAsTopic
-        .messagesAmplified(spark, sfDir, 10).localCheckpoint(true)
-      var n = 0L
-      val wd = graft.rawdata.Topic.tempDir("bench-ingest-warm")
-      graft.rawdata.Topic.write(msgs, wd, graft.rawdata.EventsAsTopic.cfg)
-      graft.rawdata.Topic.read(spark, wd).count(): Unit
-      ScaleProbe.rmTree(new java.io.File(wd))
-      val samples = (1 to 5).map { _ =>
-        val dir = graft.rawdata.Topic.tempDir("bench-ingest")
-        val i0 = System.nanoTime()
-        graft.rawdata.Topic.write(msgs, dir, graft.rawdata.EventsAsTopic.cfg)
-        val w = (System.nanoTime() - i0) / 1e9
-        val r0 = System.nanoTime()
-        n = graft.rawdata.Topic.read(spark, dir).count()
-        val r = (System.nanoTime() - r0) / 1e9
-        ScaleProbe.rmTree(new java.io.File(dir))
-        (w, r)
-      }
-      val w = samples.map(_._1).sorted.apply(2)
-      val r = samples.map(_._2).sorted.apply(2)
-      println(s"""{"metric":"ingest","msgs":$n,"write_msgs_per_sec":${(n / w).round},"read_msgs_per_sec":${(n / r).round}}""")
+      val (n, samples) = measureIngest(spark, sfDir)
+      val w = median5(samples.map(_._1))
+      val r = median5(samples.map(_._2))
+      println(s"""{"metric":"ingest","msgs":$n,"write_msgs_per_sec":${(n / w).round},"read_msgs_per_sec":${(n / r).round},"write_sec_samples":[${samples.map(s => fmt(s._1)).mkString(",")}],"read_sec_samples":[${samples.map(s => fmt(s._2)).mkString(",")}]}""")
       spark.stop()
       return
     }
@@ -427,40 +463,36 @@ object Bench {
     // Round-14 de-noising of the artifact's noisiest headline number
     // (the 100k-msg best-of-2 read rate swung 17 % round-over-round on
     // JIT/page-cache noise — r13 verdict), each lever measured:
-    //  - 10× the message volume (key-offset copies; 1M msgs), so no
-    //    pass sits on the sub-second fixed-overhead floor;
-    //  - the message relation is MATERIALIZED (localCheckpoint) before
+    //  - [[IngestCopies]]× the message volume (key-offset copies; 3M
+    //    msgs), so no pass sits on the sub-second fixed-overhead floor
+    //    (10× was measured still short: the warmed read decodes ~2M
+    //    msg/s, so 1M msgs read in ~0.5 s and swung 22 % run-to-run);
+    //  - the message relation is MATERIALIZED (persist MEMORY_AND_DISK
+    //    + count — spills, never evicts-and-recomputes mid-pass) before
     //    timing — the producer number prices the topic write path
     //    (shuffle + Avro encode + commit), not the upstream events
-    //    scan+union, which was the dominant noisy term;
+    //    scan+union, which was the dominant noisy term. persist, not
+    //    localCheckpoint: Dataset.unpersist releases cache-manager
+    //    blocks but NOT localCheckpoint blocks, which would have pinned
+    //    the 3M-msg relation through the memory-sensitive amp=100
+    //    probe (it has OOM'd on less);
     //  - one untimed warmup write+read (C2-compile the codec path);
     //  - MEDIAN of 5 fresh passes — min-of-N chases the lucky tail and
-    //    a mean is wrecked by one GC stall; the median was the only
-    //    statistic that held consecutive fresh-JVM runs to ~±5-10 %
-    //    (write) / ~±7 % (read) on this shared host.
-    val msgs = graft.rawdata.EventsAsTopic
-      .messagesAmplified(spark, sfDir, 10).localCheckpoint(true)
-    var nMsgs = 0L
-    val warmDir = graft.rawdata.Topic.tempDir("bench-ingest-warm")
-    graft.rawdata.Topic.write(msgs, warmDir, graft.rawdata.EventsAsTopic.cfg)
-    graft.rawdata.Topic.read(spark, warmDir).count(): Unit
-    ScaleProbe.rmTree(new java.io.File(warmDir))
-    val ingestSamples = (1 to 5).map { _ =>
-      val freshDir = graft.rawdata.Topic.tempDir("bench-ingest")
-      val i0 = System.nanoTime()
-      graft.rawdata.Topic.write(msgs, freshDir, graft.rawdata.EventsAsTopic.cfg)
-      val w = (System.nanoTime() - i0) / 1e9
-      val r0 = System.nanoTime()
-      nMsgs = graft.rawdata.Topic.read(spark, freshDir).count()
-      val r = (System.nanoTime() - r0) / 1e9
-      ScaleProbe.rmTree(new java.io.File(freshDir)) // measurement scratch
-      (w, r)
-    }
-    val writeSec = ingestSamples.map(_._1).sorted.apply(2)
-    val readSec = ingestSamples.map(_._2).sorted.apply(2)
+    //    a mean is wrecked by one GC stall;
+    //  - the RAW per-pass samples land in the per-pass detail section
+    //    (ingest_write_sec_samples / ingest_read_sec_samples — the
+    //    stages_pass1/2 philosophy): this shared VM shows minute-scale
+    //    neighbor I/O episodes that move even a median-of-5 (a write
+    //    median measured 1.4-1.6M msg/s in two consecutive runs and
+    //    391k in the third, every pass inside the slow run slow), so
+    //    the artifact must carry the spread for any cross-round delta
+    //    to be readable as regression-or-noise.
+    val (nMsgsM, ingestSamples) = measureIngest(spark, sfDir)
+    val nMsgs = nMsgsM
+    val writeSec = median5(ingestSamples.map(_._1))
+    val readSec = median5(ingestSamples.map(_._2))
     val writeRate = if (writeSec > 0) nMsgs / writeSec else 0.0
     val readRate = if (readSec > 0) nMsgs / readSec else 0.0
-    msgs.unpersist() // release the checkpointed 1M-msg relation
     // Each query runs twice with the cache cleared before every run; the
     // reported number is the min of the two (single-run timings on a busy
     // 32-thread JVM carry multi-second GC/compilation noise — round 3's
@@ -541,7 +573,7 @@ object Bench {
     val byName = results.toMap
     val headline = headlineNames.flatMap(n => byName.get(n).map(n -> _))
     val benchStagesMap = benchStages.result().toMap
-    val detailLine = s"""{"detail":"per-pass","setup_sec":${fmt(setupSec)},"lsh_index_build_sec":${fmt(lshSec)},"token_index_build_sec":${fmt(tokenSec)},"graph_index_build_sec":${fmt(graphSec)},"ivf_index_build_sec":${fmt(ivfSec)},"bpe_artifact_sec":${fmt(bpeSec)},"index_build_sec":${fmt(indexSec)},"stages":${json(benchStagesMap.toSeq.sortBy(_._1))},"lsh_compact_sec":${fmt(compactSec)},"cand_gen_fresh_sec":${fmt(candFresh)},"cand_gen_appended_sec":${fmt(candAppended)},"cand_gen_compacted_sec":${fmt(candCompacted)},"ivf_probe_fresh_sec":${fmt(ivfProbeFresh)},"ivf_probe_appended_sec":${fmt(ivfProbeAppended)},"ivf_compact_sec":${fmt(ivfCompactSec)},"ivf_probe_compacted_sec":${fmt(ivfProbeCompacted)},"graph_compact_sec":${fmt(graphCompactSec)},"graph_probe_appended_sec":${fmt(graphProbeAppended)},"graph_probe_compacted_sec":${fmt(graphProbeCompacted)},"queries_run1":${json(ordered.map { case (n, _) => n -> pass1(n) })},"queries_run2":${json(ordered.map { case (n, _) => n -> pass2(n) })},"queries_rerun":${json(rerun.toSeq.sortBy(_._1))}}"""
+    val detailLine = s"""{"detail":"per-pass","setup_sec":${fmt(setupSec)},"lsh_index_build_sec":${fmt(lshSec)},"token_index_build_sec":${fmt(tokenSec)},"graph_index_build_sec":${fmt(graphSec)},"ivf_index_build_sec":${fmt(ivfSec)},"bpe_artifact_sec":${fmt(bpeSec)},"index_build_sec":${fmt(indexSec)},"stages":${json(benchStagesMap.toSeq.sortBy(_._1))},"ingest_write_sec_samples":[${ingestSamples.map(s => fmt(s._1)).mkString(",")}],"ingest_read_sec_samples":[${ingestSamples.map(s => fmt(s._2)).mkString(",")}],"lsh_compact_sec":${fmt(compactSec)},"cand_gen_fresh_sec":${fmt(candFresh)},"cand_gen_appended_sec":${fmt(candAppended)},"cand_gen_compacted_sec":${fmt(candCompacted)},"ivf_probe_fresh_sec":${fmt(ivfProbeFresh)},"ivf_probe_appended_sec":${fmt(ivfProbeAppended)},"ivf_compact_sec":${fmt(ivfCompactSec)},"ivf_probe_compacted_sec":${fmt(ivfProbeCompacted)},"graph_compact_sec":${fmt(graphCompactSec)},"graph_probe_appended_sec":${fmt(graphProbeAppended)},"graph_probe_compacted_sec":${fmt(graphProbeCompacted)},"queries_run1":${json(ordered.map { case (n, _) => n -> pass1(n) })},"queries_run2":${json(ordered.map { case (n, _) => n -> pass2(n) })},"queries_rerun":${json(rerun.toSeq.sortBy(_._1))}}"""
     val listingLine = s"""{"detail":"listing-probe","files":[10000,100000],"list_sec":[${fmt(listing10._1)},${fmt(listing100._1)}],"prune_sec":[${fmt(listing10._2)},${fmt(listing100._2)}],"plan_sec":[${fmt(listing10._3)},${fmt(listing100._3)}],"paged_list_sec":[${fmt(listing10._4)},${fmt(listing100._4)}],"cached_repeat_sec":[${fmt(listing10._5)},${fmt(listing100._5)}],"flagged":[${listingFlagged.map("\"" + _ + "\"").mkString(",")}]}"""
     val allLine = s"""{"detail":"all-queries","n":${results.size},"queries":${json(results)}}"""
     // the final line is a FUNCTION of the regression rows: scale-probe

@@ -98,6 +98,26 @@ class BenchDiffSpec extends AnyFunSuite {
     }
   }
 
+  test("sample-carrying per-pass sections keep the raw ingest samples") {
+    // median5 picks the middle element of 5 (and degrades sanely on
+    // fewer); the artifact carries the raw spread so a cross-round rate
+    // delta is readable as regression-or-noise (this shared VM shows
+    // minute-scale neighbor I/O episodes that move even a median-of-5)
+    assert(Bench.median5(Seq(3.0, 1.0, 9.0, 2.0, 8.0)) === 3.0)
+    assert(Bench.median5(Seq(5.0)) === 5.0)
+    val f = new java.io.File("BENCH_DETAIL.json")
+    assume(f.exists(), "no committed bench detail artifact (fresh clone)")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    root.elements().forEachRemaining { n =>
+      if (n.path("detail").asText("") == "per-pass" &&
+          n.has("ingest_write_sec_samples")) {
+        for (k <- Seq("ingest_write_sec_samples", "ingest_read_sec_samples"))
+          assert(n.path(k).size() === 5,
+            s"'$k' must carry all 5 raw passes, got ${n.path(k).size()}")
+      }
+    }
+  }
+
   test("a deliberately slowed build stage reaches the regression gate end-to-end") {
     // link 1 — the flag rule: embed_verify and graph_edge carry their
     // measured-band budgets (5.5x volume-bound / 2.5x bench-JVM-aging —
