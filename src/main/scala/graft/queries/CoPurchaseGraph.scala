@@ -78,28 +78,35 @@ object CoPurchaseGraph {
         onStage(part, (System.nanoTime() - t0) / 1e9)
         s.table(tbl)
       }
+      // the distinct (order, part) relation feeds THREE build stages
+      // (edge pairs, item counts, the wm guard) — persist it so the
+      // build pays the fact-table scan + distinct shuffle once, not
+      // three times (r14 optimization; released in the finally below)
       val li = t(s, d, "lineitem")
         .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-      val parts = li.groupBy($"o").agg(collect_list($"p").as("ps"))
-      val rawPairs = parts
-        .select(explode($"ps").as("u"), $"ps")
-        .select($"u", explode(expr("filter(ps, x -> x > u)")).as("v"))
-      val edge = save(rawPairs.groupBy($"u", $"v")
-        .agg(count(lit(1)).as("supp")), "edge", Seq("u"))
-      save(li.groupBy($"p".as("x")).agg(count(lit(1)).as("n_ord")),
-        "item", Seq("x"))
-      // symmetrized adjacency (both orientations), bucketed on the
-      // scatter key — the iterative consumers (q40 PageRank, q42 BFS)
-      // join it against a per-round frontier every round; storing it
-      // saves each of them a runtime union + re-materialization, and
-      // the u-bucketing co-locates the scatter with any u-keyed build.
-      save(edge.select($"u", $"v")
-        .unionByName(edge.select($"v".as("u"), $"u".as("v"))), "sym", Seq("u"))
-      // order high-watermark: the append contract's guard relation (one
-      // row — max indexed order key)
-      save(li.agg(max($"o").as("max_o")), "wm", Seq("max_o"))
-      val ends = edge.select($"u".as("x")).unionByName(edge.select($"v".as("x")))
-      save(ends.groupBy($"x").agg(count(lit(1)).as("dg")), "deg", Seq("x"))
+        .persist()
+      try {
+        val parts = li.groupBy($"o").agg(collect_list($"p").as("ps"))
+        val rawPairs = parts
+          .select(explode($"ps").as("u"), $"ps")
+          .select($"u", explode(expr("filter(ps, x -> x > u)")).as("v"))
+        val edge = save(rawPairs.groupBy($"u", $"v")
+          .agg(count(lit(1)).as("supp")), "edge", Seq("u"))
+        save(li.groupBy($"p".as("x")).agg(count(lit(1)).as("n_ord")),
+          "item", Seq("x"))
+        // symmetrized adjacency (both orientations), bucketed on the
+        // scatter key — the iterative consumers (q40 PageRank, q42 BFS)
+        // join it against a per-round frontier every round; storing it
+        // saves each of them a runtime union + re-materialization, and
+        // the u-bucketing co-locates the scatter with any u-keyed build.
+        save(edge.select($"u", $"v")
+          .unionByName(edge.select($"v".as("u"), $"u".as("v"))), "sym", Seq("u"))
+        // order high-watermark: the append contract's guard relation (one
+        // row — max indexed order key)
+        save(li.agg(max($"o").as("max_o")), "wm", Seq("max_o"))
+        val ends = edge.select($"u".as("x")).unionByName(edge.select($"v".as("x")))
+        save(ends.groupBy($"x").agg(count(lit(1)).as("dg")), "deg", Seq("x"))
+      } finally li.unpersist()
     }
   }
 

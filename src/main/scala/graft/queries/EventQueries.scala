@@ -603,7 +603,6 @@ object EventQueries {
     "ev_stationary" -> { (s, d) =>
       import s.implicits._
       val uw = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
-      val tw = Window.partitionBy($"from_type")
       val m = ev(s, d)
         .select($"user_id", $"event_type", $"ts_us", $"event_id")
         .withColumn("to_type", lead($"event_type", 1).over(uw))
@@ -612,19 +611,39 @@ object EventQueries {
         .agg(count(lit(1)).as("n"))
         .withColumn("p_ppm", expr("(n * 1000000) div sum(n) over (partition by from_type)"))
         .select($"from_type", $"to_type", $"p_ppm")
-        .localCheckpoint(true) // |types|²-bounded; feeds all 8 rounds
-      val nStates = m.select($"from_type").distinct().count()
+      // the transition matrix is |types|²-bounded (event types are a
+      // bounded enum, like the 3-row scalar guards elsewhere) — collect
+      // it ONCE and run the 8 power-iteration rounds on the driver in
+      // the same exact Long arithmetic. r14 optimization: the unrolled
+      // distributed form paid 8 exchanges + 8 broadcast builds (~1 s of
+      // stage barriers at any scale) to multiply a ≤|types|² matrix; the
+      // cluster-side work (the full corpus pass building m) is unchanged
+      // and the iteration is bit-identical: x'(to) = Σ_from x(from)·p —
+      // summed in Long, floored div 10⁶, keys = joined to_types only.
+      val mat = m.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val states = mat.map(_._1).distinct
       // EMPTY corpus (or no user with two events): no transition matrix,
       // no states — the uniform prior over zero states is the empty
       // relation, not a divide-by-zero
-      var x = m.select($"from_type".as("t")).distinct()
-        .withColumn("x_ppm", lit(if (nStates == 0) 0L else 1000000L / nStates))
-      for (_ <- 1 to 8)
-        x = m.join(x, m("from_type") === x("t"))
-          .groupBy($"to_type")
-          .agg(expr("sum(x_ppm * p_ppm) div 1000000").as("x_ppm"))
-          .select($"to_type".as("t"), $"x_ppm")
-      x.select($"t".as("event_type"), $"x_ppm").orderBy($"event_type")
+      var x: Map[String, Long] =
+        states.map(_ -> (if (states.isEmpty) 0L else 1000000L / states.length)).toMap
+      for (_ <- 1 to 8) {
+        val acc = scala.collection.mutable.HashMap.empty[String, Long]
+        mat.foreach { case (f, t0, p) =>
+          x.get(f).foreach(v => acc.update(t0, acc.getOrElse(t0, 0L) + v * p))
+        }
+        x = acc.iterator.map { case (t0, sm) => t0 -> sm / 1000000L }.toMap
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("x_ppm",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      x.toSeq.sortBy(_._1).foreach { case (t0, v) =>
+        rows.add(org.apache.spark.sql.Row(t0, v))
+      }
+      s.createDataFrame(rows, schema).orderBy($"event_type")
     },
 
     // same-day event-type co-occurrence lift (the association signal

@@ -1076,26 +1076,34 @@ object Relational2 {
     * starts labeled by itself; each round adopts the most frequent
     * neighbor label (tie → smallest), all nodes simultaneously. The
     * argmax is a partial-agg min(struct(-count, label)) — never a
-    * window; each round is one edge-list equi-join + two partial-agg
-    * shuffles (the q42/q46 BFS cost shape), with localCheckpoint
-    * truncating the growing lineage. Returns (x, lbl).
+    * window; each round is one edge-list equi-join + the label-count
+    * aggregation, with localCheckpoint truncating the growing lineage.
+    * Returns (x, lbl).
+    *
+    * Round shape (r14 optimization, results bit-identical): the round's
+    * label relation IS the argmax output — `deg`'s node set equals the
+    * distinct endpoints of `sym` by index construction (both derive
+    * from the same edge relation), so every node has >= 1 neighbor and
+    * the old per-round `lbl LEFT JOIN pick` was an identity
+    * (coalesce(new_lbl, lbl) == new_lbl for every row). Dropping it
+    * removes one exchange + two sorts + a sort-merge join per round,
+    * and the seed labels read the degrees table directly (projecting
+    * x twice) instead of paying an up-front checkpoint of a projection
+    * the first round only broadcasts anyway. The (u,lbl) count then
+    * the per-u argmax both cluster on `sym`'s bucket key u, so a round
+    * runs exchange-free: broadcast-join + two bucket-local aggregations
+    * (LshIndexSpec-style bucketing payoff; see plans/r14).
     */
   private def lpaLabels(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sym = CoPurchaseGraph.symEdges(s, d)
-    val nodes = CoPurchaseGraph.degrees(s, d).select($"x")
-    var lbl = nodes.select($"x", $"x".as("lbl")).localCheckpoint(true)
+    var lbl = CoPurchaseGraph.degrees(s, d).select($"x", $"x".as("lbl"))
     for (_ <- 1 to 2) {
-      val pick = sym.join(lbl.select($"x".as("v"), $"lbl"), Seq("v"))
+      lbl = sym.join(lbl.select($"x".as("v"), $"lbl"), Seq("v"))
         .groupBy($"u", $"lbl").agg(count(lit(1)).as("c"))
         .groupBy($"u".as("x"))
         .agg(min(struct((-$"c").as("nc"), $"lbl".as("l"))).as("m"))
-        .select($"x", $"m.l".as("new_lbl"))
-      // every node has >= 1 edge by construction, but the left join +
-      // coalesce keeps isolated nodes stable if the graph ever admits
-      // them (and mirrors the oracle's LEFT JOIN exactly)
-      lbl = lbl.join(pick, Seq("x"), "left")
-        .select($"x", coalesce($"new_lbl", $"lbl").as("lbl"))
+        .select($"x", $"m.l".as("lbl"))
         .localCheckpoint(true)
     }
     lbl
