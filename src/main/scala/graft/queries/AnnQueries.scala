@@ -197,21 +197,28 @@ object AnnQueries {
 
     // IVF nprobe recall curve — the cost/recall tuning table an IVF
     // deployment reads before fixing its probe count: recall@k vs the
-    // exact brute truth at nprobe = 1, 2, 4. The cell assignment is
-    // ranked ONCE (crnk <= max probe, persisted); each sweep point just
-    // re-filters the probe set, so the corpus-side work doesn't triple.
-    // Like ann_recall_eval, both pipelines are deterministic and replay
-    // in the oracle — the curve is exact integers, not a spec bound; the
-    // per-query monotonicity law recall(4) >= recall(2) >= recall(1) is
-    // additionally asserted in RecallCurveSpec. Scale: probes multiply
-    // the tiny query side only, never the corpus.
+    // exact brute truth at nprobe = 1, 2, 4. Like ann_recall_eval, both
+    // pipelines are deterministic and replay in the oracle — the curve
+    // is exact integers, not a spec bound; the per-query monotonicity
+    // law recall(4) >= recall(2) >= recall(1) is additionally asserted
+    // in RecallCurveSpec.
+    // Scale shape (r14): the corpus-side cell assignment comes from the
+    // materialized [[EmbIvfIndex]] posting lists (same frozen seeds and
+    // tie-break — IvfIndexSpec proves the index assignment row-identical
+    // to the inline rule ann_ivf_topk keeps), PARTITION-PRUNED to the
+    // ≤|queries|·4 probed cells, so the query never recomputes or even
+    // scans the full corpus assignment; only the 5 query vectors are
+    // ranked against the codebook. The 1/2/4 sweep is ONE pass — nprobe
+    // exploded into the probe set, per-(nprobe,qid) top-k in a single
+    // join + window + agg instead of three (58 → 28 plan Exchanges).
+    // The remaining corpus pass is the exact brute-force truth itself.
     "ann_ivf_recall" -> { (s, d) =>
       import s.implicits._
       val e = unit(s, d)
-      val cents = e.filter($"vec_id" % centroidStep(s, d) === 0)
-        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"nn".as("nc"))
+      val cents = EmbIvfIndex.cents(s, d)
       val w0 = Window.partitionBy($"vec_id").orderBy($"c_ppm".desc, $"cent_id")
-      val asgn = e.join(broadcast(cents), lit(true))
+      val qasgn = e.filter($"vec_id" < NumQueries)
+        .join(broadcast(cents), lit(true))
         .withColumn("dot", expr(
           "aggregate(zip_with(q, qc, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
         .withColumn("c_ppm",
@@ -219,29 +226,35 @@ object AnnQueries {
         .withColumn("crnk", row_number().over(w0))
         .filter($"crnk" <= 4)
         .select($"vec_id", $"q", $"nn", $"cent_id", $"crnk")
-        .persist() // one ranked assignment feeds all three sweep points
-      val cells = asgn.filter($"crnk" === 1)
+        .persist() // ranked once: probe list + pruning ids + sweep points
+      // bounded driver list (≤ NumQueries·4 ids) — the same partition-
+      // pruning contract ann_ivf_index serves with
+      val probed = qasgn.select($"cent_id").distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val cells = EmbIvfIndex.cells(s, d)
+        .filter($"cent_id".isin(probed: _*))
         .select($"vec_id".as("cid"), $"q".as("qb"), $"nn".as("nb"), $"cent_id")
       val truth = bruteTopk(s, d).select($"qid", $"cid").persist()
-      val runs = Seq(1, 2, 4).map { np =>
-        val probes = asgn.filter($"crnk" <= np && $"vec_id" < NumQueries)
-          .select($"vec_id".as("qid"), $"q".as("qa"), $"nn".as("na"), $"cent_id")
-        val w = Window.partitionBy($"qid").orderBy($"cos_ppm".desc, $"cid")
-        val top = cells.join(broadcast(probes), Seq("cent_id"))
-          .filter($"cid" =!= $"qid")
-          .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
-          .withColumn("cos_ppm",
-            floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter($"rnk" <= TopK)
-          .select($"qid", $"cid").withColumn("hit", lit(1L))
-        truth.join(top, Seq("qid", "cid"), "left")
-          .groupBy($"qid")
-          .agg(sum(coalesce($"hit", lit(0L))).as("n_hits"))
-          .select(lit(np.toLong).as("nprobe"), $"qid", $"n_hits",
-            expr(s"(n_hits * 1000000) div $TopK").as("recall_ppm"))
-      }
-      runs.reduce(_ unionByName _).orderBy($"nprobe", $"qid")
+      val probes = qasgn
+        .withColumn("nprobe", explode(expr("array(1L, 2L, 4L)")))
+        .filter($"crnk" <= $"nprobe")
+        .select($"nprobe", $"vec_id".as("qid"), $"q".as("qa"), $"nn".as("na"), $"cent_id")
+      val w = Window.partitionBy($"nprobe", $"qid").orderBy($"cos_ppm".desc, $"cid")
+      val top = cells.join(broadcast(probes), Seq("cent_id"))
+        .filter($"cid" =!= $"qid")
+        .withColumn("dot", graft.operators.VectorOps.dotCol(col("qa"), col("qb")))
+        .withColumn("cos_ppm",
+          floor($"dot" / (sqrt($"na") * sqrt($"nb")) * lit(1000000.0) + lit(0.5)).cast("long"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= TopK)
+        .select($"nprobe", $"qid", $"cid").withColumn("hit", lit(1L))
+      truth.withColumn("nprobe", explode(expr("array(1L, 2L, 4L)")))
+        .join(top, Seq("nprobe", "qid", "cid"), "left")
+        .groupBy($"nprobe", $"qid")
+        .agg(sum(coalesce($"hit", lit(0L))).as("n_hits"))
+        .select($"nprobe", $"qid", $"n_hits",
+          expr(s"(n_hits * 1000000) div $TopK").as("recall_ppm"))
+        .orderBy($"nprobe", $"qid")
     },
 
     // IVF-style ANN: cells = nearest of the deterministic seed centroids
@@ -729,8 +742,13 @@ object AnnQueries {
       val (mSub, subDim, nCodes, shortlist) = (8, 8, 16, 5 * TopK)
       val e = quantized(s, d)
       val eu = unit(s, d)
-      val cents = eu.filter($"vec_id" % centroidStep(s, d) === 0)
-        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"nn".as("nc"))
+      // r14: the coarse assignment is served from the materialized
+      // [[EmbIvfIndex]] posting lists (same frozen seeds + tie-break;
+      // IvfIndexSpec pins index == inline assignment), so the composed
+      // scan never recomputes the corpus×codebook ranking — only the
+      // |queries| probe vectors are ranked. The cells read is column-
+      // pruned to (vec_id, cent_id).
+      val cents = EmbIvfIndex.cents(s, d)
       def assign(df: DataFrame, keep: Int): DataFrame = {
         val w = Window.partitionBy(col("vec_id")).orderBy(col("c_ppm").desc, col("cent_id"))
         df.join(broadcast(cents), lit(true))
@@ -741,7 +759,7 @@ object AnnQueries {
           .filter(col("crnk") <= keep)
           .select(col("vec_id"), col("cent_id"))
       }
-      val cells = assign(eu, 1).select($"vec_id".as("cid"), $"cent_id")
+      val cells = EmbIvfIndex.cells(s, d).select($"vec_id".as("cid"), $"cent_id")
       val probes = assign(eu.filter($"vec_id" < NumQueries), 2)
         .select($"vec_id".as("qid"), $"cent_id")
       val cand = cells.join(broadcast(probes), Seq("cent_id"))

@@ -41,6 +41,25 @@ class RecallCurveSpec extends SparkSpec {
         s"qid $qid: sweep point 2 disagrees with the production operator")
   }
 
+  test("ann_ivf_recall: the corpus side is the pruned index scan, never a re-assignment") {
+    // r14 shape law: the sweep's cells come from EmbIvfIndex's posting
+    // lists PARTITION-PRUNED to the probed cells (the ann_ivf_index
+    // serving contract) — a regression back to the inline full-corpus
+    // assignment would drop the partition filter from every cells scan
+    val df = SparkEntry.queries("ann_ivf_recall")(spark, sf)
+    // sparkPlan, not executedPlan: AQE wraps the executed tree in
+    // AdaptiveSparkPlanExec, which hides the scans from collect()
+    val cellScans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("graft-ivf-index")) &&
+          s.output.exists(_.name == "cent_id") => s
+    }
+    assert(cellScans.nonEmpty, "ann_ivf_recall no longer reads the IVF posting lists")
+    assert(cellScans.forall(_.partitionFilters.nonEmpty),
+      "the posting-list scan lost its probed-cells partition pruning")
+    spark.catalog.clearCache()
+  }
+
   test("emb_pq_distortion: codebook vectors encode exactly, means bounded by maxes") {
     val spark2 = spark
     import spark2.implicits._
