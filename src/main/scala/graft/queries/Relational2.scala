@@ -809,8 +809,10 @@ object Relational2 {
     // of hard-coding a constant that goes trivial at scale). Three
     // synchronous peel rounds (the distributed formulation: a round
     // removes ALL current sub-k nodes at once, then neighbors' degrees
-    // drop by their removed-neighbor counts — one semi/anti join + one
-    // partial-agg shuffle per round, the q42 BFS cost shape), profile =
+    // drop by their removed-neighbor counts — survivors are the
+    // complement filter of the removal predicate (no join needed), so a
+    // round costs one semi join + one partial-agg shuffle, the q42 BFS
+    // cost shape), profile =
     // per-round removals + the surviving core. Exact integers
     // throughout, so the full peel trajectory replays in the oracle's
     // unrolled CTEs.
@@ -836,7 +838,11 @@ object Relational2 {
             .filter($"n_nodes" > 0))
         val dec = sym.join(rem.select($"x".as("u")), Seq("u"))
           .groupBy($"v".as("x")).agg(count(lit(1)).as("c"))
-        cur = cur.join(rem.select($"x"), Seq("x"), "left_anti")
+        // rem is cur.filter(dg < k) and x is unique per row, so the
+        // survivor set is just the complement filter — the former
+        // left_anti against rem re-joined cur against a filter of
+        // itself (one Exchange+Sort pair per round for nothing).
+        cur = cur.filter($"dg" >= $"k")
           .join(dec, Seq("x"), "left")
           .select($"x", ($"dg" - coalesce($"c", lit(0L))).as("dg"), $"k")
           .localCheckpoint(true)
